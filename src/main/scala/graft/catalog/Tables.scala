@@ -1,6 +1,7 @@
 package graft.catalog
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Logical-name → path catalog over the driver testdata layout
   * (`TESTDATA.md`: one parquet file per table under a scale-factor dir).
@@ -13,6 +14,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Scale note: these are plain parquet scans — Catalyst pushes predicates and
   * prunes columns at the source, so the same catalog works unchanged whether
   * the path holds one file (local test) or a 100 TB partitioned directory.
+  *
+  * Session prerequisite: `spark.sql.legacy.parquet.nanosAsLong=true` must be
+  * set at session build time (see [[graft.Sessions]]) — `events.ts` is parquet
+  * INT64 TIMESTAMP(NANOS) and surfaces as BIGINT nanoseconds.
   */
 object Tables {
   val all: Seq[String] = Seq(
@@ -21,19 +26,21 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
-  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). The supported path is the
-    * session conf below, which surfaces the column as BIGINT nanoseconds —
-    * exact (no precision loss) and cheap (no per-row conversion on scan).
-    * Queries convert at the edge (`tsMicros`, epoch-day bucketing).
-    */
-  private def enableNanos(spark: SparkSession): Unit =
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") enableNanos(spark)
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(path(dir, name))
-  }
+
+  /** Edge conversion for the BIGINT-nanoseconds `events.ts` column → a real
+    * TimestampType at microsecond precision. Testdata timestamps carry full
+    * sub-µs precision, which DuckDB truncates to µs when scanning the same
+    * parquet — so every oracle-compared computation must run at µs
+    * precision. floor-division truncates toward negative infinity exactly
+    * like DuckDB's scan-time truncation for post-epoch data, keeping the
+    * two views identical.
+    */
+  def tsMicros(tsNanos: Column): Column =
+    // integer `div`, NOT `/`: Long `/` is double division in Spark and
+    // epoch-nanos (~1.7e18) exceed double's 2^53 exact-integer range.
+    timestamp_micros(call_function("div", tsNanos, lit(1000L)))
 
   /** Register every testdata table as a temp view named `name`. Idempotent. */
   def registerAll(spark: SparkSession, dir: String): Unit =

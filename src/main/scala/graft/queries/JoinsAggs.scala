@@ -1,0 +1,352 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.Tables
+
+/** Joins, aggregations, set operations, and the SQL query surface —
+  * SURVEY.md §2.3 (J1–J4), §2.4 (A1–A7), §2.5 (O1–O2), §2.6, plus the three
+  * reference analytics queries re-targeted to the testdata analogs
+  * (FIXTURES.md §A: funnel → events.event_type × user_id; conversion-by-source
+  * → events cohorts; revenue-by-category → lineitem ⋈ part by p_brand).
+  *
+  * Scale notes, per operator family:
+  *   - dim joins (`part`, `nation`, `region`) are explicitly `broadcast()` —
+  *     at 100 TB the fact side never shuffles for a ≤ MBs dimension;
+  *   - fact⋈fact (lineitem⋈orders) relies on hash-shuffle on the join key +
+  *     AQE (skew split); both sides arrive pre-bucketable on orderkey if the
+  *     lake materializes them bucketed, which Catalyst then exploits;
+  *   - countDistinct over groups is partial-aggregated map-side (Catalyst
+  *     RewriteDistinctAggregates / two-phase HashAggregate), so no single
+  *     reducer sees all users;
+  *   - top-k is TakeOrderedAndProject (per-partition heaps), never a global
+  *     sort.
+  */
+object JoinsAggs extends QueryPack {
+
+  /** A1/A3/A6/A7 analog of TPC-H Q1 — the reference silver-layer aggregate
+    * shape (multi-aggregate groupBy, reference README.md:364-369,396).
+    * Integer-valued doubles (quantity, count) are exact; money sums round 2.
+    */
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= to_timestamp(lit("2000-12-01")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        avg("l_quantity").as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** J2+A3+O1+O2 — the reference's revenue-by-category top-10
+    * (README.md:393-402), on the lineitem ⋈ part analog. The dimension side
+    * is broadcast: zero shuffle of the fact table.
+    */
+  private def q21(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val part = Tables.load(s, dir, "part").select("p_partkey", "p_brand")
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .groupBy("p_brand")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("p_brand"))
+      .limit(10)
+  }
+
+  /** J1 — left outer join keeping unmatched left rows (reference
+    * generate_clickstream.py:51-52 `merge(how="left")`): orders per customer
+    * including zero-order customers.
+    */
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+    val o = Tables.load(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("order_cnt"))
+      .orderBy("c_custkey")
+  }
+
+  /** J4 — star-schema multi-join (reference README.md:346-351 FK graph):
+    * fact⋈fact shuffle join + broadcast dims, revenue per nation/region.
+    */
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val o = Tables.load(s, dir, "orders")
+    val c = Tables.load(s, dir, "customer")
+    val n = Tables.load(s, dir, "nation")
+    val r = Tables.load(s, dir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Semi-join (the reference's J3+COUNT(DISTINCT) conversion pattern is
+    * semantically semi-join-with-flag — SURVEY.md §2.3): orders having at
+    * least one max-quantity line. No payload columns cross the shuffle.
+    */
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val big = Tables.load(s, dir, "lineitem").filter(col("l_quantity") > 49)
+    o.join(big, o("o_orderkey") === big("l_orderkey"), "left_semi")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** Anti-join — customers with no orders (dual of q24). */
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+    val o = Tables.load(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** A1 — the reference funnel query (README.md:364-369): distinct users per
+    * event_type, ordered by volume.
+    */
+  private def q26(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("users"))
+      .orderBy(col("users").desc, col("event_type"))
+
+  /** A2+A7+J3 — the reference conversion-rate query (README.md:373-389):
+    * distinct-all vs distinct-purchasing users per cohort via left join to
+    * the purchases set; `100.0 * x / y` exactly as the reference (F3) — a
+    * single exact-integer division, bit-equal across engines, no rounding.
+    */
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id")).distinct()
+    e.join(purchases, e("user_id") === purchases("p_user_id"), "left")
+      .groupBy((col("user_id") % 10).as("cohort"))
+      .agg(
+        countDistinct("user_id").as("users"),
+        countDistinct("p_user_id").as("buyers"))
+      .withColumn("conversion_rate_pct",
+        lit(100.0) * col("buyers") / col("users"))
+      .orderBy("cohort")
+  }
+
+  /** Set op: UNION (distinct). */
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer").select(col("c_custkey").as("id"))
+    val o = Tables.load(s, dir, "orders").select(col("o_custkey").as("id"))
+    c.union(o).distinct().orderBy("id")
+  }
+
+  /** Set op: INTERSECT. */
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer").select(col("c_custkey").as("id"))
+    val o = Tables.load(s, dir, "orders").select(col("o_custkey").as("id"))
+    c.intersect(o).orderBy("id")
+  }
+
+  /** Set op: EXCEPT — customers that never ordered, as a set difference. */
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer").select(col("c_custkey").as("id"))
+    val o = Tables.load(s, dir, "orders").select(col("o_custkey").as("id"))
+    c.except(o).orderBy("id")
+  }
+
+  /** HAVING — post-aggregation filter. */
+  private def q31(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("order_cnt"))
+      .filter(col("order_cnt") >= 15)
+      .orderBy("o_custkey")
+
+  /** SQL surface: scalar subquery (orders above the mean price). Exercises
+    * the spark.sql path — parse → analyze → subquery planning.
+    */
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** SQL surface: CTE (the reference's WITH purchases shape,
+    * README.md:375-379) + join + aggregate.
+    */
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    Tables.load(s, dir, "part").createOrReplaceTempView("part")
+    s.sql(
+      """WITH big_lines AS (
+        |  SELECT l_partkey, l_quantity FROM lineitem WHERE l_quantity >= 40
+        |)
+        |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_big
+        |FROM big_lines JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+  }
+
+  /** TPC-H Q6 shape — tight range predicates fully pushed to the parquet
+    * scan, single global aggregate (partial + final, no groupBy shuffle).
+    */
+  private def q34(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+        .as("revenue"))
+
+  /** ROLLUP — hierarchical totals (beyond the reference, standard warehouse
+    * surface). NULL ordering pinned explicitly (Spark and DuckDB defaults
+    * differ).
+    */
+  private def q35(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** PIVOT — wide conditional aggregation with an explicit value list (no
+    * extra distinct-values job at scale).
+    */
+  private def q36(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .sum("l_quantity")
+      .orderBy("l_returnflag")
+
+  override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q20_pricing_summary" -> q20 _,
+    "q21_revenue_topk_brand" -> q21 _,
+    "q22_left_join_counts" -> q22 _,
+    "q23_star_join_revenue" -> q23 _,
+    "q24_semi_join" -> q24 _,
+    "q25_anti_join" -> q25 _,
+    "q26_funnel_distinct_users" -> q26 _,
+    "q27_conversion_rate" -> q27 _,
+    "q28_union" -> q28 _,
+    "q29_intersect" -> q29 _,
+    "q30_except" -> q30 _,
+    "q31_having" -> q31 _,
+    "q32_scalar_subquery" -> q32 _,
+    "q33_cte_join" -> q33 _,
+    "q34_range_agg" -> q34 _,
+    "q35_rollup" -> q35 _,
+    "q36_pivot" -> q36 _)
+
+  override val oracle: Seq[(String, String)] = Seq(
+    "q20_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(l_quantity) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        | avg(l_quantity) AS avg_qty,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q21_revenue_topk_brand" ->
+      """SELECT p_brand,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY revenue DESC, p_brand LIMIT 10""".stripMargin,
+    "q22_left_join_counts" ->
+      """SELECT c_custkey, count(o_orderkey) AS order_cnt
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q23_star_join_revenue" ->
+      """SELECT r_name, n_name,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q24_semi_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey IN
+        |  (SELECT l_orderkey FROM lineitem WHERE l_quantity > 49)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q25_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS
+        |  (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q26_funnel_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS users
+        |FROM events GROUP BY event_type
+        |ORDER BY users DESC, event_type""".stripMargin,
+    "q27_conversion_rate" ->
+      """WITH purchases AS (
+        |  SELECT DISTINCT user_id AS p_user_id FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT e.user_id % 10 AS cohort,
+        | count(DISTINCT e.user_id) AS users,
+        | count(DISTINCT p.p_user_id) AS buyers,
+        | CAST(100.0 AS DOUBLE) * count(DISTINCT p.p_user_id)
+        |   / count(DISTINCT e.user_id) AS conversion_rate_pct
+        |FROM events e LEFT JOIN purchases p ON e.user_id = p.p_user_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q28_union" ->
+      """SELECT c_custkey AS id FROM customer
+        |UNION SELECT o_custkey AS id FROM orders
+        |ORDER BY id""".stripMargin,
+    "q29_intersect" ->
+      """SELECT c_custkey AS id FROM customer
+        |INTERSECT SELECT o_custkey AS id FROM orders
+        |ORDER BY id""".stripMargin,
+    "q30_except" ->
+      """SELECT c_custkey AS id FROM customer
+        |EXCEPT SELECT o_custkey AS id FROM orders
+        |ORDER BY id""".stripMargin,
+    "q31_having" ->
+      """SELECT o_custkey, count(*) AS order_cnt FROM orders
+        |GROUP BY o_custkey HAVING count(*) >= 15
+        |ORDER BY o_custkey""".stripMargin,
+    "q32_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q33_cte_join" ->
+      """WITH big_lines AS (
+        |  SELECT l_partkey, l_quantity FROM lineitem WHERE l_quantity >= 40
+        |)
+        |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_big
+        |FROM big_lines JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q34_range_agg" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q35_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | count(*) AS cnt, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST,
+        |         l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q36_pivot" ->
+      """SELECT l_returnflag,
+        | sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS "F",
+        | sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS "O"
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+}

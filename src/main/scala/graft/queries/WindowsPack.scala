@@ -1,0 +1,245 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.catalog.Tables
+
+/** Window functions and event sessionization. The reference expresses its
+  * funnel with COUNT(DISTINCT)+joins (SURVEY.md §2.8 — no windows), so these
+  * are the idiomatic-Spark upgrade path for the same clickstream domain:
+  * session ordering, gap-based sessionization, running/moving aggregates.
+  *
+  * Scale notes: every window here is keyed (`partitionBy` user/customer/
+  * nation) — state is bounded per key and the shuffle is a single hash
+  * exchange on the partition key, so the pattern holds at 100 TB. The one
+  * deliberate exception (q46, a global ranking over a *dimension-sized*
+  * table) is annotated; global windows over fact tables are a scale bug and
+  * don't appear here.
+  */
+object WindowsPack extends QueryPack {
+
+  /** All event-time window arithmetic runs on the µs-truncated timestamp
+    * (`ts_us = floor(ts_ns / 1000)`): the DuckDB oracle reads the parquet
+    * TIMESTAMP(NANOS) column at microsecond precision (nanos truncated on
+    * scan), so ordering, gaps, and durations must be computed at the same
+    * precision or sub-µs digits diverge — including window ORDER BY ties,
+    * where two events in the same microsecond must fall back to event_id in
+    * both engines rather than being separated by nanos in only one.
+    */
+  private def withTsUs(df: DataFrame): DataFrame =
+    // integer `div`, NOT `/`: Long `/` is double division in Spark, and
+    // doubles can't hold epoch-nanos (~1.7e18 > 2^53) exactly — the
+    // quotient would drift by hundreds of ns.
+    df.withColumn("ts_us", expr("ts div 1000"))
+
+  private def userW = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+
+  /** Ranking family — row_number / rank / dense_rank per group; top-3
+    * customers by balance within each nation.
+    */
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.load(s, dir, "customer")
+      .select(
+        col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"))
+      .filter(col("rn") <= 3)
+      .orderBy("c_nationkey", "rn")
+  }
+
+  /** Running total per customer (frame: unbounded preceding → current row).
+    * Sequential accumulation order is pinned by the ORDER BY, so both
+    * engines add in the same order; round(…,2) absorbs engine-internal
+    * association differences (e.g. segment-tree window aggregation).
+    */
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        round(sum("o_totalprice").over(w), 2).as("running_spend"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** lag — inter-event gap per user in seconds. Exact integer µs
+    * subtraction, re-scaled to ns before the one double division so the
+    * IEEE op sequence matches the oracle's `epoch_ns` arithmetic bit-for-bit.
+    */
+  private def q42(s: SparkSession, dir: String): DataFrame =
+    withTsUs(Tables.load(s, dir, "events"))
+      .select(
+        col("event_id"), col("user_id"),
+        (((col("ts_us") - lag("ts_us", 1).over(userW)) * lit(1000L))
+          .cast("double") / lit(1000000000.0)).as("gap_s"))
+      .orderBy("user_id", "event_id")
+
+  /** Gap-based sessionization — new session when idle > 30 min; running sum
+    * of session-start flags yields a per-user session index. This is the
+    * batch twin of the Structured Streaming session_window path
+    * (graft.streaming) and the scalable shape: one shuffle on user_id,
+    * bounded per-key state.
+    */
+  private def sessionized(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 1800L * 1000000L
+    val isNew = when(
+      lag("ts_us", 1).over(userW).isNull ||
+        (col("ts_us") - lag("ts_us", 1).over(userW)) > gapUs, 1).otherwise(0)
+    withTsUs(Tables.load(s, dir, "events"))
+      .withColumn("is_new", isNew)
+      .withColumn("session_idx",
+        sum("is_new").over(userW.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+  }
+
+  private def q43(s: SparkSession, dir: String): DataFrame =
+    sessionized(s, dir)
+      .select("event_id", "user_id", "session_idx")
+      .orderBy("user_id", "event_id")
+
+  /** Per-session stats over the sessionized stream: length + duration. */
+  private def q44(s: SparkSession, dir: String): DataFrame =
+    sessionized(s, dir)
+      .groupBy("user_id", "session_idx")
+      .agg(
+        count(lit(1)).as("n_events"),
+        (((max("ts_us") - min("ts_us")) * lit(1000L)).cast("double")
+          / lit(1000000000.0)).as("duration_s"))
+      .orderBy("user_id", "session_idx")
+
+  /** Moving sum — last-5-rows sliding frame per user. A sum (not avg) so
+    * the true value keeps ≤2 decimals (`value` is 2-decimal): round(…,2)
+    * then never sits on a .005 half-way boundary, where Spark's
+    * decimal-string HALF_UP and DuckDB's binary rounding disagree.
+    */
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    val w = userW.rowsBetween(-4, Window.currentRow)
+    withTsUs(Tables.load(s, dir, "events"))
+      .select(
+        col("event_id"), col("user_id"),
+        round(sum("value").over(w), 2).as("msum5"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** ntile + percent_rank. Deliberately a GLOBAL window — acceptable only
+    * because `customer` is dimension-sized; a fact-table global ranking
+    * would serialize through one task and is the anti-pattern this library
+    * avoids elsewhere.
+    */
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.load(s, dir, "customer")
+      .select(
+        col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"))
+      .orderBy("c_custkey")
+  }
+
+  /** first_value / last_value over a full partition frame. */
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.load(s, dir, "customer")
+      .select(
+        col("c_nationkey"), col("c_custkey"),
+        first("c_acctbal").over(w).as("top_bal"),
+        last("c_acctbal").over(w).as("bottom_bal"))
+      .orderBy("c_nationkey", "c_custkey")
+  }
+
+  override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q40_window_rank" -> q40 _,
+    "q41_running_total" -> q41 _,
+    "q42_lag_gap" -> q42 _,
+    "q43_sessionize" -> q43 _,
+    "q44_session_stats" -> q44 _,
+    "q45_moving_sum" -> q45 _,
+    "q46_ntile_percentile" -> q46 _,
+    "q47_first_last" -> q47 _)
+
+  override val oracle: Seq[(String, String)] = Seq(
+    "q40_window_rank" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal, rn, rnk, drnk FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    row_number() OVER w AS rn,
+        |    CAST(rank() OVER w AS INT) AS rnk,
+        |    CAST(dense_rank() OVER w AS INT) AS drnk
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_nationkey
+        |               ORDER BY c_acctbal DESC, c_custkey))
+        |WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin,
+    "q41_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(sum(o_totalprice) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |   AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q42_lag_gap" ->
+      """SELECT event_id, user_id,
+        | CAST(epoch_ns(ts) - lag(epoch_ns(ts)) OVER (
+        |   PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE)
+        |   / 1000000000 AS gap_s
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q43_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+        |           OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w
+        |              > 1800000000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id, user_id,
+        |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_idx
+        |FROM flagged ORDER BY user_id, event_id""".stripMargin,
+    "q44_session_stats" ->
+      """WITH flagged AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+        |           OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w
+        |              > 1800000000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT event_id, user_id, ts,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  CAST(max(epoch_ns(ts)) - min(epoch_ns(ts)) AS DOUBLE)
+        |    / 1000000000 AS duration_s
+        |FROM sessions GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+    "q45_moving_sum" ->
+      """SELECT event_id, user_id,
+        | round(sum(value) OVER (
+        |   PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 2) AS msum5
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q46_ntile_percentile" ->
+      """SELECT c_custkey, c_acctbal,
+        | CAST(ntile(4) OVER w AS INT) AS quartile,
+        | percent_rank() OVER w AS pr
+        |FROM customer
+        |WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q47_first_last" ->
+      """SELECT c_nationkey, c_custkey,
+        | first_value(c_acctbal) OVER w AS top_bal,
+        | last_value(c_acctbal) OVER w AS bottom_bal
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey
+        |             ORDER BY c_acctbal DESC, c_custkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING
+        |               AND UNBOUNDED FOLLOWING)
+        |ORDER BY c_nationkey, c_custkey""".stripMargin)
+}
