@@ -13,7 +13,8 @@ import graft.queries._
   */
 object SparkEntry {
   private val packs: Seq[QueryPack] =
-    Seq(RelationalCore, JoinsAggs, WindowsPack)
+    Seq(RelationalCore, JoinsAggs, WindowsPack,
+      TextPack, DedupPack, SimilarityPack, JsonPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's headline analytics shape: revenue-by-category top-10

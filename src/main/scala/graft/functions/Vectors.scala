@@ -1,0 +1,23 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<double>` columns as pure Catalyst higher-order
+  * expressions — codegen-friendly, no UDFs, no driver-side state, so they
+  * ride inside WholeStageCodegen and scale linearly.
+  *
+  * The dot product is an explicit *sequential left fold* (`aggregate` over
+  * `zip_with`), matching the element order of DuckDB's `list_dot_product`
+  * loop — accumulation order is part of the oracle-parity contract for
+  * doubles.
+  */
+object Vectors {
+  /** Σ aᵢ·bᵢ, sequential fold in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity: dot(a,b) / (‖a‖·‖b‖). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+}

@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import graft.catalog.Tables
+
+/** Semi-structured (JSON) columns — `events.props` carries a JSON object
+  * per event. Path extraction (`get_json_object`), schema-on-read
+  * (`from_json` to a typed struct), and aggregation over extracted values.
+  * The reference's raw zone is "CSV or JSON (as-is)" (README.md:423-424);
+  * this is the JSON half of that surface, Spark-native.
+  *
+  * Scale note: both extraction forms are per-row codegen'd expressions —
+  * no shuffle until the aggregate, which partial-aggregates map-side.
+  * `from_json` with an explicit schema is the 100 TB shape (no sampling
+  * pass); schema inference over a petabyte of JSON is the anti-pattern.
+  */
+object JsonPack extends QueryPack {
+
+  /** Path extraction per event: `$.k` as a typed int. */
+  private def q80(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy("event_id")
+
+  /** Schema-on-read with an explicit StructType + aggregation over the
+    * extracted field: events per k-bucket with value totals.
+    */
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(StructField("k", IntegerType)))
+    Tables.load(s, dir, "events")
+      .select(from_json(col("props"), schema).getField("k").as("k"),
+        col("value"))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value"))
+      .orderBy("k_bucket")
+  }
+
+  override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q80_json_extract" -> q80 _,
+    "q81_json_agg" -> q81 _)
+
+  override val oracle: Seq[(String, String)] = Seq(
+    "q80_json_extract" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q81_json_agg" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10
+        |   AS k_bucket,
+        | count(*) AS n_events,
+        | round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+}

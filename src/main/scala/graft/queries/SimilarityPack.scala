@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.catalog.Tables
+import graft.functions.Vectors
+
+/** Approximate-nearest-neighbor search over `embeddings.embedding`
+  * (BASELINE.json north-star). Two paths:
+  *
+  *   - q70: brute-force cosine top-k — the correctness baseline. Query set ×
+  *     corpus join, per-query top-k via per-partition heaps. At 100 TB this
+  *     is only sane for small query batches: the corpus side never shuffles
+  *     (the query set is broadcast), so cost is one linear corpus scan per
+  *     batch — the right brute-force shape, just not sub-linear.
+  *   - q71: sign-bit LSH buckets — the scale path. Each vector maps to a
+  *     4-bit bucket (sign of dims 1..4 — a fixed, data-independent random
+  *     projection); search joins query→bucket→candidates, turning O(n·q)
+  *     into O(q·bucket_size) with a hash-shuffle on the bucket key. Recall
+  *     is traded for the usual LSH miss probability; production would union
+  *     multiple hash tables or multi-probe neighboring buckets.
+  *
+  * Oracle parity: cosine in double with a sequential fold (see
+  * [[graft.functions.Vectors]]), rounded to 6; ties broken by vec_id so
+  * ranking is total.
+  */
+object SimilarityPack extends QueryPack {
+
+  private val k = 5
+  private val nQueries = 20
+  private val signDims = 4
+
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+
+  private def topk(joined: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos6"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Brute-force cosine top-k: the first `nQueries` vectors against the
+    * whole corpus (self excluded). The query side is broadcast — the corpus
+    * never moves.
+    */
+  private def q70(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val joined = c.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .withColumn("cos", Vectors.cosine(col("qv"), col("v")))
+    topk(joined, k)
+  }
+
+  /** Sign-bit bucket key over the first `signDims` dimensions. */
+  private def bucket(v: Column): Column =
+    (0 until signDims).map { i =>
+      when(element_at(v, i + 1) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: candidates restricted to the query's bucket
+    * (16 buckets ⇒ ~1/16 of the corpus scanned per query).
+    */
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir).withColumn("bkt", bucket(col("v")))
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("bkt").as("q_bkt"))
+    val joined = c.join(broadcast(q),
+        col("q_bkt") === col("bkt") && col("q_id") =!= col("vec_id"))
+      .withColumn("cos", Vectors.cosine(col("qv"), col("v")))
+    topk(joined, k)
+  }
+
+  override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q70_ann_bruteforce" -> q70 _,
+    "q71_ann_lsh_bucket" -> q71 _)
+
+  private val duckCos =
+    """list_dot_product(a.qv, b.v)
+      |  / (sqrt(list_dot_product(a.qv, a.qv))
+      |     * sqrt(list_dot_product(b.v, b.v)))""".stripMargin
+
+  private def duckBucket(col: String): String =
+    (0 until signDims).map { i =>
+      s"CASE WHEN $col[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END"
+    }.mkString(" + ")
+
+  override val oracle: Seq[(String, String)] = Seq(
+    "q70_ann_bruteforce" ->
+      s"""WITH e AS (
+         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $nQueries),
+         |scored AS (
+         | SELECT a.q_id, b.vec_id, $duckCos AS cos
+         | FROM q a JOIN e b ON a.q_id <> b.vec_id),
+         |ranked AS (
+         | SELECT q_id, vec_id, cos, row_number() OVER (
+         |   PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         | FROM scored)
+         |SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id,
+         | round(cos, 6) AS cos6
+         |FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin,
+    "q71_ann_lsh_bucket" ->
+      s"""WITH e AS (
+         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |  ${duckBucket("embedding")} AS bkt
+         | FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv, bkt AS q_bkt
+         |      FROM e WHERE vec_id < $nQueries),
+         |scored AS (
+         | SELECT a.q_id, b.vec_id, $duckCos AS cos
+         | FROM q a JOIN e b ON a.q_bkt = b.bkt AND a.q_id <> b.vec_id),
+         |ranked AS (
+         | SELECT q_id, vec_id, cos, row_number() OVER (
+         |   PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         | FROM scored)
+         |SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id,
+         | round(cos, 6) AS cos6
+         |FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin)
+}

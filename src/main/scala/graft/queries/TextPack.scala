@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.Tables
+
+/** Text analysis for LLM-training-data pipelines over the `documents` table:
+  * token counting, quality scoring, language identification, and document
+  * fingerprinting. Beyond the reference's surface (its only text handling is
+  * enum validation, reference README.md:75,223) — these are the BASELINE.json
+  * north-star operators.
+  *
+  * Scale notes: every query is a narrow-projection parquet scan with
+  * per-row expression work (no shuffle except the presentation sort) — the
+  * shape that scales linearly to 100 TB because Catalyst keeps the whole
+  * pipeline in one WholeStageCodegen span over higher-order array
+  * expressions; no UDFs, no driver-side state.
+  *
+  * Oracle parity: tokenization is `split(text, ' ')` + drop empties, which
+  * DuckDB reproduces as `list_filter(string_split(text,' '), x -> x <> '')`.
+  * Ratios are int/int divisions (both engines promote to exact double
+  * division → bit-equal). Hashes are md5 hex strings (identical algorithm
+  * both sides).
+  */
+object TextPack extends QueryPack {
+
+  /** Non-empty whitespace tokens. */
+  private def toks(c: Column): Column =
+    filter(split(c, " "), t => t =!= lit(""))
+
+  private val bpeIshRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Token counting — whitespace tokens + a BPE-ish regex lexer (letters /
+    * digit runs / single punctuation, the classic pre-tokenizer split).
+    */
+  private def q50(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(toks(col("text"))).as("n_tokens_ws"),
+        // functions API, not expr(): Spark SQL string literals treat
+        // backslash as an escape, which would silently corrupt the \s class.
+        size(regexp_extract_all(col("text"), lit(bpeIshRegex), lit(0)))
+          .as("n_tokens_re"))
+      .orderBy("doc_id")
+
+  /** Quality scoring — length, word-length, uppercase + whitespace ratios,
+    * and a keep/drop flag; the C4/Gopher-style heuristic filter family.
+    * All ratios are exact-int divisions (bit-equal across engines).
+    */
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val nWords = size(t)
+    val sumLen = aggregate(t, lit(0), (acc, x) => acc + length(x))
+    Tables.load(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_m"),
+        nWords.as("n_words"),
+        (sumLen / nWords).as("avg_word_len"),
+        (length(regexp_replace(col("text"), "[^ ]", "")) / length(col("text")))
+          .as("space_ratio"),
+        (length(regexp_replace(col("text"), "[^A-Z]", "")) / length(col("text")))
+          .as("upper_ratio"),
+        when(nWords.between(20, 1000) &&
+          (sumLen / nWords).between(2.0, 12.0), 1).otherwise(0)
+          .as("keep"))
+      .orderBy("doc_id")
+  }
+
+  // Tiny per-language stopword lexicons for the n-gram/stopword-hit
+  // language-ID heuristic. (The synthetic corpus is English word-soup for
+  // every `lang` label, so the predictor output is dominated by 'en' — the
+  // operator semantics, not the corpus, are what's under test.)
+  private val lex: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "est"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "ein"))
+
+  /** Language identification — stopword-lexicon hit counts with a
+    * deterministic argmax (ties break by the fixed lexicon order), plus a
+    * no-latin-script → 'zh' short-circuit. The scalable shape of fastText-
+    * style lang-ID: pure per-row expressions, no model state.
+    */
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    val dt = array_distinct(toks(col("text")))
+    val hits = lex.map { case (l, ws) =>
+      l -> size(array_intersect(dt, array(ws.map(lit): _*)))
+    }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    val pred = when(length(regexp_replace(col("text"), "[^A-Za-z]", "")) === 0,
+      lit("und")).otherwise(
+      hits.foldRight(lit("und"): Column) { case ((l, h), acc) =>
+        when(h === best && best > 0, lit(l)).otherwise(acc)
+      })
+    Tables.load(s, dir, "documents")
+      .select(
+        Seq(col("doc_id"), col("lang"), pred.as("pred_lang")) ++
+          hits.map { case (l, h) => h.as(s"hits_$l") }: _*)
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprinting — md5 of the punctuation-stripped, case- and
+    * whitespace-normalized text (exact-dup key), plus a 1-permutation
+    * MinHash (min token md5: the rolling-hash fingerprint family at its
+    * cheapest) for containment-style matching.
+    */
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    Tables.load(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        md5(norm).as("fp_norm_md5"),
+        array_min(transform(toks(col("text")), t => md5(t)))
+          .as("fp_minhash1"))
+      .orderBy("doc_id")
+  }
+
+  override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q50_token_count" -> q50 _,
+    "q51_quality_score" -> q51 _,
+    "q52_lang_id" -> q52 _,
+    "q53_fingerprint" -> q53 _)
+
+  // DuckDB twins. The lexicon CASE ladder is generated from the same `lex`
+  // so the two sides cannot drift.
+  private def duckHits(l: String, ws: Seq[String]): String =
+    s"CAST(len(list_intersect(dt, [${ws.map("'" + _ + "'").mkString(",")}])) AS INT) AS hits_$l"
+
+  private val duckBest =
+    "greatest(" + lex.map { case (l, _) => s"hits_$l" }.mkString(", ") + ")"
+
+  private val duckPred = lex.reverse.foldLeft("'und'") { case (acc, (l, _)) =>
+    s"CASE WHEN hits_$l = $duckBest AND $duckBest > 0 THEN '$l' ELSE $acc END"
+  }
+
+  override val oracle: Seq[(String, String)] = Seq(
+    "q50_token_count" ->
+      s"""SELECT doc_id,
+         | CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS INT)
+         |   AS n_tokens_ws,
+         | CAST(len(regexp_extract_all(text, '$bpeIshRegex')) AS INT)
+         |   AS n_tokens_re
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q51_quality_score" ->
+      """WITH t AS (
+        | SELECT doc_id, text,
+        |   list_filter(string_split(text,' '), x -> x <> '') AS tk
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(length(text) AS INT) AS n_chars_m,
+        | CAST(len(tk) AS INT) AS n_words,
+        | CAST(list_sum(list_transform(tk, x -> length(x))) AS INT)
+        |   / CAST(len(tk) AS INT) AS avg_word_len,
+        | CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS INT)
+        |   / CAST(length(text) AS INT) AS space_ratio,
+        | CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS INT)
+        |   / CAST(length(text) AS INT) AS upper_ratio,
+        | CASE WHEN len(tk) BETWEEN 20 AND 1000
+        |        AND CAST(list_sum(list_transform(tk, x -> length(x))) AS INT)
+        |            / CAST(len(tk) AS INT) BETWEEN 2.0 AND 12.0
+        |      THEN 1 ELSE 0 END AS keep
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q52_lang_id" ->
+      s"""WITH t AS (
+         | SELECT doc_id, lang, text,
+         |   list_distinct(list_filter(string_split(text,' '), x -> x <> ''))
+         |     AS dt
+         | FROM documents),
+         |h AS (
+         | SELECT doc_id, lang, text,
+         |  ${lex.map { case (l, ws) => duckHits(l, ws) }.mkString(",\n  ")}
+         | FROM t)
+         |SELECT doc_id, lang,
+         | CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) = 0
+         |      THEN 'und' ELSE $duckPred END AS pred_lang,
+         | ${lex.map { case (l, _) => s"hits_$l" }.mkString(", ")}
+         |FROM h ORDER BY doc_id""".stripMargin,
+    "q53_fingerprint" ->
+      """SELECT doc_id,
+        | md5(trim(regexp_replace(regexp_replace(lower(text),
+        |   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp_norm_md5,
+        | list_min(list_transform(
+        |   list_filter(string_split(text,' '), x -> x <> ''),
+        |   t -> md5(t))) AS fp_minhash1
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}
