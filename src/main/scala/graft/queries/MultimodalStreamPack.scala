@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.Tables
+import graft.multimodal.Multimodal
+
+/** Multimodal-column queries + the batch twin of the streaming session
+  * window.
+  *
+  * q95/q96 exercise the binary-payload plumbing ([[Multimodal]]): metadata
+  * over opaque payloads is pure native expressions (oracle-checkable —
+  * payload bytes are the documents' ASCII text, so DuckDB's VARCHAR
+  * functions see the same bytes); q96's feature extraction goes through
+  * the mapPartitions/Encoder batch path (the mapInPandas shape) and is
+  * rows-only checked by the driver, with exact-value coverage in
+  * MultimodalSpec.
+  *
+  * q49 runs Spark's native `session_window` in *batch* over `events` —
+  * same operator the streaming path uses ([[graft.streaming.Sessionize]]),
+  * so its semantics get a DuckDB oracle here: merge events whose 30-min
+  * windows overlap (new session when gap ≥ 30 min — note ≥, the window is
+  * half-open, vs q43's legacy > semantics).
+  */
+object MultimodalStreamPack extends QueryPack {
+
+  /** q95 — typed metadata over opaque binary payloads. */
+  private def q95(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mediaTable(s, dir)
+      .select(
+        col("doc_id"), col("kind"), col("width"), col("height"),
+        col("sample_rate"),
+        length(col("payload")).as("n_bytes"),
+        md5(col("payload")).as("payload_md5"),
+        hex(expr("substring(payload, 1, 8)")).as("head_hex"),
+        size(Multimodal.frameSample(col("payload"), 32, 10)).as("n_frames"))
+      .orderBy("doc_id")
+
+  /** q96 — batched feature extraction through the stubbed decoder
+    * (mapPartitions). Rows-only driver check; exact values spec-tested.
+    */
+  private def q96(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(Multimodal.mediaTable(s, dir))
+      .toDF()
+      .select(col("doc_id"), col("n_bytes"),
+        round(col("mean_byte"), 4).as("mean_byte4"),
+        col("histogram"))
+      .orderBy("doc_id")
+
+  /** q49 — native session_window, batch mode, over the events table. */
+  private def q49(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .withColumn("ts_ts", Tables.tsMicros(col("ts")))
+      .groupBy(session_window(col("ts_ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+
+  override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q95_media_meta" -> q95 _,
+    "q96_media_features" -> q96 _,
+    "q49_session_window" -> q49 _)
+
+  override val oracle: Seq[(String, String)] = Seq(
+    "q95_media_meta" ->
+      """SELECT doc_id,
+        | (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+        | CAST(doc_id % 7 * 64 + 64 AS INT) AS width,
+        | CAST(doc_id % 5 * 64 + 64 AS INT) AS height,
+        | CAST(doc_id % 2 * 22050 + 22050 AS INT) AS sample_rate,
+        | CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        | md5(text) AS payload_md5,
+        | hex(encode(substring(text, 1, 8))) AS head_hex,
+        | CAST(greatest(1, least(10,
+        |   CAST(ceil(octet_length(encode(text)) / 32.0) AS INT))) AS INT)
+        |   AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // q96: mapPartitions feature extraction — not SQL-expressible (rows-only)
+    "q49_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+        |              >= 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS session_start,
+        | count(*) AS n_events
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin)
+}
