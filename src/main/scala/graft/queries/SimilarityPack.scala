@@ -31,10 +31,13 @@ object SimilarityPack extends QueryPack {
   private val nQueries = 20
   private val signDims = 4
 
+  // Norm hoisted per vector (one ‖v‖ fold per row, not per pair) — same
+  // IEEE op sequence per value, so oracle bit-parity holds.
   private def corpus(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(Vectors.dot(col("v"), col("v"))))
 
   private def topk(joined: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("q_id")
@@ -54,9 +57,11 @@ object SimilarityPack extends QueryPack {
   private def q70(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
     val q = c.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
     val joined = c.join(broadcast(q), col("q_id") =!= col("vec_id"))
-      .withColumn("cos", Vectors.cosine(col("qv"), col("v")))
+      .withColumn("cos",
+        Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
     topk(joined, k)
   }
 
@@ -73,10 +78,11 @@ object SimilarityPack extends QueryPack {
     val c = corpus(s, dir).withColumn("bkt", bucket(col("v")))
     val q = c.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("bkt").as("q_bkt"))
+        col("nrm").as("qnrm"), col("bkt").as("q_bkt"))
     val joined = c.join(broadcast(q),
         col("q_bkt") === col("bkt") && col("q_id") =!= col("vec_id"))
-      .withColumn("cos", Vectors.cosine(col("qv"), col("v")))
+      .withColumn("cos",
+        Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
     topk(joined, k)
   }
 
@@ -85,9 +91,7 @@ object SimilarityPack extends QueryPack {
     "q71_ann_lsh_bucket" -> q71 _)
 
   private val duckCos =
-    """list_dot_product(a.qv, b.v)
-      |  / (sqrt(list_dot_product(a.qv, a.qv))
-      |     * sqrt(list_dot_product(b.v, b.v)))""".stripMargin
+    "list_dot_product(a.qv, b.v) / (a.qnrm * b.nrm)"
 
   private def duckBucket(col: String): String =
     (0 until signDims).map { i =>
@@ -97,8 +101,12 @@ object SimilarityPack extends QueryPack {
   override val oracle: Seq[(String, String)] = Seq(
     "q70_ann_bruteforce" ->
       s"""WITH e AS (
-         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $nQueries),
+         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |       CAST(embedding AS DOUBLE[]))) AS nrm
+         | FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm
+         |      FROM e WHERE vec_id < $nQueries),
          |scored AS (
          | SELECT a.q_id, b.vec_id, $duckCos AS cos
          | FROM q a JOIN e b ON a.q_id <> b.vec_id),
@@ -112,9 +120,11 @@ object SimilarityPack extends QueryPack {
     "q71_ann_lsh_bucket" ->
       s"""WITH e AS (
          | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |       CAST(embedding AS DOUBLE[]))) AS nrm,
          |  ${duckBucket("embedding")} AS bkt
          | FROM embeddings),
-         |q AS (SELECT vec_id AS q_id, v AS qv, bkt AS q_bkt
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, bkt AS q_bkt
          |      FROM e WHERE vec_id < $nQueries),
          |scored AS (
          | SELECT a.q_id, b.vec_id, $duckCos AS cos
