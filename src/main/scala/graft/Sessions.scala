@@ -32,6 +32,7 @@ object Sessions {
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
+      .withExtensions(graft.functions.DotProduct.inject)
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -13,8 +13,16 @@ import org.apache.spark.sql.functions._
   * doubles.
   */
 object Vectors {
-  /** Σ aᵢ·bᵢ, sequential fold in double. */
-  def dot(a: Column, b: Column): Column =
+  /** Σ aᵢ·bᵢ — the native codegen'd [[DotProduct]] expression (requires a
+    * session built by [[graft.Sessions]] or one that ran
+    * `DotProduct.inject`). Same sequential-fold semantics as [[dotHof]].
+    */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Σ aᵢ·bᵢ as pure built-in higher-order functions — works on any
+    * session, ~6× slower per element than [[dot]] (interpreted lambdas).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   /** Cosine similarity: dot(a,b) / (‖a‖·‖b‖). */

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Salting
+
+/** Plan-level assertions for the 100 TB techniques the library leans on:
+  * bucketed co-located joins (no shuffle), salted skew joins (result
+  * equivalence), and broadcast-join planning.
+  */
+class ScaleTechniquesSpec extends SparkSpecBase {
+
+  test("bucketed tables co-locate: join plans with NO shuffle exchange") {
+    val s = spark
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = graft.catalog.Tables
+        .load(s, "/root/testdata/sf0.001", "lineitem")
+        .select("l_orderkey", "l_quantity")
+      val o = graft.catalog.Tables
+        .load(s, "/root/testdata/sf0.001", "orders")
+        .select("o_orderkey", "o_totalprice")
+      li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").saveAsTable("li_bucketed")
+      o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable("o_bucketed")
+      val joined = s.table("li_bucketed")
+        .join(s.table("o_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      s.sql("DROP TABLE IF EXISTS li_bucketed")
+      s.sql("DROP TABLE IF EXISTS o_bucketed")
+    }
+  }
+
+  test("salted join ≡ plain join on skewed data") {
+    val s = spark
+    import s.implicits._
+    // 90% of the big side lands on one hot key.
+    val big = s.range(10000)
+      .select(when(col("id") % 10 === 0, col("id")).otherwise(lit(1L))
+        .as("k"), col("id").as("payload"))
+    val small = Seq((1L, "hot"), (10L, "a"), (20L, "b"), (30L, "c"))
+      .toDF("k", "v")
+    val plain = big.join(small, "k").select("k", "payload", "v")
+    val salted = Salting.saltedEquiJoin(big, small, "k", 8)
+      .select("k", "payload", "v")
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("dimension under the threshold auto-broadcasts") {
+    val s = spark
+    val li = graft.catalog.Tables
+      .load(s, "/root/testdata/sf0.001", "lineitem")
+    val part = graft.catalog.Tables
+      .load(s, "/root/testdata/sf0.001", "part")
+    val joined = li.join(part, col("l_partkey") === col("p_partkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+}
