@@ -184,10 +184,14 @@ object DedupPack extends QueryPack {
   private val simBits = 16
   private val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
 
-  private def simhash(tsCol: Column): Column =
+  /** 16-bit SimHash over an array of *pre-computed* md5 hex digests — the
+    * digest is hashed once per token and reused by all 16 bit-votes
+    * (inlining md5 into each per-bit lambda would digest every token 16×).
+    */
+  private def simhash(md5Col: Column): Column =
     (0 until simBits).map { j =>
-      val vote = aggregate(tsCol, lit(0), (acc, t) =>
-        acc + when(substring(md5(t), j + 1, 1)
+      val vote = aggregate(md5Col, lit(0), (acc, h) =>
+        acc + when(substring(h, j + 1, 1)
           .isin(oddHex: _*), 1).otherwise(-1))
       when(vote > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
@@ -197,7 +201,8 @@ object DedupPack extends QueryPack {
     */
   private def q63(s: SparkSession, dir: String): DataFrame = {
     val sigs = docToks(s, dir)
-      .select(col("doc_id"), col("lang"), simhash(col("ts")).as("simhash"))
+      .withColumn("m", transform(col("ts"), t => md5(t)))
+      .select(col("doc_id"), col("lang"), simhash(col("m")).as("simhash"))
     val b = sigs.select(col("doc_id").as("doc_id2"),
       col("lang").as("lang2"), col("simhash").as("simhash2"))
     sigs.join(b,
@@ -263,7 +268,7 @@ object DedupPack extends QueryPack {
       (b * bandR until (b + 1) * bandR).map(i => s"h$i").mkString(" || ") + ")"
 
   private def duckSimBit(j: Int): String =
-    s"CASE WHEN list_sum(list_transform(ts, t -> CASE WHEN substring(md5(t), ${j + 1}, 1) IN (${oddHex.map("'" + _ + "'").mkString(",")}) THEN 1 ELSE -1 END)) > 0 THEN ${1 << j} ELSE 0 END"
+    s"CASE WHEN list_sum(list_transform(m, h -> CASE WHEN substring(h, ${j + 1}, 1) IN (${oddHex.map("'" + _ + "'").mkString(",")}) THEN 1 ELSE -1 END)) > 0 THEN ${1 << j} ELSE 0 END"
 
   override val oracle: Seq[(String, String)] = Seq(
     "q60_exact_dedup" ->
@@ -325,7 +330,9 @@ object DedupPack extends QueryPack {
          |   / CAST(len(list_distinct(list_concat(sh, sh2))) AS INT) >= 0.9
          |ORDER BY doc_id, doc_id2""".stripMargin,
     "q63_simhash" ->
-      s"""WITH t AS (SELECT doc_id, lang, $duckToks AS ts FROM documents),
+      s"""WITH t0 AS (SELECT doc_id, lang, $duckToks AS ts FROM documents),
+         |t AS (SELECT doc_id, lang,
+         |  list_transform(ts, t -> md5(t)) AS m FROM t0),
          |sigs AS (
          | SELECT doc_id, lang,
          |  CAST(${(0 until simBits).map(duckSimBit).mkString("\n   + ")} AS INT)
