@@ -32,7 +32,10 @@ object Sessions {
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
-      .withExtensions(graft.functions.DotProduct.inject)
+      .withExtensions { e =>
+        graft.functions.DotProduct.inject(e)
+        graft.functions.MinHashSig.inject(e)
+      }
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -29,6 +29,18 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(path(dir, name))
 
+  /** Load + round-robin repartition to full parallelism. ONLY for
+    * expression-heavy pipelines (per-row hashing / shingling / generation):
+    * the testdata tables are single-row-group parquet files, which scan as
+    * ONE partition — a narrow scan stays that way through projections, so
+    * heavy per-row work would otherwise run on a single core. On a real
+    * lake the input splits provide this parallelism and the extra exchange
+    * would be wasted — which is why plain [[load]] stays the default.
+    */
+  def loadParallel(spark: SparkSession, dir: String, name: String): DataFrame =
+    load(spark, dir, name)
+      .repartition(spark.sparkContext.defaultParallelism)
+
   /** Edge conversion for the BIGINT-nanoseconds `events.ts` column → a real
     * TimestampType at microsecond precision. Testdata timestamps carry full
     * sub-µs precision, which DuckDB truncates to µs when scanning the same

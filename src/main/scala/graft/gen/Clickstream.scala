@@ -140,7 +140,9 @@ object Clickstream {
     */
   def generate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val orders = Tables.load(spark, dir, "orders")
+    // loadParallel: the flatMap row expansion is CPU-heavy and the local
+    // single-file scan would otherwise pin it to one partition.
+    val orders = Tables.loadParallel(spark, dir, "orders")
       .filter(col("o_orderstatus") === "F" && col("o_orderkey") % 20 === 0)
       .select(col("o_orderkey"), col("o_custkey"),
         unix_timestamp(col("o_orderdate")).as("odateSec"))
@@ -160,7 +162,7 @@ object Clickstream {
         col("odateSec"), col("items"))
       .as[FunnelOrder]
       .flatMap(funnelEvents _)
-    val browse = Tables.load(spark, dir, "customer")
+    val browse = Tables.loadParallel(spark, dir, "customer")
       .filter(col("c_custkey") % 5 === 0)
       .select(col("c_custkey").as("c"))
       .as[BrowseCustomer]

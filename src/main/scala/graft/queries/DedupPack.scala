@@ -37,7 +37,7 @@ object DedupPack extends QueryPack {
     filter(split(c, " "), t => t =!= lit(""))
 
   private def docToks(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    Tables.loadParallel(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
         array_distinct(toks(col("text"))).as("ts"))
 
@@ -123,11 +123,11 @@ object DedupPack extends QueryPack {
 
   // k hash functions derived from ONE md5 per shingle (the practical
   // MinHash construction — cf. the h_i = a + i·b family): hash function i
-  // is the i-th 8-hex-char window of md5(shingle). One digest per shingle
-  // instead of k; the windows are independent uniform draws.
+  // is the i-th 8-hex-char window of md5(shingle), all k minima computed
+  // by the native one-pass [[graft.functions.MinHashSig]] expression
+  // (MinHashSigSpec asserts bit-identity with the layered HOF form).
   private def minhash(i: Int): Column =
-    array_min(transform(col("m"), x => substring(x, 4 * i + 1, 8)))
-      .as(s"h$i")
+    element_at(col("hs"), i + 1).as(s"h$i")
 
   private def bandKey(b: Int): Column =
     md5(concat(lit(s"$b|") +:
@@ -142,7 +142,7 @@ object DedupPack extends QueryPack {
     * bare ids; the arrays re-join only for the O(candidates) verification.
     */
   private def q62(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.load(s, dir, "documents").select("doc_id", "text")
+    val d = Tables.loadParallel(s, dir, "documents").select("doc_id", "text")
     val doubled = d.union(
       d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
     // persist: sig feeds both sides of the band self-join AND both
@@ -151,7 +151,8 @@ object DedupPack extends QueryPack {
     // the differently-projected verification branches).
     val sig = doubled
       .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .withColumn("m", transform(col("sh"), x => md5(x)))
+      .withColumn("hs",
+        call_function("graft_minhash", col("sh"), lit(nHashes)))
       .select(Seq(col("doc_id"), col("sh")) ++
         (0 until nHashes).map(minhash): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
