@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.Tables
+
+/** Sketch/approximate aggregates — the 100 TB scale path the reference
+  * never needed at its size (SURVEY.md §2.4 "no HLL/approx distinct"), but
+  * which any exact `COUNT(DISTINCT)` funnel turns into at three orders of
+  * magnitude more data:
+  *
+  *   - q37: HyperLogLog++ distinct counts (`approx_count_distinct`) next
+  *     to the exact counts — the approx side partial-aggregates into a
+  *     fixed-size sketch per partition (no expand+reshuffle like the exact
+  *     multi-distinct rewrite), so memory is O(sketch), not O(keys).
+  *   - q38: `percentile_approx` (Greenwald-Khanna) next to the exact
+  *     median — bounded-memory quantiles vs a full sort.
+  *
+  * Both engines' sketches differ by construction, so the oracle compares
+  * only the *exact* columns (identical SQL); the approx columns are
+  * asserted within error bounds in ApproxSpec — the split the driver
+  * contract anticipates for non-SQL-expressible results, applied per
+  * column instead of per query.
+  */
+object ApproxPack extends QueryPack {
+
+  /** q37 — funnel with HLL++ sessions-per-event-type. Exposed columns are
+    * the exact ones; the approx estimate drives the ApproxSpec bound.
+    */
+  private def q37(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        countDistinct("user_id").as("users_exact"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** The approx twin of q37 (not oracle-comparable — HLL sketches are
+    * engine-specific); used by ApproxSpec.
+    */
+  def approxFunnel(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct("user_id", 0.02).as("users_approx"),
+        countDistinct("user_id").as("users_exact"))
+      .orderBy("event_type")
+
+  /** q38 — exact percentiles via `percentile` (sort-based; fine at test SF,
+    * the approx twin below is the at-scale form).
+    */
+  private def q38(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("qty_median"),
+        expr("percentile(l_quantity, 0.95)").as("qty_p95"),
+        min("l_quantity").as("qty_min"),
+        max("l_quantity").as("qty_max"))
+      .orderBy("l_returnflag")
+
+  /** Approx-percentile twin (Greenwald-Khanna; ApproxSpec bounds it). */
+  def approxQuantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000))
+          .as("qty_median_approx"),
+        expr("percentile(l_quantity, 0.5)").as("qty_median_exact"))
+      .orderBy("l_returnflag")
+
+  override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q37_distinct_scale" -> q37 _,
+    "q38_percentiles" -> q38 _)
+
+  override val oracle: Seq[(String, String)] = Seq(
+    "q37_distinct_scale" ->
+      """SELECT event_type,
+        | count(DISTINCT user_id) AS users_exact,
+        | count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q38_percentiles" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.5) AS qty_median,
+        | quantile_cont(l_quantity, 0.95) AS qty_p95,
+        | min(l_quantity) AS qty_min,
+        | max(l_quantity) AS qty_max
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+}
