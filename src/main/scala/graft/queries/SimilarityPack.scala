@@ -86,9 +86,33 @@ object SimilarityPack extends QueryPack {
     topk(joined, k)
   }
 
+  /** q72 — q70's brute-force ANN re-expressed through the typed
+    * [[graft.functions.TopK]] aggregator: per-query state is a bounded
+    * k-buffer through partial/merge (the shuffle carries O(k·queries), not
+    * O(candidates)), vs q70's window sort. Same oracle as q70 — the two
+    * physical strategies must agree exactly.
+    */
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val topk = graft.functions.TopK.topK(k)
+    c.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .withColumn("cos",
+        Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .groupBy("q_id")
+      .agg(topk(col("vec_id"), col("cos")).as("nn"))
+      .select(col("q_id"), posexplode(col("nn")).as(Seq("pos", "s")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("s.id").as("neighbor_id"), round(col("s.score"), 6).as("cos6"))
+      .orderBy("q_id", "rank")
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q70_ann_bruteforce" -> q70 _,
-    "q71_ann_lsh_bucket" -> q71 _)
+    "q71_ann_lsh_bucket" -> q71 _,
+    "q72_ann_topk_agg" -> q72 _)
 
   private val duckCos =
     "list_dot_product(a.qv, b.v) / (a.qnrm * b.nrm)"
@@ -100,6 +124,26 @@ object SimilarityPack extends QueryPack {
 
   override val oracle: Seq[(String, String)] = Seq(
     "q70_ann_bruteforce" ->
+      s"""WITH e AS (
+         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |       CAST(embedding AS DOUBLE[]))) AS nrm
+         | FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm
+         |      FROM e WHERE vec_id < $nQueries),
+         |scored AS (
+         | SELECT a.q_id, b.vec_id, $duckCos AS cos
+         | FROM q a JOIN e b ON a.q_id <> b.vec_id),
+         |ranked AS (
+         | SELECT q_id, vec_id, cos, row_number() OVER (
+         |   PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         | FROM scored)
+         |SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id,
+         | round(cos, 6) AS cos6
+         |FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin,
+    // q72 computes the same relation as q70 through the typed TopK
+    // aggregator — one oracle, two physical strategies.
+    "q72_ann_topk_agg" ->
       s"""WITH e AS (
          | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
