@@ -141,7 +141,15 @@ object DedupPack extends QueryPack {
     * the candidate self-join — never the shingle arrays; pairs dedup on
     * bare ids; the arrays re-join only for the O(candidates) verification.
     */
-  private def q62(s: SparkSession, dir: String): DataFrame = {
+  private def q62(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(s, dir)
+      .select("doc_id", "doc_id2", "jaccard")
+      .orderBy("doc_id", "doc_id2")
+
+  /** The shared MinHash-LSH verified-pair pipeline (q62 output; q66 edge
+    * input).
+    */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.loadParallel(s, dir, "documents").select("doc_id", "text")
     val doubled = d.union(
       d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
@@ -174,7 +182,21 @@ object DedupPack extends QueryPack {
           size(array_union(col("sh"), col("sh2"))))
       .filter(col("jaccard") >= 0.9)
       .select("doc_id", "doc_id2", "jaccard")
-      .orderBy("doc_id", "doc_id2")
+  }
+
+  /** q66 — the dedup endgame: verified near-dup pairs → connected
+    * components → one keeper per cluster. Components via min-label
+    * propagation ([[graft.functions.ConnectedComponents]]); the oracle
+    * computes the same closure with a recursive CTE. Output: every node
+    * that appears in a near-dup pair, its cluster id (min member), and
+    * the keeper flag.
+    */
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    val edges = minhashPairs(s, dir).select("doc_id", "doc_id2")
+    graft.functions.ConnectedComponents.run(edges)
+      .withColumn("is_keeper",
+        when(col("node") === col("component"), 1).otherwise(0))
+      .orderBy("node")
   }
 
   // --- SimHash -----------------------------------------------------------
@@ -247,7 +269,8 @@ object DedupPack extends QueryPack {
     "q62_minhash_lsh" -> q62 _,
     "q63_simhash" -> q63 _,
     "q64_cosine_dup" -> q64 _,
-    "q65_jaccard_pairs" -> q65 _)
+    "q65_jaccard_pairs" -> q65 _,
+    "q66_dup_clusters" -> q66 _)
 
   // DuckDB twins: the minhash/simhash SQL is generated from the same
   // constants so both sides cannot drift.
@@ -267,6 +290,44 @@ object DedupPack extends QueryPack {
   private def duckBand(b: Int): String =
     s"md5('$b|' || " +
       (b * bandR until (b + 1) * bandR).map(i => s"h$i").mkString(" || ") + ")"
+
+  /** Shared CTE chain ending in `verified(doc_id, doc_id2, jaccard)` —
+    * q62's output relation and q66's edge input, generated from the same
+    * constants as the Spark side.
+    */
+  private def duckPairCtes: String =
+    s"""doubled AS (
+       | SELECT doc_id, text FROM documents
+       | UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+       |sig AS (
+       | SELECT doc_id, sh,
+       |  ${(0 until nHashes).map(duckMinhash).mkString(",\n  ")}
+       | FROM (SELECT doc_id, sh, list_transform(sh, x -> md5(x)) AS m
+       |       FROM (SELECT doc_id, $duckShingles AS sh
+       |         FROM (SELECT doc_id,
+       |           list_filter(string_split(text,' '), x -> x <> '') AS tk
+       |           FROM doubled)))),
+       |banded AS (
+       | SELECT doc_id, unnest([
+       |  ${(0 until nHashes / bandR).map(duckBand).mkString(",\n  ")}]) AS band
+       | FROM sig),
+       |pairs AS (
+       | SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS doc_id2
+       | FROM banded x JOIN banded y
+       |   ON x.band = y.band AND x.doc_id < y.doc_id),
+       |cand AS (
+       | SELECT p.doc_id, p.doc_id2, a.sh AS sh, b.sh AS sh2
+       | FROM pairs p
+       |  JOIN sig a ON p.doc_id = a.doc_id
+       |  JOIN sig b ON p.doc_id2 = b.doc_id),
+       |verified AS (
+       | SELECT doc_id, doc_id2,
+       |  CAST(len(list_intersect(sh, sh2)) AS INT)
+       |    / CAST(len(list_distinct(list_concat(sh, sh2))) AS INT) AS jaccard
+       | FROM cand
+       | WHERE CAST(len(list_intersect(sh, sh2)) AS INT)
+       |    / CAST(len(list_distinct(list_concat(sh, sh2))) AS INT) >= 0.9)"""
+      .stripMargin
 
   private def duckSimBit(j: Int): String =
     s"CASE WHEN list_sum(list_transform(m, h -> CASE WHEN substring(h, ${j + 1}, 1) IN (${oddHex.map("'" + _ + "'").mkString(",")}) THEN 1 ELSE -1 END)) > 0 THEN ${1 << j} ELSE 0 END"
@@ -299,37 +360,21 @@ object DedupPack extends QueryPack {
          |   / CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS INT) >= 0.98
          |ORDER BY a.doc_id, doc_id2""".stripMargin,
     "q62_minhash_lsh" ->
-      s"""WITH doubled AS (
-         | SELECT doc_id, text FROM documents
-         | UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents),
-         |sig AS (
-         | SELECT doc_id, sh,
-         |  ${(0 until nHashes).map(duckMinhash).mkString(",\n  ")}
-         | FROM (SELECT doc_id, sh, list_transform(sh, x -> md5(x)) AS m
-         |       FROM (SELECT doc_id, $duckShingles AS sh
-         |         FROM (SELECT doc_id,
-         |           list_filter(string_split(text,' '), x -> x <> '') AS tk
-         |           FROM doubled)))),
-         |banded AS (
-         | SELECT doc_id, unnest([
-         |  ${(0 until nHashes / bandR).map(duckBand).mkString(",\n  ")}]) AS band
-         | FROM sig),
-         |pairs AS (
-         | SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS doc_id2
-         | FROM banded x JOIN banded y
-         |   ON x.band = y.band AND x.doc_id < y.doc_id),
-         |cand AS (
-         | SELECT p.doc_id, p.doc_id2, a.sh AS sh, b.sh AS sh2
-         | FROM pairs p
-         |  JOIN sig a ON p.doc_id = a.doc_id
-         |  JOIN sig b ON p.doc_id2 = b.doc_id)
-         |SELECT doc_id, doc_id2,
-         | CAST(len(list_intersect(sh, sh2)) AS INT)
-         |   / CAST(len(list_distinct(list_concat(sh, sh2))) AS INT) AS jaccard
-         |FROM cand
-         |WHERE CAST(len(list_intersect(sh, sh2)) AS INT)
-         |   / CAST(len(list_distinct(list_concat(sh, sh2))) AS INT) >= 0.9
+      s"""WITH $duckPairCtes
+         |SELECT doc_id, doc_id2, jaccard FROM verified
          |ORDER BY doc_id, doc_id2""".stripMargin,
+    "q66_dup_clusters" ->
+      s"""WITH RECURSIVE $duckPairCtes,
+         |edges AS (
+         | SELECT doc_id AS a, doc_id2 AS b FROM verified
+         | UNION SELECT doc_id2 AS a, doc_id AS b FROM verified),
+         |reach(a, b) AS (
+         | SELECT a, b FROM edges
+         | UNION
+         | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT a AS node, least(a, min(b)) AS component,
+         | CASE WHEN least(a, min(b)) = a THEN 1 ELSE 0 END AS is_keeper
+         |FROM reach GROUP BY a ORDER BY node""".stripMargin,
     "q63_simhash" ->
       s"""WITH t0 AS (SELECT doc_id, lang, $duckToks AS ts FROM documents),
          |t AS (SELECT doc_id, lang,

@@ -125,6 +125,26 @@ object WindowsPack extends QueryPack {
       .orderBy("user_id", "event_id")
   }
 
+  /** As-of lookup composed from window functions (SURVEY.md §2.3 notes the
+    * reference has no as-of join; this is preference (a) — compose
+    * built-ins): for every event, the time since the user's most recent
+    * *strictly earlier* purchase event. The same shape joins a fact stream
+    * to slowly-changing state at 100 TB: one hash shuffle on the key, no
+    * range join explosion.
+    */
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    val w = userW.rowsBetween(Window.unboundedPreceding, -1)
+    withTsUs(Tables.load(s, dir, "events"))
+      .withColumn("last_purchase_us",
+        last(when(col("event_type") === "purchase", col("ts_us")),
+          ignoreNulls = true).over(w))
+      .select(
+        col("event_id"), col("user_id"),
+        (((col("ts_us") - col("last_purchase_us")) * lit(1000L))
+          .cast("double") / lit(1000000000.0)).as("s_since_purchase"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** ntile + percent_rank. Deliberately a GLOBAL window — acceptable only
     * because `customer` is dimension-sized; a fact-table global ranking
     * would serialize through one task and is the anti-pattern this library
@@ -161,7 +181,8 @@ object WindowsPack extends QueryPack {
     "q44_session_stats" -> q44 _,
     "q45_moving_sum" -> q45 _,
     "q46_ntile_percentile" -> q46 _,
-    "q47_first_last" -> q47 _)
+    "q47_first_last" -> q47 _,
+    "q48_asof_last_purchase" -> q48 _)
 
   override val oracle: Seq[(String, String)] = Seq(
     "q40_window_rank" ->
@@ -232,6 +253,15 @@ object WindowsPack extends QueryPack {
         |FROM customer
         |WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    "q48_asof_last_purchase" ->
+      """SELECT event_id, user_id,
+        | CAST((epoch_us(ts) - last_value(
+        |     CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END
+        |     IGNORE NULLS) OVER (
+        |   PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) * 1000
+        |   AS DOUBLE) / 1000000000 AS s_since_purchase
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
     "q47_first_last" ->
       """SELECT c_nationkey, c_custkey,
         | first_value(c_acctbal) OVER w AS top_bal,
