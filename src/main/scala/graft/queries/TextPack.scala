@@ -118,11 +118,26 @@ object TextPack extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Edit-distance fuzzy matching over a bounded sample (Levenshtein is
+    * O(len²) per pair — production blocks first, exactly like the dedup
+    * pack's LSH/size filters; the sample keeps the demo honest).
+    */
+  private def q54(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.load(s, dir, "documents").filter(col("doc_id") < 20)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("head"))
+    val b = a.select(col("doc_id").as("doc_id2"), col("head").as("head2"))
+    a.join(b, col("doc_id") < col("doc_id2"))
+      .select(col("doc_id"), col("doc_id2"),
+        levenshtein(col("head"), col("head2")).as("edit_dist"))
+      .orderBy("doc_id", "doc_id2")
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q50_token_count" -> q50 _,
     "q51_quality_score" -> q51 _,
     "q52_lang_id" -> q52 _,
-    "q53_fingerprint" -> q53 _)
+    "q53_fingerprint" -> q53 _,
+    "q54_edit_distance" -> q54 _)
 
   // DuckDB twins. The lexicon CASE ladder is generated from the same `lex`
   // so the two sides cannot drift.
@@ -178,6 +193,14 @@ object TextPack extends QueryPack {
          |      THEN 'und' ELSE $duckPred END AS pred_lang,
          | ${lex.map { case (l, _) => s"hits_$l" }.mkString(", ")}
          |FROM h ORDER BY doc_id""".stripMargin,
+    "q54_edit_distance" ->
+      """WITH t AS (
+        | SELECT doc_id, substring(text, 1, 40) AS head FROM documents
+        | WHERE doc_id < 20)
+        |SELECT a.doc_id, b.doc_id AS doc_id2,
+        | CAST(levenshtein(a.head, b.head) AS INT) AS edit_dist
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |ORDER BY a.doc_id, doc_id2""".stripMargin,
     "q53_fingerprint" ->
       """SELECT doc_id,
         | md5(trim(regexp_replace(regexp_replace(lower(text),
