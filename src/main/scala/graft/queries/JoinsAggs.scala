@@ -226,7 +226,24 @@ object JoinsAggs extends QueryPack {
       .sum("l_quantity")
       .orderBy("l_returnflag")
 
+  /** GROUPING SETS with grouping_id (standard bit encoding both engines) —
+    * completes the rollup/cube/sets family (q35 is ROLLUP).
+    */
+  private def q39(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+        | count(*) AS cnt, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), (l_linestatus))
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST,
+        |         l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q39_grouping_sets" -> q39 _,
     "q20_pricing_summary" -> q20 _,
     "q21_revenue_topk_brand" -> q21 _,
     "q22_left_join_counts" -> q22 _,
@@ -246,6 +263,15 @@ object JoinsAggs extends QueryPack {
     "q36_pivot" -> q36 _)
 
   override val oracle: Seq[(String, String)] = Seq(
+    "q39_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+        | count(*) AS cnt, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), (l_linestatus))
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST,
+        |         l_linestatus ASC NULLS FIRST""".stripMargin,
     "q20_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,

@@ -199,7 +199,53 @@ object RelationalCore extends QueryPack {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(10)
 
+  /** UNION ALL — bag union (q28 covers the distinct form); the zone-merge
+    * shape (bronze increments appended before dedup).
+    */
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    val hi = Tables.load(s, dir, "orders")
+      .filter(col("o_totalprice") > 200000)
+      .select(col("o_orderkey"), lit("high").as("bucket"))
+    val lo = Tables.load(s, dir, "orders")
+      .filter(col("o_totalprice") < 10000)
+      .select(col("o_orderkey"), lit("low").as("bucket"))
+    hi.unionAll(lo).orderBy("o_orderkey", "bucket")
+  }
+
+  /** String-function breadth beyond q09: pad/replace/reverse/position/
+    * conditional-null scalars (the cleaning-layer vocabulary).
+    */
+  private def q18(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        lpad(col("p_brand"), 12, "_").as("brand_pad"),
+        rpad(col("p_brand"), 12, ".").as("brand_rpad"),
+        regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+        reverse(col("p_brand")).as("brand_rev"),
+        instr(col("p_name"), "a").cast("int").as("first_a"),
+        nullif(col("p_size"), lit(1)).as("size_nz"),
+        nvl(nullif(col("p_brand"), lit("Brand#11")), lit("OTHER"))
+          .as("brand_or_other"))
+      .orderBy("p_partkey")
+
+  /** Correlated EXISTS subquery via the SQL surface — exercises Catalyst's
+    * decorrelation (rewritten to a semi join; q24 is the IN form).
+    */
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+    Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q17_union_all" -> q17 _,
+    "q18_string_breadth" -> q18 _,
+    "q19_exists_subquery" -> q19 _,
     "q01_project_cast" -> q01 _,
     "q02_filter_eq" -> q02 _,
     "q03_null_drop" -> q03 _,
@@ -218,6 +264,28 @@ object RelationalCore extends QueryPack {
     "q16_topk" -> q16 _)
 
   override val oracle: Seq[(String, String)] = Seq(
+    "q17_union_all" ->
+      """SELECT o_orderkey, 'high' AS bucket FROM orders
+        | WHERE o_totalprice > 200000
+        |UNION ALL
+        |SELECT o_orderkey, 'low' AS bucket FROM orders
+        | WHERE o_totalprice < 10000
+        |ORDER BY o_orderkey, bucket""".stripMargin,
+    "q18_string_breadth" ->
+      """SELECT p_partkey,
+        | lpad(p_brand, 12, '_') AS brand_pad,
+        | rpad(p_brand, 12, '.') AS brand_rpad,
+        | replace(p_name, ' ', '_') AS name_snake,
+        | reverse(p_brand) AS brand_rev,
+        | CAST(strpos(p_name, 'a') AS INT) AS first_a,
+        | nullif(p_size, 1) AS size_nz,
+        | coalesce(nullif(p_brand, 'Brand#11'), 'OTHER') AS brand_or_other
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q19_exists_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+        |ORDER BY o_orderkey""".stripMargin,
     "q01_project_cast" ->
       """SELECT o_orderkey, o_orderstatus AS status,
         | CAST(o_orderdate AS DATE) AS order_date
