@@ -109,10 +109,66 @@ object SimilarityPack extends QueryPack {
       .orderBy("q_id", "rank")
   }
 
+  /** q73 — IVF coarse-cell centroids: per-label mean vector, computed
+    * dimension-parallel (posexplode → groupBy(label, dim) → avg →
+    * order-pinned reassembly). The scalable shape: the shuffle key is
+    * (label, dim) so no task ever holds more than one dimension's
+    * accumulator, and the reassembly collects exactly |dims| rows per
+    * label. Components round to 6 (cross-partition double summation).
+    */
+  private def q73(s: SparkSession, dir: String): DataFrame =
+    // flat (label, dim) rows, not an assembled array column: the oracle
+    // compare sorts by every output column and list columns don't sort
+    Tables.load(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg(round(avg("x"), 6).as("c6"), count(lit(1)).as("n_vectors"))
+      .orderBy("label", "dim")
+
+  /** q74 — IVF search: route each query to its nearest centroid (exact,
+    * over the tiny centroid set), then scan only that cell. Two-stage ANN:
+    * O(queries × cells) routing + O(queries × cell-size) scan, vs q70's
+    * O(queries × corpus). Uses the true `label` as the cell id (the
+    * clustering came with the data; production would k-means).
+    */
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val cent = Tables.load(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg(avg("x").as("cx"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("cx")))).as("dc"))
+      .select(col("label").as("c_label"),
+        transform(col("dc"), e => e.getField("cx")).as("cv"))
+      .withColumn("cnrm", sqrt(Vectors.dot(col("cv"), col("cv"))))
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val routeW = Window.partitionBy("q_id")
+      .orderBy(col("ccos").desc, col("c_label"))
+    val routed = q.join(broadcast(cent), lit(true))
+      .withColumn("ccos",
+        Vectors.dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
+      .withColumn("rn", row_number().over(routeW))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("qv"), col("qnrm"),
+        col("c_label").as("cell"))
+    val joined = c.join(broadcast(routed),
+        col("cell") === col("label") && col("q_id") =!= col("vec_id"))
+      .withColumn("cos",
+        Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+    topk(joined, k)
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q70_ann_bruteforce" -> q70 _,
     "q71_ann_lsh_bucket" -> q71 _,
-    "q72_ann_topk_agg" -> q72 _)
+    "q72_ann_topk_agg" -> q72 _,
+    "q73_ivf_centroids" -> q73 _,
+    "q74_ivf_search" -> q74 _)
 
   private val duckCos =
     "list_dot_product(a.qv, b.v) / (a.qnrm * b.nrm)"
@@ -173,6 +229,58 @@ object SimilarityPack extends QueryPack {
          |scored AS (
          | SELECT a.q_id, b.vec_id, $duckCos AS cos
          | FROM q a JOIN e b ON a.q_bkt = b.bkt AND a.q_id <> b.vec_id),
+         |ranked AS (
+         | SELECT q_id, vec_id, cos, row_number() OVER (
+         |   PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         | FROM scored)
+         |SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id,
+         | round(cos, 6) AS cos6
+         |FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin,
+    "q73_ivf_centroids" ->
+      """WITH e AS (
+        | SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ex AS (
+        | SELECT label,
+        |  unnest(list_transform(generate_series(1, len(v)),
+        |         i -> struct_pack(dim := i - 1, x := v[i]))) AS u
+        | FROM e)
+        |SELECT label, CAST(u.dim AS INT) AS dim,
+        | round(avg(u.x), 6) AS c6, count(*) AS n_vectors
+        |FROM ex GROUP BY label, u.dim
+        |ORDER BY label, dim""".stripMargin,
+    "q74_ivf_search" ->
+      s"""WITH e AS (
+         | SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |       CAST(embedding AS DOUBLE[]))) AS nrm
+         | FROM embeddings),
+         |ex AS (
+         | SELECT label,
+         |  unnest(list_transform(generate_series(1, len(v)),
+         |         i -> struct_pack(dim := i - 1, x := v[i]))) AS u
+         | FROM e),
+         |dm AS (
+         | SELECT label, u.dim AS dim, avg(u.x) AS cx
+         | FROM ex GROUP BY label, u.dim),
+         |cent AS (
+         | SELECT label AS c_label, list(cx ORDER BY dim) AS cv
+         | FROM dm GROUP BY label),
+         |cent2 AS (
+         | SELECT c_label, cv, sqrt(list_dot_product(cv, cv)) AS cnrm
+         | FROM cent),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm
+         |      FROM e WHERE vec_id < $nQueries),
+         |routed AS (
+         | SELECT q_id, qv, qnrm, c_label AS cell FROM (
+         |  SELECT q.q_id, q.qv, q.qnrm, c.c_label,
+         |   row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |     list_dot_product(q.qv, c.cv) / (q.qnrm * c.cnrm) DESC,
+         |     c.c_label) AS rn
+         |  FROM q CROSS JOIN cent2 c) WHERE rn = 1),
+         |scored AS (
+         | SELECT a.q_id, b.vec_id,
+         |  list_dot_product(a.qv, b.v) / (a.qnrm * b.nrm) AS cos
+         | FROM routed a JOIN e b ON a.cell = b.label AND a.q_id <> b.vec_id),
          |ranked AS (
          | SELECT q_id, vec_id, cos, row_number() OVER (
          |   PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
