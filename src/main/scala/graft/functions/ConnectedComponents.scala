@@ -46,7 +46,7 @@ object ConnectedComponents {
         .groupBy("node")
         .agg(min("component").as("component"))
         .persist()
-      next.count()
+      // the changed-count below is the materializing action for `next`
       changed = next.alias("n")
         .join(labels.alias("o"), col("n.node") === col("o.node"))
         .filter(col("n.component") =!= col("o.component"))
