@@ -132,7 +132,42 @@ object TextPack extends QueryPack {
       .orderBy("doc_id", "doc_id2")
   }
 
+  /** Statistical aggregates (stddev/variance/correlation/covariance) —
+    * second-moment accumulation differs across engines (Welford vs naive),
+    * so results round to 4 (noisy-aggregate rule, QueryPack scaladoc).
+    */
+  private def q55(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("qty_sd"),
+        round(var_samp(col("l_quantity")), 4).as("qty_var"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("qty_price_corr"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 4)
+          .as("qty_disc_covar"))
+      .orderBy("l_returnflag")
+
+  /** Datetime breadth beyond q11/q12: truncation, month boundaries,
+    * day-of-week (Spark is 1=Sunday, DuckDB 0=Sunday — mapped in the
+    * oracle), ISO week, quarter, day arithmetic.
+    */
+  private def q56(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        last_day(col("o_orderdate")).as("month_end"),
+        dayofweek(col("o_orderdate")).as("dow1sun"),
+        weekofyear(col("o_orderdate")).as("iso_week"),
+        quarter(col("o_orderdate")).as("qtr"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01"))
+          .as("days_since_95"))
+      .orderBy("o_orderkey")
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q55_stats_agg" -> q55 _,
+    "q56_datetime_breadth" -> q56 _,
     "q50_token_count" -> q50 _,
     "q51_quality_score" -> q51 _,
     "q52_lang_id" -> q52 _,
@@ -152,6 +187,26 @@ object TextPack extends QueryPack {
   }
 
   override val oracle: Seq[(String, String)] = Seq(
+    "q55_stats_agg" ->
+      """SELECT l_returnflag,
+        | round(stddev_samp(l_quantity), 4) AS qty_sd,
+        | round(var_samp(l_quantity), 4) AS qty_var,
+        | round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+        | round(covar_samp(l_quantity, l_discount), 4) AS qty_disc_covar
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q56_datetime_breadth" ->
+      """SELECT o_orderkey,
+        | CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+        |   AS month_start,
+        | last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        | CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow1sun,
+        | CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+        | CAST(quarter(o_orderdate) AS INT) AS qtr,
+        | CAST(date_diff('day', DATE '1995-01-01',
+        |                CAST(o_orderdate AS DATE)) AS INT)
+        |   AS days_since_95
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q50_token_count" ->
       s"""SELECT doc_id,
          | CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS INT)
