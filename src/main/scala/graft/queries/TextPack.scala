@@ -165,7 +165,26 @@ object TextPack extends QueryPack {
           .as("days_since_95"))
       .orderBy("o_orderkey")
 
+  /** Array-function and regex-group surface over tokenized text (scalar
+    * outputs only — list columns don't sort in the oracle compare).
+    */
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    Tables.load(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        array_contains(t, "spark").as("has_spark"),
+        element_at(t, 1).as("first_tok"),
+        element_at(t, -1).as("last_tok"),
+        size(slice(t, 1, 5)).as("head5_n"),
+        size(array_distinct(t)).as("n_distinct_tok"),
+        regexp_extract(col("source"), "src([0-9]+)", 1).cast("int")
+          .as("src_num"))
+      .orderBy("doc_id")
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q57_array_funcs" -> q57 _,
     "q55_stats_agg" -> q55 _,
     "q56_datetime_breadth" -> q56 _,
     "q50_token_count" -> q50 _,
@@ -187,6 +206,19 @@ object TextPack extends QueryPack {
   }
 
   override val oracle: Seq[(String, String)] = Seq(
+    "q57_array_funcs" ->
+      """WITH t AS (
+        | SELECT doc_id, source,
+        |  list_filter(string_split(text,' '), x -> x <> '') AS tk
+        | FROM documents)
+        |SELECT doc_id,
+        | list_contains(tk, 'spark') AS has_spark,
+        | tk[1] AS first_tok,
+        | tk[-1] AS last_tok,
+        | CAST(len(tk[1:5]) AS INT) AS head5_n,
+        | CAST(len(list_distinct(tk)) AS INT) AS n_distinct_tok,
+        | CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INT) AS src_num
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q55_stats_agg" ->
       """SELECT l_returnflag,
         | round(stddev_samp(l_quantity), 4) AS qty_sd,
