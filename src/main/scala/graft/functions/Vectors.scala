@@ -28,4 +28,13 @@ object Vectors {
   /** Cosine similarity: dot(a,b) / (‖a‖·‖b‖). */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Squared L2 distance as dot(a−b, a−b) — the difference vector is
+    * materialized first so the oracle (`list_dot_product(dd, dd)` over the
+    * same diff list) runs the identical IEEE op sequence.
+    */
+  def sqDist(a: Column, b: Column): Column = {
+    val d = zip_with(a, b, (x, y) => x - y)
+    dot(d, d)
+  }
 }

@@ -58,10 +58,26 @@ object MultimodalStreamPack extends QueryPack {
         col("n_events"))
       .orderBy("user_id", "session_start")
 
+  /** q58 — tumbling event-time window aggregation (`window()`), the batch
+    * twin of the streaming `groupBy(window(...))` path: daily event counts
+    * and value totals. Window start surfaces as the oracle's day
+    * truncation.
+    */
+  private def q58(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .withColumn("ts_ts", Tables.tsMicros(col("ts")))
+      .groupBy(window(col("ts_ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value"))
+      .select(col("window.start").as("day_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy("day_start", "event_type")
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q95_media_meta" -> q95 _,
     "q96_media_features" -> q96 _,
-    "q49_session_window" -> q49 _)
+    "q49_session_window" -> q49 _,
+    "q58_tumbling_window" -> q58 _)
 
   override val oracle: Seq[(String, String)] = Seq(
     "q95_media_meta" ->
@@ -78,6 +94,11 @@ object MultimodalStreamPack extends QueryPack {
         |   AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
     // q96: mapPartitions feature extraction — not SQL-expressible (rows-only)
+    "q58_tumbling_window" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+        | event_type, count(*) AS n_events,
+        | round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY day_start, event_type""".stripMargin,
     "q49_session_window" ->
       """WITH flagged AS (
         |  SELECT user_id, ts,

@@ -163,15 +163,110 @@ object SimilarityPack extends QueryPack {
     topk(joined, k)
   }
 
+  // --- k-means (deterministic Lloyd) -------------------------------------
+  private val kmClusters = 8
+  private val kmIters = 2
+
+  private def assign(e: DataFrame, cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cluster"))
+    e.join(broadcast(cent), lit(true))
+      .withColumn("d2", Vectors.sqDist(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cluster"), col("v"))
+  }
+
+  private def recompute(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("cluster", "dim").agg(avg("x").as("cx"))
+      .groupBy("cluster")
+      .agg(array_sort(collect_list(struct(col("dim"), col("cx")))).as("dc"))
+      .select(col("cluster"),
+        transform(col("dc"), e => e.getField("cx")).as("cv"))
+
+  /** q75 — k-means as pure DataFrame ops, fully deterministic: seed
+    * centroids are the first k vectors, `kmIters` unrolled Lloyd rounds
+    * (argmin squared-L2 with cluster-id tiebreak, per-dimension mean
+    * recompute), discrete final assignment as output. The oracle unrolls
+    * the identical algorithm in SQL — the one genuinely iterative ML
+    * primitive the extension surface needs (IVF cell construction), in
+    * the same driver-loop shape as [[graft.functions.ConnectedComponents]].
+    * Scale: assignment is a broadcast of k centroids over a linear scan;
+    * recompute shuffles on (cluster, dim).
+    */
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    var cent = e.filter(col("vec_id") < kmClusters)
+      .select(col("vec_id").cast("int").as("cluster"), col("v").as("cv"))
+    (1 to kmIters).foreach { _ =>
+      cent = recompute(assign(e, cent))
+    }
+    assign(e, cent)
+      .select(col("vec_id"), col("cluster"))
+      .orderBy("vec_id")
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q70_ann_bruteforce" -> q70 _,
     "q71_ann_lsh_bucket" -> q71 _,
     "q72_ann_topk_agg" -> q72 _,
     "q73_ivf_centroids" -> q73 _,
-    "q74_ivf_search" -> q74 _)
+    "q74_ivf_search" -> q74 _,
+    "q75_kmeans" -> q75 _)
 
   private val duckCos =
     "list_dot_product(a.qv, b.v) / (a.qnrm * b.nrm)"
+
+  /** k-means oracle: the identical Lloyd rounds unrolled in SQL, generated
+    * from the same constants as the Spark side.
+    */
+  private def duckKmeans: String = {
+    def round(r: Int): String = {
+      val prev = s"cent${r - 1}"
+      s"""d$r AS (
+         | SELECT e.vec_id, c.cluster, e.v,
+         |  list_transform(generate_series(1, len(e.v)),
+         |                 i -> e.v[i] - c.cv[i]) AS dd
+         | FROM e CROSS JOIN $prev c),
+         |a$r AS (
+         | SELECT vec_id, cluster, v FROM (
+         |  SELECT vec_id, cluster, v, row_number() OVER (
+         |   PARTITION BY vec_id
+         |   ORDER BY list_dot_product(dd, dd), cluster) AS rn
+         |  FROM d$r) WHERE rn = 1),
+         |x$r AS (
+         | SELECT cluster,
+         |  unnest(list_transform(generate_series(1, len(v)),
+         |         i -> struct_pack(dim := i - 1, x := v[i]))) AS u
+         | FROM a$r),
+         |m$r AS (
+         | SELECT cluster, u.dim AS dim, avg(u.x) AS cx
+         | FROM x$r GROUP BY cluster, u.dim),
+         |cent$r AS (
+         | SELECT cluster, list(cx ORDER BY dim) AS cv
+         | FROM m$r GROUP BY cluster)""".stripMargin
+    }
+    val rounds = (1 to kmIters).map(round).mkString(",\n")
+    s"""WITH e AS (
+       | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent0 AS (
+       | SELECT CAST(vec_id AS INT) AS cluster, v AS cv FROM e
+       | WHERE vec_id < $kmClusters),
+       |$rounds,
+       |dfin AS (
+       | SELECT e.vec_id, c.cluster,
+       |  list_transform(generate_series(1, len(e.v)),
+       |                 i -> e.v[i] - c.cv[i]) AS dd
+       | FROM e CROSS JOIN cent$kmIters c)
+       |SELECT vec_id, cluster FROM (
+       | SELECT vec_id, cluster, row_number() OVER (
+       |  PARTITION BY vec_id
+       |  ORDER BY list_dot_product(dd, dd), cluster) AS rn
+       | FROM dfin) WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+  }
 
   private def duckBucket(col: String): String =
     (0 until signDims).map { i =>
@@ -179,6 +274,7 @@ object SimilarityPack extends QueryPack {
     }.mkString(" + ")
 
   override val oracle: Seq[(String, String)] = Seq(
+    "q75_kmeans" -> duckKmeans,
     "q70_ann_bruteforce" ->
       s"""WITH e AS (
          | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
