@@ -17,8 +17,14 @@ import org.apache.spark.sql.functions._
   * Scale notes: each round is one shuffle (groupBy node) over the edge
   * list — the standard large-graph CC shape short of a full
   * Pregel/GraphX dependency. The driver-side loop holds no data, only the
-  * convergence check (a count of changed labels); labels checkpoint via
-  * persist so lineage doesn't grow with iterations.
+  * convergence check (a count of changed labels). Labels
+  * `localCheckpoint` each round: persist alone caches *data* but every
+  * round's plan still embeds the previous round's tree twice (union +
+  * convergence join), doubling the logical plan per iteration — a
+  * diameter-11 graph OOMed on plan stringification before computing
+  * anything. Checkpointing truncates the lineage to a scan of the cached
+  * partitions. (On a real cluster prefer reliable `checkpoint()` to a
+  * checkpoint dir — localCheckpoint trades fault-tolerance for speed.)
   */
 object ConnectedComponents {
 
@@ -27,13 +33,18 @@ object ConnectedComponents {
     * @return (node, component) — component = min node id reachable.
     */
   def run(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val sym = edges.toDF("a", "b")
-      .union(edges.toDF("b", "a").select(col("b").as("a"), col("a").as("b")))
+    val e0 = edges.toDF("a", "b")
+    // swap positionally from e0 — a toDF re-rename followed by select on
+    // the new names is an identity, which silently left this graph
+    // DIRECTED (caught by the cycle-topology spec; the q66 clique
+    // components masked it because their min node reaches all members in
+    // one directed hop).
+    val sym = e0
+      .union(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct()
-      .persist()
+      .localCheckpoint()
     val nodes = sym.select(col("a").as("node")).distinct()
-    var labels = nodes.withColumn("component", col("node")).persist()
-    labels.count()
+    var labels = nodes.withColumn("component", col("node")).localCheckpoint()
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -45,17 +56,14 @@ object ConnectedComponents {
         .union(neighborLabels)
         .groupBy("node")
         .agg(min("component").as("component"))
-        .persist()
-      // the changed-count below is the materializing action for `next`
+        .localCheckpoint() // eager: materializes AND truncates lineage
       changed = next.alias("n")
         .join(labels.alias("o"), col("n.node") === col("o.node"))
         .filter(col("n.component") =!= col("o.component"))
         .count()
-      labels.unpersist()
       labels = next
       iter += 1
     }
-    sym.unpersist()
     labels
   }
 }

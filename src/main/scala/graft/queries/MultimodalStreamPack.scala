@@ -73,11 +73,28 @@ object MultimodalStreamPack extends QueryPack {
         col("n_events"), col("total_value"))
       .orderBy("day_start", "event_type")
 
+  /** q59 — sliding (overlapping) windows: 2-day windows sliding by 1 day,
+    * so every event lands in two windows. The oracle replicates Spark's
+    * epoch-aligned window starts by unnesting the two containing starts
+    * per event. Completes the window-aggregation family: tumbling (q58),
+    * sliding (q59), session (q49 / streaming).
+    */
+  private def q59(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .withColumn("ts_ts", Tables.tsMicros(col("ts")))
+      .groupBy(window(col("ts_ts"), "2 days", "1 day"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value"))
+      .select(col("window.start").as("win_start"),
+        col("n_events"), col("total_value"))
+      .orderBy("win_start")
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q95_media_meta" -> q95 _,
     "q96_media_features" -> q96 _,
     "q49_session_window" -> q49 _,
-    "q58_tumbling_window" -> q58 _)
+    "q58_tumbling_window" -> q58 _,
+    "q59_sliding_window" -> q59 _)
 
   override val oracle: Seq[(String, String)] = Seq(
     "q95_media_meta" ->
@@ -94,6 +111,16 @@ object MultimodalStreamPack extends QueryPack {
         |   AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
     // q96: mapPartitions feature extraction — not SQL-expressible (rows-only)
+    "q59_sliding_window" ->
+      """WITH w AS (
+        | SELECT value, unnest([
+        |   CAST(date_trunc('day', ts) AS TIMESTAMP),
+        |   CAST(date_trunc('day', ts) AS TIMESTAMP) - INTERVAL 1 DAY
+        |  ]) AS win_start
+        | FROM events)
+        |SELECT win_start, count(*) AS n_events,
+        | round(sum(value), 2) AS total_value
+        |FROM w GROUP BY win_start ORDER BY win_start""".stripMargin,
     "q58_tumbling_window" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
         | event_type, count(*) AS n_events,
