@@ -53,6 +53,25 @@ class ScaleTechniquesSpec extends SparkSpecBase {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("SQL BROADCAST hint forces the build side when autobroadcast is off") {
+    val s = spark
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      graft.catalog.Tables.load(s, "/root/testdata/sf0.001", "lineitem")
+        .createOrReplaceTempView("li_hint")
+      graft.catalog.Tables.load(s, "/root/testdata/sf0.001", "part")
+        .createOrReplaceTempView("p_hint")
+      val q = s.sql(
+        """SELECT /*+ BROADCAST(p_hint) */ p_brand, count(*) AS n
+          |FROM li_hint JOIN p_hint ON l_partkey = p_partkey
+          |GROUP BY p_brand""".stripMargin)
+      assert(q.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
   test("dimension under the threshold auto-broadcasts") {
     val s = spark
     val li = graft.catalog.Tables
