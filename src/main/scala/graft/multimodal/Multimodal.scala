@@ -49,17 +49,18 @@ object Multimodal {
       doc_id: Long,
       n_bytes: Int,
       histogram: Array[Long], // 16-bin byte-value histogram
+      byte_sum: Long, // exact Σ byte values (mean = byte_sum/n_bytes)
       mean_byte: Double)
 
   /** STUB decoder — deterministic fake standing in for image/audio decode
     * (no codecs in this container). Consumes the payload bytes in one pass
-    * and emits a 16-bin byte histogram + mean: the *shape* of a feature
-    * extractor (bounded output per row, single sequential read of the
-    * payload), which is what the pipeline plumbing cares about. Swap the
-    * body for a real decoder (???) when codecs exist; the Spark plumbing
-    * around it does not change.
+    * and emits a 16-bin byte histogram + exact byte sum: the *shape* of a
+    * feature extractor (bounded output per row, single sequential read of
+    * the payload), which is what the pipeline plumbing cares about. Swap
+    * the body for a real decoder (???) when codecs exist; the Spark
+    * plumbing around it does not change.
     */
-  def fakeDecode(payload: Array[Byte]): (Array[Long], Double) = {
+  def fakeDecode(payload: Array[Byte]): (Array[Long], Long) = {
     val hist = new Array[Long](16)
     var sum = 0L
     var i = 0
@@ -69,7 +70,7 @@ object Multimodal {
       sum += b
       i += 1
     }
-    (hist, if (payload.length == 0) 0.0 else sum.toDouble / payload.length)
+    (hist, sum)
   }
 
   /** Batched feature extraction — the mapInPandas-equivalent stage. */
@@ -79,8 +80,10 @@ object Multimodal {
     media.select("doc_id", "payload").as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
-          val (hist, mean) = fakeDecode(r.payload)
-          MediaFeatures(r.doc_id, r.payload.length, hist, mean)
+          val (hist, sum) = fakeDecode(r.payload)
+          val n = r.payload.length
+          MediaFeatures(r.doc_id, n, hist, sum,
+            if (n == 0) 0.0 else sum.toDouble / n)
         }
       }
   }

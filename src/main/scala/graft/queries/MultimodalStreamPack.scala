@@ -12,9 +12,9 @@ import graft.multimodal.Multimodal
   * over opaque payloads is pure native expressions (oracle-checkable —
   * payload bytes are the documents' ASCII text, so DuckDB's VARCHAR
   * functions see the same bytes); q96's feature extraction goes through
-  * the mapPartitions/Encoder batch path (the mapInPandas shape) and is
-  * rows-only checked by the driver, with exact-value coverage in
-  * MultimodalSpec.
+  * the mapPartitions/Encoder batch path (the mapInPandas shape), with its
+  * histogram flattened to per-bin rows so the oracle hash-compares it,
+  * plus exact-value coverage in MultimodalSpec.
   *
   * q49 runs Spark's native `session_window` in *batch* over `events` —
   * same operator the streaming path uses ([[graft.streaming.Sessionize]]),
@@ -37,15 +37,19 @@ object MultimodalStreamPack extends QueryPack {
       .orderBy("doc_id")
 
   /** q96 — batched feature extraction through the stubbed decoder
-    * (mapPartitions). Rows-only driver check; exact values spec-tested.
+    * (mapPartitions). Output is flattened to exact-integer scalars (one
+    * row per histogram bin via posexplode; array columns don't survive the
+    * driver's sort-based compare, and doubles would hit rounding-parity
+    * traps) so the whole mapPartitions path is DuckDB-oracle-checked: the
+    * oracle rebuilds the byte histogram by unnesting one row per character
+    * (documents.text is pure ASCII, so char code = byte value).
     */
   private def q96(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(Multimodal.mediaTable(s, dir))
       .toDF()
-      .select(col("doc_id"), col("n_bytes"),
-        round(col("mean_byte"), 4).as("mean_byte4"),
-        col("histogram"))
-      .orderBy("doc_id")
+      .select(col("doc_id"), col("n_bytes"), col("byte_sum"),
+        posexplode(col("histogram")).as(Seq("bin", "bin_count")))
+      .orderBy("doc_id", "bin")
 
   /** q49 — native session_window, batch mode, over the events table. */
   private def q49(s: SparkSession, dir: String): DataFrame =
@@ -110,7 +114,25 @@ object MultimodalStreamPack extends QueryPack {
         |   CAST(ceil(octet_length(encode(text)) / 32.0) AS INT))) AS INT)
         |   AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // q96: mapPartitions feature extraction — not SQL-expressible (rows-only)
+    "q96_media_features" ->
+      """WITH chars AS (
+        |  SELECT doc_id, ascii(substring(text, CAST(i AS INT), 1)) AS b
+        |  FROM documents, unnest(generate_series(1, length(text))) AS t(i)),
+        |stats AS (
+        |  SELECT doc_id, CAST(count(*) AS INT) AS n_bytes,
+        |         CAST(sum(b) AS BIGINT) AS byte_sum
+        |  FROM chars GROUP BY doc_id),
+        |hist AS (
+        |  SELECT doc_id, b // 16 AS bin, count(*) AS bin_count
+        |  FROM chars GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT doc_id, unnest(generate_series(0, 15)) AS bin FROM stats)
+        |SELECT g.doc_id, s.n_bytes, s.byte_sum, CAST(g.bin AS INT) AS bin,
+        |  CAST(COALESCE(h.bin_count, 0) AS BIGINT) AS bin_count
+        |FROM grid g
+        |JOIN stats s ON s.doc_id = g.doc_id
+        |LEFT JOIN hist h ON h.doc_id = g.doc_id AND h.bin = g.bin
+        |ORDER BY g.doc_id, g.bin""".stripMargin,
     "q59_sliding_window" ->
       """WITH w AS (
         | SELECT value, unnest([
