@@ -1,0 +1,55 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lakehouse table-maintenance operators the reference's medallion
+  * architecture implies but never has to spell out (its Athena CTAS layer
+  * is full-rebuild only — reference `README.md:248-344` — and its silver
+  * zone is overwrite-on-write, `README.md:193-196`): CDC upsert (MERGE
+  * semantics) and slowly-changing-dimension history. Both are pure
+  * DataFrame transforms over immutable inputs; a table-format transaction
+  * log (Delta/Iceberg) would change durability, not these semantics.
+  *
+  * Scale notes:
+  *   - [[upsert]] costs one anti-join on the key. A CDC batch is normally
+  *     tiny relative to the base table, so Catalyst broadcasts it and the
+  *     base streams through map-side with no shuffle; writing the result
+  *     with the base's bucketing keeps downstream joins co-located.
+  *   - [[scd2History]] is one window shuffle on the key — the sessionize
+  *     shape. Both window passes share one partitioning, so Catalyst plans
+  *     a single Exchange.
+  */
+object Lakehouse {
+
+  /** MERGE over immutable inputs: update rows win on key collision,
+    * unmatched base rows pass through, unmatched update rows insert —
+    * i.e. `updates ∪ (base ▷ updates)`. Schemas must align by name.
+    */
+  def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame =
+    updates.unionByName(
+      base.join(updates.select(key), Seq(key), "left_anti"))
+
+  /** SCD Type-2 history: collapse each key's run of consecutive equal
+    * `attr` values (ordered by `ts`, ties broken by `tie`) into validity
+    * ranges `[valid_from, valid_to)`, open-ended (`valid_to` null,
+    * `is_current` = 1) for the latest run.
+    */
+  def scd2History(df: DataFrame, key: String, attr: String,
+      ts: Column, tie: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts, tie)
+    val changes = df
+      .withColumn("__valid_from", ts)
+      .withColumn("__tie", tie)
+      .withColumn("__prev", lag(col(attr), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col(attr))
+    val w2 = Window.partitionBy(key)
+      .orderBy(col("__valid_from"), col("__tie"))
+    changes
+      .withColumn("valid_to", lead(col("__valid_from"), 1).over(w2))
+      .select(col(key), col(attr),
+        col("__valid_from").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.cast("int").as("is_current"))
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, MapType, StringType, StructField, StructType}
 import graft.catalog.Tables
 
 /** Semi-structured (JSON) columns — `events.props` carries a JSON object
@@ -41,15 +41,44 @@ object JsonPack extends QueryPack {
       .orderBy("k_bucket")
   }
 
+  /** q83 — schema-less map view of the JSON object: `from_json` to
+    * `map<string,int>`, then map functions (size, key list) + explode to
+    * one row per entry. The shape for JSON objects with *dynamic* keys,
+    * where q81's fixed StructType can't apply; explode keeps the output
+    * flat for the oracle compare. The DuckDB twin walks the same object
+    * via `json_keys` + unnest — no key is hardcoded on either side.
+    */
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    val mt = MapType(StringType, IntegerType)
+    Tables.load(s, dir, "events")
+      .withColumn("m", from_json(col("props"), mt))
+      .select(col("event_id"),
+        size(col("m")).as("n_keys"),
+        array_join(map_keys(col("m")), ",").as("keys_csv"),
+        explode(col("m")))
+      .orderBy("event_id", "key")
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q80_json_extract" -> q80 _,
-    "q81_json_agg" -> q81 _)
+    "q81_json_agg" -> q81 _,
+    "q83_json_map_explode" -> q83 _)
 
   override val oracle: Seq[(String, String)] = Seq(
     "q80_json_extract" ->
       """SELECT event_id,
         | CAST(json_extract_string(props, '$.k') AS INT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    "q83_json_map_explode" ->
+      """WITH km AS (
+        | SELECT event_id, props, unnest(json_keys(props)) AS key
+        | FROM events)
+        |SELECT event_id,
+        | CAST(len(json_keys(props)) AS INT) AS n_keys,
+        | array_to_string(json_keys(props), ',') AS keys_csv,
+        | key,
+        | CAST(json_extract_string(props, '$.' || key) AS INT) AS value
+        |FROM km ORDER BY event_id, key""".stripMargin,
     "q81_json_agg" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10
         |   AS k_bucket,

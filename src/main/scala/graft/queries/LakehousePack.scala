@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.Tables
+import graft.etl.Lakehouse
+
+/** Lakehouse maintenance + scale-technique queries: CDC upsert, SCD2
+  * dimension history, temporal-range attribution join, and two-stage
+  * salted aggregation. These are the table-evolution operators a medallion
+  * lake needs beyond the reference's full-rebuild CTAS layer
+  * (reference `README.md:248-344`), plus the skew playbook entry promoted
+  * to an oracle-checked query.
+  *
+  * Oracle parity: all time arithmetic at µs ([[Tables.tsMicros]]); upsert
+  * price arithmetic is row-level exact-double; the salted aggregate rounds
+  * its double sum to 2 (multi-row accumulation rule, QueryPack scaladoc).
+  */
+object LakehousePack extends QueryPack {
+
+  /** q76 — CDC upsert (MERGE): a deterministic update batch (5% price
+    * corrections + a disjoint insert set) merged into `orders`.
+    * `updates ∪ (base ▷ updates)`: the anti-join broadcasts the CDC batch,
+    * so the base table never shuffles.
+    */
+  private def q76(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val updates = base.filter(col("o_orderkey") % 100 < 5)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice") + 100.0).as("o_totalprice"))
+      .unionByName(base.filter(col("o_orderkey") % 100 === 0)
+        .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), col("o_totalprice")))
+    Lakehouse.upsert(base, updates, "o_orderkey").orderBy("o_orderkey")
+  }
+
+  /** q77 — SCD Type-2 history over the event stream: each user's
+    * `event_type` runs become versioned records with
+    * `[valid_from, valid_to)` ranges and a current flag.
+    */
+  private def q77(s: SparkSession, dir: String): DataFrame =
+    Lakehouse.scd2History(
+      Tables.load(s, dir, "events")
+        .withColumn("ts_us", Tables.tsMicros(col("ts"))),
+      "user_id", "event_type", col("ts_us"), col("event_id"))
+      .orderBy("user_id", "valid_from")
+
+  /** q78 — temporal-range attribution join: clicks by the same user in
+    * the hour before each purchase. Equi-key (user) + range predicate:
+    * the shuffle co-partitions on the equi key and the range filter runs
+    * post-match — the scalable shape for point-in-interval joins (a pure
+    * range join with no equi key would need interval bucketing).
+    */
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+      .withColumn("ts_us", Tables.tsMicros(col("ts")))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts_us").as("p_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts_us").as("c_ts"))
+    p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") < col("p_ts"), "left")
+      .groupBy("p_id")
+      .agg(count(col("c_ts")).as("n_clicks_1h"))
+      .orderBy("p_id")
+  }
+
+  /** q79 — two-stage salted aggregation: pre-aggregate on
+    * (key, salt=id mod 16), then finalize per key. Bag-equal to the plain
+    * aggregate (the oracle is the unsalted SQL) — the manual fix for a
+    * skewed groupBy where one hot key would otherwise pin a single
+    * reducer; the partial stage spreads each key over 16 reducers. See
+    * [[graft.functions.Salting]] for the join-side variant.
+    */
+  private def q79(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .withColumn("__salt", pmod(col("event_id"), lit(16L)).cast("int"))
+      .groupBy("event_type", "__salt")
+      .agg(count(lit(1)).as("c"), sum("value").as("v"))
+      .groupBy("event_type")
+      .agg(sum("c").as("n_events"), round(sum("v"), 2).as("total_value"))
+      .orderBy("event_type")
+
+  override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q76_upsert_merge" -> q76 _,
+    "q77_scd2_history" -> q77 _,
+    "q78_attribution_range_join" -> q78 _,
+    "q79_salted_agg" -> q79 _)
+
+  override val oracle: Seq[(String, String)] = Seq(
+    "q76_upsert_merge" ->
+      """WITH upd AS (
+        | SELECT o_orderkey, 'U' AS o_orderstatus,
+        |  o_totalprice + 100.0 AS o_totalprice
+        | FROM orders WHERE o_orderkey % 100 < 5
+        | UNION ALL
+        | SELECT o_orderkey + 20000000 AS o_orderkey,
+        |  'N' AS o_orderstatus, o_totalprice
+        | FROM orders WHERE o_orderkey % 100 = 0)
+        |SELECT * FROM (
+        | SELECT * FROM upd
+        | UNION ALL
+        | SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        | WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd))
+        |ORDER BY o_orderkey""".stripMargin,
+    "q77_scd2_history" ->
+      """WITH e AS (
+        | SELECT user_id, event_type, ts, event_id,
+        |  lag(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        | FROM events),
+        |c AS (
+        | SELECT user_id, event_type, ts AS valid_from, event_id FROM e
+        | WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type, valid_from,
+        | lead(valid_from) OVER (
+        |   PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to,
+        | CAST(lead(valid_from) OVER (
+        |   PARTITION BY user_id ORDER BY valid_from, event_id) IS NULL
+        |   AS INT) AS is_current
+        |FROM c ORDER BY user_id, valid_from""".stripMargin,
+    "q78_attribution_range_join" ->
+      """SELECT p.event_id AS p_id, count(c.ts) AS n_clicks_1h
+        |FROM events p
+        |LEFT JOIN events c
+        |  ON c.user_id = p.user_id AND c.event_type = 'click'
+        | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id ORDER BY p_id""".stripMargin,
+    "q79_salted_agg" ->
+      """SELECT event_type, count(*) AS n_events,
+        | round(sum(value), 2) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+}

@@ -208,49 +208,118 @@ object SimilarityPack extends QueryPack {
       .orderBy("vec_id")
   }
 
+  /** q82 — higher-order-function breadth over the embedding arrays:
+    * fold (`aggregate`), `filter`, `exists`/`forall`, `zip_with` (against
+    * the reversed self), `array_max/min`. All stay native array
+    * expressions — the per-row vector-feature shape that runs inside one
+    * codegen stage with no shuffle. Double folds round to 6; comparisons
+    * and counts are exact.
+    */
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    val v = col("v")
+    Tables.load(s, dir, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select(
+        col("vec_id"),
+        round(aggregate(v, lit(0.0), (a, x) => a + x), 6).as("sum6"),
+        size(filter(v, x => x > 0)).as("n_pos"),
+        exists(v, x => x > lit(0.3)).as("any_big"),
+        forall(v, x => abs(x) < lit(0.5)).as("all_small"),
+        round(array_max(v), 6).as("max6"),
+        round(array_min(v), 6).as("min6"),
+        round(aggregate(zip_with(v, reverse(v), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x), 6).as("revdot6"))
+      .orderBy("vec_id")
+  }
+
+  /** q84 — IVF search over *learned* cells: the k-means centroids from
+    * q75's Lloyd rounds become the coarse quantizer (q74 used the data's
+    * given `label` instead). Corpus vectors are assigned to their learned
+    * cluster; each query routes to its argmin-L2 centroid and scans only
+    * that cell with exact cosine. This is the production IVF build:
+    * cluster once (iterative, checkpoint-friendly), then search is a
+    * broadcast-route + one co-partitioned cell scan.
+    */
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    val eAll = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(Vectors.dot(col("v"), col("v"))))
+    val e = eAll.select("vec_id", "v")
+    var cent = e.filter(col("vec_id") < kmClusters)
+      .select(col("vec_id").cast("int").as("cluster"), col("v").as("cv"))
+    (1 to kmIters).foreach { _ => cent = recompute(assign(e, cent)) }
+    val assigned = assign(e, cent)
+      .select(col("vec_id").as("a_id"), col("cluster").as("cell_of"))
+    val cands = eAll.join(assigned, col("vec_id") === col("a_id"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell_of"))
+    val q = eAll.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val routeW = Window.partitionBy("q_id").orderBy(col("d2"), col("cluster"))
+    val routed = q.join(broadcast(cent), lit(true))
+      .withColumn("d2", Vectors.sqDist(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(routeW))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("qv"), col("qnrm"),
+        col("cluster").as("cell"))
+    val joined = cands.join(broadcast(routed),
+        col("cell") === col("cell_of") && col("q_id") =!= col("vec_id"))
+      .withColumn("cos",
+        Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+    topk(joined, k)
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q70_ann_bruteforce" -> q70 _,
     "q71_ann_lsh_bucket" -> q71 _,
     "q72_ann_topk_agg" -> q72 _,
     "q73_ivf_centroids" -> q73 _,
     "q74_ivf_search" -> q74 _,
-    "q75_kmeans" -> q75 _)
+    "q75_kmeans" -> q75 _,
+    "q82_hof_vector_features" -> q82 _,
+    "q84_ivf_learned_cells" -> q84 _)
 
   private val duckCos =
     "list_dot_product(a.qv, b.v) / (a.qnrm * b.nrm)"
 
-  /** k-means oracle: the identical Lloyd rounds unrolled in SQL, generated
-    * from the same constants as the Spark side.
+  private def duckLloydRound(r: Int): String = {
+    val prev = s"cent${r - 1}"
+    s"""d$r AS (
+       | SELECT e.vec_id, c.cluster, e.v,
+       |  list_transform(generate_series(1, len(e.v)),
+       |                 i -> e.v[i] - c.cv[i]) AS dd
+       | FROM e CROSS JOIN $prev c),
+       |a$r AS (
+       | SELECT vec_id, cluster, v FROM (
+       |  SELECT vec_id, cluster, v, row_number() OVER (
+       |   PARTITION BY vec_id
+       |   ORDER BY list_dot_product(dd, dd), cluster) AS rn
+       |  FROM d$r) WHERE rn = 1),
+       |x$r AS (
+       | SELECT cluster,
+       |  unnest(list_transform(generate_series(1, len(v)),
+       |         i -> struct_pack(dim := i - 1, x := v[i]))) AS u
+       | FROM a$r),
+       |m$r AS (
+       | SELECT cluster, u.dim AS dim, avg(u.x) AS cx
+       | FROM x$r GROUP BY cluster, u.dim),
+       |cent$r AS (
+       | SELECT cluster, list(cx ORDER BY dim) AS cv
+       | FROM m$r GROUP BY cluster)""".stripMargin
+  }
+
+  /** Shared WITH-prefix for the k-means-derived oracles (q75, q84): base
+    * vectors (+norms), seed centroids, `kmIters` unrolled Lloyd rounds
+    * ending at `cent$kmIters`, and the final assignment `afin`. Generated
+    * from the same constants as the Spark side so the two cannot drift.
     */
-  private def duckKmeans: String = {
-    def round(r: Int): String = {
-      val prev = s"cent${r - 1}"
-      s"""d$r AS (
-         | SELECT e.vec_id, c.cluster, e.v,
-         |  list_transform(generate_series(1, len(e.v)),
-         |                 i -> e.v[i] - c.cv[i]) AS dd
-         | FROM e CROSS JOIN $prev c),
-         |a$r AS (
-         | SELECT vec_id, cluster, v FROM (
-         |  SELECT vec_id, cluster, v, row_number() OVER (
-         |   PARTITION BY vec_id
-         |   ORDER BY list_dot_product(dd, dd), cluster) AS rn
-         |  FROM d$r) WHERE rn = 1),
-         |x$r AS (
-         | SELECT cluster,
-         |  unnest(list_transform(generate_series(1, len(v)),
-         |         i -> struct_pack(dim := i - 1, x := v[i]))) AS u
-         | FROM a$r),
-         |m$r AS (
-         | SELECT cluster, u.dim AS dim, avg(u.x) AS cx
-         | FROM x$r GROUP BY cluster, u.dim),
-         |cent$r AS (
-         | SELECT cluster, list(cx ORDER BY dim) AS cv
-         | FROM m$r GROUP BY cluster)""".stripMargin
-    }
-    val rounds = (1 to kmIters).map(round).mkString(",\n")
-    s"""WITH e AS (
-       | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  private def duckKmeansPrefix: String = {
+    val rounds = (1 to kmIters).map(duckLloydRound).mkString(",\n")
+    s"""e AS (
+       | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |       CAST(embedding AS DOUBLE[]))) AS nrm
+       | FROM embeddings),
        |cent0 AS (
        | SELECT CAST(vec_id AS INT) AS cluster, v AS cv FROM e
        | WHERE vec_id < $kmClusters),
@@ -259,14 +328,50 @@ object SimilarityPack extends QueryPack {
        | SELECT e.vec_id, c.cluster,
        |  list_transform(generate_series(1, len(e.v)),
        |                 i -> e.v[i] - c.cv[i]) AS dd
-       | FROM e CROSS JOIN cent$kmIters c)
-       |SELECT vec_id, cluster FROM (
-       | SELECT vec_id, cluster, row_number() OVER (
-       |  PARTITION BY vec_id
-       |  ORDER BY list_dot_product(dd, dd), cluster) AS rn
-       | FROM dfin) WHERE rn = 1
-       |ORDER BY vec_id""".stripMargin
+       | FROM e CROSS JOIN cent$kmIters c),
+       |afin AS (
+       | SELECT vec_id, cluster FROM (
+       |  SELECT vec_id, cluster, row_number() OVER (
+       |   PARTITION BY vec_id
+       |   ORDER BY list_dot_product(dd, dd), cluster) AS rn
+       |  FROM dfin) WHERE rn = 1)""".stripMargin
   }
+
+  /** k-means oracle: the identical Lloyd rounds unrolled in SQL. */
+  private def duckKmeans: String =
+    s"""WITH $duckKmeansPrefix
+       |SELECT vec_id, cluster FROM afin ORDER BY vec_id""".stripMargin
+
+  /** q84 oracle: route queries to their argmin-L2 learned centroid, scan
+    * only that cell, exact cosine top-k.
+    */
+  private def duckIvfLearned: String =
+    s"""WITH $duckKmeansPrefix,
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm
+       |      FROM e WHERE vec_id < $nQueries),
+       |qd AS (
+       | SELECT q.q_id, q.qv, q.qnrm, c.cluster,
+       |  list_transform(generate_series(1, len(q.qv)),
+       |                 i -> q.qv[i] - c.cv[i]) AS dd
+       | FROM q CROSS JOIN cent$kmIters c),
+       |routed AS (
+       | SELECT q_id, qv, qnrm, cluster AS cell FROM (
+       |  SELECT q_id, qv, qnrm, cluster, row_number() OVER (
+       |   PARTITION BY q_id ORDER BY list_dot_product(dd, dd), cluster) AS rn
+       |  FROM qd) WHERE rn = 1),
+       |scored AS (
+       | SELECT r.q_id, b.vec_id,
+       |  list_dot_product(r.qv, b.v) / (r.qnrm * b.nrm) AS cos
+       | FROM routed r
+       | JOIN afin a ON a.cluster = r.cell
+       | JOIN e b ON b.vec_id = a.vec_id AND r.q_id <> b.vec_id),
+       |ranked AS (
+       | SELECT q_id, vec_id, cos, row_number() OVER (
+       |   PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       | FROM scored)
+       |SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id,
+       | round(cos, 6) AS cos6
+       |FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
 
   private def duckBucket(col: String): String =
     (0 until signDims).map { i =>
@@ -275,6 +380,20 @@ object SimilarityPack extends QueryPack {
 
   override val oracle: Seq[(String, String)] = Seq(
     "q75_kmeans" -> duckKmeans,
+    "q84_ivf_learned_cells" -> duckIvfLearned,
+    "q82_hof_vector_features" ->
+      """WITH e AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT vec_id,
+        | round(list_sum(v), 6) AS sum6,
+        | CAST(len(list_filter(v, x -> x > 0)) AS INT) AS n_pos,
+        | len(list_filter(v, x -> x > 0.3)) > 0 AS any_big,
+        | len(list_filter(v, x -> abs(x) >= 0.5)) = 0 AS all_small,
+        | round(list_max(v), 6) AS max6,
+        | round(list_min(v), 6) AS min6,
+        | round(list_sum(list_transform(range(1, len(v) + 1),
+        |   i -> v[i] * v[len(v) - i + 1])), 6) AS revdot6
+        |FROM e ORDER BY vec_id""".stripMargin,
     "q70_ann_bruteforce" ->
       s"""WITH e AS (
          | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

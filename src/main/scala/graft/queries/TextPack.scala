@@ -132,6 +132,64 @@ object TextPack extends QueryPack {
       .orderBy("doc_id", "doc_id2")
   }
 
+  /** Corpus word frequency — the canonical explode→count→top-k shape
+    * (tokenize, one row per token, hash-agg, TakeOrderedAndProject). The
+    * 100 TB wordcount: partial aggregation combines map-side so the
+    * shuffle carries one row per distinct word per partition, and top-k
+    * never materializes a global sort. Tie-break by word keeps the LIMIT
+    * boundary deterministic.
+    */
+  private def q67(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(explode(toks(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(20)
+
+  /** Bigram frequency — n-gram generation as a zip of the token array with
+    * its own tail (pure array expressions, no self-join), then the same
+    * explode→count→top-k pipeline as q67.
+    */
+  private def q68(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val bigrams = zip_with(
+      slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+      slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+    Tables.load(s, dir, "documents")
+      .select(explode(bigrams).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram")).limit(20)
+  }
+
+  // Occurrence-counting stopword lexicon for q69 (distinct from q52's
+  // per-language hit sets: q69 measures density, q52 membership).
+  private val stopEn = Seq(
+    "the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+
+  /** Stopword-density + character-class quality ratios — the Gopher-rule
+    * family beyond q51: stopword ratio (occurrence-weighted, not
+    * distinct), digit/punctuation density, sentence count. All ratios are
+    * int/int → exact double division (bit-equal across engines).
+    */
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val stopArr = array(stopEn.map(lit): _*)
+    val nStop = size(filter(t, w => array_contains(stopArr, lower(w))))
+    Tables.load(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(t).as("n_words"),
+        nStop.as("n_stopwords"),
+        (nStop / size(t)).as("stopword_ratio"),
+        (length(regexp_replace(col("text"), "[^0-9]", "")) /
+          length(col("text"))).as("digit_ratio"),
+        (length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")) /
+          length(col("text"))).as("punct_ratio"),
+        size(filter(split(col("text"), "\\."), x => trim(x) =!= lit("")))
+          .as("n_sentences"))
+      .orderBy("doc_id")
+  }
+
   /** Statistical aggregates (stddev/variance/correlation/covariance) —
     * second-moment accumulation differs across engines (Welford vs naive),
     * so results round to 4 (noisy-aggregate rule, QueryPack scaladoc).
@@ -191,7 +249,10 @@ object TextPack extends QueryPack {
     "q51_quality_score" -> q51 _,
     "q52_lang_id" -> q52 _,
     "q53_fingerprint" -> q53 _,
-    "q54_edit_distance" -> q54 _)
+    "q54_edit_distance" -> q54 _,
+    "q67_word_topk" -> q67 _,
+    "q68_bigram_topk" -> q68 _,
+    "q69_stopword_quality" -> q69 _)
 
   // DuckDB twins. The lexicon CASE ladder is generated from the same `lex`
   // so the two sides cannot drift.
@@ -206,6 +267,42 @@ object TextPack extends QueryPack {
   }
 
   override val oracle: Seq[(String, String)] = Seq(
+    "q67_word_topk" ->
+      """SELECT word, count(*) AS cnt FROM (
+        | SELECT unnest(list_filter(string_split(text,' '), x -> x <> ''))
+        |   AS word
+        | FROM documents)
+        |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
+    "q68_bigram_topk" ->
+      """WITH t AS (
+        | SELECT list_filter(string_split(text,' '), x -> x <> '') AS tk
+        | FROM documents),
+        |b AS (
+        | SELECT unnest(list_transform(range(1, len(tk)),
+        |   i -> tk[i] || ' ' || tk[i+1])) AS bigram
+        | FROM t)
+        |SELECT bigram, count(*) AS cnt FROM b
+        |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
+    "q69_stopword_quality" ->
+      s"""WITH t AS (
+         | SELECT doc_id, text,
+         |   list_filter(string_split(text,' '), x -> x <> '') AS tk
+         | FROM documents)
+         |SELECT doc_id,
+         | CAST(len(tk) AS INT) AS n_words,
+         | CAST(len(list_filter(tk, w -> list_contains(
+         |   [${stopEn.map("'" + _ + "'").mkString(",")}], lower(w)))) AS INT)
+         |   AS n_stopwords,
+         | CAST(len(list_filter(tk, w -> list_contains(
+         |   [${stopEn.map("'" + _ + "'").mkString(",")}], lower(w)))) AS INT)
+         |   / CAST(len(tk) AS INT) AS stopword_ratio,
+         | CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS INT)
+         |   / CAST(length(text) AS INT) AS digit_ratio,
+         | CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS INT)
+         |   / CAST(length(text) AS INT) AS punct_ratio,
+         | CAST(len(list_filter(string_split_regex(text, '\\.'),
+         |   x -> trim(x) <> '')) AS INT) AS n_sentences
+         |FROM t ORDER BY doc_id""".stripMargin,
     "q57_array_funcs" ->
       """WITH t AS (
         | SELECT doc_id, source,

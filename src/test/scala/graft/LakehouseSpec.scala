@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.etl.Lakehouse
+
+/** Unit semantics for the lakehouse maintenance operators (exact expected
+  * rows on tiny frames; the oracle gate covers them at scale via q76/q77).
+  */
+class LakehouseSpec extends SparkSpecBase {
+
+  test("upsert: updates win, unmatched base passes, new keys insert") {
+    val s = spark
+    import s.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val updates = Seq((2L, "B"), (9L, "new")).toDF("k", "v")
+    val out = Lakehouse.upsert(base, updates, "k")
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "a", 2L -> "B", 3L -> "c", 9L -> "new"))
+  }
+
+  test("upsert is idempotent: applying the same batch twice is a no-op") {
+    val s = spark
+    import s.implicits._
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val updates = Seq((2L, "B")).toDF("k", "v")
+    val once = Lakehouse.upsert(base, updates, "k")
+    val twice = Lakehouse.upsert(once, updates, "k")
+    assert(twice.as[(Long, String)].collect().toMap ===
+      once.as[(Long, String)].collect().toMap)
+  }
+
+  test("scd2History collapses runs into [valid_from, valid_to) ranges") {
+    val s = spark
+    import s.implicits._
+    // user 1: a,a,b,a → ranges a@[0,2) b@[2,3) a@[3,∞); user 2: x → current
+    val df = Seq(
+      (1L, "a", 0L, 100L), (1L, "a", 1L, 101L), (1L, "b", 2L, 102L),
+      (1L, "a", 3L, 103L), (2L, "x", 5L, 104L))
+      .toDF("user_id", "attr", "t", "id")
+    val out = Lakehouse.scd2History(df, "user_id", "attr", col("t"), col("id"))
+      .orderBy("user_id", "valid_from")
+      .as[(Long, String, Long, Option[Long], Int)].collect().toSeq
+    assert(out === Seq(
+      (1L, "a", 0L, Some(2L), 0),
+      (1L, "b", 2L, Some(3L), 0),
+      (1L, "a", 3L, None, 1),
+      (2L, "x", 5L, None, 1)))
+  }
+
+  test("scd2History: ties on ts break by the tie column deterministically") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "a", 0L, 2L), (1L, "b", 0L, 1L)) // same ts, id orders b first
+      .toDF("user_id", "attr", "t", "id")
+    val out = Lakehouse.scd2History(df, "user_id", "attr", col("t"), col("id"))
+      .orderBy("valid_from", "attr")
+      .as[(Long, String, Long, Option[Long], Int)].collect().toSeq
+    assert(out === Seq(
+      (1L, "a", 0L, None, 1), // a is the later row (id 2) → current
+      (1L, "b", 0L, Some(0L), 0)))
+  }
+}
