@@ -45,23 +45,28 @@ object ConnectedComponents {
       .localCheckpoint()
     val nodes = sym.select(col("a").as("node")).distinct()
     var labels = nodes.withColumn("component", col("node")).localCheckpoint()
+    val labelType = labels.schema("component").dataType
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
-      // neighbor labels: for edge (a,b), b receives a's current label
+      // neighbor labels: for edge (a,b), b receives a's current label.
+      // The node's own row additionally carries its previous label in
+      // `own`, so convergence is a filter over the checkpointed result —
+      // not a second shuffle join per round.
       val neighborLabels = sym
         .join(labels, sym("a") === labels("node"))
-        .select(col("b").as("node"), col("component"))
-      val next = labels.select(col("node"), col("component"))
+        .select(col("b").as("node"), col("component"),
+          lit(null).cast(labelType).as("own"))
+      val next = labels
+        .select(col("node"), col("component"), col("component").as("own"))
         .union(neighborLabels)
         .groupBy("node")
-        .agg(min("component").as("component"))
+        .agg(min("component").as("component"),
+          // exactly one non-null `own` per node (its previous label)
+          max("own").as("old"))
         .localCheckpoint() // eager: materializes AND truncates lineage
-      changed = next.alias("n")
-        .join(labels.alias("o"), col("n.node") === col("o.node"))
-        .filter(col("n.component") =!= col("o.component"))
-        .count()
-      labels = next
+      changed = next.filter(col("component") =!= col("old")).count()
+      labels = next.select("node", "component")
       iter += 1
     }
     labels

@@ -248,6 +248,9 @@ object SimilarityPack extends QueryPack {
     var cent = e.filter(col("vec_id") < kmClusters)
       .select(col("vec_id").cast("int").as("cluster"), col("v").as("cv"))
     (1 to kmIters).foreach { _ => cent = recompute(assign(e, cent)) }
+    // k rows; checkpoint so the corpus-assignment and query-routing
+    // branches don't each recompute the whole Lloyd chain
+    cent = cent.localCheckpoint()
     val assigned = assign(e, cent)
       .select(col("vec_id").as("a_id"), col("cluster").as("cell_of"))
     val cands = eAll.join(assigned, col("vec_id") === col("a_id"))
