@@ -242,7 +242,69 @@ object JoinsAggs extends QueryPack {
         |         l_linestatus ASC NULLS FIRST""".stripMargin)
   }
 
+  /** q86 — conditional aggregation (the FILTER-clause family): per-user
+    * typed event counts and values in one pass, no pivot and no self-join
+    * — the scalable alternative to N filtered scans. The conditional
+    * average runs as an exact integer-cents ratio: `round(avg(2-decimal
+    * values), 2)` lands on .005 midpoints where Spark's decimal-string
+    * HALF_UP and DuckDB's binary rounding disagree (hit at sf0.1:
+    * 29.045 → 29.04 vs 29.05); Σcents/n/100 is the same IEEE op sequence
+    * on both engines, so no rounding is needed.
+    */
+  private def q86(s: SparkSession, dir: String): DataFrame = {
+    val isErr = col("event_type") === "error"
+    val errCents = sum(when(isErr, round(col("value") * 100, 0).cast("long")))
+    val errCnt = count(when(isErr, 1))
+    Tables.load(s, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+        count(when(col("event_type") === "click", 1)).as("n_click"),
+        round(sum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(0.0)), 2).as("purchase_value"),
+        (errCents.cast("double") / errCnt / lit(100.0))
+          .as("avg_error_value"))
+      .orderBy("user_id")
+  }
+
+  /** q88 — argument extrema (min_by / max_by): the order id carrying each
+    * priority group's lowest/highest total price. Price ties exist, so the
+    * ordering value is the unique composite price·10⁷ + key — identical
+    * double arithmetic both engines, making the argmin total.
+    */
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    val ord = col("o_totalprice") * lit(1e7) + col("o_orderkey")
+    Tables.load(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        min_by(col("o_orderkey"), ord).as("cheapest_order"),
+        max_by(col("o_orderkey"), ord).as("priciest_order"),
+        round(min("o_totalprice"), 2).as("min_price"),
+        round(max("o_totalprice"), 2).as("max_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q89 — date-spine densification: generate the full calendar between
+    * the stream's min and max day (`sequence` + explode — no driver-side
+    * range materialization) and left-join daily counts so quiet days
+    * surface as zeros. The gap-free-reporting shape; the spine build is
+    * O(days), never O(rows).
+    */
+  private def q89(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+      .select(to_date(Tables.tsMicros(col("ts"))).as("d"))
+    val daily = e.groupBy("d").agg(count(lit(1)).as("n"))
+    val spine = e.agg(min("d").as("lo"), max("d").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+    spine.join(daily, Seq("d"), "left")
+      .select(col("d"), coalesce(col("n"), lit(0L)).as("n_events"))
+      .orderBy("d")
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q86_conditional_agg" -> q86 _,
+    "q88_arg_extrema" -> q88 _,
+    "q89_date_spine" -> q89 _,
     "q39_grouping_sets" -> q39 _,
     "q20_pricing_summary" -> q20 _,
     "q21_revenue_topk_brand" -> q21 _,
@@ -263,6 +325,39 @@ object JoinsAggs extends QueryPack {
     "q36_pivot" -> q36 _)
 
   override val oracle: Seq[(String, String)] = Seq(
+    "q86_conditional_agg" ->
+      """SELECT user_id,
+        | count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        | count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        | round(sum(CASE WHEN event_type = 'purchase' THEN value
+        |               ELSE 0.0 END), 2) AS purchase_value,
+        | CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+        |        FILTER (WHERE event_type = 'error') AS DOUBLE)
+        |   / count(*) FILTER (WHERE event_type = 'error') / 100.0
+        |   AS avg_error_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q88_arg_extrema" ->
+      """SELECT o_orderpriority,
+        | arg_min(o_orderkey, o_totalprice * 10000000.0 + o_orderkey)
+        |   AS cheapest_order,
+        | arg_max(o_orderkey, o_totalprice * 10000000.0 + o_orderkey)
+        |   AS priciest_order,
+        | round(min(o_totalprice), 2) AS min_price,
+        | round(max(o_totalprice), 2) AS max_price
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q89_date_spine" ->
+      """WITH e AS (
+        | SELECT CAST(date_trunc('day', ts) AS DATE) AS d FROM events),
+        |daily AS (SELECT d, count(*) AS n FROM e GROUP BY d),
+        |spine AS (
+        | SELECT unnest(generate_series(
+        |   (SELECT min(d) FROM e), (SELECT max(d) FROM e),
+        |   INTERVAL 1 DAY)) AS dt)
+        |SELECT CAST(s.dt AS DATE) AS d,
+        | COALESCE(daily.n, 0) AS n_events
+        |FROM spine s LEFT JOIN daily ON CAST(s.dt AS DATE) = daily.d
+        |ORDER BY d""".stripMargin,
     "q39_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,

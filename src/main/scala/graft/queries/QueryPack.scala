@@ -21,6 +21,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     absorbs; the .5-boundary hazard is negligible for noisy sums.
   *   - integer-valued doubles (quantities) and int/long aggregates: exact,
   *     no rounding; cast DuckDB's HUGEINT `sum(int)` to BIGINT in the SQL.
+  *   - conditional/grouped AVERAGES of 2-decimal values: never
+  *     `round(avg(x), 2)` — the true mean frequently sits exactly on a
+  *     .005 midpoint (hit at sf0.1 in q86: 29.045 → 29.04 Spark vs 29.05
+  *     DuckDB). Compute Σ(round(x·100)) as exact integer cents, divide by
+  *     the count, then by 100: identical IEEE sequence both engines, no
+  *     rounding at all.
   */
 trait QueryPack {
   def queries: Seq[(String, (SparkSession, String) => DataFrame)]

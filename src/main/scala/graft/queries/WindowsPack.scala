@@ -173,7 +173,65 @@ object WindowsPack extends QueryPack {
       .orderBy("c_nationkey", "c_custkey")
   }
 
+  /** q85 — time-RANGE window frame (vs q45's ROWS frame): events per user
+    * in the trailing hour, inclusive-bounded exactly like SQL `RANGE
+    * BETWEEN`. Ordering is the epoch-µs long — range frames need numeric
+    * order, and µs keeps oracle parity (Tables.tsMicros contract).
+    */
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-3600000000L, 0L) // [t − 1 h, t], inclusive both ends
+    withTsUs(Tables.load(s, dir, "events"))
+      .select(
+        col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        round(sum("value").over(w), 2).as("value_1h"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** q87 — gaps and islands: maximal runs of consecutive active days per
+    * user via the row_number-difference trick (day − rn is constant within
+    * an island). One shuffle for the window, one for the island agg.
+    */
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    val days = withTsUs(Tables.load(s, dir, "events"))
+      .select(col("user_id"),
+        to_date(timestamp_micros(col("ts_us"))).as("d"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("d")
+    days
+      .withColumn("grp", date_sub(col("d"), row_number().over(w)))
+      .groupBy("user_id", "grp")
+      .agg(min("d").as("start_day"), max("d").as("end_day"),
+        count(lit(1)).as("n_days"))
+      .drop("grp")
+      .orderBy("user_id", "start_day")
+  }
+
+  /** q94 — ordered event-path aggregation: each user's full event-type
+    * sequence as a single string. `collect_list` has no intra-group order
+    * under groupBy, so order is imposed by sorting (ts, event_id, type)
+    * structs post-collect — deterministic total order, matching the
+    * oracle's `string_agg(... ORDER BY ts, event_id)`. The funnel-mining
+    * shape: one shuffle on the user key, per-group state bounded by the
+    * user's event count.
+    */
+  private def q94(s: SparkSession, dir: String): DataFrame =
+    withTsUs(Tables.load(s, dir, "events"))
+      .groupBy("user_id")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              struct(col("ts_us"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")), ">").as("path"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q85_range_frame" -> q85 _,
+    "q87_gaps_islands" -> q87 _,
+    "q94_event_path" -> q94 _,
     "q40_window_rank" -> q40 _,
     "q41_running_total" -> q41 _,
     "q42_lag_gap" -> q42 _,
@@ -185,6 +243,32 @@ object WindowsPack extends QueryPack {
     "q48_asof_last_purchase" -> q48 _)
 
   override val oracle: Seq[(String, String)] = Seq(
+    "q85_range_frame" ->
+      """SELECT event_id, user_id,
+        | count(*) OVER w AS n_1h,
+        | round(sum(value) OVER w, 2) AS value_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        | RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q87_gaps_islands" ->
+      """WITH days AS (
+        | SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        | FROM events),
+        |g AS (
+        | SELECT user_id, d,
+        |  d - CAST(row_number() OVER (
+        |    PARTITION BY user_id ORDER BY d) AS INT) AS grp
+        | FROM days)
+        |SELECT user_id, min(d) AS start_day, max(d) AS end_day,
+        | count(*) AS n_days
+        |FROM g GROUP BY user_id, grp
+        |ORDER BY user_id, start_day""".stripMargin,
+    "q94_event_path" ->
+      """SELECT user_id,
+        | string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+        | count(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q40_window_rank" ->
       """SELECT c_nationkey, c_custkey, c_acctbal, rn, rnk, drnk FROM (
         |  SELECT c_nationkey, c_custkey, c_acctbal,

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.queries.{JoinsAggs, LakehousePack, RelationalCore, TextPack}
+
+/** Physical-plan shape assertions for the properties that decide 100 TB
+  * behavior: dimension joins must broadcast, top-k must plan
+  * TakeOrderedAndProject (never a global sort), scans must prune columns
+  * and push predicates, per-row pipelines must stay inside whole-stage
+  * codegen, and the SCD2 double-window must reuse one exchange. A query
+  * can be value-correct with the wrong plan — these pin the plan.
+  */
+class PlanShapeSpec extends SparkSpecBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf)
+
+  test("revenue top-k: dimension broadcast + TakeOrderedAndProject") {
+    val p = planOf(q("q21_revenue_topk_brand"))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "dim join must not shuffle-sort")
+  }
+
+  test("filtered scan pushes the predicate into the parquet source") {
+    val p = planOf(q("q02_filter_eq"))
+    assert(p.contains("PushedFilters: [") &&
+      !p.contains("PushedFilters: []"), p.take(2000))
+  }
+
+  test("narrow projection prunes the scan schema to selected columns") {
+    val p = planOf(q("q01_project_cast"))
+    val scanSchema = p.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    // q01 touches a 6-column subset of orders — pruned scan must not
+    // carry the full table width
+    assert(!scanSchema.contains("o_orderpriority"), scanSchema)
+  }
+
+  test("CDC upsert anti-join broadcasts the update batch") {
+    val p = planOf(q("q76_upsert_merge"))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      p.take(3000))
+  }
+
+  test("SCD2 double-window reuses a single hash exchange on the key") {
+    val p = planOf(q("q77_scd2_history"))
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toList
+    assert(exchanges.size == 1, s"expected 1 exchange, got:\n$p")
+  }
+
+  test("per-row text pipeline stays inside whole-stage codegen") {
+    val df = q("q50_token_count")
+    df.collect() // finalize the adaptive plan — codegen spans only show there
+    val p = planOf(df)
+    // codegen stages render as "*(n)" prefixes in the plan string
+    assert("""\*\(\d+\)""".r.findFirstIn(p).isDefined, p.take(2000))
+  }
+}
