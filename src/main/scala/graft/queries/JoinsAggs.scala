@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.catalog.Tables
 
@@ -301,10 +302,66 @@ object JoinsAggs extends QueryPack {
       .orderBy("d")
   }
 
+  /** q97 — the TPC-H Q3 shipping-priority shape: segment-filtered
+    * customers ⋈ date-bounded orders ⋈ lineitem, revenue per open order,
+    * top 10. The canonical fact-to-fact join where both big sides shuffle
+    * on the join key while the filtered customer side broadcasts; the
+    * date predicates push to the parquet scans.
+    */
+  private def q97(s: SparkSession, dir: String): DataFrame = {
+    val cut = "1998-01-01"
+    val c = Tables.load(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.load(s, dir, "orders")
+      .filter(col("o_orderdate") < lit(cut))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = Tables.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") > lit(cut))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderkey", "o_orderdate")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** q98 — fixed-width value histogram (the portable width_bucket):
+    * bucket = floor(value / 50), count + mass per bucket. The
+    * distribution-profiling shape: one narrow scan, one small agg.
+    */
+  private def q98(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy(floor(col("value") / 50).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(sum("value"), 2).as("mass"))
+      .orderBy("bucket")
+
+  /** q99 — percent-of-total reporting: brand revenue share via a window
+    * sum over the aggregated result (25 brand rows — the global window
+    * runs over the post-agg relation, never the fact table).
+    */
+  private def q99(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.load(s, dir, "lineitem")
+      .join(broadcast(Tables.load(s, dir, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(round(sum(col("l_extendedprice")), 2).as("revenue"))
+    rev
+      .withColumn("share_pct",
+        round(lit(100.0) * col("revenue") /
+          sum("revenue").over(Window.partitionBy()), 6))
+      .orderBy("p_brand")
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q86_conditional_agg" -> q86 _,
     "q88_arg_extrema" -> q88 _,
     "q89_date_spine" -> q89 _,
+    "q97_shipping_priority" -> q97 _,
+    "q98_value_histogram" -> q98 _,
+    "q99_revenue_share" -> q99 _,
     "q39_grouping_sets" -> q39 _,
     "q20_pricing_summary" -> q20 _,
     "q21_revenue_topk_brand" -> q21 _,
@@ -346,6 +403,29 @@ object JoinsAggs extends QueryPack {
         | round(max(o_totalprice), 2) AS max_price
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q97_shipping_priority" ->
+      """SELECT o_orderkey, o_orderdate,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q98_value_histogram" ->
+      """SELECT CAST(floor(value / 50) AS INT) AS bucket,
+        | count(*) AS n, round(sum(value), 2) AS mass
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q99_revenue_share" ->
+      """WITH rev AS (
+        | SELECT p_brand, round(sum(l_extendedprice), 2) AS revenue
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | GROUP BY p_brand)
+        |SELECT p_brand, revenue,
+        | round(100.0 * revenue / sum(revenue) OVER (), 6) AS share_pct
+        |FROM rev ORDER BY p_brand""".stripMargin,
     "q89_date_spine" ->
       """WITH e AS (
         | SELECT CAST(date_trunc('day', ts) AS DATE) AS d FROM events),
