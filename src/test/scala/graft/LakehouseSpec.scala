@@ -47,6 +47,45 @@ class LakehouseSpec extends SparkSpecBase {
       (2L, "x", 5L, None, 1)))
   }
 
+  test("scd2History invariants hold on randomized event sequences") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    // unique global t ⇒ total order within every user
+    val rows = (0 until 600).map { i =>
+      (rnd.nextInt(25).toLong, s"v${rnd.nextInt(4)}", i.toLong, i.toLong)
+    }
+    val df = rows.toDF("user_id", "attr", "t", "id")
+    val out = Lakehouse.scd2History(df, "user_id", "attr", col("t"), col("id"))
+      .as[(Long, String, Long, Option[Long], Int)].collect()
+      .groupBy(_._1)
+
+    val byUser = rows.groupBy(_._1)
+    byUser.foreach { case (uid, evs) =>
+      val hist = out(uid).sortBy(_._3) // by valid_from (unique per user)
+      val sorted = evs.sortBy(_._3)
+      val nChanges = 1 + sorted.map(_._2).sliding(2).count {
+        case Seq(a, b) => a != b
+        case _ => false
+      }
+      assert(hist.length === nChanges, s"user $uid row count")
+      // contiguity: each valid_to is the next range's valid_from
+      hist.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4.contains(b._3), s"user $uid gap at ${a._3}")
+          assert(a._2 !== b._2, s"user $uid adjacent ranges share attr")
+        case _ =>
+      }
+      // exactly one open/current range, and it carries the latest value
+      assert(hist.count(_._4.isEmpty) === 1)
+      assert(hist.count(_._5 == 1) === 1)
+      val current = hist.find(_._4.isEmpty).get
+      assert(current._5 === 1)
+      assert(current._2 === sorted.last._2, s"user $uid current attr")
+      assert(hist.head._3 === sorted.head._3, s"user $uid first valid_from")
+    }
+  }
+
   test("scd2History: ties on ts break by the tie column deterministically") {
     val s = spark
     import s.implicits._
