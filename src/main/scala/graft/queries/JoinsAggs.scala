@@ -355,7 +355,53 @@ object JoinsAggs extends QueryPack {
       .orderBy("p_brand")
   }
 
+  /** q100 — the TPC-H Q5 local-supplier-volume shape: six-way star
+    * (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region) with the
+    * customer-nation = supplier-nation correlation predicate. The two
+    * fact joins shuffle on their keys; supplier/nation/region broadcast.
+    * The canonical join-order stress test: Catalyst must keep the
+    * correlated filter after both fact joins without exploding.
+    */
+  private def q100(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val c = Tables.load(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val sup = Tables.load(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val n = Tables.load(s, dir, "nation").select("n_nationkey", "n_name")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** q101 — the TPC-H Q10 returned-item-reporting shape: customers ranked
+    * by revenue they generated on R-flagged lines; top 20.
+    */
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val c = Tables.load(s, dir, "customer")
+      .select("c_custkey", "c_name", "c_acctbal")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q100_local_supplier_volume" -> q100 _,
+    "q101_returned_item_ranking" -> q101 _,
     "q86_conditional_agg" -> q86 _,
     "q88_arg_extrema" -> q88 _,
     "q89_date_spine" -> q89 _,
@@ -403,6 +449,25 @@ object JoinsAggs extends QueryPack {
         | round(max(o_totalprice), 2) AS max_price
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q100_local_supplier_volume" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE c_nationkey = s_nationkey
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q101_returned_item_ranking" ->
+      """SELECT c_custkey, c_name, c_acctbal,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q97_shipping_priority" ->
       """SELECT o_orderkey, o_orderdate,
         | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue

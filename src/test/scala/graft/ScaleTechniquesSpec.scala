@@ -53,6 +53,48 @@ class ScaleTechniquesSpec extends SparkSpecBase {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("AQE splits a skewed shuffle-join partition at runtime") {
+    val s = spark
+    import s.implicits._
+    val restore = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "10485760",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "5.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256MB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "67108864b",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.shuffle.partitions" ->
+        s.conf.get("spark.sql.shuffle.partitions"))
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // enough reducers that the median partition is a normal key, making
+      // the hot partition >> factor × median
+      s.conf.set("spark.sql.shuffle.partitions", "16")
+      // thresholds low enough that the hot key's partition counts as
+      // skewed even at test scale
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      s.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // 300k rows, 2/3 on one hot key
+      val big = s.range(0, 300000)
+        .select(when(col("id") < 200000, lit(0L))
+          .otherwise(pmod(col("id"), lit(50L)) + 1).as("k"),
+          col("id").as("payload"))
+      val dim = s.range(0, 51).select(col("id").as("k"),
+        (col("id") * 2).as("v"))
+      // bare join: a groupBy on k above it would forbid the split (it
+      // needs the hash co-partitioning the split breaks)
+      val j = big.join(dim, "k")
+      // collect() finalizes THIS dataframe's adaptive plan (count() would
+      // execute a different one)
+      assert(j.collect().length === 300000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"expected AQE skew handling in final plan:\n$plan")
+    } finally restore.foreach { case (k, v) => s.conf.set(k, v) }
+  }
+
   test("SQL BROADCAST hint forces the build side when autobroadcast is off") {
     val s = spark
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
