@@ -399,7 +399,47 @@ object JoinsAggs extends QueryPack {
       .limit(20)
   }
 
+  /** q102 — exact heavy hitters: keys whose frequency exceeds 1.2× the
+    * mean (relative-threshold form, so the query is scale-invariant).
+    * One partial-agg shuffle for the counts; the two scalar totals
+    * broadcast. At 100 TB the sketch twin is `df.stat.freqItems` /
+    * count-min (ApproxSpec) — this is the exact reference the sketches
+    * are bounded against.
+    */
+  private def q102(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val counts = li.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+    val totals = li.agg(count(lit(1)).as("tot"),
+      countDistinct("l_partkey").as("nd"))
+    counts.crossJoin(broadcast(totals))
+      .filter(col("n") * col("nd") > lit(1.2) * col("tot"))
+      .select(col("l_partkey"), col("n"),
+        (col("n").cast("double") / col("tot")).as("share"))
+      .orderBy(col("n").desc, col("l_partkey"))
+  }
+
+  /** q103 — ordered funnel completion: users whose first click precedes
+    * their first view which precedes their first purchase — sequence
+    * pattern matching via conditional-min timestamps, one shuffle, no
+    * self-joins (the reference's funnel counts steps independently;
+    * this adds the ordering constraint).
+    */
+  private def q103(s: SparkSession, dir: String): DataFrame = {
+    def firstOf(t: String) =
+      min(when(col("event_type") === t, col("us"))).as(s"first_$t")
+    Tables.load(s, dir, "events")
+      .withColumn("us", expr("ts div 1000"))
+      .groupBy("user_id")
+      .agg(firstOf("click"), firstOf("view"), firstOf("purchase"))
+      .withColumn("completed",
+        when(col("first_click") < col("first_view") &&
+          col("first_view") < col("first_purchase"), 1).otherwise(0))
+      .orderBy("user_id")
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q102_heavy_hitters" -> q102 _,
+    "q103_ordered_funnel" -> q103 _,
     "q100_local_supplier_volume" -> q100 _,
     "q101_returned_item_ranking" -> q101 _,
     "q86_conditional_agg" -> q86 _,
@@ -449,6 +489,29 @@ object JoinsAggs extends QueryPack {
         | round(max(o_totalprice), 2) AS max_price
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q102_heavy_hitters" ->
+      """WITH c AS (
+        | SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY 1),
+        |t AS (
+        | SELECT count(*) AS tot, count(DISTINCT l_partkey) AS nd
+        | FROM lineitem)
+        |SELECT c.l_partkey, c.n, c.n / t.tot AS share
+        |FROM c, t WHERE c.n * t.nd > 1.2 * t.tot
+        |ORDER BY c.n DESC, c.l_partkey""".stripMargin,
+    "q103_ordered_funnel" ->
+      """SELECT user_id,
+        | epoch_us(min(ts) FILTER (WHERE event_type = 'click'))
+        |   AS first_click,
+        | epoch_us(min(ts) FILTER (WHERE event_type = 'view'))
+        |   AS first_view,
+        | epoch_us(min(ts) FILTER (WHERE event_type = 'purchase'))
+        |   AS first_purchase,
+        | CASE WHEN min(ts) FILTER (WHERE event_type = 'click')
+        |        < min(ts) FILTER (WHERE event_type = 'view')
+        |       AND min(ts) FILTER (WHERE event_type = 'view')
+        |        < min(ts) FILTER (WHERE event_type = 'purchase')
+        |      THEN 1 ELSE 0 END AS completed
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q100_local_supplier_volume" ->
       """SELECT n_name,
         | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
