@@ -167,7 +167,7 @@ object SimilarityPack extends QueryPack {
   private val kmClusters = 8
   private val kmIters = 2
 
-  private def assign(e: DataFrame, cent: DataFrame): DataFrame = {
+  private[graft] def assign(e: DataFrame, cent: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cluster"))
     e.join(broadcast(cent), lit(true))
       .withColumn("d2", Vectors.sqDist(col("v"), col("cv")))
@@ -176,7 +176,7 @@ object SimilarityPack extends QueryPack {
       .select(col("vec_id"), col("cluster"), col("v"))
   }
 
-  private def recompute(assigned: DataFrame): DataFrame =
+  private[graft] def recompute(assigned: DataFrame): DataFrame =
     assigned
       .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy("cluster", "dim").agg(avg("x").as("cx"))
