@@ -190,6 +190,76 @@ object TextPack extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** q104 — repetition signals (the Gopher duplication filters): max
+    * term-frequency ratio and distinct-token ratio per document.
+    * Token counts go through explode → (doc, token) hash-agg — the shape
+    * that scales (the alternative, per-row nested loops over the token
+    * array, is O(len²) inside a single task).
+    */
+  private def q104(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+    val stats = base.select(col("doc_id"),
+      size(col("tk")).as("n_words"),
+      size(array_distinct(col("tk"))).as("n_distinct"))
+    val maxTf = base
+      .select(col("doc_id"), explode(col("tk")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("max_tf"))
+    stats.join(maxTf, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"), col("max_tf"),
+        (col("max_tf").cast("double") / col("n_words")).as("max_tf_ratio"),
+        (col("n_distinct").cast("double") / col("n_words"))
+          .as("distinct_ratio"))
+      .orderBy("doc_id")
+  }
+
+  private val chunkSize = 32
+  private val chunkStride = 24 // 8-token overlap between windows
+
+  /** q105 — fixed-size token chunking with overlap — the
+    * context-window-preparation stage of a training-data pipeline. Chunk
+    * starts come from `sequence` (per-row array, O(chunks) not O(tokens))
+    * and explode into one row per chunk; each chunk is a `slice` of the
+    * token array, fingerprinted so the oracle compares scalars.
+    */
+  private def q105(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), t.as("tk"))
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(1), greatest(size(col("tk")) - (chunkSize - chunkStride),
+          lit(1)), lit(chunkStride))).as("start"))
+      .select(col("doc_id"),
+        (((col("start") - 1) / chunkStride) + 1).cast("int").as("chunk_idx"),
+        size(slice(col("tk"), col("start"), lit(chunkSize))).as("n_tokens"),
+        md5(concat_ws(" ", slice(col("tk"), col("start"), lit(chunkSize))))
+          .as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  private val packCap = 4096
+
+  /** q106 — sequence packing: assign documents to ~`packCap`-token bins
+    * via a running token total per source shard (`floor(cumsum/cap)`), the
+    * shuffle-scalable approximation of greedy bin packing — globally
+    * sequential packing cannot parallelize, per-shard cumulative sums do
+    * (one window shuffle on the shard key).
+    */
+  private def q106(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), size(t).as("n_tokens"))
+      .withColumn("bin",
+        floor((sum("n_tokens").over(w) - 1) / packCap).cast("int"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+      .orderBy("source", "bin")
+  }
+
   /** Statistical aggregates (stddev/variance/correlation/covariance) —
     * second-moment accumulation differs across engines (Welford vs naive),
     * so results round to 4 (noisy-aggregate rule, QueryPack scaladoc).
@@ -252,7 +322,10 @@ object TextPack extends QueryPack {
     "q54_edit_distance" -> q54 _,
     "q67_word_topk" -> q67 _,
     "q68_bigram_topk" -> q68 _,
-    "q69_stopword_quality" -> q69 _)
+    "q69_stopword_quality" -> q69 _,
+    "q104_repetition_signals" -> q104 _,
+    "q105_token_chunking" -> q105 _,
+    "q106_sequence_packing" -> q106 _)
 
   // DuckDB twins. The lexicon CASE ladder is generated from the same `lex`
   // so the two sides cannot drift.
@@ -267,6 +340,52 @@ object TextPack extends QueryPack {
   }
 
   override val oracle: Seq[(String, String)] = Seq(
+    "q104_repetition_signals" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  list_filter(string_split(text,' '), x -> x <> '') AS tk
+        | FROM documents),
+        |x AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+        |tf AS (SELECT doc_id, tok, count(*) AS c FROM x GROUP BY 1, 2),
+        |m AS (SELECT doc_id, max(c) AS max_tf FROM tf GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(tk) AS INT) AS n_words,
+        | CAST(m.max_tf AS BIGINT) AS max_tf,
+        | CAST(m.max_tf AS DOUBLE) / CAST(len(tk) AS INT) AS max_tf_ratio,
+        | CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS INT)
+        |   AS distinct_ratio
+        |FROM t JOIN m ON t.doc_id = m.doc_id ORDER BY t.doc_id""".stripMargin,
+    "q105_token_chunking" ->
+      s"""WITH t AS (
+         | SELECT doc_id,
+         |  list_filter(string_split(text,' '), x -> x <> '') AS tk
+         | FROM documents),
+         |c AS (
+         | SELECT doc_id, tk,
+         |  unnest(range(1,
+         |    greatest(len(tk) - ${chunkSize - chunkStride}, 1) + 1,
+         |    $chunkStride)) AS start
+         | FROM t)
+         |SELECT doc_id,
+         | CAST((start - 1) / $chunkStride + 1 AS INT) AS chunk_idx,
+         | CAST(len(tk[start : start + ${chunkSize - 1}]) AS INT)
+         |   AS n_tokens,
+         | md5(array_to_string(tk[start : start + ${chunkSize - 1}], ' '))
+         |   AS chunk_md5
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q106_sequence_packing" ->
+      s"""WITH d AS (
+         | SELECT doc_id, source,
+         |  CAST(len(list_filter(string_split(text,' '), x -> x <> ''))
+         |    AS INT) AS n_tokens
+         | FROM documents),
+         |c AS (
+         | SELECT source, doc_id, n_tokens,
+         |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         | FROM d)
+         |SELECT source, CAST(floor((cum - 1) / $packCap) AS INT) AS bin,
+         | count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |FROM c GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
     "q67_word_topk" ->
       """SELECT word, count(*) AS cnt FROM (
         | SELECT unnest(list_filter(string_split(text,' '), x -> x <> ''))
