@@ -96,6 +96,29 @@ object DedupPack extends QueryPack {
       .orderBy("doc_id", "doc_id2")
   }
 
+  /** q107 — containment dedup (the asymmetric cousin of q65's Jaccard:
+    * catches a document whose content is mostly *inside* another —
+    * quotes, supersets, partial copies — which symmetric Jaccard misses
+    * when sizes differ). C(A→B) = |A∩B|/|A| ≥ τ; blocking and the 1-in-4
+    * sample as in q65, with the one-sided size filter C ≥ τ ⟹ |B| ≥ τ|A|
+    * inside the join condition.
+    */
+  private def q107(s: SparkSession, dir: String): DataFrame = {
+    val tau = 0.9
+    val a = docToks(s, dir).filter(col("doc_id") % 4 === 0)
+      .withColumn("sz", size(col("ts")))
+    val b = a.select(col("doc_id").as("doc_id2"), col("lang").as("lang2"),
+      col("ts").as("ts2"), col("sz").as("sz2"))
+    a.join(b, col("lang") === col("lang2") &&
+        col("doc_id") =!= col("doc_id2") &&
+        col("sz2") >= ceil(col("sz") * tau))
+      .withColumn("containment",
+        size(array_intersect(col("ts"), col("ts2"))) / col("sz"))
+      .filter(col("containment") >= tau)
+      .select("doc_id", "doc_id2", "lang", "containment")
+      .orderBy("doc_id", "doc_id2")
+  }
+
   // --- MinHash + banded LSH ---------------------------------------------
   // MinHash runs over word 3-gram *shingles*, not unigrams: the corpus
   // vocabulary is tiny (~31 words), so unigram minima collide for nearly
@@ -270,6 +293,7 @@ object DedupPack extends QueryPack {
     "q63_simhash" -> q63 _,
     "q64_cosine_dup" -> q64 _,
     "q65_jaccard_pairs" -> q65 _,
+    "q107_containment_pairs" -> q107 _,
     "q66_dup_clusters" -> q66 _)
 
   // DuckDB twins: the minhash/simhash SQL is generated from the same
@@ -358,6 +382,17 @@ object DedupPack extends QueryPack {
          | AND len(b.ts) <= floor(len(a.ts) / 0.98)
          |WHERE CAST(len(list_intersect(a.ts, b.ts)) AS INT)
          |   / CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS INT) >= 0.98
+         |ORDER BY a.doc_id, doc_id2""".stripMargin,
+    "q107_containment_pairs" ->
+      s"""WITH t AS (SELECT doc_id, lang, $duckToks AS ts FROM documents
+         |           WHERE doc_id % 4 = 0)
+         |SELECT a.doc_id, b.doc_id AS doc_id2, a.lang,
+         | CAST(len(list_intersect(a.ts, b.ts)) AS INT)
+         |   / CAST(len(a.ts) AS INT) AS containment
+         |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+         | AND len(b.ts) >= ceil(len(a.ts) * 0.9)
+         |WHERE CAST(len(list_intersect(a.ts, b.ts)) AS INT)
+         |   / CAST(len(a.ts) AS INT) >= 0.9
          |ORDER BY a.doc_id, doc_id2""".stripMargin,
     "q62_minhash_lsh" ->
       s"""WITH $duckPairCtes

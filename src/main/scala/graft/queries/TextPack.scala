@@ -191,28 +191,25 @@ object TextPack extends QueryPack {
   }
 
   /** q104 — repetition signals (the Gopher duplication filters): max
-    * term-frequency ratio and distinct-token ratio per document.
-    * Token counts go through explode → (doc, token) hash-agg — the shape
-    * that scales (the alternative, per-row nested loops over the token
-    * array, is O(len²) inside a single task).
+    * term-frequency ratio and distinct-token ratio per document. One
+    * explode → (doc, token)-count → per-doc rollup chain: the second agg
+    * reads all three measures off the token counts (Σc = words, max c =
+    * top TF, row count = distinct) — no join, no second scan, and both
+    * aggs share the doc_id-prefixed shuffle. The per-row-nested-loop
+    * alternative is O(len²) inside one task; this shape scales.
     */
-  private def q104(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), toks(col("text")).as("tk"))
-    val stats = base.select(col("doc_id"),
-      size(col("tk")).as("n_words"),
-      size(array_distinct(col("tk"))).as("n_distinct"))
-    val maxTf = base
-      .select(col("doc_id"), explode(col("tk")).as("tok"))
+  private def q104(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max("c").as("max_tf"))
-    stats.join(maxTf, Seq("doc_id"))
-      .select(col("doc_id"), col("n_words"), col("max_tf"),
-        (col("max_tf").cast("double") / col("n_words")).as("max_tf_ratio"),
-        (col("n_distinct").cast("double") / col("n_words"))
-          .as("distinct_ratio"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("nw"), max("c").as("max_tf"),
+        count(lit(1)).as("nd"))
+      .select(col("doc_id"), col("nw").cast("int").as("n_words"),
+        col("max_tf"),
+        (col("max_tf").cast("double") / col("nw")).as("max_tf_ratio"),
+        (col("nd").cast("double") / col("nw")).as("distinct_ratio"))
       .orderBy("doc_id")
-  }
 
   private val chunkSize = 32
   private val chunkStride = 24 // 8-token overlap between windows
