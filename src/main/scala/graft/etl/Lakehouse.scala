@@ -43,7 +43,10 @@ object Lakehouse {
       .withColumn("__valid_from", ts)
       .withColumn("__tie", tie)
       .withColumn("__prev", lag(col(attr), 1).over(w))
-      .filter(col("__prev").isNull || col("__prev") =!= col(attr))
+      // null-SAFE inequality: `=!=` returns NULL when either side is
+      // NULL, which would silently drop transitions into a NULL run AND
+      // keep the row after it (emitting adjacent equal-attr ranges)
+      .filter(!(col("__prev") <=> col(attr)))
     val w2 = Window.partitionBy(key)
       .orderBy(col("__valid_from"), col("__tie"))
     changes

@@ -269,12 +269,15 @@ object JoinsAggs extends QueryPack {
   }
 
   /** q88 — argument extrema (min_by / max_by): the order id carrying each
-    * priority group's lowest/highest total price. Price ties exist, so the
-    * ordering value is the unique composite price·10⁷ + key — identical
-    * double arithmetic both engines, making the argmin total.
+    * priority group's lowest/highest total price. Price ties exist, so
+    * the ordering value is a fixed-width `price|key` string — unique by
+    * construction at ANY scale (an arithmetic composite like price·10⁷ +
+    * key silently collides once the key range outgrows the multiplier),
+    * and byte-identical across engines for 2-decimal prices.
     */
   private def q88(s: SparkSession, dir: String): DataFrame = {
-    val ord = col("o_totalprice") * lit(1e7) + col("o_orderkey")
+    val ord = format_string("%018.2f|%015d",
+      col("o_totalprice"), col("o_orderkey"))
     Tables.load(s, dir, "orders")
       .groupBy("o_orderpriority")
       .agg(
@@ -357,10 +360,12 @@ object JoinsAggs extends QueryPack {
 
   /** q100 — the TPC-H Q5 local-supplier-volume shape: six-way star
     * (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region) with the
-    * customer-nation = supplier-nation correlation predicate. The two
-    * fact joins shuffle on their keys; supplier/nation/region broadcast.
-    * The canonical join-order stress test: Catalyst must keep the
-    * correlated filter after both fact joins without exploding.
+    * customer-nation = supplier-nation correlation predicate and the
+    * region restriction. The two fact joins shuffle on their keys;
+    * supplier/nation/region broadcast (the region filter prunes through
+    * the nation broadcast before the fact rows are touched). The
+    * canonical join-order stress test: Catalyst must keep the correlated
+    * filter after both fact joins without exploding.
     */
   private def q100(s: SparkSession, dir: String): DataFrame = {
     val l = Tables.load(s, dir, "lineitem")
@@ -368,12 +373,16 @@ object JoinsAggs extends QueryPack {
     val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
     val c = Tables.load(s, dir, "customer").select("c_custkey", "c_nationkey")
     val sup = Tables.load(s, dir, "supplier").select("s_suppkey", "s_nationkey")
-    val n = Tables.load(s, dir, "nation").select("n_nationkey", "n_name")
+    val n = Tables.load(s, dir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val r = Tables.load(s, dir, "region")
+      .filter(col("r_name") === "ASIA").select("r_regionkey")
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
       .filter(col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
         .as("revenue"))
@@ -409,8 +418,9 @@ object JoinsAggs extends QueryPack {
   private def q102(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem")
     val counts = li.groupBy("l_partkey").agg(count(lit(1)).as("n"))
-    val totals = li.agg(count(lit(1)).as("tot"),
-      countDistinct("l_partkey").as("nd"))
+    // totals read off the already-reduced key counts (Σn = rows, row
+    // count = distinct keys) — no second scan of the fact table
+    val totals = counts.agg(sum("n").as("tot"), count(lit(1)).as("nd"))
     counts.crossJoin(broadcast(totals))
       .filter(col("n") * col("nd") > lit(1.2) * col("tot"))
       .select(col("l_partkey"), col("n"),
@@ -481,10 +491,10 @@ object JoinsAggs extends QueryPack {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q88_arg_extrema" ->
       """SELECT o_orderpriority,
-        | arg_min(o_orderkey, o_totalprice * 10000000.0 + o_orderkey)
-        |   AS cheapest_order,
-        | arg_max(o_orderkey, o_totalprice * 10000000.0 + o_orderkey)
-        |   AS priciest_order,
+        | arg_min(o_orderkey, printf('%018.2f|%015d', o_totalprice,
+        |   o_orderkey)) AS cheapest_order,
+        | arg_max(o_orderkey, printf('%018.2f|%015d', o_totalprice,
+        |   o_orderkey)) AS priciest_order,
         | round(min(o_totalprice), 2) AS min_price,
         | round(max(o_totalprice), 2) AS max_price
         |FROM orders GROUP BY o_orderpriority
@@ -520,7 +530,8 @@ object JoinsAggs extends QueryPack {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
-        |WHERE c_nationkey = s_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
     "q101_returned_item_ranking" ->
       """SELECT c_custkey, c_name, c_acctbal,

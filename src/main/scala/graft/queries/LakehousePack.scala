@@ -29,8 +29,11 @@ object LakehousePack extends QueryPack {
     val updates = base.filter(col("o_orderkey") % 100 < 5)
       .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
         (col("o_totalprice") + 100.0).as("o_totalprice"))
+      // insert keys mirrored negative: disjoint from the non-negative
+      // base keyspace at EVERY scale factor (a fixed offset collides
+      // once keys outgrow it)
       .unionByName(base.filter(col("o_orderkey") % 100 === 0)
-        .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+        .select((-col("o_orderkey") - 1).as("o_orderkey"),
           lit("N").as("o_orderstatus"), col("o_totalprice")))
     Lakehouse.upsert(base, updates, "o_orderkey").orderBy("o_orderkey")
   }
@@ -98,7 +101,7 @@ object LakehousePack extends QueryPack {
         |  o_totalprice + 100.0 AS o_totalprice
         | FROM orders WHERE o_orderkey % 100 < 5
         | UNION ALL
-        | SELECT o_orderkey + 20000000 AS o_orderkey,
+        | SELECT -o_orderkey - 1 AS o_orderkey,
         |  'N' AS o_orderstatus, o_totalprice
         | FROM orders WHERE o_orderkey % 100 = 0)
         |SELECT * FROM (

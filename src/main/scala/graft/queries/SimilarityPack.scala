@@ -185,6 +185,19 @@ object SimilarityPack extends QueryPack {
       .select(col("cluster"),
         transform(col("dc"), e => e.getField("cx")).as("cv"))
 
+  /** Seed-and-iterate Lloyd training shared by q75/q84 (and mirrored by
+    * the generated `duckKmeansPrefix`): seed centroids are the first k
+    * vectors, then `kmIters` rounds of argmin-assignment + per-dimension
+    * mean recompute. One definition site — the Spark side and the SQL
+    * twin cannot drift apart per-query.
+    */
+  private[graft] def learnedCentroids(e: DataFrame): DataFrame = {
+    var cent = e.filter(col("vec_id") < kmClusters)
+      .select(col("vec_id").cast("int").as("cluster"), col("v").as("cv"))
+    (1 to kmIters).foreach { _ => cent = recompute(assign(e, cent)) }
+    cent
+  }
+
   /** q75 — k-means as pure DataFrame ops, fully deterministic: seed
     * centroids are the first k vectors, `kmIters` unrolled Lloyd rounds
     * (argmin squared-L2 with cluster-id tiebreak, per-dimension mean
@@ -198,12 +211,7 @@ object SimilarityPack extends QueryPack {
   private def q75(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    var cent = e.filter(col("vec_id") < kmClusters)
-      .select(col("vec_id").cast("int").as("cluster"), col("v").as("cv"))
-    (1 to kmIters).foreach { _ =>
-      cent = recompute(assign(e, cent))
-    }
-    assign(e, cent)
+    assign(e, learnedCentroids(e))
       .select(col("vec_id"), col("cluster"))
       .orderBy("vec_id")
   }
@@ -245,26 +253,19 @@ object SimilarityPack extends QueryPack {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(Vectors.dot(col("v"), col("v"))))
     val e = eAll.select("vec_id", "v")
-    var cent = e.filter(col("vec_id") < kmClusters)
-      .select(col("vec_id").cast("int").as("cluster"), col("v").as("cv"))
-    (1 to kmIters).foreach { _ => cent = recompute(assign(e, cent)) }
     // k rows; checkpoint so the corpus-assignment and query-routing
     // branches don't each recompute the whole Lloyd chain
-    cent = cent.localCheckpoint()
+    val cent = learnedCentroids(e).localCheckpoint()
     val assigned = assign(e, cent)
       .select(col("vec_id").as("a_id"), col("cluster").as("cell_of"))
     val cands = eAll.join(assigned, col("vec_id") === col("a_id"))
       .select(col("vec_id"), col("v"), col("nrm"), col("cell_of"))
-    val q = eAll.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("qnrm"))
-    val routeW = Window.partitionBy("q_id").orderBy(col("d2"), col("cluster"))
-    val routed = q.join(broadcast(cent), lit(true))
-      .withColumn("d2", Vectors.sqDist(col("qv"), col("cv")))
-      .withColumn("rn", row_number().over(routeW))
-      .filter(col("rn") === 1)
-      .select(col("q_id"), col("qv"), col("qnrm"),
-        col("cluster").as("cell"))
+    // query routing IS the assignment operator on the query subset —
+    // same argmin/tiebreak by construction
+    val routed = assign(e.filter(col("vec_id") < nQueries), cent)
+      .select(col("vec_id").as("q_id"), col("cluster").as("cell"),
+        col("v").as("qv"))
+      .withColumn("qnrm", sqrt(Vectors.dot(col("qv"), col("qv"))))
     val joined = cands.join(broadcast(routed),
         col("cell") === col("cell_of") && col("q_id") =!= col("vec_id"))
       .withColumn("cos",

@@ -48,20 +48,28 @@ object Ingest {
     * write-temp + directory swap stands in for a table-format transaction.
     */
   def upsertBatch(targetPath: String, batch: DataFrame, key: String): Unit = {
-    import java.io.File
+    import java.io.{File, IOException}
     val spark = batch.sparkSession
     val target = new File(targetPath)
+    val old = new File(targetPath + ".old")
+    // crash recovery: a previous run that died between the two renames
+    // leaves the sole surviving copy in .old — restore it, never delete it
+    if (!target.exists && old.exists && !old.renameTo(target))
+      throw new IOException(s"failed to recover $old -> $target")
     val merged =
       if (target.exists)
         Lakehouse.upsert(spark.read.parquet(targetPath), batch, key)
       else batch
     val tmp = new File(targetPath + ".tmp")
     merged.write.mode("overwrite").parquet(tmp.getPath)
-    val old = new File(targetPath + ".old")
     deleteRec(old)
-    if (target.exists) target.renameTo(old)
-    tmp.renameTo(target)
-    deleteRec(old)
+    if (target.exists && !target.renameTo(old))
+      throw new IOException(s"failed to stage $target -> $old")
+    if (!tmp.renameTo(target)) {
+      old.renameTo(target) // restore the backup before failing
+      throw new IOException(s"failed to publish $tmp -> $target")
+    }
+    deleteRec(old) // only after a verified swap
   }
 
   private def deleteRec(f: java.io.File): Unit = {

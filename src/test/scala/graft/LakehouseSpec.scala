@@ -86,6 +86,24 @@ class LakehouseSpec extends SparkSpecBase {
     }
   }
 
+  test("scd2History records transitions into and out of NULL runs") {
+    val s = spark
+    import s.implicits._
+    // attr sequence a, null, a — the NULL period must surface as its own
+    // range (a null-UNSAFE =!= would drop the null row AND re-open "a")
+    val df = Seq(
+      (1L, Some("a"), 0L, 100L), (1L, None, 1L, 101L),
+      (1L, Some("a"), 2L, 102L))
+      .toDF("user_id", "attr", "t", "id")
+    val out = Lakehouse.scd2History(df, "user_id", "attr", col("t"), col("id"))
+      .orderBy("valid_from")
+      .as[(Long, Option[String], Long, Option[Long], Int)].collect().toSeq
+    assert(out === Seq(
+      (1L, Some("a"), 0L, Some(1L), 0),
+      (1L, None, 1L, Some(2L), 0),
+      (1L, Some("a"), 2L, None, 1)))
+  }
+
   test("scd2History: ties on ts break by the tie column deterministically") {
     val s = spark
     import s.implicits._
