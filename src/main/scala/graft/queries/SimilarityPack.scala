@@ -167,14 +167,21 @@ object SimilarityPack extends QueryPack {
   private val kmClusters = 8
   private val kmIters = 2
 
-  private[graft] def assign(e: DataFrame, cent: DataFrame): DataFrame = {
+  /** Top-`p` nearest centroids per vector (argmin-L2, cluster-id
+    * tiebreak). p=1 is cluster assignment; p>1 is multi-probe routing.
+    */
+  private[graft] def routeTop(e: DataFrame, cent: DataFrame,
+      p: Int): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cluster"))
     e.join(broadcast(cent), lit(true))
       .withColumn("d2", Vectors.sqDist(col("v"), col("cv")))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .filter(col("rn") <= p)
       .select(col("vec_id"), col("cluster"), col("v"))
   }
+
+  private[graft] def assign(e: DataFrame, cent: DataFrame): DataFrame =
+    routeTop(e, cent, 1)
 
   private[graft] def recompute(assigned: DataFrame): DataFrame =
     assigned
@@ -273,7 +280,57 @@ object SimilarityPack extends QueryPack {
     topk(joined, k)
   }
 
+  private val nProbe = 2
+
+  /** q108 — multi-probe IVF: each query scans its `nProbe` nearest cells
+    * instead of one — the standard recall/cost knob of a production IVF
+    * index (a vector near a cell boundary gets missed by 1-probe search;
+    * probing neighbors recovers it for ~p× the cell-scan cost, still ≪
+    * brute force). Candidates stay distinct: a corpus vector lives in
+    * exactly one cell.
+    */
+  private def q108(s: SparkSession, dir: String): DataFrame = {
+    val eAll = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(Vectors.dot(col("v"), col("v"))))
+    val e = eAll.select("vec_id", "v")
+    val cent = learnedCentroids(e).localCheckpoint()
+    val assigned = assign(e, cent)
+      .select(col("vec_id").as("a_id"), col("cluster").as("cell_of"))
+    val cands = eAll.join(assigned, col("vec_id") === col("a_id"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell_of"))
+    val routed = routeTop(e.filter(col("vec_id") < nQueries), cent, nProbe)
+      .select(col("vec_id").as("q_id"), col("cluster").as("cell"),
+        col("v").as("qv"))
+      .withColumn("qnrm", sqrt(Vectors.dot(col("qv"), col("qv"))))
+    val joined = cands.join(broadcast(routed),
+        col("cell") === col("cell_of") && col("q_id") =!= col("vec_id"))
+      .withColumn("cos",
+        Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+    topk(joined, k)
+  }
+
+  /** q109 — recall@k of the sign-LSH index against brute-force ground
+    * truth: the evaluation loop every approximate index needs. Composes
+    * the two existing strategies and measures |approx ∩ exact| / k per
+    * query — the same relation the oracle rebuilds from both SQL chains.
+    */
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    val truth = q70(s, dir).select(col("q_id"), col("neighbor_id"))
+    val approx = q71(s, dir)
+      .select(col("q_id").as("a_qid"), col("neighbor_id").as("a_nid"))
+    truth.join(approx,
+        col("q_id") === col("a_qid") && col("neighbor_id") === col("a_nid"),
+        "left")
+      .groupBy("q_id")
+      .agg(count(col("a_nid")).as("n_matched"))
+      .withColumn("recall_at_k", col("n_matched") / lit(k))
+      .orderBy("q_id")
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q108_ivf_multiprobe" -> q108 _,
+    "q109_ann_recall" -> q109 _,
     "q70_ann_bruteforce" -> q70 _,
     "q71_ann_lsh_bucket" -> q71 _,
     "q72_ann_topk_agg" -> q72 _,
@@ -346,10 +403,10 @@ object SimilarityPack extends QueryPack {
     s"""WITH $duckKmeansPrefix
        |SELECT vec_id, cluster FROM afin ORDER BY vec_id""".stripMargin
 
-  /** q84 oracle: route queries to their argmin-L2 learned centroid, scan
-    * only that cell, exact cosine top-k.
+  /** q84/q108 oracle: route queries to their `p` argmin-L2 learned
+    * centroids, scan those cells, exact cosine top-k.
     */
-  private def duckIvfLearned: String =
+  private def duckIvfLearned(p: Int): String =
     s"""WITH $duckKmeansPrefix,
        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm
        |      FROM e WHERE vec_id < $nQueries),
@@ -362,7 +419,7 @@ object SimilarityPack extends QueryPack {
        | SELECT q_id, qv, qnrm, cluster AS cell FROM (
        |  SELECT q_id, qv, qnrm, cluster, row_number() OVER (
        |   PARTITION BY q_id ORDER BY list_dot_product(dd, dd), cluster) AS rn
-       |  FROM qd) WHERE rn = 1),
+       |  FROM qd) WHERE rn <= $p),
        |scored AS (
        | SELECT r.q_id, b.vec_id,
        |  list_dot_product(r.qv, b.v) / (r.qnrm * b.nrm) AS cos
@@ -382,9 +439,61 @@ object SimilarityPack extends QueryPack {
       s"CASE WHEN $col[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END"
     }.mkString(" + ")
 
+  private def duckBruteforce: String =
+    s"""WITH e AS (
+       | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |       CAST(embedding AS DOUBLE[]))) AS nrm
+       | FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm
+       |      FROM e WHERE vec_id < $nQueries),
+       |scored AS (
+       | SELECT a.q_id, b.vec_id, $duckCos AS cos
+       | FROM q a JOIN e b ON a.q_id <> b.vec_id),
+       |ranked AS (
+       | SELECT q_id, vec_id, cos, row_number() OVER (
+       |   PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       | FROM scored)
+       |SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id,
+       | round(cos, 6) AS cos6
+       |FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+
+  private def duckLshBucket: String =
+    s"""WITH e AS (
+       | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |       CAST(embedding AS DOUBLE[]))) AS nrm,
+       |  ${duckBucket("embedding")} AS bkt
+       | FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, bkt AS q_bkt
+       |      FROM e WHERE vec_id < $nQueries),
+       |scored AS (
+       | SELECT a.q_id, b.vec_id, $duckCos AS cos
+       | FROM q a JOIN e b ON a.q_bkt = b.bkt AND a.q_id <> b.vec_id),
+       |ranked AS (
+       | SELECT q_id, vec_id, cos, row_number() OVER (
+       |   PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       | FROM scored)
+       |SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id,
+       | round(cos, 6) AS cos6
+       |FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+
+  /** q109 oracle: recall@k composed from the two strategy chains. */
+  private def duckRecall: String =
+    s"""SELECT t.q_id, count(a.a_nid) AS n_matched,
+       | count(a.a_nid) / $k AS recall_at_k
+       |FROM ($duckBruteforce) t
+       |LEFT JOIN (
+       | SELECT q_id AS a_qid, neighbor_id AS a_nid
+       | FROM ($duckLshBucket)) a
+       | ON t.q_id = a.a_qid AND t.neighbor_id = a.a_nid
+       |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin
+
   override val oracle: Seq[(String, String)] = Seq(
     "q75_kmeans" -> duckKmeans,
-    "q84_ivf_learned_cells" -> duckIvfLearned,
+    "q84_ivf_learned_cells" -> duckIvfLearned(1),
+    "q108_ivf_multiprobe" -> duckIvfLearned(nProbe),
+    "q109_ann_recall" -> duckRecall,
     "q82_hof_vector_features" ->
       """WITH e AS (
         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
@@ -398,63 +507,11 @@ object SimilarityPack extends QueryPack {
         | round(list_sum(list_transform(range(1, len(v) + 1),
         |   i -> v[i] * v[len(v) - i + 1])), 6) AS revdot6
         |FROM e ORDER BY vec_id""".stripMargin,
-    "q70_ann_bruteforce" ->
-      s"""WITH e AS (
-         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-         |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-         |       CAST(embedding AS DOUBLE[]))) AS nrm
-         | FROM embeddings),
-         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm
-         |      FROM e WHERE vec_id < $nQueries),
-         |scored AS (
-         | SELECT a.q_id, b.vec_id, $duckCos AS cos
-         | FROM q a JOIN e b ON a.q_id <> b.vec_id),
-         |ranked AS (
-         | SELECT q_id, vec_id, cos, row_number() OVER (
-         |   PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
-         | FROM scored)
-         |SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id,
-         | round(cos, 6) AS cos6
-         |FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin,
+    "q70_ann_bruteforce" -> duckBruteforce,
     // q72 computes the same relation as q70 through the typed TopK
     // aggregator — one oracle, two physical strategies.
-    "q72_ann_topk_agg" ->
-      s"""WITH e AS (
-         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-         |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-         |       CAST(embedding AS DOUBLE[]))) AS nrm
-         | FROM embeddings),
-         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm
-         |      FROM e WHERE vec_id < $nQueries),
-         |scored AS (
-         | SELECT a.q_id, b.vec_id, $duckCos AS cos
-         | FROM q a JOIN e b ON a.q_id <> b.vec_id),
-         |ranked AS (
-         | SELECT q_id, vec_id, cos, row_number() OVER (
-         |   PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
-         | FROM scored)
-         |SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id,
-         | round(cos, 6) AS cos6
-         |FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin,
-    "q71_ann_lsh_bucket" ->
-      s"""WITH e AS (
-         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-         |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-         |       CAST(embedding AS DOUBLE[]))) AS nrm,
-         |  ${duckBucket("embedding")} AS bkt
-         | FROM embeddings),
-         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, bkt AS q_bkt
-         |      FROM e WHERE vec_id < $nQueries),
-         |scored AS (
-         | SELECT a.q_id, b.vec_id, $duckCos AS cos
-         | FROM q a JOIN e b ON a.q_bkt = b.bkt AND a.q_id <> b.vec_id),
-         |ranked AS (
-         | SELECT q_id, vec_id, cos, row_number() OVER (
-         |   PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
-         | FROM scored)
-         |SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id,
-         | round(cos, 6) AS cos6
-         |FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin,
+    "q72_ann_topk_agg" -> duckBruteforce,
+    "q71_ann_lsh_bucket" -> duckLshBucket,
     "q73_ivf_centroids" ->
       """WITH e AS (
         | SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
