@@ -38,4 +38,19 @@ class SamplingSpec extends SparkSpecBase {
       .agg(max("count")).head().getLong(0)
     assert(maxPerGroup <= 3L)
   }
+
+  test("sampleBy draws per-stratum fractions (down-sampling a hot class)") {
+    // the rebalancing move of a training-data pipeline: keep all of the
+    // rare strata, thin the dominant one
+    val fractions = Map("A" -> 0.1, "N" -> 1.0, "R" -> 1.0)
+    val s1 = li.stat.sampleBy("l_returnflag", fractions, 42L)
+    val s2 = li.stat.sampleBy("l_returnflag", fractions, 42L)
+    val got = s1.groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = li.groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("N") === full("N") && got("R") === full("R"))
+    assert(got("A") > full("A") / 20 && got("A") < full("A") / 5)
+    assert(s1.count() === s2.count()) // seeded → deterministic
+  }
 }
