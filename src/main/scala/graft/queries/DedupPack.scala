@@ -222,6 +222,31 @@ object DedupPack extends QueryPack {
       .orderBy("node")
   }
 
+  /** q110 — quality-aware dedup decision, the step after q66's clustering:
+    * within each near-dup cluster keep the highest-quality member
+    * (longest, ties to the lowest id) instead of q66's arbitrary-min-id
+    * keeper — what production pipelines actually do with a dup cluster.
+    * One extra broadcast-joinable quality column + one window over the
+    * (tiny) clustered subset.
+    */
+  private def q110(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comps = graft.functions.ConnectedComponents
+      .run(minhashPairs(s, dir).select("doc_id", "doc_id2"))
+    val d = Tables.load(s, dir, "documents").select("doc_id", "text")
+    val doubled = d.union(
+      d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val quality = doubled.select(col("doc_id").as("qid"),
+      size(toks(col("text"))).as("n_words"))
+    val w = Window.partitionBy("component")
+      .orderBy(col("n_words").desc, col("node"))
+    comps.join(quality, col("node") === col("qid"))
+      .withColumn("is_kept",
+        when(row_number().over(w) === 1, 1).otherwise(0))
+      .select("node", "component", "n_words", "is_kept")
+      .orderBy("node")
+  }
+
   // --- SimHash -----------------------------------------------------------
   // 16-bit SimHash: bit j votes +1/-1 per distinct token according to the
   // parity of hex digit j of md5(token); bit set iff the vote sum is
@@ -294,7 +319,8 @@ object DedupPack extends QueryPack {
     "q64_cosine_dup" -> q64 _,
     "q65_jaccard_pairs" -> q65 _,
     "q107_containment_pairs" -> q107 _,
-    "q66_dup_clusters" -> q66 _)
+    "q66_dup_clusters" -> q66 _,
+    "q110_quality_dedup" -> q110 _)
 
   // DuckDB twins: the minhash/simhash SQL is generated from the same
   // constants so both sides cannot drift.
@@ -410,6 +436,29 @@ object DedupPack extends QueryPack {
          |SELECT a AS node, least(a, min(b)) AS component,
          | CASE WHEN least(a, min(b)) = a THEN 1 ELSE 0 END AS is_keeper
          |FROM reach GROUP BY a ORDER BY node""".stripMargin,
+    "q110_quality_dedup" ->
+      s"""WITH RECURSIVE $duckPairCtes,
+         |edges AS (
+         | SELECT doc_id AS a, doc_id2 AS b FROM verified
+         | UNION SELECT doc_id2 AS a, doc_id AS b FROM verified),
+         |reach(a, b) AS (
+         | SELECT a, b FROM edges
+         | UNION
+         | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |comp AS (
+         | SELECT a AS node, least(a, min(b)) AS component
+         | FROM reach GROUP BY a),
+         |quality AS (
+         | SELECT doc_id AS qid,
+         |  CAST(len(list_filter(string_split(text,' '), x -> x <> ''))
+         |    AS INT) AS n_words
+         | FROM doubled)
+         |SELECT c.node, c.component, q.n_words,
+         | CASE WHEN row_number() OVER (PARTITION BY c.component
+         |   ORDER BY q.n_words DESC, c.node) = 1 THEN 1 ELSE 0 END
+         |   AS is_kept
+         |FROM comp c JOIN quality q ON q.qid = c.node
+         |ORDER BY c.node""".stripMargin,
     "q63_simhash" ->
       s"""WITH t0 AS (SELECT doc_id, lang, $duckToks AS ts FROM documents),
          |t AS (SELECT doc_id, lang,
