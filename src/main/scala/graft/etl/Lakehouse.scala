@@ -43,10 +43,15 @@ object Lakehouse {
       .withColumn("__valid_from", ts)
       .withColumn("__tie", tie)
       .withColumn("__prev", lag(col(attr), 1).over(w))
+      .withColumn("__rn", row_number().over(w))
       // null-SAFE inequality: `=!=` returns NULL when either side is
       // NULL, which would silently drop transitions into a NULL run AND
-      // keep the row after it (emitting adjacent equal-attr ranges)
-      .filter(!(col("__prev") <=> col(attr)))
+      // keep the row after it (emitting adjacent equal-attr ranges).
+      // The first row per key must be kept unconditionally: lag's empty
+      // frame yields NULL there, and if the opening attr value is also
+      // NULL, `NULL <=> NULL` is true and the null-safe filter alone
+      // would drop the key's opening history range.
+      .filter(col("__rn") === 1 || !(col("__prev") <=> col(attr)))
     val w2 = Window.partitionBy(key)
       .orderBy(col("__valid_from"), col("__tie"))
     changes

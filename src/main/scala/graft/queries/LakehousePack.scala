@@ -114,11 +114,13 @@ object LakehousePack extends QueryPack {
       """WITH e AS (
         | SELECT user_id, event_type, ts, event_id,
         |  lag(event_type) OVER (
-        |    PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |  row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS rn
         | FROM events),
         |c AS (
         | SELECT user_id, event_type, ts AS valid_from, event_id FROM e
-        | WHERE prev IS NULL OR prev <> event_type)
+        | WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
         |SELECT user_id, event_type, valid_from,
         | lead(valid_from) OVER (
         |   PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to,

@@ -119,18 +119,26 @@ object MultimodalStreamPack extends QueryPack {
         |  SELECT doc_id, ascii(substring(text, CAST(i AS INT), 1)) AS b
         |  FROM documents, unnest(generate_series(1, length(text))) AS t(i)),
         |stats AS (
-        |  SELECT doc_id, CAST(count(*) AS INT) AS n_bytes,
-        |         CAST(sum(b) AS BIGINT) AS byte_sum
+        |  -- from documents, not chars: an empty text has no chars rows but
+        |  -- must still yield 16 zero-count bins (Spark side does)
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes
+        |  FROM documents),
+        |sums AS (
+        |  SELECT doc_id, CAST(sum(b) AS BIGINT) AS byte_sum
         |  FROM chars GROUP BY doc_id),
         |hist AS (
         |  SELECT doc_id, b // 16 AS bin, count(*) AS bin_count
         |  FROM chars GROUP BY 1, 2),
         |grid AS (
-        |  SELECT doc_id, unnest(generate_series(0, 15)) AS bin FROM stats)
-        |SELECT g.doc_id, s.n_bytes, s.byte_sum, CAST(g.bin AS INT) AS bin,
+        |  SELECT doc_id, unnest(generate_series(0, 15)) AS bin
+        |  FROM documents)
+        |SELECT g.doc_id, s.n_bytes,
+        |  CAST(COALESCE(m.byte_sum, 0) AS BIGINT) AS byte_sum,
+        |  CAST(g.bin AS INT) AS bin,
         |  CAST(COALESCE(h.bin_count, 0) AS BIGINT) AS bin_count
         |FROM grid g
         |JOIN stats s ON s.doc_id = g.doc_id
+        |LEFT JOIN sums m ON m.doc_id = g.doc_id
         |LEFT JOIN hist h ON h.doc_id = g.doc_id AND h.bin = g.bin
         |ORDER BY g.doc_id, g.bin""".stripMargin,
     "q59_sliding_window" ->

@@ -104,6 +104,25 @@ class LakehouseSpec extends SparkSpecBase {
       (1L, Some("a"), 2L, None, 1)))
   }
 
+  test("scd2History keeps a key's opening range when its first attr is NULL") {
+    val s = spark
+    import s.implicits._
+    // lag's empty frame yields NULL for the first row; when the opening
+    // attr is also NULL, NULL <=> NULL is true — without the explicit
+    // first-row keep the key's earliest range silently disappears
+    val df = Seq(
+      (1L, None, 0L, 100L), (1L, Some("a"), 1L, 101L),
+      (2L, None, 5L, 102L)) // user 2: single all-NULL history
+      .toDF("user_id", "attr", "t", "id")
+    val out = Lakehouse.scd2History(df, "user_id", "attr", col("t"), col("id"))
+      .orderBy("user_id", "valid_from")
+      .as[(Long, Option[String], Long, Option[Long], Int)].collect().toSeq
+    assert(out === Seq(
+      (1L, None, 0L, Some(1L), 0),
+      (1L, Some("a"), 1L, None, 1),
+      (2L, None, 5L, None, 1)))
+  }
+
   test("scd2History: ties on ts break by the tie column deterministically") {
     val s = spark
     import s.implicits._
