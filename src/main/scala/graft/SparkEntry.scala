@@ -15,7 +15,8 @@ object SparkEntry {
   private val packs: Seq[QueryPack] =
     Seq(RelationalCore, JoinsAggs, WindowsPack,
       TextPack, DedupPack, SimilarityPack, JsonPack, MedallionPack,
-      MultimodalStreamPack, ApproxPack, LakehousePack)
+      MultimodalStreamPack, ApproxPack, LakehousePack,
+      TrainingPipelinePack, TpchShapesPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's headline analytics shape: revenue-by-category top-10

@@ -1,0 +1,318 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.Tables
+
+/** Deeper multi-join analytics in the reference's star-schema idiom
+  * (reference `README.md:346-351` FK graph, `README.md:364-402` query
+  * style), shaped after the harder TPC-H patterns the round-3 set didn't
+  * cover: bidirectional nation trade flow (Q7), market share (Q8), profit
+  * attribution (Q9), priority/status cross-tab (Q12), promo share (Q14),
+  * large-order having-join-back (Q18), and idle-rich-customer
+  * anti-join + scalar subquery (Q22). Adapted to the testdata schema
+  * (no partsupp/shipmode columns — proxies noted per query).
+  *
+  * Scale notes: every query keeps the canonical plan — fact tables
+  * shuffle on their join keys once, all dimension sides broadcast
+  * (supplier/customer/nation fit in memory at any SF since they grow
+  * sublinearly vs lineitem), aggregations are partial-agg first. Year
+  * extraction happens AFTER the joins on the already-matched rows; date
+  * range filters sit on the scans so parquet row-group stats prune.
+  */
+object TpchShapesPack extends QueryPack {
+
+  private def rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  /** q116 — TPC-H Q7 volume-shipping shape: revenue flowing between two
+    * named nations, split by direction (supplier nation → customer
+    * nation) and ship year. Two fact joins shuffle; both nation-filtered
+    * supplier/customer sides broadcast; the cross-pair predicate
+    * ((n1,n2) ∈ {(A,B),(B,A)}) prunes before the aggregation.
+    */
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    val nA = "NATION_1"
+    val nB = "NATION_2"
+    val n = Tables.load(s, dir, "nation").select("n_nationkey", "n_name")
+    val sup = Tables.load(s, dir, "supplier")
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").isin(nA, nB))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.load(s, dir, "customer")
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").isin(nA, nB))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val l = Tables.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+        "l_shipdate")
+    l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(rev), 2).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** q117 — TPC-H Q8 market-share shape: among PROMO-part revenue sold to
+    * customers of one region, the share supplied by one nation, per order
+    * year. The share is a conditional-sum / total-sum ratio computed on
+    * identical rounded operands both engines, so the division is
+    * bit-equal.
+    */
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.load(s, dir, "nation")
+    val r = Tables.load(s, dir, "region")
+      .filter(col("r_name") === "ASIA").select("r_regionkey")
+    val custRegion = Tables.load(s, dir, "customer")
+      .join(n.select("n_nationkey", "n_regionkey"),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey")
+    val supNation = Tables.load(s, dir, "supplier")
+      .join(n.select(col("n_nationkey").as("sn_key"), col("n_name")),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val p = Tables.load(s, dir, "part")
+      .filter(col("p_type") === "PROMO").select("p_partkey")
+    val o = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount")
+    val target = "NATION_3"
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custRegion), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        round(sum(when(col("supp_nation") === target, rev).otherwise(0.0)), 2)
+          .as("nation_rev"),
+        round(sum(rev), 2).as("total_rev"))
+      .withColumn("mkt_share", col("nation_rev") / col("total_rev"))
+      .orderBy("o_year")
+  }
+
+  /** q118 — TPC-H Q9 profit-attribution shape: for parts whose name
+    * contains a token, profit = revenue − 60% of retail price × quantity
+    * (supply-cost proxy: the testdata has no partsupp table), attributed
+    * to the supplier's nation per ship year.
+    *
+    * Parity: profit is summed in exact 10⁻⁴ integer units (revenue is an
+    * exact 4-decimal product, the cost proxy an exact 3-decimal one), not
+    * `round(sum(double), 2)` — the sum hit a .005 midpoint at sf0.001
+    * (507905.465) where the engines round apart. Same doctrine as q86.
+    */
+  private def q118(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(s, dir, "part")
+      .filter(col("p_name").contains("widget"))
+      .select("p_partkey", "p_retailprice")
+    val supNation = Tables.load(s, dir, "supplier")
+      .join(Tables.load(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    val profitE4 = round(rev * 10000).cast("long") -
+      round(lit(0.6) * col("p_retailprice") * col("l_quantity") * 10000)
+        .cast("long")
+    Tables.load(s, dir, "lineitem")
+      .select("l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_shipdate")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation"), year(col("l_shipdate")).as("o_year"))
+      .agg((sum(profitE4) / 10000.0).as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** q119 — TPC-H Q12 shape: line-status (shipmode proxy — the testdata
+    * carries no shipmode) × order-priority criticality cross-tab over a
+    * ship-year window: per status, how many high-priority vs other
+    * orders it carried. One fact-fact join, conditional counts.
+    */
+  private def q119(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_orderpriority")
+    val l = Tables.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .select("l_orderkey", "l_linestatus")
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  /** q120 — TPC-H Q14 promo-revenue shape: the percentage of one ship
+    * month's revenue from PROMO parts. Same rounded-operand division
+    * discipline as q117.
+    */
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(s, dir, "part").select("p_partkey", "p_type")
+    Tables.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-03-01") &&
+        col("l_shipdate") < lit("1997-04-01"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(sum(when(col("p_type") === "PROMO", rev).otherwise(0.0)), 2)
+          .as("promo_rev"),
+        round(sum(rev), 2).as("total_rev"))
+      .withColumn("promo_pct",
+        lit(100.0) * col("promo_rev") / col("total_rev"))
+  }
+
+  /** q121 — TPC-H Q18 large-order shape: orders whose total quantity
+    * clears a threshold (HAVING over the fact agg), joined back to
+    * customer + order attributes, top 20 by quantity. The agg-then-join
+    * order matters at scale: the groupBy reduces lineitem to order grain
+    * BEFORE touching the dimension tables.
+    */
+  private def q121(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.load(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("total_qty"))
+      .filter(col("total_qty") > 300.0)
+    val o = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val c = Tables.load(s, dir, "customer").select("c_custkey", "c_name")
+    big.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  /** q122 — TPC-H Q22 idle-rich-customer shape: customers with
+    * above-average account balance (scalar subquery over a positive-
+    * balance population) who never placed an order (anti join), counted
+    * per nation. The anti join streams customer against the orders key
+    * projection; the scalar average broadcasts.
+    */
+  private def q122(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+    val avgBal = c.filter(col("c_acctbal") > 0.0)
+      .agg(avg("c_acctbal").as("ab"))
+    val o = Tables.load(s, dir, "orders").select("o_custkey")
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("ab"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"),
+        round(sum("c_acctbal"), 2).as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
+  override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q116_nation_trade_flow" -> q116 _,
+    "q117_market_share" -> q117 _,
+    "q118_product_profit" -> q118 _,
+    "q119_priority_status" -> q119 _,
+    "q120_promo_share" -> q120 _,
+    "q121_large_orders" -> q121 _,
+    "q122_idle_rich_customers" -> q122 _)
+
+  override val oracle: Seq[(String, String)] = Seq(
+    "q116_nation_trade_flow" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        | CAST(year(l.l_shipdate) AS INT) AS l_year,
+        | round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+        | AND cn.n_name IN ('NATION_1', 'NATION_2')
+        | AND sn.n_name <> cn.n_name
+        | AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        | AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q117_market_share" ->
+      """WITH base AS (
+        | SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+        |  l.l_extendedprice * (1.0 - l.l_discount) AS volume,
+        |  sn.n_name AS supp_nation
+        | FROM lineitem l
+        | JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+        | JOIN orders o ON l.l_orderkey = o.o_orderkey
+        | JOIN customer c ON o.o_custkey = c.c_custkey
+        | JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        | JOIN region r ON cn.n_regionkey = r.r_regionkey
+        |   AND r.r_name = 'ASIA'
+        | JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        | JOIN nation sn ON s.s_nationkey = sn.n_nationkey)
+        |SELECT o_year,
+        | round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+        |   ELSE 0.0 END), 2) AS nation_rev,
+        | round(sum(volume), 2) AS total_rev,
+        | round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+        |   ELSE 0.0 END), 2) / round(sum(volume), 2) AS mkt_share
+        |FROM base GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q118_product_profit" ->
+      """SELECT n.n_name AS nation,
+        | CAST(year(l.l_shipdate) AS INT) AS o_year,
+        | sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 10000)
+        |     AS BIGINT)
+        |   - CAST(round(0.6 * p.p_retailprice * l.l_quantity * 10000)
+        |     AS BIGINT)) / 10000.0 AS profit
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |  AND p.p_name LIKE '%widget%'
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q119_priority_status" ->
+      """SELECT l.l_linestatus,
+        | CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+        | AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY l_linestatus""".stripMargin,
+    "q120_promo_share" ->
+      """SELECT
+        | round(sum(CASE WHEN p.p_type = 'PROMO'
+        |   THEN l.l_extendedprice * (1.0 - l.l_discount)
+        |   ELSE 0.0 END), 2) AS promo_rev,
+        | round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS total_rev,
+        | 100.0 * round(sum(CASE WHEN p.p_type = 'PROMO'
+        |   THEN l.l_extendedprice * (1.0 - l.l_discount)
+        |   ELSE 0.0 END), 2) / round(sum(l.l_extendedprice *
+        |   (1.0 - l.l_discount)), 2) AS promo_pct
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+        | AND l.l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin,
+    "q121_large_orders" ->
+      """WITH big AS (
+        | SELECT l_orderkey, sum(l_quantity) AS total_qty
+        | FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300.0)
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        | o.o_totalprice, big.total_qty
+        |FROM big
+        |JOIN orders o ON big.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY big.total_qty DESC, o.o_orderkey LIMIT 20""".stripMargin,
+    "q122_idle_rich_customers" ->
+      """SELECT c.c_nationkey, count(*) AS numcust,
+        | round(sum(c.c_acctbal), 2) AS totacctbal
+        |FROM customer c
+        |WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |   WHERE c_acctbal > 0.0)
+        | AND NOT EXISTS (SELECT 1 FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin)
+}

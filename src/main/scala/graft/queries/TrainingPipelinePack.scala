@@ -1,0 +1,229 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.catalog.Tables
+
+/** Training-data pipeline assembly shapes over `documents` — the ops that
+  * sit between corpus curation (dedup/quality, q50-q69, q104-q110) and the
+  * trainer: deterministic split assignment, weighted source mixing,
+  * per-source token budgets, curriculum staging, and shard packing. Beyond
+  * the reference's surface (its pipeline ends at curated analytics tables,
+  * reference `README.md:259-344`) — these are BASELINE.json north-star
+  * operators for the 100 TB training-corpus case.
+  *
+  * Determinism/parity: all randomness is derived, not sampled — a salted
+  * md5 bucket of the stable `doc_id` (`conv(hex,16,10)` ↔ DuckDB
+  * `CAST('0x…' AS BIGINT)`), so assignment is reproducible across runs,
+  * engines, AND scale factors: a document keeps its split/mixture fate when
+  * the corpus around it grows, which is what makes incremental corpus
+  * rebuilds cheap (only new docs move). `rand(seed)` would give none of
+  * that (partition-order dependent, engine-specific).
+  *
+  * Scale notes: q111/q112 are pure narrow scans + one small agg (linear,
+  * no data shuffle beyond the partial-agg combine). q113/q114 window by
+  * source — one shuffle on a low-cardinality key whose per-partition state
+  * is a running sum (no buffering). q115's round-robin pack is the only
+  * intentionally global op (exact equal shards need a total order); its
+  * scaladoc spells out the hash-mod alternative used when ±1% shard-size
+  * imbalance is acceptable at 100 TB.
+  */
+object TrainingPipelinePack extends QueryPack {
+
+  /** Salted deterministic bucket in [0, n): first 8 hex chars of
+    * md5(salt|id) as an int. Uniform enough for split/sample assignment,
+    * identical in DuckDB (`CAST('0x'||substring(md5(..),1,8) AS BIGINT)`).
+    */
+  private def bucket(id: Column, salt: String, n: Int): Column =
+    conv(substring(md5(concat(lit(s"$salt|"), id.cast("string"))), 1, 8),
+      16, 10).cast("long") % n
+
+  private def duckBucket(id: String, salt: String, n: Int): String =
+    s"CAST('0x' || substring(md5('$salt|' || CAST($id AS VARCHAR)), 1, 8) AS BIGINT) % $n"
+
+  /** Non-empty whitespace tokens (same tokenizer as TextPack q50). */
+  private def nToks(c: Column): Column =
+    size(filter(split(c, " "), t => t =!= lit("")))
+
+  private val duckNToks =
+    "length(list_filter(string_split(text, ' '), x -> x <> ''))"
+
+  /** q111 — deterministic train/val/test split: md5-bucket of doc_id into
+    * 80/10/10, then per-split corpus stats. The assignment is a pure
+    * per-row expression — at 100 TB this is a metadata-only column add
+    * (no shuffle), and membership is stable under corpus growth, unlike
+    * `randomSplit` (partition-order dependent) or mod-by-rank schemes
+    * (every insert reshuffles everyone's split).
+    */
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    val b = bucket(col("doc_id"), "split", 100)
+    Tables.load(s, dir, "documents")
+      .withColumn("split",
+        when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(nToks(col("text"))).as("n_tokens"),
+        sum("n_chars").as("n_chars"))
+      .orderBy("split")
+  }
+
+  /** q112 — weighted dataset mixture: each source gets a keep-rate (here
+    * derived from the source id so no side table is needed; production
+    * would broadcast-join a weights dim), and a document survives iff its
+    * mixture bucket clears the rate. Up-/down-sampling sources into a
+    * training mixture without a shuffle: the keep decision is per-row,
+    * the only exchange is the final partial agg on `source`.
+    */
+  private def q112(s: SparkSession, dir: String): DataFrame = {
+    val srcNum = regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
+    val rate = (srcNum % 4) * 25 + 25 // 25/50/75/100 % by source class
+    val kept = (bucket(col("doc_id"), "mix", 100) < rate).cast("int")
+    Tables.load(s, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"),
+        sum(kept).as("n_kept"),
+        sum(col("n_chars") * kept).as("chars_kept"),
+        max(rate).as("keep_pct"))
+      .orderBy("source")
+  }
+
+  /** q113 — per-source token budget: rank each source's documents by
+    * quality (length as the proxy, doc_id tiebreak), keep documents while
+    * the running token total stays within budget. The "cap every source's
+    * contribution" op: one shuffle on `source`, per-partition state is a
+    * single running sum. Reports per-source kept counts + budget use.
+    */
+  private def q113(s: SparkSession, dir: String): DataFrame = {
+    val budget = 3000L
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "documents")
+      .withColumn("n_tokens", nToks(col("text")).cast("long"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= budget)
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs_kept"),
+        max("cum_tokens").as("tokens_used"))
+      .orderBy("source")
+  }
+
+  /** q114 — curriculum staging: order the corpus by a difficulty proxy
+    * (avg word length, doc_id tiebreak) and cut into 4 equal stages with
+    * ntile; per-stage profile. The global ntile is one sort over a
+    * (doc_id, difficulty) projection — at 100 TB the same cut comes free
+    * from approx_percentile boundaries (3 numbers broadcast) instead of a
+    * total order; ntile is the exact-parity form.
+    */
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    val t = filter(split(col("text"), " "), x => x =!= lit(""))
+    val difficulty = aggregate(t, lit(0), (acc, x) => acc + length(x)) / size(t)
+    Tables.load(s, dir, "documents")
+      .withColumn("difficulty", difficulty)
+      .withColumn("stage",
+        ntile(4).over(Window.orderBy(col("difficulty"), col("doc_id"))))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_docs"),
+        // no round: min/max of exact int/int IEEE quotients are
+        // bit-identical across engines (nothing accumulates), while
+        // round-at-6 can land on a representable midpoint (e.g. a/128 =
+        // …xxx5) where Spark HALF_UP and DuckDB diverge
+        min("difficulty").as("min_difficulty"),
+        max("difficulty").as("max_difficulty"),
+        sum("n_chars").as("n_chars"))
+      .orderBy("stage")
+  }
+
+  /** q115 — deterministic shuffle + round-robin shard packing: order by
+    * md5(doc_id) (the reproducible "random" order every epoch-0 data
+    * loader wants), deal into 8 shards round-robin, profile each shard.
+    * Exact equal-size shards require the total order (one global sort of
+    * an (id, hash) projection — the payload is joined back per shard on
+    * write); when ±1% imbalance is fine, shard = md5-bucket directly
+    * (q111's shape) and the sort disappears. Shard stats land within ~2%
+    * of each other — the balance evidence is the min/max spread.
+    */
+  private def q115(s: SparkSession, dir: String): DataFrame = {
+    val rn = row_number().over(Window.orderBy(md5(col("doc_id").cast("string"))))
+    Tables.load(s, dir, "documents")
+      .withColumn("shard", (rn - 1) % 8)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("n_chars"),
+        min("doc_id").as("min_doc_id"))
+      .orderBy("shard")
+  }
+
+  override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q111_train_val_split" -> q111 _,
+    "q112_dataset_mixture" -> q112 _,
+    "q113_token_budget" -> q113 _,
+    "q114_curriculum_stages" -> q114 _,
+    "q115_shuffle_shards" -> q115 _)
+
+  override val oracle: Seq[(String, String)] = Seq(
+    "q111_train_val_split" ->
+      s"""WITH d AS (
+         | SELECT *, ${duckBucket("doc_id", "split", 100)} AS b
+         | FROM documents)
+         |SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+         |  ELSE 'test' END AS split,
+         | count(*) AS n_docs,
+         | CAST(sum($duckNToks) AS BIGINT) AS n_tokens,
+         | CAST(sum(n_chars) AS BIGINT) AS n_chars
+         |FROM d GROUP BY 1 ORDER BY split""".stripMargin,
+    "q112_dataset_mixture" ->
+      s"""WITH d AS (
+         | SELECT source, n_chars,
+         |  CAST(regexp_extract(source, '([0-9]+)$$', 1) AS INT) % 4 * 25 + 25
+         |    AS rate,
+         |  ${duckBucket("doc_id", "mix", 100)} AS b
+         | FROM documents)
+         |SELECT source, count(*) AS n_total,
+         | CAST(sum(CASE WHEN b < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         | CAST(sum(n_chars * CASE WHEN b < rate THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS chars_kept,
+         | max(rate) AS keep_pct
+         |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    "q113_token_budget" ->
+      s"""WITH d AS (
+         | SELECT source, doc_id,
+         |  CAST($duckNToks AS BIGINT) AS n_tokens, n_chars
+         | FROM documents),
+         |c AS (
+         | SELECT source,
+         |  sum(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY n_chars DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         | FROM d)
+         |SELECT source, count(*) AS docs_kept,
+         | CAST(max(cum_tokens) AS BIGINT) AS tokens_used
+         |FROM c WHERE cum_tokens <= 3000
+         |GROUP BY source ORDER BY source""".stripMargin,
+    "q114_curriculum_stages" ->
+      s"""WITH d AS (
+         | SELECT doc_id, n_chars,
+         |  list_sum(list_transform(list_filter(string_split(text, ' '),
+         |      x -> x <> ''), x -> length(x)))
+         |    / $duckNToks AS difficulty
+         | FROM documents),
+         |t AS (
+         | SELECT *, ntile(4) OVER (ORDER BY difficulty, doc_id) AS stage
+         | FROM d)
+         |SELECT stage, count(*) AS n_docs,
+         | min(difficulty) AS min_difficulty,
+         | max(difficulty) AS max_difficulty,
+         | CAST(sum(n_chars) AS BIGINT) AS n_chars
+         |FROM t GROUP BY stage ORDER BY stage""".stripMargin,
+    "q115_shuffle_shards" ->
+      """WITH t AS (
+        | SELECT doc_id, n_chars,
+        |  (row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) - 1) % 8
+        |    AS shard
+        | FROM documents)
+        |SELECT shard, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        | min(doc_id) AS min_doc_id
+        |FROM t GROUP BY shard ORDER BY shard""".stripMargin)
+}
