@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.catalog.Tables
+import graft.functions.TopK
 
 /** Training-data pipeline assembly shapes over `documents` — the ops that
   * sit between corpus curation (dedup/quality, q50-q69, q104-q110) and the
@@ -31,13 +32,18 @@ import graft.catalog.Tables
   */
 object TrainingPipelinePack extends QueryPack {
 
-  /** Salted deterministic bucket in [0, n): first 8 hex chars of
-    * md5(salt|id) as an int. Uniform enough for split/sample assignment,
-    * identical in DuckDB (`CAST('0x'||substring(md5(..),1,8) AS BIGINT)`).
+  /** Salted deterministic hash in [0, 2³²): first 8 hex chars of
+    * md5(salt|id) as an int. Identical in DuckDB
+    * (`CAST('0x'||substring(md5(..),1,8) AS BIGINT)`) and in plain JVM
+    * MessageDigest (TrainingPipelineSpec recomputes it independently).
     */
-  private def bucket(id: Column, salt: String, n: Int): Column =
+  private[graft] def md5Hash32(id: Column, salt: String): Column =
     conv(substring(md5(concat(lit(s"$salt|"), id.cast("string"))), 1, 8),
-      16, 10).cast("long") % n
+      16, 10).cast("long")
+
+  /** [[md5Hash32]] reduced to a bucket in [0, n). */
+  private[graft] def bucket(id: Column, salt: String, n: Int): Column =
+    md5Hash32(id, salt) % n
 
   private def duckBucket(id: String, salt: String, n: Int): String =
     s"CAST('0x' || substring(md5('$salt|' || CAST($id AS VARCHAR)), 1, 8) AS BIGINT) % $n"
@@ -155,12 +161,37 @@ object TrainingPipelinePack extends QueryPack {
       .orderBy("shard")
   }
 
+  /** q123 — exact-n deterministic sample per group: each source's 5
+    * documents with the smallest salted hash (bottom-k-by-hash IS a
+    * uniform sample, and a reproducible one). Runs on the [[TopK]]
+    * aggregator — O(k) state per group through partial/merge, so the
+    * shuffle carries 5 rows per source instead of the group's candidates.
+    * The scalable exact-n per-group sampler: `orderBy(rand()).limit(n)`
+    * is global-sort + nondeterministic, `TABLESAMPLE` can't do per-group
+    * or exact-n; bottom-k-by-hash is one partial-agg pass and re-picks
+    * the same rows every run and at every corpus size.
+    */
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    // negate: TopK keeps highest-score (ties → lower id), so -hash
+    // selects smallest hash with the oracle's (h, doc_id) tiebreak
+    val score = -md5Hash32(col("doc_id"), "sample").cast("double")
+    Tables.load(s, dir, "documents")
+      .groupBy("source")
+      .agg(TopK.topK(5)(col("doc_id"), score).as("picks"))
+      .select(col("source"), posexplode(col("picks")).as(Seq("pos", "pick")))
+      .select(col("source"), (col("pos") + 1).cast("int").as("rank"),
+        col("pick.id").as("doc_id"),
+        (-col("pick.score")).cast("long").as("h"))
+      .orderBy("source", "rank")
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q111_train_val_split" -> q111 _,
     "q112_dataset_mixture" -> q112 _,
     "q113_token_budget" -> q113 _,
     "q114_curriculum_stages" -> q114 _,
-    "q115_shuffle_shards" -> q115 _)
+    "q115_shuffle_shards" -> q115 _,
+    "q123_group_sample" -> q123 _)
 
   override val oracle: Seq[(String, String)] = Seq(
     "q111_train_val_split" ->
@@ -225,5 +256,17 @@ object TrainingPipelinePack extends QueryPack {
         |SELECT shard, count(*) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS n_chars,
         | min(doc_id) AS min_doc_id
-        |FROM t GROUP BY shard ORDER BY shard""".stripMargin)
+        |FROM t GROUP BY shard ORDER BY shard""".stripMargin,
+    "q123_group_sample" ->
+      """WITH d AS (
+        | SELECT source, doc_id,
+        |  CAST('0x' || substring(md5('sample|' || CAST(doc_id AS VARCHAR)),
+        |    1, 8) AS BIGINT) AS h
+        | FROM documents),
+        |r AS (
+        | SELECT *, row_number() OVER (
+        |   PARTITION BY source ORDER BY h, doc_id) AS rank
+        | FROM d)
+        |SELECT source, CAST(rank AS INT) AS rank, doc_id, h
+        |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin)
 }

@@ -1,0 +1,96 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+import graft.catalog.Tables
+import graft.queries.TrainingPipelinePack
+
+/** Independent validation of the training-pipeline pack's claims — each
+  * test recomputes the expected result JVM-side (plain MessageDigest +
+  * Scala collections), so the cross-engine md5-bucket idiom and the
+  * windowed budget/sampling semantics are checked against a third
+  * implementation, not just the DuckDB oracle.
+  */
+class TrainingPipelineSpec extends SparkSpecBase {
+
+  private val sf0001 = "/root/testdata/sf0.001"
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private def jvmHash32(salt: String, id: Long): Long =
+    java.lang.Long.parseLong(md5hex(s"$salt|$id").take(8), 16)
+
+  test("md5Hash32 matches an independent JVM MessageDigest computation") {
+    val rows = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"),
+        TrainingPipelinePack.md5Hash32(col("doc_id"), "sample").as("h"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) === jvmHash32("sample", r.getLong(0)),
+        s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("split assignment is stable under corpus growth (sf0.001 ⊂ sf0.1)") {
+    def splits(dir: String): Map[Long, String] = {
+      val b = TrainingPipelinePack.bucket(col("doc_id"), "split", 100)
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          when(b < 80, "train").when(b < 90, "val").otherwise("test")
+            .as("split"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    val small = splits(sf0001)
+    // documents only grows at sf0.1 (sf0.001/sf0.01 share the 500-doc set)
+    val big = splits("/root/testdata/sf0.1")
+    assert(small.nonEmpty && big.size > small.size)
+    // every document keeps its split when the corpus grows 10× — the
+    // property rand()/randomSplit/mod-of-rank assignments all lack
+    small.foreach { case (id, sp) =>
+      assert(big(id) === sp, s"doc $id moved split")
+    }
+    // and the cut is near the declared 80/10/10 (md5 uniformity sanity)
+    val trainFrac = big.values.count(_ == "train").toDouble / big.size
+    assert(trainFrac > 0.7 && trainFrac < 0.9, s"train frac $trainFrac")
+  }
+
+  test("token budget keeps exactly the maximal quality-ordered prefix") {
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("source", "doc_id", "n_chars", "text")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3).split(" ").count(_.nonEmpty).toLong))
+    val expected = docs.groupBy(_._1).flatMap { case (src, ds) =>
+      val ordered = ds.sortBy(d => (-d._3, d._2)) // n_chars desc, doc_id
+      val cum = ordered.scanLeft(0L)(_ + _._4).tail
+      val kept = ordered.zip(cum).takeWhile(_._2 <= 3000L)
+      if (kept.isEmpty) None
+      else Some(src -> ((kept.size.toLong, kept.last._2)))
+    }
+    val out = TrainingPipelinePack.queries.toMap
+      .apply("q113_token_budget")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out === expected)
+  }
+
+  test("group sample picks exactly the bottom-5 hashes per source") {
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expected = docs.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+      ds.map(d => (src, d._2, jvmHash32("sample", d._2)))
+        .sortBy(t => (t._3, t._2)).take(5).zipWithIndex
+        .map { case ((s0, id, h), i) => (s0, i + 1, id, h) }
+    }.toSet
+    val out = TrainingPipelinePack.queries.toMap
+      .apply("q123_group_sample")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(out === expected)
+  }
+}
