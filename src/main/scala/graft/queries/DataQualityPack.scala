@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.Tables
+
+/** Data-quality operators the reference's silver layer implies (its
+  * cleaning pass validates domains and drops nulls/dupes, reference
+  * `README.md:177-197,455-468`) generalized to the two audits every
+  * lakehouse runs on schedule: single-pass column profiling and
+  * referential-integrity checking. Both produce small per-check result
+  * tables — the shape of a dbt-test / Great-Expectations run expressed
+  * as plain aggregations.
+  *
+  * Scale notes: q127 profiles all columns in ONE scan (stack → pivot-free
+  * groupBy) instead of a scan per column — at 100 TB the difference
+  * between one pass and eight. Its only shuffle carries
+  * (n_cols × partial-state) rows. q128's orphan checks are anti-joins
+  * that each reduce the child side to its FK column before probing; the
+  * parent sides are key-projections that broadcast when small enough,
+  * and the whole audit unions into one tiny violations table.
+  */
+object DataQualityPack extends QueryPack {
+
+  /** q127 — single-pass numeric column profile of `lineitem`: count,
+    * nulls, distinct, min/max/sum per column via stack (unpivot) then one
+    * groupBy. Values land exactly: min/max are order-insensitive, sums
+    * are over integer-valued or 2-decimal values summed in exact integer
+    * units scaled by 100 (quantity is integer-valued so scaling is still
+    * exact).
+    */
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val stacked = Tables.load(s, dir, "lineitem")
+      .select(posexplode(array(cols.map(col): _*)).as(Seq("pos", "value")))
+      .withColumn("column_name",
+        element_at(array(cols.map(lit): _*), col("pos") + 1))
+    stacked.groupBy("column_name")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("value").isNull.cast("long")).as("n_null"),
+        countDistinct("value").as("n_distinct"),
+        min("value").as("min_value"),
+        max("value").as("max_value"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
+      .orderBy("column_name")
+  }
+
+  /** q128 — referential-integrity audit across the star schema's FK
+    * edges plus primary-key uniqueness, one row per check. Each FK check
+    * is `child ▷ parent` (anti join) on the key projection; each PK check
+    * counts keys seen more than once. All-zero violations is the
+    * expected (and still verified) result.
+    */
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    def fkOrphans(name: String, child: DataFrame, childKey: String,
+        parent: DataFrame, parentKey: String): DataFrame =
+      child.select(col(childKey))
+        .join(parent.select(col(parentKey)),
+          col(childKey) === col(parentKey), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_violations"))
+    def pkDupes(name: String, t: DataFrame, key: String): DataFrame =
+      t.groupBy(key).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .agg(coalesce(sum(col("n") - 1), lit(0L)).as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_violations"))
+    val li = Tables.load(s, dir, "lineitem")
+    val o = Tables.load(s, dir, "orders")
+    val c = Tables.load(s, dir, "customer")
+    val p = Tables.load(s, dir, "part")
+    val sup = Tables.load(s, dir, "supplier")
+    Seq(
+      fkOrphans("fk_lineitem_orders", li, "l_orderkey", o, "o_orderkey"),
+      fkOrphans("fk_lineitem_part", li, "l_partkey", p, "p_partkey"),
+      fkOrphans("fk_lineitem_supplier", li, "l_suppkey", sup, "s_suppkey"),
+      fkOrphans("fk_orders_customer", o, "o_custkey", c, "c_custkey"),
+      pkDupes("pk_orders", o, "o_orderkey"),
+      pkDupes("pk_customer", c, "c_custkey"))
+      .reduce(_.unionByName(_))
+      .orderBy("check_name")
+  }
+
+  override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q127_column_profile" -> q127 _,
+    "q128_integrity_audit" -> q128 _)
+
+  override val oracle: Seq[(String, String)] = Seq(
+    "q127_column_profile" ->
+      """WITH stacked AS (
+        | SELECT 'l_quantity' AS column_name, l_quantity AS value
+        |  FROM lineitem
+        | UNION ALL
+        | SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        | UNION ALL
+        | SELECT 'l_discount', l_discount FROM lineitem
+        | UNION ALL
+        | SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT column_name, count(*) AS n_rows,
+        | CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_null,
+        | count(DISTINCT value) AS n_distinct,
+        | min(value) AS min_value,
+        | max(value) AS max_value,
+        | sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+        |FROM stacked GROUP BY column_name ORDER BY column_name""".stripMargin,
+    "q128_integrity_audit" ->
+      """SELECT 'fk_lineitem_orders' AS check_name,
+        | (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |   (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |   AS n_violations
+        |UNION ALL
+        |SELECT 'fk_lineitem_part',
+        | (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |   (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        |UNION ALL
+        |SELECT 'fk_lineitem_supplier',
+        | (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |   (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+        |UNION ALL
+        |SELECT 'fk_orders_customer',
+        | (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |   (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |UNION ALL
+        |SELECT 'pk_orders',
+        | (SELECT COALESCE(CAST(sum(n - 1) AS BIGINT), 0) FROM
+        |   (SELECT count(*) AS n FROM orders GROUP BY o_orderkey
+        |    HAVING count(*) > 1))
+        |UNION ALL
+        |SELECT 'pk_customer',
+        | (SELECT COALESCE(CAST(sum(n - 1) AS BIGINT), 0) FROM
+        |   (SELECT count(*) AS n FROM customer GROUP BY c_custkey
+        |    HAVING count(*) > 1))
+        |ORDER BY check_name""".stripMargin)
+}

@@ -211,7 +211,62 @@ object TpchShapesPack extends QueryPack {
       .orderBy("c_nationkey")
   }
 
+  /** q124 — TPC-H Q17 small-quantity-revenue shape: revenue lost to lines
+    * whose quantity is under 20% of their part's average. The correlated
+    * aggregate becomes a per-part avg that joins back to lineitem — the
+    * avg side reduces to one row per part BEFORE the join, so it
+    * broadcasts at any SF where part fits (it grows with part, not
+    * lineitem). Revenue summed in exact integer cents (q86/q118 doctrine).
+    */
+  private def q124(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val avgQty = li.groupBy(col("l_partkey").as("ap_partkey"))
+      .agg(avg("l_quantity").as("avg_qty"))
+    li.select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(avgQty), col("l_partkey") === col("ap_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0 / 7.0)
+        .as("avg_yearly"))
+  }
+
+  /** q125 — TPC-H Q4 order-priority-checking shape: orders with at least
+    * one line shipped more than 90 days after the order date, counted per
+    * priority. EXISTS-with-condition = left-semi join; the date predicate
+    * rides the join so the semi probe short-circuits per order.
+    */
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o.join(l,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q126 — TPC-H Q13 customer-distribution shape: histogram of
+    * orders-per-customer including the zero bucket (left join, count the
+    * non-null side, then re-aggregate the counts). Two shuffles total —
+    * the second one is over at most `max(order_cnt)` rows.
+    */
+  private def q126(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer").select("c_custkey")
+    val o = Tables.load(s, dir, "orders").select("o_custkey", "o_orderkey")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q124_small_qty_revenue" -> q124 _,
+    "q125_priority_late_orders" -> q125 _,
+    "q126_order_count_distribution" -> q126 _,
     "q116_nation_trade_flow" -> q116 _,
     "q117_market_share" -> q117 _,
     "q118_product_profit" -> q118 _,
@@ -221,6 +276,32 @@ object TpchShapesPack extends QueryPack {
     "q122_idle_rich_customers" -> q122 _)
 
   override val oracle: Seq[(String, String)] = Seq(
+    "q124_small_qty_revenue" ->
+      """WITH a AS (
+        | SELECT l_partkey AS ap_partkey, avg(l_quantity) AS avg_qty
+        | FROM lineitem GROUP BY 1)
+        |SELECT sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+        |  / 100.0 / 7.0 AS avg_yearly
+        |FROM lineitem l
+        |JOIN a ON l.l_partkey = a.ap_partkey
+        |WHERE l.l_quantity < 0.2 * a.avg_qty""".stripMargin,
+    "q125_priority_late_orders" ->
+      """SELECT o.o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |   AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "q126_order_count_distribution" ->
+      """WITH pc AS (
+        | SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        | FROM customer c
+        | LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        | GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist
+        |FROM pc GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q116_nation_trade_flow" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         | CAST(year(l.l_shipdate) AS INT) AS l_year,
