@@ -88,11 +88,76 @@ object LakehousePack extends QueryPack {
       .agg(sum("c").as("n_events"), round(sum("v"), 2).as("total_value"))
       .orderBy("event_type")
 
+  /** q129 — incremental aggregate maintenance (materialized-view merge):
+    * the monthly order rollup computed as partial aggregates over a base
+    * snapshot UNION partials over a delta batch, re-aggregated — the
+    * algebraic-merge identity (`sum` of sums, `sum` of counts) that lets
+    * a 100 TB rollup absorb a delta by scanning ONLY the delta. The
+    * oracle is the full recompute, so the gate proves
+    * merge(partial(base), partial(delta)) ≡ aggregate(base ∪ delta).
+    * Money in exact integer cents so the identity is bit-exact.
+    */
+  private def q129(s: SparkSession, dir: String): DataFrame = {
+    val cut = "1999-01-01"
+    val o = Tables.load(s, dir, "orders")
+      .withColumn("month", date_trunc("month", col("o_orderdate")))
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy("month")
+        .agg(count(lit(1)).as("n_orders"), sum("cents").as("cents"))
+    partial(o.filter(col("o_orderdate") < lit(cut)))
+      .unionByName(partial(o.filter(col("o_orderdate") >= lit(cut))))
+      .groupBy("month")
+      .agg(sum("n_orders").as("n_orders"),
+        (sum("cents") / 100.0).as("total_price"))
+      .orderBy("month")
+  }
+
+  /** q130 — snapshot diff (CDC generation): classify every key across
+    * two table versions as inserted / deleted / updated / unchanged via
+    * one full-outer join on the key. The new version is derived
+    * deterministically from `orders` (5%-bucket price updates, mirrored-
+    * negative inserts, one deleted bucket — q76's batch plus deletes).
+    * At scale this is THE way to produce a change feed between
+    * snapshots without a transaction log; the join shuffles both sides
+    * on the key once.
+    */
+  private def q130(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val newVer = base
+      .filter(col("o_orderkey") % 100 =!= 7) // bucket 7 deleted
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 100 < 5, "U").otherwise(col("o_orderstatus")))
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 100 < 5, col("o_totalprice") + 100.0)
+          .otherwise(col("o_totalprice")))
+      .unionByName(base.filter(col("o_orderkey") % 100 === 0)
+        .select((-col("o_orderkey") - 1).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), col("o_totalprice")))
+    val old = base.select(col("o_orderkey").as("k"),
+      col("o_orderstatus").as("old_status"), col("o_totalprice").as("old_price"))
+    val neu = newVer.select(col("o_orderkey").as("k2"),
+      col("o_orderstatus").as("new_status"), col("o_totalprice").as("new_price"))
+    old.join(neu, col("k") === col("k2"), "full_outer")
+      .withColumn("change_type",
+        when(col("k").isNull, "inserted")
+          .when(col("k2").isNull, "deleted")
+          .when(!(col("old_status") <=> col("new_status")) ||
+            !(col("old_price") <=> col("new_price")), "updated")
+          .otherwise("unchanged"))
+      .groupBy("change_type")
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy("change_type")
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q76_upsert_merge" -> q76 _,
     "q77_scd2_history" -> q77 _,
     "q78_attribution_range_join" -> q78 _,
-    "q79_salted_agg" -> q79 _)
+    "q79_salted_agg" -> q79 _,
+    "q129_incremental_agg" -> q129 _,
+    "q130_snapshot_diff" -> q130 _)
 
   override val oracle: Seq[(String, String)] = Seq(
     "q76_upsert_merge" ->
@@ -139,5 +204,34 @@ object LakehousePack extends QueryPack {
     "q79_salted_agg" ->
       """SELECT event_type, count(*) AS n_events,
         | round(sum(value), 2) AS total_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q129_incremental_agg" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        | count(*) AS n_orders,
+        | sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+        |   AS total_price
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+    "q130_snapshot_diff" ->
+      """WITH newver AS (
+        | SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 100 < 5 THEN 'U' ELSE o_orderstatus END
+        |    AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 100 < 5 THEN o_totalprice + 100.0
+        |    ELSE o_totalprice END AS o_totalprice
+        | FROM orders WHERE o_orderkey % 100 <> 7
+        | UNION ALL
+        | SELECT -o_orderkey - 1, 'N', o_totalprice
+        | FROM orders WHERE o_orderkey % 100 = 0),
+        |diff AS (
+        | SELECT CASE
+        |   WHEN o.o_orderkey IS NULL THEN 'inserted'
+        |   WHEN n.o_orderkey IS NULL THEN 'deleted'
+        |   WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |     OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+        |     THEN 'updated'
+        |   ELSE 'unchanged' END AS change_type
+        | FROM orders o
+        | FULL OUTER JOIN newver n ON o.o_orderkey = n.o_orderkey)
+        |SELECT change_type, count(*) AS n_rows
+        |FROM diff GROUP BY 1 ORDER BY change_type""".stripMargin)
 }
