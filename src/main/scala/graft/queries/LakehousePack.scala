@@ -151,7 +151,50 @@ object LakehousePack extends QueryPack {
       .orderBy("change_type")
   }
 
+  /** q131 — multi-touch attribution over the q78 range join: each
+    * purchase's value credited to the user's click/view touches in the
+    * preceding hour under three models at once — first-touch (100% to
+    * the earliest), last-touch (100% to the latest), linear (split
+    * 1/n). Revenue per touch type per model. Credits are computed
+    * per-row in exact integer micro-units (round(cents·10⁴/n)) so the
+    * cross-engine sums are bit-exact; purchases with no touches drop
+    * out (observed-attribution semantics).
+    */
+  private def q131(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.load(s, dir, "events")
+      .withColumn("ts_us", Tables.tsMicros(col("ts")))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts_us").as("p_ts"),
+        round(col("value") * 100).cast("long").as("p_cents"))
+    val t = e.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id").as("t_user"), col("ts_us").as("t_ts"),
+        col("event_type").as("touch_type"), col("event_id").as("t_id"))
+    val joined = p.join(t,
+      col("p_user") === col("t_user") &&
+        col("t_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("t_ts") < col("p_ts"))
+    val wAsc = Window.partitionBy("p_id").orderBy(col("t_ts"), col("t_id"))
+    val wDesc = Window.partitionBy("p_id")
+      .orderBy(col("t_ts").desc, col("t_id").desc)
+    joined
+      .withColumn("n_touches", count(lit(1)).over(Window.partitionBy("p_id")))
+      .withColumn("is_first", (row_number().over(wAsc) === 1).cast("long"))
+      .withColumn("is_last", (row_number().over(wDesc) === 1).cast("long"))
+      .withColumn("linear_e6",
+        round(col("p_cents") * lit(10000.0) / col("n_touches")).cast("long"))
+      .groupBy("touch_type")
+      .agg(
+        (sum(col("is_first") * col("p_cents")) / 100.0).as("first_touch_rev"),
+        (sum(col("is_last") * col("p_cents")) / 100.0).as("last_touch_rev"),
+        (sum("linear_e6") / 1000000.0).as("linear_rev"),
+        count(lit(1)).as("n_touches_total"))
+      .orderBy("touch_type")
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q131_multitouch_attribution" -> q131 _,
     "q76_upsert_merge" -> q76 _,
     "q77_scd2_history" -> q77 _,
     "q78_attribution_range_join" -> q78 _,
@@ -160,6 +203,37 @@ object LakehousePack extends QueryPack {
     "q130_snapshot_diff" -> q130 _)
 
   override val oracle: Seq[(String, String)] = Seq(
+    "q131_multitouch_attribution" ->
+      """WITH p AS (
+        | SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts,
+        |  CAST(round(value * 100) AS BIGINT) AS p_cents
+        | FROM events WHERE event_type = 'purchase'),
+        |t AS (
+        | SELECT user_id AS t_user, ts AS t_ts, event_type AS touch_type,
+        |  event_id AS t_id
+        | FROM events WHERE event_type IN ('click', 'view')),
+        |j AS (
+        | SELECT * FROM p JOIN t ON p_user = t_user
+        |  AND t_ts >= p_ts - INTERVAL 1 HOUR AND t_ts < p_ts),
+        |w AS (
+        | SELECT *, count(*) OVER (PARTITION BY p_id) AS n_touches,
+        |  CASE WHEN row_number() OVER (
+        |    PARTITION BY p_id ORDER BY t_ts, t_id) = 1
+        |   THEN 1 ELSE 0 END AS is_first,
+        |  CASE WHEN row_number() OVER (
+        |    PARTITION BY p_id ORDER BY t_ts DESC, t_id DESC) = 1
+        |   THEN 1 ELSE 0 END AS is_last
+        | FROM j),
+        |c AS (
+        | SELECT *, CAST(round(p_cents * 10000.0 / n_touches) AS BIGINT)
+        |   AS linear_e6
+        | FROM w)
+        |SELECT touch_type,
+        | CAST(sum(is_first * p_cents) AS BIGINT) / 100.0 AS first_touch_rev,
+        | CAST(sum(is_last * p_cents) AS BIGINT) / 100.0 AS last_touch_rev,
+        | CAST(sum(linear_e6) AS BIGINT) / 1000000.0 AS linear_rev,
+        | count(*) AS n_touches_total
+        |FROM c GROUP BY touch_type ORDER BY touch_type""".stripMargin,
     "q76_upsert_merge" ->
       """WITH upd AS (
         | SELECT o_orderkey, 'U' AS o_orderstatus,
