@@ -78,6 +78,40 @@ class TrainingPipelineSpec extends SparkSpecBase {
     assert(out === expected)
   }
 
+  test("split assignment runs unchanged in Structured Streaming (batch parity)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import org.apache.spark.sql.DataFrame
+    // the pack's per-row assignment expressions are stateless, so the same
+    // transform applies verbatim to a stream — the ingest-time labeling
+    // story: documents get their split/mixture fate as they arrive
+    def assign(df: DataFrame): DataFrame = {
+      val b = TrainingPipelinePack.bucket(col("doc_id"), "split", 100)
+      df.select(col("doc_id"),
+        when(b < 80, "train").when(b < 90, "val").otherwise("test")
+          .as("split"))
+    }
+    val docs = (0L until 40L).map(i => (i, s"doc $i body"))
+    val mem = MemoryStream[(Long, String)]
+    val q = assign(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("split_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(docs.take(25): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(25): _*)
+      q.processAllAvailable()
+      val streamed = s.table("split_stream").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val batch = assign(docs.toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("group sample picks exactly the bottom-5 hashes per source") {
     val docs = Tables.load(spark, sf0001, "documents")
       .select("source", "doc_id").collect()
