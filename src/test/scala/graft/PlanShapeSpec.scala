@@ -55,6 +55,34 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(exchanges.size == 1, s"expected 1 exchange, got:\n$p")
   }
 
+  test("column profile reads lineitem in ONE scan (unpivot, not per-column)") {
+    val p = planOf(q("q127_column_profile"))
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"expected a single lineitem scan, got $scans:\n$p")
+  }
+
+  test("correlated per-part average broadcasts back onto the fact table") {
+    val p = planOf(q("q124_small_qty_revenue"))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"),
+      "the reduced avg side must broadcast, not shuffle-sort the fact")
+  }
+
+  test("large-order query aggregates lineitem BEFORE joining dimensions") {
+    val df = q("q121_large_orders")
+    val p = planOf(df)
+    // the lineitem HashAggregate must sit below the first join: find the
+    // aggregate that carries the quantity sum and assert no join appears
+    // between it and its scan (plan prints leaves-last, so the agg line
+    // must come BELOW every join line in the indented tree)
+    val lines = p.linesIterator.toList
+    val aggIdx = lines.indexWhere(l =>
+      l.contains("HashAggregate") && l.contains("l_quantity"))
+    val joinIdx = lines.indexWhere(_.contains("Join"))
+    assert(aggIdx > joinIdx && joinIdx >= 0,
+      s"quantity agg must be under the joins (agg@$aggIdx join@$joinIdx):\n$p")
+  }
+
   test("per-row text pipeline stays inside whole-stage codegen") {
     val df = q("q50_token_count")
     df.collect() // finalize the adaptive plan — codegen spans only show there
