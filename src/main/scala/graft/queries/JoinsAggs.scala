@@ -447,7 +447,60 @@ object JoinsAggs extends QueryPack {
       .orderBy("user_id")
   }
 
+  /** q132 — weekly cohort retention: users bucketed by the ISO week of
+    * their first event; per (cohort_week, week_offset) the distinct users
+    * still active, plus retention as a share of the cohort's opening week
+    * (offset 0 always exists — a user's first event lies in their cohort
+    * week). One shuffle on user_id computes the cohort via a window min
+    * (no join back to a user dimension); the countDistinct is partial-
+    * aggregated. The ratio stays an unrounded IEEE double (q27 pattern)
+    * so both engines compute bit-identical values.
+    */
+  private def q132(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+    val byCohort = Window.partitionBy("cohort_week").orderBy("week_offset")
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), to_date(Tables.tsMicros(col("ts"))).as("d"))
+      .withColumn("cohort_week",
+        date_trunc("week", min(col("d")).over(byUser)).cast("date"))
+      .withColumn("week_offset",
+        floor(datediff(col("d"), col("cohort_week")) / lit(7.0)).cast("int"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("user_id").as("active_users"))
+      .withColumn("retention_pct",
+        lit(100.0) * col("active_users") /
+          first("active_users").over(byCohort))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** q133 — DAU / WAU stickiness. WAU(d) = distinct users active in
+    * [d-6, d], computed by map-side expansion: each distinct (user, day)
+    * contributes the user to the 7 days it covers, then one countDistinct
+    * per day — no 7-day self-join, no window over an exploded calendar.
+    * At 100 TB the expansion is a constant ×7 on the already-deduped
+    * (user, day) pairs (tiny vs raw events), and both aggregations are
+    * plain hash-shuffles on bounded keys.
+    */
+  private def q133(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.load(s, dir, "events")
+      .select(col("user_id"), to_date(Tables.tsMicros(col("ts"))).as("d"))
+      .distinct()
+    val dau = days.groupBy("d").agg(countDistinct("user_id").as("dau"))
+    val wau = days
+      .select(col("user_id"),
+        explode(sequence(col("d"), date_add(col("d"), 6))).as("d"))
+      .groupBy("d").agg(countDistinct("user_id").as("wau"))
+    // inner join restricts to days that actually had events, so the
+    // trailing d..d+6 phantom days from the expansion drop out
+    dau.join(wau, Seq("d"))
+      .select(col("d"), col("dau"), col("wau"),
+        (lit(100.0) * col("dau") / col("wau")).as("stickiness_pct"))
+      .orderBy("d")
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q132_cohort_retention" -> q132 _,
+    "q133_dau_wau" -> q133 _,
     "q102_heavy_hitters" -> q102 _,
     "q103_ordered_funnel" -> q103 _,
     "q100_local_supplier_volume" -> q100 _,
@@ -478,6 +531,42 @@ object JoinsAggs extends QueryPack {
     "q36_pivot" -> q36 _)
 
   override val oracle: Seq[(String, String)] = Seq(
+    "q132_cohort_retention" ->
+      """WITH e AS (
+        | SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        | FROM events),
+        |cohorted AS (
+        | SELECT user_id, d,
+        |  date_trunc('week', min(d) OVER (PARTITION BY user_id))
+        |    AS cohort_week
+        | FROM e),
+        |counts AS (
+        | SELECT cohort_week,
+        |  CAST(floor(date_diff('day', cohort_week, d) / 7.0) AS INT)
+        |    AS week_offset,
+        |  count(DISTINCT user_id) AS active_users
+        | FROM cohorted GROUP BY 1, 2)
+        |SELECT cohort_week, week_offset, active_users,
+        | CAST(100.0 AS DOUBLE) * active_users / first_value(active_users)
+        |   OVER (PARTITION BY cohort_week ORDER BY week_offset)
+        |   AS retention_pct
+        |FROM counts ORDER BY cohort_week, week_offset""".stripMargin,
+    "q133_dau_wau" ->
+      """WITH days AS (
+        | SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        | FROM events),
+        |dau AS (SELECT d, count(DISTINCT user_id) AS dau FROM days
+        |        GROUP BY d),
+        |contrib AS (
+        | SELECT user_id, CAST(unnest(generate_series(
+        |   d, d + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS d
+        | FROM days),
+        |wau AS (SELECT d, count(DISTINCT user_id) AS wau FROM contrib
+        |        GROUP BY d)
+        |SELECT dau.d AS d, dau, wau,
+        | CAST(100.0 AS DOUBLE) * dau / wau AS stickiness_pct
+        |FROM dau JOIN wau ON dau.d = wau.d
+        |ORDER BY d""".stripMargin,
     "q86_conditional_agg" ->
       """SELECT user_id,
         | count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
