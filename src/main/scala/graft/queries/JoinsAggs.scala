@@ -498,9 +498,86 @@ object JoinsAggs extends QueryPack {
       .orderBy("d")
   }
 
+  /** q141 — market-basket pair mining: co-purchase support for part
+    * pairs within an order, top 20. The self-join shuffles the deduped
+    * (order, part) projection on orderkey once (Spark reuses the
+    * exchange for both sides); per-basket expansion is bounded by the
+    * basket size (≤ 7 lines in TPC-H shape ⇒ ≤ 21 pairs), so the blowup
+    * is a small constant — the op stays linear at 100 TB. Production
+    * adds a `HAVING count ≥ minsupport` before ranking; top-k here is
+    * TakeOrderedAndProject.
+    */
+  private def q141(s: SparkSession, dir: String): DataFrame = {
+    val items = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct()
+    val a = items.toDF("o", "p1")
+    val b = items.toDF("o", "p2")
+    a.join(b, Seq("o")).filter(col("p1") < col("p2"))
+      .groupBy("p1", "p2")
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("p1"), col("p2"))
+      .limit(20)
+  }
+
+  /** q142 — RFM customer segmentation: recency (last order date),
+    * frequency (order count), monetary (exact-cents spend) per customer,
+    * each cut into quartiles. Customer grain reduces first (one
+    * partial-agg shuffle of orders), then three ntile windows run over
+    * the already-small aggregate. All orderings carry a custkey tiebreak
+    * so quartile assignment is total-ordered and engine-identical; at
+    * 100 TB the exact ntile swaps for approx_percentile boundaries
+    * (q114's scale note).
+    */
+  private def q142(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.load(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(max("o_orderdate").as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("spend_cents"))
+    def q(c: String, asc: Boolean) = ntile(4).over(
+      Window.orderBy(if (asc) col(c).asc else col(c).desc, col("o_custkey")))
+    perCust
+      .withColumn("r_q", q("last_order", asc = false))
+      .withColumn("f_q", q("frequency", asc = false))
+      .withColumn("m_q", q("spend_cents", asc = false))
+      .select(col("o_custkey"), col("last_order"), col("frequency"),
+        (col("spend_cents") / 100.0).as("monetary"),
+        col("r_q"), col("f_q"), col("m_q"),
+        concat(col("r_q"), col("f_q"), col("m_q")).as("rfm_segment"))
+      .orderBy("o_custkey")
+  }
+
+  /** q146 — revenue-anomaly days by IQR fences: daily revenue (exact
+    * integer cents) outside [q1 − 1.5·IQR, q3 + 1.5·IQR]. Quartiles use
+    * exact `percentile` over the day-grain aggregate (q38's
+    * parity-proven pairing with DuckDB `quantile_cont`; the at-scale
+    * twin is percentile_approx per ApproxSpec) — NOT stddev z-scores,
+    * whose merge-order-dependent float accumulation isn't reproducible
+    * across engines. Day grain reduces first, so the quantile input is
+    * tiny at any SF; the two fence scalars broadcast back.
+    */
+  private def q146(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+    val fences = daily.agg(
+      expr("percentile(rev_cents, 0.25)").as("q1"),
+      expr("percentile(rev_cents, 0.75)").as("q3"))
+    daily.crossJoin(broadcast(fences))
+      .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+      .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+      .filter(col("rev_cents") < col("lo") || col("rev_cents") > col("hi"))
+      .select(col("d"), (col("rev_cents") / 100.0).as("revenue"),
+        (col("lo") / 100.0).as("lo_fence"), (col("hi") / 100.0).as("hi_fence"))
+      .orderBy("d")
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q132_cohort_retention" -> q132 _,
     "q133_dau_wau" -> q133 _,
+    "q141_basket_pairs" -> q141 _,
+    "q142_rfm_segments" -> q142 _,
+    "q146_anomaly_days" -> q146 _,
     "q102_heavy_hitters" -> q102 _,
     "q103_ordered_funnel" -> q103 _,
     "q100_local_supplier_volume" -> q100 _,
@@ -531,6 +608,46 @@ object JoinsAggs extends QueryPack {
     "q36_pivot" -> q36 _)
 
   override val oracle: Seq[(String, String)] = Seq(
+    "q146_anomaly_days" ->
+      """WITH daily AS (
+        | SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+        | FROM orders GROUP BY 1),
+        |f AS (
+        | SELECT quantile_cont(rev_cents, 0.25) AS q1,
+        |  quantile_cont(rev_cents, 0.75) AS q3
+        | FROM daily)
+        |SELECT d, rev_cents / 100.0 AS revenue,
+        | (q1 - 1.5 * (q3 - q1)) / 100.0 AS lo_fence,
+        | (q3 + 1.5 * (q3 - q1)) / 100.0 AS hi_fence
+        |FROM daily, f
+        |WHERE rev_cents < q1 - 1.5 * (q3 - q1)
+        |   OR rev_cents > q3 + 1.5 * (q3 - q1)
+        |ORDER BY d""".stripMargin,
+    "q141_basket_pairs" ->
+      """WITH items AS (
+        | SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
+        |SELECT a.p AS p1, b.p AS p2, count(*) AS support
+        |FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+        |GROUP BY 1, 2
+        |ORDER BY support DESC, p1, p2 LIMIT 20""".stripMargin,
+    "q142_rfm_segments" ->
+      """WITH pc AS (
+        | SELECT o_custkey, max(o_orderdate) AS last_order,
+        |  count(*) AS frequency,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_cents
+        | FROM orders GROUP BY 1),
+        |t AS (
+        | SELECT *,
+        |  ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_q,
+        |  ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_q,
+        |  ntile(4) OVER (ORDER BY spend_cents DESC, o_custkey) AS m_q
+        | FROM pc)
+        |SELECT o_custkey, last_order, frequency,
+        | spend_cents / 100.0 AS monetary, r_q, f_q, m_q,
+        | CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR) ||
+        |   CAST(m_q AS VARCHAR) AS rfm_segment
+        |FROM t ORDER BY o_custkey""".stripMargin,
     "q132_cohort_retention" ->
       """WITH e AS (
         | SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d

@@ -263,7 +263,218 @@ object TpchShapesPack extends QueryPack {
       .orderBy(col("custdist").desc, col("c_count").desc)
   }
 
+  /** q134 — TPC-H Q2 min-cost-supplier shape: for each small-size part,
+    * the EUROPE supplier(s) offering it at the minimum cost. The testdata
+    * has no partsupp, so the part–supplier link (and its cost) is derived
+    * from lineitem: cost(part, supp) = min extendedprice ever charged.
+    * The correlated `cost = (SELECT min ...)` becomes an agg-then-join:
+    * candidates reduce to (part, supp) grain in one shuffle, the per-part
+    * min re-broadcasts — no window sort, no second fact scan.
+    */
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    val euSup = Tables.load(s, dir, "supplier")
+      .join(broadcast(Tables.load(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.load(s, dir, "region")
+        .filter(col("r_name") === "EUROPE").select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val p = Tables.load(s, dir, "part")
+      .filter(col("p_size") === 15 && col("p_type") === "SMALL")
+      .select("p_partkey", "p_name")
+    val ps = Tables.load(s, dir, "lineitem")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min("l_extendedprice").as("supply_cost"))
+    val cand = ps
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(euSup), col("l_suppkey") === col("s_suppkey"))
+    val minCost = cand.groupBy(col("l_partkey").as("m_partkey"))
+      .agg(min("supply_cost").as("min_cost"))
+    cand.join(broadcast(minCost),
+        col("l_partkey") === col("m_partkey") &&
+          col("supply_cost") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"),
+        round(col("supply_cost"), 2).as("supply_cost"))
+      .orderBy(col("s_acctbal").desc, col("s_name"), col("p_partkey"))
+  }
+
+  /** q135 — TPC-H Q11 important-stock shape: per-part inventory value
+    * held by one nation's suppliers, kept when it exceeds a fixed
+    * fraction of the nation's total. Values are summed as exact integer
+    * cents (q86/q118 doctrine), so the `value > 1e-4 × total` comparison
+    * multiplies a long by the same IEEE double in both engines.
+    */
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    val natSup = Tables.load(s, dir, "supplier")
+      .join(broadcast(Tables.load(s, dir, "nation")
+        .filter(col("n_name") === "NATION_1").select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val value = Tables.load(s, dir, "lineitem")
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+      .join(broadcast(natSup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey")
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+        .as("value_cents"))
+    val tot = value.agg(sum("value_cents").as("tot_cents"))
+    value.crossJoin(broadcast(tot))
+      .filter(col("value_cents") > lit(1e-4) * col("tot_cents"))
+      .select(col("l_partkey"), (col("value_cents") / 100.0).as("value"))
+      .orderBy(col("value_cents").desc, col("l_partkey"))
+  }
+
+  /** q136 — TPC-H Q15 top-supplier shape: supplier(s) whose one-quarter
+    * revenue equals the maximum. Revenue reduces to supplier grain in one
+    * partial-agg shuffle as exact 10⁻⁴ integer units; the scalar max
+    * broadcasts and the tie-keeping equality compares longs, not rounded
+    * doubles.
+    */
+  private def q136(s: SparkSession, dir: String): DataFrame = {
+    val revBySupp = Tables.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1997-04-01"))
+      .groupBy("l_suppkey")
+      .agg(sum(round(rev * 10000).cast("long")).as("rev_e4"))
+    val mx = revBySupp.agg(max("rev_e4").as("max_e4"))
+    revBySupp.crossJoin(broadcast(mx))
+      .filter(col("rev_e4") === col("max_e4"))
+      .join(broadcast(Tables.load(s, dir, "supplier")
+        .select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("rev_e4") / 10000.0).as("total_rev"))
+      .orderBy("s_suppkey")
+  }
+
+  /** q137 — TPC-H Q16 supplier-count shape: distinct suppliers able to
+    * supply each (brand, type, size) combo, excluding one brand and
+    * deadbeat suppliers (negative balance — the complaints proxy; the
+    * NOT IN subquery is a broadcast anti join). The part–supplier link
+    * dedupes lineitem to (part, supp) grain first, so the countDistinct
+    * runs over an already-reduced input.
+    */
+  private def q137(s: SparkSession, dir: String): DataFrame = {
+    val link = Tables.load(s, dir, "lineitem")
+      .select("l_partkey", "l_suppkey").distinct()
+    val deadbeats = Tables.load(s, dir, "supplier")
+      .filter(col("s_acctbal") < 0.0).select("s_suppkey")
+    val p = Tables.load(s, dir, "part")
+      .filter(col("p_brand") =!= "Brand#1" &&
+        col("p_size").isin(1, 5, 15, 25, 35, 45))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    link
+      .join(broadcast(deadbeats),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** q138 — TPC-H Q19 disjunctive-predicate shape: revenue from three
+    * OR-ed brand/size/quantity bands. The disjunction references both
+    * sides of the join, so it can't push below it — but the per-band
+    * size and quantity bounds CAN: the scan filter keeps only rows any
+    * band could accept, and the residual OR runs post-join on the
+    * broadcast-joined rows. Revenue in exact 10⁻⁴ units.
+    */
+  private def q138(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(s, dir, "part")
+      .filter(col("p_size").between(1, 15))
+      .select("p_partkey", "p_brand", "p_size")
+    val band = (col("p_brand") === "Brand#1" &&
+        col("p_size").between(1, 5) && col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#2" &&
+        col("p_size").between(1, 10) && col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#3" &&
+        col("p_size").between(1, 15) && col("l_quantity").between(20, 30))
+    Tables.load(s, dir, "lineitem")
+      .filter(col("l_quantity").between(1, 30))
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(band)
+      .agg((sum(round(rev * 10000).cast("long")) / 10000.0).as("revenue"))
+  }
+
+  /** q139 — TPC-H Q20 excess-stock shape: EUROPE suppliers who shipped
+    * an outsized 1997 volume (> 1.5× the mean per-pair volume — a
+    * relative threshold, so the query selects at any SF; q102 doctrine)
+    * of any widget part. A semi-join chain: parts semi-restrict
+    * lineitem, the (supp, part) volume agg filters against the broadcast
+    * scalar mean, and its distinct supplier set semi-restricts supplier.
+    * Each link reduces before the next join touches it. Quantities are
+    * integer-valued doubles, so the mean and the 1.5× comparison are
+    * exact-identical across engines.
+    */
+  private def q139(s: SparkSession, dir: String): DataFrame = {
+    val widgets = Tables.load(s, dir, "part")
+      .filter(col("p_name").contains("widget")).select("p_partkey")
+    val vol = Tables.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .join(broadcast(widgets), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum("l_quantity").as("qty"))
+    val meanVol = vol.agg(avg("qty").as("mean_qty"))
+    val bigShippers = vol.crossJoin(broadcast(meanVol))
+      .filter(col("qty") > lit(1.5) * col("mean_qty"))
+      .select("l_suppkey").distinct()
+    Tables.load(s, dir, "supplier")
+      .join(broadcast(Tables.load(s, dir, "nation")
+        .select("n_nationkey", "n_regionkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.load(s, dir, "region")
+        .filter(col("r_name") === "EUROPE").select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(bigShippers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_name")
+  }
+
+  /** q140 — TPC-H Q21 waiting-supplier shape: in multi-supplier F-status
+    * orders where exactly ONE supplier shipped late (> 60 days after the
+    * order date), charge that supplier; rank by orders charged. The
+    * classical EXISTS/NOT-EXISTS pair collapses into one order-grain
+    * aggregation (distinct suppliers, distinct late suppliers, the
+    * unique late suppkey via a conditional min) — one shuffle on
+    * orderkey instead of two extra self-joins of lineitem; the oracle
+    * states the same semantics in CTE form.
+    */
+  private def q140(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val perOrder = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late_supp",
+        when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          col("l_suppkey")))
+      .groupBy("l_orderkey")
+      .agg(countDistinct("l_suppkey").as("n_supp"),
+        countDistinct("late_supp").as("n_late"),
+        min("late_supp").as("guilty"))
+      .filter(col("n_supp") > 1 && col("n_late") === 1)
+    perOrder.groupBy("guilty")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.load(s, dir, "supplier")
+        .select("s_suppkey", "s_name")),
+        col("guilty") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q134_min_cost_supplier" -> q134 _,
+    "q135_important_stock" -> q135 _,
+    "q136_top_supplier" -> q136 _,
+    "q137_supplier_part_counts" -> q137 _,
+    "q138_disjunctive_bands" -> q138 _,
+    "q139_excess_stock_suppliers" -> q139 _,
+    "q140_waiting_suppliers" -> q140 _,
     "q124_small_qty_revenue" -> q124 _,
     "q125_priority_late_orders" -> q125 _,
     "q126_order_count_distribution" -> q126 _,
@@ -276,6 +487,107 @@ object TpchShapesPack extends QueryPack {
     "q122_idle_rich_customers" -> q122 _)
 
   override val oracle: Seq[(String, String)] = Seq(
+    "q134_min_cost_supplier" ->
+      """WITH ps AS (
+        | SELECT l_partkey, l_suppkey, min(l_extendedprice) AS supply_cost
+        | FROM lineitem GROUP BY 1, 2),
+        |eu AS (
+        | SELECT s_suppkey, s_name, s_acctbal, n_name
+        | FROM supplier
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+        |cand AS (
+        | SELECT ps.l_partkey, p.p_name, eu.s_name, eu.s_acctbal, eu.n_name,
+        |  ps.supply_cost
+        | FROM ps
+        | JOIN part p ON ps.l_partkey = p.p_partkey
+        |   AND p.p_size = 15 AND p.p_type = 'SMALL'
+        | JOIN eu ON ps.l_suppkey = eu.s_suppkey)
+        |SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey, p_name,
+        | round(supply_cost, 2) AS supply_cost
+        |FROM cand
+        |WHERE supply_cost = (SELECT min(supply_cost) FROM cand c2
+        |                     WHERE c2.l_partkey = cand.l_partkey)
+        |ORDER BY s_acctbal DESC, s_name, p_partkey""".stripMargin,
+    "q135_important_stock" ->
+      """WITH v AS (
+        | SELECT l_partkey,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS value_cents
+        | FROM lineitem
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        |   AND n_name = 'NATION_1'
+        | GROUP BY 1)
+        |SELECT l_partkey, value_cents / 100.0 AS value
+        |FROM v
+        |WHERE value_cents > 1e-4 * (SELECT sum(value_cents) FROM v)
+        |ORDER BY value_cents DESC, l_partkey""".stripMargin,
+    "q136_top_supplier" ->
+      """WITH r AS (
+        | SELECT l_suppkey,
+        |  sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)
+        |      AS BIGINT)) AS rev_e4
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-04-01'
+        | GROUP BY 1)
+        |SELECT s_suppkey, s_name, rev_e4 / 10000.0 AS total_rev
+        |FROM r JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_e4 = (SELECT max(rev_e4) FROM r)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q137_supplier_part_counts" ->
+      """SELECT p_brand, p_type, p_size,
+        | count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) link
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1'
+        | AND p_size IN (1, 5, 15, 25, 35, 45)
+        | AND l_suppkey NOT IN
+        |   (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q138_disjunctive_bands" ->
+      """SELECT sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)
+        |   AS BIGINT)) / 10000.0 AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q139_excess_stock_suppliers" ->
+      """WITH vol AS (
+        | SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+        | FROM lineitem
+        | JOIN part ON l_partkey = p_partkey
+        |   AND p_name LIKE '%widget%'
+        | WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        | GROUP BY 1, 2)
+        |SELECT s_suppkey, s_name FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM vol
+        |  WHERE qty > 1.5 * (SELECT avg(qty) FROM vol))
+        |ORDER BY s_name""".stripMargin,
+    "q140_waiting_suppliers" ->
+      """WITH po AS (
+        | SELECT l.l_orderkey,
+        |  count(DISTINCT l.l_suppkey) AS n_supp,
+        |  count(DISTINCT CASE WHEN l.l_shipdate >
+        |    o.o_orderdate + INTERVAL 60 DAY THEN l.l_suppkey END) AS n_late,
+        |  min(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |    THEN l.l_suppkey END) AS guilty
+        | FROM lineitem l
+        | JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |   AND o.o_orderstatus = 'F'
+        | GROUP BY 1)
+        |SELECT s_name, count(*) AS numwait
+        |FROM po JOIN supplier ON guilty = s_suppkey
+        |WHERE n_supp > 1 AND n_late = 1
+        |GROUP BY 1 ORDER BY numwait DESC, s_name""".stripMargin,
     "q124_small_qty_revenue" ->
       """WITH a AS (
         | SELECT l_partkey AS ap_partkey, avg(l_quantity) AS avg_qty

@@ -185,7 +185,81 @@ object TrainingPipelinePack extends QueryPack {
       .orderBy("source", "rank")
   }
 
+  /** Word 8-grams of a text column as space-joined strings (empty array
+    * when the document is shorter than 8 tokens).
+    */
+  private def grams8(text: Column): Column = {
+    val tk = filter(split(text, " "), t => t =!= lit(""))
+    when(size(tk) >= 8,
+      transform(sequence(lit(1), size(tk) - 7),
+        i => concat_ws(" ", slice(tk, i, lit(8)))))
+      .otherwise(array())
+  }
+
+  /** q143 — eval-set decontamination: training documents sharing any word
+    * 8-gram with the benchmark source (`src0` plays the held-out eval
+    * suite) are flagged, reported per source. The eval side is tiny by
+    * construction (benchmarks are), so its distinct gram set broadcasts;
+    * the training side explodes grams map-side and semi-joins — no
+    * shuffle of the corpus itself. At 100 TB the gram strings would be
+    * 64-bit hashes (q62's md5-window trick) to keep the broadcast and
+    * the exploded width constant; raw strings here keep the oracle
+    * byte-exact.
+    */
+  private def q143(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val evalGrams = docs.filter(col("source") === "src0")
+      .select(explode(grams8(col("text"))).as("gram")).distinct()
+    val train = docs.filter(col("source") =!= "src0")
+    val contaminated = train
+      .select(col("doc_id"), col("source"), explode(grams8(col("text"))).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .select("doc_id", "source").distinct()
+    val flagged = contaminated.groupBy("source")
+      .agg(count(lit(1)).as("n_contaminated"))
+    train.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(flagged, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("contamination_pct",
+        lit(100.0) * col("n_contaminated") / col("n_docs"))
+      .orderBy("source")
+  }
+
+  /** q144 — PII redaction: scrub emails and NNN-NNN-NNNN phone numbers to
+    * typed placeholders, count matches per document. The corpus carries
+    * no PII, so deterministic synthetic contacts are injected first
+    * (email for doc_id ≡ 0 mod 3, phone for ≡ 1, none for ≡ 2) — the
+    * regexes are exercised against known positives AND negatives. Pure
+    * per-row narrow ops: no shuffle at any scale. Patterns stay in the
+    * RE2 ∩ Java dialect intersection so both engines match identically.
+    */
+  private def q144(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val m3 = col("doc_id") % 3
+    val injected = when(m3 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@mail.example.com now")))
+      .when(m3 === 1,
+        concat(col("text"), lit(" call 555-"), col("doc_id") % 900 + 100,
+          lit("-"), col("doc_id") % 9000 + 1000))
+      .otherwise(col("text"))
+    Tables.load(s, dir, "documents")
+      .withColumn("injected", injected)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("injected"), lit(emailRe), lit(0)))
+          .as("n_emails"),
+        size(regexp_extract_all(col("injected"), lit(phoneRe), lit(0)))
+          .as("n_phones"),
+        regexp_replace(regexp_replace(col("injected"), emailRe, "[EMAIL]"),
+          phoneRe, "[PHONE]").as("redacted"))
+      .orderBy("doc_id")
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q143_decontamination" -> q143 _,
+    "q144_pii_redaction" -> q144 _,
     "q111_train_val_split" -> q111 _,
     "q112_dataset_mixture" -> q112 _,
     "q113_token_budget" -> q113 _,
@@ -194,6 +268,52 @@ object TrainingPipelinePack extends QueryPack {
     "q123_group_sample" -> q123 _)
 
   override val oracle: Seq[(String, String)] = Seq(
+    "q143_decontamination" ->
+      """WITH tk AS (
+        | SELECT doc_id, source,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        | FROM documents),
+        |g AS (
+        | SELECT doc_id, source,
+        |  unnest(list_transform(range(1, len(tk) - 6),
+        |    i -> array_to_string(list_slice(tk, i, i + 7), ' '))) AS gram
+        | FROM tk WHERE len(tk) >= 8),
+        |eval_g AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+        |contam AS (
+        | SELECT DISTINCT t.doc_id, t.source
+        | FROM g t JOIN eval_g e ON t.gram = e.gram
+        | WHERE t.source <> 'src0'),
+        |flagged AS (
+        | SELECT source, count(*) AS n_contaminated FROM contam GROUP BY 1),
+        |tot AS (
+        | SELECT source, count(*) AS n_docs FROM documents
+        | WHERE source <> 'src0' GROUP BY 1)
+        |SELECT tot.source, tot.n_docs,
+        | COALESCE(flagged.n_contaminated, 0) AS n_contaminated,
+        | CAST(100.0 AS DOUBLE) * COALESCE(flagged.n_contaminated, 0)
+        |   / tot.n_docs AS contamination_pct
+        |FROM tot LEFT JOIN flagged ON tot.source = flagged.source
+        |ORDER BY tot.source""".stripMargin,
+    "q144_pii_redaction" ->
+      """WITH inj AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail.example.com now'
+        |  WHEN doc_id % 3 = 1 THEN
+        |    text || ' call 555-' || CAST(doc_id % 900 + 100 AS VARCHAR)
+        |      || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+        |  ELSE text END AS injected
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(injected,
+        |   '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+        | CAST(len(regexp_extract_all(injected,
+        |   '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+        | regexp_replace(regexp_replace(injected,
+        |   '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |   '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS redacted
+        |FROM inj ORDER BY doc_id""".stripMargin,
     "q111_train_val_split" ->
       s"""WITH d AS (
          | SELECT *, ${duckBucket("doc_id", "split", 100)} AS b

@@ -228,7 +228,30 @@ object WindowsPack extends QueryPack {
         count(lit(1)).as("n_events"))
       .orderBy("user_id")
 
+  /** q145 — event-transition matrix (first-order Markov counts): per
+    * (previous event_type → event_type) pair, the transition count and
+    * its probability out of the source state. The lag rides the same
+    * keyed user window as sessionization (one shuffle on user_id,
+    * bounded state); the matrix agg then runs over a 5×5-ish key space.
+    * Session starts (no predecessor) count from the synthetic '∅' state
+    * so rows out of each state sum to that state's outdegree exactly.
+    */
+  private def q145(s: SparkSession, dir: String): DataFrame = {
+    val trans = withTsUs(Tables.load(s, dir, "events"))
+      .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+      .withColumn("prev",
+        coalesce(lag("event_type", 1).over(userW), lit("START")))
+    val counts = trans.groupBy("prev", "event_type")
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("p_transition",
+        col("n").cast("double") /
+          sum("n").over(Window.partitionBy("prev")))
+      .orderBy("prev", "event_type")
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q145_transition_matrix" -> q145 _,
     "q85_range_frame" -> q85 _,
     "q87_gaps_islands" -> q87 _,
     "q94_event_path" -> q94 _,
@@ -243,6 +266,18 @@ object WindowsPack extends QueryPack {
     "q48_asof_last_purchase" -> q48 _)
 
   override val oracle: Seq[(String, String)] = Seq(
+    "q145_transition_matrix" ->
+      """WITH t AS (
+        | SELECT COALESCE(lag(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
+        |   'START') AS prev, event_type
+        | FROM events),
+        |c AS (
+        | SELECT prev, event_type, count(*) AS n FROM t GROUP BY 1, 2)
+        |SELECT prev, event_type, n,
+        | CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev)
+        |   AS p_transition
+        |FROM c ORDER BY prev, event_type""".stripMargin,
     "q85_range_frame" ->
       """SELECT event_id, user_id,
         | count(*) OVER w AS n_1h,
