@@ -418,8 +418,11 @@ object JoinsAggs extends QueryPack {
   private def q102(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem")
     val counts = li.groupBy("l_partkey").agg(count(lit(1)).as("n"))
-    // totals read off the already-reduced key counts (Σn = rows, row
-    // count = distinct keys) — no second scan of the fact table
+      // key-grain cache: totals then read off the already-reduced counts
+      // (Σn = rows, row count = distinct keys) — without it Spark re-scans
+      // the fact table for the scalar branch (exchange reuse does not
+      // fire across the branches; tools.FinalPlan)
+      .persist()
     val totals = counts.agg(sum("n").as("tot"), count(lit(1)).as("nd"))
     counts.crossJoin(broadcast(totals))
       .filter(col("n") * col("nd") > lit(1.2) * col("tot"))
@@ -485,6 +488,9 @@ object JoinsAggs extends QueryPack {
     val days = Tables.load(s, dir, "events")
       .select(col("user_id"), to_date(Tables.tsMicros(col("ts"))).as("d"))
       .distinct()
+      // (user, day)-grain cache feeding BOTH the DAU and WAU branches —
+      // one events scan + one dedup shuffle instead of two of each
+      .persist()
     val dau = days.groupBy("d").agg(countDistinct("user_id").as("dau"))
     val wau = days
       .select(col("user_id"),
@@ -508,12 +514,20 @@ object JoinsAggs extends QueryPack {
     * TakeOrderedAndProject.
     */
   private def q141(s: SparkSession, dir: String): DataFrame = {
-    val items = Tables.load(s, dir, "lineitem")
-      .select("l_orderkey", "l_partkey").distinct()
-    val a = items.toDF("o", "p1")
-    val b = items.toDF("o", "p2")
-    a.join(b, Seq("o")).filter(col("p1") < col("p2"))
-      .groupBy("p1", "p2")
+    // basket per order via ONE shuffle (collect_set dedupes in-agg), then
+    // pair expansion happens map-side on the sorted basket array — the
+    // self-join formulation would scan+shuffle lineitem twice (Spark's
+    // exchange reuse does not fire across differently-aliased branches;
+    // verified with tools.FinalPlan)
+    val baskets = Tables.load(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    val pairs = flatten(transform(col("ps"), (x, i) =>
+      transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+        y => struct(x.as("p1"), y.as("p2")))))
+    baskets
+      .select(explode(pairs).as("pair"))
+      .groupBy(col("pair.p1").as("p1"), col("pair.p2").as("p2"))
       .agg(count(lit(1)).as("support"))
       .orderBy(col("support").desc, col("p1"), col("p2"))
       .limit(20)
@@ -560,6 +574,9 @@ object JoinsAggs extends QueryPack {
     val daily = Tables.load(s, dir, "orders")
       .groupBy(to_date(col("o_orderdate")).as("d"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+      // day-grain cache: the quantile branch reads it, not a second
+      // orders scan (q102 note)
+      .persist()
     val fences = daily.agg(
       expr("percentile(rev_cents, 0.25)").as("q1"),
       expr("percentile(rev_cents, 0.75)").as("q3"))

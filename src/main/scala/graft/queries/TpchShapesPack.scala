@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.catalog.Tables
 
@@ -267,9 +268,14 @@ object TpchShapesPack extends QueryPack {
     * the EUROPE supplier(s) offering it at the minimum cost. The testdata
     * has no partsupp, so the part–supplier link (and its cost) is derived
     * from lineitem: cost(part, supp) = min extendedprice ever charged.
-    * The correlated `cost = (SELECT min ...)` becomes an agg-then-join:
-    * candidates reduce to (part, supp) grain in one shuffle, the per-part
-    * min re-broadcasts — no window sort, no second fact scan.
+    * The correlated `cost = (SELECT min ...)` becomes a window min over
+    * the candidate set — which the broadcast part/region filters have
+    * already cut to a sliver, so the extra hash exchange on l_partkey
+    * moves almost nothing. The agg-then-join-back alternative reads the
+    * candidate lineage TWICE (Spark's exchange reuse does not fire across
+    * the differently-pruned branches; verified with tools.FinalPlan), and
+    * at 100 TB the second (part, supp) reduction of lineitem costs more
+    * than the small window shuffle saved.
     */
   private def q134(s: SparkSession, dir: String): DataFrame = {
     val euSup = Tables.load(s, dir, "supplier")
@@ -289,11 +295,10 @@ object TpchShapesPack extends QueryPack {
     val cand = ps
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .join(broadcast(euSup), col("l_suppkey") === col("s_suppkey"))
-    val minCost = cand.groupBy(col("l_partkey").as("m_partkey"))
-      .agg(min("supply_cost").as("min_cost"))
-    cand.join(broadcast(minCost),
-        col("l_partkey") === col("m_partkey") &&
-          col("supply_cost") === col("min_cost"))
+    cand
+      .withColumn("min_cost",
+        min("supply_cost").over(Window.partitionBy("l_partkey")))
+      .filter(col("supply_cost") === col("min_cost"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"),
         col("p_partkey"), col("p_name"),
         round(col("supply_cost"), 2).as("supply_cost"))
@@ -318,6 +323,11 @@ object TpchShapesPack extends QueryPack {
       .groupBy("l_partkey")
       .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
         .as("value_cents"))
+      // part-grain intermediate: cached so the scalar-total branch reads
+      // the cache instead of re-reducing lineitem (exchange reuse does not
+      // fire across the branches; tools.FinalPlan). Key-grain ⇒ MBs–GBs
+      // at 100 TB, safely cluster-cacheable.
+      .persist()
     val tot = value.agg(sum("value_cents").as("tot_cents"))
     value.crossJoin(broadcast(tot))
       .filter(col("value_cents") > lit(1e-4) * col("tot_cents"))
@@ -337,6 +347,9 @@ object TpchShapesPack extends QueryPack {
         col("l_shipdate") < lit("1997-04-01"))
       .groupBy("l_suppkey")
       .agg(sum(round(rev * 10000).cast("long")).as("rev_e4"))
+      // supplier-grain cache: the scalar-max branch must not re-scan
+      // lineitem (q135 note)
+      .persist()
     val mx = revBySupp.agg(max("rev_e4").as("max_e4"))
     revBySupp.crossJoin(broadcast(mx))
       .filter(col("rev_e4") === col("max_e4"))
@@ -418,6 +431,9 @@ object TpchShapesPack extends QueryPack {
       .join(broadcast(widgets), col("l_partkey") === col("p_partkey"))
       .groupBy("l_suppkey", "l_partkey")
       .agg(sum("l_quantity").as("qty"))
+      // (supp, part)-grain cache: the scalar-mean branch must not re-scan
+      // lineitem (q135 note)
+      .persist()
     val meanVol = vol.agg(avg("qty").as("mean_qty"))
     val bigShippers = vol.crossJoin(broadcast(meanVol))
       .filter(col("qty") > lit(1.5) * col("mean_qty"))

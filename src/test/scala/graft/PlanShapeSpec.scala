@@ -83,6 +83,24 @@ class PlanShapeSpec extends SparkSpecBase {
       s"quantity agg must be under the joins (agg@$aggIdx join@$joinIdx):\n$p")
   }
 
+  test("basket pairs read lineitem ONCE (basket expansion, not self-join)") {
+    val p = planOf(q("q141_basket_pairs"))
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"expected one lineitem scan, got $scans:\n$p")
+  }
+
+  test("scalar-threshold branches read a cached key-grain intermediate") {
+    // q102/q135/q136/q139/q146: the filter branch and the scalar branch
+    // both consume the persisted reduced aggregate — the fact table must
+    // not be re-scanned for the scalar (tools.FinalPlan audit)
+    for (name <- Seq("q102_heavy_hitters", "q136_top_supplier",
+        "q146_anomaly_days")) {
+      val p = planOf(q(name))
+      assert(p.contains("InMemoryTableScan"),
+        s"$name must read the cached intermediate:\n${p.take(3000)}")
+    }
+  }
+
   test("per-row text pipeline stays inside whole-stage codegen") {
     val df = q("q50_token_count")
     df.collect() // finalize the adaptive plan — codegen spans only show there
