@@ -445,7 +445,11 @@ object TpchShapesPack extends QueryPack {
       .join(broadcast(Tables.load(s, dir, "region")
         .filter(col("r_name") === "EUROPE").select("r_regionkey")),
         col("n_regionkey") === col("r_regionkey"))
-      .join(bigShippers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      // the outlier-supplier key set is tiny by construction (relative
+      // threshold keeps the tail) — broadcast the semi probe so supplier
+      // never shuffles
+      .join(broadcast(bigShippers),
+        col("s_suppkey") === col("l_suppkey"), "left_semi")
       .select("s_suppkey", "s_name")
       .orderBy("s_name")
   }

@@ -236,7 +236,10 @@ object TrainingPipelinePack extends QueryPack {
     */
   private def q144(s: SparkSession, dir: String): DataFrame = {
     val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-    val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    // \b so a longer digit run (e.g. an id "12345-678-9012x") can't match
+    // partially — ASCII word boundaries exist in both Java regex and
+    // DuckDB's RE2
+    val phoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
     val m3 = col("doc_id") % 3
     val injected = when(m3 === 0,
         concat(col("text"), lit(" contact user"), col("doc_id"),
@@ -309,10 +312,10 @@ object TrainingPipelinePack extends QueryPack {
         | CAST(len(regexp_extract_all(injected,
         |   '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
         | CAST(len(regexp_extract_all(injected,
-        |   '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+        |   '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS INT) AS n_phones,
         | regexp_replace(regexp_replace(injected,
         |   '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
-        |   '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS redacted
+        |   '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '[PHONE]', 'g') AS redacted
         |FROM inj ORDER BY doc_id""".stripMargin,
     "q111_train_val_split" ->
       s"""WITH d AS (

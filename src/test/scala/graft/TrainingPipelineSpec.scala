@@ -127,4 +127,33 @@ class TrainingPipelineSpec extends SparkSpecBase {
         r.getLong(3))).toSet
     assert(out === expected)
   }
+
+  test("PII regexes: positives redact, digit-run/id lookalikes survive") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, "mail me at a.user+tag@sub.example.org today"), // email
+      (1L, "call 555-123-4567 now"),                       // phone
+      (2L, "order id 12345-678-90123 is not a phone"),     // digit run
+      (3L, "x555-123-4567y binds to word chars"),          // no boundary
+      (4L, "ratio 3-21-1997 too short"))                   // wrong widths
+      .toDF("doc_id", "text")
+    rows.createOrReplaceTempView("pii_docs")
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+    val out = rows.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).as("e"),
+      size(regexp_extract_all(col("text"), lit(phoneRe), lit(0))).as("p"),
+      regexp_replace(regexp_replace(col("text"), emailRe, "[EMAIL]"),
+        phoneRe, "[PHONE]").as("red"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2),
+        r.getString(3)))).toMap
+    assert(out(0L) === ((1, 0, "mail me at [EMAIL] today")))
+    assert(out(1L) === ((0, 1, "call [PHONE] now")))
+    assert(out(2L)._1 === 0 && out(2L)._2 === 0,
+      s"digit run must not match: ${out(2L)}")
+    // "x555-..." : '5' is preceded by word char 'x' — no boundary, BUT the
+    // regex can also start mid-run only at a boundary; verify no match
+    assert(out(3L)._2 === 0, s"embedded number must not match: ${out(3L)}")
+    assert(out(4L) === ((0, 0, "ratio 3-21-1997 too short")))
+  }
 }
