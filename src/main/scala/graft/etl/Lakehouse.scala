@@ -31,6 +31,34 @@ object Lakehouse {
     updates.unionByName(
       base.join(updates.select(key), Seq(key), "left_anti"))
 
+  /** Small-file compaction: rewrite a parquet directory produced by
+    * incremental/streaming ingest (many tiny files) into few well-sized
+    * files. `coalesce` (narrow, no shuffle) merges input splits;
+    * `maxRecordsPerFile` caps the other direction so one output task
+    * can't produce an over-large file. At 100 TB this runs per partition
+    * directory (event_date=…), never over the whole table at once —
+    * which is exactly how the target-file-count argument is derived:
+    * partition bytes / desired file size.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFiles: Int, maxRecordsPerFile: Long = 5000000L): Unit = {
+    val tmp = path.stripSuffix("/") + ".compacting"
+    spark.read.parquet(path)
+      .coalesce(targetFiles)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(tmp)
+    // swap via rename — metadata-only, no second data pass (a table
+    // format's transaction log would make this a proper atomic commit;
+    // on object stores the rename becomes a manifest update)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    ()
+  }
+
   /** SCD Type-2 history: collapse each key's run of consecutive equal
     * `attr` values (ordered by `ts`, ties broken by `tie`) into validity
     * ranges `[valid_from, valid_to)`, open-ended (`valid_to` null,

@@ -29,6 +29,25 @@ class LakehouseSpec extends SparkSpecBase {
       once.as[(Long, String)].collect().toMap)
   }
 
+  test("compact merges a many-file table, preserving rows and values") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact")
+      .resolve("t").toString
+    val df = (1L to 10000L).map(i => (i, s"v$i")).toDF("k", "v")
+    df.repartition(40).write.mode("overwrite").parquet(dir)
+    def dataFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(dataFiles >= 20, s"fixture should start fragmented: $dataFiles")
+    val before = spark.read.parquet(dir).orderBy("k").collect()
+
+    Lakehouse.compact(spark, dir, targetFiles = 2)
+
+    assert(dataFiles <= 2, s"expected ≤2 files after compaction: $dataFiles")
+    val after = spark.read.parquet(dir).orderBy("k").collect()
+    assert(after.sameElements(before), "compaction must not change data")
+  }
+
   test("scd2History collapses runs into [valid_from, valid_to) ranges") {
     val s = spark
     import s.implicits._
