@@ -35,6 +35,12 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      // queries that persist() a reduced intermediate (q102/q133/q135/...)
+      // would otherwise leave it cached for the whole run: evict between
+      // queries so storage memory doesn't accumulate 146 queries deep and
+      // each query's sample stays self-contained. (Within the two reps
+      // the cache stays warm — min-of-2 measures steady state.)
+      spark.sqlContext.clearCache()
       name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -17,6 +17,9 @@ object Verify {
         System.err.println(
           s"[verify] $name failed: ${String.valueOf(e.getMessage).take(300)}")
       }
+      // evict any intermediate a query persist()ed (q102/q133/... cache a
+      // reduced aggregate) so storage memory stays flat across the run
+      spark.sqlContext.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

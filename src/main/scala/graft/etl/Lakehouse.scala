@@ -43,19 +43,34 @@ object Lakehouse {
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       targetFiles: Int, maxRecordsPerFile: Long = 5000000L): Unit = {
     val tmp = path.stripSuffix("/") + ".compacting"
+    val bak = path.stripSuffix("/") + ".pre-compact"
     spark.read.parquet(path)
       .coalesce(targetFiles)
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(tmp)
-    // swap via rename — metadata-only, no second data pass (a table
+    // swap via renames — metadata-only, no second data pass (a table
     // format's transaction log would make this a proper atomic commit;
-    // on object stores the rename becomes a manifest update)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // on object stores the rename becomes a manifest update). Hadoop
+    // rename signals most failures by RETURNING FALSE, not throwing —
+    // every step is checked, and the original data is moved aside (not
+    // deleted) until the new copy is in place, so no failure mode loses
+    // the table. The FileSystem comes from the PATH's scheme, not the
+    // default FS — path may be s3a:// while defaultFS is hdfs://.
+    val conf = spark.sparkContext.hadoopConfiguration
     val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    val fs = dst.getFileSystem(conf)
+    def move(from: org.apache.hadoop.fs.Path,
+        to: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.rename(from, to))
+        throw new java.io.IOException(s"compact: rename $from -> $to failed")
+    val bakP = new org.apache.hadoop.fs.Path(bak)
+    fs.delete(bakP, true) // clear any stale backup from a crashed run
+    move(dst, bakP)
+    try move(new org.apache.hadoop.fs.Path(tmp), dst)
+    catch { case e: Throwable => move(bakP, dst); throw e }
+    if (!fs.delete(bakP, true))
+      throw new java.io.IOException(s"compact: cleanup of $bak failed")
     ()
   }
 

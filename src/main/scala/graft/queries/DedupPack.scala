@@ -33,8 +33,7 @@ import graft.functions.Vectors
   */
 object DedupPack extends QueryPack {
 
-  private def toks(c: Column): Column =
-    filter(split(c, " "), t => t =!= lit(""))
+  private def toks(c: Column): Column = TextOps.toks(c)
 
   private def docToks(s: SparkSession, dir: String): DataFrame =
     Tables.loadParallel(s, dir, "documents")

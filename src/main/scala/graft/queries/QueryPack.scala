@@ -32,3 +32,21 @@ trait QueryPack {
   def queries: Seq[(String, (SparkSession, String) => DataFrame)]
   def oracle: Seq[(String, String)]
 }
+
+/** The ONE whitespace tokenizer every text-processing pack shares.
+  * Oracle parity depends on all Scala call sites and every DuckDB twin
+  * (`list_filter(string_split(text, ' '), x -> x <> '')`) computing the
+  * same token list — packs must delegate here rather than re-implement,
+  * so a tokenizer change can't drift one pack out of lockstep.
+  */
+object TextOps {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  /** Non-empty space-separated tokens. */
+  def toks(c: Column): Column =
+    filter(split(c, " "), t => t =!= lit(""))
+
+  /** Token count (the q50 definition). */
+  def nToks(c: Column): Column = size(toks(c))
+}

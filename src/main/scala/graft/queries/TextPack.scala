@@ -24,9 +24,8 @@ import graft.catalog.Tables
   */
 object TextPack extends QueryPack {
 
-  /** Non-empty whitespace tokens. */
-  private def toks(c: Column): Column =
-    filter(split(c, " "), t => t =!= lit(""))
+  /** Non-empty whitespace tokens (delegates to the shared [[TextOps]]). */
+  private def toks(c: Column): Column = TextOps.toks(c)
 
   private val bpeIshRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 

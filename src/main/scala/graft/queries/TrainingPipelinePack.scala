@@ -48,9 +48,8 @@ object TrainingPipelinePack extends QueryPack {
   private def duckBucket(id: String, salt: String, n: Int): String =
     s"CAST('0x' || substring(md5('$salt|' || CAST($id AS VARCHAR)), 1, 8) AS BIGINT) % $n"
 
-  /** Non-empty whitespace tokens (same tokenizer as TextPack q50). */
-  private def nToks(c: Column): Column =
-    size(filter(split(c, " "), t => t =!= lit("")))
+  /** Non-empty whitespace tokens (the shared [[TextOps]] tokenizer). */
+  private def nToks(c: Column): Column = TextOps.nToks(c)
 
   private val duckNToks =
     "length(list_filter(string_split(text, ' '), x -> x <> ''))"
@@ -123,7 +122,7 @@ object TrainingPipelinePack extends QueryPack {
     * total order; ntile is the exact-parity form.
     */
   private def q114(s: SparkSession, dir: String): DataFrame = {
-    val t = filter(split(col("text"), " "), x => x =!= lit(""))
+    val t = TextOps.toks(col("text"))
     val difficulty = aggregate(t, lit(0), (acc, x) => acc + length(x)) / size(t)
     Tables.load(s, dir, "documents")
       .withColumn("difficulty", difficulty)
@@ -189,7 +188,7 @@ object TrainingPipelinePack extends QueryPack {
     * when the document is shorter than 8 tokens).
     */
   private def grams8(text: Column): Column = {
-    val tk = filter(split(text, " "), t => t =!= lit(""))
+    val tk = TextOps.toks(text)
     when(size(tk) >= 8,
       transform(sequence(lit(1), size(tk) - 7),
         i => concat_ws(" ", slice(tk, i, lit(8)))))
@@ -363,7 +362,12 @@ object TrainingPipelinePack extends QueryPack {
          |    / $duckNToks AS difficulty
          | FROM documents),
          |t AS (
-         | SELECT *, ntile(4) OVER (ORDER BY difficulty, doc_id) AS stage
+         | -- NULLS FIRST explicitly: a zero-token doc has NULL difficulty
+         | -- (0/0) and Spark defaults NULLS FIRST where DuckDB defaults
+         | -- NULLS LAST — without the pin, stage assignment diverges the
+         | -- moment the corpus gains an empty document
+         | SELECT *, ntile(4) OVER (ORDER BY difficulty NULLS FIRST, doc_id)
+         |   AS stage
          | FROM d)
          |SELECT stage, count(*) AS n_docs,
          | min(difficulty) AS min_difficulty,

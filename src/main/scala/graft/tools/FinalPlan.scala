@@ -20,7 +20,11 @@ object FinalPlan {
         println(s"\n=================== $name ===================")
         try {
           val df = fn(spark, sfDir)
-          df.count() // materialize: AQE finalizes + reuses stages
+          // collect(), NOT count(): count() builds a SEPARATE
+          // QueryExecution (groupBy().count()), leaving df's own adaptive
+          // plan un-executed — the printed tree would be
+          // isFinalPlan=false with runtime reuse decisions invisible
+          df.collect()
           println(df.queryExecution.executedPlan.toString.take(6000))
         } catch { case e: Throwable =>
           println(s"FAILED: ${String.valueOf(e.getMessage).take(300)}")

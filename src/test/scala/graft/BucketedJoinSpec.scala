@@ -49,8 +49,13 @@ class BucketedJoinSpec extends SparkSpecBase {
         Tables.load(spark, sf, "lineitem").select("l_orderkey", "l_extendedprice"),
         Tables.load(spark, sf, "orders").select("o_orderkey", "o_totalprice"))
 
-      bucketed.count() // finalize adaptive plans
-      pathRead.count()
+      // collect(), NOT count(): count() executes a separate
+      // QueryExecution and would leave these Datasets' adaptive plans
+      // un-finalized (isFinalPlan=false)
+      val b = bucketed.orderBy("o_orderkey").collect()
+      val p = pathRead.orderBy("o_orderkey").collect()
+      bucketed.collect()
+      pathRead.collect()
       val bPlan = bucketed.queryExecution.executedPlan.toString
       val pPlan = pathRead.queryExecution.executedPlan.toString
 
@@ -62,8 +67,6 @@ class BucketedJoinSpec extends SparkSpecBase {
       assert(exchanges(bPlan) == 0,
         s"bucketed join must not shuffle:\n$bPlan")
 
-      val b = bucketed.orderBy("o_orderkey").collect()
-      val p = pathRead.orderBy("o_orderkey").collect()
       assert(b.sameElements(p), "bucketed and path-read results must match")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
