@@ -68,4 +68,45 @@ class StreamingSpec extends SparkSpecBase {
       assert(rows.contains((2L, 1, "page_view", "page_view")))
     } finally q.stop()
   }
+
+  test("streaming transition tracker matches the batch lag-window semantics") {
+    import graft.streaming.Transitions
+    import graft.streaming.Transitions.TEv
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val batch1 = Seq(
+      TEv(1L, "view", ts(0)), TEv(1L, "click", ts(1)),
+      TEv(2L, "view", ts(0)))
+    val batch2 = Seq( // later event times arrive in the later batch
+      TEv(1L, "purchase", ts(5)), TEv(2L, "view", ts(3)),
+      TEv(3L, "click", ts(4)))
+    val mem = MemoryStream[TEv]
+    val q = Transitions.transitionsWithState(mem.toDS())
+      .writeStream.format("memory").queryName("transitions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = s.table("transitions")
+        .groupBy("prev", "event_type").count()
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      // batch q145 semantics over the union of both batches
+      val w = Window.partitionBy("user_id").orderBy("ts_ts", "event_type")
+      val expected = (batch1 ++ batch2).toDS()
+        .withColumn("prev",
+          coalesce(lag("event_type", 1).over(w), lit("START")))
+        .groupBy("prev", "event_type").count()
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(streamed === expected)
+      assert(streamed.contains(("START", "view", 2L)))
+      assert(streamed.contains(("view", "click", 1L)))
+    } finally q.stop()
+  }
 }
