@@ -16,7 +16,7 @@ object SparkEntry {
     Seq(RelationalCore, JoinsAggs, WindowsPack,
       TextPack, DedupPack, SimilarityPack, JsonPack, MedallionPack,
       MultimodalStreamPack, ApproxPack, LakehousePack,
-      TrainingPipelinePack, TpchShapesPack, DataQualityPack)
+      TrainingPipelinePack, TpchShapesPack, DataQualityPack, ReportingPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's headline analytics shape: revenue-by-category top-10

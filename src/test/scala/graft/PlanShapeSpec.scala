@@ -101,6 +101,40 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("rollup reports expand AFTER the fact-grain aggregate") {
+    // q147/q150: ROLLUP plans an Expand (×3 copies of its input). The
+    // two-phase form reduces the fact to the report grain first, so the
+    // Expand must sit ABOVE a HashAggregate (leaves-last print: the
+    // fact-side agg line appears BELOW the Expand line), and the geo
+    // dims must broadcast onto a single fact scan.
+    for (name <- Seq("q147_geo_rollup_report", "q150_hierarchy_topk")) {
+      val p = planOf(q(name))
+      assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+        s"$name geo dims must broadcast:\n${p.take(3000)}")
+      val lines = p.linesIterator.toList
+      val expandIdx = lines.indexWhere(_.contains("Expand"))
+      val factAggIdx = lines.lastIndexWhere(_.contains("HashAggregate"))
+      assert(expandIdx >= 0 && factAggIdx > expandIdx,
+        s"$name must aggregate before Expand (expand@$expandIdx " +
+          s"agg@$factAggIdx):\n$p")
+    }
+  }
+
+  test("band census is ONE scan and ZERO joins") {
+    val p = planOf(q("q149_time_band_census"))
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1, p)
+    assert(!p.contains("Join"), s"census must not join:\n$p")
+  }
+
+  test("YoY movement runs its lag window over the aggregated grain") {
+    val lines = planOf(q("q148_yoy_brand_movement")).linesIterator.toList
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    val aggIdx = lines.lastIndexWhere(_.contains("HashAggregate"))
+    // leaves print last: the brand-year aggregate must be BELOW the window
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"window must consume the aggregate (win@$winIdx agg@$aggIdx)")
+  }
+
   test("per-row text pipeline stays inside whole-stage codegen") {
     val df = q("q50_token_count")
     df.collect() // finalize the adaptive plan — codegen spans only show there
