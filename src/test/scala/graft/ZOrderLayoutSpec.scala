@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import graft.etl.Lakehouse
+import graft.functions.ZOrder
+
+/** Data-skipping via layout ([[Lakehouse.clusterBy]] + [[ZOrder]]): the
+  * scan's numOutputRows metric counts rows surviving parquet footer
+  * pruning, so it measures IO skipped by layout alone — same query, same
+  * data, different file arrangement.
+  */
+class ZOrderLayoutSpec extends SparkSpecBase {
+
+  private val n = 512 * 1024L
+  private val dim = 1024L
+
+  /** Two independent pseudo-random (but deterministic) dims in [0, dim). */
+  private def data: DataFrame =
+    spark.range(n).select(
+      pmod(col("id") * 2654435761L, lit(dim)).as("a"),
+      pmod(col("id") * 40503L + 7, lit(dim)).as("b"),
+      col("id").as("payload"))
+
+  /** Rows the parquet reader actually emitted (post footer/row-group
+    * pruning, pre the residual Filter node).
+    */
+  private def rowsScanned(df: DataFrame): Long = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, "no parquet scan in plan")
+    scans.map(_.metrics("numOutputRows").value).sum
+  }
+
+  test("z-order layout skips files on BOTH dims; linear sort on one") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("zorder")
+    val linPath = dir.resolve("linear").toString
+    val zPath = dir.resolve("zorder").toString
+
+    // identical data, two layouts, 16 files each (one row group per file
+    // at this size → footer pruning == file skipping)
+    Lakehouse.clusterBy(data, col("a"), linPath, 16)
+    Lakehouse.clusterBy(data, ZOrder.zvalue2(col("a"), col("b"), 10),
+      zPath, 16)
+
+    val predB = col("b") < 64 // selective on the NON-sort dim (1/16)
+    val linB = rowsScanned(s.read.parquet(linPath).filter(predB))
+    val zB = rowsScanned(s.read.parquet(zPath).filter(predB))
+    // linear-by-a files all span the full b range: file/row-group stats
+    // skip nothing (parquet page-index pruning may shave a little)
+    assert(linB >= (n * 3) / 4, s"linear layout should scan ~all, got $linB")
+    // z-order bounds b within each file: most files skip on footer stats
+    assert(zB <= n / 3, s"z-order should skip most rows, scanned $zB")
+    assert(zB * 2 <= linB, s"z-order must beat linear on dim b: $zB vs $linB")
+
+    // the sort dim still prunes in BOTH layouts
+    val predA = col("a") < 64
+    val linA = rowsScanned(s.read.parquet(linPath).filter(predA))
+    val zA = rowsScanned(s.read.parquet(zPath).filter(predA))
+    assert(linA <= n / 8, s"linear layout must prune its sort dim: $linA")
+    assert(zA <= n / 3, s"z-order must still prune dim a: $zA")
+
+    // layout changes IO, never results
+    val viaZ = s.read.parquet(zPath).filter(predB).agg(sum("payload"))
+      .collect()(0).getLong(0)
+    val viaLin = s.read.parquet(linPath).filter(predB).agg(sum("payload"))
+      .collect()(0).getLong(0)
+    assert(viaZ === viaLin)
+  }
+
+  test("zvalue2 interleaves bits (known points)") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 3L), (5L, 2L))
+      .toDF("a", "b")
+      .select(ZOrder.zvalue2(col("a"), col("b"), 3).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // a bits at odd positions, b bits at even: z(a=1,b=0)=2, z(0,1)=1,
+    // z(3,3)=15, z(5,2)=0b100110=38
+    assert(rows === Seq(0L, 2L, 1L, 15L, 38L))
+  }
+}
