@@ -16,7 +16,8 @@ object SparkEntry {
     Seq(RelationalCore, JoinsAggs, WindowsPack,
       TextPack, DedupPack, SimilarityPack, JsonPack, MedallionPack,
       MultimodalStreamPack, ApproxPack, LakehousePack,
-      TrainingPipelinePack, TpchShapesPack, DataQualityPack, ReportingPack)
+      TrainingPipelinePack, TpchShapesPack, DataQualityPack, ReportingPack,
+      PretrainDepthPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's headline analytics shape: revenue-by-category top-10

@@ -1,0 +1,285 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.catalog.Tables
+import graft.functions.Vectors
+import graft.queries.TextOps.toks
+
+/** Depth extensions for pretraining-data pipelines (BASELINE.json
+  * north-star): embedding compression (int8 scalar quantization — the
+  * storage/bandwidth half of IVF+PQ-style ANN), quantized-dot-product
+  * search (integer SIMD-shaped scoring), statistical LM quality filtering
+  * (the bigram perplexity-proxy filter production corpora are screened
+  * with), and link-graph quality weighting (PageRank — the web-crawl
+  * document-weighting signal).
+  *
+  * Parity doctrine notes (see [[QueryPack]]):
+  *   - quantization codes round half-up via `floor(x + 0.5)` — Spark and
+  *     DuckDB `round()` disagree exactly at .5 (HALF_UP decimal-string vs
+  *     binary), `floor` is IEEE-identical in both.
+  *   - quantized dot products are BIGINT arithmetic — exact in both
+  *     engines, no float tolerance needed anywhere in the ranking.
+  *   - LM scores accumulate as exact integer micro-prob units (the q86
+  *     integer-cents doctrine applied to probabilities).
+  *   - PageRank sums double contributions across neighbors (order
+  *     nondeterministic) → final ranks rounded to 6, values O(1).
+  */
+object PretrainDepthPack extends QueryPack {
+
+  private val nQueries = 20
+  private val k = 5
+  private val prIters = 3
+
+  // --- int8 scalar quantization -----------------------------------------
+
+  /** Per-vector symmetric int8 quantization: scale = max|x|/127,
+    * code_i = floor(x_i/scale + 0.5). The max-abs element maps exactly to
+    * ±127, so no code saturates beyond the int8 range by construction.
+    */
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("scale",
+        array_max(transform(col("v"), x => abs(x))) / 127.0)
+      .withColumn("qv",
+        transform(col("v"), x => floor(x / col("scale") + 0.5).cast("int")))
+
+  /** q152 — quantization quality audit: per-vector reconstruction RMSE of
+    * the int8 codes and the count of saturated (|code| = 127) dimensions.
+    * Pure per-row expression work — no shuffle at all; at 100 TB this is
+    * one codegen'd map over the corpus, the cheapest possible shape.
+    */
+  private def q152(s: SparkSession, dir: String): DataFrame =
+    quantized(s, dir)
+      .withColumn("dd",
+        zip_with(col("v"), col("qv"), (x, q) => x - q * col("scale")))
+      .select(col("vec_id"), col("scale"),
+        sqrt(Vectors.dot(col("dd"), col("dd")) / size(col("v"))).as("rmse"),
+        size(filter(col("qv"), q => abs(q) === 127)).as("n_sat"))
+      .orderBy("vec_id")
+
+  /** q153 — ANN top-k over quantized codes: score = int8·int8 dot product
+    * (exact BIGINT) rescaled by the two per-vector scales. The shape that
+    * makes 100 TB ANN affordable: the corpus streams as 64-byte codes
+    * (16× smaller than float64), the query side broadcasts, and the inner
+    * loop is integer multiply-add. Ranking ties broken by vec_id.
+    */
+  private def q153(s: SparkSession, dir: String): DataFrame = {
+    val c = quantized(s, dir)
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("qv").as("qqv"),
+        col("scale").as("qscale"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .withColumn("idot",
+        aggregate(zip_with(col("qqv"), col("qv"),
+          (x, y) => x.cast("long") * y), lit(0L), (acc, v) => acc + v))
+      .withColumn("score",
+        col("idot").cast("double") * col("qscale") * col("scale"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("score"), 6).as("score6"))
+      .orderBy("q_id", "rank")
+  }
+
+  // --- bigram LM quality filter ------------------------------------------
+
+  /** q154 — corpus-trained bigram-LM scoring (the perplexity-filter shape):
+    * train add-one-smoothed bigram probabilities P(w|u) =
+    * (c(u,w)+1)/(c(u)+V) on the whole corpus, then score every document by
+    * its mean bigram probability. Two corpus aggregations build the model,
+    * one join scores the docs — model and scoring both shuffle on the
+    * bigram key, so the pipeline is a constant number of passes no matter
+    * the corpus size (vs per-doc LM calls).
+    *
+    * Probabilities enter the per-doc sum as exact integer micro-units
+    * (floor(p·1e6 + 0.5)) so accumulation order can't smear the compare.
+    * Docs with <2 tokens surface with n_bigrams = 0 (q96 empty-doc
+    * doctrine: never let a degenerate doc vanish from the output).
+    */
+  private def q154(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents").select("doc_id", "text")
+    val t = toks(col("text"))
+    val bigrams = zip_with(
+      slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+      slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+      (a, b) => struct(a.as("u"), b.as("w")))
+    val db = d.select(col("doc_id"), explode(bigrams).as("b"))
+      .select(col("doc_id"), col("b.u").as("u"), col("b.w").as("w"))
+    val cBig = db.groupBy("u", "w").agg(count(lit(1)).as("c_uw"))
+    val cUni = cBig.groupBy("u").agg(sum("c_uw").as("c_u"))
+    val vocab = d.select(explode(t).as("tok"))
+      .agg(countDistinct("tok").as("vsz"))
+    val scored = db
+      .join(cBig, Seq("u", "w")).join(cUni, Seq("u"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("p",
+        (col("c_uw") + 1).cast("double") /
+          (col("c_u") + col("vsz")).cast("double"))
+      .withColumn("units",
+        floor(col("p") * 1000000.0 + 0.5).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("units").as("units_sum"))
+    d.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("units_sum"), lit(0L)).as("units_sum"),
+        (coalesce(col("units_sum"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1L)))
+          .as("lm_score"))
+      .orderBy("doc_id")
+  }
+
+  // --- PageRank over the co-purchase graph --------------------------------
+
+  /** q155 — PageRank (damping 0.85, 3 iterations, ranks normalized to
+    * mean≈1) over the part co-purchase graph: parts are linked when they
+    * appear in the same order. Edge derivation follows q141's map-side
+    * pair expansion (per-order collect_set → in-row pair enumeration) —
+    * ONE scan of lineitem and no self-join. Each iteration is one
+    * shuffle: contributions r(u)/deg(u) flow along edges and reduce on
+    * the destination. The symmetric closure guarantees every node has
+    * out-degree ≥ 1 — no dangling-mass correction needed.
+    *
+    * Edges+degree persist across the 3 iterations (they feed every
+    * round); the oracle unrolls the identical rounds as CTEs r1..r3.
+    */
+  private def q155(s: SparkSession, dir: String): DataFrame = {
+    val sets = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey")
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set("l_partkey")).as("ps"))
+    // index-variant transform + slice (the q141 expansion): slice past the
+    // array end is empty, so 1-part orders contribute nothing — unlike
+    // sequence(1, 0), which Spark generates DESCENDING as [1, 0]
+    val pairs = sets
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+          y => struct(x.as("src"), y.as("dst")))))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct()
+    val edges = pairs.union(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    val ed = edges.join(deg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var ranks = deg.select(col("src").as("node"), lit(1.0).as("r"))
+    for (_ <- 1 to prIters) {
+      ranks = ed.join(ranks, ed("src") === ranks("node"))
+        .select(col("dst"), (col("r") / col("d")).as("c"))
+        .groupBy(col("dst").as("node"))
+        .agg((lit(0.15) + lit(0.85) * sum("c")).as("r"))
+    }
+    ranks.select(col("node"), round(col("r"), 6).as("pr6"))
+      .orderBy("node")
+  }
+
+  override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q152_quant_error" -> q152 _,
+    "q153_quantized_ann" -> q153 _,
+    "q154_bigram_lm_quality" -> q154 _,
+    "q155_pagerank" -> q155 _)
+
+  // Shared quantization prefix — generated once so the Spark construction
+  // and its oracle twin cannot drift.
+  private val duckQuant =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |s AS (SELECT vec_id, v,
+      |  list_max(list_transform(v, x -> abs(x)))
+      |   / CAST(127.0 AS DOUBLE) AS scale FROM e),
+      |qz AS (SELECT vec_id, v, scale,
+      |  list_transform(v,
+      |   x -> CAST(floor(x / scale + CAST(0.5 AS DOUBLE)) AS INT)) AS qv
+      | FROM s)""".stripMargin
+
+  private def duckPrRound(r: Int): String =
+    s"""r$r AS (
+       | SELECT e.dst AS node,
+       |  CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) *
+       |   sum(p.r / deg.d) AS r
+       | FROM edges e
+       | JOIN r${r - 1} p ON e.src = p.node
+       | JOIN deg ON deg.src = e.src
+       | GROUP BY e.dst)"""
+
+  override val oracle: Seq[(String, String)] = Seq(
+    "q152_quant_error" ->
+      s"""WITH $duckQuant,
+         |d AS (SELECT vec_id, scale, qv,
+         |  list_transform(generate_series(1, len(v)),
+         |                 i -> v[i] - qv[i] * scale) AS dd,
+         |  len(v) AS n FROM qz)
+         |SELECT vec_id, scale,
+         | sqrt(list_dot_product(dd, dd) / n) AS rmse,
+         | CAST(len(list_filter(qv, x -> abs(x) = 127)) AS INT) AS n_sat
+         |FROM d ORDER BY vec_id""".stripMargin,
+    "q153_quantized_ann" ->
+      s"""WITH $duckQuant,
+         |q AS (SELECT vec_id AS q_id, qv AS qqv, scale AS qscale
+         |      FROM qz WHERE vec_id < $nQueries),
+         |scored AS (
+         | SELECT q.q_id, c.vec_id,
+         |  CAST(list_sum(list_transform(generate_series(1, len(q.qqv)),
+         |       i -> CAST(q.qqv[i] AS BIGINT) * c.qv[i])) AS BIGINT) AS idot,
+         |  q.qscale, c.scale
+         | FROM q JOIN qz c ON q.q_id <> c.vec_id),
+         |ranked AS (
+         | SELECT q_id, vec_id,
+         |  CAST(idot AS DOUBLE) * qscale * scale AS score,
+         |  row_number() OVER (PARTITION BY q_id
+         |   ORDER BY CAST(idot AS DOUBLE) * qscale * scale DESC, vec_id)
+         |   AS rank
+         | FROM scored)
+         |SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id,
+         | round(score, 6) AS score6
+         |FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin,
+    "q154_bigram_lm_quality" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  list_filter(string_split(text,' '), x -> x <> '') AS tk
+        | FROM documents),
+        |bb AS (
+        | SELECT doc_id,
+        |  unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS u,
+        |  unnest(list_transform(range(1, len(tk)), i -> tk[i+1])) AS w
+        | FROM t),
+        |cb AS (SELECT u, w, count(*) AS c_uw FROM bb GROUP BY 1, 2),
+        |cu AS (SELECT u, CAST(sum(c_uw) AS BIGINT) AS c_u
+        |       FROM cb GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT tok) AS vsz
+        |       FROM (SELECT unnest(tk) AS tok FROM t)),
+        |sc AS (
+        | SELECT bb.doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(CAST(floor(
+        |    CAST(c_uw + 1 AS DOUBLE) / CAST(c_u + vsz AS DOUBLE)
+        |    * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |   AS BIGINT)) AS BIGINT) AS units_sum
+        | FROM bb JOIN cb USING (u, w) JOIN cu USING (u) CROSS JOIN vv
+        | GROUP BY 1)
+        |SELECT d.doc_id,
+        | CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        | COALESCE(sc.units_sum, 0) AS units_sum,
+        | CAST(COALESCE(sc.units_sum, 0) AS DOUBLE)
+        |  / greatest(COALESCE(sc.n_bigrams, 0), 1) AS lm_score
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "q155_pagerank" ->
+      s"""WITH items AS (
+         | SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |pairs AS (
+         | SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+         | FROM items a JOIN items b
+         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |edges AS (
+         | SELECT src, dst FROM pairs
+         | UNION ALL SELECT dst, src FROM pairs),
+         |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+         |r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS r FROM deg),
+         |${(1 to prIters).map(duckPrRound).mkString(",\n")}
+         |SELECT node, round(r, 6) AS pr6 FROM r$prIters
+         |ORDER BY node""".stripMargin)
+}
