@@ -142,4 +142,27 @@ class PlanShapeSpec extends SparkSpecBase {
     // codegen stages render as "*(n)" prefixes in the plan string
     assert("""\*\(\d+\)""".r.findFirstIn(p).isDefined, p.take(2000))
   }
+
+  test("quantization audit is a pure map: no join, no hash exchange") {
+    val p = planOf(q("q152_quant_error"))
+    assert(!p.contains("Join"), p.take(3000))
+    // the only exchange allowed is the final ORDER BY's range partitioning
+    assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
+  }
+
+  test("quantized ANN broadcasts the query batch; corpus never shuffles") {
+    val p = planOf(q("q153_quantized_ann"))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"),
+      "the 20-query side must broadcast, not shuffle-sort the corpus")
+  }
+
+  test("PageRank iterations read the cached edge list, not lineitem") {
+    val df = q("q155_pagerank")
+    df.collect() // populate the cache + finalize adaptive subtrees
+    val p = planOf(df)
+    assert(p.contains("InMemoryTableScan"),
+      s"edges+degree must persist across iterations:\n${p.take(3000)}")
+  }
 }
