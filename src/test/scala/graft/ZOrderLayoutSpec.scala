@@ -54,8 +54,12 @@ class ZOrderLayoutSpec extends SparkSpecBase {
     val linB = rowsScanned(s.read.parquet(linPath).filter(predB))
     val zB = rowsScanned(s.read.parquet(zPath).filter(predB))
     // linear-by-a files all span the full b range: file/row-group stats
-    // skip nothing (parquet page-index pruning may shave a little)
-    assert(linB >= (n * 3) / 4, s"linear layout should scan ~all, got $linB")
+    // skip nothing. Parquet PAGE-index pruning still shaves some — how
+    // much depends on writer page boundaries, which shift with JVM state
+    // (measured 73.5% scanned in the full-suite JVM vs 79% standalone) —
+    // so this sanity bound is deliberately loose; the load-bearing
+    // contrast is the z-order bounds below.
+    assert(linB >= (n * 3) / 5, s"linear layout should scan ~all, got $linB")
     // z-order bounds b within each file: most files skip on footer stats
     assert(zB <= n / 3, s"z-order should skip most rows, scanned $zB")
     assert(zB * 2 <= linB, s"z-order must beat linear on dim b: $zB vs $linB")
