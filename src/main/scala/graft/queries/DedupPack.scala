@@ -128,32 +128,16 @@ object DedupPack extends QueryPack {
   // 4 bands of r=2; band key = md5(band_idx || h_{2i} || h_{2i+1}).
   // Candidates = pairs sharing ≥1 band key; verified = shingle-set
   // Jaccard ≥ 0.9.
-  private val nHashes = 8
-  private val bandR = 2
-
-  /** Distinct word-3-gram shingles (whole text as one shingle when < 3
-    * words, so no document hashes to an empty set).
-    */
-  private def shingles(text: Column): Column = {
-    val t = toks(text)
-    when(size(t) < 3, array(concat_ws(" ", t)))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), size(t) - 2),
-        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
-          element_at(t, i + 2)))))
-  }
-
-  // k hash functions derived from ONE md5 per shingle (the practical
-  // MinHash construction — cf. the h_i = a + i·b family): hash function i
-  // is the i-th 8-hex-char window of md5(shingle), all k minima computed
-  // by the native one-pass [[graft.functions.MinHashSig]] expression
-  // (MinHashSigSpec asserts bit-identity with the layered HOF form).
-  private def minhash(i: Int): Column =
-    element_at(col("hs"), i + 1).as(s"h$i")
-
-  private def bandKey(b: Int): Column =
-    md5(concat(lit(s"$b|") +:
-      (b * bandR until (b + 1) * bandR).map(i => col(s"h$i")): _*))
+  // Shingling, one-pass k-minima signatures (the native
+  // [[graft.functions.MinHashSig]] expression; MinHashSigSpec asserts
+  // bit-identity with the layered HOF form), and band-key derivation all
+  // live in [[graft.functions.MinHashLsh]] — shared with the incremental
+  // signature-store path ([[graft.etl.IncrementalDedup]]) so the two
+  // cannot drift from the oracle's term-for-term replica.
+  private def shingles(text: Column): Column =
+    graft.functions.MinHashLsh.shingles(text)
+  private def nHashes = graft.functions.MinHashLsh.nHashes
+  private def bandR = graft.functions.MinHashLsh.bandR
 
   /** MinHash signatures + banded LSH candidate generation + exact-Jaccard
     * verification over the union-doubled corpus (copy ids offset by 10^6).
@@ -179,15 +163,10 @@ object DedupPack extends QueryPack {
     // verification joins — without it Spark recomputes the shingle+md5
     // pipeline once per subplan (self-join exchange reuse doesn't cover
     // the differently-projected verification branches).
-    val sig = doubled
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .withColumn("hs",
-        call_function("graft_minhash", col("sh"), lit(nHashes)))
-      .select(Seq(col("doc_id"), col("sh")) ++
-        (0 until nHashes).map(minhash): _*)
+    val sig = graft.functions.MinHashLsh.signatures(doubled)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sig.select(col("doc_id"),
-      explode(array((0 until nHashes / bandR).map(bandKey): _*)).as("band"))
+      explode(col("bands")).as("band"))
     val pairs = banded.alias("x")
       .join(banded.alias("y"),
         col("x.band") === col("y.band") &&
