@@ -1,0 +1,380 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.catalog.Tables
+import graft.functions.CoPurchase
+import graft.queries.TextOps.toks
+
+/** Corpus-hygiene and graph-analytics depth for the pretraining-data
+  * pipeline (BASELINE.json north-star, beyond the reference's own surface —
+  * reference `README.md:364-402` stops at SQL analytics):
+  *
+  *   - q156 segment-level dedup — the CCNet/RefinedWeb "duplicated line
+  *     removal" stage. The corpus here is single-line word soup (no
+  *     newlines), so "lines" are deterministic 10-token windows; a segment
+  *     is duplicated iff its hash occurs in MORE THAN ONE document (repeats
+  *     within one document are kept, matching line-dedup semantics).
+  *   - q157 exact-substring duplication — the char-n-gram form of Lee et
+  *     al. 2022 ("Deduplicating Training Data Makes Language Models
+  *     Better") exact substring matching, sampled at stride 10 so the gram
+  *     count stays ~n_chars/10 per doc instead of n_chars.
+  *   - q158 composite quality-rule filter — the Gopher-style rule cascade
+  *     (word-count bounds, mean-word-length band, lexical diversity,
+  *     repetition cap) with a first-failing-rule verdict per document.
+  *   - q159 regex pre-tokenizer — the BPE-style pre-tokenization pass
+  *     (alpha runs | digit runs | symbol runs) over the punctuated
+  *     event payload, vs the whitespace tokenizer the documents use.
+  *   - q160 stratified sampling — per-language keep-rates via the
+  *     deterministic md5 bucket (`sampleBy` semantics, but reproducible
+  *     across engines, partitionings, and corpus growth).
+  *   - q161 triangle counting — per-node triangle participation in the
+  *     part co-purchase graph (shared CoPurchase kernel), the local
+  *     clustering signal on top of q155's PageRank.
+  *
+  * Scale notes: q156/q157 are the canonical "explode → two-level agg"
+  * shape: per-(hash, doc) partial counts reduce FIRST (combiner-friendly),
+  * then a window over the hash marks cross-document duplicates — no
+  * self-join, no broadcast of a dup-set, one scan of the corpus. q158 is a
+  * pure per-row expression (O(tokens · distinct) in-row, zero shuffle — a
+  * codegen'd map at 100 TB). q160 is a metadata-cheap filter (no shuffle).
+  * q161 bounds wedge expansion by orienting edges src < dst; the
+  * production variant for skewed graphs orients low-degree → high-degree
+  * (cuts the wedge count to O(m^1.5) regardless of skew) at the price of a
+  * degree join — the id orientation suffices at TPC-H co-purchase degree
+  * (≈90 avg, no power-law hubs).
+  *
+  * Parity doctrine (see [[QueryPack]]): all ratios are single double
+  * divisions of exact integers (bit-identical both engines, no rounding);
+  * thresholds are non-representable decimals compared against identically
+  * computed doubles, so both engines take the same branch; DuckDB list
+  * slices `tk[a : b]` are inclusive (the q105 convention); `range(lo, hi,
+  * step)` never descends (the Spark `sequence(1, 0)` DESCENDING trap is
+  * avoided by `greatest(..., 1)` + a full-length filter on both sides).
+  */
+object CorpusOpsPack extends QueryPack {
+
+  private val segLen = 10 // tokens per dedup segment (q156)
+  private val gramLen = 40 // chars per substring gram (q157)
+  private val gramStride = 10 // sampling stride between gram starts (q157)
+
+  // --- q156: cross-document segment dedup ---------------------------------
+
+  /** q156 — CCNet-style duplicated-segment accounting: split each document
+    * into consecutive full 10-token segments, hash them, and mark a
+    * segment duplicated iff its hash appears in >1 distinct document.
+    * Output is the per-document removal ledger (segments, duplicated
+    * segments, surviving token count; trailing <10-token tails are always
+    * kept). The (hash, doc) pre-aggregation reduces the exploded segments
+    * before the hash-window runs, so the heavy grain never shuffles twice.
+    */
+  private def q156(s: SparkSession, dir: String): DataFrame = {
+    val segs = Tables.loadParallel(s, dir, "documents")
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(1),
+          greatest(size(col("tk")) - (segLen - 1), lit(1)),
+          lit(segLen))).as("st"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(col("tk"), col("st"), lit(segLen))))
+          .as("h"),
+        size(slice(col("tk"), col("st"), lit(segLen))).as("sl"))
+      .filter(col("sl") === segLen)
+    val perDoc = segs
+      .groupBy("h", "doc_id").agg(count(lit(1)).as("cnt"))
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy("h")))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_segments"),
+        sum(when(col("nd") > 1, col("cnt")).otherwise(lit(0L))).as("n_dup"))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), TextOps.nToks(col("text")).as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_tokens").cast("int").as("n_tokens"),
+        coalesce(col("n_segments"), lit(0L)).cast("int").as("n_segments"),
+        coalesce(col("n_dup"), lit(0L)).cast("int").as("n_dup_segments"),
+        (col("n_tokens") - lit(segLen) * coalesce(col("n_dup"), lit(0L)))
+          .cast("int").as("kept_tokens"))
+      .orderBy("doc_id")
+  }
+
+  // --- q157: sampled exact-substring duplication --------------------------
+
+  /** q157 — exact-substring duplication audit: 40-char grams sampled every
+    * 10 chars; a gram is duplicated iff it occurs in >1 distinct document.
+    * Per-doc output: gram counts and the duplicated fraction — the signal
+    * substring-dedup pipelines threshold on before cutting byte ranges.
+    * Same two-level agg shape as q156 (no self-join, one corpus scan).
+    */
+  private def q157(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.loadParallel(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1),
+          greatest(length(col("text")) - (gramLen - 1), lit(1)),
+          lit(gramStride))).as("st"))
+      .select(col("doc_id"),
+        col("text").substr(col("st"), lit(gramLen)).as("g"))
+      .filter(length(col("g")) === gramLen)
+    val perDoc = grams
+      .groupBy("g", "doc_id").agg(count(lit(1)).as("cnt"))
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy("g")))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_grams"),
+        sum(when(col("nd") > 1, col("cnt")).otherwise(lit(0L))).as("n_dup"))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).cast("int").as("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).cast("int").as("n_dup_grams"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          col("n_dup").cast("double") / col("n_grams"))
+          .otherwise(lit(0.0)).as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
+  // --- q158: composite quality-rule filter --------------------------------
+
+  /** q158 — Gopher-style rule-cascade filter, entirely in-row (zero
+    * shuffle): token count, mean word length, distinct-token ratio and
+    * max-term-frequency ratio feed four keep rules; the verdict reports
+    * the FIRST failing rule (cascade order: too_short → word_len →
+    * low_diversity → repetitive → pass). Thresholds sit at the observed
+    * sf0.01 deciles so every scale factor rejects a real fraction. The
+    * in-row max-tf (O(tokens × distinct) ≤ ~100×50 here) trades a
+    * token-explode shuffle for per-row work that stays inside whole-stage
+    * codegen — the right trade until documents are megatokens long.
+    */
+  private def q158(s: SparkSession, dir: String): DataFrame =
+    Tables.loadParallel(s, dir, "documents")
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"),
+        size(col("tk")).as("n_words"),
+        (aggregate(col("tk"), lit(0), (acc, x) => acc + length(x))
+          .cast("double") / size(col("tk"))).as("mean_word_len"),
+        (size(array_distinct(col("tk"))).cast("double") / size(col("tk")))
+          .as("distinct_ratio"),
+        (array_max(transform(array_distinct(col("tk")),
+          w => size(filter(col("tk"), t => t === w))))
+          .cast("double") / size(col("tk"))).as("max_tf_ratio"))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("distinct_ratio"), col("max_tf_ratio"),
+        when(col("n_words") >= 20 &&
+          col("mean_word_len").between(3.8, 5.2) &&
+          col("distinct_ratio") >= 0.35 &&
+          col("max_tf_ratio") <= 0.14, 1).otherwise(0).as("keep"),
+        when(col("n_words") < 20, "too_short")
+          .when(!col("mean_word_len").between(3.8, 5.2), "word_len")
+          .when(col("distinct_ratio") < 0.35, "low_diversity")
+          .when(col("max_tf_ratio") > 0.14, "repetitive")
+          .otherwise("pass").as("reason"))
+      .orderBy("doc_id")
+
+  // --- q159: BPE-style regex pre-tokenizer --------------------------------
+
+  private val preTok = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9]+"
+
+  /** q159 — regex pre-tokenization (the GPT-2-style pre-tokenizer's
+    * class-run split: alpha runs | digit runs | symbol runs) over the
+    * punctuated event payload (`event_type` + JSON props). Maximal runs of
+    * the three classes partition the string, so n_pre = n_alpha + n_num +
+    * n_sym exactly; the md5 over the joined token list pins the actual
+    * token SEQUENCE cross-engine, not just the counts. Pure per-row regex
+    * work — ASCII character classes behave identically in Java regex
+    * (Spark) and RE2 (DuckDB). Zero shuffle.
+    */
+  private def q159(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(col("event_id"),
+        concat_ws(" ", col("event_type"), col("props")).as("raw"))
+      .select(col("event_id"),
+        regexp_extract_all(col("raw"), lit(preTok), lit(0)).as("pt"),
+        regexp_extract_all(col("raw"), lit("[a-zA-Z]+"), lit(0)).as("al"),
+        regexp_extract_all(col("raw"), lit("[0-9]+"), lit(0)).as("nu"))
+      .select(col("event_id"),
+        size(col("pt")).as("n_pre"),
+        size(col("al")).as("n_alpha"),
+        size(col("nu")).as("n_num"),
+        (size(col("pt")) - size(col("al")) - size(col("nu"))).as("n_sym"),
+        md5(concat_ws("|", col("pt"))).as("tok_md5"))
+      .orderBy("event_id")
+
+  // --- q160: stratified sampling ------------------------------------------
+
+  /** q160 — deterministic stratified sampling: per-language keep-rates
+    * (en 50%, de 100%, minority languages 25%) decided by the shared
+    * md5 bucket (TrainingPipelinePack.bucket — q111 doctrine: stable
+    * under corpus growth, engine- and partitioning-independent, unlike
+    * `df.stat.sampleBy`'s rand()). A pure filter: no shuffle, and at
+    * 100 TB membership is decided during the scan, composing with
+    * predicate pushdown on the stratum column.
+    */
+  private def q160(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .filter(TrainingPipelinePack.bucket(col("doc_id"), "strat", 1000) <
+        when(col("lang") === "en", 500)
+          .when(col("lang") === "de", 1000)
+          .otherwise(250))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  // --- q161: triangle counting --------------------------------------------
+
+  /** q161 — per-node triangle counts on the part co-purchase graph:
+    * oriented edges (src < dst, shared [[CoPurchase]] kernel) make each
+    * triangle a < b < c appear exactly once as (a,b)+(b,c)+(a,c); two
+    * self-joins enumerate them, and each triangle credits all three
+    * corners via a map-side array explode (NOT a 3-way union, which would
+    * re-run the join per branch). The edge list persists — it feeds both
+    * join sides plus the closing probe. Wedge volume is Σ_b in(b)·out(b)
+    * (~40 M at sf0.1): inherent to exact triangle listing; the sampled
+    * estimate (DOULION: keep edges w.p. p, scale by p⁻³) is the 100 TB
+    * fallback when exact listing stops paying.
+    */
+  private def q161(s: SparkSession, dir: String): DataFrame = {
+    val pairs = CoPurchase.distinctPairs(Tables.load(s, dir, "lineitem"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tri = pairs.as("e1")
+      .join(pairs.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(pairs.as("e3"),
+        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+        col("e2.dst").as("c"))
+    tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      .orderBy("node")
+  }
+
+  override val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
+    Seq(
+      "q156_segment_dedup" -> q156 _,
+      "q157_substring_dup" -> q157 _,
+      "q158_filter_rules" -> q158 _,
+      "q159_regex_pretoken" -> q159 _,
+      "q160_stratified_sample" -> q160 _,
+      "q161_triangles" -> q161 _)
+
+  private val duckToks = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  override val oracle: Seq[(String, String)] = Seq(
+    "q156_segment_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |seg AS (
+         | SELECT doc_id, tk,
+         |  unnest(range(1, greatest(len(tk) - ${segLen - 1}, 1) + 1,
+         |               $segLen)) AS st
+         | FROM t),
+         |f AS (
+         | SELECT doc_id,
+         |  md5(array_to_string(tk[st : st + ${segLen - 1}], ' ')) AS h
+         | FROM seg WHERE len(tk[st : st + ${segLen - 1}]) = $segLen),
+         |g AS (SELECT h, doc_id, count(*) AS cnt FROM f GROUP BY 1, 2),
+         |m AS (SELECT h, doc_id, cnt,
+         |       count(*) OVER (PARTITION BY h) AS nd FROM g),
+         |pd AS (
+         | SELECT doc_id, sum(cnt) AS n_segments,
+         |  sum(CASE WHEN nd > 1 THEN cnt ELSE 0 END) AS n_dup
+         | FROM m GROUP BY 1),
+         |base AS (SELECT doc_id, len($duckToks) AS n_tokens FROM documents)
+         |SELECT b.doc_id, CAST(b.n_tokens AS INT) AS n_tokens,
+         | CAST(COALESCE(pd.n_segments, 0) AS INT) AS n_segments,
+         | CAST(COALESCE(pd.n_dup, 0) AS INT) AS n_dup_segments,
+         | CAST(b.n_tokens - $segLen * COALESCE(pd.n_dup, 0) AS INT)
+         |   AS kept_tokens
+         |FROM base b LEFT JOIN pd ON b.doc_id = pd.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
+    "q157_substring_dup" ->
+      s"""WITH g AS (
+         | SELECT doc_id, substring(text, st, $gramLen) AS gr
+         | FROM (SELECT doc_id, text,
+         |        unnest(range(1, greatest(len(text) - ${gramLen - 1}, 1) + 1,
+         |                     $gramStride)) AS st
+         |       FROM documents) q
+         | WHERE len(substring(text, st, $gramLen)) = $gramLen),
+         |c AS (SELECT gr, doc_id, count(*) AS cnt FROM g GROUP BY 1, 2),
+         |m AS (SELECT gr, doc_id, cnt,
+         |       count(*) OVER (PARTITION BY gr) AS nd FROM c),
+         |pd AS (
+         | SELECT doc_id, sum(cnt) AS n_grams,
+         |  sum(CASE WHEN nd > 1 THEN cnt ELSE 0 END) AS n_dup
+         | FROM m GROUP BY 1)
+         |SELECT d.doc_id,
+         | CAST(COALESCE(pd.n_grams, 0) AS INT) AS n_grams,
+         | CAST(COALESCE(pd.n_dup, 0) AS INT) AS n_dup_grams,
+         | CASE WHEN COALESCE(pd.n_grams, 0) > 0
+         |      THEN CAST(pd.n_dup AS DOUBLE) / pd.n_grams
+         |      ELSE CAST(0 AS DOUBLE) END AS dup_ratio
+         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "q158_filter_rules" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |s AS (SELECT doc_id,
+         |  CAST(len(tk) AS INT) AS n_words,
+         |  CAST(list_sum(list_transform(tk, x -> len(x))) AS DOUBLE)
+         |    / len(tk) AS mean_word_len,
+         |  CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
+         |    AS distinct_ratio,
+         |  CAST(list_max(list_transform(list_distinct(tk),
+         |         w -> len(list_filter(tk, t -> t = w)))) AS DOUBLE)
+         |    / len(tk) AS max_tf_ratio
+         | FROM t)
+         |SELECT doc_id, n_words, mean_word_len, distinct_ratio,
+         | max_tf_ratio,
+         | CASE WHEN n_words >= 20
+         |       AND mean_word_len BETWEEN CAST(3.8 AS DOUBLE)
+         |                             AND CAST(5.2 AS DOUBLE)
+         |       AND distinct_ratio >= CAST(0.35 AS DOUBLE)
+         |       AND max_tf_ratio <= CAST(0.14 AS DOUBLE)
+         |      THEN 1 ELSE 0 END AS keep,
+         | CASE WHEN n_words < 20 THEN 'too_short'
+         |      WHEN mean_word_len NOT BETWEEN CAST(3.8 AS DOUBLE)
+         |                                 AND CAST(5.2 AS DOUBLE)
+         |        THEN 'word_len'
+         |      WHEN distinct_ratio < CAST(0.35 AS DOUBLE)
+         |        THEN 'low_diversity'
+         |      WHEN max_tf_ratio > CAST(0.14 AS DOUBLE) THEN 'repetitive'
+         |      ELSE 'pass' END AS reason
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "q159_regex_pretoken" ->
+      s"""WITH r AS (
+         | SELECT event_id, concat_ws(' ', event_type, props) AS raw
+         | FROM events),
+         |x AS (
+         | SELECT event_id,
+         |  regexp_extract_all(raw, '$preTok') AS pt,
+         |  regexp_extract_all(raw, '[a-zA-Z]+') AS al,
+         |  regexp_extract_all(raw, '[0-9]+') AS nu
+         | FROM r)
+         |SELECT event_id,
+         | CAST(len(pt) AS INT) AS n_pre,
+         | CAST(len(al) AS INT) AS n_alpha,
+         | CAST(len(nu) AS INT) AS n_num,
+         | CAST(len(pt) - len(al) - len(nu) AS INT) AS n_sym,
+         | md5(array_to_string(pt, '|')) AS tok_md5
+         |FROM x ORDER BY event_id""".stripMargin,
+    "q160_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST('0x' || substring(md5('strat|' ||
+        |        CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000
+        |      < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 1000
+        |                  ELSE 250 END
+        |ORDER BY doc_id""".stripMargin,
+    "q161_triangles" ->
+      """WITH items AS (
+        | SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        | SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        | FROM items a JOIN items b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |tri AS (
+        | SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        | FROM pairs e1
+        | JOIN pairs e2 ON e1.dst = e2.src
+        | JOIN pairs e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+        |n AS (SELECT unnest([a, b, c]) AS node FROM tri)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+        |FROM n GROUP BY node ORDER BY node""".stripMargin)
+}

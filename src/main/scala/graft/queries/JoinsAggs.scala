@@ -513,25 +513,15 @@ object JoinsAggs extends QueryPack {
     * adds a `HAVING count ≥ minsupport` before ranking; top-k here is
     * TakeOrderedAndProject.
     */
-  private def q141(s: SparkSession, dir: String): DataFrame = {
-    // basket per order via ONE shuffle (collect_set dedupes in-agg), then
-    // pair expansion happens map-side on the sorted basket array — the
-    // self-join formulation would scan+shuffle lineitem twice (Spark's
-    // exchange reuse does not fire across differently-aliased branches;
-    // verified with tools.FinalPlan)
-    val baskets = Tables.load(s, dir, "lineitem")
-      .groupBy("l_orderkey")
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-    val pairs = flatten(transform(col("ps"), (x, i) =>
-      transform(slice(col("ps"), i + lit(2), size(col("ps"))),
-        y => struct(x.as("p1"), y.as("p2")))))
-    baskets
-      .select(explode(pairs).as("pair"))
-      .groupBy(col("pair.p1").as("p1"), col("pair.p2").as("p2"))
+  private def q141(s: SparkSession, dir: String): DataFrame =
+    // basket per order via ONE shuffle + map-side pair expansion — the
+    // shared co-purchase kernel (see graft.functions.CoPurchase for the
+    // single-scan rationale)
+    graft.functions.CoPurchase.orderPairs(Tables.load(s, dir, "lineitem"))
+      .groupBy(col("src").as("p1"), col("dst").as("p2"))
       .agg(count(lit(1)).as("support"))
       .orderBy(col("support").desc, col("p1"), col("p2"))
       .limit(20)
-  }
 
   /** q142 — RFM customer segmentation: recency (last order date),
     * frequency (order count), monetary (exact-cents spend) per customer,

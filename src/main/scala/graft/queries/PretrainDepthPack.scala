@@ -149,19 +149,10 @@ object PretrainDepthPack extends QueryPack {
     * round); the oracle unrolls the identical rounds as CTEs r1..r3.
     */
   private def q155(s: SparkSession, dir: String): DataFrame = {
-    val sets = Tables.load(s, dir, "lineitem")
-      .select("l_orderkey", "l_partkey")
-      .groupBy("l_orderkey")
-      .agg(sort_array(collect_set("l_partkey")).as("ps"))
-    // index-variant transform + slice (the q141 expansion): slice past the
-    // array end is empty, so 1-part orders contribute nothing — unlike
-    // sequence(1, 0), which Spark generates DESCENDING as [1, 0]
-    val pairs = sets
-      .select(explode(flatten(transform(col("ps"), (x, i) =>
-        transform(slice(col("ps"), i + lit(2), size(col("ps"))),
-          y => struct(x.as("src"), y.as("dst")))))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct()
+    // oriented distinct edge set from the shared co-purchase kernel
+    // (graft.functions.CoPurchase: one lineitem scan, map-side expansion)
+    val pairs =
+      graft.functions.CoPurchase.distinctPairs(Tables.load(s, dir, "lineitem"))
     val edges = pairs.union(
         pairs.select(col("dst").as("src"), col("src").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.queries.CorpusOpsPack
+
+/** Property-level checks for the corpus-hygiene/graph pack (q156–q161),
+  * independent of the DuckDB oracle gate: internal-consistency invariants
+  * the hash compare can't articulate (ledger arithmetic, cascade ordering,
+  * run-partition identities, triangle handshake).
+  */
+class CorpusOpsSpec extends SparkSpecBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def q(name: String) =
+    CorpusOpsPack.queries.toMap.apply(name)(spark, dir)
+
+  test("q156: segment ledger is internally consistent and finds dups") {
+    val rows = q("q156_segment_dedup").collect()
+    assert(rows.nonEmpty)
+    var dups = 0L
+    for (Row(_, nTok: Int, nSeg: Int, nDup: Int, kept: Int) <- rows) {
+      assert(nDup <= nSeg, "duplicated segments bounded by segment count")
+      assert(nSeg <= nTok / 10, "only full 10-token windows count")
+      assert(kept === nTok - 10 * nDup, "removal ledger arithmetic")
+      dups += nDup
+    }
+    assert(dups > 0, "injected near-dup docs must share segments")
+  }
+
+  test("q157: dup_ratio matches counts; exact-dup docs agree") {
+    val rows = q("q157_substring_dup").collect()
+    for (Row(_, n: Int, d: Int, r: Double) <- rows) {
+      assert(d <= n)
+      if (n > 0) assert(r === d.toDouble / n) else assert(r === 0.0)
+    }
+    // every gram of a doc whose full text appears in another doc is dup
+    val docs = graft.catalog.Tables.load(spark, dir, "documents")
+    val clones = docs.groupBy("text").agg(count(lit(1)).as("c"),
+        collect_list("doc_id").as("ids"))
+      .filter(col("c") > 1)
+      .select(explode(col("ids")).as("doc_id")).collect().map(_.getLong(0))
+    if (clones.nonEmpty) {
+      val byId = rows.map(r => r.getLong(0) -> r).toMap
+      for (id <- clones; row = byId(id) if row.getInt(1) > 0)
+        assert(row.getInt(2) === row.getInt(1),
+          s"doc $id is a full-text clone; all its grams must be dup")
+    }
+  }
+
+  test("q158: cascade reports the FIRST failing rule; keep iff pass") {
+    val rows = q("q158_filter_rules").collect()
+    val reasons = rows.map(_.getString(6)).toSet
+    assert(reasons.contains("pass"), "some docs must survive")
+    assert((reasons - "pass").nonEmpty, "some docs must fail")
+    for (r <- rows) {
+      val (n, mwl, dr, mtr) = (r.getInt(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))
+      val expect =
+        if (n < 20) "too_short"
+        else if (mwl < 3.8 || mwl > 5.2) "word_len"
+        else if (dr < 0.35) "low_diversity"
+        else if (mtr > 0.14) "repetitive"
+        else "pass"
+      assert(r.getString(6) === expect)
+      assert(r.getInt(5) === (if (expect == "pass") 1 else 0))
+    }
+  }
+
+  test("q159: class runs partition the string; md5 pins the sequence") {
+    val rows = q("q159_regex_pretoken").collect()
+    assert(rows.nonEmpty)
+    for (Row(_, pre: Int, al: Int, nu: Int, sym: Int, _) <- rows) {
+      assert(pre === al + nu + sym, "maximal runs are disjoint + exhaustive")
+      assert(sym >= 1, "JSON props always carry symbol runs")
+    }
+  }
+
+  test("q160: strata sampled at their configured rates") {
+    val docs = graft.catalog.Tables.load(spark, dir, "documents")
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = q("q160_stratified_sample").groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("de") === total("de"), "rate 1.0 stratum keeps everything")
+    val enRate = got("en").toDouble / total("en")
+    assert(enRate > 0.35 && enRate < 0.65, s"en rate ~0.5, got $enRate")
+    // deterministic: rerun is identical
+    assert(q("q160_stratified_sample").collect().toSeq ===
+      q("q160_stratified_sample").collect().toSeq)
+  }
+
+  test("q161: handshake — corner credits sum to 3× triangle count") {
+    val perNode = q("q161_triangles").collect()
+    assert(perNode.nonEmpty, "co-purchase graph must contain triangles")
+    val credits = perNode.map(_.getLong(1)).sum
+    val pairs = graft.functions.CoPurchase
+      .distinctPairs(graft.catalog.Tables.load(spark, dir, "lineitem"))
+    val tri = pairs.as("e1")
+      .join(pairs.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(pairs.as("e3"),
+        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+      .count()
+    assert(credits === 3 * tri)
+  }
+
+  test("CoPurchase: pairs are oriented, distinct, and basket-bounded") {
+    val li = graft.catalog.Tables.load(spark, dir, "lineitem")
+    val p = graft.functions.CoPurchase.distinctPairs(li)
+    assert(p.filter(col("src") >= col("dst")).count() === 0)
+    assert(p.count() === p.distinct().count())
+    // an order with k distinct parts contributes C(k,2) rows to orderPairs
+    val perOrder = li.groupBy("l_orderkey")
+      .agg(countDistinct("l_partkey").as("k"))
+    val expected = perOrder
+      .select(sum((col("k") * (col("k") - 1) / 2).cast("long")))
+      .head().getLong(0)
+    assert(graft.functions.CoPurchase.orderPairs(li).count() === expected)
+  }
+}
