@@ -262,6 +262,93 @@ object CorpusOpsPack extends QueryPack {
       .orderBy("node")
   }
 
+  // --- q162: BPE merge learning (first iteration) -------------------------
+
+  /** q162 — the first BPE-training iteration: collapse the corpus to its
+    * word-frequency vocabulary (the standard BPE-trainer move — work is
+    * O(vocab), not O(corpus)), enumerate adjacent symbol pairs inside
+    * each word as 2-char substrings, weight by word frequency, and rank;
+    * the top pair is the merge a BPE trainer would apply next. Integer
+    * weights — exact cross-engine. The vocab collapse is the scale story:
+    * at 100 TB the explode-and-count token pass dominates and is the same
+    * linear scan as q67; everything after runs on the vocabulary.
+    */
+  private def q162(s: SparkSession, dir: String): DataFrame =
+    Tables.loadParallel(s, dir, "documents")
+      .select(explode(toks(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .filter(length(col("w")) >= 2)
+      .select(col("w"), col("freq"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(col("w").substr(col("i"), lit(2)).as("pair"), col("freq"))
+      .groupBy("pair").agg(sum("freq").as("weight"))
+      .orderBy(col("weight").desc, col("pair"))
+      .limit(20)
+
+  // --- q163: TF-IDF sparse retrieval --------------------------------------
+
+  private val nQueryDocs = 5
+  private val retrievalK = 5
+
+  /** q163 — sparse lexical retrieval: TF-IDF weights per (doc, word), the
+    * first `nQueryDocs` docs as queries, dot-product scoring via a join
+    * on the shared word, top-5 candidates per query. The query-side
+    * vectors BROADCAST (a query batch is always small); the corpus side
+    * never shuffles on anything but the (doc, word) reduce that built it.
+    * Scores are sums of ln-products → round(6) absorbs accumulation-order
+    * and libm ulps (QueryPack doctrine), and ranking happens on the
+    * ROUNDED score with a doc_id tiebreak so both engines rank
+    * identically. The per-(doc,word) weight table persists — it feeds
+    * both the corpus side and the query slice.
+    */
+  private def q163(s: SparkSession, dir: String): DataFrame = {
+    val nDocs = Tables.load(s, dir, "documents").count()
+    val tf = Tables.loadParallel(s, dir, "documents")
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+    val idf = tf.groupBy("w")
+      .agg(count(lit(1)).as("df"))
+      .select(col("w"), log(lit(nDocs.toDouble) / col("df")).as("idf"))
+    val weighted = tf.join(idf, "w")
+      .select(col("doc_id"), col("w"), (col("cnt") * col("idf")).as("wt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val queries = weighted.filter(col("doc_id") < nQueryDocs)
+      .select(col("doc_id").as("q_id"), col("w"), col("wt").as("qwt"))
+    val scored = weighted.join(broadcast(queries), Seq("w"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy("q_id", "doc_id")
+      .agg(round(sum(col("wt") * col("qwt")), 6).as("score"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= retrievalK)
+      .orderBy("q_id", "rank")
+  }
+
+  // --- q164: inverted index -----------------------------------------------
+
+  /** q164 — inverted-index construction: per word, document frequency,
+    * total term frequency, and an md5 fingerprint of the sorted posting
+    * list (the driver compare needs scalars, and the fingerprint pins the
+    * exact posting SEQUENCE, not just its length). One explode + two
+    * stacked aggregates on the same key prefix — the (w, doc) reduce
+    * feeds the (w) reduce without a second corpus pass. Posting lists as
+    * in-row arrays cap at group size; at 100 TB hot words get huge
+    * postings → the production layout shards postings by (word, doc_id
+    * range) buckets, which this grain supports unchanged.
+    */
+  private def q164(s: SparkSession, dir: String): DataFrame =
+    Tables.loadParallel(s, dir, "documents")
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      .groupBy("w", "doc_id").agg(count(lit(1)).as("cnt"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("df"),
+        sum("cnt").as("total_tf"),
+        md5(concat_ws(",",
+          sort_array(collect_list(col("doc_id"))).cast("array<string>")))
+          .as("postings_md5"))
+      .orderBy("w")
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq(
       "q156_segment_dedup" -> q156 _,
@@ -269,7 +356,10 @@ object CorpusOpsPack extends QueryPack {
       "q158_filter_rules" -> q158 _,
       "q159_regex_pretoken" -> q159 _,
       "q160_stratified_sample" -> q160 _,
-      "q161_triangles" -> q161 _)
+      "q161_triangles" -> q161 _,
+      "q162_bpe_merge" -> q162 _,
+      "q163_tfidf_retrieval" -> q163 _,
+      "q164_inverted_index" -> q164 _)
 
   private val duckToks = "list_filter(string_split(text, ' '), x -> x <> '')"
 
@@ -390,5 +480,50 @@ object CorpusOpsPack extends QueryPack {
         | JOIN pairs e3 ON e3.src = e1.src AND e3.dst = e2.dst),
         |n AS (SELECT unnest([a, b, c]) AS node FROM tri)
         |SELECT node, CAST(count(*) AS BIGINT) AS n_tri
-        |FROM n GROUP BY node ORDER BY node""".stripMargin)
+        |FROM n GROUP BY node ORDER BY node""".stripMargin,
+    "q162_bpe_merge" ->
+      s"""WITH w AS (
+         | SELECT unnest($duckToks) AS w FROM documents),
+         |f AS (SELECT w, count(*) AS freq FROM w GROUP BY 1),
+         |p AS (
+         | SELECT substring(w, i, 2) AS pair, freq
+         | FROM (SELECT w, freq, unnest(range(1, len(w))) AS i
+         |       FROM f WHERE len(w) >= 2) q)
+         |SELECT pair, CAST(sum(freq) AS BIGINT) AS weight
+         |FROM p GROUP BY 1
+         |ORDER BY weight DESC, pair LIMIT 20""".stripMargin,
+    "q163_tfidf_retrieval" ->
+      s"""WITH x AS (
+         | SELECT doc_id, unnest($duckToks) AS w FROM documents),
+         |tf AS (SELECT doc_id, w, count(*) AS cnt FROM x GROUP BY 1, 2),
+         |idf AS (
+         | SELECT w, ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)
+         |              / count(*)) AS idf
+         | FROM tf GROUP BY w),
+         |c AS (
+         | SELECT doc_id, t.w, cnt * idf AS wt
+         | FROM tf t JOIN idf ON t.w = idf.w),
+         |q AS (SELECT doc_id AS q_id, w, wt AS qwt FROM c
+         |      WHERE doc_id < $nQueryDocs),
+         |sc AS (
+         | SELECT q.q_id, c.doc_id,
+         |  round(sum(c.wt * q.qwt), 6) AS score
+         | FROM c JOIN q ON c.w = q.w
+         | WHERE c.doc_id <> q.q_id GROUP BY 1, 2),
+         |r AS (
+         | SELECT q_id, doc_id, score,
+         |  row_number() OVER (PARTITION BY q_id
+         |                     ORDER BY score DESC, doc_id) AS rank
+         | FROM sc)
+         |SELECT q_id, doc_id, score, CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= $retrievalK
+         |ORDER BY q_id, rank""".stripMargin,
+    "q164_inverted_index" ->
+      s"""WITH x AS (
+         | SELECT doc_id, unnest($duckToks) AS w FROM documents),
+         |g AS (SELECT w, doc_id, count(*) AS cnt FROM x GROUP BY 1, 2)
+         |SELECT w, CAST(count(*) AS BIGINT) AS df,
+         | CAST(sum(cnt) AS BIGINT) AS total_tf,
+         | md5(array_to_string(list_sort(list(doc_id)), ',')) AS postings_md5
+         |FROM g GROUP BY w ORDER BY w""".stripMargin)
 }

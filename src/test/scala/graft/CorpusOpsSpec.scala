@@ -104,6 +104,49 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(credits === 3 * tri)
   }
 
+  test("q162: pair weights are exact sums of word frequencies") {
+    val rows = q("q162_bpe_merge").collect()
+    assert(rows.size === 20)
+    val weights = rows.map(_.getLong(1))
+    assert(weights === weights.sorted.reverse, "descending by weight")
+    // independent recompute of the winning pair's weight
+    val docs = graft.catalog.Tables.load(spark, dir, "documents")
+    val top = rows.head.getString(0)
+    val expect = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("w")).collect()
+      .map(_.getString(0))
+      .map(w => w.sliding(2).count(_ == top).toLong).sum
+    assert(rows.head.getLong(1) === expect)
+  }
+
+  test("q163: retrieval returns k ranked candidates per query, no self") {
+    val rows = q("q163_tfidf_retrieval").collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    for ((qid, rs) <- byQ) {
+      assert(rs.length === 5)
+      assert(rs.map(_.getInt(3)).sorted === (1 to 5))
+      assert(!rs.exists(_.getLong(1) == qid), "self excluded")
+      val scores = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(scores === scores.sorted.reverse, "rank follows score")
+    }
+  }
+
+  test("q164: df and postings agree with the raw corpus") {
+    val rows = q("q164_inverted_index").collect()
+    val docs = graft.catalog.Tables.load(spark, dir, "documents")
+    val nDocs = docs.count()
+    // every word's df is bounded by the corpus, and a word that occurs
+    // in every doc must exist in this tiny vocab (soup of ~30 words)
+    assert(rows.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= nDocs))
+    val totalTf = rows.map(_.getLong(2)).sum
+    val totalTokens = docs
+      .select(sum(size(graft.queries.TextOps.toks(col("text")))))
+      .head().getLong(0)
+    assert(totalTf === totalTokens, "postings account for every token")
+  }
+
   test("CoPurchase: pairs are oriented, distinct, and basket-bounded") {
     val li = graft.catalog.Tables.load(spark, dir, "lineitem")
     val p = graft.functions.CoPurchase.distinctPairs(li)

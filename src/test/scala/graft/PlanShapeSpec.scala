@@ -165,4 +165,44 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("InMemoryTableScan"),
       s"edges+degree must persist across iterations:\n${p.take(3000)}")
   }
+
+  test("corpus dedup ledgers: two-level agg + hash window, ONE join") {
+    // q156/q157 mark cross-doc duplicates with a window over the
+    // (hash, doc) pre-aggregate — the dup-set self-join formulation
+    // would re-shuffle the exploded grain; only the doc-grain LEFT
+    // join back to documents may appear
+    for (name <- Seq("q156_segment_dedup", "q157_substring_dup")) {
+      val p = planOf(q(name))
+      val joins = p.linesIterator.count(_.contains("Join"))
+      assert(joins == 1, s"$name: expected only the doc-grain join, got $joins:\n${p.take(3000)}")
+      assert(p.contains("Window"), s"$name must use the hash window")
+    }
+  }
+
+  test("quality-rule cascade is a pure map: zero hash exchanges") {
+    val df = q("q158_filter_rules")
+    df.collect() // finalize the adaptive plan so codegen spans print
+    val p = planOf(df)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"q158 must not shuffle:\n${p.take(3000)}")
+    assert(p.contains("WholeStageCodegen") || p.contains("*("),
+      "per-row rule evaluation must stay inside codegen")
+  }
+
+  test("stratified sample decides membership during the scan") {
+    val p = planOf(q("q160_stratified_sample"))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"q160 is filter-only — no shuffle:\n${p.take(3000)}")
+  }
+
+  test("triangle counting broadcasts adjacency; edge grain never sorts") {
+    val df = q("q161_triangles")
+    df.collect() // finalize adaptive plan + populate the edge cache
+    val p = planOf(df)
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"),
+      "edge-grain joins must broadcast the adjacency table")
+    assert(p.contains("InMemoryTableScan"),
+      "the oriented edge list must persist across its consumers")
+  }
 }
