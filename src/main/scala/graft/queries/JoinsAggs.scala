@@ -579,7 +579,63 @@ object JoinsAggs extends QueryPack {
       .orderBy("d")
   }
 
+  /** q165 — BAG set operations (EXCEPT ALL / INTERSECT ALL): multiset
+    * difference and intersection of the (returnflag, linestatus) bags on
+    * odd- vs even-numbered lineitem lines, reduced to per-value
+    * multiplicities so the output stays compact while the operators run
+    * at full bag grain. Complements q28–q30's DISTINCT set ops: the ALL
+    * variants preserve multiplicity, which Spark plans as an aggregated
+    * count-difference (no sort) — the same shape a 100 TB reconciliation
+    * diff (row-level bag compare of two loads) uses. The parity split is
+    * SF-independent (STATUS trap: absolute value thresholds are not).
+    */
+  private def q165(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+        col("l_linenumber").as("ln"))
+    val a = li.filter(col("ln") % 2 === 1).select("rf", "ls")
+    val b = li.filter(col("ln") % 2 === 0).select("rf", "ls")
+    val ex = a.exceptAll(b).groupBy("rf", "ls")
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+    val in = a.intersectAll(b).groupBy("rf", "ls")
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+    ex.union(in).select("op", "rf", "ls", "n").orderBy("op", "rf", "ls")
+  }
+
+  /** q166 — EWMA smoothing (α = 0.3) of the daily revenue series per
+    * order priority: the inherently sequential recurrence y_t = αx_t +
+    * (1−α)y_{t−1} runs as an in-row `aggregate` fold over the sorted
+    * per-group day array — per-group series are bounded by calendar days
+    * (~2.5 k at any SF), so the fold is O(days) per group with ZERO extra
+    * shuffle beyond the daily reduce. (The pow-weighted window
+    * formulation is numerically unusable: (1−α)^−k overflows beyond ~700
+    * steps.) Daily revenue reduces as exact integer cents (q86 doctrine)
+    * so the fold input is bit-identical cross-engine; both engines then
+    * execute the identical IEEE fold sequence — DuckDB's `list_reduce`
+    * seeds with the first element, mirrored here by folding the tail
+    * onto element 1. Unbounded per-key series would switch to
+    * Structured Streaming state (mapGroupsWithState), not a bigger array.
+    */
+  private def q166(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("priority"),
+        col("o_orderdate").as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .groupBy("priority")
+      .agg(sort_array(collect_list(struct(col("d"),
+        (col("cents") / 100.0).as("r")))).as("srt"))
+      .select(col("priority"),
+        transform(col("srt"), e => e.getField("r")).as("xs"))
+      .select(col("priority"),
+        size(col("xs")).as("n_days"),
+        round(aggregate(slice(col("xs"), lit(2), size(col("xs")) - 1),
+          element_at(col("xs"), 1),
+          (acc, x) => lit(0.3) * x + lit(0.7) * acc), 6).as("ewma"))
+      .orderBy("priority")
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q165_bag_setops" -> q165 _,
+    "q166_ewma_revenue" -> q166 _,
     "q132_cohort_retention" -> q132 _,
     "q133_dau_wau" -> q133 _,
     "q141_basket_pairs" -> q141 _,
@@ -615,6 +671,35 @@ object JoinsAggs extends QueryPack {
     "q36_pivot" -> q36 _)
 
   override val oracle: Seq[(String, String)] = Seq(
+    "q165_bag_setops" ->
+      """WITH a AS (SELECT l_returnflag AS rf, l_linestatus AS ls
+        |           FROM lineitem WHERE l_linenumber % 2 = 1),
+        |b AS (SELECT l_returnflag AS rf, l_linestatus AS ls
+        |      FROM lineitem WHERE l_linenumber % 2 = 0),
+        |ex AS (SELECT rf, ls FROM a EXCEPT ALL SELECT rf, ls FROM b),
+        |ix AS (SELECT rf, ls FROM a INTERSECT ALL SELECT rf, ls FROM b)
+        |SELECT 'except_all' AS op, rf, ls, CAST(count(*) AS BIGINT) AS n
+        |FROM ex GROUP BY 2, 3
+        |UNION ALL
+        |SELECT 'intersect_all' AS op, rf, ls, CAST(count(*) AS BIGINT)
+        |FROM ix GROUP BY 2, 3
+        |ORDER BY op, rf, ls""".stripMargin,
+    "q166_ewma_revenue" ->
+      """WITH daily AS (
+        | SELECT o_orderpriority AS priority, o_orderdate AS d,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        | FROM orders GROUP BY 1, 2),
+        |arr AS (
+        | SELECT priority,
+        |  list_transform(
+        |    list_sort(list({'d': d, 'r': CAST(cents AS DOUBLE) / 100})),
+        |    e -> e.r) AS xs
+        | FROM daily GROUP BY priority)
+        |SELECT priority, CAST(len(xs) AS INT) AS n_days,
+        | round(list_reduce(xs,
+        |   (acc, x) -> CAST(0.3 AS DOUBLE) * x
+        |             + CAST(0.7 AS DOUBLE) * acc), 6) AS ewma
+        |FROM arr ORDER BY priority""".stripMargin,
     "q146_anomaly_days" ->
       """WITH daily AS (
         | SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
