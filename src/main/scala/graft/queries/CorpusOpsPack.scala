@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -147,8 +147,14 @@ object CorpusOpsPack extends QueryPack {
     * token-explode shuffle for per-row work that stays inside whole-stage
     * codegen — the right trade until documents are megatokens long.
     */
-  private def q158(s: SparkSession, dir: String): DataFrame =
-    Tables.loadParallel(s, dir, "documents")
+  /** Row-local rule verdicts over a (doc_id, text, …) frame — shared by
+    * the batch query (q158) and the streaming filter twin
+    * ([[graft.streaming.CorpusFilter]]): every expression is per-row, so
+    * the SAME definition runs on a static frame and on an unbounded
+    * stream (stateless streaming needs no watermark, no state store).
+    */
+  private[graft] def ruleVerdicts(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), toks(col("text")).as("tk"))
       .select(col("doc_id"),
         size(col("tk")).as("n_words"),
@@ -170,6 +176,9 @@ object CorpusOpsPack extends QueryPack {
           .when(col("distinct_ratio") < 0.35, "low_diversity")
           .when(col("max_tf_ratio") > 0.14, "repetitive")
           .otherwise("pass").as("reason"))
+
+  private def q158(s: SparkSession, dir: String): DataFrame =
+    ruleVerdicts(Tables.loadParallel(s, dir, "documents"))
       .orderBy("doc_id")
 
   // --- q159: BPE-style regex pre-tokenizer --------------------------------
@@ -211,12 +220,17 @@ object CorpusOpsPack extends QueryPack {
     * 100 TB membership is decided during the scan, composing with
     * predicate pushdown on the stratum column.
     */
+  /** The stratified keep-predicate (row-local, engine-deterministic) —
+    * shared by q160 and the streaming twin. */
+  private[graft] def stratKeep: Column =
+    TrainingPipelinePack.bucket(col("doc_id"), "strat", 1000) <
+      when(col("lang") === "en", 500)
+        .when(col("lang") === "de", 1000)
+        .otherwise(250)
+
   private def q160(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
-      .filter(TrainingPipelinePack.bucket(col("doc_id"), "strat", 1000) <
-        when(col("lang") === "en", 500)
-          .when(col("lang") === "de", 1000)
-          .otherwise(250))
+      .filter(stratKeep)
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
