@@ -80,11 +80,57 @@ object DataQualityPack extends QueryPack {
       .orderBy("check_name")
   }
 
+  /** q167 — winsorization (percentile outlier capping): per returnflag,
+    * clip `l_extendedprice` to its group [p05, p95] band and report how
+    * many values each tail clipped plus the winsorized total. Two fact
+    * passes by construction (exact percentiles need the full
+    * distribution before any value can clip); the 6-row fence table
+    * broadcasts back, so the clip pass adds no shuffle. At 100 TB the
+    * fence pass swaps `percentile` for `approx_percentile` (the q142
+    * scale note) — clipping semantics are unchanged. Exact interpolated
+    * percentiles match DuckDB `quantile_cont` (q38 doctrine); the
+    * winsorized sum is a multi-row double agg → round(2) absorbs
+    * accumulation order.
+    */
+  private def q167(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_returnflag").as("rf"), col("l_extendedprice").as("x"))
+    val fences = li.groupBy("rf").agg(
+      percentile(col("x"), lit(0.05)).as("lo"),
+      percentile(col("x"), lit(0.95)).as("hi"))
+    li.join(broadcast(fences), "rf")
+      .groupBy("rf")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("x") < col("lo"), 1).otherwise(0)).cast("long")
+          .as("n_clip_lo"),
+        sum(when(col("x") > col("hi"), 1).otherwise(0)).cast("long")
+          .as("n_clip_hi"),
+        round(sum(greatest(least(col("x"), col("hi")), col("lo"))), 2)
+          .as("winsorized_sum"))
+      .orderBy("rf")
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q127_column_profile" -> q127 _,
-    "q128_integrity_audit" -> q128 _)
+    "q128_integrity_audit" -> q128 _,
+    "q167_winsorize" -> q167 _)
 
   override val oracle: Seq[(String, String)] = Seq(
+    "q167_winsorize" ->
+      """WITH f AS (
+        | SELECT l_returnflag AS rf,
+        |  quantile_cont(l_extendedprice, 0.05) AS lo,
+        |  quantile_cont(l_extendedprice, 0.95) AS hi
+        | FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag AS rf, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_clip_lo,
+        | CAST(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_clip_hi,
+        | round(sum(greatest(least(l_extendedprice, hi), lo)), 2)
+        |   AS winsorized_sum
+        |FROM lineitem l JOIN f ON l.l_returnflag = f.rf
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q127_column_profile" ->
       """WITH stacked AS (
         | SELECT 'l_quantity' AS column_name, l_quantity AS value
