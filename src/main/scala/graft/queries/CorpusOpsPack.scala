@@ -70,6 +70,22 @@ object CorpusOpsPack extends QueryPack {
     * kept). The (hash, doc) pre-aggregation reduces the exploded segments
     * before the hash-window runs, so the heavy grain never shuffles twice.
     */
+  /** Shared cross-document dup-ledger scaffold for q156/q157 (the
+    * CoPurchase single-definition doctrine applied to dedup ledgers):
+    * from exploded (doc_id, unit-key) rows, reduce to (key, doc) partial
+    * counts, mark cross-document duplicates with a count window over the
+    * key (nd > 1 ⇔ the key occurs in more than one document; repeats
+    * WITHIN a document are not duplicates), and roll the per-document
+    * ledger up as (doc_id, n_units, n_dup).
+    */
+  private def dupLedger(units: DataFrame, key: String): DataFrame =
+    units
+      .groupBy(key, "doc_id").agg(count(lit(1)).as("cnt"))
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy(key)))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_units"),
+        sum(when(col("nd") > 1, col("cnt")).otherwise(lit(0L))).as("n_dup"))
+
   private def q156(s: SparkSession, dir: String): DataFrame = {
     val segs = Tables.loadParallel(s, dir, "documents")
       .select(col("doc_id"), toks(col("text")).as("tk"))
@@ -82,18 +98,12 @@ object CorpusOpsPack extends QueryPack {
           .as("h"),
         size(slice(col("tk"), col("st"), lit(segLen))).as("sl"))
       .filter(col("sl") === segLen)
-    val perDoc = segs
-      .groupBy("h", "doc_id").agg(count(lit(1)).as("cnt"))
-      .withColumn("nd", count(lit(1)).over(Window.partitionBy("h")))
-      .groupBy("doc_id")
-      .agg(sum("cnt").as("n_segments"),
-        sum(when(col("nd") > 1, col("cnt")).otherwise(lit(0L))).as("n_dup"))
     Tables.load(s, dir, "documents")
       .select(col("doc_id"), TextOps.nToks(col("text")).as("n_tokens"))
-      .join(perDoc, Seq("doc_id"), "left")
+      .join(dupLedger(segs, "h"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         col("n_tokens").cast("int").as("n_tokens"),
-        coalesce(col("n_segments"), lit(0L)).cast("int").as("n_segments"),
+        coalesce(col("n_units"), lit(0L)).cast("int").as("n_segments"),
         coalesce(col("n_dup"), lit(0L)).cast("int").as("n_dup_segments"),
         (col("n_tokens") - lit(segLen) * coalesce(col("n_dup"), lit(0L)))
           .cast("int").as("kept_tokens"))
@@ -117,42 +127,44 @@ object CorpusOpsPack extends QueryPack {
       .select(col("doc_id"),
         col("text").substr(col("st"), lit(gramLen)).as("g"))
       .filter(length(col("g")) === gramLen)
-    val perDoc = grams
-      .groupBy("g", "doc_id").agg(count(lit(1)).as("cnt"))
-      .withColumn("nd", count(lit(1)).over(Window.partitionBy("g")))
-      .groupBy("doc_id")
-      .agg(sum("cnt").as("n_grams"),
-        sum(when(col("nd") > 1, col("cnt")).otherwise(lit(0L))).as("n_dup"))
     Tables.load(s, dir, "documents")
       .select(col("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
+      .join(dupLedger(grams, "g"), Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("n_grams"), lit(0L)).cast("int").as("n_grams"),
+        coalesce(col("n_units"), lit(0L)).cast("int").as("n_grams"),
         coalesce(col("n_dup"), lit(0L)).cast("int").as("n_dup_grams"),
-        when(coalesce(col("n_grams"), lit(0L)) > 0,
-          col("n_dup").cast("double") / col("n_grams"))
+        when(coalesce(col("n_units"), lit(0L)) > 0,
+          col("n_dup").cast("double") / col("n_units"))
           .otherwise(lit(0.0)).as("dup_ratio"))
       .orderBy("doc_id")
   }
 
   // --- q158: composite quality-rule filter --------------------------------
 
-  /** q158 — Gopher-style rule-cascade filter, entirely in-row (zero
-    * shuffle): token count, mean word length, distinct-token ratio and
+  /** q158's Gopher-style rule cascade, entirely in-row (zero shuffle):
+    * token count, mean word length, distinct-token ratio and
     * max-term-frequency ratio feed four keep rules; the verdict reports
     * the FIRST failing rule (cascade order: too_short → word_len →
-    * low_diversity → repetitive → pass). Thresholds sit at the observed
-    * sf0.01 deciles so every scale factor rejects a real fraction. The
-    * in-row max-tf (O(tokens × distinct) ≤ ~100×50 here) trades a
-    * token-explode shuffle for per-row work that stays inside whole-stage
-    * codegen — the right trade until documents are megatokens long.
-    */
-  /** Row-local rule verdicts over a (doc_id, text, …) frame — shared by
-    * the batch query (q158) and the streaming filter twin
+    * low_diversity → repetitive → pass) and `keep` derives from it.
+    * Thresholds sit at the observed sf0.01 deciles so every scale factor
+    * rejects a real fraction. The in-row max-tf (O(tokens × distinct) ≤
+    * ~100×50 here) trades a token-explode shuffle for per-row work that
+    * stays inside whole-stage codegen — the right trade until documents
+    * are megatokens long.
+    *
+    * Shared by the batch query (q158) and the streaming filter twin
     * ([[graft.streaming.CorpusFilter]]): every expression is per-row, so
     * the SAME definition runs on a static frame and on an unbounded
     * stream (stateless streaming needs no watermark, no state store).
     */
+  // Rule thresholds — the single source for BOTH the Column cascade and
+  // the generated oracle SQL (sf0.01-decile placement, see q158 scaladoc).
+  private val minWords = 20
+  private val wordLenLo = 3.8
+  private val wordLenHi = 5.2
+  private val minDistinct = 0.35
+  private val maxTf = 0.14
+
   private[graft] def ruleVerdicts(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), toks(col("text")).as("tk"))
@@ -165,17 +177,18 @@ object CorpusOpsPack extends QueryPack {
         (array_max(transform(array_distinct(col("tk")),
           w => size(filter(col("tk"), t => t === w))))
           .cast("double") / size(col("tk"))).as("max_tf_ratio"))
+      .withColumn("reason",
+        when(col("n_words") < minWords, "too_short")
+          .when(!col("mean_word_len").between(wordLenLo, wordLenHi),
+            "word_len")
+          .when(col("distinct_ratio") < minDistinct, "low_diversity")
+          .when(col("max_tf_ratio") > maxTf, "repetitive")
+          .otherwise("pass"))
       .select(col("doc_id"), col("n_words"), col("mean_word_len"),
         col("distinct_ratio"), col("max_tf_ratio"),
-        when(col("n_words") >= 20 &&
-          col("mean_word_len").between(3.8, 5.2) &&
-          col("distinct_ratio") >= 0.35 &&
-          col("max_tf_ratio") <= 0.14, 1).otherwise(0).as("keep"),
-        when(col("n_words") < 20, "too_short")
-          .when(!col("mean_word_len").between(3.8, 5.2), "word_len")
-          .when(col("distinct_ratio") < 0.35, "low_diversity")
-          .when(col("max_tf_ratio") > 0.14, "repetitive")
-          .otherwise("pass").as("reason"))
+        // keep DERIVES from the cascade — one place to change a rule
+        when(col("reason") === "pass", 1).otherwise(0).as("keep"),
+        col("reason"))
 
   private def q158(s: SparkSession, dir: String): DataFrame =
     ruleVerdicts(Tables.loadParallel(s, dir, "documents"))
@@ -243,7 +256,7 @@ object CorpusOpsPack extends QueryPack {
     * the members of N⁺(a) ∩ N⁺(b) — out-neighbor adjacency arrays
     * intersect per edge (the classic adjacency-intersection listing), and
     * each found triangle credits all three corners via one map-side
-    * explode. Only the ADJACENCY table broadcasts (n_parts rows of sorted
+    * explode. Only the ADJACENCY table broadcasts (n_parts rows of
     * neighbor arrays — two orders of magnitude smaller than the edge
     * list, and bounded by the saturating n_parts² pair graph while orders
     * keep growing), so the edge-grain work is a single codegen pass with
@@ -257,8 +270,10 @@ object CorpusOpsPack extends QueryPack {
   private def q161(s: SparkSession, dir: String): DataFrame = {
     val pairs = CoPurchase.distinctPairs(Tables.load(s, dir, "lineitem"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // no sort: array_intersect hashes, and the explode/count downstream
+    // is order-insensitive — sorting the broadcast build would be waste
     val adj = pairs.groupBy(col("src").as("v"))
-      .agg(sort_array(collect_list(col("dst"))).as("nb"))
+      .agg(collect_list(col("dst")).as("nb"))
     val credits = pairs
       .join(broadcast(adj.select(col("v").as("av"), col("nb").as("na"))),
         col("src") === col("av"))
@@ -316,13 +331,19 @@ object CorpusOpsPack extends QueryPack {
     * both the corpus side and the query slice.
     */
   private def q163(s: SparkSession, dir: String): DataFrame = {
-    val nDocs = Tables.load(s, dir, "documents").count()
+    // N as a broadcast scalar, NOT a driver-side count(): plan
+    // construction stays lazy (no action side effect) and the corpus is
+    // never scanned just to size the idf numerator
+    val nDocs = Tables.load(s, dir, "documents")
+      .agg(count(lit(1)).as("n_docs"))
     val tf = Tables.loadParallel(s, dir, "documents")
       .select(col("doc_id"), explode(toks(col("text"))).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
     val idf = tf.groupBy("w")
       .agg(count(lit(1)).as("df"))
-      .select(col("w"), log(lit(nDocs.toDouble) / col("df")).as("idf"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("w"),
+        log(col("n_docs").cast("double") / col("df")).as("idf"))
     val weighted = tf.join(idf, "w")
       .select(col("doc_id"), col("w"), (col("cnt") * col("idf")).as("wt"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -438,24 +459,22 @@ object CorpusOpsPack extends QueryPack {
          |  CAST(list_max(list_transform(list_distinct(tk),
          |         w -> len(list_filter(tk, t -> t = w)))) AS DOUBLE)
          |    / len(tk) AS max_tf_ratio
-         | FROM t)
+         | FROM t),
+         |v AS (SELECT *,
+         |  CASE WHEN n_words < $minWords THEN 'too_short'
+         |       WHEN mean_word_len NOT BETWEEN CAST($wordLenLo AS DOUBLE)
+         |                                  AND CAST($wordLenHi AS DOUBLE)
+         |         THEN 'word_len'
+         |       WHEN distinct_ratio < CAST($minDistinct AS DOUBLE)
+         |         THEN 'low_diversity'
+         |       WHEN max_tf_ratio > CAST($maxTf AS DOUBLE)
+         |         THEN 'repetitive'
+         |       ELSE 'pass' END AS reason
+         | FROM s)
          |SELECT doc_id, n_words, mean_word_len, distinct_ratio,
          | max_tf_ratio,
-         | CASE WHEN n_words >= 20
-         |       AND mean_word_len BETWEEN CAST(3.8 AS DOUBLE)
-         |                             AND CAST(5.2 AS DOUBLE)
-         |       AND distinct_ratio >= CAST(0.35 AS DOUBLE)
-         |       AND max_tf_ratio <= CAST(0.14 AS DOUBLE)
-         |      THEN 1 ELSE 0 END AS keep,
-         | CASE WHEN n_words < 20 THEN 'too_short'
-         |      WHEN mean_word_len NOT BETWEEN CAST(3.8 AS DOUBLE)
-         |                                 AND CAST(5.2 AS DOUBLE)
-         |        THEN 'word_len'
-         |      WHEN distinct_ratio < CAST(0.35 AS DOUBLE)
-         |        THEN 'low_diversity'
-         |      WHEN max_tf_ratio > CAST(0.14 AS DOUBLE) THEN 'repetitive'
-         |      ELSE 'pass' END AS reason
-         |FROM s ORDER BY doc_id""".stripMargin,
+         | CASE WHEN reason = 'pass' THEN 1 ELSE 0 END AS keep, reason
+         |FROM v ORDER BY doc_id""".stripMargin,
     "q159_regex_pretoken" ->
       s"""WITH r AS (
          | SELECT event_id, concat_ws(' ', event_type, props) AS raw

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import graft.queries.CorpusOpsPack
 
@@ -19,7 +18,11 @@ class CorpusOpsSpec extends SparkSpecBase {
     val rows = q("q156_segment_dedup").collect()
     assert(rows.nonEmpty)
     var dups = 0L
-    for (Row(_, nTok: Int, nSeg: Int, nDup: Int, kept: Int) <- rows) {
+    // explicit accessors, not Row patterns: a schema/type change must
+    // THROW here, not silently filter the loop empty
+    for (r <- rows) {
+      val (nTok, nSeg, nDup, kept) =
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
       assert(nDup <= nSeg, "duplicated segments bounded by segment count")
       assert(nSeg <= nTok / 10, "only full 10-token windows count")
       assert(kept === nTok - 10 * nDup, "removal ledger arithmetic")
@@ -30,7 +33,8 @@ class CorpusOpsSpec extends SparkSpecBase {
 
   test("q157: dup_ratio matches counts; exact-dup docs agree") {
     val rows = q("q157_substring_dup").collect()
-    for (Row(_, n: Int, d: Int, r: Double) <- rows) {
+    for (row <- rows) {
+      val (n, d, r) = (row.getInt(1), row.getInt(2), row.getDouble(3))
       assert(d <= n)
       if (n > 0) assert(r === d.toDouble / n) else assert(r === 0.0)
     }
@@ -70,7 +74,9 @@ class CorpusOpsSpec extends SparkSpecBase {
   test("q159: class runs partition the string; md5 pins the sequence") {
     val rows = q("q159_regex_pretoken").collect()
     assert(rows.nonEmpty)
-    for (Row(_, pre: Int, al: Int, nu: Int, sym: Int, _) <- rows) {
+    for (r <- rows) {
+      val (pre, al, nu, sym) =
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
       assert(pre === al + nu + sym, "maximal runs are disjoint + exhaustive")
       assert(sym >= 1, "JSON props always carry symbol runs")
     }

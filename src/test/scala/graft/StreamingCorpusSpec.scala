@@ -47,6 +47,26 @@ class StreamingCorpusSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming kept-gate passes exactly the batch-kept documents") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Doc]
+    val q = CorpusFilter.kept(mem.toDF())
+      .select("doc_id")
+      .writeStream.format("memory").queryName("kept_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(docs: _*); q.processAllAvailable()
+      val streamed = s.table("kept_out").collect().map(_.getLong(0)).toSet
+      val batchKept = CorpusFilter.kept(docs.toDF())
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(streamed === batchKept)
+      assert(batchKept.nonEmpty && !batchKept.contains(9999L),
+        "the too_short positive must be gated out")
+    } finally q.stop()
+  }
+
   test("streaming stratified sample matches batch and survives replay") {
     val s = spark
     import s.implicits._
