@@ -205,6 +205,92 @@ object SimilarityPack extends QueryPack {
     cent
   }
 
+  // --- product quantization (PQ codebooks + ADC search) -------------------
+  private val pqM = 4 // subspaces over the 64-dim embeddings
+  private val pqSubDim = 16 // dims per subspace
+  private val pqK = 4 // codes per subspace codebook
+  private val pqIters = 2 // Lloyd rounds per subspace
+
+  /** One row per (vector, subspace): the sliced 16-dim subvector. */
+  private def subVectors(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+        explode(sequence(lit(0), lit(pqM - 1))).as("sub"), col("v"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("v"), col("sub") * pqSubDim + 1, lit(pqSubDim)).as("sv"))
+
+  /** Per-subspace argmin-L2 code assignment (code-id tiebreak) — the
+    * grouped twin of [[assign]]: every subspace trains and assigns
+    * independently, keyed by `sub` through one broadcast join.
+    */
+  private def pqAssign(sub: DataFrame, cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id", "sub").orderBy(col("d2"), col("code"))
+    sub.join(broadcast(cent), Seq("sub"))
+      .withColumn("d2", Vectors.sqDist(col("sv"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("code"), col("sv"))
+  }
+
+  private def pqRecompute(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("dim", "x")))
+      .groupBy("sub", "code", "dim").agg(avg("x").as("cx"))
+      .groupBy("sub", "code")
+      .agg(array_sort(collect_list(struct(col("dim"), col("cx")))).as("dc"))
+      .select(col("sub"), col("code"),
+        transform(col("dc"), e => e.getField("cx")).as("cv"))
+
+  /** Per-subspace Lloyd training (seeds: subvectors of the first `pqK`
+    * vectors), the [[learnedCentroids]] doctrine with a `sub` key.
+    */
+  private def pqCodebooks(sub: DataFrame): DataFrame = {
+    var cent = sub.filter(col("vec_id") < pqK)
+      .select(col("sub"), col("vec_id").cast("int").as("code"),
+        col("sv").as("cv"))
+    (1 to pqIters).foreach(_ => cent = pqRecompute(pqAssign(sub, cent)))
+    cent
+  }
+
+  /** q168 — product quantization + asymmetric-distance (ADC) search: each
+    * vector compresses to `pqM` codebook codes (64 doubles → 4 bytes of
+    * code per vector — the storage half that scalar int8 quantization,
+    * q152, can't reach); a query builds a (sub, code) → partial-dot
+    * lookup table against the raw codebooks and scores every candidate
+    * by summing m looked-up entries — no per-candidate float math at all.
+    * This completes the IVF+PQ ANN stack (q84 coarse cells + PQ residual
+    * scoring is the composition). Scale: codebook training touches only
+    * (corpus × m) subvector rows; search is a broadcast of the tiny LUT
+    * (queries × m × k rows) onto the code table, one partial-agg shuffle
+    * at (query, candidate) grain. Ranking happens on the ROUNDED ADC
+    * score with a vec_id tiebreak (q163 doctrine: the m-term sum's
+    * accumulation order is engine-dependent); codebook means share q75's
+    * avg-parity precedent.
+    */
+  private def q168(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val sub = subVectors(e)
+    // checkpoint: corpus coding and the query LUT both consume the
+    // trained codebooks — don't re-run the Lloyd chain (q84 doctrine)
+    val cent = pqCodebooks(sub).localCheckpoint()
+    val codes = pqAssign(sub, cent).select("vec_id", "sub", "code")
+    val lut = subVectors(e.filter(col("vec_id") < nQueries))
+      .select(col("vec_id").as("q_id"), col("sub"), col("sv").as("qsv"))
+      .join(broadcast(cent), Seq("sub"))
+      .select(col("q_id"), col("sub"), col("code"),
+        Vectors.dot(col("qsv"), col("cv")).as("dp"))
+    val scored = codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(round(sum("dp"), 6).as("adc6"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc6").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("int").as("rank"),
+        col("vec_id").as("neighbor_id"), col("adc6"))
+      .orderBy("q_id", "rank")
+  }
+
   /** q75 — k-means as pure DataFrame ops, fully deterministic: seed
     * centroids are the first k vectors, `kmIters` unrolled Lloyd rounds
     * (argmin squared-L2 with cluster-id tiebreak, per-dimension mean
@@ -337,6 +423,7 @@ object SimilarityPack extends QueryPack {
     "q73_ivf_centroids" -> q73 _,
     "q74_ivf_search" -> q74 _,
     "q75_kmeans" -> q75 _,
+    "q168_pq_adc" -> q168 _,
     "q82_hof_vector_features" -> q82 _,
     "q84_ivf_learned_cells" -> q84 _)
 
@@ -397,6 +484,75 @@ object SimilarityPack extends QueryPack {
        |   ORDER BY list_dot_product(dd, dd), cluster) AS rn
        |  FROM dfin) WHERE rn = 1)""".stripMargin
   }
+
+  /** One per-subspace Lloyd round for the PQ oracle — [[duckLloydRound]]
+    * with a `sub` key threading through every CTE. */
+  private def duckPqRound(r: Int): String = {
+    val prev = s"pc${r - 1}"
+    s"""pd$r AS (
+       | SELECT t.vec_id, t.sub, c.code, t.sv,
+       |  list_transform(generate_series(1, $pqSubDim),
+       |                 i -> t.sv[i] - c.cv[i]) AS dd
+       | FROM sub t JOIN $prev c ON t.sub = c.sub),
+       |pa$r AS (
+       | SELECT vec_id, sub, code, sv FROM (
+       |  SELECT vec_id, sub, code, sv, row_number() OVER (
+       |   PARTITION BY vec_id, sub
+       |   ORDER BY list_dot_product(dd, dd), code) AS rn
+       |  FROM pd$r) WHERE rn = 1),
+       |px$r AS (
+       | SELECT sub, code,
+       |  unnest(list_transform(generate_series(1, $pqSubDim),
+       |         i -> struct_pack(dim := i - 1, x := sv[i]))) AS u
+       | FROM pa$r),
+       |pm$r AS (
+       | SELECT sub, code, u.dim AS dim, avg(u.x) AS cx
+       | FROM px$r GROUP BY sub, code, u.dim),
+       |pc$r AS (
+       | SELECT sub, code, list(cx ORDER BY dim) AS cv
+       | FROM pm$r GROUP BY sub, code)""".stripMargin
+  }
+
+  /** q168 oracle: per-subspace Lloyd codebooks, corpus coding, query LUT,
+    * ADC scoring — the identical pipeline unrolled in SQL. */
+  private def duckPq: String =
+    s"""WITH e AS (
+       | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sub AS (
+       | SELECT vec_id, s.sub,
+       |  v[s.sub * $pqSubDim + 1 : s.sub * $pqSubDim + $pqSubDim] AS sv
+       | FROM e CROSS JOIN (SELECT unnest(range(0, $pqM)) AS sub) s),
+       |pc0 AS (
+       | SELECT sub, CAST(vec_id AS INT) AS code, sv AS cv
+       | FROM sub WHERE vec_id < $pqK),
+       |${(1 to pqIters).map(duckPqRound).mkString(",\n")},
+       |fd AS (
+       | SELECT t.vec_id, t.sub, c.code,
+       |  list_transform(generate_series(1, $pqSubDim),
+       |                 i -> t.sv[i] - c.cv[i]) AS dd
+       | FROM sub t JOIN pc$pqIters c ON t.sub = c.sub),
+       |codes AS (
+       | SELECT vec_id, sub, code FROM (
+       |  SELECT vec_id, sub, code, row_number() OVER (
+       |   PARTITION BY vec_id, sub
+       |   ORDER BY list_dot_product(dd, dd), code) AS rn
+       |  FROM fd) WHERE rn = 1),
+       |lut AS (
+       | SELECT t.vec_id AS q_id, t.sub, c.code,
+       |  list_dot_product(t.sv, c.cv) AS dp
+       | FROM sub t JOIN pc$pqIters c ON t.sub = c.sub
+       | WHERE t.vec_id < $nQueries),
+       |sc AS (
+       | SELECT l.q_id, a.vec_id, round(sum(l.dp), 6) AS adc6
+       | FROM codes a JOIN lut l ON a.sub = l.sub AND a.code = l.code
+       | WHERE l.q_id <> a.vec_id
+       | GROUP BY 1, 2),
+       |ranked AS (
+       | SELECT q_id, vec_id, adc6, row_number() OVER (
+       |   PARTITION BY q_id ORDER BY adc6 DESC, vec_id) AS rank
+       | FROM sc)
+       |SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, adc6
+       |FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
 
   /** k-means oracle: the identical Lloyd rounds unrolled in SQL. */
   private def duckKmeans: String =
@@ -491,6 +647,7 @@ object SimilarityPack extends QueryPack {
 
   override val oracle: Seq[(String, String)] = Seq(
     "q75_kmeans" -> duckKmeans,
+    "q168_pq_adc" -> duckPq,
     "q84_ivf_learned_cells" -> duckIvfLearned(1),
     "q108_ivf_multiprobe" -> duckIvfLearned(nProbe),
     "q109_ann_recall" -> duckRecall,

@@ -38,4 +38,33 @@ class KMeansSpec extends SparkSpecBase {
       prev = cur
     }
   }
+
+  test("PQ ADC picks beat random by true-dot percentile rank") {
+    // lossy-compression sanity for q168 that oracle equality can't
+    // express: a 4-subspace × 4-code codebook is VERY coarse, so per-query
+    // guarantees are weak — but each top-1 pick must clear the bottom
+    // third of its query's true-dot distribution, and on average the
+    // picks must land well into the top half (measured: mean ≈ 0.82,
+    // min ≈ 0.50 at sf0.001)
+    val s = spark
+    val dir = "/root/testdata/sf0.001"
+    val adc = SparkEntry.queries("q168_pq_adc")(s, dir)
+      .filter(col("rank") === 1)
+      .select(col("q_id"), col("neighbor_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val vecs = graft.catalog.Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val ranks = for ((q, n) <- adc) yield {
+      val dots = vecs.collect { case (id, v) if id != q => dot(vecs(q), v) }
+      val mine = dot(vecs(q), vecs(n))
+      val below = dots.count(_ < mine).toDouble / dots.size
+      assert(below >= 0.3, s"query $q: pick $n at percentile $below")
+      below
+    }
+    val mean = ranks.sum / ranks.size
+    assert(mean >= 0.6, s"mean percentile rank $mean — ADC barely beats random")
+  }
 }
