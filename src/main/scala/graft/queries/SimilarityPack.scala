@@ -291,6 +291,49 @@ object SimilarityPack extends QueryPack {
       .orderBy("q_id", "rank")
   }
 
+  /** q169 — IVF+PQ composed search (the production ANN index shape —
+    * FAISS's IVFPQ): queries route to their argmin-L2 learned coarse
+    * cell (q84's quantizer), and ONLY that cell's candidates are scored,
+    * by PQ code lookup (q168's ADC) instead of raw-vector math. Cost per
+    * query drops twice: candidates shrink by the cell fan-out (×1/8
+    * here) and each candidate costs m LUT adds instead of a d-dim dot.
+    * At 100 TB the corpus stores ONLY (cell, codes) — raw vectors leave
+    * the hot path entirely; both model tables (coarse centroids,
+    * codebooks) checkpoint once and broadcast everywhere. Composition is
+    * pure reuse: coarse side = learnedCentroids/routeTop, PQ side =
+    * pqCodebooks/pqAssign, and the oracle composes the same two CTE
+    * chains.
+    */
+  private def q169(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cent = learnedCentroids(e).localCheckpoint()
+    val cells = assign(e, cent).select(col("vec_id"), col("cluster"))
+    val sub = subVectors(e)
+    val pq = pqCodebooks(sub).localCheckpoint()
+    val codes = pqAssign(sub, pq).select("vec_id", "sub", "code")
+    val routed = routeTop(e.filter(col("vec_id") < nQueries), cent, 1)
+      .select(col("vec_id").as("q_id"), col("cluster").as("cell"))
+    val lut = subVectors(e.filter(col("vec_id") < nQueries))
+      .select(col("vec_id").as("q_id"), col("sub"), col("sv").as("qsv"))
+      .join(broadcast(pq), Seq("sub"))
+      .select(col("q_id"), col("sub"), col("code"),
+        Vectors.dot(col("qsv"), col("cv")).as("dp"))
+    val cand = cells.join(broadcast(routed),
+        col("cluster") === col("cell") && col("q_id") =!= col("vec_id"))
+      .select("q_id", "vec_id")
+    val scored = cand.join(codes, "vec_id")
+      .join(broadcast(lut), Seq("q_id", "sub", "code"))
+      .groupBy("q_id", "vec_id")
+      .agg(round(sum("dp"), 6).as("adc6"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc6").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("int").as("rank"),
+        col("vec_id").as("neighbor_id"), col("adc6"))
+      .orderBy("q_id", "rank")
+  }
+
   /** q75 — k-means as pure DataFrame ops, fully deterministic: seed
     * centroids are the first k vectors, `kmIters` unrolled Lloyd rounds
     * (argmin squared-L2 with cluster-id tiebreak, per-dimension mean
@@ -424,6 +467,7 @@ object SimilarityPack extends QueryPack {
     "q74_ivf_search" -> q74 _,
     "q75_kmeans" -> q75 _,
     "q168_pq_adc" -> q168 _,
+    "q169_ivf_pq" -> q169 _,
     "q82_hof_vector_features" -> q82 _,
     "q84_ivf_learned_cells" -> q84 _)
 
@@ -513,12 +557,11 @@ object SimilarityPack extends QueryPack {
        | FROM pm$r GROUP BY sub, code)""".stripMargin
   }
 
-  /** q168 oracle: per-subspace Lloyd codebooks, corpus coding, query LUT,
-    * ADC scoring — the identical pipeline unrolled in SQL. */
-  private def duckPq: String =
-    s"""WITH e AS (
-       | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |sub AS (
+  /** The shared PQ CTE chain (subvectors → codebook rounds → corpus codes
+    * → query LUT). Consumes an `e(vec_id, v)` CTE from its WITH prefix —
+    * reused verbatim by the pure-PQ (q168) and IVF+PQ (q169) oracles. */
+  private def duckPqCore: String =
+    s"""sub AS (
        | SELECT vec_id, s.sub,
        |  v[s.sub * $pqSubDim + 1 : s.sub * $pqSubDim + $pqSubDim] AS sv
        | FROM e CROSS JOIN (SELECT unnest(range(0, $pqM)) AS sub) s),
@@ -541,18 +584,59 @@ object SimilarityPack extends QueryPack {
        | SELECT t.vec_id AS q_id, t.sub, c.code,
        |  list_dot_product(t.sv, c.cv) AS dp
        | FROM sub t JOIN pc$pqIters c ON t.sub = c.sub
-       | WHERE t.vec_id < $nQueries),
-       |sc AS (
-       | SELECT l.q_id, a.vec_id, round(sum(l.dp), 6) AS adc6
-       | FROM codes a JOIN lut l ON a.sub = l.sub AND a.code = l.code
-       | WHERE l.q_id <> a.vec_id
-       | GROUP BY 1, 2),
-       |ranked AS (
+       | WHERE t.vec_id < $nQueries)""".stripMargin
+
+  private def duckAdcTail: String =
+    s"""ranked AS (
        | SELECT q_id, vec_id, adc6, row_number() OVER (
        |   PARTITION BY q_id ORDER BY adc6 DESC, vec_id) AS rank
        | FROM sc)
        |SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, adc6
        |FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+
+  /** q168 oracle: per-subspace Lloyd codebooks, corpus coding, query LUT,
+    * ADC scoring — the identical pipeline unrolled in SQL. */
+  private def duckPq: String =
+    s"""WITH e AS (
+       | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |$duckPqCore,
+       |sc AS (
+       | SELECT l.q_id, a.vec_id, round(sum(l.dp), 6) AS adc6
+       | FROM codes a JOIN lut l ON a.sub = l.sub AND a.code = l.code
+       | WHERE l.q_id <> a.vec_id
+       | GROUP BY 1, 2),
+       |$duckAdcTail""".stripMargin
+
+  /** q169 oracle: coarse k-means routing (the q84 CTEs) composed with the
+    * PQ code/LUT chain — candidates restricted to the routed cell, then
+    * ADC-scored. */
+  private def duckIvfPq: String =
+    s"""WITH $duckKmeansPrefix,
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm
+       |      FROM e WHERE vec_id < $nQueries),
+       |qd AS (
+       | SELECT q.q_id, q.qv, c.cluster,
+       |  list_transform(generate_series(1, len(q.qv)),
+       |                 i -> q.qv[i] - c.cv[i]) AS dd
+       | FROM q CROSS JOIN cent$kmIters c),
+       |routed AS (
+       | SELECT q_id, cluster AS cell FROM (
+       |  SELECT q_id, cluster, row_number() OVER (
+       |   PARTITION BY q_id ORDER BY list_dot_product(dd, dd), cluster) AS rn
+       |  FROM qd) WHERE rn = 1),
+       |$duckPqCore,
+       |cand AS (
+       | SELECT r.q_id, a.vec_id FROM afin a
+       | JOIN routed r ON a.cluster = r.cell
+       | WHERE a.vec_id <> r.q_id),
+       |sc AS (
+       | SELECT c.q_id, c.vec_id, round(sum(l.dp), 6) AS adc6
+       | FROM cand c
+       | JOIN codes kk ON kk.vec_id = c.vec_id
+       | JOIN lut l ON l.q_id = c.q_id AND l.sub = kk.sub
+       |           AND l.code = kk.code
+       | GROUP BY 1, 2),
+       |$duckAdcTail""".stripMargin
 
   /** k-means oracle: the identical Lloyd rounds unrolled in SQL. */
   private def duckKmeans: String =
@@ -648,6 +732,7 @@ object SimilarityPack extends QueryPack {
   override val oracle: Seq[(String, String)] = Seq(
     "q75_kmeans" -> duckKmeans,
     "q168_pq_adc" -> duckPq,
+    "q169_ivf_pq" -> duckIvfPq,
     "q84_ivf_learned_cells" -> duckIvfLearned(1),
     "q108_ivf_multiprobe" -> duckIvfLearned(nProbe),
     "q109_ann_recall" -> duckRecall,
