@@ -165,6 +165,49 @@ object CorpusOpsPack extends QueryPack {
   private val minDistinct = 0.35
   private val maxTf = 0.14
 
+  /** The verdict cascade over a token-array column — THE definition of
+    * the quality rules, consumed by q158/ruleVerdicts, the streaming
+    * gate, and the composed corpus pipeline (q170). */
+  private[graft] def reasonOf(tk: Column): Column = {
+    val n = size(tk)
+    val mwl = aggregate(tk, lit(0), (acc, x) => acc + length(x))
+      .cast("double") / n
+    val dr = size(array_distinct(tk)).cast("double") / n
+    val mtr = array_max(transform(array_distinct(tk),
+      w => size(filter(tk, t => t === w)))).cast("double") / n
+    when(n < minWords, "too_short")
+      .when(!mwl.between(wordLenLo, wordLenHi), "word_len")
+      .when(dr < minDistinct, "low_diversity")
+      .when(mtr > maxTf, "repetitive")
+      .otherwise("pass")
+  }
+
+  /** SQL twin of [[reasonOf]]'s cascade over the named signal columns
+    * (n_words, mean_word_len, distinct_ratio, max_tf_ratio) — generated
+    * from the same threshold constants so the engines cannot drift. */
+  private[graft] def duckReasonCase: String =
+    s"""CASE WHEN n_words < $minWords THEN 'too_short'
+       |     WHEN mean_word_len NOT BETWEEN CAST($wordLenLo AS DOUBLE)
+       |                                AND CAST($wordLenHi AS DOUBLE)
+       |       THEN 'word_len'
+       |     WHEN distinct_ratio < CAST($minDistinct AS DOUBLE)
+       |       THEN 'low_diversity'
+       |     WHEN max_tf_ratio > CAST($maxTf AS DOUBLE)
+       |       THEN 'repetitive'
+       |     ELSE 'pass' END""".stripMargin
+
+  /** The four signal column expressions over a `tk` list column — the SQL
+    * twin of the signal block in [[ruleVerdicts]]. */
+  private[graft] def duckSignalCols: String =
+    """CAST(len(tk) AS INT) AS n_words,
+      |  CAST(list_sum(list_transform(tk, x -> len(x))) AS DOUBLE)
+      |    / len(tk) AS mean_word_len,
+      |  CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
+      |    AS distinct_ratio,
+      |  CAST(list_max(list_transform(list_distinct(tk),
+      |         w -> len(list_filter(tk, t -> t = w)))) AS DOUBLE)
+      |    / len(tk) AS max_tf_ratio""".stripMargin
+
   private[graft] def ruleVerdicts(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), toks(col("text")).as("tk"))
@@ -176,14 +219,8 @@ object CorpusOpsPack extends QueryPack {
           .as("distinct_ratio"),
         (array_max(transform(array_distinct(col("tk")),
           w => size(filter(col("tk"), t => t === w))))
-          .cast("double") / size(col("tk"))).as("max_tf_ratio"))
-      .withColumn("reason",
-        when(col("n_words") < minWords, "too_short")
-          .when(!col("mean_word_len").between(wordLenLo, wordLenHi),
-            "word_len")
-          .when(col("distinct_ratio") < minDistinct, "low_diversity")
-          .when(col("max_tf_ratio") > maxTf, "repetitive")
-          .otherwise("pass"))
+          .cast("double") / size(col("tk"))).as("max_tf_ratio"),
+        reasonOf(col("tk")).as("reason"))
       .select(col("doc_id"), col("n_words"), col("mean_word_len"),
         col("distinct_ratio"), col("max_tf_ratio"),
         // keep DERIVES from the cascade — one place to change a rule
@@ -451,26 +488,9 @@ object CorpusOpsPack extends QueryPack {
     "q158_filter_rules" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS tk FROM documents),
          |s AS (SELECT doc_id,
-         |  CAST(len(tk) AS INT) AS n_words,
-         |  CAST(list_sum(list_transform(tk, x -> len(x))) AS DOUBLE)
-         |    / len(tk) AS mean_word_len,
-         |  CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
-         |    AS distinct_ratio,
-         |  CAST(list_max(list_transform(list_distinct(tk),
-         |         w -> len(list_filter(tk, t -> t = w)))) AS DOUBLE)
-         |    / len(tk) AS max_tf_ratio
+         |  $duckSignalCols
          | FROM t),
-         |v AS (SELECT *,
-         |  CASE WHEN n_words < $minWords THEN 'too_short'
-         |       WHEN mean_word_len NOT BETWEEN CAST($wordLenLo AS DOUBLE)
-         |                                  AND CAST($wordLenHi AS DOUBLE)
-         |         THEN 'word_len'
-         |       WHEN distinct_ratio < CAST($minDistinct AS DOUBLE)
-         |         THEN 'low_diversity'
-         |       WHEN max_tf_ratio > CAST($maxTf AS DOUBLE)
-         |         THEN 'repetitive'
-         |       ELSE 'pass' END AS reason
-         | FROM s)
+         |v AS (SELECT *, $duckReasonCase AS reason FROM s)
          |SELECT doc_id, n_words, mean_word_len, distinct_ratio,
          | max_tf_ratio,
          | CASE WHEN reason = 'pass' THEN 1 ELSE 0 END AS keep, reason

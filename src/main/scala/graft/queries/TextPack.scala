@@ -234,7 +234,7 @@ object TextPack extends QueryPack {
       .orderBy("doc_id", "chunk_idx")
   }
 
-  private val packCap = 4096
+  private[graft] val packCap = 4096
 
   /** q106 — sequence packing: assign documents to ~`packCap`-token bins
     * via a running token total per source shard (`floor(cumsum/cap)`), the

@@ -259,7 +259,57 @@ object TrainingPipelinePack extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** q170 — the composed corpus pipeline (dedup → quality filter →
+    * mixture → pack) as ONE single-scan query with a stage-by-stage
+    * survival ledger. Each stage is a FLAG derived from the previous
+    * stage's flag (kd → kf → km), never a materialized filter, so the
+    * whole cascade runs in one pass with two windows (the md5-group
+    * dedup rank and the per-source packing cumsum over survivor tokens)
+    * and one final aggregate — at 100 TB this is the difference between
+    * one corpus read and four. Every stage reuses THE canonical
+    * definition of its op: dedup keeper = q60's min-doc_id-per-hash,
+    * quality = [[CorpusOpsPack.reasonOf]], mixture = q112's
+    * rate-by-source-class bucket, packing = q106's cumsum bins (shared
+    * `packCap`). The ledger (docs + tokens surviving each stage, final
+    * bin count) is what a production corpus build logs per run.
+    */
+  private def q170(s: SparkSession, dir: String): DataFrame = {
+    val srcNum = regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
+    val rate = (srcNum % 4) * 25 + 25
+    val base = Tables.loadParallel(s, dir, "documents")
+      .select(col("doc_id"), col("source"), md5(col("text")).as("th"),
+        TextOps.toks(col("text")).as("tk"))
+      .select(col("doc_id"), col("source"), col("th"),
+        size(col("tk")).as("n_words"),
+        CorpusOpsPack.reasonOf(col("tk")).as("reason"))
+    val flagged = base
+      .withColumn("kd", (row_number().over(
+        Window.partitionBy("th").orderBy("doc_id")) === 1).cast("int"))
+      .withColumn("kf",
+        (col("kd") === 1 && col("reason") === "pass").cast("int"))
+      .withColumn("km", (col("kf") === 1 &&
+        bucket(col("doc_id"), "mix", 100) < rate).cast("int"))
+    val binW = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    flagged
+      .withColumn("cum", sum(col("km") * col("n_words")).over(binW))
+      .withColumn("bin",
+        floor((col("cum") - 1) / TextPack.packCap).cast("int"))
+      .agg(
+        count(lit(1)).as("n_raw"),
+        sum("n_words").cast("long").as("tok_raw"),
+        sum("kd").cast("long").as("n_dedup"),
+        sum(col("kd") * col("n_words")).cast("long").as("tok_dedup"),
+        sum("kf").cast("long").as("n_filter"),
+        sum(col("kf") * col("n_words")).cast("long").as("tok_filter"),
+        sum("km").cast("long").as("n_mixture"),
+        sum(col("km") * col("n_words")).cast("long").as("tok_mixture"),
+        countDistinct(when(col("km") === 1,
+          concat_ws("|", col("source"), col("bin")))).as("n_bins"))
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q170_corpus_pipeline" -> q170 _,
     "q143_decontamination" -> q143 _,
     "q144_pii_redaction" -> q144 _,
     "q111_train_val_split" -> q111 _,
@@ -270,6 +320,43 @@ object TrainingPipelinePack extends QueryPack {
     "q123_group_sample" -> q123 _)
 
   override val oracle: Seq[(String, String)] = Seq(
+    "q170_corpus_pipeline" ->
+      s"""WITH t AS (
+         | SELECT doc_id, source, md5(text) AS th,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS tk
+         | FROM documents),
+         |sg AS (SELECT doc_id, source, th,
+         |  ${CorpusOpsPack.duckSignalCols}
+         | FROM t),
+         |f1 AS (SELECT *,
+         |  CASE WHEN row_number() OVER (PARTITION BY th ORDER BY doc_id)
+         |        = 1 THEN 1 ELSE 0 END AS kd,
+         |  ${CorpusOpsPack.duckReasonCase} AS reason
+         | FROM sg),
+         |f2 AS (SELECT *,
+         |  CASE WHEN kd = 1 AND reason = 'pass' THEN 1 ELSE 0 END AS kf
+         | FROM f1),
+         |f3 AS (SELECT *,
+         |  CASE WHEN kf = 1 AND ${duckBucket("doc_id", "mix", 100)}
+         |        < (CAST(regexp_extract(source, '([0-9]+)$$', 1) AS INT)
+         |           % 4 * 25 + 25) THEN 1 ELSE 0 END AS km
+         | FROM f2),
+         |f4 AS (SELECT *,
+         |  CAST(floor((sum(km * n_words) OVER (PARTITION BY source
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |    CURRENT ROW) - 1) / ${TextPack.packCap}) AS INT) AS bin
+         | FROM f3)
+         |SELECT CAST(count(*) AS BIGINT) AS n_raw,
+         | CAST(sum(n_words) AS BIGINT) AS tok_raw,
+         | CAST(sum(kd) AS BIGINT) AS n_dedup,
+         | CAST(sum(kd * n_words) AS BIGINT) AS tok_dedup,
+         | CAST(sum(kf) AS BIGINT) AS n_filter,
+         | CAST(sum(kf * n_words) AS BIGINT) AS tok_filter,
+         | CAST(sum(km) AS BIGINT) AS n_mixture,
+         | CAST(sum(km * n_words) AS BIGINT) AS tok_mixture,
+         | count(DISTINCT CASE WHEN km = 1
+         |   THEN source || '|' || CAST(bin AS VARCHAR) END) AS n_bins
+         |FROM f4""".stripMargin,
     "q143_decontamination" ->
       """WITH tk AS (
         | SELECT doc_id, source,
