@@ -165,21 +165,31 @@ object CorpusOpsPack extends QueryPack {
   private val minDistinct = 0.35
   private val maxTf = 0.14
 
-  /** The verdict cascade over a token-array column — THE definition of
-    * the quality rules, consumed by q158/ruleVerdicts, the streaming
-    * gate, and the composed corpus pipeline (q170). */
-  private[graft] def reasonOf(tk: Column): Column = {
-    val n = size(tk)
-    val mwl = aggregate(tk, lit(0), (acc, x) => acc + length(x))
-      .cast("double") / n
-    val dr = size(array_distinct(tk)).cast("double") / n
-    val mtr = array_max(transform(array_distinct(tk),
-      w => size(filter(tk, t => t === w)))).cast("double") / n
-    when(n < minWords, "too_short")
+  /** The verdict cascade over the four signal columns — THE definition
+    * of the quality rules. Taking Columns (not a token array) lets
+    * callers evaluate the signals ONCE and cascade over the named
+    * results: higher-order signal expressions are not merged by
+    * subexpression elimination when repeated inside CaseWhen branches.
+    */
+  private[graft] def cascade(nWords: Column, mwl: Column, dr: Column,
+      mtr: Column): Column =
+    when(nWords < minWords, "too_short")
       .when(!mwl.between(wordLenLo, wordLenHi), "word_len")
       .when(dr < minDistinct, "low_diversity")
       .when(mtr > maxTf, "repetitive")
       .otherwise("pass")
+
+  /** [[cascade]] composed directly over a token-array column — for
+    * single-expression call sites (the q170 pipeline). Evaluates each
+    * signal inside the cascade; prefer the two-step signal-columns form
+    * when the signals are also output (ruleVerdicts). */
+  private[graft] def reasonOf(tk: Column): Column = {
+    val n = size(tk)
+    cascade(n,
+      aggregate(tk, lit(0), (acc, x) => acc + length(x)).cast("double") / n,
+      size(array_distinct(tk)).cast("double") / n,
+      array_max(transform(array_distinct(tk),
+        w => size(filter(tk, t => t === w)))).cast("double") / n)
   }
 
   /** SQL twin of [[reasonOf]]'s cascade over the named signal columns
@@ -219,8 +229,10 @@ object CorpusOpsPack extends QueryPack {
           .as("distinct_ratio"),
         (array_max(transform(array_distinct(col("tk")),
           w => size(filter(col("tk"), t => t === w))))
-          .cast("double") / size(col("tk"))).as("max_tf_ratio"),
-        reasonOf(col("tk")).as("reason"))
+          .cast("double") / size(col("tk"))).as("max_tf_ratio"))
+      // cascade over the NAMED signal columns — each signal evaluated once
+      .withColumn("reason", cascade(col("n_words"), col("mean_word_len"),
+        col("distinct_ratio"), col("max_tf_ratio")))
       .select(col("doc_id"), col("n_words"), col("mean_word_len"),
         col("distinct_ratio"), col("max_tf_ratio"),
         // keep DERIVES from the cascade — one place to change a rule
@@ -433,7 +445,8 @@ object CorpusOpsPack extends QueryPack {
       "q163_tfidf_retrieval" -> q163 _,
       "q164_inverted_index" -> q164 _)
 
-  private val duckToks = "list_filter(string_split(text, ' '), x -> x <> '')"
+  private[graft] val duckToks =
+    "list_filter(string_split(text, ' '), x -> x <> '')"
 
   override val oracle: Seq[(String, String)] = Seq(
     "q156_segment_dedup" ->

@@ -242,6 +242,16 @@ object SimilarityPack extends QueryPack {
 
   /** Per-subspace Lloyd training (seeds: subvectors of the first `pqK`
     * vectors), the [[learnedCentroids]] doctrine with a `sub` key.
+    *
+    * DELIBERATE duplication of the flat Lloyd helpers rather than a
+    * keys/column-name-parameterized generalization: the two stacks pin
+    * different column vocabularies into their oracle SQL (cluster/v vs
+    * code/sv), and threading 5 name parameters through assign/recompute/
+    * train plus both SQL generators costs more readability than the ~30
+    * shared lines save. Any change to the Lloyd doctrine (tiebreak,
+    * seeding, mean assembly) must be applied to BOTH stacks — the
+    * KMeansSpec inertia test and the oracle gate both break loudly if
+    * they drift.
     */
   private def pqCodebooks(sub: DataFrame): DataFrame = {
     var cent = sub.filter(col("vec_id") < pqK)
@@ -274,7 +284,7 @@ object SimilarityPack extends QueryPack {
     // trained codebooks — don't re-run the Lloyd chain (q84 doctrine)
     val cent = pqCodebooks(sub).localCheckpoint()
     val codes = pqAssign(sub, cent).select("vec_id", "sub", "code")
-    val lut = subVectors(e.filter(col("vec_id") < nQueries))
+    val lut = sub.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("sub"), col("sv").as("qsv"))
       .join(broadcast(cent), Seq("sub"))
       .select(col("q_id"), col("sub"), col("code"),
@@ -312,9 +322,11 @@ object SimilarityPack extends QueryPack {
     val sub = subVectors(e)
     val pq = pqCodebooks(sub).localCheckpoint()
     val codes = pqAssign(sub, pq).select("vec_id", "sub", "code")
-    val routed = routeTop(e.filter(col("vec_id") < nQueries), cent, 1)
+    // queries' cells are already IN the corpus assignment — no second
+    // routing pass (p=1 routing of a corpus member ≡ its cell)
+    val routed = cells.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("cluster").as("cell"))
-    val lut = subVectors(e.filter(col("vec_id") < nQueries))
+    val lut = sub.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("sub"), col("sv").as("qsv"))
       .join(broadcast(pq), Seq("sub"))
       .select(col("q_id"), col("sub"), col("code"),
@@ -612,18 +624,9 @@ object SimilarityPack extends QueryPack {
     * ADC-scored. */
   private def duckIvfPq: String =
     s"""WITH $duckKmeansPrefix,
-       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm
-       |      FROM e WHERE vec_id < $nQueries),
-       |qd AS (
-       | SELECT q.q_id, q.qv, c.cluster,
-       |  list_transform(generate_series(1, len(q.qv)),
-       |                 i -> q.qv[i] - c.cv[i]) AS dd
-       | FROM q CROSS JOIN cent$kmIters c),
        |routed AS (
-       | SELECT q_id, cluster AS cell FROM (
-       |  SELECT q_id, cluster, row_number() OVER (
-       |   PARTITION BY q_id ORDER BY list_dot_product(dd, dd), cluster) AS rn
-       |  FROM qd) WHERE rn = 1),
+       | SELECT vec_id AS q_id, cluster AS cell FROM afin
+       | WHERE vec_id < $nQueries),
        |$duckPqCore,
        |cand AS (
        | SELECT r.q_id, a.vec_id FROM afin a

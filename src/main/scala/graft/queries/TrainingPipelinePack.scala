@@ -323,7 +323,7 @@ object TrainingPipelinePack extends QueryPack {
     "q170_corpus_pipeline" ->
       s"""WITH t AS (
          | SELECT doc_id, source, md5(text) AS th,
-         |  list_filter(string_split(text, ' '), x -> x <> '') AS tk
+         |  ${CorpusOpsPack.duckToks} AS tk
          | FROM documents),
          |sg AS (SELECT doc_id, source, th,
          |  ${CorpusOpsPack.duckSignalCols}

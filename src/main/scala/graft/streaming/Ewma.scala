@@ -35,17 +35,28 @@ object Ewma {
     import spark.implicits._
     days
       .groupByKey(_.priority)
-      .flatMapGroupsWithState[Double, EwmaPoint](
+      // state = (last-processed epoch-day millis, y_{t-1}): carrying the
+      // date makes the cross-batch ordering contract ENFORCED, not prose —
+      // a replayed/late older day fails loudly instead of silently folding
+      // in as the newest observation
+      .flatMapGroupsWithState[(Long, Double), EwmaPoint](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (p: String, rows: Iterator[DayRev], state: GroupState[Double]) =>
+        (p: String, rows: Iterator[DayRev],
+            state: GroupState[(Long, Double)]) =>
           val sorted = rows.toSeq.sortBy(_.d.getTime)
           var acc = state.getOption
           val out = sorted.map { r =>
             val y = acc match {
               case None => r.rev
-              case Some(prev) => alpha * r.rev + (1 - alpha) * prev
+              case Some((lastMs, prev)) =>
+                if (r.d.getTime <= lastMs)
+                  throw new IllegalStateException(
+                    s"EWMA key $p: day ${r.d} arrived at or before the " +
+                      "last processed day — out-of-order delivery breaks " +
+                      "the recurrence")
+                alpha * r.rev + (1 - alpha) * prev
             }
-            acc = Some(y)
+            acc = Some((r.d.getTime, y))
             EwmaPoint(p, r.d, y)
           }
           acc.foreach(state.update)
