@@ -334,7 +334,9 @@ object SimilarityPack extends QueryPack {
     val cand = cells.join(broadcast(routed),
         col("cluster") === col("cell") && col("q_id") =!= col("vec_id"))
       .select("q_id", "vec_id")
-    val scored = cand.join(codes, "vec_id")
+    // the candidate list is query-batch × cell-fraction sized — broadcast
+    // it onto the corpus-sized code table, never sort the codes
+    val scored = codes.join(broadcast(cand), Seq("vec_id"))
       .join(broadcast(lut), Seq("q_id", "sub", "code"))
       .groupBy("q_id", "vec_id")
       .agg(round(sum("dp"), 6).as("adc6"))

@@ -205,4 +205,28 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("InMemoryTableScan"),
       "the oriented edge list must persist across its consumers")
   }
+
+  test("PQ / IVF+PQ search never sort-merges; models broadcast") {
+    for (name <- Seq("q168_pq_adc", "q169_ivf_pq")) {
+      val df = q(name)
+      df.collect() // finalize adaptive plan
+      // executed AdaptiveSparkPlan prints Final AND Initial sections —
+      // assert only on the final one (AQE may convert initial SMJs)
+      val p = planOf(df).split("== Initial Plan ==").head
+      assert(p.contains("BroadcastHashJoin"), s"$name:\n${p.take(3000)}")
+      assert(!p.contains("SortMergeJoin"),
+        s"$name: codebooks/LUT/routing must broadcast, corpus never sorts")
+    }
+  }
+
+  test("composed corpus pipeline is ONE scan, zero joins") {
+    // static plan properties — no collect, so the single printed tree is
+    // the whole plan (no Initial-section double count)
+    val p = planOf(q("q170_corpus_pipeline"))
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"expected one documents scan, got $scans:\n$p")
+    assert(!p.contains("Join"),
+      s"stage flags must cascade in-plan, not via joins:\n${p.take(3000)}")
+    assert(p.contains("Window"), "dedup rank + packing cumsum windows")
+  }
 }
