@@ -101,7 +101,10 @@ object PretrainDepthPack extends QueryPack {
     * Docs with <2 tokens surface with n_bigrams = 0 (q96 empty-doc
     * doctrine: never let a degenerate doc vanish from the output).
     */
-  private def q154(s: SparkSession, dir: String): DataFrame = {
+  /** Per-document LM score frame (doc_id, n_bigrams, units_sum,
+    * lm_score) — the q154 machinery, shared with the perplexity-bucketed
+    * sampler (q171). */
+  private def lmScored(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(s, dir, "documents").select("doc_id", "text")
     val t = toks(col("text"))
     val bigrams = zip_with(
@@ -131,7 +134,42 @@ object PretrainDepthPack extends QueryPack {
         (coalesce(col("units_sum"), lit(0L)).cast("double") /
           greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1L)))
           .as("lm_score"))
-      .orderBy("doc_id")
+  }
+
+  private def q154(s: SparkSession, dir: String): DataFrame =
+    lmScored(s, dir).orderBy("doc_id")
+
+  /** q171 — perplexity-bucketed sampling (the CCNet head/middle/tail
+    * split): rank documents by the corpus-LM score (q154's exact
+    * integer-unit machinery), cut into three equal buckets — best-scored
+    * = head — and keep each bucket at its configured rate (head 100%,
+    * middle 50%, tail 10%) via the deterministic md5 bucket. Output is
+    * the per-bucket retention ledger. The global ntile is exact-parity
+    * form (one sort of a doc-grain projection); at 100 TB the cut comes
+    * from approx_percentile score boundaries instead (q114's note), and
+    * the keep decision stays per-row either way.
+    */
+  private def q171(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("lm_score").desc, col("doc_id"))
+    val rate = when(col("ppl_bucket") === "head", 1000)
+      .when(col("ppl_bucket") === "middle", 500)
+      .otherwise(100)
+    lmScored(s, dir)
+      .withColumn("nt", ntile(3).over(w))
+      .withColumn("ppl_bucket",
+        when(col("nt") === 1, "head")
+          .when(col("nt") === 2, "middle")
+          .otherwise("tail"))
+      .withColumn("kept",
+        (TrainingPipelinePack.bucket(col("doc_id"), "ppl", 1000) < rate)
+          .cast("int"))
+      .groupBy("ppl_bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("kept").cast("long").as("n_kept"),
+        sum("n_bigrams").cast("long").as("bigrams_total"),
+        sum(col("kept") * col("n_bigrams")).cast("long")
+          .as("bigrams_kept"))
+      .orderBy("ppl_bucket")
   }
 
   // --- PageRank over the co-purchase graph --------------------------------
@@ -185,7 +223,8 @@ object PretrainDepthPack extends QueryPack {
     "q152_quant_error" -> q152 _,
     "q153_quantized_ann" -> q153 _,
     "q154_bigram_lm_quality" -> q154 _,
-    "q155_pagerank" -> q155 _)
+    "q155_pagerank" -> q155 _,
+    "q171_ppl_buckets" -> q171 _)
 
   // Shared quantization prefix — generated once so the Spark construction
   // and its oracle twin cannot drift.
@@ -198,6 +237,40 @@ object PretrainDepthPack extends QueryPack {
       |  list_transform(v,
       |   x -> CAST(floor(x / scale + CAST(0.5 AS DOUBLE)) AS INT)) AS qv
       | FROM s)""".stripMargin
+
+  /** The q154 LM-score CTE chain ending in `lm(doc_id, n_bigrams,
+    * units_sum, lm_score)` — shared by q154 and q171 so the scoring
+    * definitions cannot drift. */
+  private val duckLmPrefix =
+    """t AS (
+      | SELECT doc_id,
+      |  list_filter(string_split(text,' '), x -> x <> '') AS tk
+      | FROM documents),
+      |bb AS (
+      | SELECT doc_id,
+      |  unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS u,
+      |  unnest(list_transform(range(1, len(tk)), i -> tk[i+1])) AS w
+      | FROM t),
+      |cb AS (SELECT u, w, count(*) AS c_uw FROM bb GROUP BY 1, 2),
+      |cu AS (SELECT u, CAST(sum(c_uw) AS BIGINT) AS c_u
+      |       FROM cb GROUP BY 1),
+      |vv AS (SELECT count(DISTINCT tok) AS vsz
+      |       FROM (SELECT unnest(tk) AS tok FROM t)),
+      |sc AS (
+      | SELECT bb.doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(CAST(floor(
+      |    CAST(c_uw + 1 AS DOUBLE) / CAST(c_u + vsz AS DOUBLE)
+      |    * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+      |   AS BIGINT)) AS BIGINT) AS units_sum
+      | FROM bb JOIN cb USING (u, w) JOIN cu USING (u) CROSS JOIN vv
+      | GROUP BY 1),
+      |lm AS (
+      | SELECT d.doc_id,
+      |  CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |  COALESCE(sc.units_sum, 0) AS units_sum,
+      |  CAST(COALESCE(sc.units_sum, 0) AS DOUBLE)
+      |   / greatest(COALESCE(sc.n_bigrams, 0), 1) AS lm_score
+      | FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id)""".stripMargin
 
   private def duckPrRound(r: Int): String =
     s"""r$r AS (
@@ -241,35 +314,28 @@ object PretrainDepthPack extends QueryPack {
          | round(score, 6) AS score6
          |FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin,
     "q154_bigram_lm_quality" ->
-      """WITH t AS (
-        | SELECT doc_id,
-        |  list_filter(string_split(text,' '), x -> x <> '') AS tk
-        | FROM documents),
-        |bb AS (
-        | SELECT doc_id,
-        |  unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS u,
-        |  unnest(list_transform(range(1, len(tk)), i -> tk[i+1])) AS w
-        | FROM t),
-        |cb AS (SELECT u, w, count(*) AS c_uw FROM bb GROUP BY 1, 2),
-        |cu AS (SELECT u, CAST(sum(c_uw) AS BIGINT) AS c_u
-        |       FROM cb GROUP BY 1),
-        |vv AS (SELECT count(DISTINCT tok) AS vsz
-        |       FROM (SELECT unnest(tk) AS tok FROM t)),
-        |sc AS (
-        | SELECT bb.doc_id, count(*) AS n_bigrams,
-        |  CAST(sum(CAST(floor(
-        |    CAST(c_uw + 1 AS DOUBLE) / CAST(c_u + vsz AS DOUBLE)
-        |    * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
-        |   AS BIGINT)) AS BIGINT) AS units_sum
-        | FROM bb JOIN cb USING (u, w) JOIN cu USING (u) CROSS JOIN vv
-        | GROUP BY 1)
-        |SELECT d.doc_id,
-        | CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-        | COALESCE(sc.units_sum, 0) AS units_sum,
-        | CAST(COALESCE(sc.units_sum, 0) AS DOUBLE)
-        |  / greatest(COALESCE(sc.n_bigrams, 0), 1) AS lm_score
-        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+      s"""WITH $duckLmPrefix
+         |SELECT doc_id, n_bigrams, units_sum, lm_score FROM lm
+         |ORDER BY doc_id""".stripMargin,
+    "q171_ppl_buckets" ->
+      s"""WITH $duckLmPrefix,
+         |nt AS (
+         | SELECT doc_id, n_bigrams,
+         |  ntile(3) OVER (ORDER BY lm_score DESC, doc_id) AS nt
+         | FROM lm),
+         |bkt AS (
+         | SELECT n_bigrams,
+         |  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+         |          ELSE 'tail' END AS ppl_bucket,
+         |  CASE WHEN ${TrainingPipelinePack.duckBucket("doc_id", "ppl", 1000)}
+         |        < CASE nt WHEN 1 THEN 1000 WHEN 2 THEN 500 ELSE 100 END
+         |       THEN 1 ELSE 0 END AS kept
+         | FROM nt)
+         |SELECT ppl_bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(kept) AS BIGINT) AS n_kept,
+         | CAST(sum(n_bigrams) AS BIGINT) AS bigrams_total,
+         | CAST(sum(kept * n_bigrams) AS BIGINT) AS bigrams_kept
+         |FROM bkt GROUP BY 1 ORDER BY 1""".stripMargin,
     "q155_pagerank" ->
       s"""WITH items AS (
          | SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -45,7 +45,7 @@ object TrainingPipelinePack extends QueryPack {
   private[graft] def bucket(id: Column, salt: String, n: Int): Column =
     md5Hash32(id, salt) % n
 
-  private def duckBucket(id: String, salt: String, n: Int): String =
+  private[graft] def duckBucket(id: String, salt: String, n: Int): String =
     s"CAST('0x' || substring(md5('$salt|' || CAST($id AS VARCHAR)), 1, 8) AS BIGINT) % $n"
 
   /** Non-empty whitespace tokens (the shared [[TextOps]] tokenizer). */
