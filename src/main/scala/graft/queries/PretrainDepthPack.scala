@@ -88,22 +88,21 @@ object PretrainDepthPack extends QueryPack {
 
   // --- bigram LM quality filter ------------------------------------------
 
-  /** q154 — corpus-trained bigram-LM scoring (the perplexity-filter shape):
-    * train add-one-smoothed bigram probabilities P(w|u) =
-    * (c(u,w)+1)/(c(u)+V) on the whole corpus, then score every document by
-    * its mean bigram probability. Two corpus aggregations build the model,
-    * one join scores the docs — model and scoring both shuffle on the
-    * bigram key, so the pipeline is a constant number of passes no matter
-    * the corpus size (vs per-doc LM calls).
+  /** Corpus-trained bigram-LM scoring (the perplexity-filter shape),
+    * shared by q154 and the perplexity-bucketed sampler (q171): train
+    * add-one-smoothed bigram probabilities P(w|u) = (c(u,w)+1)/(c(u)+V)
+    * on the whole corpus, then score every document by its mean bigram
+    * probability — one frame of (doc_id, n_bigrams, units_sum,
+    * lm_score). Two corpus aggregations build the model, one join scores
+    * the docs — model and scoring both shuffle on the bigram key, so the
+    * pipeline is a constant number of passes no matter the corpus size
+    * (vs per-doc LM calls).
     *
     * Probabilities enter the per-doc sum as exact integer micro-units
     * (floor(p·1e6 + 0.5)) so accumulation order can't smear the compare.
     * Docs with <2 tokens surface with n_bigrams = 0 (q96 empty-doc
     * doctrine: never let a degenerate doc vanish from the output).
     */
-  /** Per-document LM score frame (doc_id, n_bigrams, units_sum,
-    * lm_score) — the q154 machinery, shared with the perplexity-bucketed
-    * sampler (q171). */
   private def lmScored(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(s, dir, "documents").select("doc_id", "text")
     val t = toks(col("text"))

@@ -334,9 +334,13 @@ object SimilarityPack extends QueryPack {
     val cand = cells.join(broadcast(routed),
         col("cluster") === col("cell") && col("q_id") =!= col("vec_id"))
       .select("q_id", "vec_id")
-    // the candidate list is query-batch × cell-fraction sized — broadcast
-    // it onto the corpus-sized code table, never sort the codes
-    val scored = codes.join(broadcast(cand), Seq("vec_id"))
+    // the candidate list GROWS WITH THE CORPUS (≈ queries × cell size) —
+    // it must never broadcast. It probes the code table on their shared
+    // vec_id key: the one corpus-grain join in the pipeline, which at
+    // 100 TB goes zero-exchange by bucketing both sides on vec_id
+    // (the BucketedJoinSpec pattern); everything else (routing table,
+    // LUT) broadcasts.
+    val scored = cand.join(codes, Seq("vec_id"))
       .join(broadcast(lut), Seq("q_id", "sub", "code"))
       .groupBy("q_id", "vec_id")
       .agg(round(sum("dp"), 6).as("adc6"))

@@ -206,17 +206,27 @@ class PlanShapeSpec extends SparkSpecBase {
       "the oriented edge list must persist across its consumers")
   }
 
-  test("PQ / IVF+PQ search never sort-merges; models broadcast") {
-    for (name <- Seq("q168_pq_adc", "q169_ivf_pq")) {
+  test("PQ / IVF+PQ search broadcasts models; corpus never broadcasts") {
+    // executed AdaptiveSparkPlan prints Final AND Initial sections —
+    // assert only on the final one (AQE may convert initial SMJs)
+    def finalPlan(name: String): String = {
       val df = q(name)
-      df.collect() // finalize adaptive plan
-      // executed AdaptiveSparkPlan prints Final AND Initial sections —
-      // assert only on the final one (AQE may convert initial SMJs)
-      val p = planOf(df).split("== Initial Plan ==").head
-      assert(p.contains("BroadcastHashJoin"), s"$name:\n${p.take(3000)}")
-      assert(!p.contains("SortMergeJoin"),
-        s"$name: codebooks/LUT/routing must broadcast, corpus never sorts")
+      df.collect()
+      planOf(df).split("== Initial Plan ==").head
     }
+    // q168: every join side is a model table (codebooks, LUT) → all
+    // broadcast, zero sort-merge
+    val p168 = finalPlan("q168_pq_adc")
+    assert(p168.contains("BroadcastHashJoin"), p168.take(3000))
+    assert(!p168.contains("SortMergeJoin"),
+      "q168: codebooks/LUT must broadcast")
+    // q169 adds ONE corpus-grain join (candidates ⋈ codes on vec_id —
+    // bucketable to zero-exchange at scale); routing + LUT broadcast
+    val p169 = finalPlan("q169_ivf_pq")
+    val smjs = p169.linesIterator.count(_.contains("SortMergeJoin"))
+    val bhjs = p169.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(smjs <= 1, s"q169: only the vec_id probe may sort-merge:\n$p169")
+    assert(bhjs >= 2, s"q169: routing and LUT must broadcast:\n$p169")
   }
 
   test("composed corpus pipeline is ONE scan, zero joins") {
