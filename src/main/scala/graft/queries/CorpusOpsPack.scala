@@ -433,6 +433,64 @@ object CorpusOpsPack extends QueryPack {
           .as("postings_md5"))
       .orderBy("w")
 
+  // --- q173: BM25 ranked retrieval -----------------------------------------
+
+  /** q173 — Okapi BM25 retrieval (Robertson/Spärck Jones), the
+    * length-normalized upgrade of q163's TF-IDF: the first `nQueryDocs`
+    * docs play queries (binary query-term weights — the standard short-
+    * query form), candidates score
+    * Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) with
+    * idf(t) = ln((N − df + ½)/(df + ½) + 1) (the Lucene non-negative
+    * variant), k1 = 1.2, b = 0.75.
+    *
+    * Shape: ONE tokenize+explode of the corpus feeds tf (persisted —
+    * reused for df, candidate weights, and query-term extraction); doc
+    * lengths ride the same pre-explode projection, so no second corpus
+    * scan; N and avgdl are one broadcast scalar row; query terms broadcast
+    * onto the weighted postings exactly like q163. Scale: identical to
+    * q163 — the only join against corpus-grain data is term-keyed with a
+    * broadcast build side; everything else is scalar or vocabulary-grain.
+    *
+    * Parity: dl/avgdl/idf/weight are one fixed IEEE op sequence written
+    * identically in the oracle (`ln` = Spark `log`); the multi-row score
+    * sum rounds to 6 per the [[QueryPack]] doctrine.
+    */
+  private def q173(s: SparkSession, dir: String): DataFrame = {
+    val stats = Tables.load(s, dir, "documents")
+      .select(TextOps.nToks(col("text")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val tf = Tables.loadParallel(s, dir, "documents")
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).as("dl"),
+        explode(col("tk")).as("w"))
+      .groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("cnt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val idf = tf.groupBy("w")
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("w"), col("avgdl"),
+        log((col("n_docs") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5)) + lit(1.0)).as("idf"))
+    val weighted = tf.join(idf, "w")
+      .select(col("doc_id"), col("w"),
+        (col("idf") * (col("cnt") * lit(2.2))
+          / (col("cnt") + lit(1.2)
+            * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          .as("wt"))
+    val queries = tf.filter(col("doc_id") < nQueryDocs)
+      .select(col("doc_id").as("q_id"), col("w"))
+    val scored = weighted.join(broadcast(queries), Seq("w"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy("q_id", "doc_id")
+      .agg(round(sum("wt"), 6).as("score"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= retrievalK)
+      .orderBy("q_id", "rank")
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq(
       "q156_segment_dedup" -> q156 _,
@@ -443,7 +501,8 @@ object CorpusOpsPack extends QueryPack {
       "q161_triangles" -> q161 _,
       "q162_bpe_merge" -> q162 _,
       "q163_tfidf_retrieval" -> q163 _,
-      "q164_inverted_index" -> q164 _)
+      "q164_inverted_index" -> q164 _,
+      "q173_bm25_retrieval" -> q173 _)
 
   private[graft] val duckToks =
     "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -591,5 +650,34 @@ object CorpusOpsPack extends QueryPack {
          |SELECT w, CAST(count(*) AS BIGINT) AS df,
          | CAST(sum(cnt) AS BIGINT) AS total_tf,
          | md5(array_to_string(list_sort(list(doc_id)), ',')) AS postings_md5
-         |FROM g GROUP BY w ORDER BY w""".stripMargin)
+         |FROM g GROUP BY w ORDER BY w""".stripMargin,
+    "q173_bm25_retrieval" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl FROM t),
+         |x AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS w FROM t),
+         |tf AS (SELECT doc_id, dl, w, count(*) AS cnt FROM x GROUP BY 1, 2, 3),
+         |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+         |idf AS (
+         | SELECT w, avgdl,
+         |  ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+         | FROM df CROSS JOIN s),
+         |wts AS (
+         | SELECT tf.doc_id, tf.w,
+         |  idf.idf * (tf.cnt * 2.2)
+         |   / (tf.cnt + 1.2 * (0.25 + 0.75 * tf.dl / idf.avgdl)) AS wt
+         | FROM tf JOIN idf ON tf.w = idf.w),
+         |q AS (SELECT doc_id AS q_id, w FROM tf WHERE doc_id < $nQueryDocs),
+         |sc AS (
+         | SELECT q.q_id, wts.doc_id, round(sum(wts.wt), 6) AS score
+         | FROM wts JOIN q ON wts.w = q.w
+         | WHERE wts.doc_id <> q.q_id GROUP BY 1, 2),
+         |r AS (
+         | SELECT q_id, doc_id, score,
+         |  row_number() OVER (PARTITION BY q_id
+         |                     ORDER BY score DESC, doc_id) AS rank
+         | FROM sc)
+         |SELECT q_id, doc_id, score, CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= $retrievalK
+         |ORDER BY q_id, rank""".stripMargin)
 }

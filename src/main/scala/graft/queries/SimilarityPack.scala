@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.catalog.Tables
 import graft.functions.Vectors
 
@@ -427,6 +428,94 @@ object SimilarityPack extends QueryPack {
     topk(joined, k)
   }
 
+  // --- q172: SemDeDup (semantic near-dup removal) --------------------------
+
+  /** Cosine threshold for q172 — a non-representable decimal compared
+    * against identically computed doubles in both engines (the doctrine),
+    * placed just above the corpus's 99th-percentile pairwise cosine so a
+    * real fraction of vectors is removed at every scale factor (the
+    * synthetic embeddings top out near cos ≈ 0.51; the production 1−ε ≈
+    * 0.95 would remove nothing here).
+    */
+  private val semTau = 0.3
+
+  /** q172 — SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    * embedding space with k-means, then inside each cluster drop every
+    * vector that has a LOWER-id neighbor above [[semTau]] cosine — the
+    * greedy screen that keeps one representative per semantic-duplicate
+    * group without any cross-cluster pair ever being scored. Output is
+    * the per-vector ledger (cluster, lower-id duplicate count, keep).
+    *
+    * Scale: this is THE trick that makes semantic dedup tractable — the
+    * quadratic pair scan is confined to clusters, so cost is
+    * Σ|cellᵢ|² ≪ n²; production sizes k ≈ n/⟨cell⟩ to bound cells at a
+    * few hundred vectors (k = 8 here is demo grain, which also makes the
+    * cluster-keyed self-join coarse; at production k the join key has
+    * high cardinality and distributes evenly). The assigned frame is
+    * persisted: it feeds both sides of the self-join and the final
+    * ledger, and exchange reuse does not fire across differently-aliased
+    * branches (PlanShapeSpec doctrine).
+    */
+  private def q172(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cent = learnedCentroids(e).localCheckpoint()
+    val a = assign(e, cent)
+      .withColumn("nrm", sqrt(Vectors.dot(col("v"), col("v"))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val lower = a.select(col("vec_id").as("x_id"), col("cluster").as("x_cl"),
+      col("v").as("xv"), col("nrm").as("xn"))
+    val dups = a.join(lower,
+        col("x_cl") === col("cluster") && col("x_id") < col("vec_id"))
+      .filter(Vectors.dot(col("xv"), col("v"))
+        / (col("xn") * col("nrm")) > semTau)
+      .groupBy("vec_id").agg(count(lit(1)).as("ndl"))
+    a.select(col("vec_id"), col("cluster"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        col("cluster").cast("int").as("cluster"),
+        coalesce(col("ndl"), lit(0L)).cast("int").as("n_dup_lower"),
+        (coalesce(col("ndl"), lit(0L)) === 0).cast("int").as("keep"))
+      .orderBy("vec_id")
+  }
+
+  // --- q176: cluster-quality audit -----------------------------------------
+
+  /** q176 — k-means cluster-quality audit: per learned cluster, the
+    * member count, mean distance to the own centroid (compactness), and
+    * the distance to the nearest other centroid (separation) — the two
+    * ingredients of a Davies-Bouldin-style health check, reported raw so
+    * a pipeline can threshold either. This is the monitoring query every
+    * production IVF/SemDeDup index needs after (re)clustering: a cell
+    * with mean_dist ≫ nn_cent_dist is under-split and hurting recall.
+    *
+    * Scale: member distances are a broadcast of k centroids over one
+    * linear scan (the assignment shape); centroid separation is a k×k
+    * self-join of a k-row table — both trivially parallel at any corpus
+    * size. Means round to 6 (multi-row double aggregate doctrine); the
+    * min-distance is an exact min over bit-identical candidates, rounded
+    * for symmetry.
+    */
+  private def q176(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cent = learnedCentroids(e).localCheckpoint()
+    val own = assign(e, cent)
+      .join(broadcast(cent), Seq("cluster"))
+      .withColumn("dist", sqrt(Vectors.sqDist(col("v"), col("cv"))))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"), round(avg("dist"), 6).as("mean_dist6"))
+    val other = cent.select(col("cluster").as("o_cl"), col("cv").as("ocv"))
+    val sep = cent.join(other, col("cluster") =!= col("o_cl"))
+      .select(col("cluster"),
+        sqrt(Vectors.sqDist(col("cv"), col("ocv"))).as("cd"))
+      .groupBy("cluster").agg(round(min("cd"), 6).as("nn_cent_dist6"))
+    own.join(sep, Seq("cluster"))
+      .select(col("cluster").cast("int").as("cluster"),
+        col("n_vecs"), col("mean_dist6"), col("nn_cent_dist6"))
+      .orderBy("cluster")
+  }
+
   private val nProbe = 2
 
   /** q108 — multi-probe IVF: each query scans its `nProbe` nearest cells
@@ -487,7 +576,9 @@ object SimilarityPack extends QueryPack {
     "q168_pq_adc" -> q168 _,
     "q169_ivf_pq" -> q169 _,
     "q82_hof_vector_features" -> q82 _,
-    "q84_ivf_learned_cells" -> q84 _)
+    "q84_ivf_learned_cells" -> q84 _,
+    "q172_semdedup" -> q172 _,
+    "q176_cluster_quality" -> q176 _)
 
   private val duckCos =
     "list_dot_product(a.qv, b.v) / (a.qnrm * b.nrm)"
@@ -738,7 +829,62 @@ object SimilarityPack extends QueryPack {
        | ON t.q_id = a.a_qid AND t.neighbor_id = a.a_nid
        |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin
 
+  /** q172 oracle: the shared Lloyd prefix, the within-cluster lower-id
+    * pair screen, and the per-vector ledger — cosine written as the same
+    * dot/norm-product sequence the Spark side executes.
+    */
+  private def duckSemDedup: String =
+    s"""WITH $duckKmeansPrefix,
+       |a AS (
+       | SELECT e.vec_id, f.cluster, e.v, e.nrm
+       | FROM e JOIN afin f ON e.vec_id = f.vec_id),
+       |p AS (
+       | SELECT y.vec_id, count(*) AS ndl
+       | FROM a x JOIN a y
+       |  ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+       |  AND list_dot_product(x.v, y.v) / (x.nrm * y.nrm) > $semTau
+       | GROUP BY 1)
+       |SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster,
+       | CAST(COALESCE(p.ndl, 0) AS INT) AS n_dup_lower,
+       | CASE WHEN COALESCE(p.ndl, 0) = 0 THEN 1 ELSE 0 END AS keep
+       |FROM a LEFT JOIN p ON a.vec_id = p.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+
+  /** q176 oracle: member distances from the Lloyd prefix's final
+    * assignment joined to the final centroids; separation from the k×k
+    * centroid self-join — both distance expressions are the diff-list
+    * `list_dot_product(dd, dd)` sequence [[Vectors.sqDist]] mirrors.
+    */
+  private def duckClusterQuality: String =
+    s"""WITH $duckKmeansPrefix,
+       |diffs AS (
+       | SELECT f.cluster,
+       |  list_transform(generate_series(1, len(e.v)),
+       |                 i -> e.v[i] - c.cv[i]) AS dd
+       | FROM afin f JOIN e ON f.vec_id = e.vec_id
+       | JOIN cent$kmIters c ON f.cluster = c.cluster),
+       |own AS (
+       | SELECT cluster, count(*) AS n_vecs,
+       |  round(avg(sqrt(list_dot_product(dd, dd))), 6) AS mean_dist6
+       | FROM diffs GROUP BY 1),
+       |cd AS (
+       | SELECT cluster,
+       |  round(min(sqrt(list_dot_product(dd, dd))), 6) AS nn_cent_dist6
+       | FROM (
+       |  SELECT a.cluster,
+       |   list_transform(generate_series(1, len(a.cv)),
+       |                  i -> a.cv[i] - b.cv[i]) AS dd
+       |  FROM cent$kmIters a JOIN cent$kmIters b
+       |   ON a.cluster <> b.cluster) q
+       | GROUP BY 1)
+       |SELECT CAST(o.cluster AS INT) AS cluster, o.n_vecs,
+       | o.mean_dist6, c.nn_cent_dist6
+       |FROM own o JOIN cd c ON o.cluster = c.cluster
+       |ORDER BY cluster""".stripMargin
+
   override val oracle: Seq[(String, String)] = Seq(
+    "q172_semdedup" -> duckSemDedup,
+    "q176_cluster_quality" -> duckClusterQuality,
     "q75_kmeans" -> duckKmeans,
     "q168_pq_adc" -> duckPq,
     "q169_ivf_pq" -> duckIvfPq,

@@ -184,6 +184,94 @@ object TrainingPipelinePack extends QueryPack {
       .orderBy("source", "rank")
   }
 
+  // --- q174: hashed linear quality classifier ------------------------------
+
+  private val featDim = 512 // hashed feature buckets
+
+  /** Deterministic per-bucket weight in integer milli-units: an LCG step
+    * of the bucket id folded into [-1000, 1000]. Stands in for trained
+    * fastText/logistic weights — the Spark-side plumbing (hash → lookup →
+    * sum → threshold) is exactly the production scorer's; only the values
+    * are synthetic. All-BIGINT so both engines are bit-exact.
+    */
+  private def weightMilli(bk: Column): Column =
+    (bk * lit(1103515245L) + lit(12345L)) % lit(2001L) - lit(1000L)
+
+  /** q174 — hashed-linear-model document scoring, the quality-classifier
+    * stage of a CCNet/LLaMA-style corpus pipeline (a fastText-ish linear
+    * scorer over hashed bag-of-words features): token → md5 feature
+    * bucket (mod [[featDim]]) → weight lookup → per-document sum →
+    * keep/reject prediction at score > 0.
+    *
+    * Scale: hash and weight are per-token map-side expressions (no model
+    * table to join — the "lookup" is closed-form here; a real weight
+    * vector is a [[featDim]]-row broadcast); partial aggregation reduces
+    * tokens to one row per doc before the only shuffle. Docs with zero
+    * tokens survive via the left join (q96's empty-doc doctrine). Score
+    * stays in exact integer milli-units end to end — no float parity
+    * surface at all.
+    */
+  private def q174(s: SparkSession, dir: String): DataFrame = {
+    val scores = Tables.loadParallel(s, dir, "documents")
+      .select(col("doc_id"), explode(TextOps.toks(col("text"))).as("w"))
+      .select(col("doc_id"),
+        weightMilli(bucket(col("w"), "feat", featDim).cast("long")).as("wt"))
+      .groupBy("doc_id").agg(sum("wt").as("sm"))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), nToks(col("text")).as("n_tokens"))
+      .join(scores, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("sm"), lit(0L)).as("score_milli"),
+        (coalesce(col("sm"), lit(0L)) > 0).cast("int").as("pred"))
+      .orderBy("doc_id")
+  }
+
+  // --- q175: k-fold cross-validation assignment ----------------------------
+
+  private val nFolds = 5
+
+  /** q175 — deterministic k-fold CV assignment: fold = md5-bucket of
+    * doc_id (q111's split doctrine with k equal buckets), audited per
+    * (fold, lang) so fold balance AND stratum drift are visible in one
+    * relation. Membership is a pure row expression — folds are stable
+    * under corpus growth, repartitioning, and re-runs, which is the whole
+    * point vs `randomSplit` (nondeterministic under retries/reordering).
+    */
+  private def q175(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .withColumn("fold", bucket(col("doc_id"), "fold", nFolds).cast("int"))
+      .groupBy("fold", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(nToks(col("text"))).as("n_tokens"))
+      .orderBy("fold", "lang")
+
+  // --- q177: shard manifest -------------------------------------------------
+
+  /** q177 — training-shard manifest: q115's deterministic shuffle+deal
+    * assignment rolled up into the dataset-card artifact a trainer
+    * consumes — per shard, document/token/language counts plus an md5
+    * fingerprint of the ordered member list. The fingerprint turns "the
+    * shard layout is reproducible" into one comparable scalar (any
+    * membership or order change flips it), the same trick as q164's
+    * postings_md5. Same global-sort caveat as q115: exact round-robin
+    * needs one total order over an (id, hash) projection; md5-bucket
+    * sharding (q111) drops the sort when ±1% imbalance is acceptable.
+    */
+  private def q177(s: SparkSession, dir: String): DataFrame = {
+    val rn = row_number().over(Window.orderBy(md5(col("doc_id").cast("string"))))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), nToks(col("text")).as("ntk"))
+      .withColumn("shard", (rn - 1) % 8)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ntk").as("n_tokens"),
+        countDistinct("lang").as("n_langs"),
+        md5(concat_ws(",",
+          sort_array(collect_list(col("doc_id"))).cast("array<string>")))
+          .as("docs_md5"))
+      .orderBy("shard")
+  }
+
   /** Word 8-grams of a text column as space-joined strings (empty array
     * when the document is shorter than 8 tokens).
     */
@@ -317,7 +405,10 @@ object TrainingPipelinePack extends QueryPack {
     "q113_token_budget" -> q113 _,
     "q114_curriculum_stages" -> q114 _,
     "q115_shuffle_shards" -> q115 _,
-    "q123_group_sample" -> q123 _)
+    "q123_group_sample" -> q123 _,
+    "q174_hash_classifier" -> q174 _,
+    "q175_kfold_assignment" -> q175 _,
+    "q177_shard_manifest" -> q177 _)
 
   override val oracle: Seq[(String, String)] = Seq(
     "q170_corpus_pipeline" ->
@@ -482,5 +573,38 @@ object TrainingPipelinePack extends QueryPack {
         |   PARTITION BY source ORDER BY h, doc_id) AS rank
         | FROM d)
         |SELECT source, CAST(rank AS INT) AS rank, doc_id, h
-        |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin)
+        |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+    "q174_hash_classifier" ->
+      s"""WITH x AS (
+         | SELECT doc_id, unnest(${CorpusOpsPack.duckToks}) AS w
+         | FROM documents),
+         |wt AS (
+         | SELECT doc_id,
+         |  (${duckBucket("w", "feat", featDim)} * 1103515245 + 12345)
+         |    % 2001 - 1000 AS wt
+         | FROM x),
+         |a AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS sm
+         |      FROM wt GROUP BY 1)
+         |SELECT d.doc_id,
+         | CAST($duckNToks AS INT) AS n_tokens,
+         | COALESCE(a.sm, 0) AS score_milli,
+         | CASE WHEN COALESCE(a.sm, 0) > 0 THEN 1 ELSE 0 END AS pred
+         |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "q175_kfold_assignment" ->
+      s"""SELECT CAST(${duckBucket("doc_id", "fold", nFolds)} AS INT) AS fold,
+         | lang, count(*) AS n_docs,
+         | CAST(sum($duckNToks) AS BIGINT) AS n_tokens
+         |FROM documents GROUP BY 1, 2 ORDER BY fold, lang""".stripMargin,
+    "q177_shard_manifest" ->
+      s"""WITH t AS (
+         | SELECT doc_id, lang, $duckNToks AS ntk,
+         |  (row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) - 1) % 8
+         |    AS shard
+         | FROM documents)
+         |SELECT shard, count(*) AS n_docs,
+         | CAST(sum(ntk) AS BIGINT) AS n_tokens,
+         | CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         | md5(array_to_string(list_sort(list(doc_id)), ',')) AS docs_md5
+         |FROM t GROUP BY shard ORDER BY shard""".stripMargin)
 }

@@ -153,6 +153,51 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(totalTf === totalTokens, "postings account for every token")
   }
 
+  test("q173: BM25 ranking matches an independent JVM recompute") {
+    val rows = q("q173_bm25_retrieval").collect()
+    // structural contract, same as q163
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    for ((qid, rs) <- byQ) {
+      assert(rs.length === 5)
+      assert(rs.map(_.getInt(3)).sorted === (1 to 5))
+      assert(!rs.exists(_.getLong(1) == qid), "self excluded")
+    }
+    // full scorer recompute in plain Scala (tokenize → tf/df/dl → BM25)
+    val texts = graft.catalog.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+      .toMap
+    val n = texts.size
+    val avgdl = texts.values.map(_.length.toLong).sum.toDouble / n
+    val tf = texts.map { case (id, tk) =>
+      id -> tk.groupBy(identity).view.mapValues(_.length).toMap
+    }
+    val df = tf.values.flatMap(_.keys).groupBy(identity).view
+      .mapValues(_.size).toMap
+    def score(qid: Long, did: Long): Double =
+      tf(qid).keys.toSeq.sorted.map { w =>
+        tf(did).get(w).fold(0.0) { cnt =>
+          val idf = math.log((n - df(w) + 0.5) / (df(w) + 0.5) + 1.0)
+          idf * (cnt * 2.2) /
+            (cnt + 1.2 * (0.25 + 0.75 * texts(did).length / avgdl))
+        }
+      }.sum
+    for (r <- rows) {
+      val got = r.getDouble(2)
+      val want = score(r.getLong(0), r.getLong(1))
+      assert(math.abs(got - want) < 1e-4,
+        s"q${r.getLong(0)} doc${r.getLong(1)}: $got vs JVM $want")
+    }
+    // and the top-1 per query is the argmax over ALL candidates
+    for (qid <- 0L to 4L) {
+      val best = texts.keys.filter(_ != qid)
+        .maxBy(d => (score(qid, d), -d))
+      assert(byQ(qid).find(_.getInt(3) == 1).get.getLong(1) === best,
+        s"query $qid top-1")
+    }
+  }
+
   test("CoPurchase: pairs are oriented, distinct, and basket-bounded") {
     val li = graft.catalog.Tables.load(spark, dir, "lineitem")
     val p = graft.functions.CoPurchase.distinctPairs(li)

@@ -67,4 +67,54 @@ class KMeansSpec extends SparkSpecBase {
     val mean = ranks.sum / ranks.size
     assert(mean >= 0.6, s"mean percentile rank $mean — ADC barely beats random")
   }
+
+  test("q172: SemDeDup ledger matches an independent JVM pair scan") {
+    val s = spark
+    val dir = "/root/testdata/sf0.001"
+    // sequential left-fold dot — the same op order Vectors.dot executes,
+    // so the cosine-vs-threshold branch is bit-identical
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    val cluster = SparkEntry.queries("q75_kmeans")(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vecs = graft.catalog.Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val ids = vecs.keySet.toSeq.sorted
+    val expect = ids.map { y =>
+      val ny = math.sqrt(dot(vecs(y), vecs(y)))
+      y -> ids.count { x =>
+        x < y && cluster(x) == cluster(y) && {
+          val nx = math.sqrt(dot(vecs(x), vecs(x)))
+          dot(vecs(x), vecs(y)) / (nx * ny) > 0.3
+        }
+      }
+    }.toMap
+    val rows = SparkEntry.queries("q172_semdedup")(s, dir).collect()
+    assert(rows.length === ids.length)
+    var removed = 0
+    for (r <- rows) {
+      val (id, cl, ndl, keep) =
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))
+      assert(cl === cluster(id), s"vec $id cluster drifted from q75")
+      assert(ndl === expect(id), s"vec $id lower-id dup count")
+      assert(keep === (if (ndl == 0) 1 else 0), "keep derives from the count")
+      if (keep == 0) removed += 1
+    }
+    assert(removed > 0, "threshold must remove a real fraction")
+  }
+
+  test("q176: audit sizes match q75 and separation exceeds zero") {
+    val s = spark
+    val dir = "/root/testdata/sf0.001"
+    val sizes = SparkEntry.queries("q75_kmeans")(s, dir).collect()
+      .groupBy(_.getInt(1)).view.mapValues(_.length.toLong).toMap
+    val rows = SparkEntry.queries("q176_cluster_quality")(s, dir).collect()
+    assert(rows.map(_.getInt(0)).toSet === sizes.keySet)
+    for (r <- rows) {
+      assert(r.getLong(1) === sizes(r.getInt(0)), "member count per cluster")
+      assert(r.getDouble(2) > 0.0, "compactness is a real distance")
+      assert(r.getDouble(3) > 0.0, "separation is a real distance")
+    }
+  }
 }

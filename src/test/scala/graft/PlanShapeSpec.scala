@@ -239,4 +239,48 @@ class PlanShapeSpec extends SparkSpecBase {
       s"stage flags must cascade in-plan, not via joins:\n${p.take(3000)}")
     assert(p.contains("Window"), "dedup rank + packing cumsum windows")
   }
+
+  test("SemDeDup pair scan reads the cached assignment, not the corpus") {
+    // pin on the OPTIMIZED LOGICAL plan: the executed-plan string nests
+    // whole AdaptiveSparkPlans (with their own Initial sections) inside
+    // InMemoryRelation blocks, so section-splitting truncates the tree
+    // (the FinalPlan trap, compounded); the logical tree shows each cache
+    // read as one InMemoryRelation node with no nesting
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val lp = q("q172_semdedup").queryExecution.optimizedPlan
+    val leaves = lp.collectLeaves()
+    // both sides of the within-cluster self-join and the final ledger
+    // must come from the persisted assignment — the Lloyd chain and the
+    // embeddings scan run once, not three times
+    val mem = leaves.count(_.isInstanceOf[InMemoryRelation])
+    assert(mem >= 3, s"expected >=3 reads of the cached assignment:\n$lp")
+    assert(leaves.size === mem, s"non-cache corpus leaf in the plan:\n$lp")
+  }
+
+  test("hashed classifier is scan → partial agg → one exchange") {
+    val p = planOf(q("q174_hash_classifier"))
+    // hash + weight + sum must partial-aggregate before the doc_id
+    // shuffle: a partial HashAggregate below the exchange
+    val i = p.indexOf("Exchange hashpartitioning(doc_id")
+    assert(i > 0, s"doc-grain exchange missing:\n${p.take(3000)}")
+    assert(p.indexOf("HashAggregate", i) > 0 &&
+      p.drop(i).contains("HashAggregate"),
+      "final agg above; partial agg below")
+    assert(!p.contains("SortMergeJoin"), "empty-doc join must broadcast")
+  }
+
+  test("BM25 reuses ONE persisted tf: df/weights/query terms share it") {
+    // programmatic leaf walk, not string counting: InMemoryRelation
+    // PRINTS its cached physical plan (including that plan's FileScan
+    // lines), so substring counts see phantom corpus scans
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val lp = q("q173_bm25_retrieval").queryExecution.optimizedPlan
+    val leaves = lp.collectLeaves()
+    val mem = leaves.count(_.isInstanceOf[InMemoryRelation])
+    assert(mem >= 3, s"tf must feed df, weights AND query terms:\n$lp")
+    // the only non-cache leaf is the one-row stats scan (N, avgdl) —
+    // every tokenized corpus read comes from the persisted tf
+    assert(leaves.size - mem <= 1,
+      s"corpus re-scan outside the cached tf:\n$lp")
+  }
 }

@@ -156,4 +156,69 @@ class TrainingPipelineSpec extends SparkSpecBase {
     assert(out(3L)._2 === 0, s"embedded number must not match: ${out(3L)}")
     assert(out(4L) === ((0, 0, "ratio 3-21-1997 too short")))
   }
+
+  private def jvmHashStr32(salt: String, s: String): Long =
+    java.lang.Long.parseLong(md5hex(s"$salt|$s").take(8), 16)
+
+  test("q174: classifier scores match a plain-Scala hashed-linear model") {
+    def weight(w: String): Long = {
+      val bk = jvmHashStr32("feat", w) % 512
+      (bk * 1103515245L + 12345L) % 2001L - 1000L
+    }
+    val expect = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ").filter(_.nonEmpty).map(weight).sum)
+      .toMap
+    val rows = SparkEntry.queries("q174_hash_classifier")(spark, sf0001)
+      .collect()
+    assert(rows.length === expect.size)
+    for (r <- rows) {
+      val (id, sc, pred) = (r.getLong(0), r.getLong(2), r.getInt(3))
+      assert(sc === expect(id), s"doc $id score_milli")
+      assert(pred === (if (sc > 0) 1 else 0), "pred derives from the score")
+    }
+    assert(rows.exists(_.getInt(3) == 0) && rows.exists(_.getInt(3) == 1),
+      "synthetic weights must split the corpus both ways")
+  }
+
+  test("q175: folds partition the corpus into k nonempty stable parts") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val total = docs.count()
+    val totalToks = docs
+      .select(sum(size(graft.queries.TextOps.toks(col("text")))))
+      .head().getLong(0)
+    val rows = SparkEntry.queries("q175_kfold_assignment")(spark, sf0001)
+      .collect()
+    assert(rows.map(_.getInt(0)).toSet === (0 until 5).toSet)
+    assert(rows.map(_.getLong(2)).sum === total, "every doc in exactly one fold")
+    assert(rows.map(_.getLong(3)).sum === totalToks, "token conservation")
+    // fold of every doc recomputes from the JVM hash
+    val folds = docs.select(col("doc_id")).collect().map(_.getLong(0))
+      .groupBy(id => jvmHash32("fold", id) % 5).view.mapValues(_.length.toLong)
+    val byFold = rows.groupBy(_.getInt(0)).view
+      .mapValues(_.map(_.getLong(2)).sum)
+    (0 until 5).foreach { f =>
+      assert(byFold(f) === folds(f.toLong), s"fold $f size")
+    }
+  }
+
+  test("q177: manifest shards are balanced, exhaustive, and reproducible") {
+    val run1 = SparkEntry.queries("q177_shard_manifest")(spark, sf0001)
+      .collect()
+    val run2 = SparkEntry.queries("q177_shard_manifest")(spark, sf0001)
+      .collect()
+    assert(run1.map(_.toString).toSeq === run2.map(_.toString).toSeq,
+      "manifest (incl. fingerprints) identical across runs")
+    val total = Tables.load(spark, sf0001, "documents").count()
+    assert(run1.map(_.getLong(1)).sum === total)
+    val counts = run1.map(_.getLong(1))
+    assert(counts.max - counts.min <= 1, "round-robin deal is balanced")
+    assert(run1.map(_.getString(4)).distinct.length === run1.length,
+      "shards hold different documents")
+    // q115 and q177 share the deal — per-shard doc counts must agree
+    val q115 = SparkEntry.queries("q115_shuffle_shards")(spark, sf0001)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    run1.foreach(r => assert(q115(r.getInt(0)) === r.getLong(1)))
+  }
 }
