@@ -86,18 +86,27 @@ object CorpusOpsPack extends QueryPack {
       .agg(sum("cnt").as("n_units"),
         sum(when(col("nd") > 1, col("cnt")).otherwise(lit(0L))).as("n_dup"))
 
-  private def q156(s: SparkSession, dir: String): DataFrame = {
-    val segs = Tables.loadParallel(s, dir, "documents")
-      .select(col("doc_id"), toks(col("text")).as("tk"))
-      .select(col("doc_id"), col("tk"),
+  /** Consecutive full [[segLen]]-token segment hashes per document —
+    * q156's unit grain, carrying the source tag so provenance analyses
+    * (q182) share the ONE segment definition (column pruning drops the
+    * tag when unused).
+    */
+  private def segmentHashes(s: SparkSession, dir: String): DataFrame =
+    Tables.loadParallel(s, dir, "documents")
+      .select(col("doc_id"), col("source"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), col("source"), col("tk"),
         explode(sequence(lit(1),
           greatest(size(col("tk")) - (segLen - 1), lit(1)),
           lit(segLen))).as("st"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("source"),
         md5(concat_ws(" ", slice(col("tk"), col("st"), lit(segLen))))
           .as("h"),
         size(slice(col("tk"), col("st"), lit(segLen))).as("sl"))
       .filter(col("sl") === segLen)
+      .select("doc_id", "source", "h")
+
+  private def q156(s: SparkSession, dir: String): DataFrame = {
+    val segs = segmentHashes(s, dir).select("doc_id", "h")
     Tables.load(s, dir, "documents")
       .select(col("doc_id"), TextOps.nToks(col("text")).as("n_tokens"))
       .join(dupLedger(segs, "h"), Seq("doc_id"), "left")
@@ -491,6 +500,71 @@ object CorpusOpsPack extends QueryPack {
       .orderBy("q_id", "rank")
   }
 
+  // --- q180: vocabulary coverage / OOV audit -------------------------------
+
+  private val vocabN = 25 // tokens in the "trained" vocabulary
+
+  /** q180 — vocabulary-coverage audit: build the top-[[vocabN]] corpus
+    * vocabulary by frequency (token-asc tiebreak) and report each
+    * source's out-of-vocabulary token fraction — the tokenizer-fit
+    * signal a trainer checks before committing to a vocab (a source
+    * with high OOV inflates sequence lengths and UNK rates). vocabN sits
+    * just under the synthetic corpus's ~31-word vocabulary so a real
+    * OOV tail (~16%) exists at every scale factor.
+    *
+    * Scale: the (source, w) pre-aggregation is the only token-grain
+    * shuffle and is persisted — vocabulary ranking AND per-source OOV
+    * both read it; the vocabulary itself is vocabN rows (TakeOrdered,
+    * then broadcast). No second corpus pass, no token-grain join.
+    */
+  private def q180(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.loadParallel(s, dir, "documents")
+      .select(col("source"), explode(toks(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val vocab = tf.groupBy("w").agg(sum("cnt").as("freq"))
+      .orderBy(col("freq").desc, col("w")).limit(vocabN)
+      .select(col("w"), lit(1).as("iv"))
+    tf.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("source")
+      .agg(sum("cnt").as("n_tokens"),
+        sum(when(col("iv").isNull, col("cnt")).otherwise(lit(0L)))
+          .as("n_oov"))
+      .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
+      .orderBy("source")
+  }
+
+  // --- q182: cross-source segment-leak matrix ------------------------------
+
+  /** q182 — cross-source contamination matrix: for every pair of sources,
+    * how many distinct [[segLen]]-token segments they share and how many
+    * (occurrence × occurrence) pairings that implies — the provenance-
+    * leakage report that tells a data team which source pairs are
+    * re-crawls/mirrors of each other (the doc-level view of the same
+    * signal is q143's eval-decontamination).
+    *
+    * Scale: segments reduce to (hash, source) partial counts FIRST, so
+    * the self-join runs at vocabulary-of-segments grain, not token
+    * grain. A viral segment appearing everywhere makes its hash a hot
+    * join key AND inflates n_pairs quadratically — production caps
+    * per-hash occurrence counts (count-capped joins) before pairing;
+    * at this corpus the max segment fan-out is small enough to pair
+    * exactly.
+    */
+  private def q182(s: SparkSession, dir: String): DataFrame = {
+    val perSrc = segmentHashes(s, dir)
+      .groupBy("h", "source").agg(count(lit(1)).as("cnt"))
+    val right = perSrc.select(col("h"), col("source").as("src_b"),
+      col("cnt").as("cnt_b"))
+    perSrc.join(right, Seq("h"))
+      .filter(col("source") < col("src_b"))
+      .select(col("source").as("src_a"), col("src_b"), col("h"),
+        (col("cnt") * col("cnt_b")).as("np"))
+      .groupBy("src_a", "src_b")
+      .agg(countDistinct("h").as("n_segments"), sum("np").as("n_pairs"))
+      .orderBy("src_a", "src_b")
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq(
       "q156_segment_dedup" -> q156 _,
@@ -502,7 +576,9 @@ object CorpusOpsPack extends QueryPack {
       "q162_bpe_merge" -> q162 _,
       "q163_tfidf_retrieval" -> q163 _,
       "q164_inverted_index" -> q164 _,
-      "q173_bm25_retrieval" -> q173 _)
+      "q173_bm25_retrieval" -> q173 _,
+      "q180_vocab_oov" -> q180 _,
+      "q182_source_leak_matrix" -> q182 _)
 
   private[graft] val duckToks =
     "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -679,5 +755,37 @@ object CorpusOpsPack extends QueryPack {
          | FROM sc)
          |SELECT q_id, doc_id, score, CAST(rank AS INT) AS rank
          |FROM r WHERE rank <= $retrievalK
-         |ORDER BY q_id, rank""".stripMargin)
+         |ORDER BY q_id, rank""".stripMargin,
+    "q180_vocab_oov" ->
+      s"""WITH x AS (
+         | SELECT source, unnest($duckToks) AS w FROM documents),
+         |tf AS (SELECT source, w, count(*) AS cnt FROM x GROUP BY 1, 2),
+         |v AS (SELECT w FROM (
+         |  SELECT w, sum(cnt) AS freq FROM tf GROUP BY 1
+         |  ORDER BY freq DESC, w LIMIT $vocabN) q),
+         |agg AS (
+         | SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN v.w IS NULL THEN cnt ELSE 0 END) AS BIGINT)
+         |    AS n_oov
+         | FROM tf LEFT JOIN v ON tf.w = v.w GROUP BY 1)
+         |SELECT source, n_tokens, n_oov,
+         | CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate
+         |FROM agg ORDER BY source""".stripMargin,
+    "q182_source_leak_matrix" ->
+      s"""WITH t AS (SELECT doc_id, source, $duckToks AS tk FROM documents),
+         |seg AS (
+         | SELECT doc_id, source, tk,
+         |  unnest(range(1, greatest(len(tk) - ${segLen - 1}, 1) + 1,
+         |               $segLen)) AS st
+         | FROM t),
+         |f AS (
+         | SELECT source,
+         |  md5(array_to_string(tk[st : st + ${segLen - 1}], ' ')) AS h
+         | FROM seg WHERE len(tk[st : st + ${segLen - 1}]) = $segLen),
+         |ps AS (SELECT h, source, count(*) AS cnt FROM f GROUP BY 1, 2)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         | CAST(count(DISTINCT a.h) AS BIGINT) AS n_segments,
+         | CAST(sum(a.cnt * b.cnt) AS BIGINT) AS n_pairs
+         |FROM ps a JOIN ps b ON a.h = b.h AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

@@ -353,6 +353,75 @@ object SimilarityPack extends QueryPack {
       .orderBy("q_id", "rank")
   }
 
+  private val rerankR = 20 // compressed-domain shortlist size per query
+
+  /** q178 — two-stage retrieval (shortlist + re-rank), the standard
+    * production serving shape: the PQ-ADC chain (q168, reused verbatim)
+    * produces a `rerankR`-deep compressed-domain shortlist per query,
+    * then ONLY those candidates fetch their raw vectors for exact cosine
+    * scoring → final top-k. ADC error affects WHICH 20 survive, not how
+    * the survivors rank — the exact pass erases compression error where
+    * it matters.
+    *
+    * Scale: the re-rank join touches `rerankR × nQueries` rows of raw
+    * vectors instead of the corpus — the raw-vector table is only probed
+    * at shortlist grain (point lookups on vec_id, bucketable to
+    * zero-exchange); the corpus-wide work all happens in the compressed
+    * domain. Shortlist ranks on the ROUNDED adc6 (q168's output
+    * ordering) so membership is the same relation both engines rank.
+    */
+  private def q178(s: SparkSession, dir: String): DataFrame = {
+    val eAll = corpus(s, dir)
+    val e = eAll.select("vec_id", "v")
+    val sub = subVectors(e)
+    val cent = pqCodebooks(sub).localCheckpoint()
+    val codes = pqAssign(sub, cent).select("vec_id", "sub", "code")
+    val lut = sub.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("sub"), col("sv").as("qsv"))
+      .join(broadcast(cent), Seq("sub"))
+      .select(col("q_id"), col("sub"), col("code"),
+        Vectors.dot(col("qsv"), col("cv")).as("dp"))
+    val wAdc = Window.partitionBy("q_id")
+      .orderBy(col("adc6").desc, col("vec_id"))
+    val shortlist = codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(round(sum("dp"), 6).as("adc6"))
+      .withColumn("srank", row_number().over(wAdc))
+      .filter(col("srank") <= rerankR)
+      .select("q_id", "vec_id")
+    val q = eAll.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("rq_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val joined = shortlist
+      .join(eAll.select("vec_id", "v", "nrm"), Seq("vec_id"))
+      .join(broadcast(q), col("rq_id") === col("q_id"))
+      .withColumn("cos",
+        Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+    topk(joined, k)
+  }
+
+  /** q181 — hard-negative mining for contrastive training: for each
+    * query vector, the top-k most-similar vectors with a DIFFERENT
+    * label — the negatives that sit closest to the decision boundary,
+    * which is exactly what an embedding trainer wants in its batch
+    * (random negatives are too easy to teach anything). Same
+    * broadcast-query brute-force shape as q70 with the label-mismatch
+    * predicate fused into the join — the corpus never shuffles, and the
+    * filter runs before any score is computed.
+    */
+  private def q181(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
+    val joined = c.join(broadcast(q),
+        col("q_id") =!= col("vec_id") && col("q_label") =!= col("label"))
+      .withColumn("cos",
+        Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+    topk(joined, k)
+  }
+
   /** q75 — k-means as pure DataFrame ops, fully deterministic: seed
     * centroids are the first k vectors, `kmIters` unrolled Lloyd rounds
     * (argmin squared-L2 with cluster-id tiebreak, per-dimension mean
@@ -578,7 +647,9 @@ object SimilarityPack extends QueryPack {
     "q82_hof_vector_features" -> q82 _,
     "q84_ivf_learned_cells" -> q84 _,
     "q172_semdedup" -> q172 _,
-    "q176_cluster_quality" -> q176 _)
+    "q176_cluster_quality" -> q176 _,
+    "q178_adc_rerank" -> q178 _,
+    "q181_hard_negatives" -> q181 _)
 
   private val duckCos =
     "list_dot_product(a.qv, b.v) / (a.qnrm * b.nrm)"
@@ -882,8 +953,66 @@ object SimilarityPack extends QueryPack {
        |FROM own o JOIN cd c ON o.cluster = c.cluster
        |ORDER BY cluster""".stripMargin
 
+  /** q178 oracle: the PQ chain (codes + LUT + ADC scores) feeds a
+    * rounded-ADC shortlist window, then the exact-cosine re-rank runs
+    * over the shortlist joined back to the raw vectors. */
+  private def duckRerank: String =
+    s"""WITH e AS (
+       | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |       CAST(embedding AS DOUBLE[]))) AS nrm
+       | FROM embeddings),
+       |$duckPqCore,
+       |sc AS (
+       | SELECT l.q_id, a.vec_id, round(sum(l.dp), 6) AS adc6
+       | FROM codes a JOIN lut l ON a.sub = l.sub AND a.code = l.code
+       | WHERE l.q_id <> a.vec_id
+       | GROUP BY 1, 2),
+       |short AS (
+       | SELECT q_id, vec_id FROM (
+       |  SELECT q_id, vec_id, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY adc6 DESC, vec_id) AS srank
+       |  FROM sc) WHERE srank <= $rerankR),
+       |qv AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm
+       |       FROM e WHERE vec_id < $nQueries),
+       |scored AS (
+       | SELECT s.q_id, b.vec_id, $duckCos AS cos
+       | FROM short s JOIN qv a ON s.q_id = a.q_id
+       | JOIN e b ON s.vec_id = b.vec_id),
+       |ranked AS (
+       | SELECT q_id, vec_id, cos, row_number() OVER (
+       |   PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       | FROM scored)
+       |SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id,
+       | round(cos, 6) AS cos6
+       |FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+
+  /** q181 oracle: q70's brute-force chain with the label-mismatch
+    * predicate in the join. */
+  private def duckHardNegatives: String =
+    s"""WITH e AS (
+       | SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+       |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |       CAST(embedding AS DOUBLE[]))) AS nrm
+       | FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv, nrm AS qnrm
+       |      FROM e WHERE vec_id < $nQueries),
+       |scored AS (
+       | SELECT a.q_id, b.vec_id, $duckCos AS cos
+       | FROM q a JOIN e b
+       |  ON a.q_id <> b.vec_id AND a.q_label <> b.label),
+       |ranked AS (
+       | SELECT q_id, vec_id, cos, row_number() OVER (
+       |   PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       | FROM scored)
+       |SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id,
+       | round(cos, 6) AS cos6
+       |FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+
   override val oracle: Seq[(String, String)] = Seq(
     "q172_semdedup" -> duckSemDedup,
+    "q178_adc_rerank" -> duckRerank,
+    "q181_hard_negatives" -> duckHardNegatives,
     "q176_cluster_quality" -> duckClusterQuality,
     "q75_kmeans" -> duckKmeans,
     "q168_pq_adc" -> duckPq,

@@ -197,6 +197,22 @@ object TrainingPipelinePack extends QueryPack {
   private def weightMilli(bk: Column): Column =
     (bk * lit(1103515245L) + lit(12345L)) % lit(2001L) - lit(1000L)
 
+  /** THE classifier scorer as one per-row fold over a token array —
+    * integer milli-units, zero shuffle, usable verbatim on a stream
+    * (shared by q179's report card and
+    * [[graft.streaming.CorpusFilter.scored]]). q174 computes the same
+    * integers through explode + partial aggregation — the two physical
+    * strategies are pinned equal by the oracle gate and
+    * TrainingPipelineSpec's JVM recompute.
+    */
+  private[graft] def classifierScoreToks(tk: Column): Column =
+    aggregate(tk, lit(0L),
+      (acc, w) => acc + weightMilli(bucket(w, "feat", featDim).cast("long")))
+
+  /** [[classifierScoreToks]] over a raw text column. */
+  private[graft] def classifierScore(text: Column): Column =
+    classifierScoreToks(TextOps.toks(text))
+
   /** q174 — hashed-linear-model document scoring, the quality-classifier
     * stage of a CCNet/LLaMA-style corpus pipeline (a fastText-ish linear
     * scorer over hashed bag-of-words features): token → md5 feature
@@ -270,6 +286,45 @@ object TrainingPipelinePack extends QueryPack {
           sort_array(collect_list(col("doc_id"))).cast("array<string>")))
           .as("docs_md5"))
       .orderBy("shard")
+  }
+
+  // --- q179: per-source corpus report card ---------------------------------
+
+  /** q179 — the corpus report card: every per-document health signal the
+    * pipeline computes (exact-dup membership = q60's md5-window flag,
+    * quality-rule verdict = [[CorpusOpsPack.reasonOf]], classifier
+    * polarity = q174's scorer as an in-row fold) rolled up to source
+    * grain in ONE pass — the table a data-acquisition team reads to
+    * decide which source to renegotiate, refilter, or drop.
+    *
+    * Scale: one corpus scan; the dup flag needs one hash window over the
+    * text fingerprint and the rollup one exchange on source — every
+    * other signal is a per-row expression (the classifier sum runs as an
+    * `aggregate` fold over the token array, so it never explodes token
+    * grain into the shuffle). mean_tokens is the single-division
+    * exact-integer ratio of the [[QueryPack]] doctrine.
+    */
+  private def q179(s: SparkSession, dir: String): DataFrame = {
+    val score = classifierScoreToks(col("tk"))
+    Tables.loadParallel(s, dir, "documents")
+      .select(col("doc_id"), col("source"), md5(col("text")).as("th"),
+        TextOps.toks(col("text")).as("tk"))
+      .select(col("doc_id"), col("source"), col("th"),
+        size(col("tk")).as("ntk"),
+        (CorpusOpsPack.reasonOf(col("tk")) =!= "pass").cast("long")
+          .as("rule_fail"),
+        score.as("clf"))
+      .withColumn("is_dup",
+        (row_number().over(Window.partitionBy("th").orderBy("doc_id")) > 1)
+          .cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ntk").as("n_tokens"),
+        sum("is_dup").as("n_exact_dup"),
+        sum("rule_fail").as("n_rule_fail"),
+        sum((col("clf") <= 0).cast("long")).as("n_clf_neg"),
+        (sum("ntk").cast("double") / count(lit(1))).as("mean_tokens"))
+      .orderBy("source")
   }
 
   /** Word 8-grams of a text column as space-joined strings (empty array
@@ -408,7 +463,8 @@ object TrainingPipelinePack extends QueryPack {
     "q123_group_sample" -> q123 _,
     "q174_hash_classifier" -> q174 _,
     "q175_kfold_assignment" -> q175 _,
-    "q177_shard_manifest" -> q177 _)
+    "q177_shard_manifest" -> q177 _,
+    "q179_source_report_card" -> q179 _)
 
   override val oracle: Seq[(String, String)] = Seq(
     "q170_corpus_pipeline" ->
@@ -606,5 +662,32 @@ object TrainingPipelinePack extends QueryPack {
          | CAST(sum(ntk) AS BIGINT) AS n_tokens,
          | CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
          | md5(array_to_string(list_sort(list(doc_id)), ',')) AS docs_md5
-         |FROM t GROUP BY shard ORDER BY shard""".stripMargin)
+         |FROM t GROUP BY shard ORDER BY shard""".stripMargin,
+    "q179_source_report_card" ->
+      s"""WITH t AS (
+         | SELECT doc_id, source, md5(text) AS th,
+         |  ${CorpusOpsPack.duckToks} AS tk
+         | FROM documents),
+         |sg AS (
+         | SELECT doc_id, source, th, len(tk) AS ntk,
+         |  ${CorpusOpsPack.duckSignalCols},
+         |  COALESCE(CAST(list_sum(list_transform(tk, tok ->
+         |    ((${duckBucket("tok", "feat", featDim)}) * 1103515245
+         |      + 12345) % 2001 - 1000)) AS BIGINT), 0) AS clf
+         | FROM t),
+         |f AS (
+         | SELECT *,
+         |  CASE WHEN row_number() OVER (PARTITION BY th ORDER BY doc_id)
+         |        > 1 THEN 1 ELSE 0 END AS is_dup,
+         |  CASE WHEN ${CorpusOpsPack.duckReasonCase}
+         |        <> 'pass' THEN 1 ELSE 0 END AS rule_fail
+         | FROM sg)
+         |SELECT source, count(*) AS n_docs,
+         | CAST(sum(ntk) AS BIGINT) AS n_tokens,
+         | CAST(sum(is_dup) AS BIGINT) AS n_exact_dup,
+         | CAST(sum(rule_fail) AS BIGINT) AS n_rule_fail,
+         | CAST(sum(CASE WHEN clf <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_clf_neg,
+         | CAST(sum(ntk) AS DOUBLE) / count(*) AS mean_tokens
+         |FROM f GROUP BY source ORDER BY source""".stripMargin)
 }

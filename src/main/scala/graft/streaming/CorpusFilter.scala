@@ -32,4 +32,17 @@ object CorpusFilter {
   /** The stratified sample of the stream (per-language md5 keep-rates). */
   def stratified(docs: DataFrame): DataFrame =
     docs.filter(CorpusOpsPack.stratKeep)
+
+  /** Per-document classifier score + keep prediction — q174's hashed
+    * linear scorer as the in-row fold
+    * ([[graft.queries.TrainingPipelinePack.classifierScore]]), so the
+    * model gate runs at ingest with no shuffle and no state, bit-equal
+    * to a batch backfill (StreamingCorpusSpec).
+    */
+  def scored(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val sc = graft.queries.TrainingPipelinePack.classifierScore(col("text"))
+    docs.withColumn("score_milli", sc)
+      .withColumn("pred", (col("score_milli") > 0).cast("int"))
+  }
 }

@@ -198,6 +198,58 @@ class CorpusOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("q180: OOV accounting matches a JVM vocab rebuild") {
+    val texts = graft.catalog.Tables.load(spark, dir, "documents")
+      .select("source", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+    val freq = texts.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val vocab = freq.toSeq.sortBy { case (w, f) => (-f, w) }.take(25)
+      .map(_._1).toSet
+    val expect = texts.groupBy(_._1).view.mapValues { ds =>
+      val all = ds.flatMap(_._2)
+      (all.length.toLong, all.count(w => !vocab.contains(w)).toLong)
+    }.toMap
+    val rows = q("q180_vocab_oov").collect()
+    assert(rows.map(_.getString(0)).toSet === expect.keySet)
+    for (r <- rows) {
+      val (src, n, oov, rate) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert((n, oov) === expect(src), s"$src counts")
+      assert(rate === oov.toDouble / n, s"$src rate")
+    }
+    assert(rows.map(_.getLong(2)).sum > 0, "a real OOV tail must exist")
+  }
+
+  test("q182: leak matrix matches a JVM segment pairing") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.catalog.Tables.load(spark, dir, "documents")
+      .select("source", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+    // (hash, source) occurrence counts over full 10-token stride-10 windows
+    val occ = collection.mutable.Map.empty[(String, String), Long]
+    for ((src, tk) <- docs; st <- 0 until math.max(tk.length - 9, 1) by 10
+         if st + 10 <= tk.length) {
+      val h = md5hex(tk.slice(st, st + 10).mkString(" "))
+      occ((h, src)) = occ.getOrElse((h, src), 0L) + 1
+    }
+    val bySeg = occ.groupBy(_._1._1)
+    val expect = collection.mutable.Map.empty[(String, String), (Long, Long)]
+    for ((_, srcs) <- bySeg; a <- srcs; b <- srcs
+         if a._1._2 < b._1._2) {
+      val key = (a._1._2, b._1._2)
+      val (s0, p0) = expect.getOrElse(key, (0L, 0L))
+      expect(key) = (s0 + 1, p0 + a._2 * b._2)
+    }
+    val rows = q("q182_source_leak_matrix").collect()
+    assert(rows.nonEmpty, "cross-source segment leakage must exist")
+    val got = rows.map(r => (r.getString(0), r.getString(1)) ->
+      ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expect.toMap)
+  }
+
   test("CoPurchase: pairs are oriented, distinct, and basket-bounded") {
     val li = graft.catalog.Tables.load(spark, dir, "lineitem")
     val p = graft.functions.CoPurchase.distinctPairs(li)

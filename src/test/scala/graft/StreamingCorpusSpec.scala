@@ -92,4 +92,33 @@ class StreamingCorpusSpec extends SparkSpecBase {
       assert(replayed === docs.take(10).map(_.doc_id).toSet.intersect(batchIds))
     } finally q.stop()
   }
+
+  test("streaming classifier gate matches the batch q174 scores exactly") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Doc]
+    val q = CorpusFilter.scored(mem.toDF())
+      .select("doc_id", "score_milli", "pred")
+      .writeStream.format("memory").queryName("clf_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = docs.splitAt(20)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val streamed = s.table("clf_out").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+      // batch reference is q174 itself (explode + partial agg), so this
+      // also pins fold-scorer ≡ explode-scorer on real corpus rows
+      val batch = SparkEntry
+        .queries("q174_hash_classifier")(s, "/root/testdata/sf0.001")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getInt(3))))
+        .toMap
+      for ((id, got) <- streamed if batch.contains(id))
+        assert(got === batch(id), s"doc $id")
+      assert(streamed(9999L)._1 ===
+        CorpusFilter.scored(Seq(Doc(9999L, "tiny doc", "en")).toDF())
+          .head().getLong(3))
+    } finally q.stop()
+  }
 }

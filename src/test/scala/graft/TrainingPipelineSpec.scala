@@ -203,6 +203,41 @@ class TrainingPipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("q179: report card agrees with q174/q158 and the raw corpus") {
+    val card = SparkEntry.queries("q179_source_report_card")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val docs = Tables.load(spark, sf0001, "documents")
+    // n_docs/n_tokens/mean_tokens straight off the corpus
+    val base = docs.groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(size(graft.queries.TextOps.toks(col("text")))).as("tk"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val srcOf = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // classifier negatives per source from q174's verdicts
+    val clfNeg = SparkEntry.queries("q174_hash_classifier")(spark, sf0001)
+      .collect().filter(_.getInt(3) == 0)
+      .groupBy(r => srcOf(r.getLong(0))).view.mapValues(_.length.toLong)
+    // rule failures per source from q158's verdicts
+    val ruleFail = SparkEntry.queries("q158_filter_rules")(spark, sf0001)
+      .collect().filter(_.getInt(5) == 0)
+      .groupBy(r => srcOf(r.getLong(0))).view.mapValues(_.length.toLong)
+    assert(card.keySet === base.keySet)
+    for ((src, r) <- card) {
+      assert(r.getLong(1) === base(src)._1, s"$src n_docs")
+      assert(r.getLong(2) === base(src)._2, s"$src n_tokens")
+      assert(r.getLong(4) === ruleFail.getOrElse(src, 0L), s"$src rule_fail")
+      assert(r.getLong(5) === clfNeg.getOrElse(src, 0L), s"$src clf_neg")
+      assert(r.getDouble(6) === base(src)._2.toDouble / base(src)._1,
+        s"$src mean_tokens")
+    }
+    // exact-dup accounting: total flagged = total docs - distinct texts
+    val dupTotal = card.values.map(_.getLong(3)).sum
+    val distinctTexts = docs.select("text").distinct().count()
+    assert(dupTotal === docs.count() - distinctTexts)
+  }
+
   test("q177: manifest shards are balanced, exhaustive, and reproducible") {
     val run1 = SparkEntry.queries("q177_shard_manifest")(spark, sf0001)
       .collect()
