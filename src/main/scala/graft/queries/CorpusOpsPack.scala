@@ -552,8 +552,12 @@ object CorpusOpsPack extends QueryPack {
     * exactly.
     */
   private def q182(s: SparkSession, dir: String): DataFrame = {
+    // persisted: BOTH aliases of the self-join read it — without the
+    // cache the whole explode+agg segment pipeline (and corpus scan)
+    // runs twice (exchange reuse does not fire across aliased branches)
     val perSrc = segmentHashes(s, dir)
       .groupBy("h", "source").agg(count(lit(1)).as("cnt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val right = perSrc.select(col("h"), col("source").as("src_b"),
       col("cnt").as("cnt_b"))
     perSrc.join(right, Seq("h"))

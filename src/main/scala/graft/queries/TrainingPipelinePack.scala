@@ -288,6 +288,46 @@ object TrainingPipelinePack extends QueryPack {
       .orderBy("shard")
   }
 
+  // --- q183: padding-efficiency audit (length-bucketed batching) -----------
+
+  private val batchB = 16 // documents per training batch
+
+  /** q183 — padding-waste audit for batched training: deal documents into
+    * [[batchB]]-doc batches two ways — arrival order (doc_id) vs
+    * length-sorted — and account the padding each strategy pays when
+    * every batch pads to its longest member. The length-sorted deal is
+    * the dynamic-batching trick every seq trainer uses; this query
+    * quantifies exactly how many pad tokens it buys back (the spec pins
+    * sorted < arrival).
+    *
+    * Scale: same global-sort caveat as q115 — the total order runs over
+    * an (id, length) projection, not the payload; production swaps the
+    * exact row_number deal for range-partitioned length buckets (one
+    * repartitionByRange, no global window) when ±1 batch-size skew is
+    * acceptable. Ratios are single divisions of exact integers.
+    */
+  private def q183(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), nToks(col("text")).as("ntk"))
+    def audit(strategy: String, order: Seq[Column]): DataFrame = {
+      val rn = row_number().over(Window.orderBy(order: _*))
+      docs.withColumn("b", floor((rn - 1) / lit(batchB)).cast("int"))
+        .groupBy("b")
+        .agg(count(lit(1)).as("nb"), sum("ntk").as("real"),
+          max("ntk").as("mx"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum("real").as("real_tokens"),
+          sum(col("nb") * col("mx")).as("padded_tokens"))
+        .select(lit(strategy).as("strategy"), col("n_batches"),
+          col("real_tokens"), col("padded_tokens"),
+          ((col("padded_tokens") - col("real_tokens")).cast("double")
+            / col("padded_tokens")).as("waste_ratio"))
+    }
+    audit("arrival", Seq(col("doc_id")))
+      .unionByName(audit("length_sorted", Seq(col("ntk"), col("doc_id"))))
+      .orderBy("strategy")
+  }
+
   // --- q179: per-source corpus report card ---------------------------------
 
   /** q179 — the corpus report card: every per-document health signal the
@@ -464,7 +504,8 @@ object TrainingPipelinePack extends QueryPack {
     "q174_hash_classifier" -> q174 _,
     "q175_kfold_assignment" -> q175 _,
     "q177_shard_manifest" -> q177 _,
-    "q179_source_report_card" -> q179 _)
+    "q179_source_report_card" -> q179 _,
+    "q183_padding_audit" -> q183 _)
 
   override val oracle: Seq[(String, String)] = Seq(
     "q170_corpus_pipeline" ->
@@ -689,5 +730,31 @@ object TrainingPipelinePack extends QueryPack {
          | CAST(sum(CASE WHEN clf <= 0 THEN 1 ELSE 0 END) AS BIGINT)
          |   AS n_clf_neg,
          | CAST(sum(ntk) AS DOUBLE) / count(*) AS mean_tokens
-         |FROM f GROUP BY source ORDER BY source""".stripMargin)
+         |FROM f GROUP BY source ORDER BY source""".stripMargin,
+    "q183_padding_audit" ->
+      s"""WITH d AS (SELECT doc_id, $duckNToks AS ntk FROM documents),
+         |aa AS (SELECT ntk,
+         |        (row_number() OVER (ORDER BY doc_id) - 1) // $batchB AS b
+         |       FROM d),
+         |ab AS (SELECT b, count(*) AS nb, sum(ntk) AS real, max(ntk) AS mx
+         |       FROM aa GROUP BY b),
+         |ar AS (SELECT 'arrival' AS strategy,
+         |        CAST(count(*) AS BIGINT) AS n_batches,
+         |        CAST(sum(real) AS BIGINT) AS real_tokens,
+         |        CAST(sum(nb * mx) AS BIGINT) AS padded_tokens FROM ab),
+         |sa AS (SELECT ntk,
+         |        (row_number() OVER (ORDER BY ntk, doc_id) - 1) // $batchB
+         |          AS b
+         |       FROM d),
+         |sb AS (SELECT b, count(*) AS nb, sum(ntk) AS real, max(ntk) AS mx
+         |       FROM sa GROUP BY b),
+         |sr AS (SELECT 'length_sorted' AS strategy,
+         |        CAST(count(*) AS BIGINT) AS n_batches,
+         |        CAST(sum(real) AS BIGINT) AS real_tokens,
+         |        CAST(sum(nb * mx) AS BIGINT) AS padded_tokens FROM sb)
+         |SELECT strategy, n_batches, real_tokens, padded_tokens,
+         | CAST(padded_tokens - real_tokens AS DOUBLE) / padded_tokens
+         |   AS waste_ratio
+         |FROM (SELECT * FROM ar UNION ALL SELECT * FROM sr) u
+         |ORDER BY strategy""".stripMargin)
 }

@@ -269,6 +269,23 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"), "empty-doc join must broadcast")
   }
 
+  test("report card is one corpus scan; leak matrix caches its grain") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    // q179: every signal is in-row — one documents scan, no joins, one
+    // th window + one source aggregate
+    val p179 = planOf(q("q179_source_report_card"))
+    val scans = p179.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"q179 expected one documents scan, got $scans")
+    assert(!p179.contains("Join"), "q179 signals must not join")
+    // q182: both self-join aliases must read the cached (h, source)
+    // counts — the segment explode pipeline runs once
+    val lp = q("q182_source_leak_matrix").queryExecution.optimizedPlan
+    val leaves = lp.collectLeaves()
+    assert(leaves.count(_.isInstanceOf[InMemoryRelation]) == 2 &&
+      leaves.size == 2,
+      s"q182 both aliases must read the cache:\n$lp")
+  }
+
   test("BM25 reuses ONE persisted tf: df/weights/query terms share it") {
     // programmatic leaf walk, not string counting: InMemoryRelation
     // PRINTS its cached physical plan (including that plan's FileScan

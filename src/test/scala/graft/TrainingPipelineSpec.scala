@@ -238,6 +238,32 @@ class TrainingPipelineSpec extends SparkSpecBase {
     assert(dupTotal === docs.count() - distinctTexts)
   }
 
+  test("q183: padding ledger recomputes in JVM; sorted batching wins") {
+    val lens = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"),
+        size(graft.queries.TextOps.toks(col("text"))).as("ntk"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    def audit(ordered: Seq[Int]): (Long, Long, Long) = {
+      val batches = ordered.grouped(16).toSeq
+      (batches.size.toLong,
+        ordered.map(_.toLong).sum,
+        batches.map(b => b.size.toLong * b.max).sum)
+    }
+    val expect = Map(
+      "arrival" -> audit(lens.sortBy(_._1).map(_._2).toSeq),
+      "length_sorted" -> audit(lens.sortBy(l => (l._2, l._1)).map(_._2).toSeq))
+    val rows = SparkEntry.queries("q183_padding_audit")(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(rows.keySet === expect.keySet)
+    for ((k, (nb, real, pad)) <- expect) {
+      assert((rows(k)._1, rows(k)._2, rows(k)._3) === ((nb, real, pad)), k)
+      assert(rows(k)._4 === (pad - real).toDouble / pad, s"$k ratio")
+    }
+    assert(rows("length_sorted")._4 < rows("arrival")._4,
+      "length-sorted batching must pay less padding")
+  }
+
   test("q177: manifest shards are balanced, exhaustive, and reproducible") {
     val run1 = SparkEntry.queries("q177_shard_manifest")(spark, sf0001)
       .collect()
