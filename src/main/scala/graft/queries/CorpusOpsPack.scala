@@ -569,6 +569,47 @@ object CorpusOpsPack extends QueryPack {
       .orderBy("src_a", "src_b")
   }
 
+  // --- q185: Zipf rank-frequency audit -------------------------------------
+
+  /** q185 — Zipf's-law fit over the corpus vocabulary: least-squares
+    * slope/intercept/R² of ln(freq) against ln(rank) — the corpus-health
+    * statistic (Gopher reports it) that flags templated or machine-
+    * generated text (natural language slopes ≈ −1; flat slopes mean
+    * suspiciously uniform vocabulary use). The regression is the
+    * explicit closed form over six running sums — NOT the engines'
+    * regr_* aggregates, whose internal accumulation schemes (Welford
+    * etc.) differ numerically across engines; writing the sums out
+    * makes both sides the same op DAG, with round-6 absorbing
+    * accumulation-order ulps.
+    *
+    * Scale: token explode → vocabulary aggregate is the only heavy
+    * stage; the rank window and the 6-sum reduce run at vocabulary
+    * grain. Output is one audit row.
+    */
+  private def q185(s: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.loadParallel(s, dir, "documents")
+      .select(explode(toks(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val xy = vocab
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("freq").desc, col("w"))))
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("freq").cast("double")).as("y"))
+    val a = xy.agg(count(lit(1)).cast("double").as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    val varX = col("n") * col("sxx") - col("sx") * col("sx")
+    val varY = col("n") * col("syy") - col("sy") * col("sy")
+    a.select(col("n").cast("long").as("n_vocab"),
+      round(cov / varX, 6).as("slope6"),
+      round((col("sy") - cov / varX * col("sx")) / col("n"), 6)
+        .as("intercept6"),
+      round(cov * cov / (varX * varY), 6).as("r2_6"))
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq(
       "q156_segment_dedup" -> q156 _,
@@ -582,7 +623,8 @@ object CorpusOpsPack extends QueryPack {
       "q164_inverted_index" -> q164 _,
       "q173_bm25_retrieval" -> q173 _,
       "q180_vocab_oov" -> q180 _,
-      "q182_source_leak_matrix" -> q182 _)
+      "q182_source_leak_matrix" -> q182 _,
+      "q185_zipf_audit" -> q185 _)
 
   private[graft] val duckToks =
     "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -791,5 +833,22 @@ object CorpusOpsPack extends QueryPack {
          | CAST(count(DISTINCT a.h) AS BIGINT) AS n_segments,
          | CAST(sum(a.cnt * b.cnt) AS BIGINT) AS n_pairs
          |FROM ps a JOIN ps b ON a.h = b.h AND a.source < b.source
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q185_zipf_audit" ->
+      s"""WITH x0 AS (SELECT unnest($duckToks) AS w FROM documents),
+         |f AS (SELECT w, count(*) AS freq FROM x0 GROUP BY 1),
+         |r AS (SELECT
+         |  ln(CAST(row_number() OVER (ORDER BY freq DESC, w) AS DOUBLE))
+         |    AS x,
+         |  ln(CAST(freq AS DOUBLE)) AS y FROM f),
+         |a AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |       sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+         |       sum(x*x) AS sxx, sum(y*y) AS syy FROM r)
+         |SELECT CAST(n AS BIGINT) AS n_vocab,
+         | round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope6,
+         | round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6)
+         |   AS intercept6,
+         | round((n*sxy - sx*sy) * (n*sxy - sx*sy)
+         |   / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2_6
+         |FROM a""".stripMargin)
 }

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.catalog.Tables
 import graft.functions.TopK
 
@@ -288,6 +289,45 @@ object TrainingPipelinePack extends QueryPack {
       .orderBy("shard")
   }
 
+  // --- q184: temperature-weighted source mixture ---------------------------
+
+  private val mixBudget = 50000L // tokens the trainer will draw
+
+  /** q184 — temperature-based source sampling (the multilingual mixture
+    * scheme of XLM-R/mT5: sample sources ∝ sizeᵅ, α < 1, so small
+    * sources are up-weighted without drowning large ones): per source,
+    * raw token share, α = 0.5 tempered share, and the epochs each source
+    * repeats for under a [[mixBudget]]-token draw (epochs > 1 ⇒ the
+    * source will be over-sampled/repeated — the signal mixture designers
+    * balance against memorization).
+    *
+    * α is 0.5 BY DESIGN: sqrt is IEEE-correctly-rounded and therefore
+    * bit-identical across engines, while `pow(x, 0.7)` is not guaranteed
+    * correctly rounded and may differ by an ulp between libm
+    * implementations — the one tempering exponent with exact cross-engine
+    * semantics. Only the Σ sizeᵅ normalizer accumulates across rows
+    * (round-6 doctrine); everything else is exact or a single division.
+    *
+    * Scale: one corpus scan into a source-grain aggregate (persisted —
+    * the normalizer row and the final projection both read it), then a
+    * broadcast of one scalar row.
+    */
+  private def q184(s: SparkSession, dir: String): DataFrame = {
+    val perSrc = Tables.load(s, dir, "documents")
+      .groupBy("source").agg(sum(nToks(col("text"))).as("n_tokens"))
+      .withColumn("pw", sqrt(col("n_tokens").cast("double")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tot = perSrc.agg(sum("n_tokens").as("tot_tokens"),
+      sum("pw").as("tot_pw"))
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("tot_tokens")).as("raw_share"),
+        round(col("pw") / col("tot_pw"), 6).as("temp_share6"),
+        round(lit(mixBudget) * col("pw") / col("tot_pw") / col("n_tokens"), 6)
+          .as("epochs6"))
+      .orderBy("source")
+  }
+
   // --- q183: padding-efficiency audit (length-bucketed batching) -----------
 
   private val batchB = 16 // documents per training batch
@@ -505,7 +545,8 @@ object TrainingPipelinePack extends QueryPack {
     "q175_kfold_assignment" -> q175 _,
     "q177_shard_manifest" -> q177 _,
     "q179_source_report_card" -> q179 _,
-    "q183_padding_audit" -> q183 _)
+    "q183_padding_audit" -> q183 _,
+    "q184_temperature_mixture" -> q184 _)
 
   override val oracle: Seq[(String, String)] = Seq(
     "q170_corpus_pipeline" ->
@@ -756,5 +797,18 @@ object TrainingPipelinePack extends QueryPack {
          | CAST(padded_tokens - real_tokens AS DOUBLE) / padded_tokens
          |   AS waste_ratio
          |FROM (SELECT * FROM ar UNION ALL SELECT * FROM sr) u
-         |ORDER BY strategy""".stripMargin)
+         |ORDER BY strategy""".stripMargin,
+    "q184_temperature_mixture" ->
+      s"""WITH p AS (
+         | SELECT source, CAST(sum($duckNToks) AS BIGINT) AS n_tokens
+         | FROM documents GROUP BY 1),
+         |w AS (SELECT source, n_tokens,
+         |       sqrt(CAST(n_tokens AS DOUBLE)) AS pw FROM p),
+         |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+         |       sum(pw) AS tot_pw FROM w)
+         |SELECT source, n_tokens,
+         | CAST(n_tokens AS DOUBLE) / tot_tokens AS raw_share,
+         | round(pw / tot_pw, 6) AS temp_share6,
+         | round($mixBudget * pw / tot_pw / n_tokens, 6) AS epochs6
+         |FROM w CROSS JOIN t ORDER BY source""".stripMargin)
 }

@@ -250,6 +250,31 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(got === expect.toMap)
   }
 
+  test("q185: Zipf fit matches a JVM least-squares recompute") {
+    val freq = graft.catalog.Tables.load(spark, dir, "documents")
+      .select(explode(graft.queries.TextOps.toks(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val xy = freq.sortBy { case (w, f) => (-f, w) }.zipWithIndex
+      .map { case ((_, f), i) => (math.log((i + 1).toDouble), math.log(f.toDouble)) }
+    val n = xy.length.toDouble
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val syy = xy.map(p => p._2 * p._2).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val r2 = math.pow(n * sxy - sx * sy, 2) /
+      ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    val row = q("q185_zipf_audit").head()
+    assert(row.getLong(0) === xy.length.toLong)
+    assert(math.abs(row.getDouble(1) - slope) < 1e-5, "slope")
+    assert(math.abs(row.getDouble(3) - r2) < 1e-5, "r2")
+    // the synthetic word soup is DESIGNED near-uniform: the audit must
+    // flag it — negative but shallow slope, weak fit
+    assert(row.getDouble(1) < 0.0 && row.getDouble(1) > -0.5)
+    assert(row.getDouble(3) < 0.3)
+  }
+
   test("CoPurchase: pairs are oriented, distinct, and basket-bounded") {
     val li = graft.catalog.Tables.load(spark, dir, "lineitem")
     val p = graft.functions.CoPurchase.distinctPairs(li)

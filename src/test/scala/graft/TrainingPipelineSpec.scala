@@ -238,6 +238,33 @@ class TrainingPipelineSpec extends SparkSpecBase {
     assert(dupTotal === docs.count() - distinctTexts)
   }
 
+  test("q184: tempered mixture recomputes in JVM and flattens the shares") {
+    val toks = Tables.load(spark, sf0001, "documents")
+      .groupBy("source")
+      .agg(sum(size(graft.queries.TextOps.toks(col("text")))).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totT = toks.values.sum
+    val pw = toks.view.mapValues(t => math.sqrt(t.toDouble)).toMap
+    val totPw = pw.values.toSeq.sorted.sum // any order, compare with tolerance
+    val rows = SparkEntry.queries("q184_temperature_mixture")(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(rows.keySet === toks.keySet)
+    for ((src, (n, raw, temp, ep)) <- rows) {
+      assert(n === toks(src))
+      assert(raw === n.toDouble / totT, s"$src raw_share is a single division")
+      assert(math.abs(temp - pw(src) / totPw) < 1e-6, s"$src temp share")
+      assert(math.abs(ep - 50000L * pw(src) / totPw / n) < 1e-6, s"$src epochs")
+    }
+    assert(math.abs(rows.values.map(_._3).sum - 1.0) < 1e-4, "shares sum to 1")
+    // α < 1 tempering: the largest source loses share, the smallest gains
+    val largest = toks.maxBy(_._2)._1
+    val smallest = toks.minBy(_._2)._1
+    assert(rows(largest)._3 < rows(largest)._2, "largest source tempered down")
+    assert(rows(smallest)._3 > rows(smallest)._2, "smallest source tempered up")
+  }
+
   test("q183: padding ledger recomputes in JVM; sorted batching wins") {
     val lens = Tables.load(spark, sf0001, "documents")
       .select(col("doc_id"),
