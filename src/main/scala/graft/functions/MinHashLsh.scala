@@ -46,17 +46,25 @@ object MinHashLsh {
           .map(i => element_at(hs, i + 1)): _*))
     }: _*)
 
+  /** [[signatures]] plus the raw signature array `hs` — for estimate-
+    * quality audits that compare per-component signature agreement
+    * against exact Jaccard (DedupPack q188).
+    */
+  def signaturesFull(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .withColumn("hs",
+        call_function("graft_minhash", col("sh"), lit(nHashes)))
+      .select(col("doc_id"), col("sh"), col("hs"),
+        bandKeys(col("hs")).as("bands"))
+
   /** Signature rows for a (doc_id, text) frame: (doc_id, sh, bands).
     * This is the schema of an [[graft.etl.IncrementalDedup]] signature
     * store — shingle sets ride along for exact-Jaccard verification, band
     * keys for candidate generation.
     */
   def signatures(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .withColumn("hs",
-        call_function("graft_minhash", col("sh"), lit(nHashes)))
-      .select(col("doc_id"), col("sh"), bandKeys(col("hs")).as("bands"))
+    signaturesFull(docs).drop("hs")
 
   /** Exact shingle-set Jaccard between two shingle-array columns. */
   def jaccard(a: Column, b: Column): Column =

@@ -569,6 +569,64 @@ object CorpusOpsPack extends QueryPack {
       .orderBy("src_a", "src_b")
   }
 
+  // --- q186: retrieval serving pipeline (BM25 × quality gate) --------------
+
+  /** q186 — the RAG-serving composition: BM25 retrieval (q173's scorer,
+    * reused verbatim) over ONLY the documents the quality cascade keeps
+    * (q158's verdict — a production index excludes rejected docs at
+    * build time), returning top-k with the doc's language and length as
+    * serving metadata. Composition is pure reuse: the corpus filter runs
+    * BEFORE tf construction, so index stats (df, avgdl, N) are computed
+    * over the kept corpus exactly as a filtered index build would.
+    *
+    * Scale: identical to q173 with a cheaper corpus (the cascade is a
+    * per-row expression fused into the scan); the metadata join at the
+    * end touches only k×queries rows.
+    */
+  private def q186(s: SparkSession, dir: String): DataFrame = {
+    val kept = Tables.loadParallel(s, dir, "documents")
+      .filter(reasonOf(toks(col("text"))) === "pass")
+    val stats = kept
+      .select(TextOps.nToks(col("text")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val tf = kept
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).as("dl"),
+        explode(col("tk")).as("w"))
+      .groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("cnt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val idf = tf.groupBy("w")
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("w"), col("avgdl"),
+        log((col("n_docs") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5)) + lit(1.0)).as("idf"))
+    val weighted = tf.join(idf, "w")
+      .select(col("doc_id"), col("w"),
+        (col("idf") * (col("cnt") * lit(2.2))
+          / (col("cnt") + lit(1.2)
+            * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          .as("wt"))
+    val queries = tf.filter(col("doc_id") < nQueryDocs)
+      .select(col("doc_id").as("q_id"), col("w"))
+    val scored = weighted.join(broadcast(queries), Seq("w"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy("q_id", "doc_id")
+      .agg(round(sum("wt"), 6).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= retrievalK)
+    // k×queries result rows broadcast onto the corpus for metadata —
+    // the big table never shuffles for a point-lookup-sized probe
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(broadcast(scored), Seq("doc_id"))
+      .select(col("q_id"), col("rank"), col("doc_id"), col("score"),
+        col("lang"), col("n_chars"))
+      .orderBy("q_id", "rank")
+  }
+
   // --- q185: Zipf rank-frequency audit -------------------------------------
 
   /** q185 — Zipf's-law fit over the corpus vocabulary: least-squares
@@ -624,7 +682,8 @@ object CorpusOpsPack extends QueryPack {
       "q173_bm25_retrieval" -> q173 _,
       "q180_vocab_oov" -> q180 _,
       "q182_source_leak_matrix" -> q182 _,
-      "q185_zipf_audit" -> q185 _)
+      "q185_zipf_audit" -> q185 _,
+      "q186_retrieval_pipeline" -> q186 _)
 
   private[graft] val duckToks =
     "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -834,6 +893,42 @@ object CorpusOpsPack extends QueryPack {
          | CAST(sum(a.cnt * b.cnt) AS BIGINT) AS n_pairs
          |FROM ps a JOIN ps b ON a.h = b.h AND a.source < b.source
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q186_retrieval_pipeline" ->
+      s"""WITH t0 AS (
+         | SELECT doc_id, lang, n_chars, $duckToks AS tk FROM documents),
+         |sg AS (SELECT doc_id, lang, n_chars, tk, $duckSignalCols
+         |       FROM t0),
+         |t AS (SELECT doc_id, lang, n_chars, tk FROM sg
+         |      WHERE ($duckReasonCase) = 'pass'),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl FROM t),
+         |x AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS w FROM t),
+         |tf AS (SELECT doc_id, dl, w, count(*) AS cnt FROM x GROUP BY 1, 2, 3),
+         |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+         |idf AS (
+         | SELECT w, avgdl,
+         |  ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+         | FROM df CROSS JOIN s),
+         |wts AS (
+         | SELECT tf.doc_id, tf.w,
+         |  idf.idf * (tf.cnt * 2.2)
+         |   / (tf.cnt + 1.2 * (0.25 + 0.75 * tf.dl / idf.avgdl)) AS wt
+         | FROM tf JOIN idf ON tf.w = idf.w),
+         |q AS (SELECT doc_id AS q_id, w FROM tf WHERE doc_id < $nQueryDocs),
+         |sc AS (
+         | SELECT q.q_id, wts.doc_id, round(sum(wts.wt), 6) AS score
+         | FROM wts JOIN q ON wts.w = q.w
+         | WHERE wts.doc_id <> q.q_id GROUP BY 1, 2),
+         |r AS (
+         | SELECT q_id, doc_id, score,
+         |  row_number() OVER (PARTITION BY q_id
+         |                     ORDER BY score DESC, doc_id) AS rank
+         | FROM sc)
+         |SELECT r.q_id, CAST(r.rank AS INT) AS rank, r.doc_id, r.score,
+         | d.lang, d.n_chars
+         |FROM r JOIN documents d ON r.doc_id = d.doc_id
+         |WHERE r.rank <= $retrievalK
+         |ORDER BY r.q_id, r.rank""".stripMargin,
     "q185_zipf_audit" ->
       s"""WITH x0 AS (SELECT unnest($duckToks) AS w FROM documents),
          |f AS (SELECT w, count(*) AS freq FROM x0 GROUP BY 1),

@@ -289,6 +289,49 @@ object DedupPack extends QueryPack {
       .orderBy("vec_id", "vec_id2")
   }
 
+  /** q188 — MinHash estimate-quality audit: over the LSH candidate pairs
+    * (the same banding as q62, pre-verification), compare the signature-
+    * agreement Jaccard ESTIMATE (matching components / k) against the
+    * exact shingle Jaccard, and report the error profile — the index-
+    * quality evaluation for the dedup path, exactly what q109/q187 are
+    * for the ANN path. With k = 8 the estimate quantizes to eighths, so
+    * nonzero error is structural; what matters (and what the spec pins)
+    * is that candidates the bands surfaced skew toward high agreement.
+    *
+    * Both ratios are single divisions of small exact ints — bit-identical
+    * cross-engine; only the mean over pairs rounds.
+    */
+  private def q188(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.loadParallel(s, dir, "documents").select("doc_id", "text")
+    val doubled = d.union(
+      d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val sig = graft.functions.MinHashLsh.signaturesFull(doubled)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sig.select(col("doc_id"), explode(col("bands")).as("band"))
+    val pairs = banded.alias("x")
+      .join(banded.alias("y"),
+        col("x.band") === col("y.band") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("doc_id2"))
+      .distinct()
+    val left = sig.select(col("doc_id"), col("sh"), col("hs"))
+    val right = sig.select(col("doc_id").as("doc_id2"),
+      col("sh").as("sh2"), col("hs").as("hs2"))
+    val est = size(filter(
+      zip_with(col("hs"), col("hs2"), (a, b) => a === b), x => x))
+      ./(lit(graft.functions.MinHashLsh.nHashes))
+    val exact = size(array_intersect(col("sh"), col("sh2"))) /
+      size(array_union(col("sh"), col("sh2")))
+    pairs.join(left, "doc_id").join(right, "doc_id2")
+      .select(est.as("est"), exact.as("ex"))
+      .select(abs(col("est") - col("ex")).as("ae"),
+        (col("est") > col("ex")).cast("long").as("over"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg("ae"), 6).as("mean_abs_err6"),
+        round(max("ae"), 6).as("max_abs_err6"),
+        sum("over").as("n_overestimates"))
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q60_exact_dedup" -> q60 _,
     "q61_set_dedup" -> q61 _,
@@ -298,7 +341,8 @@ object DedupPack extends QueryPack {
     "q65_jaccard_pairs" -> q65 _,
     "q107_containment_pairs" -> q107 _,
     "q66_dup_clusters" -> q66 _,
-    "q110_quality_dedup" -> q110 _)
+    "q110_quality_dedup" -> q110 _,
+    "q188_minhash_error" -> q188 _)
 
   // DuckDB twins: the minhash/simhash SQL is generated from the same
   // constants so both sides cannot drift.
@@ -463,5 +507,25 @@ object DedupPack extends QueryPack {
         | round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos6
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.40
-        |ORDER BY a.vec_id, vec_id2""".stripMargin)
+        |ORDER BY a.vec_id, vec_id2""".stripMargin,
+    "q188_minhash_error" ->
+      s"""WITH $duckPairCtes,
+         |c AS (
+         | SELECT
+         |  (${(0 until graft.functions.MinHashLsh.nHashes)
+             .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
+             .mkString(" + ")})
+         |    / ${graft.functions.MinHashLsh.nHashes} AS est,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS INT)
+         |    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS INT)
+         |    AS ex
+         | FROM pairs p
+         |  JOIN sig a ON p.doc_id = a.doc_id
+         |  JOIN sig b ON p.doc_id2 = b.doc_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         | round(avg(abs(est - ex)), 6) AS mean_abs_err6,
+         | round(max(abs(est - ex)), 6) AS max_abs_err6,
+         | CAST(sum(CASE WHEN est > ex THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_overestimates
+         |FROM c""".stripMargin)
 }

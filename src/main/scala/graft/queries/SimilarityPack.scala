@@ -615,6 +615,52 @@ object SimilarityPack extends QueryPack {
     topk(joined, k)
   }
 
+  /** q187 — the IVF tuning report: recall@k against brute-force ground
+    * truth for nprobe ∈ {1, 2, 3} in one relation — the cost/recall
+    * curve an index operator reads before fixing the serving nprobe
+    * (each probe step adds one cell-scan per query and buys back the
+    * boundary vectors 1-probe routing misses). The model (centroids) and
+    * corpus assignment build ONCE (checkpoint + persist) and all three
+    * sweeps share them; mean recall is an exact integer ratio —
+    * matched/(k·queries) — so the output carries no accumulation floats
+    * at all.
+    */
+  private def q187(s: SparkSession, dir: String): DataFrame = {
+    val eAll = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(Vectors.dot(col("v"), col("v"))))
+    val e = eAll.select("vec_id", "v")
+    val cent = learnedCentroids(e).localCheckpoint()
+    val assigned = assign(e, cent)
+      .select(col("vec_id").as("a_id"), col("cluster").as("cell_of"))
+    val cands = eAll.join(assigned, col("vec_id") === col("a_id"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell_of"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val truth = q70(s, dir).select(col("q_id"), col("neighbor_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sweeps = (1 to 3).map { p =>
+      val routed = routeTop(e.filter(col("vec_id") < nQueries), cent, p)
+        .select(col("vec_id").as("rq_id"), col("cluster").as("cell"),
+          col("v").as("qv"))
+        .withColumn("qnrm", sqrt(Vectors.dot(col("qv"), col("qv"))))
+      val joined = cands.join(broadcast(routed),
+          col("cell") === col("cell_of") && col("rq_id") =!= col("vec_id"))
+        .withColumn("q_id", col("rq_id"))
+        .withColumn("cos",
+          Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      val approx = topk(joined, k)
+        .select(col("q_id").as("a_qid"), col("neighbor_id").as("a_nid"))
+      truth.join(approx,
+          col("q_id") === col("a_qid") &&
+            col("neighbor_id") === col("a_nid"))
+        .agg(count(lit(1)).as("n_matched"))
+        .select(lit(p).as("nprobe"), col("n_matched"),
+          (col("n_matched").cast("double") / lit(k * nQueries))
+            .as("mean_recall"))
+    }
+    sweeps.reduce(_ unionByName _).orderBy("nprobe")
+  }
+
   /** q109 — recall@k of the sign-LSH index against brute-force ground
     * truth: the evaluation loop every approximate index needs. Composes
     * the two existing strategies and measures |approx ∩ exact| / k per
@@ -649,7 +695,8 @@ object SimilarityPack extends QueryPack {
     "q172_semdedup" -> q172 _,
     "q176_cluster_quality" -> q176 _,
     "q178_adc_rerank" -> q178 _,
-    "q181_hard_negatives" -> q181 _)
+    "q181_hard_negatives" -> q181 _,
+    "q187_nprobe_sweep" -> q187 _)
 
   private val duckCos =
     "list_dot_product(a.qv, b.v) / (a.qnrm * b.nrm)"
@@ -1009,10 +1056,34 @@ object SimilarityPack extends QueryPack {
        | round(cos, 6) AS cos6
        |FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
 
+  /** q187 oracle: three unrolled IVF-learned search chains (the
+    * [[duckIvfLearned]] generator at p = 1, 2, 3) each intersected with
+    * the brute-force chain; the mean is the exact matched/(k·queries)
+    * integer ratio. */
+  private def duckNprobeSweep: String = {
+    val arms = (1 to 3).map { p =>
+      s"""m$p AS (
+         | SELECT $p AS nprobe, CAST(count(*) AS BIGINT) AS n_matched
+         | FROM tr JOIN (SELECT q_id, neighbor_id
+         |               FROM (${duckIvfLearned(p)})) a$p
+         |  ON tr.q_id = a$p.q_id AND tr.neighbor_id = a$p.neighbor_id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH tr AS (
+       | SELECT q_id, neighbor_id FROM ($duckBruteforce)),
+       |$arms
+       |SELECT nprobe, n_matched,
+       | CAST(n_matched AS DOUBLE) / ${k * nQueries} AS mean_recall
+       |FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2
+       |      UNION ALL SELECT * FROM m3) u
+       |ORDER BY nprobe""".stripMargin
+  }
+
   override val oracle: Seq[(String, String)] = Seq(
     "q172_semdedup" -> duckSemDedup,
     "q178_adc_rerank" -> duckRerank,
     "q181_hard_negatives" -> duckHardNegatives,
+    "q187_nprobe_sweep" -> duckNprobeSweep,
     "q176_cluster_quality" -> duckClusterQuality,
     "q75_kmeans" -> duckKmeans,
     "q168_pq_adc" -> duckPq,

@@ -347,8 +347,12 @@ object TrainingPipelinePack extends QueryPack {
     * acceptable. Ratios are single divisions of exact integers.
     */
   private def q183(s: SparkSession, dir: String): DataFrame = {
+    // persisted: both strategy audits deal from the same (id, length)
+    // projection — without the cache each global window re-scans and
+    // re-tokenizes the corpus
     val docs = Tables.load(s, dir, "documents")
       .select(col("doc_id"), nToks(col("text")).as("ntk"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     def audit(strategy: String, order: Seq[Column]): DataFrame = {
       val rn = row_number().over(Window.orderBy(order: _*))
       docs.withColumn("b", floor((rn - 1) / lit(batchB)).cast("int"))

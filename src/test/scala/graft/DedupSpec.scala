@@ -61,4 +61,18 @@ class DedupSpec extends SparkSpecBase {
     assert(df(1L) === df(2L))
     assert(df(1L) !== df(3L))
   }
+
+  test("q188: estimate-error audit is consistent and candidates skew high") {
+    val row = graft.queries.DedupPack.queries.toMap
+      .apply("q188_minhash_error")(spark, "/root/testdata/sf0.001").head()
+    val (n, mean, mx, over) =
+      (row.getLong(0), row.getDouble(1), row.getDouble(2), row.getLong(3))
+    assert(n > 0, "banding must surface candidate pairs")
+    assert(over <= n)
+    assert(mean >= 0.0 && mean <= mx, "mean bounded by max")
+    assert(mx <= 1.0)
+    // k = 8 quantizes the estimate to eighths; a candidate set that
+    // banding surfaced should still estimate within ~2 quanta on average
+    assert(mean <= 0.25, s"mean abs error $mean — estimator off the rails")
+  }
 }

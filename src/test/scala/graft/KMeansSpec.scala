@@ -131,6 +131,21 @@ class KMeansSpec extends SparkSpecBase {
     }
   }
 
+  test("q187: recall is monotone in nprobe and exactly ratioed") {
+    val rows = SparkEntry.queries("q187_nprobe_sweep")(
+      spark, "/root/testdata/sf0.001").collect().sortBy(_.getInt(0))
+    assert(rows.map(_.getInt(0)).toSeq === Seq(1, 2, 3))
+    for (r <- rows)
+      assert(r.getDouble(2) === r.getLong(1).toDouble / 100,
+        "mean recall is the exact matched/(k*queries) ratio")
+    val rec = rows.map(_.getDouble(2))
+    assert(rec(0) <= rec(1) && rec(1) <= rec(2),
+      s"probing more cells can only add candidates: ${rec.toSeq}")
+    // measured 0.55/0.71/0.79 at sf0.001 — each extra probe must buy
+    // real recall on this data, not just tie
+    assert(rec(0) >= 0.3 && rec(2) > rec(0), s"curve: ${rec.toSeq}")
+  }
+
   test("q172: SemDeDup ledger matches an independent JVM pair scan") {
     val s = spark
     val dir = "/root/testdata/sf0.001"

@@ -286,6 +286,18 @@ class PlanShapeSpec extends SparkSpecBase {
       s"q182 both aliases must read the cache:\n$lp")
   }
 
+  test("padding audit and tempered mixture read their cached projections") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    // q183: both strategy deals come from the cached (id, length)
+    // projection; q184: the normalizer row and the final projection
+    // both read the cached source-grain aggregate
+    for (name <- Seq("q183_padding_audit", "q184_temperature_mixture")) {
+      val leaves = q(name).queryExecution.optimizedPlan.collectLeaves()
+      assert(leaves.count(_.isInstanceOf[InMemoryRelation]) == 2 &&
+        leaves.size == 2, s"$name must read only its cache, twice")
+    }
+  }
+
   test("BM25 reuses ONE persisted tf: df/weights/query terms share it") {
     // programmatic leaf walk, not string counting: InMemoryRelation
     // PRINTS its cached physical plan (including that plan's FileScan
