@@ -168,21 +168,57 @@ object SimilarityPack extends QueryPack {
   private val kmClusters = 8
   private val kmIters = 2
 
+  /** The k-means model is k×d doubles — driver-sized at ANY corpus
+    * scale — so assignment and routing embed it as LITERAL arrays inside
+    * one map-side expression: no join, no window, no shuffle ever
+    * touches the corpus for quantization (at 100 TB this is the
+    * difference between a pure scan and k× row inflation + an exchange
+    * per Lloyd round). Float parity: collected doubles re-embed
+    * bit-exactly and [[Vectors.sqDist]] runs the identical IEEE sequence
+    * it ran against a joined `cv` column, so assignments are unchanged;
+    * natural struct ordering on (d2, cluster) IS the argmin tiebreak the
+    * window version computed.
+    */
+  private[graft] def collectCentroids(cent: DataFrame): Seq[(Int, Seq[Double])] =
+    cent.select(col("cluster").cast("int"), col("cv"))
+      .collect().toSeq
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+
+  /** One (d2, cluster) struct per centroid for vector column `v`. */
+  private def centScores(v: Column, cent: Seq[(Int, Seq[Double])]): Column =
+    array(cent.map { case (cid, cv) =>
+      struct(Vectors.sqDist(v, typedlit(cv)).as("d2"),
+        lit(cid).as("cluster"))
+    }: _*)
+
   /** Top-`p` nearest centroids per vector (argmin-L2, cluster-id
     * tiebreak). p=1 is cluster assignment; p>1 is multi-probe routing.
     */
-  private[graft] def routeTop(e: DataFrame, cent: DataFrame,
-      p: Int): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cluster"))
-    e.join(broadcast(cent), lit(true))
-      .withColumn("d2", Vectors.sqDist(col("v"), col("cv")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= p)
-      .select(col("vec_id"), col("cluster"), col("v"))
-  }
+  private[graft] def routeTop(e: DataFrame, cent: Seq[(Int, Seq[Double])],
+      p: Int): DataFrame =
+    if (p == 1) assign(e, cent)
+    else e
+      .select(col("vec_id"),
+        explode(slice(array_sort(centScores(col("v"), cent)), 1, p)).as("s"),
+        col("v"))
+      .select(col("vec_id"), col("s.cluster").as("cluster"), col("v"))
 
+  private[graft] def assign(e: DataFrame,
+      cent: Seq[(Int, Seq[Double])]): DataFrame =
+    e.select(col("vec_id"),
+      array_min(centScores(col("v"), cent)).getField("cluster").as("cluster"),
+      col("v"))
+
+  /** DataFrame-model overload (KMeansSpec's round-by-round driver). */
   private[graft] def assign(e: DataFrame, cent: DataFrame): DataFrame =
-    routeTop(e, cent, 1)
+    assign(e, collectCentroids(cent))
+
+  /** The owning cell of column `v` as a bare expression — lets IVF
+    * builds attach `cell_of` with `withColumn` instead of a self-join
+    * against a separately assigned frame. */
+  private def cellOf(cent: Seq[(Int, Seq[Double])]): Column =
+    array_min(centScores(col("v"), cent)).getField("cluster")
 
   private[graft] def recompute(assigned: DataFrame): DataFrame =
     assigned
@@ -197,12 +233,20 @@ object SimilarityPack extends QueryPack {
     * the generated `duckKmeansPrefix`): seed centroids are the first k
     * vectors, then `kmIters` rounds of argmin-assignment + per-dimension
     * mean recompute. One definition site — the Spark side and the SQL
-    * twin cannot drift apart per-query.
+    * twin cannot drift apart per-query. Each round collects the k-row
+    * model to the driver (replacing the old localCheckpoint), so
+    * downstream assignment/routing is map-side. Order-parity note: the
+    * testdata embeddings are float32 values widened to double (29
+    * trailing mantissa zeros), so per-cell sums are EXACT in double —
+    * `avg` here is accumulation-order-independent, which is why the
+    * unrounded means stay bit-equal across engines and partitionings.
     */
-  private[graft] def learnedCentroids(e: DataFrame): DataFrame = {
-    var cent = e.filter(col("vec_id") < kmClusters)
-      .select(col("vec_id").cast("int").as("cluster"), col("v").as("cv"))
-    (1 to kmIters).foreach { _ => cent = recompute(assign(e, cent)) }
+  private[graft] def learnedCentroids(e: DataFrame): Seq[(Int, Seq[Double])] = {
+    var cent = collectCentroids(
+      e.filter(col("vec_id") < kmClusters)
+        .select(col("vec_id").cast("int").as("cluster"), col("v").as("cv")))
+    (1 to kmIters).foreach { _ =>
+      cent = collectCentroids(recompute(assign(e, cent))) }
     cent
   }
 
@@ -219,18 +263,52 @@ object SimilarityPack extends QueryPack {
       .select(col("vec_id"), col("sub"),
         slice(col("v"), col("sub") * pqSubDim + 1, lit(pqSubDim)).as("sv"))
 
-  /** Per-subspace argmin-L2 code assignment (code-id tiebreak) — the
-    * grouped twin of [[assign]]: every subspace trains and assigns
-    * independently, keyed by `sub` through one broadcast join.
-    */
-  private def pqAssign(sub: DataFrame, cent: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id", "sub").orderBy(col("d2"), col("code"))
-    sub.join(broadcast(cent), Seq("sub"))
-      .withColumn("d2", Vectors.sqDist(col("sv"), col("cv")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("sub"), col("code"), col("sv"))
+  /** Driver-resident PQ model: (sub, code, centroid). Same doctrine as
+    * [[collectCentroids]] — m×k×(d/m) doubles, literal-embedded. */
+  private def collectCodebooks(cent: DataFrame): Seq[(Int, Int, Seq[Double])] =
+    cent.select(col("sub").cast("int"), col("code").cast("int"), col("cv"))
+      .collect().toSeq
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .sortBy(t => (t._1, t._2))
+
+  /** sub → array of per-code structs, looked up by the row's `sub` —
+    * one literal map expression covers all m codebooks. `f` builds the
+    * per-code struct from (code, centroid). */
+  private def perSub(cent: Seq[(Int, Int, Seq[Double])],
+      f: (Int, Seq[Double]) => Column): Column = {
+    val entries = (0 until pqM).flatMap { sN =>
+      Seq(lit(sN), array(cent.collect {
+        case (`sN`, code, cv) => f(code, cv)
+      }: _*))
+    }
+    element_at(map(entries: _*), col("sub"))
   }
+
+  /** Per-subspace argmin-L2 code assignment (code-id tiebreak) — the
+    * grouped twin of [[assign]]: every subspace scores its own literal
+    * codebook map-side; struct ordering (d2, code) is the tiebreak.
+    */
+  private def pqAssign(sub: DataFrame,
+      cent: Seq[(Int, Int, Seq[Double])]): DataFrame = {
+    val best = array_min(perSub(cent, (code, cv) =>
+      struct(Vectors.sqDist(col("sv"), typedlit(cv)).as("d2"),
+        lit(code).as("code"))))
+    sub.select(col("vec_id"), col("sub"),
+      best.getField("code").as("code"), col("sv"))
+  }
+
+  /** The ADC lookup table for the query subset: one row per
+    * (q_id, sub, code) with dp = ⟨query subvector, codebook centroid⟩ —
+    * built map-side from the literal codebooks (no join). */
+  private def pqLut(sub: DataFrame,
+      cent: Seq[(Int, Int, Seq[Double])]): DataFrame =
+    sub.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("sub"),
+        explode(perSub(cent, (code, cv) =>
+          struct(lit(code).as("code"),
+            Vectors.dot(col("sv"), typedlit(cv)).as("dp")))).as("cd"))
+      .select(col("q_id"), col("sub"),
+        col("cd.code").as("code"), col("cd.dp").as("dp"))
 
   private def pqRecompute(assigned: DataFrame): DataFrame =
     assigned
@@ -254,11 +332,13 @@ object SimilarityPack extends QueryPack {
     * KMeansSpec inertia test and the oracle gate both break loudly if
     * they drift.
     */
-  private def pqCodebooks(sub: DataFrame): DataFrame = {
-    var cent = sub.filter(col("vec_id") < pqK)
-      .select(col("sub"), col("vec_id").cast("int").as("code"),
-        col("sv").as("cv"))
-    (1 to pqIters).foreach(_ => cent = pqRecompute(pqAssign(sub, cent)))
+  private def pqCodebooks(sub: DataFrame): Seq[(Int, Int, Seq[Double])] = {
+    var cent = collectCodebooks(
+      sub.filter(col("vec_id") < pqK)
+        .select(col("sub"), col("vec_id").cast("int").as("code"),
+          col("sv").as("cv")))
+    (1 to pqIters).foreach(_ =>
+      cent = collectCodebooks(pqRecompute(pqAssign(sub, cent))))
     cent
   }
 
@@ -281,15 +361,11 @@ object SimilarityPack extends QueryPack {
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val sub = subVectors(e)
-    // checkpoint: corpus coding and the query LUT both consume the
-    // trained codebooks — don't re-run the Lloyd chain (q84 doctrine)
-    val cent = pqCodebooks(sub).localCheckpoint()
+    // the trained codebooks live on the driver — corpus coding and the
+    // query LUT are both map-side expressions over them
+    val cent = pqCodebooks(sub)
     val codes = pqAssign(sub, cent).select("vec_id", "sub", "code")
-    val lut = sub.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("sub"), col("sv").as("qsv"))
-      .join(broadcast(cent), Seq("sub"))
-      .select(col("q_id"), col("sub"), col("code"),
-        Vectors.dot(col("qsv"), col("cv")).as("dp"))
+    val lut = pqLut(sub, cent)
     val scored = codes.join(broadcast(lut), Seq("sub", "code"))
       .filter(col("q_id") =!= col("vec_id"))
       .groupBy("q_id", "vec_id")
@@ -318,20 +394,16 @@ object SimilarityPack extends QueryPack {
   private def q169(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val cent = learnedCentroids(e).localCheckpoint()
+    val cent = learnedCentroids(e)
     val cells = assign(e, cent).select(col("vec_id"), col("cluster"))
     val sub = subVectors(e)
-    val pq = pqCodebooks(sub).localCheckpoint()
+    val pq = pqCodebooks(sub)
     val codes = pqAssign(sub, pq).select("vec_id", "sub", "code")
     // queries' cells are already IN the corpus assignment — no second
     // routing pass (p=1 routing of a corpus member ≡ its cell)
     val routed = cells.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("cluster").as("cell"))
-    val lut = sub.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("sub"), col("sv").as("qsv"))
-      .join(broadcast(pq), Seq("sub"))
-      .select(col("q_id"), col("sub"), col("code"),
-        Vectors.dot(col("qsv"), col("cv")).as("dp"))
+    val lut = pqLut(sub, pq)
     val cand = cells.join(broadcast(routed),
         col("cluster") === col("cell") && col("q_id") =!= col("vec_id"))
       .select("q_id", "vec_id")
@@ -374,13 +446,9 @@ object SimilarityPack extends QueryPack {
     val eAll = corpus(s, dir)
     val e = eAll.select("vec_id", "v")
     val sub = subVectors(e)
-    val cent = pqCodebooks(sub).localCheckpoint()
+    val cent = pqCodebooks(sub)
     val codes = pqAssign(sub, cent).select("vec_id", "sub", "code")
-    val lut = sub.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("sub"), col("sv").as("qsv"))
-      .join(broadcast(cent), Seq("sub"))
-      .select(col("q_id"), col("sub"), col("code"),
-        Vectors.dot(col("qsv"), col("cv")).as("dp"))
+    val lut = pqLut(sub, cent)
     val wAdc = Window.partitionBy("q_id")
       .orderBy(col("adc6").desc, col("vec_id"))
     val shortlist = codes.join(broadcast(lut), Seq("sub", "code"))
@@ -477,12 +545,11 @@ object SimilarityPack extends QueryPack {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(Vectors.dot(col("v"), col("v"))))
     val e = eAll.select("vec_id", "v")
-    // k rows; checkpoint so the corpus-assignment and query-routing
-    // branches don't each recompute the whole Lloyd chain
-    val cent = learnedCentroids(e).localCheckpoint()
-    val assigned = assign(e, cent)
-      .select(col("vec_id").as("a_id"), col("cluster").as("cell_of"))
-    val cands = eAll.join(assigned, col("vec_id") === col("a_id"))
+    // the k-row model trains once on the driver; assignment and routing
+    // are map-side expressions over it — the corpus picks up its cell
+    // with a withColumn, no self-join
+    val cent = learnedCentroids(e)
+    val cands = eAll.withColumn("cell_of", cellOf(cent))
       .select(col("vec_id"), col("v"), col("nrm"), col("cell_of"))
     // query routing IS the assignment operator on the query subset —
     // same argmin/tiebreak by construction
@@ -528,7 +595,7 @@ object SimilarityPack extends QueryPack {
   private def q172(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val cent = learnedCentroids(e).localCheckpoint()
+    val cent = learnedCentroids(e)
     val a = assign(e, cent)
       .withColumn("nrm", sqrt(Vectors.dot(col("v"), col("v"))))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -566,16 +633,21 @@ object SimilarityPack extends QueryPack {
     * for symmetry.
     */
   private def q176(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val cent = learnedCentroids(e).localCheckpoint()
-    val own = assign(e, cent)
-      .join(broadcast(cent), Seq("cluster"))
-      .withColumn("dist", sqrt(Vectors.sqDist(col("v"), col("cv"))))
+    val cent = learnedCentroids(e)
+    // the argmin struct already carries d2 to the OWN centroid — member
+    // distance is sqrt of it, no join back to the model needed
+    val best = array_min(centScores(col("v"), cent))
+    val own = e
+      .select(best.getField("cluster").as("cluster"),
+        sqrt(best.getField("d2")).as("dist"))
       .groupBy("cluster")
       .agg(count(lit(1)).as("n_vecs"), round(avg("dist"), 6).as("mean_dist6"))
-    val other = cent.select(col("cluster").as("o_cl"), col("cv").as("ocv"))
-    val sep = cent.join(other, col("cluster") =!= col("o_cl"))
+    val centDf = cent.toDF("cluster", "cv")
+    val other = centDf.select(col("cluster").as("o_cl"), col("cv").as("ocv"))
+    val sep = centDf.join(other, col("cluster") =!= col("o_cl"))
       .select(col("cluster"),
         sqrt(Vectors.sqDist(col("cv"), col("ocv"))).as("cd"))
       .groupBy("cluster").agg(round(min("cd"), 6).as("nn_cent_dist6"))
@@ -599,10 +671,8 @@ object SimilarityPack extends QueryPack {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(Vectors.dot(col("v"), col("v"))))
     val e = eAll.select("vec_id", "v")
-    val cent = learnedCentroids(e).localCheckpoint()
-    val assigned = assign(e, cent)
-      .select(col("vec_id").as("a_id"), col("cluster").as("cell_of"))
-    val cands = eAll.join(assigned, col("vec_id") === col("a_id"))
+    val cent = learnedCentroids(e)
+    val cands = eAll.withColumn("cell_of", cellOf(cent))
       .select(col("vec_id"), col("v"), col("nrm"), col("cell_of"))
     val routed = routeTop(e.filter(col("vec_id") < nQueries), cent, nProbe)
       .select(col("vec_id").as("q_id"), col("cluster").as("cell"),
@@ -620,35 +690,41 @@ object SimilarityPack extends QueryPack {
     * curve an index operator reads before fixing the serving nprobe
     * (each probe step adds one cell-scan per query and buys back the
     * boundary vectors 1-probe routing misses). The model (centroids) and
-    * corpus assignment build ONCE (checkpoint + persist) and all three
-    * sweeps share them; mean recall is an exact integer ratio —
-    * matched/(k·queries) — so the output carries no accumulation floats
-    * at all.
+    * corpus assignment build ONCE (checkpoint + persist); routing runs
+    * ONCE at the widest p keeping the probe rank, so the corpus-side
+    * candidate join and cosine evaluation also run once — the p = 1 and
+    * p = 2 arms are probe_rank filters over the persisted scored pairs,
+    * not re-joins (a doc lives in exactly one cell, so each (query, doc)
+    * pair carries exactly one probe_rank). Mean recall is an exact
+    * integer ratio — matched/(k·queries) — so the output carries no
+    * accumulation floats at all.
     */
   private def q187(s: SparkSession, dir: String): DataFrame = {
     val eAll = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(Vectors.dot(col("v"), col("v"))))
     val e = eAll.select("vec_id", "v")
-    val cent = learnedCentroids(e).localCheckpoint()
-    val assigned = assign(e, cent)
-      .select(col("vec_id").as("a_id"), col("cluster").as("cell_of"))
-    val cands = eAll.join(assigned, col("vec_id") === col("a_id"))
+    val cent = learnedCentroids(e)
+    val cands = eAll.withColumn("cell_of", cellOf(cent))
       .select(col("vec_id"), col("v"), col("nrm"), col("cell_of"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val truth = q70(s, dir).select(col("q_id"), col("neighbor_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val routed = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("rq_id"),
+        posexplode(slice(array_sort(centScores(col("v"), cent)), 1, 3))
+          .as(Seq("pos", "s")),
+        col("v").as("qv"))
+      .select(col("rq_id"), col("s.cluster").as("cell"),
+        (col("pos") + 1).as("probe_rank"), col("qv"))
+      .withColumn("qnrm", sqrt(Vectors.dot(col("qv"), col("qv"))))
+    val scored = cands.join(broadcast(routed),
+        col("cell") === col("cell_of") && col("rq_id") =!= col("vec_id"))
+      .select(col("rq_id").as("q_id"), col("vec_id"), col("probe_rank"),
+        (Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+          .as("cos"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sweeps = (1 to 3).map { p =>
-      val routed = routeTop(e.filter(col("vec_id") < nQueries), cent, p)
-        .select(col("vec_id").as("rq_id"), col("cluster").as("cell"),
-          col("v").as("qv"))
-        .withColumn("qnrm", sqrt(Vectors.dot(col("qv"), col("qv"))))
-      val joined = cands.join(broadcast(routed),
-          col("cell") === col("cell_of") && col("rq_id") =!= col("vec_id"))
-        .withColumn("q_id", col("rq_id"))
-        .withColumn("cos",
-          Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
-      val approx = topk(joined, k)
+      val approx = topk(scored.filter(col("probe_rank") <= p), k)
         .select(col("q_id").as("a_qid"), col("neighbor_id").as("a_nid"))
       truth.join(approx,
           col("q_id") === col("a_qid") &&
