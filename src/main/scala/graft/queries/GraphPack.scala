@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.catalog.Tables
+import graft.functions.CoPurchase
+
+/** Graph analytics beyond counting — community detection, reachability,
+  * and item-item recommendation over the part co-purchase graph (the
+  * graph q141/q155/q161 already mine; one [[CoPurchase]] kernel, so the
+  * edge semantics cannot drift between packs).
+  *
+  * Scale doctrine (the q155/q161 lesson, proven twice): the co-purchase
+  * node set saturates at the part vocabulary while orders keep growing,
+  * so every per-round state vector here — labels, BFS frontiers, visited
+  * sets, item supports — is NODE-grain and broadcastable; only the
+  * one-off adjacency build shuffles at edge grain. Per iteration that
+  * makes the heavy side a probe of the cached adjacency against a small
+  * broadcast, never an edge×edge join.
+  */
+object GraphPack extends QueryPack {
+
+  private val lpaIters = 2
+  private val bfsHops = 3
+  private val bfsSeeds = 10
+  private val cfTopK = 5
+
+  /** Symmetric adjacency arrays (node, neighbors, degree) over the
+    * distinct co-purchase edge set — the per-query build each graph
+    * query starts from (node-grain, cache-friendly).
+    */
+  private[graft] def adjacency(lineitem: DataFrame): DataFrame = {
+    val pairs = CoPurchase.distinctPairs(lineitem)
+    pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .groupBy("src")
+      .agg(collect_list(col("dst")).as("nbrs"))
+      .select(col("src").as("u"), col("nbrs"), size(col("nbrs")).as("d"))
+  }
+
+  // --- q189: label-propagation communities ---------------------------------
+
+  /** q189 — synchronous label propagation (2 rounds): every node starts
+    * labeled by its own id and each round adopts its neighbors' most
+    * frequent label (ties → smallest label, so the vote is total and the
+    * result deterministic — no async sweep order to pin down). Two fixed
+    * rounds rather than convergence detection: LPA oscillates on
+    * bipartite-ish regions under synchronous update, and a fixed-round
+    * audit is what a corpus-curation pass wants anyway (source-domain
+    * clustering for mixture design, not exact convergence).
+    *
+    * Per round the LABEL VECTOR broadcasts (node-grain) onto the cached
+    * adjacency and votes reduce per node — one small shuffle per round,
+    * never an edge×label join. Distinct from q66's connected components:
+    * min-label CC collapses everything reachable; frequency voting finds
+    * dense sub-blocks inside a component.
+    */
+  private[graft] def lpaLabels(lineitem: DataFrame): DataFrame = {
+    val adj = adjacency(lineitem).persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = adj.select(col("u").as("node"), col("u").as("lbl"))
+    for (_ <- 1 to lpaIters) {
+      labels = adj
+        .select(col("u"), explode(col("nbrs")).as("nbr"))
+        .join(broadcast(labels), col("nbr") === col("node"))
+        .groupBy(col("u"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("u")
+        .agg(max_by(col("lbl"), struct(col("cnt"), -col("lbl"))).as("lbl"))
+        .select(col("u").as("node"), col("lbl"))
+    }
+    labels
+  }
+
+  private def q189(s: SparkSession, dir: String): DataFrame =
+    lpaLabels(Tables.load(s, dir, "lineitem"))
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"))
+      .orderBy(col("n_nodes").desc, col("community"))
+      .limit(50)
+
+  // --- q190: multi-source BFS reachability ---------------------------------
+
+  /** q190 — multi-source BFS: hop distance (≤ 3) from the 10 highest-
+    * degree hub parts (degree desc, id asc — a total order, so the seed
+    * set is deterministic). The per-round state is the FRONTIER and the
+    * VISITED set — both node-grain, both broadcast; expansion is one
+    * probe of the cached adjacency + an explode, and the anti-join
+    * against visited keeps first-discovery hop = min hop by
+    * construction. Each round's discoveries persist so the loop's
+    * lineage stays one round deep (the frontier is consumed twice:
+    * expansion and the union into visited).
+    *
+    * The hop histogram this emits is the "how far is the catalog from
+    * its hubs" audit; node-grain hop assignments stay available one
+    * `orderBy(node)` away.
+    */
+  private[graft] def bfsVisited(lineitem: DataFrame): DataFrame = {
+    val adj = adjacency(lineitem).persist(StorageLevel.MEMORY_AND_DISK)
+    val seeds = adj
+      .orderBy(col("d").desc, col("u"))
+      .limit(bfsSeeds)
+      .select(col("u").as("node"), lit(0).as("hop"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var visited = seeds
+    var frontier = seeds.select("node")
+    for (i <- 1 to bfsHops) {
+      val next = adj
+        .join(broadcast(frontier), col("u") === col("node"))
+        .select(explode(col("nbrs")).as("n"))
+        .distinct()
+        .join(broadcast(visited.select(col("node").as("vn"))),
+          col("n") === col("vn"), "left_anti")
+        .select(col("n").as("node"), lit(i).as("hop"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      visited = visited.union(next)
+      frontier = next.select("node")
+    }
+    visited
+  }
+
+  private def q190(s: SparkSession, dir: String): DataFrame =
+    bfsVisited(Tables.load(s, dir, "lineitem"))
+      .groupBy("hop")
+      .agg(count(lit(1)).as("n_nodes"), min("node").as("min_node"),
+        max("node").as("max_node"))
+      .orderBy("hop")
+
+  // --- q191: item-item collaborative filtering -----------------------------
+
+  /** q191 — item-item recommendation ("customers who bought X also
+    * bought"): cosine similarity over order co-occurrence — cos(a,b) =
+    * |orders(a,b)| / √(|orders(a)|·|orders(b)|) — ranked top-5 per item
+    * (score desc, neighbor asc). Scores are one division of exact
+    * integers through a correctly-rounded √ — bit-identical
+    * cross-engine, so the rank order itself is deterministic and only
+    * the emitted score rounds.
+    *
+    * Shape: co-occurrence counts come from [[CoPurchase.orderPairs]]
+    * (map-side basket expansion, ONE lineitem scan); supports are
+    * node-grain and BROADCAST onto the pair aggregate twice (a-side,
+    * b-side) — the only shuffles are the pair groupBy and the per-item
+    * top-k window, both keyed small. At 100 TB the pair grain is still
+    * bounded by the saturating part vocabulary squared — and long before
+    * that bound bites, the [[graft.functions.TopK]] aggregator replaces
+    * the row_number window (same contract, partial-agg instead of sort).
+    */
+  private[graft] def itemCf(li: DataFrame): DataFrame = {
+    val co = CoPurchase.orderPairs(li)
+      .groupBy("src", "dst").agg(count(lit(1)).as("c"))
+    val sym = co.union(co.select(col("dst").as("src"), col("src").as("dst"),
+      col("c")))
+    val support = li.select("l_orderkey", "l_partkey").distinct()
+      .groupBy(col("l_partkey").as("p")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("item").orderBy(col("cos").desc, col("neighbor"))
+    sym
+      .join(broadcast(support.select(col("p").as("src"), col("n").as("na"))),
+        "src")
+      .join(broadcast(support.select(col("p").as("dst"), col("n").as("nb"))),
+        "dst")
+      .select(col("src").as("item"), col("dst").as("neighbor"), col("c"),
+        (col("c") / sqrt((col("na") * col("nb")).cast("double"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= cfTopK)
+      .select(col("item"), col("rank"), col("neighbor"),
+        col("c").as("n_co_orders"), round(col("cos"), 6).as("cos6"))
+  }
+
+  private def q191(s: SparkSession, dir: String): DataFrame =
+    itemCf(Tables.load(s, dir, "lineitem")).orderBy("item", "rank")
+
+  override val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
+    Seq(
+      "q189_lpa_communities" -> q189 _,
+      "q190_bfs_hops" -> q190 _,
+      "q191_item_item_cf" -> q191 _)
+
+  /** The co-purchase graph CTE prefix every oracle here starts from —
+    * same derivation as q155/q161's oracles (distinct per-order items →
+    * oriented pairs → symmetric closure).
+    */
+  private val duckGraph =
+    """items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |pairs AS (
+      | SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      | FROM items a JOIN items b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |edges AS (
+      | SELECT src, dst FROM pairs
+      | UNION ALL SELECT dst, src FROM pairs)""".stripMargin
+
+  private def duckLpaRound(i: Int): String =
+    s"""vote$i AS (
+       | SELECT e.src AS u, l.lbl, count(*) AS cnt
+       | FROM edges e JOIN l${i - 1} l ON e.dst = l.node
+       | GROUP BY 1, 2),
+       |l$i AS (
+       | SELECT u AS node, lbl FROM (
+       |  SELECT u, lbl,
+       |   row_number() OVER (PARTITION BY u ORDER BY cnt DESC, lbl) AS rn
+       |  FROM vote$i)
+       | WHERE rn = 1)""".stripMargin
+
+  private def duckBfsRound(i: Int): String =
+    s"""v$i AS (
+       | SELECT node, min(hop) AS hop FROM (
+       |  SELECT node, hop FROM v${i - 1}
+       |  UNION ALL
+       |  SELECT e.dst AS node, $i AS hop
+       |  FROM edges e JOIN v${i - 1} f ON e.src = f.node)
+       | GROUP BY node)""".stripMargin
+
+  override val oracle: Seq[(String, String)] = Seq(
+    "q189_lpa_communities" ->
+      s"""WITH $duckGraph,
+         |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+         |${(1 to lpaIters).map(duckLpaRound).mkString(",\n")}
+         |SELECT lbl AS community, count(*) AS n_nodes,
+         | min(node) AS min_node
+         |FROM l$lpaIters
+         |GROUP BY 1 ORDER BY n_nodes DESC, community LIMIT 50""".stripMargin,
+    "q190_bfs_hops" ->
+      s"""WITH $duckGraph,
+         |deg AS (SELECT src AS u, count(*) AS d FROM edges GROUP BY 1),
+         |v0 AS (
+         | SELECT u AS node, 0 AS hop
+         | FROM deg ORDER BY d DESC, u LIMIT $bfsSeeds),
+         |${(1 to bfsHops).map(duckBfsRound).mkString(",\n")}
+         |SELECT hop, count(*) AS n_nodes, min(node) AS min_node,
+         | max(node) AS max_node
+         |FROM v$bfsHops GROUP BY hop ORDER BY hop""".stripMargin,
+    "q191_item_item_cf" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |co AS (
+         | SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS c
+         | FROM items a JOIN items b
+         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         | GROUP BY 1, 2),
+         |sym AS (SELECT src, dst, c FROM co
+         |        UNION ALL SELECT dst, src, c FROM co),
+         |sup AS (SELECT l_partkey AS p, count(*) AS n FROM items GROUP BY 1),
+         |sc AS (
+         | SELECT sym.src AS item, sym.dst AS neighbor, sym.c,
+         |  CAST(sym.c AS DOUBLE)
+         |   / sqrt(CAST(sa.n * sb.n AS DOUBLE)) AS cos
+         | FROM sym JOIN sup sa ON sym.src = sa.p
+         |          JOIN sup sb ON sym.dst = sb.p),
+         |rk AS (
+         | SELECT item, neighbor, c, cos,
+         |  row_number() OVER (PARTITION BY item
+         |                     ORDER BY cos DESC, neighbor) AS rank
+         | FROM sc)
+         |SELECT item, rank, neighbor, c AS n_co_orders,
+         | round(cos, 6) AS cos6
+         |FROM rk WHERE rank <= $cfTopK
+         |ORDER BY item, rank""".stripMargin)
+}
