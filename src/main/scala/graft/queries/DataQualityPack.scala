@@ -110,12 +110,96 @@ object DataQualityPack extends QueryPack {
       .orderBy("rf")
   }
 
+  private val psiBins = 16
+  private val psiBinW = 32
+
+  /** q192 — distribution-drift audit: population stability index of each
+    * source's token-length distribution against the whole corpus — the
+    * scheduled check that flags a crawler source whose content shifted
+    * (truncation bugs, template floods, language drift) before it
+    * poisons a training mixture. Lengths bin into 16 fixed-width buckets
+    * (the q98 histogram doctrine) and PSI = Σ (aᵢ−eᵢ)·ln(aᵢ/eᵢ) with
+    * add-one smoothing over the fixed bin universe, so empty bins
+    * contribute finitely and no epsilon constant appears.
+    *
+    * ONE corpus scan: per-(source, bin) counts roll up to both the
+    * per-source actuals and (summed across sources) the global expected
+    * — everything after the first aggregate runs at source×16 grain.
+    * Parity: each term is division-of-exact-integers → ln → multiply,
+    * the identical IEEE sequence both engines; only the 16-term sum
+    * rounds (6 dp absorbs accumulation order, q185 doctrine).
+    */
+  private def q192(s: SparkSession, dir: String): DataFrame =
+    psi(s, Tables.loadParallel(s, dir, "documents"))
+
+  /** PSI of each source's token-length histogram vs the whole of `docs`
+    * (columns: source, text) — the q192 body, seamed for fixture specs.
+    */
+  private[graft] def psi(s: SparkSession, docs: DataFrame): DataFrame = {
+    val sc = docs
+      .select(col("source"),
+        least(floor(TextOps.nToks(col("text")) / psiBinW), lit(psiBins - 1))
+          .cast("int").as("bin"))
+      .groupBy("source", "bin").agg(count(lit(1)).as("c"))
+    val grid = sc.select("source").distinct()
+      .crossJoin(s.range(psiBins).select(col("id").cast("int").as("bin")))
+    val full = grid.join(sc, Seq("source", "bin"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val ns = full.groupBy("source").agg(sum("c").as("n_s"))
+    val gb = full.groupBy("bin").agg(sum("c").as("g"))
+    val ng = full.agg(sum("c").as("n_g"))
+    val a = (col("c") + 1).cast("double") /
+      (col("n_s") + psiBins).cast("double")
+    val e = (col("g") + 1).cast("double") /
+      (col("n_g") + psiBins).cast("double")
+    full.join(broadcast(ns), "source").join(broadcast(gb), "bin")
+      .crossJoin(broadcast(ng))
+      .select(col("source"), col("n_s"), ((a - e) * log(a / e)).as("term"))
+      .groupBy("source", "n_s")
+      .agg(round(sum("term"), 6).as("psi6"))
+      .select(col("source"), col("n_s").as("n_docs"), col("psi6"))
+      .orderBy("source")
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q127_column_profile" -> q127 _,
     "q128_integrity_audit" -> q128 _,
-    "q167_winsorize" -> q167 _)
+    "q167_winsorize" -> q167 _,
+    "q192_psi_drift" -> q192 _)
 
   override val oracle: Seq[(String, String)] = Seq(
+    "q192_psi_drift" ->
+      s"""WITH t AS (
+         | SELECT source,
+         |  CAST(least(CAST(floor(
+         |   len(list_filter(string_split(text, ' '), x -> x <> ''))
+         |    / $psiBinW) AS INT), ${psiBins - 1}) AS INT) AS bin
+         | FROM documents),
+         |sc AS (SELECT source, bin, count(*) AS c FROM t GROUP BY 1, 2),
+         |grid AS (
+         | SELECT source, CAST(bin AS INT) AS bin
+         | FROM (SELECT DISTINCT source FROM t)
+         | CROSS JOIN (SELECT unnest(range(0, $psiBins)) AS bin)),
+         |f AS (
+         | SELECT g.source, g.bin, COALESCE(sc.c, 0) AS c
+         | FROM grid g LEFT JOIN sc ON g.source = sc.source
+         |                          AND g.bin = sc.bin),
+         |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s
+         |       FROM f GROUP BY 1),
+         |gb AS (SELECT bin, CAST(sum(c) AS BIGINT) AS g FROM f GROUP BY 1),
+         |ng AS (SELECT CAST(sum(c) AS BIGINT) AS n_g FROM f),
+         |terms AS (
+         | SELECT f.source, ns.n_s,
+         |  (CAST(f.c + 1 AS DOUBLE) / CAST(ns.n_s + $psiBins AS DOUBLE)
+         |   - CAST(gb.g + 1 AS DOUBLE) / CAST(ng.n_g + $psiBins AS DOUBLE))
+         |  * ln((CAST(f.c + 1 AS DOUBLE) / CAST(ns.n_s + $psiBins AS DOUBLE))
+         |     / (CAST(gb.g + 1 AS DOUBLE)
+         |        / CAST(ng.n_g + $psiBins AS DOUBLE))) AS term
+         | FROM f JOIN ns ON f.source = ns.source
+         |        JOIN gb ON f.bin = gb.bin
+         |        CROSS JOIN ng)
+         |SELECT source, n_s AS n_docs, round(sum(term), 6) AS psi6
+         |FROM terms GROUP BY source, n_s ORDER BY source""".stripMargin,
     "q167_winsorize" ->
       """WITH f AS (
         | SELECT l_returnflag AS rf,

@@ -193,8 +193,41 @@ object LakehousePack extends QueryPack {
       .orderBy("touch_type")
   }
 
+  /** q193 — schema-evolution read: the pre-1995 order snapshot predates
+    * the `o_orderstatus`/`o_orderpriority` columns (the classic "column
+    * added later" lake layout — old partition files simply lack the
+    * field), and `unionByName(allowMissingColumns = true)` re-unifies
+    * the two vintages with NULL back-fill — the Spark-native form of
+    * parquet schema-merge-on-read. The per-year report then counts
+    * exactly how much of each year's data carries the evolved columns,
+    * which is the audit a reader runs before trusting a late-added
+    * field. Revenue sums in exact integer cents (q127 doctrine);
+    * `count(col)` / `count(DISTINCT col)` skip NULLs identically in
+    * both engines, so the back-fill itself is what's being value-checked.
+    *
+    * Scale: two partition-pruned scans of the same table union
+    * map-side — no shuffle until the year-grain aggregate.
+    */
+  private def q193(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val legacy = o.filter(col("o_orderdate") < "1995-01-01")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val evolved = o.filter(col("o_orderdate") >= "1995-01-01")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+        "o_orderstatus", "o_orderpriority")
+    legacy.unionByName(evolved, allowMissingColumns = true)
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(count(lit(1)).as("n_orders"),
+        count(col("o_orderpriority")).as("n_with_priority"),
+        countDistinct(col("o_orderstatus")).as("n_statuses"),
+        (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0)
+          .as("revenue"))
+      .orderBy("yr")
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q131_multitouch_attribution" -> q131 _,
+    "q193_schema_evolution" -> q193 _,
     "q76_upsert_merge" -> q76 _,
     "q77_scd2_history" -> q77 _,
     "q78_attribution_range_join" -> q78 _,
@@ -203,6 +236,19 @@ object LakehousePack extends QueryPack {
     "q130_snapshot_diff" -> q130 _)
 
   override val oracle: Seq[(String, String)] = Seq(
+    "q193_schema_evolution" ->
+      """WITH merged AS (
+        | SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        | FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01'
+        | UNION ALL BY NAME
+        | SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+        |  o_orderstatus, o_orderpriority
+        | FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01')
+        |SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n_orders,
+        | count(o_orderpriority) AS n_with_priority,
+        | count(DISTINCT o_orderstatus) AS n_statuses,
+        | sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
     "q131_multitouch_attribution" ->
       """WITH p AS (
         | SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts,
