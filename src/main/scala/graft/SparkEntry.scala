@@ -17,7 +17,7 @@ object SparkEntry {
       TextPack, DedupPack, SimilarityPack, JsonPack, MedallionPack,
       MultimodalStreamPack, ApproxPack, LakehousePack,
       TrainingPipelinePack, TpchShapesPack, DataQualityPack, ReportingPack,
-      PretrainDepthPack, CorpusOpsPack, GraphPack)
+      PretrainDepthPack, CorpusOpsPack, GraphPack, ExperimentsPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's headline analytics shape: revenue-by-category top-10
