@@ -17,7 +17,8 @@ object SparkEntry {
       TextPack, DedupPack, SimilarityPack, JsonPack, MedallionPack,
       MultimodalStreamPack, ApproxPack, LakehousePack,
       TrainingPipelinePack, TpchShapesPack, DataQualityPack, ReportingPack,
-      PretrainDepthPack, CorpusOpsPack, GraphPack, ExperimentsPack)
+      PretrainDepthPack, CorpusOpsPack, GraphPack, ExperimentsPack,
+      EvalPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's headline analytics shape: revenue-by-category top-10

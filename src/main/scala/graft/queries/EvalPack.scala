@@ -1,0 +1,248 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Tables
+
+/** Model-evaluation pack: the audits a training pipeline runs on its own
+  * gating models — ROC-AUC via exact rank-sums, a precision/recall
+  * threshold sweep, calibration bins, and the lang-ID confusion matrix.
+  * "Model" here is the pipeline's own machinery, reused not re-declared:
+  * the q174 hashed linear scorer ([[TrainingPipelinePack]]) evaluated
+  * against the q158 Gopher rule verdict ([[CorpusOpsPack]]) as reference
+  * label, and the q52 lang-ID ([[TextPack]]) against the corpus `lang`
+  * column — both sides of every metric share the canonical definitions,
+  * so scorer and evaluation cannot drift.
+  *
+  * Scale doctrine: every metric reduces the corpus to SCORE grain (or
+  * bin/label grain) in one partial-agg shuffle before any window runs —
+  * distinct classifier scores are bounded by the score range (integer
+  * milli-units), not the corpus, so the rank-sum window and threshold
+  * sweep operate on a relation that stays small at 100 TB. AUC rank
+  * statistics accumulate as exact BIGINTs (2×midrank trick — midranks
+  * are half-integers) with ONE final double division, so there is no
+  * float-accumulation parity surface at all.
+  */
+object EvalPack extends QueryPack {
+
+  /** Per-document (score, label): q174's classifier score in exact
+    * integer milli-units against the q158 rule-cascade verdict as the
+    * reference label. Map-side only — per-row hashing and in-row folds,
+    * no shuffle (the grain reduction that follows is each query's first
+    * exchange).
+    */
+  private[graft] def scoredLabeled(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      TrainingPipelinePack.classifierScore(col("text")).as("score"),
+      when(CorpusOpsPack.reasonOf(TextOps.toks(col("text"))) === "pass", 1L)
+        .otherwise(0L).as("label"))
+
+  /** (score, cnt, pos) — the score-grain contingency every metric here
+    * derives from. */
+  private def scoreGrain(s: SparkSession, dir: String): DataFrame =
+    scoredLabeled(Tables.loadParallel(s, dir, "documents"))
+      .groupBy("score")
+      .agg(count(lit(1)).as("cnt"), sum("label").as("pos"))
+
+  // Shared oracle CTE chain: documents → tokens → (score, label) →
+  // score grain. Generated from the same canonical SQL fragments as the
+  // q174/q158 oracles.
+  private def duckGrainCtes: String =
+    s"""t AS (SELECT doc_id, ${CorpusOpsPack.duckToks} AS tk
+       |      FROM documents),
+       |sg AS (
+       | SELECT doc_id, ${TrainingPipelinePack.duckClfScore} AS score,
+       |  ${CorpusOpsPack.duckSignalCols}
+       | FROM t),
+       |lb AS (
+       | SELECT score,
+       |  CASE WHEN ${CorpusOpsPack.duckReasonCase} = 'pass'
+       |       THEN 1 ELSE 0 END AS label
+       | FROM sg),
+       |g AS (SELECT score, count(*) AS cnt, sum(label) AS pos
+       |      FROM lb GROUP BY 1)""".stripMargin
+
+  // --- q200: ROC-AUC via exact rank-sum ------------------------------------
+
+  /** q200 — classifier ROC-AUC by the Mann-Whitney rank-sum identity,
+    * ties handled with midranks, computed EXACTLY: per distinct score the
+    * (cnt, pos) contingency plus the running count of lower-scored docs
+    * gives 2·Σ(positive midranks) = Σ pos·(2·cum_below + cnt + 1) as a
+    * pure BIGINT sum; AUC = (2Σmid − npos(npos+1)) / (2·npos·nneg) is
+    * the single double division at the very end. The ordering window
+    * runs over score grain (bounded by the milli-score range, not corpus
+    * size) — the whole-corpus sort a naive ranked-AUC would do never
+    * happens. Rank sums grow as n²: past ~3×10⁹ docs the BIGINT
+    * accumulator must widen to decimal(38) — until then ANSI mode makes
+    * an overflow fail loudly rather than wrap.
+    */
+  /** The rank-sum AUC over a (score, cnt, pos) grain — factored so the
+    * spec can drive it with a hand-computed tie fixture. */
+  private[graft] def aucFromGrain(grain: DataFrame): DataFrame = {
+    val cum = coalesce(sum(col("cnt")).over(
+      Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L))
+    val agg = grain
+      .select(col("cnt"), col("pos"), cum.as("cum"))
+      .agg(sum(col("pos") * (lit(2L) * col("cum") + col("cnt") + 1))
+        .as("s2"),
+        sum("pos").as("n_pos"), sum("cnt").as("n"),
+        count(lit(1)).as("n_scores"))
+    def auc = (col("s2") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
+      (lit(2L) * col("n_pos") * (col("n") - col("n_pos")))
+    agg.select(col("n_pos"), (col("n") - col("n_pos")).as("n_neg"),
+      col("n_scores"), auc.as("auc"),
+      (lit(2.0) * auc - lit(1.0)).as("gini"))
+  }
+
+  private def q200(s: SparkSession, dir: String): DataFrame =
+    aucFromGrain(scoreGrain(s, dir))
+
+  // --- q201: precision/recall threshold sweep ------------------------------
+
+  private val thresholds = Seq(-2000L, -1000L, -500L, 0L, 500L, 1000L, 2000L)
+
+  /** q201 — confusion counts and precision/recall/F1 at a fixed milli-
+    * score threshold ladder (predict positive at score > t). The sweep
+    * replays the SCORE-GRAIN aggregate against each threshold — a
+    * |scores| × |thresholds| expansion of an already-reduced relation,
+    * never a re-scan of the corpus per threshold. Counts stay exact
+    * BIGINTs; each ratio is one double division (precision/F1 guarded
+    * NULL where the denominator is empty).
+    */
+  private def q201(s: SparkSession, dir: String): DataFrame = {
+    val tp = coalesce(sum(when(col("score") > col("t"), col("pos"))),
+      lit(0L))
+    val fp = coalesce(
+      sum(when(col("score") > col("t"), col("cnt") - col("pos"))), lit(0L))
+    val grain = scoreGrain(s, dir)
+      .select(col("score"), col("cnt"), col("pos"),
+        explode(array(thresholds.map(lit): _*)).as("t"))
+      .groupBy("t")
+      .agg(tp.as("tp"), fp.as("fp"),
+        sum("pos").as("npos"), sum("cnt").as("n"))
+    grain.select(col("t"), col("tp"), col("fp"),
+      (col("npos") - col("tp")).as("fn"),
+      (col("n") - col("npos") - col("fp")).as("tn"),
+      when(col("tp") + col("fp") > 0,
+        col("tp").cast("double") / (col("tp") + col("fp")))
+        .as("precision"),
+      (col("tp").cast("double") / col("npos")).as("recall"),
+      when(lit(2L) * col("tp") + col("fp") + col("npos") - col("tp") > 0,
+        (lit(2L) * col("tp")).cast("double") /
+          (lit(2L) * col("tp") + col("fp") + col("npos") - col("tp")))
+        .as("f1"))
+      .orderBy("t")
+  }
+
+  // --- q202: calibration bins ----------------------------------------------
+
+  /** q202 — reliability diagram input: docs bucketed by 500-milli score
+    * bins, per bin the observed positive rate vs the bin's mean score.
+    * A well-calibrated gate shows pos_rate rising monotonically through
+    * the bins. Bin means stay exact (Σ score·cnt as BIGINT) until one
+    * double division; floor(score/500.0) is engine-identical (double
+    * quotients of small integers never round across a floor boundary).
+    */
+  private def q202(s: SparkSession, dir: String): DataFrame =
+    scoreGrain(s, dir)
+      .groupBy(floor(col("score") / lit(500.0)).cast("int").as("bin"))
+      .agg(sum("cnt").as("n_docs"), sum("pos").as("n_pos"),
+        sum(col("score") * col("cnt")).as("score_sum"))
+      .select(col("bin"), col("n_docs"), col("n_pos"),
+        (col("score_sum").cast("double") / col("n_docs") / 1000.0)
+          .as("mean_score"),
+        (col("n_pos").cast("double") / col("n_docs")).as("pos_rate"))
+      .orderBy("bin")
+
+  // --- q203: lang-ID confusion matrix --------------------------------------
+
+  /** q203 — confusion matrix of the q52 lang-ID heuristic against the
+    * corpus `lang` labels: per (actual, predicted) cell the doc count
+    * and its share of the actual-language row total. One shuffle to the
+    * (lang, pred) grain (≤ |langs|² rows at any scale), the row-share
+    * window over that tiny grain. The synthetic corpus is English word
+    * soup under every label, so the matrix concentrates in the 'en'
+    * column — the AUDIT structure (cells, row shares) is what's under
+    * test, mirroring q52's own caveat.
+    */
+  private def q203(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("lang"), TextPack.langPred(col("text")).as("pred_lang"))
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("row_share", col("n_docs").cast("double") /
+        sum("n_docs").over(Window.partitionBy("lang")))
+      .orderBy("lang", "pred_lang")
+
+  override val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
+    Seq(
+      "q200_classifier_auc" -> q200 _,
+      "q201_pr_sweep" -> q201 _,
+      "q202_calibration_bins" -> q202 _,
+      "q203_langid_confusion" -> q203 _)
+
+  override val oracle: Seq[(String, String)] = Seq(
+    "q200_classifier_auc" ->
+      s"""WITH $duckGrainCtes,
+         |w AS (
+         | SELECT score, cnt, pos,
+         |  COALESCE(sum(cnt) OVER (ORDER BY score
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         | FROM g),
+         |a AS (
+         | SELECT CAST(sum(pos * (2 * cum + cnt + 1)) AS BIGINT) AS s2,
+         |  CAST(sum(pos) AS BIGINT) AS n_pos,
+         |  CAST(sum(cnt) AS BIGINT) AS n,
+         |  CAST(count(*) AS BIGINT) AS n_scores
+         | FROM w)
+         |SELECT n_pos, n - n_pos AS n_neg, n_scores,
+         | CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+         |  / (2 * n_pos * (n - n_pos)) AS auc,
+         | 2.0 * (CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+         |  / (2 * n_pos * (n - n_pos))) - 1.0 AS gini
+         |FROM a""".stripMargin,
+    "q201_pr_sweep" ->
+      s"""WITH $duckGrainCtes,
+         |th AS (SELECT unnest([${thresholds.mkString(", ")}]) AS t),
+         |m AS (
+         | SELECT t,
+         |  COALESCE(CAST(sum(CASE WHEN score > t THEN pos END) AS BIGINT),
+         |    0) AS tp,
+         |  COALESCE(CAST(sum(CASE WHEN score > t THEN cnt - pos END)
+         |    AS BIGINT), 0) AS fp,
+         |  CAST(sum(pos) AS BIGINT) AS npos,
+         |  CAST(sum(cnt) AS BIGINT) AS n
+         | FROM g, th GROUP BY t)
+         |SELECT t, tp, fp, npos - tp AS fn, n - npos - fp AS tn,
+         | CASE WHEN tp + fp > 0
+         |      THEN CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+         | CAST(tp AS DOUBLE) / npos AS recall,
+         | CASE WHEN 2 * tp + fp + npos - tp > 0
+         |      THEN CAST(2 * tp AS DOUBLE) / (2 * tp + fp + npos - tp)
+         |      END AS f1
+         |FROM m ORDER BY t""".stripMargin,
+    "q202_calibration_bins" ->
+      s"""WITH $duckGrainCtes,
+         |b AS (
+         | SELECT CAST(floor(score / 500.0) AS INT) AS bin,
+         |  CAST(sum(cnt) AS BIGINT) AS n_docs,
+         |  CAST(sum(pos) AS BIGINT) AS n_pos,
+         |  CAST(sum(score * cnt) AS BIGINT) AS score_sum
+         | FROM g GROUP BY 1)
+         |SELECT bin, n_docs, n_pos,
+         | CAST(score_sum AS DOUBLE) / n_docs / 1000.0 AS mean_score,
+         | CAST(n_pos AS DOUBLE) / n_docs AS pos_rate
+         |FROM b ORDER BY bin""".stripMargin,
+    "q203_langid_confusion" ->
+      s"""WITH c AS (
+         | SELECT lang, pred_lang, count(*) AS n_docs
+         | FROM ${TextPack.duckLangPredSub} p
+         | GROUP BY 1, 2)
+         |SELECT lang, pred_lang, CAST(n_docs AS BIGINT) AS n_docs,
+         | CAST(n_docs AS DOUBLE)
+         |  / sum(n_docs) OVER (PARTITION BY lang) AS row_share
+         |FROM c ORDER BY lang, pred_lang""".stripMargin)
+}

@@ -82,20 +82,35 @@ object TextPack extends QueryPack {
     * no-latin-script → 'zh' short-circuit. The scalable shape of fastText-
     * style lang-ID: pure per-row expressions, no model state.
     */
-  private def q52(s: SparkSession, dir: String): DataFrame = {
-    val dt = array_distinct(toks(col("text")))
-    val hits = lex.map { case (l, ws) =>
+  /** Per-language stopword hit counts over a text column — THE lang-ID
+    * signal set, shared by q52 and the EvalPack confusion matrix (q203)
+    * so the predictor cannot drift between the audit and its evaluation.
+    */
+  private[graft] def langHits(text: Column): Seq[(String, Column)] = {
+    val dt = array_distinct(toks(text))
+    lex.map { case (l, ws) =>
       l -> size(array_intersect(dt, array(ws.map(lit): _*)))
     }
+  }
+
+  /** The lang-ID argmax over [[langHits]] (fixed-lexicon-order ties,
+    * no-latin-script → 'und' short-circuit). */
+  private[graft] def langPred(text: Column): Column = {
+    val hits = langHits(text)
     val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
-    val pred = when(length(regexp_replace(col("text"), "[^A-Za-z]", "")) === 0,
-      lit("und")).otherwise(
-      hits.foldRight(lit("und"): Column) { case ((l, h), acc) =>
-        when(h === best && best > 0, lit(l)).otherwise(acc)
-      })
+    when(length(regexp_replace(text, "[^A-Za-z]", "")) === 0, lit("und"))
+      .otherwise(
+        hits.foldRight(lit("und"): Column) { case ((l, h), acc) =>
+          when(h === best && best > 0, lit(l)).otherwise(acc)
+        })
+  }
+
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    val hits = langHits(col("text"))
     Tables.load(s, dir, "documents")
       .select(
-        Seq(col("doc_id"), col("lang"), pred.as("pred_lang")) ++
+        Seq(col("doc_id"), col("lang"),
+          langPred(col("text")).as("pred_lang")) ++
           hits.map { case (l, h) => h.as(s"hits_$l") }: _*)
       .orderBy("doc_id")
   }
@@ -334,6 +349,23 @@ object TextPack extends QueryPack {
   private val duckPred = lex.reverse.foldLeft("'und'") { case (acc, (l, _)) =>
     s"CASE WHEN hits_$l = $duckBest AND $duckBest > 0 THEN '$l' ELSE $acc END"
   }
+
+  /** (doc_id, lang, pred_lang) as a parenthesized subquery — the SQL twin
+    * of [[langPred]] over the documents table, generated from the same
+    * `lex`, for embedding in downstream oracles (EvalPack q203).
+    */
+  private[graft] def duckLangPredSub: String =
+    s"""(SELECT doc_id, lang,
+       |  CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) = 0
+       |       THEN 'und' ELSE $duckPred END AS pred_lang
+       | FROM (
+       |  SELECT doc_id, lang, text,
+       |   ${lex.map { case (l, ws) => duckHits(l, ws) }.mkString(",\n   ")}
+       |  FROM (
+       |   SELECT doc_id, lang, text,
+       |    list_distinct(list_filter(string_split(text,' '), x -> x <> ''))
+       |      AS dt
+       |   FROM documents) t) h)""".stripMargin
 
   override val oracle: Seq[(String, String)] = Seq(
     "q104_repetition_signals" ->

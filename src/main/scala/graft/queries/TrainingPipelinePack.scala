@@ -214,6 +214,15 @@ object TrainingPipelinePack extends QueryPack {
   private[graft] def classifierScore(text: Column): Column =
     classifierScoreToks(TextOps.toks(text))
 
+  /** SQL twin of [[classifierScoreToks]] over a `tk` list column —
+    * generated from the same LCG constants (shared by q179 and the
+    * EvalPack oracles, so scorer and evaluation cannot drift).
+    */
+  private[graft] val duckClfScore: String =
+    s"""COALESCE(CAST(list_sum(list_transform(tk, tok ->
+       |    ((${duckBucket("tok", "feat", featDim)}) * 1103515245
+       |      + 12345) % 2001 - 1000)) AS BIGINT), 0)""".stripMargin
+
   /** q174 — hashed-linear-model document scoring, the quality-classifier
     * stage of a CCNet/LLaMA-style corpus pipeline (a fastText-ish linear
     * scorer over hashed bag-of-words features): token → md5 feature
@@ -757,9 +766,7 @@ object TrainingPipelinePack extends QueryPack {
          |sg AS (
          | SELECT doc_id, source, th, len(tk) AS ntk,
          |  ${CorpusOpsPack.duckSignalCols},
-         |  COALESCE(CAST(list_sum(list_transform(tk, tok ->
-         |    ((${duckBucket("tok", "feat", featDim)}) * 1103515245
-         |      + 12345) % 2001 - 1000)) AS BIGINT), 0) AS clf
+         |  $duckClfScore AS clf
          | FROM t),
          |f AS (
          | SELECT *,
