@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -177,12 +177,162 @@ object EvalPack extends QueryPack {
         sum("n_docs").over(Window.partitionBy("lang")))
       .orderBy("lang", "pred_lang")
 
+  // --- q204: cumulative-gains deciles --------------------------------------
+
+  /** q204 — cumulative-gains table: targeting the top-scored k/10 of the
+    * corpus, what share of all rule-positives is captured, and the lift
+    * over random targeting. Decile boundaries resolve on the score-DESC
+    * cumulative counts: a grain row is decile k's checkpoint iff k·n
+    * lands inside its cumulative span (10·cum_before < k·n ≤ 10·cum) —
+    * a grain×10 cross join + filter, never a per-doc ntile over the
+    * corpus. All counts exact; capture and lift are the final double
+    * divisions.
+    */
+  private def q204(s: SparkSession, dir: String): DataFrame = {
+    val cumB = coalesce(sum(col("cnt")).over(
+      Window.orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val cumP = sum(col("pos")).over(
+      Window.orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, 0))
+    val grain = scoreGrain(s, dir)
+      .select(col("score"), col("cnt"), col("pos"),
+        cumB.as("cum_before"), (cumB + col("cnt")).as("cum_docs"),
+        cumP.as("cum_pos"))
+      // grain cache feeding the checkpoint rows AND the scalar totals
+      .persist()
+    val tot = grain.agg(sum("cnt").as("n"), sum("pos").as("npos"))
+    grain.crossJoin(broadcast(tot))
+      .select(col("*"), explode(sequence(lit(1), lit(10))).as("k"))
+      .filter(lit(10L) * col("cum_before") < col("k") * col("n") &&
+        col("k") * col("n") <= lit(10L) * col("cum_docs"))
+      .select(col("k"), col("cum_docs"), col("cum_pos"),
+        (col("cum_pos").cast("double") / col("npos")).as("capture"),
+        ((col("cum_pos").cast("double") / col("cum_docs")) /
+          (col("npos").cast("double") / col("n"))).as("lift"))
+      .orderBy("k")
+  }
+
+  // --- q205: Spearman rank correlation -------------------------------------
+
+  /** q205 — Spearman rank correlation between the classifier score and
+    * document length (n_chars): does the quality gate just measure
+    * length? Midranks arrive exactly as 2·midrank = 2·cum_below + cnt +
+    * 1 per value-grain (the q200 trick; Pearson is invariant under the
+    * ×2 scaling), per-doc rank pairs come from joining the two tiny
+    * grain tables back, and the five rank-sum moments accumulate as
+    * exact BIGINTs. Only the final combination n·Σxy − Σx·Σy exceeds
+    * int64 (~4·10²⁰ at sf0.1), so it runs in decimal(38,0)/HUGEINT —
+    * still exact — with the division-and-sqrt on doubles as the very
+    * last step, identical in both engines.
+    */
+  private def q205(s: SparkSession, dir: String): DataFrame = {
+    def rank2(df: DataFrame, v: String): DataFrame = {
+      val cumB = coalesce(sum(col("cnt")).over(
+        Window.orderBy(v).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L))
+      df.groupBy(v).agg(count(lit(1)).as("cnt"))
+        .select(col(v), (lit(2L) * cumB + col("cnt") + 1).as(s"r_$v"))
+    }
+    // one corpus scan: score and n_chars come off the same projection;
+    // the (score, n_chars) pair grain feeds the doc side AND both rank
+    // tables, so the heavy tokenize+hash work runs once
+    val docs = Tables.loadParallel(s, dir, "documents")
+      .select(col("n_chars"),
+        TrainingPipelinePack.classifierScore(col("text")).as("score"))
+      .persist()
+    val ranked = docs
+      .join(broadcast(rank2(docs, "score")), Seq("score"))
+      .join(broadcast(rank2(docs, "n_chars")), Seq("n_chars"))
+    val agg = ranked.agg(count(lit(1)).as("n"),
+      sum(col("r_score")).as("sx"), sum(col("r_n_chars")).as("sy"),
+      sum(col("r_score") * col("r_score")).as("sxx"),
+      sum(col("r_n_chars") * col("r_n_chars")).as("syy"),
+      sum(col("r_score") * col("r_n_chars")).as("sxy"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val num = dec(col("n")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy"))
+    val dx = dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx"))
+    val dy = dec(col("n")) * dec(col("syy")) - dec(col("sy")) * dec(col("sy"))
+    agg.select(col("n"),
+      (num.cast("double") / sqrt(dx.cast("double") * dy.cast("double")))
+        .as("spearman_rho"))
+  }
+
+  // --- q206: chi-square independence audit ---------------------------------
+
+  /** q206 — chi-square independence of source × rule-verdict: are some
+    * sources systematically dirtier? Output is the |sources|×2 cell
+    * grid with observed/expected counts and each cell's χ² contribution
+    * (row-level doubles from exact integers — identical sequence both
+    * engines), plus the rounded total (a multi-cell double sum whose
+    * accumulation order differs across engines; round-6 absorbs the
+    * ulp, the q166 doctrine).
+    */
+  /** (source, label) off one corpus scan — q206/q207 don't need the
+    * classifier score, only the rule verdict. */
+  private def sourceLabeled(s: SparkSession, dir: String): DataFrame =
+    Tables.loadParallel(s, dir, "documents")
+      .select(col("source"),
+        when(CorpusOpsPack.reasonOf(TextOps.toks(col("text"))) === "pass",
+          1L).otherwise(0L).as("label"))
+
+  private def q206(s: SparkSession, dir: String): DataFrame = {
+    val cells = sourceLabeled(s, dir)
+      .groupBy("source", "label")
+      .agg(count(lit(1)).as("o"))
+      // cell-grain cache: the contingency feeds the window pass AND the
+      // scalar total — one corpus scan instead of two
+      .persist()
+    val exp = col("row_tot").cast("double") * col("col_tot") / col("n")
+    cells
+      .withColumn("row_tot", sum("o").over(Window.partitionBy("source")))
+      .withColumn("col_tot", sum("o").over(Window.partitionBy("label")))
+      .crossJoin(broadcast(cells.agg(sum("o").as("n"))))
+      .select(col("source"), col("label"), col("o"), exp.as("e"),
+        ((col("o") - exp) * (col("o") - exp) / exp).as("chi2_cell"))
+      .withColumn("chi2_total",
+        round(sum("chi2_cell").over(Window.partitionBy()), 6))
+      .orderBy("source", "label")
+  }
+
+  // --- q207: smoothed target encoding --------------------------------------
+
+  private val smoothing = 20L
+
+  /** q207 — target encoding of `source` against the rule-pass label with
+    * additive smoothing: enc = (pos + m·p) / (n + m) shrinks small
+    * sources toward the global prior p (m = 20 virtual docs). The
+    * feature-engineering twin of q206's audit — one shuffle to source
+    * grain, the prior a broadcast scalar, every ratio a final double
+    * division over exact counts.
+    */
+  private def q207(s: SparkSession, dir: String): DataFrame = {
+    val perSource = sourceLabeled(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("label").as("n_pos"))
+      // source-grain cache feeding the per-source rows AND the prior
+      .persist()
+    val prior = perSource.agg(sum("n_docs").as("n"), sum("n_pos").as("pos"))
+    perSource.crossJoin(broadcast(prior))
+      .select(col("source"), col("n_docs"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n_docs")).as("raw_rate"),
+        ((col("n_pos") + lit(smoothing) *
+          (col("pos").cast("double") / col("n"))) /
+          (col("n_docs") + lit(smoothing)).cast("double"))
+          .as("smoothed_enc"))
+      .orderBy("source")
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq(
       "q200_classifier_auc" -> q200 _,
       "q201_pr_sweep" -> q201 _,
       "q202_calibration_bins" -> q202 _,
-      "q203_langid_confusion" -> q203 _)
+      "q203_langid_confusion" -> q203 _,
+      "q204_cumulative_gains" -> q204 _,
+      "q205_spearman_len" -> q205 _,
+      "q206_chi2_source" -> q206 _,
+      "q207_target_encoding" -> q207 _)
 
   override val oracle: Seq[(String, String)] = Seq(
     "q200_classifier_auc" ->
@@ -244,5 +394,94 @@ object EvalPack extends QueryPack {
          |SELECT lang, pred_lang, CAST(n_docs AS BIGINT) AS n_docs,
          | CAST(n_docs AS DOUBLE)
          |  / sum(n_docs) OVER (PARTITION BY lang) AS row_share
-         |FROM c ORDER BY lang, pred_lang""".stripMargin)
+         |FROM c ORDER BY lang, pred_lang""".stripMargin,
+    "q204_cumulative_gains" ->
+      s"""WITH $duckGrainCtes,
+         |w AS (
+         | SELECT score, cnt, pos,
+         |  COALESCE(sum(cnt) OVER (ORDER BY score DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS cum_before,
+         |  COALESCE(sum(cnt) OVER (ORDER BY score DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cnt
+         |    AS cum_docs,
+         |  sum(pos) OVER (ORDER BY score DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+         | FROM g),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+         |        CAST(sum(pos) AS BIGINT) AS npos FROM g),
+         |ks AS (SELECT unnest(generate_series(1, 10)) AS k)
+         |SELECT k, CAST(cum_docs AS BIGINT) AS cum_docs,
+         | CAST(cum_pos AS BIGINT) AS cum_pos,
+         | CAST(cum_pos AS DOUBLE) / npos AS capture,
+         | (CAST(cum_pos AS DOUBLE) / cum_docs)
+         |  / (CAST(npos AS DOUBLE) / n) AS lift
+         |FROM w, tot, ks
+         |WHERE 10 * cum_before < k * n AND k * n <= 10 * cum_docs
+         |ORDER BY k""".stripMargin,
+    "q205_spearman_len" ->
+      s"""WITH t AS (SELECT doc_id, n_chars, ${CorpusOpsPack.duckToks} AS tk
+         |           FROM documents),
+         |sc AS (SELECT n_chars,
+         |        ${TrainingPipelinePack.duckClfScore} AS score
+         |       FROM t),
+         |gx AS (SELECT score, count(*) AS cnt FROM sc GROUP BY 1),
+         |rx AS (SELECT score,
+         |  2 * COALESCE(sum(cnt) OVER (ORDER BY score
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |  + cnt + 1 AS r_score FROM gx),
+         |gy AS (SELECT n_chars, count(*) AS cnt FROM sc GROUP BY 1),
+         |ry AS (SELECT n_chars,
+         |  2 * COALESCE(sum(cnt) OVER (ORDER BY n_chars
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |  + cnt + 1 AS r_n_chars FROM gy),
+         |j AS (SELECT r_score, r_n_chars
+         |      FROM sc JOIN rx USING (score) JOIN ry USING (n_chars)),
+         |a AS (SELECT count(*) AS n,
+         |  sum(r_score) AS sx, sum(r_n_chars) AS sy,
+         |  sum(r_score * r_score) AS sxx,
+         |  sum(r_n_chars * r_n_chars) AS syy,
+         |  sum(r_score * r_n_chars) AS sxy FROM j)
+         |SELECT CAST(n AS BIGINT) AS n,
+         | CAST(n * sxy - sx * sy AS DOUBLE)
+         |  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+         |       * CAST(n * syy - sy * sy AS DOUBLE)) AS spearman_rho
+         |FROM a""".stripMargin,
+    "q206_chi2_source" -> {
+      val e = "CAST(row_tot AS DOUBLE) * col_tot / n"
+      s"""WITH t AS (SELECT doc_id, source, ${CorpusOpsPack.duckToks} AS tk
+         |           FROM documents),
+         |sg AS (SELECT source, ${CorpusOpsPack.duckSignalCols} FROM t),
+         |lb AS (SELECT source,
+         |  CASE WHEN ${CorpusOpsPack.duckReasonCase} = 'pass'
+         |       THEN 1 ELSE 0 END AS label FROM sg),
+         |cells AS (SELECT source, label, count(*) AS o
+         |          FROM lb GROUP BY 1, 2),
+         |w AS (SELECT source, label, o,
+         |  sum(o) OVER (PARTITION BY source) AS row_tot,
+         |  sum(o) OVER (PARTITION BY label) AS col_tot FROM cells),
+         |tot AS (SELECT sum(o) AS n FROM cells),
+         |c AS (SELECT source, label, CAST(o AS BIGINT) AS o, $e AS e,
+         |  (o - $e) * (o - $e) / ($e) AS chi2_cell
+         | FROM w, tot)
+         |SELECT source, label, o, e, chi2_cell,
+         | round(sum(chi2_cell) OVER (), 6) AS chi2_total
+         |FROM c ORDER BY source, label""".stripMargin
+    },
+    "q207_target_encoding" ->
+      s"""WITH t AS (SELECT doc_id, source, ${CorpusOpsPack.duckToks} AS tk
+         |           FROM documents),
+         |sg AS (SELECT source, ${CorpusOpsPack.duckSignalCols} FROM t),
+         |lb AS (SELECT source,
+         |  CASE WHEN ${CorpusOpsPack.duckReasonCase} = 'pass'
+         |       THEN 1 ELSE 0 END AS label FROM sg),
+         |ps AS (SELECT source, count(*) AS n_docs, sum(label) AS n_pos
+         |       FROM lb GROUP BY 1),
+         |tot AS (SELECT sum(n_docs) AS n, sum(n_pos) AS pos FROM ps)
+         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+         | CAST(n_pos AS BIGINT) AS n_pos,
+         | CAST(n_pos AS DOUBLE) / n_docs AS raw_rate,
+         | (n_pos + $smoothing * (CAST(pos AS DOUBLE) / n))
+         |  / CAST(n_docs + $smoothing AS DOUBLE) AS smoothed_enc
+         |FROM ps, tot ORDER BY source""".stripMargin)
 }

@@ -84,6 +84,78 @@ class EvalSpec extends SparkSpecBase {
     }
   }
 
+  test("q204 gains: 10 checkpoints, monotone capture, terminal row exact") {
+    val rows = run("q204_cumulative_gains").collect()
+    assert(rows.map(_.getInt(0)).toSeq === (1 to 10))
+    val caps = rows.map(_.getDouble(3)).toSeq
+    assert(caps === caps.sorted)
+    // the k=10 checkpoint covers the whole corpus: capture and lift are
+    // EXACTLY 1.0 (identical division of equal integers in both engines)
+    assert(rows.last.getDouble(3) === 1.0)
+    assert(rows.last.getDouble(4) === 1.0)
+    // checkpoints bracket their decile: 10·cum_docs ≥ k·n
+    val total = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    rows.foreach(r => assert(10 * r.getLong(1) >= r.getInt(0) * total))
+  }
+
+  test("q205 Spearman: JVM midrank recompute agrees exactly") {
+    val pairs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(graft.queries.TrainingPipelinePack
+        .classifierScore(org.apache.spark.sql.functions.col("text"))
+        .as("score"), org.apache.spark.sql.functions.col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def rank2(vs: Seq[Long]): Map[Long, Long] = {
+      var cum = 0L
+      vs.groupBy(identity).toSeq.sortBy(_._1).map { case (v, g) =>
+        val r = v -> (2 * cum + g.length + 1)
+        cum += g.length
+        r
+      }.toMap
+    }
+    val rx = rank2(pairs.map(_._1).toSeq)
+    val ry = rank2(pairs.map(_._2).toSeq)
+    val n = BigInt(pairs.length)
+    val xs = pairs.map(p => BigInt(rx(p._1)))
+    val ys = pairs.map(p => BigInt(ry(p._2)))
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxx = xs.map(x => x * x).sum
+    val syy = ys.map(y => y * y).sum
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val want = (n * sxy - sx * sy).toDouble /
+      math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble)
+    val r = run("q205_spearman_len").collect().head
+    assert(r.getLong(0) === pairs.length.toLong)
+    assert(r.getDouble(1) === want)
+  }
+
+  test("q206 chi2: cell identities and JVM total recompute") {
+    val rows = run("q206_chi2_source").collect()
+    val total = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(rows.map(_.getLong(2)).sum === total)
+    rows.foreach { r =>
+      assert(r.getDouble(4) >= 0.0) // (o-e)²/e
+      // e reconstructs from the cell grid itself
+      val (src, lbl) = (r.getString(0), r.getLong(1))
+      val rowTot = rows.filter(_.getString(0) == src).map(_.getLong(2)).sum
+      val colTot = rows.filter(_.getLong(1) == lbl).map(_.getLong(2)).sum
+      assert(r.getDouble(3) === rowTot.toDouble * colTot / total)
+    }
+    val chi2 = rows.map(_.getDouble(4)).sum
+    assert(math.abs(rows.head.getDouble(5) - chi2) < 1e-5)
+  }
+
+  test("q207 target encoding: shrinkage toward the global prior") {
+    val rows = run("q207_target_encoding").collect()
+    val n = rows.map(_.getLong(1)).sum
+    val pos = rows.map(_.getLong(2)).sum
+    val prior = pos.toDouble / n
+    rows.foreach { r =>
+      val (raw, enc) = (r.getDouble(3), r.getDouble(4))
+      val (lo, hi) = (math.min(raw, prior), math.max(raw, prior))
+      assert(enc >= lo - 1e-12 && enc <= hi + 1e-12)
+    }
+  }
+
   test("q203 confusion: row shares sum to 1, docs conserve") {
     val rows = run("q203_langid_confusion").collect()
     val total = spark.read.parquet(s"$sf0001/documents.parquet").count()
