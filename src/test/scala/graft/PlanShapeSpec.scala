@@ -312,4 +312,67 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(leaves.size - mem <= 1,
       s"corpus re-scan outside the cached tf:\n$lp")
   }
+
+  test("AUC reduces to score grain in ONE corpus scan, no joins") {
+    val p = planOf(q("q200_classifier_auc"))
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      s"q200 must scan documents once:\n${p.take(3000)}")
+    assert(!p.contains("Join"), "rank-sum AUC needs no join")
+    // tokenize+hash partial-aggregates below the score exchange
+    assert(p.contains("Exchange hashpartitioning(score"),
+      s"score-grain exchange missing:\n${p.take(3000)}")
+  }
+
+  test("gains/chi2/encoding/Spearman read their cached grains") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    // q204: checkpoint rows + totals both from the cached gain grain;
+    // q206: window pass + scalar total from the cached cell grid;
+    // q207: per-source rows + prior from the cached source grain
+    for (name <- Seq("q204_cumulative_gains", "q206_chi2_source",
+        "q207_target_encoding")) {
+      val leaves = q(name).queryExecution.optimizedPlan.collectLeaves()
+      assert(leaves.count(_.isInstanceOf[InMemoryRelation]) == 2 &&
+        leaves.size == 2, s"$name must read only its cache, twice")
+    }
+    // q205: doc pairs + the two rank tables — three cache reads, and the
+    // tokenize+hash projection never re-runs
+    val leaves = q("q205_spearman_len").queryExecution
+      .optimizedPlan.collectLeaves()
+    val mem = leaves.count(_.isInstanceOf[InMemoryRelation])
+    assert(mem == 3 && leaves.size == 3,
+      "q205 must read only the cached (score, n_chars) pairs, thrice")
+  }
+
+  test("Spearman rank joins broadcast the tiny rank tables") {
+    val p = planOf(q("q205_spearman_len"))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"),
+      "value-grain rank tables must broadcast")
+  }
+
+  test("windowed funnel: one events scan, fold in-row, no join") {
+    val p = planOf(q("q199_window_funnel"))
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      s"q199 must scan events once:\n${p.take(3000)}")
+    assert(!p.contains("Join"), "the DP is an in-row fold, not a join")
+    val exchanges = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"user grain + level histogram only:\n$p")
+  }
+
+  test("A/B readout broadcasts the order-grain aggregate") {
+    val p = planOf(q("q195_ab_readout"))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"),
+      "customer-grain join must broadcast at test scale")
+  }
+
+  test("seasonality/repeat-purchase read their cached day/band grains") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    for (name <- Seq("q197_dow_seasonality", "q198_time_to_repeat")) {
+      val leaves = q(name).queryExecution.optimizedPlan.collectLeaves()
+      assert(leaves.count(_.isInstanceOf[InMemoryRelation]) == 2 &&
+        leaves.size == 2, s"$name must read only its cache, twice")
+    }
+  }
 }
