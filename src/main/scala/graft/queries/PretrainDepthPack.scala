@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.catalog.Tables
@@ -218,12 +218,74 @@ object PretrainDepthPack extends QueryPack {
       .orderBy("node")
   }
 
+  // --- q208: integer-exact power iteration ---------------------------------
+
+  /** q208 — leading principal direction of the (uncentered) quantized
+    * embedding matrix by TWO power-iteration steps of QᵀQ, computed
+    * ENTIRELY in integer arithmetic: v₀ = 1⃗, u = Q·v (per-row BIGINT
+    * dot), w = Qᵀ·u (per-dimension BIGINT reduce), with a data-adaptive
+    * binary downshift between iterations (shift = bitlength(max|w|) − 11,
+    * via `length(bin(x))` — integer log2 with no float anywhere) keeping
+    * every magnitude far from overflow at any corpus size. Emits the
+    * per-dimension integer direction plus the Rayleigh quotient and the
+    * v₁→v₂ direction cosine (convergence check) — the first-PC energy
+    * audit (centering drift, dominant-axis variance share) a vector-store
+    * curator runs before whitening. Scale shape: the corpus is touched
+    * twice through one cached code projection (row-grain map work only);
+    * everything after lives at DIMENSION grain (64 rows). The scalar
+    * moments multiply in decimal(38,0)/HUGEINT (the q205 doctrine) —
+    * exact at any n; doubles appear only in the final two ratios.
+    * Truncating integer division (`div` / DuckDB `//`) is engine-
+    * identical including negatives, so the downshift needs no
+    * sign-splitting.
+    */
+  private def q208(s: SparkSession, dir: String): DataFrame = {
+    val codes = quantized(s, dir).select(col("vec_id"), col("qv")).persist()
+    def qTu(rows: DataFrame, u: String): DataFrame = rows
+      .select(col(u), posexplode(col("qv")).as(Seq("p0", "q")))
+      .groupBy((col("p0") + 1).as("pos"))
+      .agg(sum(col("q").cast("long") * col(u)).as("w"))
+    val w1 = qTu(codes.withColumn("u1",
+      aggregate(col("qv"), lit(0L), (acc, x) => acc + x)), "u1")
+      .withColumnRenamed("w", "w1")
+      .persist()
+    val p = w1.agg(greatest(length(bin(max(abs(col("w1"))))) - 11, lit(0))
+      .as("s"))
+      .select(expr("shiftleft(CAST(1 AS BIGINT), s)").as("p"))
+    val v1 = w1.crossJoin(broadcast(p))
+      .select(col("pos"), expr("w1 div p").as("v1"))
+      .persist()
+    val v1arr = v1
+      .agg(sort_array(collect_list(struct(col("pos"), col("v1")))).as("sv"))
+      .select(transform(col("sv"), e => e.getField("v1")).as("va"))
+    val w2 = qTu(codes.crossJoin(broadcast(v1arr))
+      .withColumn("u2", aggregate(
+        zip_with(col("qv"), col("va"), (x, y) => x.cast("long") * y),
+        lit(0L), (acc, x) => acc + x)), "u2")
+      .withColumnRenamed("w", "w2")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val joined = v1.join(w2, Seq("pos")).persist()
+    val moments = joined.agg(
+      sum(dec(col("v1")) * dec(col("w2"))).as("svw"),
+      sum(dec(col("v1")) * dec(col("v1"))).as("svv"),
+      sum(dec(col("w2")) * dec(col("w2"))).as("sww"))
+    joined.crossJoin(broadcast(moments))
+      .select(col("pos"), col("v1"), col("w2").as("v2"),
+        (col("svw").cast("double") / col("svv").cast("double"))
+          .as("rayleigh"),
+        (col("svw").cast("double") /
+          (sqrt(col("svv").cast("double")) * sqrt(col("sww").cast("double"))))
+          .as("convergence_cos"))
+      .orderBy("pos")
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q152_quant_error" -> q152 _,
     "q153_quantized_ann" -> q153 _,
     "q154_bigram_lm_quality" -> q154 _,
     "q155_pagerank" -> q155 _,
-    "q171_ppl_buckets" -> q171 _)
+    "q171_ppl_buckets" -> q171 _,
+    "q208_power_iteration" -> q208 _)
 
   // Shared quantization prefix — generated once so the Spark construction
   // and its oracle twin cannot drift.
@@ -349,5 +411,39 @@ object PretrainDepthPack extends QueryPack {
          |r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS r FROM deg),
          |${(1 to prIters).map(duckPrRound).mkString(",\n")}
          |SELECT node, round(r, 6) AS pr6 FROM r$prIters
-         |ORDER BY node""".stripMargin)
+         |ORDER BY node""".stripMargin,
+    "q208_power_iteration" ->
+      s"""WITH $duckQuant,
+         |c AS (SELECT vec_id, qv FROM qz),
+         |r1 AS (SELECT qv,
+         |  CAST(list_sum(list_transform(qv, x -> CAST(x AS BIGINT)))
+         |    AS BIGINT) AS u1 FROM c),
+         |x1 AS (SELECT u1, unnest(qv) AS q,
+         |        unnest(generate_series(1, len(qv))) AS pos FROM r1),
+         |d1w AS (SELECT pos, CAST(sum(CAST(q AS BIGINT) * u1) AS BIGINT)
+         |         AS w1 FROM x1 GROUP BY pos),
+         |sh AS (SELECT greatest(length(bin(max(abs(w1)))) - 11, 0) AS s
+         |       FROM d1w),
+         |pp AS (SELECT CAST(1 AS BIGINT) << s AS p FROM sh),
+         |d1 AS (SELECT pos, w1 // p AS v1 FROM d1w, pp),
+         |va AS (SELECT list_transform(list_sort(list({'pos': pos,
+         |        'v': v1})), e -> e.v) AS va FROM d1),
+         |r2 AS (SELECT qv,
+         |  CAST(list_sum(list_transform(range(1, len(qv) + 1),
+         |    i -> CAST(qv[i] AS BIGINT) * va[i])) AS BIGINT) AS u2
+         | FROM c, va),
+         |x2 AS (SELECT u2, unnest(qv) AS q,
+         |        unnest(generate_series(1, len(qv))) AS pos FROM r2),
+         |d2 AS (SELECT pos, CAST(sum(CAST(q AS BIGINT) * u2) AS BIGINT)
+         |        AS w2 FROM x2 GROUP BY pos),
+         |j AS (SELECT pos, v1, w2 FROM d1 JOIN d2 USING (pos)),
+         |m AS (SELECT sum(CAST(v1 AS HUGEINT) * w2) AS svw,
+         |       sum(CAST(v1 AS HUGEINT) * v1) AS svv,
+         |       sum(CAST(w2 AS HUGEINT) * w2) AS sww FROM j)
+         |SELECT pos, v1, w2 AS v2,
+         | CAST(svw AS DOUBLE) / CAST(svv AS DOUBLE) AS rayleigh,
+         | CAST(svw AS DOUBLE)
+         |  / (sqrt(CAST(svv AS DOUBLE)) * sqrt(CAST(sww AS DOUBLE)))
+         |    AS convergence_cos
+         |FROM j, m ORDER BY pos""".stripMargin)
 }

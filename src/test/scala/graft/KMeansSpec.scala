@@ -195,4 +195,46 @@ class KMeansSpec extends SparkSpecBase {
       assert(r.getDouble(3) > 0.0, "separation is a real distance")
     }
   }
+
+  test("q208: JVM BigInt power-iteration recompute agrees exactly") {
+    val s = spark
+    val rows = graft.catalog.Tables
+      .load(s, "/root/testdata/sf0.001", "embeddings")
+      .select(col("embedding").cast("array<double>").as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    // independent quantization: scale = max|x|/127, code = floor(x/s + .5)
+    val codes = rows.map { v =>
+      val scale = v.map(math.abs).max / 127.0
+      v.map(x => math.floor(x / scale + 0.5).toLong)
+    }
+    val d = codes.head.length
+    val u1 = codes.map(_.sum)
+    val w1 = Array.tabulate(d)(p =>
+      codes.indices.map(i => codes(i)(p) * u1(i)).sum)
+    val shift = math.max(w1.map(math.abs).max.toBinaryString.length - 11, 0)
+    val p2 = 1L << shift
+    val v1 = w1.map(_ / p2) // JVM / truncates like div and //
+    val u2 = codes.map(c => c.indices.map(i => c(i) * v1(i)).sum)
+    val w2 = Array.tabulate(d)(p =>
+      codes.indices.map(i => codes(i)(p) * u2(i)).sum)
+    val svw = v1.indices.map(i => BigInt(v1(i)) * w2(i)).sum
+    val svv = v1.map(x => BigInt(x) * x).reduce(_ + _)
+    val sww = w2.map(x => BigInt(x) * x).reduce(_ + _)
+    val rayleigh = svw.toDouble / svv.toDouble
+    val cos = svw.toDouble /
+      (math.sqrt(svv.toDouble) * math.sqrt(sww.toDouble))
+    val got = SparkEntry.queries("q208_power_iteration")(
+      s, "/root/testdata/sf0.001").collect()
+    assert(got.length === d)
+    got.foreach { r =>
+      val pos = r.getInt(0) - 1
+      assert(r.getLong(1) === v1(pos))
+      assert(r.getLong(2) === w2(pos))
+      assert(r.getDouble(3) === rayleigh)
+      assert(r.getDouble(4) === cos)
+    }
+    // two iterations moved the direction meaningfully toward the top PC:
+    // v1 and v2 must already be nearly colinear
+    assert(cos > 0.9, s"power iteration diverging: cos=$cos")
+  }
 }
