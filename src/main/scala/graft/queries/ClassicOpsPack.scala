@@ -1,0 +1,272 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Tables
+
+/** Classic analytic operators the inventory still lacked: skyline/Pareto
+  * dominance, rolling distinct counts, pivot→unpivot (melt), exact
+  * autocorrelation, and CUSUM changepoint detection. Reference-side these
+  * would all be Athena SQL over the curated zone (reference
+  * `README.md:364-402` is the analytics surface); none appear there, but
+  * each is a stock question over exactly its tables.
+  *
+  * Parity doctrine (see [[QueryPack]]): counts and cents accumulate as
+  * exact integers (decimal(38,0)/HUGEINT where products exceed int64 —
+  * the q205 pattern), multi-row double sums get round(…, 2), and every
+  * final ratio is one double op chain written identically in both
+  * engines.
+  */
+object ClassicOpsPack extends QueryPack {
+
+  // --- q214: skyline / Pareto frontier -------------------------------------
+
+  /** q214 — the skyline of `part` minimizing (retail price, size): a part
+    * is on the frontier iff no other part is ≤ on both axes and < on at
+    * least one. Computed WITHOUT the quadratic self-join the definition
+    * suggests: reduce to price grain (min size per distinct price — a
+    * partial agg), then one window pass ordered by price keeps a price
+    * iff its min size beats the running min over all strictly-cheaper
+    * prices — O(grain log grain) on a relation bounded by distinct
+    * prices, not parts². The oracle states the NOT EXISTS definition
+    * directly, so the gate proves the rewrite. Equal-coordinate ties all
+    * survive (neither strictly dominates); the join-back counts them.
+    */
+  private def q214(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(s, dir, "part")
+    val perPrice = part.groupBy("p_retailprice")
+      .agg(min("p_size").as("p_size"))
+    val cum = min(col("p_size")).over(
+      Window.orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1))
+    val frontier = perPrice
+      .withColumn("cum", cum)
+      .filter(col("cum").isNull || col("p_size") < col("cum"))
+      .select("p_retailprice", "p_size")
+    part.join(broadcast(frontier), Seq("p_retailprice", "p_size"))
+      .groupBy("p_retailprice", "p_size")
+      .agg(count(lit(1)).as("n_parts"), min("p_partkey").as("min_partkey"))
+      .orderBy("p_retailprice")
+  }
+
+  // --- q215: rolling 30-day distinct customers -----------------------------
+
+  /** q215 — per day, the distinct customers who ordered in the trailing
+    * 30 days (and that day alone): the classic rolling-distinct that no
+    * window frame expresses (COUNT(DISTINCT) OVER RANGE is unsupported
+    * everywhere). Shape: reduce to the distinct (day, customer) grain
+    * first, then each pair CONTRIBUTES itself to the 30 report days it
+    * covers (a 30× explode of the already-reduced grain — linear, no
+    * range join), and one distinct-agg per report day finishes. Report
+    * days past the data's max day are clipped symmetrically. At 100 TB
+    * the same shape holds because the explode factor is the window
+    * length, not the data; the sketch alternative (merge 30 daily KMV
+    * sketches per q213's union law) trades exactness for O(k) state.
+    */
+  private def q215(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.load(s, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("d"), col("o_custkey"))
+      .distinct()
+      // pair grain feeds the expansion AND the max-day clip
+      .persist()
+    val maxDay = pairs.agg(max("d").as("max_d"))
+    pairs
+      .select(col("d"), col("o_custkey"),
+        explode(sequence(col("d"), date_add(col("d"), 29))).as("day"))
+      .crossJoin(broadcast(maxDay))
+      .filter(col("day") <= col("max_d"))
+      .groupBy("day")
+      .agg(countDistinct("o_custkey").as("n_active_30d"),
+        countDistinct(when(col("d") === col("day"), col("o_custkey")))
+          .as("n_today"))
+      .orderBy("day")
+  }
+
+  // --- q216: pivot → unpivot (melt) round-trip ------------------------------
+
+  private val years = 1995 to 2001
+
+  /** q216 — the melt operator: yearly revenue per order priority pivoted
+    * WIDE (one column per year) and then UNPIVOTED back to long form via
+    * the dedicated relational op (`Dataset.unpivot` ↔ the reference's
+    * Athena would use CASE stacks). The round-trip must reproduce the
+    * direct long-form aggregate — which is exactly what the oracle
+    * computes, so the gate proves pivot∘unpivot = id on non-null cells.
+    * Null cells (year × priority combos with no orders) are dropped on
+    * both sides. Sum-of-doubles per cell gets round(…, 2).
+    */
+  private def q216(s: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.load(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot(year(col("o_orderdate")), years.map(Integer.valueOf))
+      .agg(round(sum("o_totalprice"), 2))
+    wide.unpivot(
+      Array(col("o_orderpriority")),
+      years.map(y => col(s"`$y`")).toArray,
+      "yr", "revenue")
+      .filter(col("revenue").isNotNull)
+      .orderBy("o_orderpriority", "yr")
+  }
+
+  // --- q217: autocorrelation of daily revenue ------------------------------
+
+  private val acfLags = 7
+
+  /** q217 — sample autocorrelation of the daily revenue series at lags
+    * 1..7 (the weekly-pattern probe), as Pearson correlation over
+    * (x_t, x_{t+L}) pairs on a zero-filled date spine. Revenue is exact
+    * integer cents per day; the five correlation moments accumulate as
+    * decimal(38,0)/HUGEINT (Σxy ≈ 10²¹ at sf0.1 — past int64, the q205
+    * widening), and each lag's correlation is the single double
+    * combination at the end. The series lives at day grain (thousands of
+    * rows at any corpus scale), so the lag self-join is a broadcast over
+    * a spine that a 100 TB corpus leaves the same size.
+    */
+  private def q217(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val bounds = daily.agg(min("d").as("lo"), max("d").as("hi"))
+    val spine = bounds
+      .select(explode(sequence(col("lo"), col("hi"))).as("d"), col("lo"))
+      .join(daily, Seq("d"), "left")
+      .select(datediff(col("d"), col("lo")).as("idx"),
+        coalesce(col("cents"), lit(0L)).as("x"))
+      // day-grain series feeds both sides of every lag join
+      .persist()
+    val s2 = spine.select(col("idx").as("idx2"), col("x").as("y"))
+    val prs = spine
+      .select(col("idx"), col("x"),
+        explode(sequence(lit(1), lit(acfLags))).as("lag"))
+      .join(broadcast(s2), col("idx2") === col("idx") + col("lag"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val m = prs.groupBy("lag").agg(
+      count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+      sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+      sum(dec(col("y")) * dec(col("y"))).as("syy"))
+    val num = dec(col("n")) * col("sxy") - dec(col("sx")) * dec(col("sy"))
+    val dx = dec(col("n")) * col("sxx") - dec(col("sx")) * dec(col("sx"))
+    val dy = dec(col("n")) * col("syy") - dec(col("sy")) * dec(col("sy"))
+    m.select(col("lag"), col("n").as("n_pairs"),
+      (num.cast("double") / sqrt(dx.cast("double") * dy.cast("double")))
+        .as("acf"))
+      .orderBy("lag")
+  }
+
+  // --- q218: CUSUM changepoint ---------------------------------------------
+
+  /** q218 — CUSUM changepoint scan over daily order counts: the running
+    * sum of deviations from the global mean peaks at the most likely
+    * level-shift point. Kept EXACT by scaling: S_t = Σ_{i≤t}(n·x_i − T)
+    * (n = days, T = total orders) is the mean-centered CUSUM times n,
+    * all BIGINT — no float drift over however many days the series
+    * spans. The peak test |S_t| = max|S| flags the changepoint(s); ties
+    * all flag. One window cumsum over day grain plus a broadcast total.
+    */
+  private def q218(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("x"))
+      .persist()
+    val tot = daily.agg(count(lit(1)).as("n"), sum("x").as("t"))
+    val cum = daily.crossJoin(broadcast(tot))
+      .withColumn("cusum_scaled",
+        sum(col("n") * col("x") - col("t"))
+          .over(Window.orderBy("d")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+    cum
+      .withColumn("max_abs",
+        max(abs(col("cusum_scaled"))).over(Window.partitionBy()))
+      .select(col("d"), col("x"), col("cusum_scaled"),
+        (abs(col("cusum_scaled")) === col("max_abs")).cast("int")
+          .as("is_peak"))
+      .orderBy("d")
+  }
+
+  override val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
+    Seq(
+      "q214_skyline" -> q214 _,
+      "q215_rolling_distinct" -> q215 _,
+      "q216_unpivot" -> q216 _,
+      "q217_acf_revenue" -> q217 _,
+      "q218_cusum_changepoint" -> q218 _)
+
+  override val oracle: Seq[(String, String)] = Seq(
+    "q214_skyline" ->
+      """WITH pts AS (SELECT p_partkey, p_retailprice, p_size FROM part),
+        |fr AS (SELECT * FROM pts a WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts b
+        |  WHERE b.p_retailprice <= a.p_retailprice
+        |    AND b.p_size <= a.p_size
+        |    AND (b.p_retailprice < a.p_retailprice
+        |         OR b.p_size < a.p_size)))
+        |SELECT p_retailprice, p_size, CAST(count(*) AS BIGINT) AS n_parts,
+        | min(p_partkey) AS min_partkey
+        |FROM fr GROUP BY 1, 2 ORDER BY p_retailprice""".stripMargin,
+    "q215_rolling_distinct" ->
+      """WITH pairs AS (SELECT DISTINCT
+        |  CAST(date_trunc('day', o_orderdate) AS DATE) AS d, o_custkey
+        | FROM orders),
+        |mx AS (SELECT max(d) AS max_d FROM pairs),
+        |ex AS (SELECT d, o_custkey,
+        |  CAST(unnest(generate_series(d, d + 29, INTERVAL 1 DAY)) AS DATE)
+        |    AS day
+        | FROM pairs)
+        |SELECT day, count(DISTINCT o_custkey) AS n_active_30d,
+        | count(DISTINCT CASE WHEN d = day THEN o_custkey END) AS n_today
+        |FROM ex, mx WHERE day <= max_d
+        |GROUP BY day ORDER BY day""".stripMargin,
+    "q216_unpivot" ->
+      """SELECT o_orderpriority,
+        | CAST(year(o_orderdate) AS VARCHAR) AS yr,
+        | round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY 1, 2
+        |ORDER BY o_orderpriority, yr""".stripMargin,
+    "q217_acf_revenue" ->
+      s"""WITH daily AS (SELECT
+         |  CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         |    AS cents
+         | FROM orders GROUP BY 1),
+         |b AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+         |days AS (SELECT
+         |  CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+         |    AS d, lo
+         | FROM b),
+         |ser AS (SELECT date_diff('day', lo, d) AS idx,
+         |         COALESCE(cents, 0) AS x
+         |        FROM days LEFT JOIN daily USING (d)),
+         |lags AS (SELECT unnest(generate_series(1, $acfLags)) AS lag),
+         |prs AS (SELECT l.lag, a.x AS x, c.x AS y
+         |        FROM ser a, lags l JOIN ser c ON c.idx = a.idx + l.lag),
+         |m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         |  sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+         |  sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+         |  sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+         | FROM prs GROUP BY 1)
+         |SELECT lag, n AS n_pairs,
+         | CAST(n * sxy - sx * sy AS DOUBLE)
+         |  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+         |       * CAST(n * syy - sy * sy AS DOUBLE)) AS acf
+         |FROM m ORDER BY lag""".stripMargin,
+    "q218_cusum_changepoint" ->
+      """WITH daily AS (SELECT
+        |  CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+        |  count(*) AS x
+        | FROM orders GROUP BY 1),
+        |tot AS (SELECT count(*) AS n, sum(x) AS t FROM daily),
+        |c AS (SELECT d, CAST(x AS BIGINT) AS x,
+        |  CAST(sum(n * x - t) OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cusum_scaled
+        | FROM daily, tot)
+        |SELECT d, x, cusum_scaled,
+        | CASE WHEN abs(cusum_scaled) = max(abs(cusum_scaled)) OVER ()
+        |      THEN 1 ELSE 0 END AS is_peak
+        |FROM c ORDER BY d""".stripMargin)
+}
