@@ -187,13 +187,106 @@ object ClassicOpsPack extends QueryPack {
       .orderBy("d")
   }
 
+  // --- q220: layout quality — row-major vs z-order vs Hilbert --------------
+
+  private val gridOrder = 6 // 64×64 grid
+  private val gridN = 1 << gridOrder
+  private val cellsPerFile = 64
+
+  /** q220 — data-layout shootout on real per-file bounding boxes: orders
+    * land on a 64×64 (customer-bucket × day-bucket) grid; the occupied
+    * cells are laid out in row-major, z-order ([[graft.functions.ZOrder]])
+    * and Hilbert ([[graft.functions.Hilbert]]) order and chunked into
+    * 64-cell files; per ordering the output reports the average and max
+    * file bounding-box area — the quantity parquet footer min/max
+    * pruning actually depends on (a filter on either axis scans a file
+    * iff its bbox intersects). Row-major is the single-column-sort
+    * baseline (perfect on x, unbounded on y); the space-filling curves
+    * bound both axes, Hilbert tighter than z because consecutive curve
+    * steps are always grid-adjacent (no Morton seams). The cell grain is
+    * the fixed bucket grid — 100 TB of orders land on the same ≤ 4096
+    * cells, so the ranking window never grows with data.
+    */
+  private def q220(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Hilbert, ZOrder}
+    val orders = Tables.load(s, dir, "orders")
+    val lo = orders.agg(min(to_date(col("o_orderdate"))).as("lo"))
+    val cells = orders.crossJoin(broadcast(lo))
+      .select((col("o_custkey") % gridN).cast("int").as("x"),
+        (datediff(to_date(col("o_orderdate")), col("lo")) % gridN)
+          .cast("int").as("y"))
+      .distinct()
+      // occupied-cell grain feeds all three layout rankings
+      .persist()
+    val nCells = cells.agg(count(lit(1)).as("n_cells"))
+    def fileStats(ordering: String, key: org.apache.spark.sql.Column) = {
+      val rk = row_number().over(Window.orderBy(key, col("x"), col("y")))
+      cells
+        .withColumn("f",
+          call_function("div", (rk - 1).cast("long"), lit(cellsPerFile.toLong)))
+        .groupBy("f")
+        .agg(((max("x") - min("x") + 1).cast("long") *
+          (max("y") - min("y") + 1)).as("area"))
+        .agg(count(lit(1)).as("n_files"), sum("area").as("area_sum"),
+          max("area").as("max_bbox_area"))
+        .crossJoin(broadcast(nCells))
+        .select(lit(ordering).as("ordering"), col("n_cells"), col("n_files"),
+          (col("area_sum").cast("double") / col("n_files"))
+            .as("avg_bbox_area"),
+          col("max_bbox_area"))
+    }
+    fileStats("hilbert", Hilbert.index(gridOrder)(col("x"), col("y")))
+      .unionByName(fileStats("row_major",
+        col("x").cast("long") * gridN + col("y")))
+      .unionByName(fileStats("zorder",
+        ZOrder.zvalue2(col("x"), col("y"), gridOrder)))
+      .orderBy("ordering")
+  }
+
+  /** The [[graft.functions.Hilbert]] transform as a DuckDB CTE chain —
+    * generated from the same per-step constants as the Catalyst version
+    * so the two engines execute identical integer steps. */
+  private def duckHilbertCtes(order: Int, src: String): String = {
+    val n = 1 << order
+    val steps = Iterator.iterate(n / 2)(_ / 2).takeWhile(_ > 0).toVector
+    val sb = new StringBuilder(
+      s"""h0 AS (SELECT x, y, CAST(x AS BIGINT) AS hx,
+         | CAST(y AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd FROM $src)"""
+        .stripMargin)
+    steps.zipWithIndex.foreach { case (st, i) =>
+      sb.append(s""",
+         |hp$i AS (SELECT *,
+         |  CASE WHEN (hx & $st) > 0 THEN 1 ELSE 0 END AS rx,
+         |  CASE WHEN (hy & $st) > 0 THEN 1 ELSE 0 END AS ry FROM h$i),
+         |h${i + 1} AS (SELECT x, y,
+         |  CASE WHEN ry = 0 THEN
+         |    CASE WHEN rx = 1 THEN ${n - 1} - hy ELSE hy END
+         |   ELSE hx END AS hx,
+         |  CASE WHEN ry = 0 THEN
+         |    CASE WHEN rx = 1 THEN ${n - 1} - hx ELSE hx END
+         |   ELSE hy END AS hy,
+         |  hd + ${st.toLong * st} * (CASE WHEN rx = 0 AND ry = 0 THEN 0
+         |    WHEN rx = 0 THEN 1 WHEN ry = 1 THEN 2 ELSE 3 END) AS hd
+         | FROM hp$i)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  /** [[graft.functions.ZOrder.zvalue2]] as a SQL expression string. */
+  private def duckZValue(bits: Int): String =
+    (0 until bits).map { i =>
+      s"(((CAST(x AS BIGINT) >> $i) & 1) << ${2 * i + 1}) " +
+        s"| (((CAST(y AS BIGINT) >> $i) & 1) << ${2 * i})"
+    }.mkString("(", " | ", ")")
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq(
       "q214_skyline" -> q214 _,
       "q215_rolling_distinct" -> q215 _,
       "q216_unpivot" -> q216 _,
       "q217_acf_revenue" -> q217 _,
-      "q218_cusum_changepoint" -> q218 _)
+      "q218_cusum_changepoint" -> q218 _,
+      "q220_layout_compare" -> q220 _)
 
   override val oracle: Seq[(String, String)] = Seq(
     "q214_skyline" ->
@@ -254,6 +347,50 @@ object ClassicOpsPack extends QueryPack {
          |  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
          |       * CAST(n * syy - sy * sy AS DOUBLE)) AS acf
          |FROM m ORDER BY lag""".stripMargin,
+    "q220_layout_compare" -> {
+      val day = "CAST(date_trunc('day', o_orderdate) AS DATE)"
+      s"""WITH cells AS (SELECT DISTINCT
+         |  CAST(o_custkey % $gridN AS INT) AS x,
+         |  CAST(date_diff('day', (SELECT min($day) FROM orders), $day)
+         |       % $gridN AS INT) AS y
+         | FROM orders),
+         |${duckHilbertCtes(gridOrder, "cells")},
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cells FROM cells),
+         |rh AS (SELECT x, y,
+         |        row_number() OVER (ORDER BY hd, x, y) - 1 AS r
+         |       FROM h$gridOrder),
+         |rr AS (SELECT x, y, row_number() OVER
+         |        (ORDER BY CAST(x AS BIGINT) * $gridN + y, x, y) - 1 AS r
+         |       FROM cells),
+         |rz AS (SELECT x, y, row_number() OVER
+         |        (ORDER BY ${duckZValue(gridOrder)}, x, y) - 1 AS r
+         |       FROM cells),
+         |fh AS (SELECT r // $cellsPerFile AS f,
+         |        CAST(max(x) - min(x) + 1 AS BIGINT)
+         |         * (max(y) - min(y) + 1) AS area
+         |       FROM rh GROUP BY 1),
+         |fr AS (SELECT r // $cellsPerFile AS f,
+         |        CAST(max(x) - min(x) + 1 AS BIGINT)
+         |         * (max(y) - min(y) + 1) AS area
+         |       FROM rr GROUP BY 1),
+         |fz AS (SELECT r // $cellsPerFile AS f,
+         |        CAST(max(x) - min(x) + 1 AS BIGINT)
+         |         * (max(y) - min(y) + 1) AS area
+         |       FROM rz GROUP BY 1),
+         |u AS (
+         | SELECT 'hilbert' AS ordering, CAST(count(*) AS BIGINT) AS n_files,
+         |  CAST(sum(area) AS BIGINT) AS sa, max(area) AS max_bbox_area
+         | FROM fh
+         | UNION ALL
+         | SELECT 'row_major', CAST(count(*) AS BIGINT),
+         |  CAST(sum(area) AS BIGINT), max(area) FROM fr
+         | UNION ALL
+         | SELECT 'zorder', CAST(count(*) AS BIGINT),
+         |  CAST(sum(area) AS BIGINT), max(area) FROM fz)
+         |SELECT ordering, n_cells, n_files,
+         | CAST(sa AS DOUBLE) / n_files AS avg_bbox_area, max_bbox_area
+         |FROM u, nc ORDER BY ordering""".stripMargin
+    },
     "q218_cusum_changepoint" ->
       """WITH daily AS (SELECT
         |  CAST(date_trunc('day', o_orderdate) AS DATE) AS d,

@@ -279,13 +279,67 @@ object SketchPack extends QueryPack {
           .otherwise(col("k_merged").cast("double")).as("theta_est"))
   }
 
+  // --- q219: sliding-window distinct via daily sketch merge ----------------
+
+  /** q219 — the 30-day rolling distinct-customer count answered by
+    * SKETCHES instead of re-counting (the scale path q215's scaladoc
+    * promises): one KMV k-min set per day (O(K) state), each day's set
+    * exploded to the 30 report days it covers, merged per report day by
+    * re-taking K mins. By the q213 union law the merged sketch is
+    * EXACTLY the window's own KMV sketch, so the estimate carries the
+    * standard KMV error — which the output audits per day against the
+    * exact q215-style count. The work per report day is bounded by
+    * 30·K hashes however many customers the window really holds; an
+    * exact rolling distinct reprocesses the window's full membership.
+    */
+  private def q219(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.load(s, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("d"), col("o_custkey"))
+      .distinct()
+      // day-customer grain feeds the sketches AND the exact audit
+      .persist()
+    val maxDay = pairs.agg(max("d").as("max_d"))
+    val dailySketch = pairs
+      .select(col("d"), h32(col("o_custkey"), "kmv").as("h")).distinct()
+      .groupBy("d")
+      .agg(TopK.topK(K)(col("h"), -col("h").cast("double")).as("sk"))
+    val winAgg = dailySketch
+      .select(col("d"), explode(col("sk")).as("x"))
+      .select(col("x.id").as("h"),
+        explode(sequence(col("d"), date_add(col("d"), 29))).as("day"))
+      .crossJoin(broadcast(maxDay))
+      .filter(col("day") <= col("max_d"))
+      .select("day", "h").distinct()
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_merged"),
+        TopK.topK(K)(col("h"), -col("h").cast("double")).as("mins"))
+      .select(col("day"), col("n_merged"),
+        get(col("mins"), lit(K - 1)).getField("id").as("kth"))
+    val exact = pairs
+      .select(col("o_custkey"),
+        explode(sequence(col("d"), date_add(col("d"), 29))).as("day"))
+      .crossJoin(broadcast(maxDay))
+      .filter(col("day") <= col("max_d"))
+      .groupBy("day")
+      .agg(countDistinct("o_custkey").as("n_exact"))
+    exact.join(winAgg, Seq("day"))
+      .select(col("day"), col("n_exact"), col("n_merged"), col("kth"),
+        when(col("n_merged") >= K,
+          lit((K - 1).toLong) * lit(Dom) / col("kth"))
+          .otherwise(col("n_merged").cast("double")).as("kmv_est"))
+      .withColumn("rel_err",
+        (col("kmv_est") - col("n_exact")) / col("n_exact"))
+      .orderBy("day")
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq(
       "q209_kmv_distinct" -> q209 _,
       "q210_cms_heavy" -> q210 _,
       "q211_bloom_audit" -> q211 _,
       "q212_hll_registers" -> q212 _,
-      "q213_theta_union" -> q213 _)
+      "q213_theta_union" -> q213 _,
+      "q219_sliding_kmv" -> q219 _)
 
   private val duckKmvHash = duckH32("user_id", "kmv")
 
@@ -405,5 +459,43 @@ object SketchPack extends QueryPack {
          | CASE WHEN k_merged >= $K
          |      THEN ${K - 1} * CAST(4294967296 AS DOUBLE) / kth_merged
          |      ELSE CAST(k_merged AS DOUBLE) END AS theta_est
-         |FROM ex, dk, mk""".stripMargin)
+         |FROM ex, dk, mk""".stripMargin,
+    "q219_sliding_kmv" -> {
+      val hc = s"CAST('0x' || substring(md5('kmv|' " +
+        s"|| CAST(o_custkey AS VARCHAR)), 1, 8) AS BIGINT)"
+      s"""WITH pairs AS (SELECT DISTINCT
+         |  CAST(date_trunc('day', o_orderdate) AS DATE) AS d, o_custkey
+         | FROM orders),
+         |mx AS (SELECT max(d) AS max_d FROM pairs),
+         |hx AS (SELECT DISTINCT d, $hc AS h FROM pairs),
+         |dr AS (SELECT d, h,
+         |        row_number() OVER (PARTITION BY d ORDER BY h) AS rn
+         |       FROM hx),
+         |sk AS (SELECT d, h FROM dr WHERE rn <= $K),
+         |wh AS (SELECT DISTINCT e.day, e.h
+         |       FROM (SELECT CAST(unnest(generate_series(d, d + 29,
+         |               INTERVAL 1 DAY)) AS DATE) AS day, h
+         |             FROM sk) e, mx
+         |       WHERE e.day <= mx.max_d),
+         |wr AS (SELECT day, h,
+         |        row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+         |       FROM wh),
+         |wa AS (SELECT day, CAST(count(*) AS BIGINT) AS n_merged,
+         |        max(CASE WHEN rn = $K THEN h END) AS kth
+         |       FROM wr GROUP BY 1),
+         |exd AS (SELECT day, count(DISTINCT o_custkey) AS n_exact
+         |        FROM (SELECT CAST(unnest(generate_series(d, d + 29,
+         |                INTERVAL 1 DAY)) AS DATE) AS day, o_custkey
+         |              FROM pairs) e, mx
+         |        WHERE e.day <= mx.max_d GROUP BY 1)
+         |SELECT day, n_exact, n_merged, kth,
+         | CASE WHEN n_merged >= $K
+         |      THEN ${K - 1} * CAST(4294967296 AS DOUBLE) / kth
+         |      ELSE CAST(n_merged AS DOUBLE) END AS kmv_est,
+         | (CASE WHEN n_merged >= $K
+         |       THEN ${K - 1} * CAST(4294967296 AS DOUBLE) / kth
+         |       ELSE CAST(n_merged AS DOUBLE) END - n_exact) / n_exact
+         |  AS rel_err
+         |FROM exd JOIN wa USING (day) ORDER BY day""".stripMargin
+    })
 }

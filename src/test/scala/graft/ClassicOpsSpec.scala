@@ -99,6 +99,56 @@ class ClassicOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("q220 layout metrics match a full JVM recompute for all orderings") {
+    import graft.functions.Hilbert
+    // Catalyst Hilbert expression == the JVM loop on the whole 64×64 grid
+    val grid = spark.range(0, 64 * 64)
+      .select((col("id") / 64).cast("int").as("x"),
+        (col("id") % 64).cast("int").as("y"))
+    val hil = grid.select(col("x"), col("y"),
+      Hilbert.index(6)(col("x"), col("y")).as("h")).collect()
+    hil.foreach { r =>
+      assert(r.getLong(2) === Hilbert.indexJvm(6, r.getInt(0), r.getInt(1)))
+    }
+    // the index is a bijection onto 0..4095 (implies the curve is space
+    // filling; adjacency is exercised by the bbox metric below)
+    assert(hil.map(_.getLong(2)).sorted.toSeq === (0L until 4096L))
+
+    val orders = Tables.load(spark, sf, "orders")
+      .select(to_date(col("o_orderdate")).as("d"), col("o_custkey"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val lo = orders.map(_._1.toEpochDay).min
+    val cells = orders.map { case (d, c) =>
+      ((c % 64).toInt, ((d.toEpochDay - lo) % 64).toInt)
+    }.distinct
+    def metric(key: ((Int, Int)) => Long): (Long, Double, Long) = {
+      val areas = cells.sortBy(c => (key(c), c._1, c._2))
+        .grouped(64).map { f =>
+          val xs = f.map(_._1); val ys = f.map(_._2)
+          (xs.max - xs.min + 1).toLong * (ys.max - ys.min + 1)
+        }.toSeq
+      (areas.size.toLong, areas.sum.toDouble / areas.size, areas.max)
+    }
+    def zJvm(x: Int, y: Int): Long =
+      (0 until 6).map { i =>
+        (((x.toLong >> i) & 1L) << (2 * i + 1)) |
+          (((y.toLong >> i) & 1L) << (2 * i))
+      }.reduce(_ | _)
+    val expect = Map(
+      "hilbert" -> metric(c => Hilbert.indexJvm(6, c._1, c._2)),
+      "row_major" -> metric(c => c._1.toLong * 64 + c._2),
+      "zorder" -> metric(c => zJvm(c._1, c._2)))
+    val got = run("q220_layout_compare").collect()
+    assert(got.length === 3)
+    got.foreach { r =>
+      val (nf, avg, mx) = expect(r.getString(0))
+      assert(r.getLong(1) === cells.size.toLong)
+      assert(r.getLong(2) === nf, s"files for ${r.getString(0)}")
+      assert(r.getDouble(3) === avg, s"avg bbox for ${r.getString(0)}")
+      assert(r.getLong(4) === mx, s"max bbox for ${r.getString(0)}")
+    }
+  }
+
   test("q218 CUSUM telescopes to zero and peaks where the JVM scan peaks") {
     val got = run("q218_cusum_changepoint").collect()
       .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2),

@@ -103,6 +103,34 @@ class SketchSpec extends SparkSpecBase {
       s"HLL estimate $est vs exact ${custs.length}")
   }
 
+  test("q219 sliding KMV: merged window sketch equals the window's own " +
+    "direct sketch (union law), and small windows are exact") {
+    val pairs = Tables.load(spark, sf, "orders")
+      .select(to_date(col("o_orderdate")).as("d"), col("o_custkey"))
+      .distinct().collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val rows = run("q219_sliding_kmv").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val day = r.getDate(0).toLocalDate
+      val win = pairs.filter { case (d, _) =>
+        !d.isAfter(day) && d.isAfter(day.minusDays(30))
+      }
+      val exact = win.map(_._2).distinct.size.toLong
+      assert(r.getLong(1) === exact, s"exact count at $day")
+      val hashes = win.map(p => jvmHash32("kmv", p._2)).distinct.sorted
+      if (hashes.size >= 64) {
+        // union law: merged kth == the window's direct kth
+        assert(r.getLong(3) === hashes(63), s"merged kth at $day")
+        assert(r.getDouble(4) === 63L * 4294967296.0 / hashes(63))
+      } else {
+        // small window: the merged sketch IS the membership — est exact
+        assert(r.getLong(2) === hashes.size.toLong)
+        assert(r.getDouble(4) === hashes.size.toDouble, s"small-window $day")
+      }
+    }
+  }
+
   test("q213 theta: per-type sketch union merges to the exact global kth") {
     val r = run("q213_theta_union").collect().head
     assert(r.getBoolean(5), "KMV union-merge law violated")
