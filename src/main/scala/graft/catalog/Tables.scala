@@ -15,9 +15,14 @@ import org.apache.spark.sql.functions._
   * prunes columns at the source, so the same catalog works unchanged whether
   * the path holds one file (local test) or a 100 TB partitioned directory.
   *
-  * Session prerequisite: `spark.sql.legacy.parquet.nanosAsLong=true` must be
-  * set at session build time (see [[graft.Sessions]]) — `events.ts` is parquet
-  * INT64 TIMESTAMP(NANOS) and surfaces as BIGINT nanoseconds.
+  * `events.ts` contract: every consumer sees BIGINT epoch-NANOSECONDS.
+  * Early testdata generations wrote parquet INT64 TIMESTAMP(NANOS) (surfacing
+  * as BIGINT nanos under `spark.sql.legacy.parquet.nanosAsLong=true`, still
+  * set in [[graft.Sessions]]); the round-4 regeneration writes TIMESTAMP(µs),
+  * which Spark scans as a timestamp column. [[load]] normalizes the µs form
+  * back to exact nanos (`unix_micros × 1000`, lossless: |µs·1000| ≪ 2⁶³) so
+  * both generations present identically and the DuckDB oracles' `epoch_us`/
+  * `epoch_ns` arithmetic stays in lockstep.
   */
 object Tables {
   val all: Seq[String] = Seq(
@@ -26,8 +31,14 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(path(dir, name))
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(path(dir, name))
+    if (name == "events" &&
+        raw.schema("ts").dataType != org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts",
+        unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    else raw
+  }
 
   /** Load + round-robin repartition to full parallelism. ONLY for
     * expression-heavy pipelines (per-row hashing / shingling / generation):
