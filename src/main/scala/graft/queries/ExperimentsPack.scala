@@ -231,8 +231,12 @@ object ExperimentsPack extends QueryPack {
     * `list_reduce` struct-aliasing trap: t2's expression reads acc's t1,
     * which a struct encoding would have already overwritten this step.
     */
-  private[graft] def funnelState(events: DataFrame,
-                                 windowUs: Long): DataFrame = {
+  /** The raw DP fold: per user the final `[us, c, t1, t2, t3]` state (see
+    * [[funnelState]] for the semantics). Exposed separately so step-timing
+    * queries (q233) can read the earliest-completion timestamps the
+    * level readout discards. */
+  private[graft] def funnelFold(events: DataFrame,
+                                windowUs: Long): DataFrame = {
     val inf = Long.MaxValue
     def stepCode = when(col("event_type") === "view", 1L)
       .when(col("event_type") === "click", 2L).otherwise(3L)
@@ -260,6 +264,12 @@ object ExperimentsPack extends QueryPack {
       .select(col("user_id"),
         aggregate(slice(col("es"), lit(2), size(col("es")) - 1),
           element_at(col("es"), 1), step).as("f"))
+  }
+
+  private[graft] def funnelState(events: DataFrame,
+                                 windowUs: Long): DataFrame = {
+    val inf = Long.MaxValue
+    funnelFold(events, windowUs)
       .select(col("user_id"),
         when(element_at(col("f"), 5) < inf, 3)
           .when(element_at(col("f"), 4) < inf, 2)

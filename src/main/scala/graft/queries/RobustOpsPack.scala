@@ -184,10 +184,16 @@ object RobustOpsPack extends QueryPack {
     * target/raw count ratio in INTEGER MILLI-UNITS (`(ct+1)·1000 div
     * (cr+1)` — the q174 exact-integer classifier doctrine, with weights
     * LEARNED from the corpus in the same pass rather than fixed). A doc's
-    * score sums its tokens' bucket weights; "selected" means averaging
-    * ≥ 900 milli per token. Both count tables come from ONE exploded-token
-    * aggregation (conditional agg); the 1024-row weight table broadcasts to
-    * the doc-grain re-aggregation — two shuffles total, both shrinking.
+    * score sums its tokens' bucket weights; "selected" means the doc's
+    * mean token weight clears the CORPUS mean — a relative cut, because
+    * hashed-bucket smoothing compresses the weight range (no absolute
+    * constant survives a vocabulary change), evaluated as doubles built
+    * by the identical op sequence in both engines (an integer
+    * cross-product `score·totToks ≥ totScore·n` would overflow 2⁶³ at
+    * corpus scale). Both count tables come from ONE exploded-token
+    * aggregation (conditional agg); the 1024-row weight table broadcasts
+    * to the doc-grain re-aggregation; the corpus totals broadcast as one
+    * row — three shuffles total, all shrinking.
     */
   private def q224(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.load(s, dir, "documents")
@@ -202,11 +208,15 @@ object RobustOpsPack extends QueryPack {
     val perDoc = toks.join(broadcast(weights), "b")
       .groupBy(col("doc_id"), col("source"))
       .agg(sum("w").as("score"), count(lit(1)).as("n_toks"))
-    perDoc.groupBy("source")
+    val tot = perDoc.agg(sum("score").as("tot_score"),
+      sum("n_toks").as("tot_toks"))
+    perDoc.crossJoin(broadcast(tot))
+      .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum("score").as("sum_score"), sum("n_toks").as("sum_toks"),
-        sum(when(col("score") >= col("n_toks") * 900, 1L).otherwise(0L))
-          .as("n_selected"))
+        sum(when(col("score").cast("double") / col("n_toks") >=
+          col("tot_score").cast("double") / col("tot_toks"), 1L)
+          .otherwise(0L)).as("n_selected"))
       .withColumn("mean_w_milli",
         col("sum_score").cast("double") / col("sum_toks"))
       .orderBy("source")
@@ -402,14 +412,18 @@ object RobustOpsPack extends QueryPack {
         | SELECT doc_id, source, CAST(sum(w) AS BIGINT) AS score,
         |  count(*) AS n_toks
         | FROM toks JOIN weights USING (b)
-        | GROUP BY doc_id, source)
+        | GROUP BY doc_id, source),
+        |tot AS (
+        | SELECT CAST(sum(score) AS BIGINT) AS tot_score,
+        |  CAST(sum(n_toks) AS BIGINT) AS tot_toks FROM per_doc)
         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         | CAST(sum(score) AS BIGINT) AS sum_score,
         | CAST(sum(n_toks) AS BIGINT) AS sum_toks,
-        | CAST(sum(CASE WHEN score >= n_toks * 900 THEN 1 ELSE 0 END)
+        | CAST(sum(CASE WHEN CAST(score AS DOUBLE) / n_toks >=
+        |     CAST(tot_score AS DOUBLE) / tot_toks THEN 1 ELSE 0 END)
         |   AS BIGINT) AS n_selected,
         | CAST(sum(score) AS DOUBLE) / sum(n_toks) AS mean_w_milli
-        |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
+        |FROM per_doc, tot GROUP BY source ORDER BY source""".stripMargin
     },
     "q225_mad_outliers" ->
       """WITH cust AS (

@@ -128,6 +128,10 @@ class RobustOpsSpec extends SparkSpecBase {
       assert(meanW > 0.0 && meanW <= 1000.0)
       assert(r.getLong(4) <= r.getLong(1), "selected ≤ docs")
     }
+    // the corpus-mean cut is relative: it must split the corpus, not
+    // degenerate to keep-all or drop-all
+    val sel = rows.map(_.getLong(4)).sum
+    assert(sel > 0 && sel < rows.map(_.getLong(1)).sum)
   }
 
   test("q224: token conservation against the shared tokenizer") {
