@@ -18,7 +18,8 @@ object SparkEntry {
       MultimodalStreamPack, ApproxPack, LakehousePack,
       TrainingPipelinePack, TpchShapesPack, DataQualityPack, ReportingPack,
       PretrainDepthPack, CorpusOpsPack, GraphPack, ExperimentsPack,
-      EvalPack, SketchPack, ClassicOpsPack, RobustOpsPack, SelectionPack)
+      EvalPack, SketchPack, ClassicOpsPack, RobustOpsPack, SelectionPack,
+      ScaleOpsPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's headline analytics shape: revenue-by-category top-10

@@ -219,9 +219,25 @@ object ClassicOpsPack extends QueryPack {
       // occupied-cell grain feeds all three layout rankings
       .persist()
     val nCells = cells.agg(count(lit(1)).as("n_cells"))
-    def fileStats(ordering: String, key: org.apache.spark.sql.Column) = {
+    // Hilbert index via a driver-built 4096-row broadcast lookup from
+    // Hilbert.indexJvm (the doc of record): the pure-Column expression
+    // tree grows ~3^order and costs ~10 s of analyzer/codegen time per
+    // plan (measured at order 6) — grid cells are a FIXED domain, so a
+    // lookup join is both exact and constant-cost at any data scale.
+    val lut = {
+      import s.implicits._
+      (for { hx <- 0 until gridN; hy <- 0 until gridN }
+        yield (hx, hy, Hilbert.indexJvm(gridOrder, hx.toLong, hy.toLong)))
+        .toDF("hx", "hy", "h")
+    }
+    val hilbertKeyed = cells
+      .join(broadcast(lut),
+        col("x") === col("hx") && col("y") === col("hy"))
+      .select(col("x"), col("y"), col("h"))
+    def fileStatsOf(ordering: String, keyed: DataFrame,
+                    key: org.apache.spark.sql.Column) = {
       val rk = row_number().over(Window.orderBy(key, col("x"), col("y")))
-      cells
+      keyed
         .withColumn("f",
           call_function("div", (rk - 1).cast("long"), lit(cellsPerFile.toLong)))
         .groupBy("f")
@@ -235,10 +251,10 @@ object ClassicOpsPack extends QueryPack {
             .as("avg_bbox_area"),
           col("max_bbox_area"))
     }
-    fileStats("hilbert", Hilbert.index(gridOrder)(col("x"), col("y")))
-      .unionByName(fileStats("row_major",
+    fileStatsOf("hilbert", hilbertKeyed, col("h"))
+      .unionByName(fileStatsOf("row_major", cells,
         col("x").cast("long") * gridN + col("y")))
-      .unionByName(fileStats("zorder",
+      .unionByName(fileStatsOf("zorder", cells,
         ZOrder.zvalue2(col("x"), col("y"), gridOrder)))
       .orderBy("ordering")
   }

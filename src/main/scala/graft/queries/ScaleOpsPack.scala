@@ -1,0 +1,585 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Tables
+
+/** Scale-technique operators made first-class queries: Bloom-filtered join
+  * reduction (the runtime-filter pattern), incremental maintenance of a
+  * JOIN view (delta processing beyond q129's aggregate maintenance), and a
+  * histogram-vs-exact quantile accuracy audit (what an equi-width sketch
+  * costs against the q226 sort-based truth). Each query both PERFORMS the
+  * technique and reports its contract sheet — reduction ratios, mismatch
+  * counts, error profiles — because at 100 TB the technique's bookkeeping
+  * is what tells an operator it is safe to rely on.
+  *
+  * Exactness doctrine unchanged: md5 hashing for anything pseudo-random,
+  * integer e4/cents units for money, rank selection (never interpolation)
+  * for quantiles, and every derived double built by the identical op
+  * sequence in both engines.
+  */
+object ScaleOpsPack extends QueryPack {
+
+  import TrainingPipelinePack.md5Hash32
+
+  private val BloomM = 8192
+  private val BloomK = 3
+  private val HotCut = 400000.0
+
+  /** TPC-H revenue in exact 10⁻⁴-dollar units (the TpchShapesPack grain). */
+  private def revE4: Column =
+    round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
+      .cast("long")
+
+  // --- q234: Bloom-filtered join -------------------------------------------
+
+  /** q234 — Bloom-filtered join (the runtime-filter / semi-join-reduction
+    * technique Spark's own `spark.sql.optimizer.runtimeFilter` family
+    * automates): the hot-order key set (totalprice > 400k) compresses into
+    * an m=8192, k=3 Bloom filter whose SET-BIT POSITIONS are a ≤8192-row
+    * broadcast table; lineitem probes it with three successive broadcast
+    * joins (one per hash — map-side, no fact shuffle, no fact-grain
+    * re-aggregation) and only surviving rows reach the exact join against
+    * the hot dimension. The ledger reports what the filter bought: fact
+    * rows in, rows past the filter, rows the exact join kept, the
+    * false-positive rows the filter let through, and the revenue of the
+    * joined slice — at 100 TB this is the difference between shuffling
+    * the full fact table and shuffling ~membership·(1+fp) of it (here the
+    * exact join side broadcasts too; the filter still models the fact-
+    * stream reduction that matters when neither side broadcasts).
+    */
+  private def q234(s: SparkSession, dir: String): DataFrame = {
+    val hot = Tables.load(s, dir, "orders")
+      .filter(col("o_totalprice") > HotCut)
+      .select(col("o_orderkey"))
+    def pos(key: Column, j: Int): Column =
+      md5Hash32(key, s"bj$j") % BloomM
+    val bits = hot
+      .select(explode(array((0 until BloomK).map(j =>
+        pos(col("o_orderkey"), j)): _*)).as("p"))
+      .distinct()
+    val fact = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), revE4.as("rev_e4"))
+    val probed = (0 until BloomK).foldLeft(fact) { (df, j) =>
+      df.join(
+        broadcast(bits.select(col("p").as(s"p$j"),
+          lit(1).as(s"hit$j"))),
+        pos(col("l_orderkey"), j) === col(s"p$j"), "left")
+        .drop(s"p$j")
+    }
+    val passed = probed
+      .withColumn("pass",
+        (0 until BloomK).map(j => coalesce(col(s"hit$j"), lit(0)))
+          .reduce(_ + _) === BloomK)
+    val joined = passed.filter(col("pass"))
+      .join(broadcast(hot.withColumn("is_hot", lit(1))),
+        col("l_orderkey") === col("o_orderkey"), "left")
+    joined.select(col("pass"), col("is_hot"), col("rev_e4"))
+      .agg(sum(when(col("is_hot") === 1, 1L).otherwise(0L)).as("n_joined"),
+        sum(when(col("is_hot").isNull, 1L).otherwise(0L)).as("n_false_pass"),
+        sum(when(col("is_hot") === 1, col("rev_e4"))).as("joined_e4"))
+      .crossJoin(broadcast(fact.agg(count(lit(1)).as("n_fact"))))
+      .crossJoin(broadcast(
+        passed.agg(sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"))))
+      .select(col("n_fact"), col("n_pass"), col("n_joined"),
+        col("n_false_pass"),
+        (lit(1.0) - col("n_pass").cast("double") / col("n_fact"))
+          .as("reduction"),
+        (col("joined_e4") / lit(10000.0)).as("joined_revenue"))
+  }
+
+  // --- q235: incremental join-view maintenance -----------------------------
+
+  /** q235 — incremental maintenance of a JOIN view (q129 maintains a
+    * single-table aggregate; real gold tables join first): the
+    * revenue-per-customer view over orders⋈lineitem, maintained by
+    * processing only the 2001 order delta (`ΔV = Δorders ⋈ lineitem`,
+    * aggregated and merged into the base view by full-outer coalesce-sum)
+    * and audited cell-exactly against the direct recompute over all
+    * orders. Money rides exact e4 units so "maintained ≡ recomputed" is
+    * an integer equality, not a tolerance. The delta join touches only
+    * delta-order lineitems; the merge shuffles view-grain rows — the two
+    * properties that make maintenance cheaper than recompute at scale.
+    */
+  private def q235(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), revE4.as("rev_e4"))
+    val cut = to_timestamp(lit("2001-01-01"))
+    def view(orders: DataFrame): DataFrame = orders
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum("rev_e4").as("rev_e4"), count(lit(1)).as("n_items"))
+    val orders = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val vBase = view(orders.filter(col("o_orderdate") < cut))
+      .withColumnRenamed("rev_e4", "b_rev").withColumnRenamed("n_items", "b_n")
+    val vDelta = view(orders.filter(col("o_orderdate") >= cut))
+      .withColumnRenamed("rev_e4", "d_rev").withColumnRenamed("n_items", "d_n")
+    val merged = vBase.join(vDelta, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        (coalesce(col("b_rev"), lit(0L)) + coalesce(col("d_rev"), lit(0L)))
+          .as("m_rev"),
+        (coalesce(col("b_n"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+          .as("m_n"))
+    val direct = view(orders)
+    merged.join(direct, Seq("o_custkey"), "full_outer")
+      .agg(count(lit(1)).as("n_view_rows"),
+        sum(when(col("m_rev") <=> col("rev_e4") &&
+          col("m_n") <=> col("n_items"), 0L).otherwise(1L))
+          .as("n_mismatch"),
+        sum("m_rev").as("m_rev_e4"), sum("rev_e4").as("d_rev_e4"))
+      .select(col("n_view_rows"), col("n_mismatch"),
+        (col("m_rev_e4") / lit(10000.0)).as("maintained_revenue"),
+        (col("d_rev_e4") / lit(10000.0)).as("direct_revenue"))
+  }
+
+  // --- q236: histogram quantile accuracy audit -----------------------------
+
+  /** q236 — what an equi-width histogram sketch costs against exact
+    * quantiles: document lengths bucket into 64 equal-width bins
+    * (integer `((x−lo)·64) div span`); each decile's histogram answer is
+    * the LOWER EDGE of the first bin whose cumulative count reaches the
+    * target rank, compared against the exact rank-selected value (the
+    * q226 machinery, global axis). Everything is integer arithmetic —
+    * bin ids, cumulative counts, edge values, errors — so the audit is
+    * bit-deterministic. The histogram is one partial-agg shuffle of ≤64
+    * groups however large the corpus; the exact side pays the sort —
+    * which is exactly the trade the audit quantifies.
+    */
+  private def q236(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val stats = docs.agg(min("n_chars").as("lo"), max("n_chars").as("hi"),
+      count(lit(1)).as("n"))
+    val binned = docs.crossJoin(broadcast(stats))
+      .select(col("n_chars"), col("lo"), col("hi"), col("n"),
+        call_function("div", (col("n_chars") - col("lo")) * 64,
+          col("hi") - col("lo") + 1).as("bin"))
+    val cum = binned.groupBy("bin", "lo", "hi", "n")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(
+        Window.orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val targets = stats
+      .select(explode(sequence(lit(1), lit(10))).as("decile"), col("n"))
+      .select(col("decile"),
+        ceil(col("decile") * col("n") / lit(10.0)).cast("long").as("rank"))
+    val approx = targets.join(broadcast(cum), col("cum") >= col("rank"))
+      .groupBy("decile", "rank")
+      .agg(min(col("lo") + call_function("div",
+        col("bin") * (col("hi") - col("lo") + 1), lit(64L))).as("approx_edge"))
+    val exact = docs
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("n_chars"), col("doc_id"))))
+      .join(broadcast(targets.withColumnRenamed("rank", "rn2")),
+        col("rn") === col("rn2"))
+      .select(col("decile").as("d2"), col("n_chars").as("exact_edge"))
+    approx.join(broadcast(exact), col("decile") === col("d2"))
+      .select(col("decile").cast("int").as("decile"), col("rank"),
+        col("exact_edge"), col("approx_edge"),
+        (col("approx_edge") - col("exact_edge")).as("err"))
+      .orderBy("decile")
+  }
+
+  // --- q237: offline policy evaluation (IPS) -------------------------------
+
+  /** q237 — inverse-propensity-scored offline policy evaluation (the
+    * logged-bandit replay a recommender team runs before an online test):
+    * the event log is the behavior policy (action = event type, context =
+    * user, reward = event value in exact cents); the target policy is
+    * uniform over the K global action types. Behavior propensities are the
+    * per-(user, action) empirical frequencies — so the IPS weight is the
+    * exact rational `cnt(u) / (K·cnt(u,a))` built from integers, applied
+    * per row in one double op sequence. The estimate and the effective
+    * sample size (Kish `(Σw)²/Σw²`) are multi-row double sums → rounded
+    * to 2dp per the float-parity doctrine. Two shrinking aggregations
+    * (user grain, user×action grain) rejoin the log once.
+    */
+  private def q237(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type").as("a"),
+        round(col("value") * 100).cast("long").as("r_cents"))
+    val k = ev.select(countDistinct("a").as("k"))
+    val perUser = ev.groupBy("user_id").agg(count(lit(1)).as("n_u"))
+    val perUA = ev.groupBy("user_id", "a").agg(count(lit(1)).as("n_ua"))
+    val w = col("n_u").cast("double") / (col("k") * col("n_ua"))
+    ev.join(perUA, Seq("user_id", "a"))
+      .join(perUser, Seq("user_id"))
+      .crossJoin(broadcast(k))
+      .select(col("r_cents"), w.as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum("r_cents").as("sum_r"),
+        sum(col("w") * col("r_cents")).as("swr"),
+        sum("w").as("sw"), sum(col("w") * col("w")).as("sww"))
+      .crossJoin(broadcast(k))
+      .select(col("n"), col("k").cast("long").as("k_actions"),
+        (col("sum_r").cast("double") / col("n") / 100.0)
+          .as("behavior_value"),
+        round(col("swr") / col("n") / 100.0, 2).as("ips_value"),
+        round(col("sw") * col("sw") / col("sww"), 2).as("ess"))
+  }
+
+  // --- q238: SCD2 point-in-time join ---------------------------------------
+
+  /** q238 — point-in-time correct dimension join: every lineitem resolves
+    * the customer's order-priority VERSION that was valid on its ship
+    * date, against the q77 SCD2 history ([[graft.etl.Lakehouse
+    * .scd2History]] — the same canonical builder). This is the lookup an
+    * ML feature store must get right (training-serving skew is exactly
+    * "joined the current row instead of the as-of row"). The join is
+    * equi on custkey + range on [valid_from, valid_to) — Spark plans the
+    * equi key as the shuffle key and the range as a residual filter, so
+    * it scales like any fact-dim join. A fact dated before the
+    * customer's first version (the testdata ships some lineitems before
+    * their order date) resolves to NO version — the LEFT join surfaces
+    * those in an explicit '(none)' bucket instead of silently dropping
+    * them, which is the feature-store contract (a missing as-of row is
+    * information, not a join artifact). Output: per resolved priority
+    * version, items / revenue / distinct customers.
+    */
+  private def q238(s: SparkSession, dir: String): DataFrame = {
+    val hist = graft.etl.Lakehouse.scd2History(
+      Tables.load(s, dir, "orders"), "o_custkey", "o_orderpriority",
+      to_date(col("o_orderdate")), col("o_orderkey"))
+      .select(col("o_custkey").as("h_cust"),
+        col("o_orderpriority").as("pit_priority"),
+        col("valid_from"), col("valid_to"))
+    val facts = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), revE4.as("rev_e4"),
+        to_date(col("l_shipdate")).as("ship_d"))
+      .join(Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+    facts.join(hist,
+      col("o_custkey") === col("h_cust") &&
+        col("ship_d") >= col("valid_from") &&
+        (col("valid_to").isNull || col("ship_d") < col("valid_to")),
+      "left")
+      .groupBy(coalesce(col("pit_priority"), lit("(none)"))
+        .as("pit_priority"))
+      .agg(count(lit(1)).as("n_items"),
+        countDistinct("o_custkey").as("n_customers"),
+        sum("rev_e4").as("rev_e4"))
+      .select(col("pit_priority"), col("n_items"), col("n_customers"),
+        (col("rev_e4") / lit(10000.0)).as("revenue"))
+      .orderBy("pit_priority")
+  }
+
+  // --- q239: Holt walk-forward backtest ------------------------------------
+
+  /** q239 — walk-forward backtest of the q196 Holt smoother: replay each
+    * priority's daily-revenue series, score every one-step-ahead forecast
+    * against the next actual BEFORE folding it in, and report the mean
+    * absolute error — the honest "would this forecast have worked"
+    * readout, distinct from q196's in-sample fit. Same in-row fold, one
+    * extra state slot accumulating |actual − (l+t)|; the fold is a
+    * single ordered sequence, so even the double error sum is
+    * bit-deterministic across engines (no multi-partition accumulation
+    * anywhere). Errors start at the second day (the seed state has
+    * nothing to forecast with).
+    */
+  private def q239(s: SparkSession, dir: String): DataFrame = {
+    def step(acc: Column, x: Column): Column = {
+      def fc = element_at(acc, 2) + element_at(acc, 3)
+      def lvl = lit(0.3) * element_at(x, 1) + lit(0.7) * fc
+      array(element_at(x, 1), lvl,
+        lit(0.2) * (lvl - element_at(acc, 2)) +
+          lit(0.8) * element_at(acc, 3),
+        element_at(acc, 4) + abs(element_at(x, 1) - fc))
+    }
+    Tables.load(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("priority"),
+        col("o_orderdate").as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .groupBy("priority")
+      .agg(sort_array(collect_list(struct(col("d"),
+        (col("cents") / 100.0).as("r")))).as("srt"))
+      .select(col("priority"),
+        transform(col("srt"), e =>
+          array(e.getField("r"), e.getField("r"), lit(0.0), lit(0.0)))
+          .as("xs"))
+      .select(col("priority"), size(col("xs")).as("n_days"),
+        aggregate(slice(col("xs"), lit(2), size(col("xs")) - 1),
+          element_at(col("xs"), 1), step).as("h"))
+      .select(col("priority"), col("n_days"),
+        round(element_at(col("h"), 4) / (col("n_days") - 1), 6)
+          .as("mae"),
+        round(element_at(col("h"), 2) + element_at(col("h"), 3), 6)
+          .as("forecast_next"))
+      .orderBy("priority")
+  }
+
+  // --- q240: join cardinality estimation audit -----------------------------
+
+  /** q240 — join-size estimation audit (why AQE exists, as a query): the
+    * self-join cardinality of events on user_id is EXACTLY Σc(u)² — one
+    * count-per-key aggregation, never the join itself — compared against
+    * the two estimates an optimizer would use: the uniformity assumption
+    * `n²/ndv` (classic System-R) and the heavy-hitter-aware form (top-10
+    * keys exact + uniform remainder). Every quantity is exact integer
+    * arithmetic (`div` for the uniform splits); the error ratios are the
+    * only doubles. On a skewed key the uniform estimate collapses and the
+    * top-k histogram recovers most of it — the audit quantifies by how
+    * much, which is the number a planner needs before choosing broadcast
+    * vs shuffle vs skew-split.
+    */
+  private def q240(s: SparkSession, dir: String): DataFrame = {
+    val cnts = Tables.load(s, dir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("c"))
+    val tot = cnts.agg(sum("c").as("n"), count(lit(1)).as("ndv"),
+      sum(col("c") * col("c")).as("actual_pairs"))
+    val top = cnts
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("c").desc, col("user_id"))))
+      .filter(col("rn") <= 10)
+      .agg(sum(col("c") * col("c")).as("top_sq"), sum("c").as("top_n"),
+        count(lit(1)).as("top_k"))
+    tot.crossJoin(broadcast(top))
+      .select(col("n"), col("ndv"), col("actual_pairs"),
+        call_function("div", col("n") * col("n"), col("ndv"))
+          .as("est_uniform"),
+        (col("top_sq") + when(col("ndv") > col("top_k"),
+          call_function("div",
+            (col("n") - col("top_n")) * (col("n") - col("top_n")),
+            col("ndv") - col("top_k"))).otherwise(lit(0L)))
+          .as("est_topk"))
+      .select(col("n"), col("ndv"), col("actual_pairs"),
+        col("est_uniform"), col("est_topk"),
+        (col("est_uniform").cast("double") / col("actual_pairs"))
+          .as("uniform_ratio"),
+        (col("est_topk").cast("double") / col("actual_pairs"))
+          .as("topk_ratio"))
+  }
+
+  override val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
+    Seq(
+      "q234_bloom_join" -> q234 _,
+      "q235_ivm_join" -> q235 _,
+      "q236_histogram_quantiles" -> q236 _,
+      "q237_ips_policy_eval" -> q237 _,
+      "q238_scd2_pit_join" -> q238 _,
+      "q239_holt_backtest" -> q239 _,
+      "q240_join_card_estimate" -> q240 _)
+
+  override val oracle: Seq[(String, String)] = Seq(
+    "q234_bloom_join" -> {
+      def h(id: String, j: Int): String =
+        s"CAST('0x' || substring(md5('bj$j|' || CAST($id AS VARCHAR)), " +
+          s"1, 8) AS BIGINT) % $BloomM"
+      s"""WITH hot AS (
+        | SELECT o_orderkey FROM orders WHERE o_totalprice > $HotCut),
+        |bits AS (
+        | SELECT DISTINCT p FROM (
+        |  SELECT ${h("o_orderkey", 0)} AS p FROM hot
+        |  UNION ALL SELECT ${h("o_orderkey", 1)} FROM hot
+        |  UNION ALL SELECT ${h("o_orderkey", 2)} FROM hot)),
+        |fact AS (
+        | SELECT l_orderkey,
+        |  CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)
+        |    AS BIGINT) AS rev_e4
+        | FROM lineitem),
+        |passed AS (
+        | SELECT f.l_orderkey, f.rev_e4,
+        |  (CASE WHEN b0.p IS NULL THEN 0 ELSE 1 END
+        |   + CASE WHEN b1.p IS NULL THEN 0 ELSE 1 END
+        |   + CASE WHEN b2.p IS NULL THEN 0 ELSE 1 END) = $BloomK AS pass
+        | FROM fact f
+        | LEFT JOIN bits b0 ON ${h("f.l_orderkey", 0)} = b0.p
+        | LEFT JOIN bits b1 ON ${h("f.l_orderkey", 1)} = b1.p
+        | LEFT JOIN bits b2 ON ${h("f.l_orderkey", 2)} = b2.p),
+        |joined AS (
+        | SELECT p.rev_e4, h.o_orderkey AS hot_key
+        | FROM passed p LEFT JOIN hot h ON p.l_orderkey = h.o_orderkey
+        | WHERE p.pass),
+        |agg AS (
+        | SELECT
+        |  CAST(sum(CASE WHEN hot_key IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_joined,
+        |  CAST(sum(CASE WHEN hot_key IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_false_pass,
+        |  CAST(sum(CASE WHEN hot_key IS NOT NULL THEN rev_e4 END)
+        |    AS BIGINT) AS joined_e4
+        | FROM joined),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_fact FROM fact),
+        |np AS (
+        | SELECT CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_pass FROM passed)
+        |SELECT n_fact, n_pass, n_joined, n_false_pass,
+        | 1.0 - CAST(n_pass AS DOUBLE) / n_fact AS reduction,
+        | joined_e4 / 10000.0 AS joined_revenue
+        |FROM agg, tot, np""".stripMargin
+    },
+    "q235_ivm_join" ->
+      """WITH li AS (
+        | SELECT l_orderkey,
+        |  CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)
+        |    AS BIGINT) AS rev_e4
+        | FROM lineitem),
+        |v_base AS (
+        | SELECT o_custkey, CAST(sum(rev_e4) AS BIGINT) AS b_rev,
+        |  count(*) AS b_n
+        | FROM orders JOIN li ON o_orderkey = l_orderkey
+        | WHERE o_orderdate < TIMESTAMP '2001-01-01' GROUP BY o_custkey),
+        |v_delta AS (
+        | SELECT o_custkey, CAST(sum(rev_e4) AS BIGINT) AS d_rev,
+        |  count(*) AS d_n
+        | FROM orders JOIN li ON o_orderkey = l_orderkey
+        | WHERE o_orderdate >= TIMESTAMP '2001-01-01' GROUP BY o_custkey),
+        |merged AS (
+        | SELECT coalesce(b.o_custkey, d.o_custkey) AS o_custkey,
+        |  coalesce(b.b_rev, 0) + coalesce(d.d_rev, 0) AS m_rev,
+        |  coalesce(b.b_n, 0) + coalesce(d.d_n, 0) AS m_n
+        | FROM v_base b FULL JOIN v_delta d ON b.o_custkey = d.o_custkey),
+        |direct AS (
+        | SELECT o_custkey, CAST(sum(rev_e4) AS BIGINT) AS rev_e4,
+        |  count(*) AS n_items
+        | FROM orders JOIN li ON o_orderkey = l_orderkey
+        | GROUP BY o_custkey)
+        |SELECT CAST(count(*) AS BIGINT) AS n_view_rows,
+        | CAST(sum(CASE WHEN m.m_rev IS NOT DISTINCT FROM d.rev_e4
+        |   AND m.m_n IS NOT DISTINCT FROM d.n_items
+        |   THEN 0 ELSE 1 END) AS BIGINT) AS n_mismatch,
+        | CAST(sum(m.m_rev) AS BIGINT) / 10000.0 AS maintained_revenue,
+        | CAST(sum(d.rev_e4) AS BIGINT) / 10000.0 AS direct_revenue
+        |FROM merged m FULL JOIN direct d ON m.o_custkey = d.o_custkey"""
+        .stripMargin,
+    "q236_histogram_quantiles" ->
+      """WITH stats AS (
+        | SELECT min(n_chars) AS lo, max(n_chars) AS hi, count(*) AS n
+        | FROM documents),
+        |binned AS (
+        | SELECT ((n_chars - lo) * 64) // (hi - lo + 1) AS bin, lo, hi, n
+        | FROM documents, stats),
+        |cum AS (
+        | SELECT bin, lo, hi, n, count(*) AS cnt,
+        |  sum(count(*)) OVER (ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM binned GROUP BY bin, lo, hi, n),
+        |targets AS (
+        | SELECT decile, CAST(ceil(decile * n / 10.0) AS BIGINT) AS rank
+        | FROM stats, generate_series(1, 10) AS g(decile)),
+        |approx AS (
+        | SELECT t.decile, t.rank,
+        |  min(c.lo + (c.bin * (c.hi - c.lo + 1)) // 64) AS approx_edge
+        | FROM targets t JOIN cum c ON c.cum >= t.rank
+        | GROUP BY t.decile, t.rank),
+        |exact AS (
+        | SELECT t.decile AS d2, r.n_chars AS exact_edge
+        | FROM (SELECT n_chars,
+        |        row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+        |       FROM documents) r
+        | JOIN targets t ON r.rn = t.rank)
+        |SELECT CAST(a.decile AS INT) AS decile, a.rank, e.exact_edge,
+        | a.approx_edge, a.approx_edge - e.exact_edge AS err
+        |FROM approx a JOIN exact e ON a.decile = e.d2
+        |ORDER BY decile""".stripMargin,
+    "q237_ips_policy_eval" ->
+      """WITH ev AS (
+        | SELECT user_id, event_type AS a,
+        |  CAST(round(value * 100) AS BIGINT) AS r_cents
+        | FROM events),
+        |k AS (SELECT count(DISTINCT a) AS k FROM ev),
+        |per_user AS (
+        | SELECT user_id, count(*) AS n_u FROM ev GROUP BY user_id),
+        |per_ua AS (
+        | SELECT user_id, a, count(*) AS n_ua FROM ev GROUP BY user_id, a),
+        |wtd AS (
+        | SELECT e.r_cents,
+        |  CAST(u.n_u AS DOUBLE) / (k.k * x.n_ua) AS w
+        | FROM ev e
+        | JOIN per_ua x ON e.user_id = x.user_id AND e.a = x.a
+        | JOIN per_user u ON e.user_id = u.user_id
+        | CROSS JOIN k)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        | (SELECT CAST(k AS BIGINT) FROM k) AS k_actions,
+        | CAST(sum(r_cents) AS DOUBLE) / count(*) / 100.0
+        |   AS behavior_value,
+        | round(sum(w * r_cents) / count(*) / 100.0, 2) AS ips_value,
+        | round(sum(w) * sum(w) / sum(w * w), 2) AS ess
+        |FROM wtd""".stripMargin,
+    "q238_scd2_pit_join" ->
+      """WITH h0 AS (
+        | SELECT o_custkey, o_orderpriority,
+        |  CAST(o_orderdate AS DATE) AS d, o_orderkey,
+        |  lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |    ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS rn
+        | FROM orders),
+        |changes AS (
+        | SELECT o_custkey AS h_cust, o_orderpriority AS pit_priority,
+        |  d AS valid_from, o_orderkey
+        | FROM h0 WHERE rn = 1 OR prev IS DISTINCT FROM o_orderpriority),
+        |hist AS (
+        | SELECT h_cust, pit_priority, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY h_cust
+        |    ORDER BY valid_from, o_orderkey) AS valid_to
+        | FROM changes),
+        |facts AS (
+        | SELECT o.o_custkey, CAST(l.l_shipdate AS DATE) AS ship_d,
+        |  CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 10000)
+        |    AS BIGINT) AS rev_e4
+        | FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT coalesce(h.pit_priority, '(none)') AS pit_priority,
+        | CAST(count(*) AS BIGINT) AS n_items,
+        | CAST(count(DISTINCT f.o_custkey) AS BIGINT) AS n_customers,
+        | CAST(sum(f.rev_e4) AS BIGINT) / 10000.0 AS revenue
+        |FROM facts f LEFT JOIN hist h ON f.o_custkey = h.h_cust
+        | AND f.ship_d >= h.valid_from
+        | AND (h.valid_to IS NULL OR f.ship_d < h.valid_to)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q239_holt_backtest" ->
+      """WITH daily AS (
+        | SELECT o_orderpriority AS priority, o_orderdate AS d,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        | FROM orders GROUP BY 1, 2),
+        |arr AS (
+        | SELECT priority,
+        |  list_transform(
+        |    list_sort(list({'d': d, 'r': CAST(cents AS DOUBLE) / 100})),
+        |    e -> [e.r, e.r, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)]) AS xs
+        | FROM daily GROUP BY priority),
+        |folded AS (
+        | SELECT priority, CAST(len(xs) AS INT) AS n_days,
+        |  list_reduce(xs, (acc, x) -> [
+        |    x[1],
+        |    CAST(0.3 AS DOUBLE) * x[1]
+        |      + CAST(0.7 AS DOUBLE) * (acc[2] + acc[3]),
+        |    CAST(0.2 AS DOUBLE) * ((CAST(0.3 AS DOUBLE) * x[1]
+        |        + CAST(0.7 AS DOUBLE) * (acc[2] + acc[3])) - acc[2])
+        |      + CAST(0.8 AS DOUBLE) * acc[3],
+        |    acc[4] + abs(x[1] - (acc[2] + acc[3]))]) AS h
+        | FROM arr)
+        |SELECT priority, n_days,
+        | round(h[4] / (n_days - 1), 6) AS mae,
+        | round(h[2] + h[3], 6) AS forecast_next
+        |FROM folded ORDER BY priority""".stripMargin,
+    "q240_join_card_estimate" ->
+      """WITH cnts AS (
+        | SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+        |tot AS (
+        | SELECT CAST(sum(c) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS ndv,
+        |  CAST(sum(c * c) AS BIGINT) AS actual_pairs
+        | FROM cnts),
+        |top AS (
+        | SELECT CAST(sum(c * c) AS BIGINT) AS top_sq,
+        |  CAST(sum(c) AS BIGINT) AS top_n,
+        |  CAST(count(*) AS BIGINT) AS top_k
+        | FROM (
+        |  SELECT c, row_number() OVER (ORDER BY c DESC, user_id) AS rn
+        |  FROM cnts)
+        | WHERE rn <= 10)
+        |SELECT n, ndv, actual_pairs,
+        | (n * n) // ndv AS est_uniform,
+        | top_sq + CASE WHEN ndv > top_k
+        |   THEN ((n - top_n) * (n - top_n)) // (ndv - top_k)
+        |   ELSE 0 END AS est_topk,
+        | CAST((n * n) // ndv AS DOUBLE) / actual_pairs AS uniform_ratio,
+        | CAST(top_sq + CASE WHEN ndv > top_k
+        |   THEN ((n - top_n) * (n - top_n)) // (ndv - top_k)
+        |   ELSE 0 END AS DOUBLE) / actual_pairs AS topk_ratio
+        |FROM tot, top""".stripMargin)
+}

@@ -1,0 +1,175 @@
+package graft
+
+import java.security.MessageDigest
+
+/** ScaleOps pack checks: JVM recompute of the Bloom filter's pass/join
+  * ledger (zero false negatives by construction), exactness of the
+  * maintained join view, the histogram-quantile error bound, and physical
+  * plan pins for the broadcast shapes the scale story depends on.
+  */
+class ScaleOpsSpec extends SparkSpecBase {
+
+  private val sf0001 = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf0001)
+
+  private def md5u32(s: String): Long = {
+    val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+  }
+
+  test("q234: JVM bloom recompute — no false negatives, ledger exact") {
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+      .selectExpr("o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val hot = orders.filter(_._2 > 400000.0).map(_._1).toSet
+    val bits = hot.flatMap(k =>
+      (0 until 3).map(j => md5u32(s"bj$j|$k") % 8192))
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .selectExpr("l_orderkey").collect().map(_.getLong(0))
+    def passes(k: Long): Boolean =
+      (0 until 3).forall(j => bits.contains(md5u32(s"bj$j|$k") % 8192))
+    val nPass = li.count(passes)
+    val nJoined = li.count(hot.contains)
+    val r = run("q234_bloom_join").collect().head
+    assert(r.getLong(0) === li.length.toLong)
+    assert(r.getLong(1) === nPass.toLong, "bloom pass count")
+    assert(r.getLong(2) === nJoined.toLong, "exact join count")
+    assert(r.getLong(3) === (nPass - nJoined).toLong, "false passes")
+    // the whole point: every truly-hot lineitem survives the filter
+    assert(li.filter(hot.contains).forall(passes), "false negative!")
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) < 1.0)
+  }
+
+  test("q235: maintained join view is cell-exact vs direct recompute") {
+    val r = run("q235_ivm_join").collect().head
+    assert(r.getLong(0) > 0)
+    assert(r.getLong(1) === 0L, "maintained view must equal recompute")
+    assert(r.getDouble(2) === r.getDouble(3), "revenue totals equal")
+  }
+
+  test("q236: histogram decile sits in the right bin (bounded-below error)") {
+    val chars = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("n_chars").collect().map(_.getLong(0)).sorted
+    val (lo, hi, n) = (chars.head, chars.last, chars.length)
+    val span = hi - lo + 1
+    val rows = run("q236_histogram_quantiles").collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val (k, rank, exact, approx, err) = (r.getInt(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(rank === math.ceil(k * n / 10.0).toLong)
+      assert(exact === chars(rank.toInt - 1), s"decile $k exact")
+      // approx is the containing bin's lower edge: never above the true
+      // value, never more than one bin width below
+      assert(err <= 0, s"decile $k err $err")
+      assert(-err <= span / 64 + 1, s"decile $k err $err vs width")
+    }
+  }
+
+  test("q237: JVM IPS recompute; ESS bounded by n") {
+    val ev = graft.catalog.Tables.load(spark, sf0001, "events")
+      .selectExpr("user_id", "event_type",
+        "CAST(round(value * 100) AS LONG)").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val k = ev.map(_._2).distinct.length
+    val nU = ev.groupBy(_._1).map { case (u, g) => u -> g.length }
+    val nUA = ev.groupBy(e => (e._1, e._2)).map { case (p, g) => p -> g.length }
+    val ws = ev.map { case (u, a, r) =>
+      (nU(u).toDouble / (k.toLong * nUA((u, a))), r)
+    }
+    val n = ev.length
+    val row = run("q237_ips_policy_eval").collect().head
+    assert(row.getLong(0) === n.toLong)
+    assert(row.getLong(1) === k.toLong)
+    assert(row.getDouble(2) === ev.map(_._3).sum.toDouble / n / 100.0)
+    val ips = ws.map { case (w, r) => w * r }.sum / n / 100.0
+    assert(math.abs(row.getDouble(3) - ips) <= 0.01, "ips value")
+    val sw = ws.map(_._1).sum
+    val ess = sw * sw / ws.map(w => w._1 * w._1).sum
+    assert(math.abs(row.getDouble(4) - ess) <= 0.01, "ess")
+    assert(row.getDouble(4) <= n + 0.01, "Kish ESS can't exceed n")
+  }
+
+  test("q238: every lineitem resolves exactly one SCD2 version or (none)") {
+    val rows = run("q238_scd2_pit_join").collect()
+    val nLi = spark.read.parquet(s"$sf0001/lineitem.parquet").count()
+    // conservation incl. the explicit pre-history bucket: the PIT ranges
+    // partition [first-order, ∞) per customer, facts before that land in
+    // '(none)' — nothing is dropped, nothing duplicates
+    assert(rows.map(_.getLong(1)).sum === nLi)
+    assert(rows.exists(_.getString(0) == "(none)"),
+      "testdata ships some items pre-history; the bucket must surface")
+    val rev = rows.map(_.getDouble(3)).sum
+    val direct = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .selectExpr(
+        "CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS LONG)")
+      .collect().map(_.getLong(0)).sum / 10000.0
+    assert(math.abs(rev - direct) < 1e-6, "revenue conserved")
+  }
+
+  test("q239: backtest shares q196's fold (same forecast), positive MAE") {
+    val bt = run("q239_holt_backtest").collect()
+      .map(r => r.getString(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val holt = SparkEntry.queries("q196_holt_trend")(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(1), r.getDouble(4)))).toMap
+    assert(bt.keySet === holt.keySet)
+    bt.foreach { case (p, (nDays, mae, fc)) =>
+      assert(nDays === holt(p)._1, s"$p n_days")
+      assert(fc === holt(p)._2, s"$p same final state ⇒ same forecast")
+      assert(mae > 0.0, s"$p mae")
+    }
+  }
+
+  test("q240: JVM recompute; uniformity is a Cauchy-Schwarz lower bound") {
+    val cnts = graft.catalog.Tables.load(spark, sf0001, "events")
+      .groupBy("user_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = cnts.map(_._2).sum
+    val ndv = cnts.length.toLong
+    val actual = cnts.map(c => c._2 * c._2).sum
+    val top = cnts.sortBy(c => (-c._2, c._1)).take(10)
+    val estTopk = top.map(c => c._2 * c._2).sum + {
+      val rest = n - top.map(_._2).sum
+      if (ndv > 10) rest * rest / (ndv - 10) else 0L
+    }
+    val r = run("q240_join_card_estimate").collect().head
+    assert(r.getLong(0) === n)
+    assert(r.getLong(1) === ndv)
+    assert(r.getLong(2) === actual)
+    assert(r.getLong(3) === n * n / ndv)
+    assert(r.getLong(4) === estTopk)
+    // n²/ndv ≤ Σc² always (Cauchy-Schwarz) — the uniform estimate can
+    // only UNDERestimate a skewed self-join
+    assert(r.getLong(3) <= actual)
+    assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+  }
+
+  // --- plan pins -----------------------------------------------------------
+
+  private def planOf(name: String): String =
+    run(name).queryExecution.executedPlan.toString
+
+  test("q234 plan: bloom probe and exact join are all broadcast joins") {
+    val p = planOf("q234_bloom_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"),
+      "fact stream must never shuffle-sort")
+  }
+
+  test("q225 plan: median/MAD thresholds broadcast back to the row stream") {
+    val p = planOf("q225_mad_outliers")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
+  test("q222 plan: packing folds without any join or global sort") {
+    val p = planOf("q222_sequence_packing")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"))
+    // global orderBy(source) on the 20-row output is fine; the fold itself
+    // must run inside the per-shard aggregate, not a window
+    assert(!p.contains("Window"), "no window in the packer")
+  }
+}
