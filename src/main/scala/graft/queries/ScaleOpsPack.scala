@@ -353,8 +353,76 @@ object ScaleOpsPack extends QueryPack {
           .as("topk_ratio"))
   }
 
+  // --- q241: per-dimension embedding quantile profile -----------------------
+
+  /** q241 — per-dimension decile profile of the embedding matrix (the
+    * table a feature pipeline materializes to drive quantile
+    * normalization / clipping at serving time): for each of the 64
+    * dimensions, the ten rank-selected decile edges. Pure SELECTION — the
+    * float values are never arithmetic operands, so cross-engine parity
+    * is byte-exact (FLOAT→DOUBLE widening is lossless in both engines).
+    * One explode + one sort-based window per dim partition + the q226
+    * rank-grid join; dims are a fixed small domain, so the output is
+    * 640 rows at any corpus size.
+    */
+  private def q241(s: SparkSession, dir: String): DataFrame = {
+    val vals = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding"))
+        .as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim"), col("v").cast("double").as("v"))
+    val ranked = vals.withColumn("rn", row_number().over(
+      Window.partitionBy("dim").orderBy(col("v"), col("vec_id"))))
+    val targets = vals.groupBy("dim").agg(count(lit(1)).as("n"))
+      .select(col("dim"), explode(sequence(lit(1), lit(10))).as("decile"),
+        col("n"))
+      .withColumn("rn", ceil(col("decile") * col("n") / lit(10.0))
+        .cast("int"))
+    ranked.join(broadcast(targets), Seq("dim", "rn"))
+      .select(col("dim"), col("decile"), col("v").as("edge"))
+      .orderBy("dim", "decile")
+  }
+
+  // --- q242: rendezvous-hash resharding audit --------------------------------
+
+  /** q242 — shard-count change audit: when a corpus grows from 8 to 10
+    * shards, what fraction of documents MOVE under (a) mod-N assignment
+    * (almost everything: only keys with md5 ≡ same value mod lcm stay)
+    * vs (b) rendezvous/HRW hashing (argmax over per-shard salted hashes —
+    * only docs whose new-shard hash wins move, ≈ 2/10). Minimal movement
+    * is why consistent schemes exist; the audit MEASURES it on the real
+    * id space with the same md5 machinery as every other assignment in
+    * this library. Explode-by-shard is ≤10 rows per doc; both owners
+    * reduce in one aggregation each.
+    */
+  private def q242(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select("doc_id")
+    def rdvOwner(n: Int, out: String): DataFrame = docs
+      .select(col("doc_id"), explode(sequence(lit(0), lit(n - 1))).as("sh"))
+      .select(col("doc_id"), col("sh"),
+        md5Hash32(concat(col("doc_id").cast("string"), lit("#"),
+          col("sh").cast("string")), "rdv").as("h"))
+      .groupBy("doc_id")
+      .agg(max(struct(col("h"), col("sh"))).getField("sh").as(out))
+    val h = md5Hash32(col("doc_id"), "shard")
+    val mod = docs.select(col("doc_id"), (h % 8).as("m8"), (h % 10).as("m10"))
+    mod.join(rdvOwner(8, "r8"), "doc_id")
+      .join(rdvOwner(10, "r10"), "doc_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("m8") =!= col("m10"), 1L).otherwise(0L))
+          .as("moved_mod"),
+        sum(when(col("r8") =!= col("r10"), 1L).otherwise(0L))
+          .as("moved_rdv"))
+      .select(col("n_docs"), col("moved_mod"), col("moved_rdv"),
+        (col("moved_mod").cast("double") / col("n_docs"))
+          .as("mod_move_frac"),
+        (col("moved_rdv").cast("double") / col("n_docs"))
+          .as("rdv_move_frac"))
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq(
+      "q241_embedding_quantiles" -> q241 _,
+      "q242_rendezvous_reshard" -> q242 _,
       "q234_bloom_join" -> q234 _,
       "q235_ivm_join" -> q235 _,
       "q236_histogram_quantiles" -> q236 _,
@@ -364,6 +432,55 @@ object ScaleOpsPack extends QueryPack {
       "q240_join_card_estimate" -> q240 _)
 
   override val oracle: Seq[(String, String)] = Seq(
+    "q241_embedding_quantiles" ->
+      """WITH vals AS (
+        | SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+        | FROM (SELECT vec_id, embedding,
+        |        unnest(generate_series(1, len(embedding))) AS i
+        |       FROM embeddings)),
+        |ranked AS (
+        | SELECT dim, v,
+        |  row_number() OVER (PARTITION BY dim ORDER BY v, vec_id) AS rn
+        | FROM vals),
+        |targets AS (
+        | SELECT dim, decile,
+        |  CAST(ceil(decile * n / 10.0) AS BIGINT) AS rn
+        | FROM (SELECT dim, count(*) AS n FROM vals GROUP BY dim),
+        |  generate_series(1, 10) AS g(decile))
+        |SELECT r.dim, CAST(t.decile AS INT) AS decile, r.v AS edge
+        |FROM ranked r JOIN targets t ON r.dim = t.dim AND r.rn = t.rn
+        |ORDER BY r.dim, t.decile""".stripMargin,
+    "q242_rendezvous_reshard" -> {
+      // single-line hash expr: a continuation line starting with `||`
+      // would lose its first `|` to the OUTER stripMargin pass
+      def rdv(n: Int): String =
+        s"""SELECT doc_id, sh AS owner FROM (
+           | SELECT doc_id, sh, row_number() OVER (
+           |   PARTITION BY doc_id ORDER BY h DESC, sh DESC) AS rn
+           | FROM (
+           |  SELECT doc_id, sh,
+           |   CAST('0x' || substring(md5(concat('rdv|', CAST(doc_id AS VARCHAR), '#', CAST(sh AS VARCHAR))), 1, 8) AS BIGINT) AS h
+           |  FROM (SELECT doc_id, unnest(generate_series(0, ${n - 1}))
+           |         AS sh FROM documents)))
+           |WHERE rn = 1""".stripMargin
+      s"""WITH r8 AS (${rdv(8)}),
+        |r10 AS (${rdv(10)}),
+        |m AS (
+        | SELECT doc_id,
+        |  ${TrainingPipelinePack.duckBucket("doc_id", "shard", 8)} AS m8,
+        |  ${TrainingPipelinePack.duckBucket("doc_id", "shard", 10)} AS m10
+        | FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN m.m8 <> m.m10 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS moved_mod,
+        | CAST(sum(CASE WHEN r8.owner <> r10.owner THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS moved_rdv,
+        | CAST(sum(CASE WHEN m.m8 <> m.m10 THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / count(*) AS mod_move_frac,
+        | CAST(sum(CASE WHEN r8.owner <> r10.owner THEN 1 ELSE 0 END)
+        |   AS DOUBLE) / count(*) AS rdv_move_frac
+        |FROM m JOIN r8 USING (doc_id) JOIN r10 USING (doc_id)""".stripMargin
+    },
     "q234_bloom_join" -> {
       def h(id: String, j: Int): String =
         s"CAST('0x' || substring(md5('bj$j|' || CAST($id AS VARCHAR)), " +

@@ -147,6 +147,44 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
   }
 
+  test("q241: decile edges are matrix elements, monotone per dim, 640 rows") {
+    val rows = run("q241_embedding_quantiles").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    assert(rows.length === 640)
+    val byDim = rows.groupBy(_._1)
+    assert(byDim.size === 64)
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .selectExpr("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    byDim.foreach { case (d, g) =>
+      val sorted = emb.map(_(d).toDouble).sorted
+      val edges = g.sortBy(_._2).map(_._3)
+      assert(edges.zip(edges.tail).forall { case (a, b) => a <= b })
+      // exact rank selection: decile k = element ⌈k·n/10⌉
+      g.foreach { case (_, k, e) =>
+        assert(e === sorted(math.ceil(k * sorted.length / 10.0).toInt - 1),
+          s"dim $d decile $k")
+      }
+    }
+  }
+
+  test("q242: rendezvous moves ~2/10 of docs; mod-N moves most of them") {
+    val r = run("q242_rendezvous_reshard").collect().head
+    val n = r.getLong(0)
+    assert(n > 0)
+    // JVM recompute of the rendezvous owners
+    val ids = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("doc_id").collect().map(_.getLong(0))
+    def owner(id: Long, shards: Int): Int =
+      (0 until shards).maxBy(sh => (md5u32(s"rdv|$id#$sh"), sh))
+    val movedRdv = ids.count(id => owner(id, 8) != owner(id, 10))
+    assert(r.getLong(2) === movedRdv.toLong, "rendezvous moved count")
+    // expectation: rendezvous ≈ 2/10 moved, mod-N ≈ 9/10 moved
+    assert(r.getDouble(4) < 0.35, s"rdv frac ${r.getDouble(4)}")
+    assert(r.getDouble(3) > 0.7, s"mod frac ${r.getDouble(3)}")
+    assert(r.getDouble(4) < r.getDouble(3))
+  }
+
   // --- plan pins -----------------------------------------------------------
 
   private def planOf(name: String): String =
