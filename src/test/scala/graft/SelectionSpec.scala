@@ -214,6 +214,24 @@ class SelectionSpec extends SparkSpecBase {
     }
   }
 
+  test("q231 plan: the tokenized base is cached once and feeds every stage") {
+    val df = run("q231_selection_pipeline")
+    df.count() // materialize the persist
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+    val inMem = leaves.count(
+      _.getClass.getSimpleName.startsWith("InMemoryRelation"))
+    // class check, not string: InMemoryRelation PRINTS its cached plan,
+    // so a substring test would see phantom parquet scans (the r4 trap)
+    val rawScans = leaves.count(l =>
+      !l.getClass.getSimpleName.startsWith("InMemoryRelation") &&
+        l.toString.contains("documents.parquet"))
+    // every branch (signals, median, weights, scores, packing) must read
+    // the cached base — a raw documents scan means a branch escaped the
+    // persist and the corpus would be re-read at 100 TB
+    assert(inMem >= 2, s"expected cached-base reuse, got $inMem InMemory")
+    assert(rawScans === 0, s"found $rawScans uncached documents scans")
+  }
+
   // --- streaming packer parity --------------------------------------------
 
   test("streaming packer equals the batch fold after batch-split replay") {
