@@ -419,8 +419,67 @@ object ScaleOpsPack extends QueryPack {
           .as("rdv_move_frac"))
   }
 
+  // --- q243: bloom-accelerated decontamination ------------------------------
+
+  /** q243 — the q234 runtime-filter pattern applied to the LLM-pipeline
+    * op where it matters most: eval-set decontamination. q143 broadcasts
+    * the eval suite's distinct 8-grams and semi-joins — fine while the
+    * suite is small; when the union of benchmarks outgrows the broadcast
+    * budget, the practical fix is a BLOOM of the eval grams (m=65536,
+    * k=3 — the bit-position table stays broadcastable no matter how
+    * many grams hashed into it) pre-filtering the exploded corpus gram
+    * stream so only bloom-passing grams reach the exact check. The
+    * ledger proves the contract: zero bloom-missed true hits (no false
+    * negatives, reported as a column the spec pins to 0), the
+    * false-pass overhead the k/m choice costs, and a contaminated-doc
+    * count that must equal q143's exact answer.
+    */
+  private def q243(s: SparkSession, dir: String): DataFrame = {
+    val m = 65536
+    def grams8(text: Column): Column = {
+      val tk = TextOps.toks(text)
+      when(size(tk) >= 8,
+        transform(sequence(lit(1), size(tk) - 7),
+          i => concat_ws(" ", slice(tk, i, lit(8)))))
+        .otherwise(array())
+    }
+    def pos(g: Column, j: Int): Column = md5Hash32(g, s"dc$j") % m
+    val docs = Tables.loadParallel(s, dir, "documents")
+    val evalGrams = docs.filter(col("source") === "src0")
+      .select(explode(grams8(col("text"))).as("gram")).distinct()
+    val bits = evalGrams
+      .select(explode(array((0 until BloomK).map(j =>
+        pos(col("gram"), j)): _*)).as("p"))
+      .distinct()
+    val exploded = docs.filter(col("source") =!= "src0")
+      .select(col("doc_id"), explode(grams8(col("text"))).as("gram"))
+    val probed = (0 until BloomK).foldLeft(exploded) { (df, j) =>
+      df.join(broadcast(bits.select(col("p").as(s"p$j"),
+        lit(1).as(s"hit$j"))),
+        pos(col("gram"), j) === col(s"p$j"), "left")
+        .drop(s"p$j")
+    }.withColumn("pass",
+      (0 until BloomK).map(j => coalesce(col(s"hit$j"), lit(0)))
+        .reduce(_ + _) === BloomK)
+    probed
+      .join(broadcast(evalGrams.withColumn("ex", lit(1))),
+        Seq("gram"), "left")
+      .agg(count(lit(1)).as("n_train_grams"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_bloom_pass"),
+        sum(when(col("ex") === 1, 1L).otherwise(0L)).as("n_exact_hits"),
+        sum(when(col("pass") && col("ex").isNull, 1L).otherwise(0L))
+          .as("n_false_pass"),
+        sum(when(col("ex") === 1 && !col("pass"), 1L).otherwise(0L))
+          .as("n_bloom_missed"),
+        countDistinct(when(col("ex") === 1, col("doc_id")))
+          .as("n_contaminated_docs"))
+      .withColumn("bloom_selectivity",
+        col("n_bloom_pass").cast("double") / col("n_train_grams"))
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq(
+      "q243_bloom_decontam" -> q243 _,
       "q241_embedding_quantiles" -> q241 _,
       "q242_rendezvous_reshard" -> q242 _,
       "q234_bloom_join" -> q234 _,
@@ -432,6 +491,52 @@ object ScaleOpsPack extends QueryPack {
       "q240_join_card_estimate" -> q240 _)
 
   override val oracle: Seq[(String, String)] = Seq(
+    "q243_bloom_decontam" -> {
+      def h(j: Int): String =
+        s"CAST('0x' || substring(md5('dc$j|' || gram), 1, 8) AS BIGINT) % 65536"
+      def hq(j: Int): String =
+        s"CAST('0x' || substring(md5('dc$j|' || t.gram), 1, 8) AS BIGINT) % 65536"
+      s"""WITH tk AS (
+        | SELECT doc_id, source,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        | FROM documents),
+        |g AS (
+        | SELECT doc_id, source,
+        |  unnest(list_transform(range(1, len(tk) - 6),
+        |    i -> array_to_string(list_slice(tk, i, i + 7), ' '))) AS gram
+        | FROM tk WHERE len(tk) >= 8),
+        |eval_g AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+        |bits AS (
+        | SELECT DISTINCT p FROM (
+        |  SELECT ${h(0)} AS p FROM eval_g
+        |  UNION ALL SELECT ${h(1)} FROM eval_g
+        |  UNION ALL SELECT ${h(2)} FROM eval_g)),
+        |probed AS (
+        | SELECT t.doc_id, t.gram,
+        |  (CASE WHEN b0.p IS NULL THEN 0 ELSE 1 END
+        |   + CASE WHEN b1.p IS NULL THEN 0 ELSE 1 END
+        |   + CASE WHEN b2.p IS NULL THEN 0 ELSE 1 END) = 3 AS pass,
+        |  e.gram IS NOT NULL AS hit
+        | FROM (SELECT doc_id, gram FROM g WHERE source <> 'src0') t
+        | LEFT JOIN bits b0 ON ${hq(0)} = b0.p
+        | LEFT JOIN bits b1 ON ${hq(1)} = b1.p
+        | LEFT JOIN bits b2 ON ${hq(2)} = b2.p
+        | LEFT JOIN eval_g e ON t.gram = e.gram)
+        |SELECT CAST(count(*) AS BIGINT) AS n_train_grams,
+        | CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_bloom_pass,
+        | CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_exact_hits,
+        | CAST(sum(CASE WHEN pass AND NOT hit THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_false_pass,
+        | CAST(sum(CASE WHEN hit AND NOT pass THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_bloom_missed,
+        | CAST(count(DISTINCT CASE WHEN hit THEN doc_id END) AS BIGINT)
+        |   AS n_contaminated_docs,
+        | CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+        |   AS bloom_selectivity
+        |FROM probed""".stripMargin
+    },
     "q241_embedding_quantiles" ->
       """WITH vals AS (
         | SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v

@@ -185,6 +185,18 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(r.getDouble(4) < r.getDouble(3))
   }
 
+  test("q243: no bloom-missed hits; contaminated docs agree with q143") {
+    val r = run("q243_bloom_decontam").collect().head
+    assert(r.getLong(4) === 0L, "a Bloom filter can't have false negatives")
+    assert(r.getLong(1) >= r.getLong(2), "pass ⊇ exact hits")
+    assert(r.getLong(3) === r.getLong(1) - r.getLong(2))
+    val q143 = SparkEntry.queries("q143_decontamination")(spark, sf0001)
+      .collect().map(_.getLong(2)).sum
+    assert(r.getLong(5) === q143,
+      "bloom path must reach the same exact contamination verdicts")
+    assert(r.getDouble(6) > 0.0 && r.getDouble(6) < 1.0)
+  }
+
   // --- plan pins -----------------------------------------------------------
 
   private def planOf(name: String): String =
