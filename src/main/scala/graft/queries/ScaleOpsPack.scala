@@ -477,8 +477,94 @@ object ScaleOpsPack extends QueryPack {
         col("n_bloom_pass").cast("double") / col("n_train_grams"))
   }
 
+  // --- q244: per-group OLS trend -------------------------------------------
+
+  /** q244 — per-priority linear trend of daily revenue by EXPLICIT
+    * least-squares sums (the q185 Zipf doctrine: never `regr_*`
+    * aggregates, whose accumulation schemes differ across engines): x =
+    * days since the global first order, y = exact daily cents; n, Σx,
+    * Σy, Σxy, Σx², Σy² are all exact longs (bounded: x is
+    * calendar-scaled, so the largest product nΣxy sits well inside
+    * 2⁶³ at any corpus size — the CENTS grow, not x), and slope /
+    * intercept / r² are built from them in one identical double
+    * sequence. Complements q196/q239 (model-based smoothing) with the
+    * closed-form trend a reporting layer wants. One reduce to the
+    * day grain, one to the 5-row group grain.
+    */
+  private def q244(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+    val d0 = orders.agg(min(to_date(col("o_orderdate"))).as("d0"))
+    val daily = orders
+      .groupBy(col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y"))
+      .crossJoin(broadcast(d0))
+      .select(col("priority"), datediff(col("d"), col("d0"))
+        .cast("long").as("x"), col("y"))
+    // x-scaled sums stay exact longs (x is calendar-bounded, so n·Σxy ≪
+    // 2⁶³ even when cents grow); Σy² is cents² — it overflows long at
+    // sf0.1 already, so it rides an exact DECIMAL(38,0) (HUGEINT on the
+    // DuckDB side) and enters the r² denominator through one identical
+    // double sequence.
+    val sums = daily.groupBy("priority").agg(
+      count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy"))
+      .cast("double")
+    val den = (col("n") * col("sxx") - col("sx") * col("sx"))
+      .cast("double")
+    val deny = col("n").cast("double") * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    sums.select(col("priority"), col("n").as("n_days"),
+      (num / den).as("slope_cents_per_day"),
+      ((col("sy").cast("double") - num / den * col("sx")) / col("n"))
+        .as("intercept_cents"),
+      (num * num / (den * deny)).as("r2"))
+      .orderBy("priority")
+  }
+
+  // --- q245: funnel conversion with Wilson intervals -----------------------
+
+  /** q245 — funnel step conversion rates with Wilson 95% score intervals:
+    * per step (view→click, click→purchase) the k/n conversion plus the
+    * interval bounds — the uncertainty a product team needs before
+    * reading a step change as real. k and n come exact from the q199
+    * funnel levels; the Wilson center/half-width runs in ONE fixed
+    * double sequence (z = 1.96; sqrt is IEEE-correctly-rounded in both
+    * engines — the q195 doctrine — so no rounding is needed anywhere).
+    */
+  private def q245(s: SparkSession, dir: String): DataFrame = {
+    val levels = ExperimentsPack
+      .funnelState(Tables.load(s, dir, "events"), 604800000000L)
+      .agg(
+        sum(when(col("level") >= 1, 1L).otherwise(0L)).as("l1"),
+        sum(when(col("level") >= 2, 1L).otherwise(0L)).as("l2"),
+        sum(when(col("level") >= 3, 1L).otherwise(0L)).as("l3"))
+    val steps = levels.select(explode(array(
+      struct(lit("view_to_click").as("step"), col("l1").as("n"),
+        col("l2").as("k")),
+      struct(lit("click_to_purchase").as("step"), col("l2").as("n"),
+        col("l3").as("k")))).as("s"))
+      .select(col("s.step").as("step"), col("s.n").as("n"),
+        col("s.k").as("k"))
+    val z = lit(1.96)
+    val p = col("k").cast("double") / col("n")
+    val zz = z * z
+    val denom = lit(1.0) + zz / col("n")
+    val center = (p + zz / (lit(2.0) * col("n"))) / denom
+    val half = z * sqrt(p * (lit(1.0) - p) / col("n") +
+      zz / (lit(4.0) * col("n") * col("n"))) / denom
+    steps.select(col("step"), col("n"), col("k"), p.as("rate"),
+      (center - half).as("wilson_lo"), (center + half).as("wilson_hi"))
+      .orderBy("step")
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq(
+      "q244_ols_trend" -> q244 _,
+      "q245_wilson_funnel" -> q245 _,
       "q243_bloom_decontam" -> q243 _,
       "q241_embedding_quantiles" -> q241 _,
       "q242_rendezvous_reshard" -> q242 _,
@@ -491,6 +577,89 @@ object ScaleOpsPack extends QueryPack {
       "q240_join_card_estimate" -> q240 _)
 
   override val oracle: Seq[(String, String)] = Seq(
+    "q244_ols_trend" ->
+      """WITH d0 AS (
+        | SELECT min(CAST(o_orderdate AS DATE)) AS d0 FROM orders),
+        |daily AS (
+        | SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE)
+        |   AS d,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+        | FROM orders GROUP BY 1, 2),
+        |xy AS (
+        | SELECT priority,
+        |  CAST(date_diff('day', d0.d0, d) AS BIGINT) AS x, y
+        | FROM daily, d0),
+        |sums AS (
+        | SELECT priority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x * y) AS BIGINT) AS sxy,
+        |  CAST(sum(x * x) AS BIGINT) AS sxx,
+        |  sum(y * y) AS syy
+        | FROM xy GROUP BY priority)
+        |SELECT priority, n AS n_days,
+        | CAST(n * sxy - sx * sy AS DOUBLE)
+        |   / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_day,
+        | (CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+        |     / CAST(n * sxx - sx * sx AS DOUBLE) * sx) / n
+        |   AS intercept_cents,
+        | CAST(n * sxy - sx * sy AS DOUBLE)
+        |   * CAST(n * sxy - sx * sy AS DOUBLE)
+        |   / (CAST(n * sxx - sx * sx AS DOUBLE)
+        |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2
+        |FROM sums ORDER BY priority""".stripMargin,
+    "q245_wilson_funnel" ->
+      """WITH ev AS (
+        | SELECT user_id, epoch_us(ts) AS us,
+        |  CASE event_type WHEN 'view' THEN CAST(1 AS BIGINT)
+        |   WHEN 'click' THEN 2 ELSE 3 END AS c
+        | FROM events
+        | WHERE event_type IN ('view', 'click', 'purchase')),
+        |init AS (
+        | SELECT user_id, [us, c,
+        |  CASE WHEN c = 1 THEN us ELSE 9223372036854775807 END,
+        |  9223372036854775807, 9223372036854775807] AS e
+        | FROM ev),
+        |folded AS (
+        | SELECT user_id,
+        |  list_reduce(list_sort(list(e)), (acc, x) -> [
+        |   x[1], x[2],
+        |   CASE WHEN x[2] = 1 THEN least(acc[3], x[1]) ELSE acc[3] END,
+        |   CASE WHEN x[2] = 2 AND acc[3] < x[1]
+        |         AND x[1] - acc[3] <= 604800000000
+        |        THEN least(acc[4], x[1]) ELSE acc[4] END,
+        |   CASE WHEN x[2] = 3 AND acc[4] < x[1]
+        |         AND x[1] - acc[3] <= 604800000000
+        |        THEN least(acc[5], x[1]) ELSE acc[5] END]) AS f
+        | FROM init GROUP BY user_id),
+        |lv AS (
+        | SELECT
+        |  CAST(sum(CASE WHEN f[3] < 9223372036854775807
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS l1,
+        |  CAST(sum(CASE WHEN f[4] < 9223372036854775807
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS l2,
+        |  CAST(sum(CASE WHEN f[5] < 9223372036854775807
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS l3
+        | FROM folded),
+        |steps AS (
+        | SELECT 'view_to_click' AS step, l1 AS n, l2 AS k FROM lv
+        | UNION ALL
+        | SELECT 'click_to_purchase', l2, l3 FROM lv)
+        |SELECT step, n, k,
+        | CAST(k AS DOUBLE) / n AS rate,
+        | (CAST(k AS DOUBLE) / n + (1.96 * 1.96) / (2.0 * n))
+        |    / (1.0 + (1.96 * 1.96) / n)
+        |  - 1.96 * sqrt(CAST(k AS DOUBLE) / n
+        |      * (1.0 - CAST(k AS DOUBLE) / n) / n
+        |      + (1.96 * 1.96) / (4.0 * n * n))
+        |    / (1.0 + (1.96 * 1.96) / n) AS wilson_lo,
+        | (CAST(k AS DOUBLE) / n + (1.96 * 1.96) / (2.0 * n))
+        |    / (1.0 + (1.96 * 1.96) / n)
+        |  + 1.96 * sqrt(CAST(k AS DOUBLE) / n
+        |      * (1.0 - CAST(k AS DOUBLE) / n) / n
+        |      + (1.96 * 1.96) / (4.0 * n * n))
+        |    / (1.0 + (1.96 * 1.96) / n) AS wilson_hi
+        |FROM steps ORDER BY step""".stripMargin,
     "q243_bloom_decontam" -> {
       def h(j: Int): String =
         s"CAST('0x' || substring(md5('dc$j|' || gram), 1, 8) AS BIGINT) % 65536"

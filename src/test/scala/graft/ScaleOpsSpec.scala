@@ -197,6 +197,60 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(r.getDouble(6) > 0.0 && r.getDouble(6) < 1.0)
   }
 
+  test("q244: JVM least-squares recompute from exact integer sums") {
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+      .selectExpr("o_orderpriority", "CAST(o_orderdate AS DATE)",
+        "CAST(round(o_totalprice * 100) AS LONG)").collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val d0 = orders.map(_._2).min
+    val daily = orders.groupBy(o => (o._1, o._2))
+      .map { case ((p, d), g) =>
+        (p, java.time.temporal.ChronoUnit.DAYS.between(d0, d),
+          g.map(_._3).sum)
+      }.toSeq
+    val expect = daily.groupBy(_._1).map { case (p, g) =>
+      val n = g.size.toLong
+      val sx = g.map(_._2).sum; val sy = g.map(_._3).sum
+      val sxy = g.map(t => t._2 * t._3).sum
+      val sxx = g.map(t => t._2 * t._2).sum
+      val syy = g.map(t => BigInt(t._3) * BigInt(t._3)).sum
+      val num = (n * sxy - sx * sy).toDouble
+      val den = (n * sxx - sx * sx).toDouble
+      val deny = n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble
+      p -> ((n, num / den, num * num / (den * deny)))
+    }
+    val got = run("q244_ols_trend").collect()
+    assert(got.length === expect.size)
+    got.foreach { r =>
+      val (n, slope, r2) = expect(r.getString(0))
+      assert(r.getLong(1) === n)
+      assert(r.getDouble(2) === slope, s"${r.getString(0)} slope")
+      assert(r.getDouble(4) === r2, s"${r.getString(0)} r2")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
+  test("q245: Wilson interval brackets the rate; counts match q199 levels") {
+    val levels = SparkEntry.queries("q199_window_funnel")(spark, sf0001)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def atLeast(k: Int) = levels.filter(_._1 >= k).values.sum
+    val got = run("q245_wilson_funnel").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(got("view_to_click")._1 === atLeast(1))
+    assert(got("view_to_click")._2 === atLeast(2))
+    assert(got("click_to_purchase")._1 === atLeast(2))
+    assert(got("click_to_purchase")._2 === atLeast(3))
+    got.foreach { case (step, (n, k, rate, lo, hi)) =>
+      assert(rate === k.toDouble / n)
+      // p̂ = 1 is a real case here (every viewer clicked at sf0.001) and
+      // Wilson's upper bound is then exactly 1.0 — bracket inclusively
+      assert(lo <= rate && rate <= hi, s"$step interval brackets the rate")
+      assert(lo >= 0.0 && hi <= 1.0, s"$step Wilson stays inside [0,1]")
+    }
+  }
+
   // --- plan pins -----------------------------------------------------------
 
   private def planOf(name: String): String =
