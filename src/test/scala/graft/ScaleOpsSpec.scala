@@ -269,6 +269,19 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"), p.take(1500))
   }
 
+  test("rank-grid quantile family plans: target grids broadcast") {
+    // q226/q236/q241 all join a ranked stream against a tiny target-rank
+    // grid — the grid must broadcast; a shuffle join would sort the
+    // corpus twice at 100 TB
+    for (q <- Seq("q226_exact_deciles", "q236_histogram_quantiles",
+      "q241_embedding_quantiles")) {
+      val p = planOf(q)
+      assert(p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(800)}")
+      assert(!p.contains("SortMergeJoin"), s"$q must not shuffle-sort join")
+    }
+  }
+
   test("q222 plan: packing folds without any join or global sort") {
     val p = planOf("q222_sequence_packing")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"))
