@@ -73,16 +73,24 @@ object ScaleOpsPack extends QueryPack {
       .withColumn("pass",
         (0 until BloomK).map(j => coalesce(col(s"hit$j"), lit(0)))
           .reduce(_ + _) === BloomK)
-    val joined = passed.filter(col("pass"))
+    // The whole ledger (fact count, filter survivors, exact-join keeps,
+    // false passes, revenue) is ONE conditional aggregation over the
+    // probed stream: `pass` rides inside the exact join's condition so
+    // non-survivors skip the probe but stay countable, and no count
+    // re-derives the md5 probe chain on a fresh lineitem scan (the
+    // pack's scan-bandwidth doctrine — q231 persists its base for the
+    // same reason).
+    passed
       .join(broadcast(hot.withColumn("is_hot", lit(1))),
-        col("l_orderkey") === col("o_orderkey"), "left")
-    joined.select(col("pass"), col("is_hot"), col("rev_e4"))
-      .agg(sum(when(col("is_hot") === 1, 1L).otherwise(0L)).as("n_joined"),
-        sum(when(col("is_hot").isNull, 1L).otherwise(0L)).as("n_false_pass"),
-        sum(when(col("is_hot") === 1, col("rev_e4"))).as("joined_e4"))
-      .crossJoin(broadcast(fact.agg(count(lit(1)).as("n_fact"))))
-      .crossJoin(broadcast(
-        passed.agg(sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"))))
+        col("pass") && col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(count(lit(1)).as("n_fact"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+        sum(when(col("pass") && col("is_hot") === 1, 1L).otherwise(0L))
+          .as("n_joined"),
+        sum(when(col("pass") && col("is_hot").isNull, 1L).otherwise(0L))
+          .as("n_false_pass"),
+        sum(when(col("pass") && col("is_hot") === 1, col("rev_e4")))
+          .as("joined_e4"))
       .select(col("n_fact"), col("n_pass"), col("n_joined"),
         col("n_false_pass"),
         (lit(1.0) - col("n_pass").cast("double") / col("n_fact"))
@@ -145,8 +153,12 @@ object ScaleOpsPack extends QueryPack {
     * q226 machinery, global axis). Everything is integer arithmetic —
     * bin ids, cumulative counts, edge values, errors — so the audit is
     * bit-deterministic. The histogram is one partial-agg shuffle of ≤64
-    * groups however large the corpus; the exact side pays the sort —
-    * which is exactly the trade the audit quantifies.
+    * groups however large the corpus; the exact side pays a full rank —
+    * written here as a GLOBAL row_number window (single-task, fine at
+    * audit scale and required for oracle parity), which at 100 TB would
+    * be replaced by the q226 rank-grid join or a TakeOrdered head, per
+    * the q229 substitution note. The audit quantifies exactly that
+    * sketch-vs-rank trade.
     */
   private def q236(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
@@ -502,15 +514,18 @@ object ScaleOpsPack extends QueryPack {
       .select(col("priority"), datediff(col("d"), col("d0"))
         .cast("long").as("x"), col("y"))
     // x-scaled sums stay exact longs (x is calendar-bounded, so n·Σxy ≪
-    // 2⁶³ even when cents grow); Σy² is cents² — it overflows long at
-    // sf0.1 already, so it rides an exact DECIMAL(38,0) (HUGEINT on the
-    // DuckDB side) and enters the r² denominator through one identical
-    // double sequence.
+    // 2⁶³ even when cents grow); Σy² is cents² — the SUM overflows long
+    // at sf0.1 already and each per-term y² wraps silently (non-ANSI
+    // int64) once daily cents pass ~3.0e9, so BOTH the multiply and the
+    // sum ride exact DECIMAL(38,0) (HUGEINT·HUGEINT on the DuckDB side,
+    // the q205 pattern) and enter the r² denominator through one
+    // identical double sequence.
+    val dy = col("y").cast("decimal(38,0)")
     val sums = daily.groupBy("priority").agg(
       count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
       sum(col("x") * col("y")).as("sxy"),
       sum(col("x") * col("x")).as("sxx"),
-      sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+      sum(dy * dy).as("syy"))
     val num = (col("n") * col("sxy") - col("sx") * col("sy"))
       .cast("double")
     val den = (col("n") * col("sxx") - col("sx") * col("sx"))
@@ -594,7 +609,7 @@ object ScaleOpsPack extends QueryPack {
         |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
         |  CAST(sum(x * y) AS BIGINT) AS sxy,
         |  CAST(sum(x * x) AS BIGINT) AS sxx,
-        |  sum(y * y) AS syy
+        |  sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
         | FROM xy GROUP BY priority)
         |SELECT priority, n AS n_days,
         | CAST(n * sxy - sx * sy AS DOUBLE)

@@ -13,9 +13,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Parity contract: the first doc of a key seeds (bin 1, fill n) exactly
   * like the batch fold's head-seed; subsequent docs run
   * `fill + n ≤ cap ? same bin : next bin`. Cross-batch ordering is
-  * ENFORCED: the state carries the last-packed doc_id and an older or
-  * duplicate doc fails loudly rather than silently packing out of order
-  * (the [[Ewma]] replay-determinism doctrine).
+  * ENFORCED: the state carries the last-packed doc_id, and an older or
+  * duplicate doc is routed to the DEAD-LETTER output (`bin = -1`,
+  * `fill = last packed doc_id` for triage) instead of packing out of
+  * order ([[Ewma]] replay-determinism doctrine). The contract stays loud —
+  * violations are visible rows the caller can alert on — without being
+  * query-fatal: a thrown exception here would crash-loop the whole
+  * streaming query on the first late replay from a source without
+  * per-key ordered cross-batch delivery, turning one bad record into an
+  * outage. Dead-lettered docs do NOT advance the packer state, so a
+  * violation never corrupts subsequent bin assignment.
   *
   * Scale notes: state is O(active keys) × three longs; keys (source ×
   * shard) spread the sequential constraint horizontally — exactly the
@@ -44,18 +51,21 @@ object Packer {
           var acc = state.getOption
           val out = sorted.map { d =>
             val n = math.min(d.n, cap)
-            val (bin, fill) = acc match {
-              case None => (1L, n)
-              case Some((lastId, b, f)) =>
-                if (d.docId <= lastId)
-                  throw new IllegalStateException(
-                    s"packer key $key: doc ${d.docId} arrived at or " +
-                      s"before the last packed doc $lastId — out-of-order " +
-                      "delivery breaks bin assignment")
-                if (f + n <= cap) (b, f + n) else (b + 1, n)
+            acc match {
+              case Some((lastId, _, _)) if d.docId <= lastId =>
+                // ordering violation → dead-letter row, state untouched:
+                // bin = -1 flags it; fill echoes the doc_id it collided
+                // with so the alert carries its own diagnosis
+                Placed(key._1, key._2, d.docId, -1L, lastId)
+              case prev =>
+                val (bin, fill) = prev match {
+                  case None => (1L, n)
+                  case Some((_, b, f)) =>
+                    if (f + n <= cap) (b, f + n) else (b + 1, n)
+                }
+                acc = Some((d.docId, bin, fill))
+                Placed(key._1, key._2, d.docId, bin, fill)
             }
-            acc = Some((d.docId, bin, fill))
-            Placed(key._1, key._2, d.docId, bin, fill)
           }
           acc.foreach(state.update)
           out.iterator

@@ -375,4 +375,33 @@ class PlanShapeSpec extends SparkSpecBase {
         leaves.size == 2, s"$name must read only its cache, twice")
     }
   }
+
+  test("simhash candidates join on pigeonhole segments, not lang alone") {
+    val p = planOf(q("q63_simhash"))
+    // the candidate self-join must carry the segment value in its equi-key
+    // set (hamming ≤ 2 ⇒ one of 3 disjoint segments matches exactly) —
+    // a lang-only equi-join is the O(n²/|langs|) shape this pin forbids
+    val joinLines = p.linesIterator.filter(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")).toList
+    assert(joinLines.exists(_.contains("seg_val")),
+      s"candidate join must key on (lang, seg_idx, seg_val):\n${p.take(4000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "no nested-loop pair generation")
+  }
+
+  test("cosine near-dup blocks on label and prunes the sampled scan") {
+    val p = planOf(q("q64_cosine_dup"))
+    // the pair join must be a hash-partitioned equi-join on the block key,
+    // never a nested-loop cross; the 1-in-2 systematic sample must reach
+    // the parquet scan as a pushed/partial filter, not a post-scan drop
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"pair generation must stay an equi-join on label:\n${p.take(4000)}")
+    val joinLines = p.linesIterator.filter(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")).toList
+    assert(joinLines.exists(_.contains("label")),
+      s"join must key on label:\n${p.take(4000)}")
+  }
 }

@@ -277,4 +277,30 @@ class SelectionSpec extends SparkSpecBase {
       assert(streamedBySrc === batch)
     } finally q.stop()
   }
+
+  test("streaming packer dead-letters out-of-order docs without corrupting state") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Doc]
+    val q = Packer.packWithState(mem.toDS(), cap = 10L)
+      .writeStream.format("memory").queryName("packer_dlq")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(Doc("a", 0L, 1L, 4L), Doc("a", 0L, 2L, 4L))
+      q.processAllAvailable()
+      // doc 2 replayed out of order, then doc 3 in order
+      mem.addData(Doc("a", 0L, 2L, 4L), Doc("a", 0L, 3L, 4L))
+      q.processAllAvailable()
+      val rows = s.table("packer_dlq")
+        .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sortBy(t => (t._1, -t._2)).toList
+      // the replayed doc 2 lands in the DLQ (bin -1, fill = colliding id);
+      // doc 3 packs exactly as if the replay never happened (4+4+4 > 10 →
+      // bin 2), i.e. the violation did not advance or corrupt state
+      assert(rows === List((1L, 1L, 4L), (2L, 1L, 8L), (2L, -1L, 2L),
+        (3L, 2L, 4L)),
+        s"got $rows")
+    } finally q.stop()
+  }
 }
