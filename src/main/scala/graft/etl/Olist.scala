@@ -53,11 +53,50 @@ object Olist {
     StructField("product_photos_qty", StringType),
     StructField("product_weight_g", StringType)))
 
+  // seller_id rides along (real olist_order_items_dataset.csv column;
+  // the reference README projects it away, README.md:216 — ingested here
+  // to close the seller-side surface the reference names but never joins)
   val rawOrderItemsSchema: StructType = StructType(Seq(
     StructField("order_id", StringType),
     StructField("product_id", StringType),
+    StructField("seller_id", StringType),
     StructField("price", StringType),
     StructField("freight_value", StringType)))
+
+  /** Remaining Kaggle tables the reference names (README.md:54-62) but
+    * never queries — ingested with the same clean→curate discipline.
+    * Schemas from the public dataset headers
+    * (olist_sellers_dataset.csv:1; Kaggle Olist data dictionary).
+    */
+  val rawSellersSchema: StructType = StructType(Seq(
+    StructField("seller_id", StringType),
+    StructField("seller_zip_code_prefix", StringType),
+    StructField("seller_city", StringType),
+    StructField("seller_state", StringType)))
+
+  val rawGeolocationSchema: StructType = StructType(Seq(
+    StructField("geolocation_zip_code_prefix", StringType),
+    StructField("geolocation_lat", StringType),
+    StructField("geolocation_lng", StringType),
+    StructField("geolocation_city", StringType),
+    StructField("geolocation_state", StringType)))
+
+  val rawPaymentsSchema: StructType = StructType(Seq(
+    StructField("order_id", StringType),
+    StructField("payment_sequential", StringType),
+    StructField("payment_type", StringType),
+    StructField("payment_installments", StringType),
+    StructField("payment_value", StringType)))
+
+  val rawReviewsSchema: StructType = StructType(Seq(
+    StructField("review_id", StringType),
+    StructField("order_id", StringType),
+    StructField("review_score", StringType),
+    StructField("review_creation_date", StringType)))
+
+  val rawCategoryTranslationSchema: StructType = StructType(Seq(
+    StructField("product_category_name", StringType),
+    StructField("product_category_name_english", StringType)))
 
   val rawClickstreamSchema: StructType = StructType(Seq(
     StructField("event_id", StringType),
@@ -103,9 +142,70 @@ object Olist {
   /** Silver: cleaned_order_items — double casts (README.md:216,462). */
   def cleanOrderItems(raw: DataFrame): DataFrame =
     raw.select(
-      col("order_id"), col("product_id"),
+      col("order_id"), col("product_id"), col("seller_id"),
       col("price").cast("double").as("price"),
       col("freight_value").cast("double").as("freight_value"))
+
+  /** Silver: cleaned_sellers — key dedup, same survivor discipline as
+    * customers.
+    */
+  def cleanSellers(raw: DataFrame): DataFrame =
+    raw.dropDuplicates("seller_id")
+
+  /** Silver: cleaned_geolocation — the raw table carries MANY coordinate
+    * readings per zip prefix (one per address observation); cleaning
+    * reduces it to one representative row per prefix: coordinate centroid
+    * (avg lat/lng) + deterministic min() city/state survivor. This is the
+    * aggregation that makes the table joinable as a dimension — and at
+    * 100 TB it is one partial-agg shuffle at zip grain (~20k groups).
+    */
+  def cleanGeolocation(raw: DataFrame): DataFrame =
+    raw.select(
+        col("geolocation_zip_code_prefix"),
+        // try_cast: malformed coordinate readings null out and drop
+        // (the try_to_timestamp discipline — ANSI cast would fail the job)
+        expr("try_cast(geolocation_lat AS DOUBLE)").as("lat"),
+        expr("try_cast(geolocation_lng AS DOUBLE)").as("lng"),
+        col("geolocation_city"), col("geolocation_state"))
+      .na.drop(Seq("lat", "lng"))
+      .groupBy("geolocation_zip_code_prefix")
+      .agg(
+        avg("lat").as("geolocation_lat"),
+        avg("lng").as("geolocation_lng"),
+        min("geolocation_city").as("geolocation_city"),
+        min("geolocation_state").as("geolocation_state"))
+
+  /** Silver: cleaned_payments — int/double casts, null-value drop,
+    * composite-key dedup (an order pays in `payment_sequential` parts —
+    * card + voucher — so the grain is (order_id, sequential)).
+    */
+  def cleanPayments(raw: DataFrame): DataFrame =
+    raw.select(
+        col("order_id"),
+        col("payment_sequential").cast("int").as("payment_sequential"),
+        col("payment_type"),
+        col("payment_installments").cast("int").as("payment_installments"),
+        col("payment_value").cast("double").as("payment_value"))
+      .na.drop(Seq("payment_value"))
+      .dropDuplicates("order_id", "payment_sequential")
+
+  /** Silver: cleaned_reviews — score domain-validated to the 1–5 star
+    * range (the event-enum discipline), timestamp null-on-cast, key dedup.
+    */
+  def cleanReviews(raw: DataFrame): DataFrame =
+    raw.select(
+        col("review_id"), col("order_id"),
+        col("review_score").cast("int").as("review_score"),
+        try_to_timestamp(col("review_creation_date"))
+          .as("review_creation_date"))
+      .filter(col("review_score").between(1, 5))
+      .dropDuplicates("review_id")
+
+  /** Silver: cleaned category translation — key dedup on the Portuguese
+    * name (the join key into dim_product).
+    */
+  def cleanCategoryTranslation(raw: DataFrame): DataFrame =
+    raw.dropDuplicates("product_category_name")
 
   /** Silver: cleaned_clickstream (README.md:213-244): ts cast with
     * null-on-error, enum validation, null-ts drop, key dedup, event_date;
@@ -139,10 +239,46 @@ object Olist {
       "order_purchase_timestamp", "order_date")
 
   def factOrderItems(cleanedItems: DataFrame): DataFrame =
-    cleanedItems.select("order_id", "product_id", "price", "freight_value")
+    cleanedItems.select("order_id", "product_id", "seller_id", "price",
+      "freight_value")
 
   def factEvents(cleanedClickstream: DataFrame): DataFrame =
     cleanedClickstream
+
+  /** Gold: dim_seller — seller attributes enriched with the zip-prefix
+    * coordinate centroid (geolocation broadcast: ~20k rows at full scale).
+    */
+  def dimSeller(cleanedSellers: DataFrame,
+      cleanedGeo: DataFrame): DataFrame =
+    cleanedSellers.join(
+        broadcast(cleanedGeo.select(
+          col("geolocation_zip_code_prefix").as("seller_zip_code_prefix"),
+          col("geolocation_lat").as("seller_lat"),
+          col("geolocation_lng").as("seller_lng"))),
+        Seq("seller_zip_code_prefix"), "left")
+      .select("seller_id", "seller_zip_code_prefix", "seller_city",
+        "seller_state", "seller_lat", "seller_lng")
+
+  def factPayments(cleanedPayments: DataFrame): DataFrame =
+    cleanedPayments.select("order_id", "payment_sequential", "payment_type",
+      "payment_installments", "payment_value")
+
+  def factReviews(cleanedReviews: DataFrame): DataFrame =
+    cleanedReviews.select("review_id", "order_id", "review_score",
+      "review_creation_date")
+
+  /** Gold: dim_product with the English category grafted on (translation
+    * is a ~70-row broadcast dim; untranslated categories keep the
+    * Portuguese name — the left-join + coalesce discipline).
+    */
+  def dimProductTranslated(dimProduct: DataFrame,
+      cleanedTranslation: DataFrame): DataFrame =
+    dimProduct.join(broadcast(cleanedTranslation),
+        Seq("product_category_name"), "left")
+      .select(col("product_id"), col("product_category_name"),
+        coalesce(col("product_category_name_english"),
+          col("product_category_name"))
+          .as("product_category_english"))
 
   /** Analytics 1 — funnel: sessions per event type (README.md:364-369). */
   def funnel(factEvents: DataFrame): DataFrame =
@@ -177,6 +313,44 @@ object Olist {
       .orderBy(col("revenue").desc, col("product_category_name"))
       .limit(10)
 
+  /** Analytics 4 — revenue rollup by seller state (the seller-side twin
+    * of revenue-by-category): fact_order_items ⋈ broadcast dim_seller.
+    */
+  def revenueBySellerState(factOrderItems: DataFrame,
+      dimSeller: DataFrame): DataFrame =
+    factOrderItems
+      .join(broadcast(dimSeller.select("seller_id", "seller_state")),
+        Seq("seller_id"))
+      .groupBy("seller_state")
+      .agg(round(sum("price"), 2).as("revenue"),
+        countDistinct("seller_id").as("n_sellers"))
+      .orderBy(col("revenue").desc, col("seller_state"))
+
+  /** Analytics 5 — payment-type mix: count / value / installment profile
+    * per payment type, one partial-agg shuffle at type grain.
+    */
+  def paymentMix(factPayments: DataFrame): DataFrame =
+    factPayments.groupBy("payment_type")
+      .agg(count(lit(1)).as("n_payments"),
+        round(sum("payment_value"), 2).as("total_value"),
+        round(avg("payment_installments"), 2).as("avg_installments"))
+      .orderBy(col("total_value").desc, col("payment_type"))
+
+  /** Analytics 6 — average review score per (translated) product
+    * category: reviews ⋈ order_items on order_id, category dim broadcast.
+    */
+  def reviewScoreByCategory(factReviews: DataFrame,
+      factOrderItems: DataFrame,
+      dimProductTranslated: DataFrame): DataFrame =
+    factReviews
+      .join(factOrderItems.select("order_id", "product_id"), Seq("order_id"))
+      .join(broadcast(dimProductTranslated
+        .select("product_id", "product_category_english")), Seq("product_id"))
+      .groupBy("product_category_english")
+      .agg(count(lit(1)).as("n_reviews"),
+        round(avg("review_score"), 2).as("avg_score"))
+      .orderBy("product_category_english")
+
   /** Full lifecycle from a raw-zone directory of CSVs to a curated-zone
     * directory of Parquet; returns the curated fact_events for chaining.
     */
@@ -191,11 +365,28 @@ object Olist {
       s"$rawDir/olist_order_items_dataset.csv", rawOrderItemsSchema))
     val events = cleanClickstream(readRaw(spark,
       s"$rawDir/olist_clickstream_events.csv", rawClickstreamSchema))
+    val sellers = cleanSellers(readRaw(spark,
+      s"$rawDir/olist_sellers_dataset.csv", rawSellersSchema))
+    val geo = cleanGeolocation(readRaw(spark,
+      s"$rawDir/olist_geolocation_dataset.csv", rawGeolocationSchema))
+    val payments = cleanPayments(readRaw(spark,
+      s"$rawDir/olist_order_payments_dataset.csv", rawPaymentsSchema))
+    val reviews = cleanReviews(readRaw(spark,
+      s"$rawDir/olist_order_reviews_dataset.csv", rawReviewsSchema))
+    val translation = cleanCategoryTranslation(readRaw(spark,
+      s"$rawDir/product_category_name_translation.csv",
+      rawCategoryTranslationSchema))
     Seq(
       "dim_customer" -> dimCustomer(customers),
       "dim_product" -> dimProduct(products),
+      "dim_product_translated" ->
+        dimProductTranslated(dimProduct(products), translation),
+      "dim_seller" -> dimSeller(sellers, geo),
+      "dim_geolocation" -> geo,
       "fact_orders" -> factOrders(orders),
       "fact_order_items" -> factOrderItems(items),
+      "fact_payments" -> factPayments(payments),
+      "fact_reviews" -> factReviews(reviews),
       "fact_events" -> factEvents(events)
     ).foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$outDir/$name")

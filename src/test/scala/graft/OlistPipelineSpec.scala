@@ -61,13 +61,53 @@ class OlistPipelineSpec extends SparkSpecBase {
         Seq("p3", "toys", "20", "3", "150"),
         Seq("p4", "electronics", "44", "2", "250")))
     writeCsv("olist_order_items_dataset.csv",
-      Seq("order_id", "product_id", "price", "freight_value"),
+      Seq("order_id", "product_id", "seller_id", "price", "freight_value"),
       Seq(
-        Seq("o1", "p1", "100.0", "10.0"),
-        Seq("o1", "p2", "50.0", "5.0"),
-        Seq("o2", "p2", "50.0", "5.0"),
-        Seq("o2", "p3", "100.0", "8.0"), // books ties toys at 100
-        Seq("o3", "p4", "30.0", "3.0")))
+        Seq("o1", "p1", "s_a", "100.0", "10.0"),
+        Seq("o1", "p2", "s_b", "50.0", "5.0"),
+        Seq("o2", "p2", "s_b", "50.0", "5.0"),
+        Seq("o2", "p3", "s_a", "100.0", "8.0"), // books ties toys at 100
+        Seq("o3", "p4", "s_c", "30.0", "3.0")))
+    writeCsv("olist_sellers_dataset.csv",
+      Seq("seller_id", "seller_zip_code_prefix", "seller_city",
+        "seller_state"),
+      Seq(
+        Seq("s_a", "13023", "campinas", "SP"),
+        Seq("s_a", "13023", "campinas", "SP"), // dup seller row
+        Seq("s_b", "20000", "rio de janeiro", "RJ"),
+        Seq("s_c", "99999", "nowhere", "XX"))) // zip with no geolocation
+    writeCsv("olist_geolocation_dataset.csv",
+      Seq("geolocation_zip_code_prefix", "geolocation_lat",
+        "geolocation_lng", "geolocation_city", "geolocation_state"),
+      Seq(
+        // two readings for 13023 → centroid (-22.9, -47.1)
+        Seq("13023", "-22.8", "-47.0", "campinas", "SP"),
+        Seq("13023", "-23.0", "-47.2", "campinas", "SP"),
+        Seq("20000", "-22.9", "-43.2", "rio de janeiro", "RJ"),
+        Seq("30000", "bad-lat", "-43.9", "belo horizonte", "MG"))) // dirt
+    writeCsv("olist_order_payments_dataset.csv",
+      Seq("order_id", "payment_sequential", "payment_type",
+        "payment_installments", "payment_value"),
+      Seq(
+        Seq("o1", "1", "credit_card", "3", "140.0"),
+        Seq("o1", "2", "voucher", "1", "25.0"), // split payment
+        Seq("o1", "2", "voucher", "1", "25.0"), // dup (order, seq) row
+        Seq("o2", "1", "credit_card", "1", "163.0"),
+        Seq("o3", "1", "boleto", "1", "\\N"))) // null value → dropped
+    writeCsv("olist_order_reviews_dataset.csv",
+      Seq("review_id", "order_id", "review_score",
+        "review_creation_date"),
+      Seq(
+        Seq("r1", "o1", "5", "2017-01-03 00:00:00"),
+        Seq("r1", "o1", "5", "2017-01-03 00:00:00"), // dup review
+        Seq("r2", "o2", "3", "2017-02-05 00:00:00"),
+        Seq("r3", "o3", "9", "2017-02-06 00:00:00"))) // out-of-domain score
+    writeCsv("product_category_name_translation.csv",
+      Seq("product_category_name", "product_category_name_english"),
+      Seq(
+        Seq("electronics", "electronics_en"),
+        Seq("books", "books_en")))
+        // toys intentionally untranslated → coalesce keeps 'toys'
     writeCsv("olist_clickstream_events.csv",
       Seq("event_id", "session_id", "customer_id", "event_type", "event_ts",
         "product_id", "order_id", "device_type", "traffic_source",
@@ -140,5 +180,60 @@ class OlistPipelineSpec extends SparkSpecBase {
       .collect().map(r => (r.getString(0), r.getDouble(1)))
     assert(rows.toSeq === Seq(
       ("electronics", 130.0), ("books", 100.0), ("toys", 100.0)))
+  }
+
+  test("seller/geo cleaning: dedup, centroid per zip, null-coord drop") {
+    val ds = read("dim_seller")
+    assert(ds.count() === 3) // dup s_a row collapsed
+    val sa = ds.filter(col("seller_id") === "s_a").head()
+    assert(sa.getDouble(4) === -22.9 && sa.getDouble(5) === -47.1,
+      "13023 centroid = avg of its two readings")
+    // s_c's zip has no geolocation row → left join keeps it, coords null
+    val sc = ds.filter(col("seller_id") === "s_c").head()
+    assert(sc.isNullAt(4) && sc.isNullAt(5))
+    // the bad-lat geolocation row was dropped, not nulled into a centroid
+    assert(read("dim_geolocation")
+      .filter(col("geolocation_zip_code_prefix") === "30000").count() === 0)
+  }
+
+  test("payments cleaning: composite-key dedup + null-value drop") {
+    val fp = read("fact_payments")
+    assert(fp.count() === 3) // 5 raw − dup (o1,2) − null-value o3
+    assert(fp.filter(col("order_id") === "o1").count() === 2)
+  }
+
+  test("reviews cleaning: key dedup + 1-5 score domain") {
+    val fr = read("fact_reviews")
+    assert(fr.count() === 2) // r1 dup collapsed, r3 score 9 out of domain
+    assert(fr.agg(max("review_score")).head().getInt(0) <= 5)
+  }
+
+  test("golden revenue by seller state") {
+    val rows = Olist.revenueBySellerState(
+      read("fact_order_items"), read("dim_seller"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    // s_a: 100+100=200 (SP); s_b: 50+50=100 (RJ); s_c: 30 (XX)
+    assert(rows.toSeq === Seq(
+      ("SP", 200.0, 1L), ("RJ", 100.0, 1L), ("XX", 30.0, 1L)))
+  }
+
+  test("golden payment mix") {
+    val rows = Olist.paymentMix(read("fact_payments"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(rows.toSeq === Seq(
+      ("credit_card", 2L, 303.0, 2.0), ("voucher", 1L, 25.0, 1.0)))
+  }
+
+  test("golden review score by translated category (untranslated falls back)") {
+    val rows = Olist.reviewScoreByCategory(
+      read("fact_reviews"), read("fact_order_items"),
+      read("dim_product_translated"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // o1 (score 5) touches p1(electronics), p2(books);
+    // o2 (score 3) touches p2(books), p3(toys — untranslated)
+    assert(rows.toSeq === Seq(
+      ("books_en", 2L, 4.0), ("electronics_en", 1L, 5.0), ("toys", 1L, 3.0)))
   }
 }
