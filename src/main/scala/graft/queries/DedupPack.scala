@@ -264,36 +264,36 @@ object DedupPack extends QueryPack {
     * construction is the standard one from Manku et al., WWW'07 §3.)
     */
   private def q63(s: SparkSession, dir: String): DataFrame = {
-    // persist: sigs feeds the segment explode AND both verification joins;
-    // without it the full tokenize+md5+16-vote pipeline re-runs 3×.
     val sigs = docToks(s, dir)
       .withColumn("m", transform(col("ts"), t => md5(t)))
       .select(col("doc_id"), col("lang"), simhash(col("m")).as("simhash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val segs = sigs.select(col("doc_id"), col("lang"), explode(array(
-        struct(lit(0).as("seg_idx"),
-          col("simhash").bitwiseAND(lit(0x3f)).as("seg_val")),
-        struct(lit(1).as("seg_idx"),
-          shiftright(col("simhash"), 6).bitwiseAND(lit(0x1f)).as("seg_val")),
-        struct(lit(2).as("seg_idx"),
-          shiftright(col("simhash"), 11).as("seg_val")))).as("seg"))
-      .select(col("doc_id"), col("lang"),
+    // Unlike q62's MinHash join — where only (band, doc_id) may cross the
+    // shuffle because the shingle ARRAYS are heavy — the SimHash signature
+    // is one int, so it rides through the segment join and hamming
+    // verification runs inline on the join output: no verification
+    // join-backs at all. The distinct collapses the ≤3-segment multiplicity
+    // of each verified pair.
+    val segs = sigs.select(col("doc_id"), col("lang"), col("simhash"),
+        explode(array(
+          struct(lit(0).as("seg_idx"),
+            col("simhash").bitwiseAND(lit(0x3f)).as("seg_val")),
+          struct(lit(1).as("seg_idx"),
+            shiftright(col("simhash"), 6).bitwiseAND(lit(0x1f)).as("seg_val")),
+          struct(lit(2).as("seg_idx"),
+            shiftright(col("simhash"), 11).as("seg_val")))).as("seg"))
+      .select(col("doc_id"), col("lang"), col("simhash"),
         col("seg.seg_idx").as("seg_idx"), col("seg.seg_val").as("seg_val"))
-    val cand = segs.alias("x").join(segs.alias("y"),
+    segs.alias("x").join(segs.alias("y"),
         col("x.lang") === col("y.lang") &&
           col("x.seg_idx") === col("y.seg_idx") &&
           col("x.seg_val") === col("y.seg_val") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("doc_id2"))
-      .distinct()
-    cand
-      .join(sigs.select(col("doc_id"), col("simhash")), "doc_id")
-      .join(sigs.select(col("doc_id").as("doc_id2"),
-        col("simhash").as("simhash2")), "doc_id2")
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("doc_id2"),
+        col("x.simhash").as("simhash"), col("y.simhash").as("simhash2"))
       .withColumn("hamming",
         bit_count(col("simhash").bitwiseXOR(col("simhash2"))))
       .filter(col("hamming") <= 2)
-      .select("doc_id", "doc_id2", "simhash", "simhash2", "hamming")
+      .distinct()
       .orderBy("doc_id", "doc_id2")
   }
 
