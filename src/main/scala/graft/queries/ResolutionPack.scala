@@ -51,7 +51,13 @@ object ResolutionPack extends QueryPack {
     *     both records' rare-2 lists (both rank the shared grams by the same
     *     corpus df). Common grams (shared prefixes) are almost never
     *     anyone's rarest, so blocks stay tiny — no lang-block/all-pairs
-    *     blowup (the q63 lesson), no O(n²) term at 100×;
+    *     blowup (the q63 lesson). One scale law applies, measured in
+    *     [[graft.tools.ErScaleProbe]]: the blocking-key space must
+    *     outgrow the corpus (|Σ|^ℓ ≫ n, the ER analogue of SimHash width
+    *     ~2·log₂ n) — on a k× registry, 3-gram candidates grow ×4 per
+    *     corpus doubling (digit-gram space saturates) while 5-gram
+    *     candidates grow ×2.2 with identical 100% planted recall; at
+    *     production scale raise the gram length, not the block count;
     *  3. verify candidates by exact gram-set Jaccard ≥ 0.9 AND exact
     *     agreement on nation and segment (join-back of gram arrays only
     *     for O(candidates) pairs, the q62 shape). Multi-field agreement is

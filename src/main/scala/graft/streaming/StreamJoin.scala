@@ -42,4 +42,29 @@ object StreamJoin {
         """),
         "inner")
       .select(col("p_id"), col("p_user"), col("p_ts"), col("c_ts"))
+
+  /** Left-outer variant: every purchase emits, matched or not — the true
+    * streaming twin of batch q78's LEFT (which counts zero-click
+    * purchases). The state shape differs from the inner join in one
+    * essential way: an unmatched purchase's null row CANNOT be emitted
+    * when the purchase arrives (a matching click may still be in flight);
+    * it is emitted exactly when the purchase is EVICTED from state — i.e.
+    * when the global watermark proves no click in `[p_ts − 1h, p_ts)` can
+    * ever arrive. Outer results are therefore delayed by the eviction
+    * horizon (watermark delay + interval width), which is the price of
+    * exactly-once null semantics on unbounded streams; state stays
+    * bounded by the same horizon as the inner form.
+    */
+  def attributionWithUnmatched(purchases: DataFrame, clicks: DataFrame,
+      lateness: String = "2 hours"): DataFrame =
+    purchases.withWatermark("p_ts", lateness)
+      .join(
+        clicks.withWatermark("c_ts", lateness),
+        expr("""
+          p_user = c_user AND
+          c_ts >= p_ts - INTERVAL 1 HOUR AND
+          c_ts <  p_ts
+        """),
+        "left_outer")
+      .select(col("p_id"), col("p_user"), col("p_ts"), col("c_ts"))
 }

@@ -404,4 +404,41 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(joinLines.exists(_.contains("label")),
       s"join must key on label:\n${p.take(4000)}")
   }
+
+  test("ER candidates are an equi-join on the rare gram, never all-pairs") {
+    val p = planOf(q("q251_entity_resolution"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"rare-gram blocking must stay an equi-join:\n${p.take(4000)}")
+    val joinLines = p.linesIterator.filter(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")).toList
+    assert(joinLines.exists(_.contains("g#")),
+      s"candidate join must key on the gram:\n${p.take(4000)}")
+  }
+
+  test("caliper matching broadcasts strata and joins on the score cell") {
+    val p = planOf(q("q252_propensity_match"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"stratum score table must broadcast:\n${p.take(4000)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "treated×control must never go nested-loop")
+    val joinLines = p.linesIterator.filter(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")).toList
+    assert(joinLines.exists(_.contains("cell")),
+      s"candidate join must key on the caliper cell:\n${p.take(4000)}")
+  }
+
+  test("watermark audit: events-grain running max is a PARTITIONED window") {
+    val p = planOf(q("q255_watermark_audit"))
+    val windowLines = p.linesIterator.filter(_.contains("Window ")).toList
+    // the per-row running max must carry the bucket partition spec; the
+    // only permissible unpartitioned window is the n/256-row bucket table
+    assert(windowLines.exists(_.contains("[bkt")),
+      s"running max must partition by bucket:\n${p.take(4000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      "the tiny bucket-prefix table must broadcast back")
+  }
 }

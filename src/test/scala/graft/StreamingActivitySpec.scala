@@ -109,4 +109,60 @@ class StreamingActivitySpec extends SparkSpecBase {
       assert(streamed.map(_._1) === Set(100L, 102L))
     } finally q.stop()
   }
+
+  test("left-outer interval join emits null rows once the watermark " +
+      "proves no match") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val purchases = Seq(
+      P(100, 1, ts(0, 120)), // matched by clicks at 61/119
+      P(101, 2, ts(0, 200)), // user 2's only click is outside the hour
+      P(102, 3, ts(0, 180))) // user 3 never clicks at all
+    val clicks = Seq(
+      C(1, ts(0, 61)), C(1, ts(0, 119)), C(2, ts(0, 90)))
+    // far-future rows on BOTH sides: the outer join emits a purchase's
+    // null row only when the GLOBAL watermark (min across inputs) passes
+    // its eviction horizon, so both streams must advance
+    val flushP = P(999, 98, ts(30, 0))
+    val flushC = C(99, ts(30, 0))
+
+    val pMem = MemoryStream[P]
+    val cMem = MemoryStream[C]
+    val q = StreamJoin.attributionWithUnmatched(pMem.toDF(), cMem.toDF())
+      .writeStream.format("memory").queryName("attrib_outer")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      pMem.addData(purchases: _*)
+      cMem.addData(clicks: _*)
+      q.processAllAvailable()
+      // before the watermark moves, the unmatched purchases must NOT
+      // have emitted null rows (a match could still arrive)
+      val early = s.table("attrib_outer").collect()
+        .filter(_.isNullAt(3)).map(_.getLong(0)).toSet
+      assert(early === Set.empty[Long], "premature null emission")
+      pMem.addData(flushP)
+      cMem.addData(flushC)
+      q.processAllAvailable()
+
+      val streamed = s.table("attrib_outer")
+        .filter(col("p_id") =!= 999)
+        .select("p_id", "c_ts")
+        .collect()
+        .map(r => (r.getLong(0), Option(r.getTimestamp(1)).map(_.getTime)))
+        .toSet
+      val expected = purchases.toDF().join(clicks.toDF(),
+          expr("p_user = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR " +
+            "AND c_ts < p_ts"), "left_outer")
+        .select("p_id", "c_ts")
+        .collect()
+        .map(r => (r.getLong(0), Option(r.getTimestamp(1)).map(_.getTime)))
+        .toSet
+
+      assert(streamed === expected)
+      // the two no-match purchases surfaced exactly once, as null rows
+      assert(streamed.filter(_._2.isEmpty).map(_._1) === Set(101L, 102L))
+    } finally q.stop()
+  }
 }
