@@ -431,6 +431,28 @@ class PlanShapeSpec extends SparkSpecBase {
       s"candidate join must key on the caliper cell:\n${p.take(4000)}")
   }
 
+  test("interval overlap joins on (customer, tile), never nested-loop") {
+    val p = planOf(q("q256_interval_overlap"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"tiling must make the interval join an equi-join:\n${p.take(4000)}")
+    val joinLines = p.linesIterator.filter(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")).toList
+    assert(joinLines.exists(_.contains("tile")),
+      s"pair join must key on the tile:\n${p.take(4000)}")
+  }
+
+  test("weighted quartiles: ONE lineitem scan, ONE exchange on the group") {
+    val p = planOf(q("q257_weighted_quartiles"))
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"expected 1 scan, got $scans:\n${p.take(3000)}")
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toList
+    assert(exchanges.size == 1,
+      s"cumw and total must share one exchange:\n${p.take(3000)}")
+  }
+
   test("watermark audit: events-grain running max is a PARTITIONED window") {
     val p = planOf(q("q255_watermark_audit"))
     val windowLines = p.linesIterator.filter(_.contains("Window ")).toList
