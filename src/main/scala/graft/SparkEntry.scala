@@ -19,7 +19,8 @@ object SparkEntry {
       TrainingPipelinePack, TpchShapesPack, DataQualityPack, ReportingPack,
       PretrainDepthPack, CorpusOpsPack, GraphPack, ExperimentsPack,
       EvalPack, SketchPack, ClassicOpsPack, RobustOpsPack, SelectionPack,
-      ScaleOpsPack, OlistSurfacePack, ResolutionPack, RangeOpsPack)
+      ScaleOpsPack, OlistSurfacePack, ResolutionPack, RangeOpsPack,
+      MiningPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's headline analytics shape: revenue-by-category top-10

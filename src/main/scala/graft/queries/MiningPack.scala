@@ -1,0 +1,403 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.Tables
+
+/** Statistical text/embedding mining depth (round 5): collocation
+  * extraction, exact closed-form model fitting, and the SRP-LSH scale path
+  * for embedding near-dup — operators a pretraining-corpus curator runs
+  * between the hygiene passes (TextPack/DedupPack) and the selection
+  * passes (SelectionPack). Beyond the reference surface (its text handling
+  * stops at enum validation, reference README.md:75,223); these extend the
+  * BASELINE.json LLM-pipeline north star.
+  *
+  * Scale doctrine (shared with the other packs): corpus-grain work is one
+  * scan + one shuffle to a grain that is VOCABULARY- or MODEL-sized
+  * (bigram types, Gram matrices, signature buckets), never pair-of-rows
+  * sized; everything downstream of that reduction is broadcast-joined back.
+  * Exact integer arithmetic (BIGINT / decimal(38,0) vs DuckDB HUGEINT, the
+  * q205 doctrine) everywhere an oracle compares; doubles only in final
+  * ratios where both engines execute the identical IEEE sequence.
+  */
+object MiningPack extends QueryPack {
+
+  private def toks(c: Column): Column = TextOps.toks(c)
+  private val duckToks = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  /** Adjacent-token bigrams as (w1, w2) structs (q154's zip_with shape —
+    * never `sequence(1, n-1)`, which DESCENDS for n = 0 in Spark).
+    */
+  private def bigramPairs(t: Column): Column =
+    zip_with(
+      slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+      slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+
+  // --- q258: PMI collocation mining ----------------------------------------
+
+  private val pmiMinSupport = 5
+
+  /** q258 — collocation mining by pointwise mutual information over
+    * adjacent-token bigrams: top-50 pairs by the exact integer PMI ratio
+    * `c12·N·10⁶ div (c1·c2)` (the monotone argument of PMI — log is
+    * omitted so the score stays integer-exact and oracle-comparable),
+    * with support ≥ 5. Positional marginals (c1 = bigrams whose FIRST
+    * token is w, c2 = second) are the standard bigram-PMI sample space —
+    * and they are derived FROM the pair-count relation (Σ over the other
+    * slot), so the corpus is scanned once: one explode + one groupBy to
+    * vocabulary² grain, then every join (marginals, the grand total) is a
+    * broadcast at vocab grain. At 100 TB the only corpus-grain stage is
+    * the bigram count's map-side partial agg; nothing pair-of-documents
+    * sized ever shuffles. Ratio bound: c12·N·10⁶ ≤ N²·10⁶ stays inside
+    * BIGINT to N ≈ 3·10⁶ bigram instances per... the production variant
+    * casts the numerator decimal(38,0) (HUGEINT in the oracle) — here N
+    * is vocabulary-bounded (≈ 40² types) and the BIGINT form is exact.
+    */
+  private def q258(s: SparkSession, dir: String): DataFrame = {
+    val pair = Tables.load(s, dir, "documents")
+      .select(explode(bigramPairs(toks(col("text")))).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val c1 = pair.groupBy("w1").agg(sum("c12").as("c1"))
+    val c2 = pair.groupBy("w2").agg(sum("c12").as("c2"))
+    val n = pair.agg(sum("c12").as("n_bg"))
+    pair.join(broadcast(c1), "w1").join(broadcast(c2), "w2")
+      .crossJoin(broadcast(n))
+      .filter(col("c12") >= pmiMinSupport)
+      .withColumn("pmi_micro",
+        expr("c12 * n_bg * 1000000 div (c1 * c2)"))
+      .select("w1", "w2", "c12", "c1", "c2", "n_bg", "pmi_micro")
+      .orderBy(desc("pmi_micro"), col("w1"), col("w2"))
+      .limit(50)
+  }
+
+  // --- q259: exact closed-form linear probe --------------------------------
+
+  /** q259 — a 2-feature linear probe (y = token count from x1 = n_chars,
+    * x2 = distinct-token count) fit by ordinary least squares via the
+    * NORMAL EQUATIONS, solved in closed form with Cramer's rule computed
+    * ENTIRELY in exact arithmetic: one scan accumulates the nine Gram /
+    * moment sums (per-row products cast decimal(38,0) BEFORE multiplying —
+    * the q244/q205 doctrine — so accumulation never wraps at any corpus
+    * size), the 3×3 determinants expand as sums of triple products of
+    * those sums (value-bounded « 10³⁸ here: each sum ≤ 10⁹ at sf0.1, so
+    * every triple product ≤ 10²⁷; HUGEINT on the DuckDB side), and doubles
+    * appear ONLY in the final coefficient/R² ratios, where both engines
+    * divide the same two exact integers (identical IEEE op → bit-equal).
+    * R² comes from the same sums without any per-row residual pass:
+    * SSE·det = det·Σy² − Σᵢ detᵢ·(Xᵀy)ᵢ and SST·n = n·Σy² − (Σy)² are
+    * exact integer identities. Scale shape: ONE corpus scan reduced
+    * map-side to a single 10-value row; the solve is O(1) — the shape
+    * that makes closed-form probes free at 100 TB where an iterative
+    * fitter would cost a scan per epoch.
+    */
+  private def q259(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val base = Tables.load(s, dir, "documents").select(
+      col("n_chars").as("x1"),
+      size(array_distinct(t)).cast("long").as("x2"),
+      size(t).cast("long").as("y"))
+    val g = base.agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(d(col("x1"))).as("s1"), sum(d(col("x2"))).as("s2"),
+      sum(d(col("y"))).as("sy"),
+      sum(d(col("x1")) * d(col("x1"))).as("s11"),
+      sum(d(col("x1")) * d(col("x2"))).as("s12"),
+      sum(d(col("x2")) * d(col("x2"))).as("s22"),
+      sum(d(col("x1")) * d(col("y"))).as("s1y"),
+      sum(d(col("x2")) * d(col("y"))).as("s2y"),
+      sum(d(col("y")) * d(col("y"))).as("syy"))
+    // det3 of [[a b c][p q r][u v w]] as the cofactor expansion; operands
+    // are the Gram sums (≤ 10⁹ at sf0.1), every triple product ≤ 10²⁷.
+    def det3(a: Column, b: Column, c: Column,
+             p: Column, q: Column, r: Column,
+             u: Column, v: Column, w: Column): Column =
+      a * (q * w - r * v) - b * (p * w - r * u) + c * (p * v - q * u)
+    g.select(
+        col("*"),
+        det3(col("n"), col("s1"), col("s2"),
+          col("s1"), col("s11"), col("s12"),
+          col("s2"), col("s12"), col("s22")).as("det"),
+        det3(col("sy"), col("s1"), col("s2"),
+          col("s1y"), col("s11"), col("s12"),
+          col("s2y"), col("s12"), col("s22")).as("det0"),
+        det3(col("n"), col("sy"), col("s2"),
+          col("s1"), col("s1y"), col("s12"),
+          col("s2"), col("s2y"), col("s22")).as("det1"),
+        det3(col("n"), col("s1"), col("sy"),
+          col("s1"), col("s11"), col("s1y"),
+          col("s2"), col("s12"), col("s2y")).as("det2"))
+      .select(
+        col("n").cast("bigint").as("n"),
+        (col("det0").cast("double") / col("det").cast("double")).as("beta0"),
+        (col("det1").cast("double") / col("det").cast("double")).as("beta1"),
+        (col("det2").cast("double") / col("det").cast("double")).as("beta2"),
+        (lit(1.0) -
+          ((col("det") * col("syy") - col("det0") * col("sy")
+            - col("det1") * col("s1y") - col("det2") * col("s2y"))
+            .cast("double") / col("det").cast("double")) /
+          ((col("n") * col("syy") - col("sy") * col("sy"))
+            .cast("double") / col("n").cast("double"))).as("r2"))
+  }
+
+  // --- q260: SRP-LSH embedding near-dup ------------------------------------
+
+  private val srpPlanes = 16
+  private val srpDims = 64
+  private val srpTau = 0.95
+
+  /** ±1 signed-random-projection weights, derived from md5 of the public
+    * `srp|plane|dim` label — plan-time CONSTANTS (no data dependency), so
+    * Scala computes them directly with java MessageDigest while the oracle
+    * recomputes the identical values via SQL `md5(...)`: both take the
+    * first 8 hex chars as an integer mod 2 (the md5Hash32 convention).
+    */
+  private lazy val srpW: Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(srpPlanes, srpDims) { (p, d) =>
+      val hex = md.digest(s"srp|$p|$d".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(8)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1 else -1
+    }
+  }
+
+  /** q260 — the SRP-LSH (signed-random-projection / hyperplane-hash) SCALE
+    * PATH for embedding-cosine near-dup: the angular analog of q63's text
+    * SimHash, closing the q64 note that exact cosine pairing needs an LSH
+    * route at full-corpus scale. Per vector, a 16-bit signature of sign
+    * bits `sign(Σ_d qv_d·w_{p,d})` over int8-quantized codes (the q152
+    * quantizer — integer dots, engine-exact) against md5-derived ±1
+    * hyperplanes; Goemans–Williamson gives P[bit differs] = θ/π, so
+    * high-cosine pairs land within a small hamming ball. Candidates come
+    * from the same 3-segment pigeonhole join as q63 (hamming ≤ 2 ⇒ one
+    * segment equal — a guarantee, not recall), then ONLY candidates join
+    * back for the exact-cosine verify at the production τ = 0.95.
+    *
+    * The synthetic corpus is near-orthogonal (max cos ≈ 0.47 — q64's
+    * calibration note), so true near-dups are PLANTED deterministically:
+    * every 25th vector gets a twin (`vec_id + 1000000`, first component
+    * +0.1) — cos ≈ 0.999, the operator must recover them; random pairs
+    * that survive the hamming gate die at τ. Scale shape: signatures are
+    * pure per-row codegen (the ±1 model is literal — zero joins), the
+    * segment join shuffles only (vec_id, sig, segment), and the heavy
+    * double arrays re-join only for O(candidates) — q62's doctrine.
+    */
+  private def q260(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Vectors
+    val raw = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val twins = raw.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        concat(array(col("v")(0) + lit(0.1)),
+          slice(col("v"), 2, srpDims - 1)).as("v"))
+    val base = raw.unionAll(twins)
+      .withColumn("scale",
+        array_max(transform(col("v"), x => abs(x))) / 127.0)
+      .withColumn("qv",
+        transform(col("v"), x => floor(x / col("scale") + 0.5).cast("int")))
+    val sig = (0 until srpPlanes).map { p =>
+      val w = array(srpW(p).map(lit(_)): _*)
+      val dot = aggregate(zip_with(col("qv"), w, (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x)
+      when(dot >= 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val sigs = base.select(col("vec_id"), sig.as("sig"))
+    val segs = sigs.select(col("vec_id"), col("sig"),
+        explode(array(
+          struct(lit(0).as("seg_idx"),
+            col("sig").bitwiseAND(lit(0x3f)).as("seg_val")),
+          struct(lit(1).as("seg_idx"),
+            shiftright(col("sig"), 6).bitwiseAND(lit(0x1f)).as("seg_val")),
+          struct(lit(2).as("seg_idx"),
+            shiftright(col("sig"), 11).as("seg_val")))).as("seg"))
+      .select(col("vec_id"), col("sig"),
+        col("seg.seg_idx").as("seg_idx"), col("seg.seg_val").as("seg_val"))
+    val cands = segs.alias("x").join(segs.alias("y"),
+        col("x.seg_idx") === col("y.seg_idx") &&
+          col("x.seg_val") === col("y.seg_val") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("vec_id2"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+      .filter(col("hamming") <= 2)
+      .distinct()
+    val vecs = base.select(col("vec_id"), col("v"),
+      sqrt(Vectors.dot(col("v"), col("v"))).as("nrm"))
+    vecs.join(broadcast(cands), "vec_id")
+      .join(vecs.select(col("vec_id").as("vec_id2"), col("v").as("v2"),
+        col("nrm").as("nrm2")), "vec_id2")
+      .withColumn("cos",
+        Vectors.dot(col("v"), col("v2")) / (col("nrm") * col("nrm2")))
+      .filter(col("cos") >= srpTau)
+      .select(col("vec_id"), col("vec_id2"), col("hamming"),
+        round(col("cos"), 6).as("cos6"))
+      .orderBy("vec_id", "vec_id2")
+  }
+
+  // --- q261: as-of event join ----------------------------------------------
+
+  private val asofTolUs = 604800000000L // 7 days in µs
+
+  /** q261 — AS-OF JOIN between two event streams: each purchase matches
+    * the MOST RECENT view by the same user within a 7-day tolerance
+    * (unmatched purchases kept with nulls — the left-outer as-of shape).
+    * This is the event-to-event sibling of q238's SCD2 point-in-time
+    * dimension join, and the batch twin of streaming.StreamJoin's
+    * interval attribution.
+    *
+    * Scale shape: a raw `v.ts <= p.ts` theta join would be a per-user
+    * nested loop; instead BOTH sides bucket by `ts div tolerance` and each
+    * purchase probes exactly 2 buckets (its own and the previous — any
+    * view inside [t−T, t] lives in one of them, a guarantee of W = T),
+    * making candidate generation an EQUI-join on (user_id, bucket) whose
+    * fan-in is the per-user 2-window event density, not the history
+    * length. The per-purchase argmax folds as max(struct(ts, id)) —
+    * lexicographic struct ordering gives the deterministic
+    * latest-then-highest-id tie-break, map-side combinable. The oracle
+    * runs the naive theta join + two-step max: same result is the claim.
+    */
+  private def q261(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event"), col("user_id"),
+        col("us").as("ts_p"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_event"), col("user_id"),
+        col("us").as("ts_v"), expr(s"us div ${asofTolUs}L").as("bkt"))
+    val probes = p.select(col("p_event"), col("user_id"), col("ts_p"),
+      explode(array(expr(s"ts_p div ${asofTolUs}L"),
+        expr(s"ts_p div ${asofTolUs}L - 1"))).as("bkt"))
+    val best = probes.join(v, Seq("user_id", "bkt"))
+      .filter(col("ts_v") <= col("ts_p") &&
+        col("ts_v") >= col("ts_p") - asofTolUs)
+      .groupBy("p_event")
+      .agg(max(struct(col("ts_v"), col("v_event"))).as("m"))
+    p.join(best, Seq("p_event"), "left")
+      .select(col("p_event"), col("user_id"), col("ts_p"),
+        col("m.v_event").as("v_event"), col("m.ts_v").as("ts_v"),
+        (col("ts_p") - col("m.ts_v")).as("gap_us"))
+      .orderBy("p_event")
+  }
+
+  override val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
+    Seq(
+      "q258_pmi_collocations" -> q258 _,
+      "q259_linear_probe" -> q259 _,
+      "q260_srp_lsh_dup" -> q260 _,
+      "q261_asof_join" -> q261 _)
+
+  override val oracle: Seq[(String, String)] = Seq(
+    "q258_pmi_collocations" ->
+      s"""WITH t AS (SELECT $duckToks AS tk FROM documents),
+         |b AS (
+         | SELECT unnest(list_transform(
+         |   generate_series(1, greatest(len(tk) - 1, 0)),
+         |   i -> {'w1': tk[i], 'w2': tk[i + 1]})) AS s
+         | FROM t),
+         |p AS (SELECT s.w1 AS w1, s.w2 AS w2,
+         |  CAST(count(*) AS BIGINT) AS c12 FROM b GROUP BY 1, 2),
+         |l AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM p GROUP BY 1),
+         |r AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM p GROUP BY 1),
+         |n AS (SELECT CAST(sum(c12) AS BIGINT) AS n_bg FROM p)
+         |SELECT p.w1, p.w2, c12, c1, c2, n_bg,
+         | CAST(c12 * n_bg * 1000000 // (c1 * c2) AS BIGINT) AS pmi_micro
+         |FROM p JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
+         |WHERE c12 >= $pmiMinSupport
+         |ORDER BY pmi_micro DESC, p.w1, p.w2 LIMIT 50""".stripMargin,
+    "q261_asof_join" ->
+      s"""WITH e AS (
+         | SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+         | FROM events),
+         |p AS (SELECT event_id AS p_event, user_id, us AS ts_p
+         | FROM e WHERE event_type = 'purchase'),
+         |v AS (SELECT event_id AS v_event, user_id, us AS ts_v
+         | FROM e WHERE event_type = 'view'),
+         |cand AS (
+         | SELECT p.p_event, p.ts_p, v.v_event, v.ts_v
+         | FROM p JOIN v ON v.user_id = p.user_id
+         |  AND v.ts_v <= p.ts_p AND v.ts_v >= p.ts_p - $asofTolUs),
+         |m AS (SELECT p_event, max(ts_v) AS ts_v FROM cand GROUP BY 1),
+         |m2 AS (SELECT c.p_event, m.ts_v, max(c.v_event) AS v_event
+         | FROM cand c JOIN m ON c.p_event = m.p_event AND c.ts_v = m.ts_v
+         | GROUP BY 1, 2)
+         |SELECT p.p_event, p.user_id, p.ts_p, m2.v_event, m2.ts_v,
+         | p.ts_p - m2.ts_v AS gap_us
+         |FROM p LEFT JOIN m2 ON p.p_event = m2.p_event
+         |ORDER BY p.p_event""".stripMargin,
+    "q260_srp_lsh_dup" ->
+      s"""WITH raw AS (
+         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |tw AS (
+         | SELECT vec_id + 1000000 AS vec_id,
+         |  list_concat([v[1] + 0.1], v[2:]) AS v
+         | FROM raw WHERE vec_id % 25 = 0),
+         |base AS (SELECT * FROM raw UNION ALL SELECT * FROM tw),
+         |s AS (SELECT vec_id, v,
+         |  list_max(list_transform(v, x -> abs(x)))
+         |   / CAST(127.0 AS DOUBLE) AS scale FROM base),
+         |qz AS (SELECT vec_id, v,
+         |  list_transform(v,
+         |   x -> CAST(floor(x / scale + CAST(0.5 AS DOUBLE)) AS INT)) AS qv
+         | FROM s),
+         |grid AS (SELECT p, d,
+         |  CASE WHEN CAST('0x' || substring(md5('srp|' || p || '|' || d),
+         |    1, 8) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS w
+         | FROM range($srpPlanes) t1(p), range($srpDims) t2(d)),
+         |pl AS (SELECT vec_id, p, sum(qv[d + 1] * w) AS dt
+         | FROM qz, grid GROUP BY vec_id, p),
+         |sigs AS (SELECT vec_id,
+         |  CAST(sum(CASE WHEN dt >= 0 THEN 1 << p ELSE 0 END) AS INT) AS sig
+         | FROM pl GROUP BY vec_id),
+         |cand AS (SELECT a.vec_id, b.vec_id AS vec_id2,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+         | FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id
+         | WHERE bit_count(xor(a.sig, b.sig)) <= 2),
+         |vv AS (SELECT vec_id, v,
+         |  sqrt(list_dot_product(v, v)) AS nrm FROM base)
+         |SELECT c.vec_id, c.vec_id2, c.hamming,
+         | round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos6
+         |FROM cand c JOIN vv a ON c.vec_id = a.vec_id
+         | JOIN vv b ON c.vec_id2 = b.vec_id
+         |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $srpTau
+         |ORDER BY c.vec_id, c.vec_id2""".stripMargin,
+    "q259_linear_probe" ->
+      s"""WITH base AS (
+         | SELECT CAST(n_chars AS HUGEINT) AS x1,
+         |  CAST(len(list_distinct($duckToks)) AS HUGEINT) AS x2,
+         |  CAST(len($duckToks) AS HUGEINT) AS y
+         | FROM documents),
+         |g AS (
+         | SELECT CAST(count(*) AS HUGEINT) AS n,
+         |  CAST(sum(x1) AS HUGEINT) AS s1, CAST(sum(x2) AS HUGEINT) AS s2,
+         |  CAST(sum(y) AS HUGEINT) AS sy,
+         |  CAST(sum(x1 * x1) AS HUGEINT) AS s11,
+         |  CAST(sum(x1 * x2) AS HUGEINT) AS s12,
+         |  CAST(sum(x2 * x2) AS HUGEINT) AS s22,
+         |  CAST(sum(x1 * y) AS HUGEINT) AS s1y,
+         |  CAST(sum(x2 * y) AS HUGEINT) AS s2y,
+         |  CAST(sum(y * y) AS HUGEINT) AS syy
+         | FROM base),
+         |d AS (
+         | SELECT *,
+         |  n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+         |   + s2 * (s1 * s12 - s11 * s2) AS det,
+         |  sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+         |   + s2 * (s1y * s12 - s11 * s2y) AS det0,
+         |  n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+         |   + s2 * (s1 * s2y - s1y * s2) AS det1,
+         |  n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+         |   + sy * (s1 * s12 - s11 * s2) AS det2
+         | FROM g)
+         |SELECT CAST(n AS BIGINT) AS n,
+         | CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) AS beta0,
+         | CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) AS beta1,
+         | CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) AS beta2,
+         | 1.0 - (CAST(det * syy - det0 * sy - det1 * s1y - det2 * s2y
+         |     AS DOUBLE) / CAST(det AS DOUBLE))
+         |   / (CAST(n * syy - sy * sy AS DOUBLE) / CAST(n AS DOUBLE))
+         |  AS r2
+         |FROM d""".stripMargin)
+}

@@ -1,0 +1,122 @@
+package graft
+
+/** MiningPack checks: full JVM recomputes — a scratch PMI tabulation
+  * against q258's vocabulary-grain pipeline, and a BigInt Cramer solve
+  * against q259's decimal determinant algebra.
+  */
+class MiningSpec extends SparkSpecBase {
+
+  private val sf0001 = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf0001)
+
+  private def docToks(): Array[(Long, Array[String])] =
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).split(" ").filter(_.nonEmpty)))
+
+  test("q258: PMI ratios equal the scratch tabulation, ordered, support-gated") {
+    val bigrams = docToks().flatMap { case (_, t) =>
+      t.zip(t.drop(1))
+    }
+    val c12 = bigrams.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val c1 = bigrams.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val c2 = bigrams.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val n = bigrams.length.toLong
+    val expected = c12.toSeq.filter(_._2 >= 5).map { case ((w1, w2), c) =>
+      (w1, w2, c, c1(w1), c2(w2), n, c * n * 1000000L / (c1(w1) * c2(w2)))
+    }.sortBy { case (w1, w2, _, _, _, _, pmi) => (-pmi, w1, w2) }.take(50)
+    val got = run("q258_pmi_collocations").collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got === expected)
+    // sanity: the gate actually bites and the ratio orders the output
+    assert(got.nonEmpty && got.forall(_._3 >= 5))
+    assert(got.map(_._7).sliding(2).forall(p => p.head >= p.last))
+  }
+
+  test("q259: coefficients equal a BigInt Cramer solve; R2 in (0, 1]") {
+    val feats = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("n_chars", "text").collect().map { r =>
+        val t = r.getString(1).split(" ").filter(_.nonEmpty)
+        (BigInt(r.getLong(0)), BigInt(t.distinct.length), BigInt(t.length))
+      }
+    val n = BigInt(feats.length)
+    val s1 = feats.map(_._1).sum; val s2 = feats.map(_._2).sum
+    val sy = feats.map(_._3).sum
+    val s11 = feats.map(f => f._1 * f._1).sum
+    val s12 = feats.map(f => f._1 * f._2).sum
+    val s22 = feats.map(f => f._2 * f._2).sum
+    val s1y = feats.map(f => f._1 * f._3).sum
+    val s2y = feats.map(f => f._2 * f._3).sum
+    val syy = feats.map(f => f._3 * f._3).sum
+    def det3(a: BigInt, b: BigInt, c: BigInt, p: BigInt, q: BigInt,
+             r: BigInt, u: BigInt, v: BigInt, w: BigInt): BigInt =
+      a * (q * w - r * v) - b * (p * w - r * u) + c * (p * v - q * u)
+    val det = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    val det0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
+    val det1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22)
+    val det2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y)
+    assert(det != BigInt(0))
+    val r = run("q259_linear_probe").collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getLong(0) === feats.length.toLong)
+    assert(row.getDouble(1) === det0.toDouble / det.toDouble)
+    assert(row.getDouble(2) === det1.toDouble / det.toDouble)
+    assert(row.getDouble(3) === det2.toDouble / det.toDouble)
+    val sse = (det * syy - det0 * sy - det1 * s1y - det2 * s2y).toDouble /
+      det.toDouble
+    val sst = (n * syy - sy * sy).toDouble / n.toDouble
+    assert(row.getDouble(4) === 1.0 - sse / sst)
+    assert(row.getDouble(4) > 0.0 && row.getDouble(4) <= 1.0)
+    // OLS residual identity: SSE ≥ 0 ⇒ the solve actually minimized
+    assert(sse >= 0.0 && sse <= sst)
+  }
+
+  test("q260: SRP-LSH recovers the planted high-cosine twins, nothing else") {
+    val got = run("q260_srp_lsh_dup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val planted = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .selectExpr("vec_id").collect().map(_.getLong(0))
+      .filter(_ % 25 == 0).toSet
+    // every emitted pair is (original, its twin) at near-unit cosine
+    got.foreach { case (a, b, h, c) =>
+      assert(planted.contains(a) && b == a + 1000000L,
+        s"non-planted pair ($a, $b) survived the tau=0.95 verify")
+      assert(h >= 0 && h <= 2)
+      assert(c > 0.99 && c <= 1.0)
+    }
+    // the hamming-2 ball over 16 SRP bits must catch nearly all twins:
+    // a miss needs >= 3 of 16 plane dots within the tiny quantization
+    // perturbation of zero
+    assert(got.length >= math.max(1, (planted.size * 8) / 10),
+      s"recall too low: ${got.length}/${planted.size}")
+  }
+
+  test("q261: bucketed as-of join equals the naive per-purchase scan") {
+    val tol = 604800000000L
+    val ev = graft.catalog.Tables.load(spark, sf0001, "events")
+      .selectExpr("event_id", "user_id", "event_type", "ts div 1000 AS us")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val views = ev.filter(_._3 == "view")
+    val expected = ev.filter(_._3 == "purchase").map { p =>
+      val cand = views.filter(v => v._2 == p._2 &&
+        v._4 <= p._4 && v._4 >= p._4 - tol)
+      val best = if (cand.isEmpty) None
+        else Some(cand.maxBy(v => (v._4, v._1)))
+      (p._1, p._2, p._4, best.map(_._1), best.map(_._4),
+        best.map(p._4 - _._4))
+    }.sortBy(_._1).toSeq
+    val got = SparkEntry.queries("q261_asof_join")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSeq
+    assert(got === expected)
+    // the tolerance actually bites: some purchase has a view outside it
+    assert(got.exists(_._4.isEmpty) || got.forall(_._6.forall(_ <= tol)))
+  }
+}

@@ -463,4 +463,22 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"),
       "the tiny bucket-prefix table must broadcast back")
   }
+
+  test("SRP-LSH: segment-keyed candidate join, broadcast verify join-back") {
+    val p = planOf(q("q260_srp_lsh_dup"))
+    // same contract as the q63 pin: pair generation must key on the
+    // pigeonhole segment value, never a nested-loop over all vectors
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"pair generation must stay a segment equi-join:\n${p.take(4000)}")
+    val joinLines = p.linesIterator.filter(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")).toList
+    assert(joinLines.exists(_.contains("seg_val")),
+      s"candidate join must key on (seg_idx, seg_val):\n${p.take(4000)}")
+    // the exact-cosine verify must re-join the heavy double arrays via the
+    // small candidate set (broadcast), not shuffle the corpus arrays
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate join-back must broadcast:\n${p.take(4000)}")
+  }
 }
