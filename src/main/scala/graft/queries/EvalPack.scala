@@ -323,8 +323,55 @@ object EvalPack extends QueryPack {
       .orderBy("source")
   }
 
+  // --- q262: isotonic (PAVA) calibration -----------------------------------
+
+  /** q262 — isotonic calibration of the classifier score (the monotone
+    * regression PAVA computes), over q202's 500-milli score bins, via the
+    * EXACT MINIMAX IDENTITY: the isotonic fit at bin i equals
+    * max_{j≤i} min_{k≥i} weightedMean(pos_rate over bins j..k). No
+    * sequential pool-adjacent-violators stack — the identity turns PAVA
+    * into a dense grid over an already-tiny relation, the shape that
+    * distributes. Weighted means are micro-quantized by integer division;
+    * floor is monotone, so max/min commute with it and the output is
+    * EXACTLY floor(10⁶ · exact PAVA fit) (MiningSpec-style stack
+    * recompute asserts this against the classic algorithm). Scale shape:
+    * ONE corpus-grain shuffle to score grain (shared with q200–q202);
+    * everything after — prefix sums, the j≤k pair grid, the
+    * bins×pairs bracket join — lives at BIN grain (≈ a dozen rows, B³
+    * pairs at worst), so the unpartitioned prefix window and the
+    * broadcast cross joins are model-sized at any corpus size.
+    * Calibration-curve monotonicity is guaranteed by construction.
+    */
+  private def q262(s: SparkSession, dir: String): DataFrame = {
+    val bins = scoreGrain(s, dir)
+      .groupBy(floor(col("score") / lit(500.0)).cast("int").as("bin"))
+      .agg(sum("cnt").as("n_docs"), sum("pos").as("n_pos"))
+    val w = Window.orderBy("bin")
+    val pre = bins.select(col("bin"), col("n_docs"), col("n_pos"),
+      sum("n_docs").over(w).as("pw"), sum("n_pos").over(w).as("pp"))
+    val pj = pre.select(col("bin").as("jb"),
+      (col("pw") - col("n_docs")).as("pw0"),
+      (col("pp") - col("n_pos")).as("pp0"))
+    val pk = pre.select(col("bin").as("kb"), col("pw").as("pwk"),
+      col("pp").as("ppk"))
+    val pairs = pj.crossJoin(broadcast(pk)).filter(col("jb") <= col("kb"))
+      .select(col("jb"), col("kb"),
+        call_function("div", (col("ppk") - col("pp0")) * lit(1000000L),
+          col("pwk") - col("pw0")).as("avg_micro"))
+    val fit = bins.select(col("bin")).crossJoin(broadcast(pairs))
+      .filter(col("jb") <= col("bin") && col("kb") >= col("bin"))
+      .groupBy(col("bin"), col("jb")).agg(min("avg_micro").as("mn"))
+      .groupBy("bin").agg(max("mn").as("iso_micro"))
+    bins.join(fit, "bin")
+      .select(col("bin"), col("n_docs"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n_docs")).as("raw_rate"),
+        col("iso_micro"))
+      .orderBy("bin")
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq(
+      "q262_isotonic_calibration" -> q262 _,
       "q200_classifier_auc" -> q200 _,
       "q201_pr_sweep" -> q201 _,
       "q202_calibration_bins" -> q202 _,
@@ -335,6 +382,29 @@ object EvalPack extends QueryPack {
       "q207_target_encoding" -> q207 _)
 
   override val oracle: Seq[(String, String)] = Seq(
+    "q262_isotonic_calibration" ->
+      s"""WITH $duckGrainCtes,
+         |b AS (SELECT CAST(floor(score / 500.0) AS INT) AS bin,
+         |  CAST(sum(cnt) AS BIGINT) AS n_docs,
+         |  CAST(sum(pos) AS BIGINT) AS n_pos
+         | FROM g GROUP BY 1),
+         |pre AS (SELECT bin, n_docs, n_pos,
+         |  CAST(sum(n_docs) OVER (ORDER BY bin) AS BIGINT) AS pw,
+         |  CAST(sum(n_pos) OVER (ORDER BY bin) AS BIGINT) AS pp FROM b),
+         |pj AS (SELECT bin AS jb, pw - n_docs AS pw0, pp - n_pos AS pp0
+         | FROM pre),
+         |pk AS (SELECT bin AS kb, pw AS pwk, pp AS ppk FROM pre),
+         |pairs AS (SELECT jb, kb,
+         |  CAST((ppk - pp0) * 1000000 // (pwk - pw0) AS BIGINT) AS avg_micro
+         | FROM pj, pk WHERE jb <= kb),
+         |fitj AS (SELECT b.bin, p.jb, min(p.avg_micro) AS mn
+         | FROM b, pairs p WHERE p.jb <= b.bin AND p.kb >= b.bin
+         | GROUP BY 1, 2),
+         |fit AS (SELECT bin, CAST(max(mn) AS BIGINT) AS iso_micro
+         | FROM fitj GROUP BY 1)
+         |SELECT b.bin, b.n_docs, b.n_pos,
+         | CAST(b.n_pos AS DOUBLE) / b.n_docs AS raw_rate, f.iso_micro
+         |FROM b JOIN fit f USING (bin) ORDER BY b.bin""".stripMargin,
     "q200_classifier_auc" ->
       s"""WITH $duckGrainCtes,
          |w AS (

@@ -166,4 +166,34 @@ class EvalSpec extends SparkSpecBase {
     val preds = rows.map(_.getString(1)).toSet
     assert(preds.subsetOf(Set("en", "es", "fr", "de", "und")))
   }
+
+  test("q262: minimax isotonic fit equals the classic PAVA stack, quantized") {
+    // q202 and q262 share the bin grain — recompute PAVA from q202's bins
+    val bins = run("q202_calibration_bins").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // classic weighted pool-adjacent-violators over (n_docs, n_pos)
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    bins.foreach { case (_, w, p) =>
+      blocks += ((w, p, 1))
+      while (blocks.length >= 2 && {
+        val a = blocks(blocks.length - 2); val b = blocks.last
+        // rate(a) > rate(b) ⇔ p_a·w_b > p_b·w_a (exact cross-product)
+        a._2 * b._1 > b._2 * a._1
+      }) {
+        val b = blocks.remove(blocks.length - 1)
+        val a = blocks.remove(blocks.length - 1)
+        blocks += ((a._1 + b._1, a._2 + b._2, a._3 + b._3))
+      }
+    }
+    val expected = blocks.flatMap { case (w, p, nb) =>
+      Seq.fill(nb)(p * 1000000L / w)
+    }
+    val got = run("q262_isotonic_calibration").collect()
+      .sortBy(_.getInt(0)).map(_.getLong(4)).toSeq
+    assert(got === expected.toSeq)
+    // monotone by construction, and each fit is a valid micro-rate
+    assert(got.sliding(2).forall(p => p.length < 2 || p.head <= p.last))
+    assert(got.forall(v => v >= 0L && v <= 1000000L))
+  }
 }
