@@ -369,9 +369,53 @@ object EvalPack extends QueryPack {
       .orderBy("bin")
   }
 
+  // --- q263: out-of-fold target encoding -----------------------------------
+
+  private val oofFolds = 5
+
+  /** q263 — LEAKAGE-FREE (out-of-fold) target encoding: q207's smoothed
+    * encoder, but each doc's encoding is computed from the OTHER k−1
+    * folds only (fold = salted-md5 bucket of doc_id, the q111 split
+    * machinery), so the feature never sees its own row's label — the CV
+    * discipline that separates a usable encoder from a leaky one. The
+    * algebra needs no per-fold re-aggregation: one shuffle to the
+    * (source, fold) grain, then out-of-fold counts are COMPLEMENTS
+    * (source totals minus the fold's cell; the smoothing prior likewise
+    * excludes the fold via the per-fold global complement). Every join
+    * after the grain reduce is broadcast at |sources|×k grain; counts
+    * stay exact BIGINTs with one final double division per cell.
+    */
+  private def q263(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.loadParallel(s, dir, "documents")
+      .select(col("source"),
+        TrainingPipelinePack.bucket(col("doc_id"), "oof", oofFolds)
+          .as("fold"),
+        when(CorpusOpsPack.reasonOf(TextOps.toks(col("text"))) === "pass",
+          1L).otherwise(0L).as("label"))
+      .groupBy("source", "fold")
+      .agg(count(lit(1)).as("n_sf"), sum("label").as("pos_sf"))
+      .persist()
+    val bySource = g.groupBy("source")
+      .agg(sum("n_sf").as("n_s"), sum("pos_sf").as("pos_s"))
+    val byFold = g.groupBy("fold")
+      .agg(sum("n_sf").as("n_f"), sum("pos_sf").as("pos_f"))
+    val tot = g.agg(sum("n_sf").as("n"), sum("pos_sf").as("pos"))
+    g.join(broadcast(bySource), "source")
+      .join(broadcast(byFold), "fold")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("fold"), col("n_sf"), col("pos_sf"),
+        ((col("pos_s") - col("pos_sf") + lit(smoothing) *
+          ((col("pos") - col("pos_f")).cast("double") /
+            (col("n") - col("n_f")))) /
+          (col("n_s") - col("n_sf") + lit(smoothing)).cast("double"))
+          .as("oof_enc"))
+      .orderBy("source", "fold")
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq(
       "q262_isotonic_calibration" -> q262 _,
+      "q263_oof_target_encoding" -> q263 _,
       "q200_classifier_auc" -> q200 _,
       "q201_pr_sweep" -> q201 _,
       "q202_calibration_bins" -> q202 _,
@@ -382,6 +426,31 @@ object EvalPack extends QueryPack {
       "q207_target_encoding" -> q207 _)
 
   override val oracle: Seq[(String, String)] = Seq(
+    "q263_oof_target_encoding" ->
+      s"""WITH t AS (SELECT doc_id, source, ${CorpusOpsPack.duckToks} AS tk
+         |      FROM documents),
+         |sg AS (SELECT doc_id, source, ${CorpusOpsPack.duckSignalCols}
+         |      FROM t),
+         |lb AS (SELECT source,
+         |  ${TrainingPipelinePack.duckBucket("doc_id", "oof", oofFolds)}
+         |   AS fold,
+         |  CASE WHEN ${CorpusOpsPack.duckReasonCase} = 'pass'
+         |       THEN 1 ELSE 0 END AS label
+         | FROM sg),
+         |g AS (SELECT source, fold, CAST(count(*) AS BIGINT) AS n_sf,
+         |  CAST(sum(label) AS BIGINT) AS pos_sf FROM lb GROUP BY 1, 2),
+         |bs AS (SELECT source, CAST(sum(n_sf) AS BIGINT) AS n_s,
+         |  CAST(sum(pos_sf) AS BIGINT) AS pos_s FROM g GROUP BY 1),
+         |bf AS (SELECT fold, CAST(sum(n_sf) AS BIGINT) AS n_f,
+         |  CAST(sum(pos_sf) AS BIGINT) AS pos_f FROM g GROUP BY 1),
+         |tt AS (SELECT CAST(sum(n_sf) AS BIGINT) AS n,
+         |  CAST(sum(pos_sf) AS BIGINT) AS pos FROM g)
+         |SELECT g.source, g.fold, g.n_sf, g.pos_sf,
+         | (pos_s - pos_sf + $smoothing *
+         |   (CAST(pos - pos_f AS DOUBLE) / (n - n_f)))
+         |  / CAST(n_s - n_sf + $smoothing AS DOUBLE) AS oof_enc
+         |FROM g JOIN bs USING (source) JOIN bf USING (fold) CROSS JOIN tt
+         |ORDER BY g.source, g.fold""".stripMargin,
     "q262_isotonic_calibration" ->
       s"""WITH $duckGrainCtes,
          |b AS (SELECT CAST(floor(score / 500.0) AS INT) AS bin,

@@ -196,4 +196,36 @@ class EvalSpec extends SparkSpecBase {
     assert(got.sliding(2).forall(p => p.length < 2 || p.head <= p.last))
     assert(got.forall(v => v >= 0L && v <= 1000000L))
   }
+
+  test("q263: out-of-fold encoding equals the JVM complement fold") {
+    import org.apache.spark.sql.functions._
+    val perDoc = graft.catalog.Tables.load(spark, sf0001, "documents")
+      .select(col("source"),
+        graft.queries.TrainingPipelinePack.bucket(col("doc_id"), "oof", 5)
+          .as("fold"),
+        when(graft.queries.CorpusOpsPack.reasonOf(
+          graft.queries.TextOps.toks(col("text"))) === "pass", 1L)
+          .otherwise(0L).as("label"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val cells = perDoc.groupBy(d => (d._1, d._2))
+      .map { case (k, v) => (k._1, k._2, v.length.toLong, v.map(_._3).sum) }
+    val byS = cells.groupBy(_._1).map { case (s, v) =>
+      s -> (v.map(_._3).sum, v.map(_._4).sum) }
+    val byF = cells.groupBy(_._2).map { case (f, v) =>
+      f -> (v.map(_._3).sum, v.map(_._4).sum) }
+    val n = cells.map(_._3).sum; val pos = cells.map(_._4).sum
+    val expected = cells.map { case (s, f, nSf, posSf) =>
+      val (nS, posS) = byS(s); val (nF, posF) = byF(f)
+      val enc = (posS - posSf + 20L *
+        ((pos - posF).toDouble / (n - nF))) / (nS - nSf + 20L).toDouble
+      (s, f, nSf, posSf, enc)
+    }.toSeq.sortBy(c => (c._1, c._2))
+    val got = run("q263_oof_target_encoding").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got === expected)
+    // leakage direction sanity: an all-pass cell's own labels are excluded,
+    // so its encoding can sit strictly below 1 even when the cell is pure
+    assert(got.forall(c => c._5 > 0.0 && c._5 < 1.0))
+  }
 }
