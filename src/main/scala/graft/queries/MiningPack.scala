@@ -282,12 +282,77 @@ object MiningPack extends QueryPack {
       .orderBy("p_event")
   }
 
+  // --- q264: multi-touch attribution ---------------------------------------
+
+  /** q264 — multi-touch revenue attribution: each purchase's value is
+    * credited to the view/click touches by the SAME user inside the 7-day
+    * lookback, under the three classic models side by side — first-touch
+    * (all credit to the earliest touch), last-touch (latest), and linear
+    * (value split 1/n per touch, accumulated as exact micro-cents with a
+    * per-purchase truncating division — the deterministic contract both
+    * engines replay). Candidate generation reuses q261's
+    * tolerance-bucketed 2-probe equi-join — never a theta join; the
+    * first/last argmin/argmax fold as min/max(struct(ts, id, type))
+    * (id-uniqueness makes the tie-break total), and every post-candidate
+    * aggregation lives at purchase or touch-TYPE grain. Purchases with
+    * no in-window touch assign no credit (the unattributable bucket).
+    */
+  private def q264(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("us"), col("value"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event"), col("user_id"),
+        col("us").as("ts_p"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val t = e.filter(col("event_type").isin("view", "click"))
+      .select(col("event_id").as("t_event"), col("user_id"),
+        col("event_type").as("touch"), col("us").as("ts_t"),
+        expr(s"us div ${asofTolUs}L").as("bkt"))
+    val probes = p.select(col("p_event"), col("user_id"), col("ts_p"),
+      col("cents"),
+      explode(array(expr(s"ts_p div ${asofTolUs}L"),
+        expr(s"ts_p div ${asofTolUs}L - 1"))).as("bkt"))
+    val cand = probes.join(t, Seq("user_id", "bkt"))
+      .filter(col("ts_t") <= col("ts_p") &&
+        col("ts_t") >= col("ts_p") - asofTolUs)
+      .select(col("p_event"), col("cents"), col("touch"),
+        col("ts_t"), col("t_event"))
+    val tot = cand.groupBy("p_event", "cents").agg(
+      count(lit(1)).as("n"),
+      min(struct(col("ts_t"), col("t_event"), col("touch"))).as("f"),
+      max(struct(col("ts_t"), col("t_event"), col("touch"))).as("l"))
+    val firstAgg = tot.groupBy(col("f.touch").as("touch"))
+      .agg(sum("cents").as("first_cents"), count(lit(1)).as("n_first"))
+    val lastAgg = tot.groupBy(col("l.touch").as("touch"))
+      .agg(sum("cents").as("last_cents"), count(lit(1)).as("n_last"))
+    val linAgg = cand.groupBy("p_event", "cents", "touch")
+      .agg(count(lit(1)).as("cnt"))
+      .join(tot.select("p_event", "n"), "p_event")
+      .select(col("touch"),
+        call_function("div",
+          col("cents") * lit(1000000L) * col("cnt"), col("n"))
+          .as("credit_micro"))
+      .groupBy("touch").agg(sum("credit_micro").as("linear_micro_cents"))
+    firstAgg.join(lastAgg, Seq("touch"), "full_outer")
+      .join(linAgg, Seq("touch"), "full_outer")
+      .select(col("touch"),
+        coalesce(col("first_cents"), lit(0L)).as("first_cents"),
+        coalesce(col("n_first"), lit(0L)).as("n_first"),
+        coalesce(col("last_cents"), lit(0L)).as("last_cents"),
+        coalesce(col("n_last"), lit(0L)).as("n_last"),
+        coalesce(col("linear_micro_cents"), lit(0L))
+          .as("linear_micro_cents"))
+      .orderBy("touch")
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq(
       "q258_pmi_collocations" -> q258 _,
       "q259_linear_probe" -> q259 _,
       "q260_srp_lsh_dup" -> q260 _,
-      "q261_asof_join" -> q261 _)
+      "q261_asof_join" -> q261 _,
+      "q264_multitouch_attribution" -> q264 _)
 
   override val oracle: Seq[(String, String)] = Seq(
     "q258_pmi_collocations" ->
@@ -307,6 +372,48 @@ object MiningPack extends QueryPack {
          |FROM p JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
          |WHERE c12 >= $pmiMinSupport
          |ORDER BY pmi_micro DESC, p.w1, p.w2 LIMIT 50""".stripMargin,
+    "q264_multitouch_attribution" ->
+      s"""WITH e AS (
+         | SELECT event_id, user_id, event_type, epoch_us(ts) AS us, value
+         | FROM events),
+         |p AS (SELECT event_id AS p_event, user_id, us AS ts_p,
+         |  CAST(round(value * 100) AS BIGINT) AS cents
+         | FROM e WHERE event_type = 'purchase'),
+         |t AS (SELECT event_id AS t_event, user_id, event_type AS touch,
+         |  us AS ts_t
+         | FROM e WHERE event_type IN ('view', 'click')),
+         |cand AS (
+         | SELECT p.p_event, p.cents, t.touch, t.ts_t, t.t_event
+         | FROM p JOIN t ON t.user_id = p.user_id
+         |  AND t.ts_t <= p.ts_p AND t.ts_t >= p.ts_p - $asofTolUs),
+         |rk AS (SELECT *,
+         |  row_number() OVER (PARTITION BY p_event
+         |    ORDER BY ts_t, t_event) AS rf,
+         |  row_number() OVER (PARTITION BY p_event
+         |    ORDER BY ts_t DESC, t_event DESC) AS rl
+         | FROM cand),
+         |fa AS (SELECT touch, CAST(sum(cents) AS BIGINT) AS first_cents,
+         |  CAST(count(*) AS BIGINT) AS n_first FROM rk WHERE rf = 1
+         | GROUP BY 1),
+         |la AS (SELECT touch, CAST(sum(cents) AS BIGINT) AS last_cents,
+         |  CAST(count(*) AS BIGINT) AS n_last FROM rk WHERE rl = 1
+         | GROUP BY 1),
+         |tot AS (SELECT p_event, CAST(count(*) AS BIGINT) AS n
+         | FROM cand GROUP BY 1),
+         |by2 AS (SELECT p_event, cents, touch,
+         |  CAST(count(*) AS BIGINT) AS cnt FROM cand GROUP BY 1, 2, 3),
+         |lin AS (SELECT touch,
+         |  CAST(sum(cents * 1000000 * cnt // n) AS BIGINT)
+         |   AS linear_micro_cents
+         | FROM by2 JOIN tot USING (p_event) GROUP BY 1)
+         |SELECT touch,
+         | COALESCE(first_cents, 0) AS first_cents,
+         | COALESCE(n_first, 0) AS n_first,
+         | COALESCE(last_cents, 0) AS last_cents,
+         | COALESCE(n_last, 0) AS n_last,
+         | COALESCE(linear_micro_cents, 0) AS linear_micro_cents
+         |FROM fa FULL JOIN la USING (touch) FULL JOIN lin USING (touch)
+         |ORDER BY touch""".stripMargin,
     "q261_asof_join" ->
       s"""WITH e AS (
          | SELECT event_id, user_id, event_type, epoch_us(ts) AS us

@@ -119,4 +119,44 @@ class MiningSpec extends SparkSpecBase {
     // the tolerance actually bites: some purchase has a view outside it
     assert(got.exists(_._4.isEmpty) || got.forall(_._6.forall(_ <= tol)))
   }
+
+  test("q264: three attribution models equal the naive JVM credit fold") {
+    val tol = 604800000000L
+    val ev = graft.catalog.Tables.load(spark, sf0001, "events")
+      .selectExpr("event_id", "user_id", "event_type", "ts div 1000 AS us",
+        "CAST(round(value * 100) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    val touches = ev.filter(e => e._3 == "view" || e._3 == "click")
+    case class Acc(var fc: Long = 0, var nf: Long = 0, var lc: Long = 0,
+      var nl: Long = 0, var lin: Long = 0)
+    val acc = scala.collection.mutable.Map[String, Acc]()
+    ev.filter(_._3 == "purchase").foreach { p =>
+      val cand = touches.filter(t => t._2 == p._2 &&
+        t._4 <= p._4 && t._4 >= p._4 - tol)
+      if (cand.nonEmpty) {
+        val first = cand.minBy(t => (t._4, t._1))
+        val last = cand.maxBy(t => (t._4, t._1))
+        val f = acc.getOrElseUpdate(first._3, Acc())
+        f.fc += p._5; f.nf += 1
+        val l = acc.getOrElseUpdate(last._3, Acc())
+        l.lc += p._5; l.nl += 1
+        cand.groupBy(_._3).foreach { case (touch, ts) =>
+          acc.getOrElseUpdate(touch, Acc()).lin +=
+            p._5 * 1000000L * ts.length / cand.length
+        }
+      }
+    }
+    val got = run("q264_multitouch_attribution").collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got.keySet === acc.keySet)
+    acc.foreach { case (touch, a) =>
+      assert(got(touch) === ((a.fc, a.nf, a.lc, a.nl, a.lin)), touch)
+    }
+    // conservation: first- and last-touch credit totals both equal the
+    // attributable purchase revenue
+    assert(got.values.map(_._1).sum === got.values.map(_._3).sum)
+    assert(got.values.map(_._2).sum === got.values.map(_._4).sum)
+  }
 }

@@ -481,4 +481,16 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"),
       s"candidate join-back must broadcast:\n${p.take(4000)}")
   }
+
+  test("as-of join: bucketed equi-join candidates, never a theta nested loop") {
+    val p = planOf(q("q261_asof_join"))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"candidate generation must stay (user_id, bkt) equi-keyed:\n${p.take(4000)}")
+    val joinLines = p.linesIterator.filter(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")).toList
+    assert(joinLines.exists(l => l.contains("bkt") && l.contains("user_id")),
+      s"candidate join must key on (user_id, bkt):\n${p.take(4000)}")
+  }
 }
