@@ -74,31 +74,22 @@ object MiningPack extends QueryPack {
 
   // --- q259: exact closed-form linear probe --------------------------------
 
-  /** q259 — a 2-feature linear probe (y = token count from x1 = n_chars,
-    * x2 = distinct-token count) fit by ordinary least squares via the
-    * NORMAL EQUATIONS, solved in closed form with Cramer's rule computed
-    * ENTIRELY in exact arithmetic: one scan accumulates the nine Gram /
-    * moment sums (per-row products cast decimal(38,0) BEFORE multiplying —
-    * the q244/q205 doctrine — so accumulation never wraps at any corpus
-    * size), the 3×3 determinants expand as sums of triple products of
-    * those sums (value-bounded « 10³⁸ here: each sum ≤ 10⁹ at sf0.1, so
-    * every triple product ≤ 10²⁷; HUGEINT on the DuckDB side), and doubles
-    * appear ONLY in the final coefficient/R² ratios, where both engines
-    * divide the same two exact integers (identical IEEE op → bit-equal).
-    * R² comes from the same sums without any per-row residual pass:
-    * SSE·det = det·Σy² − Σᵢ detᵢ·(Xᵀy)ᵢ and SST·n = n·Σy² − (Σy)² are
-    * exact integer identities. Scale shape: ONE corpus scan reduced
-    * map-side to a single 10-value row; the solve is O(1) — the shape
-    * that makes closed-form probes free at 100 TB where an iterative
-    * fitter would cost a scan per epoch.
-    */
-  private def q259(s: SparkSession, dir: String): DataFrame = {
+  /** The q259/q265 feature row: y = token count from x1 = n_chars,
+    * x2 = distinct-token count. */
+  private def probeFeatures(s: SparkSession, dir: String): DataFrame = {
     val t = toks(col("text"))
-    def d(c: Column) = c.cast("decimal(38,0)")
-    val base = Tables.load(s, dir, "documents").select(
+    Tables.load(s, dir, "documents").select(
+      col("doc_id"),
       col("n_chars").as("x1"),
       size(array_distinct(t)).cast("long").as("x2"),
       size(t).cast("long").as("y"))
+  }
+
+  private def d(c: Column) = c.cast("decimal(38,0)")
+
+  /** One-scan Gram/moment sums + the four Cramer determinants (q259's
+    * algebra) as a single broadcastable row. */
+  private def gramDets(base: DataFrame): DataFrame = {
     val g = base.agg(
       count(lit(1)).cast("decimal(38,0)").as("n"),
       sum(d(col("x1"))).as("s1"), sum(d(col("x2"))).as("s2"),
@@ -129,6 +120,28 @@ object MiningPack extends QueryPack {
         det3(col("n"), col("s1"), col("sy"),
           col("s1"), col("s11"), col("s1y"),
           col("s2"), col("s12"), col("s2y")).as("det2"))
+  }
+
+  /** q259 — a 2-feature linear probe fit by ordinary least squares via
+    * the NORMAL EQUATIONS, solved in closed form with Cramer's rule
+    * computed ENTIRELY in exact arithmetic ([[gramDets]]): one scan
+    * accumulates the nine Gram / moment sums (per-row products cast
+    * decimal(38,0) BEFORE multiplying — the q244/q205 doctrine — so
+    * accumulation never wraps at any corpus size), the 3×3 determinants
+    * expand as sums of triple products of those sums (value-bounded
+    * « 10³⁸ here: each sum ≤ 10⁹ at sf0.1, so every triple product
+    * ≤ 10²⁷; HUGEINT on the DuckDB side), and doubles appear ONLY in the
+    * final coefficient/R² ratios, where both engines divide the same two
+    * exact integers (identical IEEE op → bit-equal). R² comes from the
+    * same sums without any per-row residual pass: SSE·det = det·Σy² −
+    * Σᵢ detᵢ·(Xᵀy)ᵢ and SST·n = n·Σy² − (Σy)² are exact integer
+    * identities. Scale shape: ONE corpus scan reduced map-side to a
+    * single 10-value row; the solve is O(1) — the shape that makes
+    * closed-form probes free at 100 TB where an iterative fitter would
+    * cost a scan per epoch.
+    */
+  private def q259(s: SparkSession, dir: String): DataFrame =
+    gramDets(probeFeatures(s, dir))
       .select(
         col("n").cast("bigint").as("n"),
         (col("det0").cast("double") / col("det").cast("double")).as("beta0"),
@@ -140,7 +153,6 @@ object MiningPack extends QueryPack {
             .cast("double") / col("det").cast("double")) /
           ((col("n") * col("syy") - col("sy") * col("sy"))
             .cast("double") / col("n").cast("double"))).as("r2"))
-  }
 
   // --- q260: SRP-LSH embedding near-dup ------------------------------------
 
@@ -346,13 +358,81 @@ object MiningPack extends QueryPack {
       .orderBy("touch")
   }
 
+  // --- q265: split-conformal prediction interval ---------------------------
+
+  /** q265 — SPLIT-CONFORMAL prediction intervals for the q259 probe, with
+    * finite-sample coverage audited on a held-out fold: doc_id md5-buckets
+    * into train (70%) / calibration (20%) / test (10%); the probe is
+    * refit on TRAIN ONLY (one [[gramDets]] scan → broadcast determinant
+    * row); each non-train row's absolute residual is EXACT-RATIONAL with
+    * the common denominator |det| — |det·y − (det₀ + det₁x₁ + det₂x₂)| —
+    * and is milli-quantized by one truncating division (identical both
+    * engines), so q̂ = the ⌈0.9·(n_cal+1)⌉-th smallest calibration
+    * residual is an integer ORDER STATISTIC with no float anywhere.
+    * Selection is scale-safe: residuals bucket by BIT LENGTH (length of
+    * the binary string — ≤ 64 buckets at any corpus size, monotone in
+    * value, the q208/q255 trick), a ≤64-row prefix locates the bucket
+    * containing rank k, and the row_number window runs ONLY inside that
+    * one bucket — never a global sort. Coverage on test is then one
+    * integer comparison per row. The oracle replays the naive global
+    * row_number form — same order statistic is the claim under test.
+    */
+  private def q265(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = probeFeatures(s, dir)
+      .withColumn("b10",
+        TrainingPipelinePack.bucket(col("doc_id"), "conformal", 10))
+      .withColumn("split",
+        when(col("b10") < 7, "train")
+          .when(col("b10") < 9, "cal").otherwise("test"))
+      .persist()
+    val g = gramDets(base.filter(col("split") === "train"))
+    val scored = base.filter(col("split") =!= "train")
+      .crossJoin(broadcast(g.select(col("n").cast("bigint").as("n_train"),
+        col("det"), col("det0"), col("det1"), col("det2"))))
+      .withColumn("r_milli", call_function("div",
+        abs(col("det") * d(col("y")) - (col("det0") +
+          col("det1") * d(col("x1")) + col("det2") * d(col("x2"))))
+          * lit(1000),
+        abs(col("det"))))
+    val cal = scored.filter(col("split") === "cal")
+      .select(col("doc_id"), col("r_milli"),
+        length(bin(col("r_milli"))).as("blen"))
+    val pre = cal.groupBy("blen").agg(count(lit(1)).as("c"))
+      .withColumn("below",
+        sum("c").over(Window.orderBy("blen")) - col("c"))
+    val nCal = cal.agg(count(lit(1)).as("n_cal"))
+    val containing = pre.crossJoin(broadcast(nCal))
+      .withColumn("k", least(
+        call_function("div", (col("n_cal") + 1) * 9 + 9, lit(10L)),
+        col("n_cal")))
+      .filter(col("below") < col("k") && col("below") + col("c") >= col("k"))
+      .select(col("blen"), (col("k") - col("below")).as("k_in"),
+        col("n_cal"), col("k"))
+    val qhat = cal.join(broadcast(containing), "blen")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("blen").orderBy(col("r_milli"), col("doc_id"))))
+      .filter(col("rn") === col("k_in"))
+      .select(col("r_milli").as("qhat_milli"), col("n_cal"), col("k"))
+    scored.filter(col("split") === "test")
+      .crossJoin(broadcast(qhat))
+      .groupBy("n_train", "n_cal", "k", "qhat_milli")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("r_milli") <= col("qhat_milli"), 1L).otherwise(0L))
+          .as("n_cov"))
+      .select(col("n_train"), col("n_cal"), col("n_test"), col("k"),
+        col("qhat_milli"),
+        (col("n_cov").cast("double") / col("n_test")).as("coverage"))
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq(
       "q258_pmi_collocations" -> q258 _,
       "q259_linear_probe" -> q259 _,
       "q260_srp_lsh_dup" -> q260 _,
       "q261_asof_join" -> q261 _,
-      "q264_multitouch_attribution" -> q264 _)
+      "q264_multitouch_attribution" -> q264 _,
+      "q265_conformal_interval" -> q265 _)
 
   override val oracle: Seq[(String, String)] = Seq(
     "q258_pmi_collocations" ->
@@ -372,6 +452,59 @@ object MiningPack extends QueryPack {
          |FROM p JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
          |WHERE c12 >= $pmiMinSupport
          |ORDER BY pmi_micro DESC, p.w1, p.w2 LIMIT 50""".stripMargin,
+    "q265_conformal_interval" ->
+      s"""WITH base AS (
+         | SELECT doc_id,
+         |  ${TrainingPipelinePack.duckBucket("doc_id", "conformal", 10)}
+         |   AS b10,
+         |  CAST(n_chars AS HUGEINT) AS x1,
+         |  CAST(len(list_distinct($duckToks)) AS HUGEINT) AS x2,
+         |  CAST(len($duckToks) AS HUGEINT) AS y
+         | FROM documents),
+         |sp AS (SELECT *, CASE WHEN b10 < 7 THEN 'train'
+         |  WHEN b10 < 9 THEN 'cal' ELSE 'test' END AS split FROM base),
+         |gr AS (
+         | SELECT CAST(count(*) AS HUGEINT) AS n,
+         |  CAST(sum(x1) AS HUGEINT) AS s1, CAST(sum(x2) AS HUGEINT) AS s2,
+         |  CAST(sum(y) AS HUGEINT) AS sy,
+         |  CAST(sum(x1 * x1) AS HUGEINT) AS s11,
+         |  CAST(sum(x1 * x2) AS HUGEINT) AS s12,
+         |  CAST(sum(x2 * x2) AS HUGEINT) AS s22,
+         |  CAST(sum(x1 * y) AS HUGEINT) AS s1y,
+         |  CAST(sum(x2 * y) AS HUGEINT) AS s2y
+         | FROM sp WHERE split = 'train'),
+         |dd AS (
+         | SELECT *,
+         |  n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+         |   + s2 * (s1 * s12 - s11 * s2) AS det,
+         |  sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+         |   + s2 * (s1y * s12 - s11 * s2y) AS det0,
+         |  n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+         |   + s2 * (s1 * s2y - s1y * s2) AS det1,
+         |  n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+         |   + sy * (s1 * s12 - s11 * s2) AS det2
+         | FROM gr),
+         |sc AS (
+         | SELECT doc_id, split,
+         |  CAST((abs(det * y - (det0 + det1 * x1 + det2 * x2)) * 1000
+         |    // abs(det)) AS BIGINT) AS r_milli
+         | FROM sp, dd WHERE split <> 'train'),
+         |cal AS (SELECT doc_id, r_milli FROM sc WHERE split = 'cal'),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
+         |kk AS (SELECT n_cal,
+         |  least((9 * (n_cal + 1) + 9) // 10, n_cal) AS k FROM nc),
+         |rk AS (SELECT r_milli,
+         |  row_number() OVER (ORDER BY r_milli, doc_id) AS rn FROM cal),
+         |qq AS (SELECT rk.r_milli AS qhat_milli, kk.n_cal, kk.k
+         | FROM rk, kk WHERE rk.rn = kk.k),
+         |tr AS (SELECT CAST(count(*) AS BIGINT) AS n_train FROM sp
+         | WHERE split = 'train')
+         |SELECT tr.n_train, qq.n_cal,
+         | CAST(count(*) AS BIGINT) AS n_test, qq.k, qq.qhat_milli,
+         | CAST(sum(CASE WHEN t.r_milli <= qq.qhat_milli
+         |   THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS coverage
+         |FROM sc t, qq, tr WHERE t.split = 'test'
+         |GROUP BY 1, 2, 4, 5""".stripMargin,
     "q264_multitouch_attribution" ->
       s"""WITH e AS (
          | SELECT event_id, user_id, event_type, epoch_us(ts) AS us, value

@@ -159,4 +159,55 @@ class MiningSpec extends SparkSpecBase {
     assert(got.values.map(_._1).sum === got.values.map(_._3).sum)
     assert(got.values.map(_._2).sum === got.values.map(_._4).sum)
   }
+
+  test("q265: conformal interval equals the BigInt order-statistic recompute") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(id: Long): Long = {
+      val hex = md.digest(s"conformal|$id".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 10
+    }
+    val feats = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("doc_id", "n_chars", "text").collect().map { r =>
+        val t = r.getString(2).split(" ").filter(_.nonEmpty)
+        (r.getLong(0), BigInt(r.getLong(1)), BigInt(t.distinct.length),
+          BigInt(t.length), bucket(r.getLong(0)))
+      }
+    val train = feats.filter(_._5 < 7)
+    val n = BigInt(train.length)
+    val s1 = train.map(_._2).sum; val s2 = train.map(_._3).sum
+    val sy = train.map(_._4).sum
+    val s11 = train.map(f => f._2 * f._2).sum
+    val s12 = train.map(f => f._2 * f._3).sum
+    val s22 = train.map(f => f._3 * f._3).sum
+    val s1y = train.map(f => f._2 * f._4).sum
+    val s2y = train.map(f => f._3 * f._4).sum
+    val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    val det0 = sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
+      s2 * (s1y * s12 - s11 * s2y)
+    val det1 = n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s2y - s1y * s2)
+    val det2 = n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
+      sy * (s1 * s12 - s11 * s2)
+    def rMilli(f: (Long, BigInt, BigInt, BigInt, Long)): Long =
+      ((det * f._4 - (det0 + det1 * f._2 + det2 * f._3)).abs * 1000 /
+        det.abs).toLong
+    val cal = feats.filter(f => f._5 >= 7 && f._5 < 9)
+      .map(f => (rMilli(f), f._1)).sorted
+    val k = math.min((9L * (cal.length + 1) + 9) / 10, cal.length.toLong)
+    val qhat = cal(k.toInt - 1)._1
+    val test = feats.filter(_._5 >= 9).map(rMilli)
+    val coverage = test.count(_ <= qhat).toDouble / test.length
+    val row = run("q265_conformal_interval").collect()
+    assert(row.length === 1)
+    val r = row.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getDouble(5)) ===
+      ((train.length.toLong, cal.length.toLong, test.length.toLong,
+        k, qhat, coverage)))
+    // the conformal guarantee direction: coverage near or above 0.9 on a
+    // finite test fold (loose band — small-sample noise)
+    assert(coverage > 0.75 && coverage <= 1.0)
+  }
 }
