@@ -425,6 +425,90 @@ object MiningPack extends QueryPack {
         (col("n_cov").cast("double") / col("n_test")).as("coverage"))
   }
 
+  // --- q266: rank-biased overlap (RBO) ranking comparison ------------------
+
+  private val rboQueryDocs = 5
+  private val rboK = 5
+
+  /** q266 — RANK-BIASED OVERLAP (Webber et al., TOIS'10) between two
+    * retrieval rankings — the idf ABLATION: the q163-style TF-IDF top-5
+    * versus a raw term-frequency-overlap top-5, both built from ONE
+    * shared (doc, word) tf relation (the idf join is the only
+    * difference, so the metric isolates idf's contribution to ranking).
+    * Truncated RBO@5 with persistence p = 0.9, computed EXACTLY: the
+    * geometric weights are the rationals 9^(d−1)/10^(d−1), so each
+    * depth term (10⁶·9^(d−1)·overlap@d) div (10^(d−1)·d) is an integer
+    * both engines truncate identically — no pow(), no float weights;
+    * `agreement` (RBO / its perfect-ranking value) is the single double
+    * division at the end. Prefix overlaps come from a 5-depth explode of
+    * the matched-pair join at (query, doc) grain — query batches are
+    * broadcast everywhere (q163's doctrine), and the corpus shuffles
+    * only for the shared tf reduce.
+    */
+  private def q266(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = Tables.load(s, dir, "documents")
+      .agg(count(lit(1)).as("n_docs"))
+    val tf = Tables.loadParallel(s, dir, "documents")
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      .persist()
+    val idf = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("w"), log(col("n_docs").cast("double") / col("df"))
+        .as("idf"))
+    val weighted = tf.join(idf, "w")
+      .select(col("doc_id"), col("w"), (col("cnt") * col("idf")).as("wt"))
+    val q1 = weighted.filter(col("doc_id") < rboQueryDocs)
+      .select(col("doc_id").as("q_id"), col("w"), col("wt").as("qwt"))
+    val r1 = weighted.join(broadcast(q1), Seq("w"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy("q_id", "doc_id")
+      .agg(round(sum(col("wt") * col("qwt")), 6).as("sc"))
+      .withColumn("pos1", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("sc").desc, col("doc_id"))))
+      .filter(col("pos1") <= rboK)
+      .select("q_id", "doc_id", "pos1")
+    val q2 = tf.filter(col("doc_id") < rboQueryDocs)
+      .select(col("doc_id").as("q_id"), col("w"), col("cnt").as("qcnt"))
+    val r2 = tf.join(broadcast(q2), Seq("w"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy("q_id", "doc_id")
+      .agg(sum(col("cnt") * col("qcnt")).as("sc"))
+      .withColumn("pos2", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("sc").desc, col("doc_id"))))
+      .filter(col("pos2") <= rboK)
+      .select("q_id", "doc_id", "pos2")
+    val ov = r1.join(r2, Seq("q_id", "doc_id"))
+      .select(col("q_id"), col("pos1"), col("pos2"),
+        explode(sequence(lit(1), lit(rboK))).as("d"))
+      .filter(col("pos1") <= col("d") && col("pos2") <= col("d"))
+      .groupBy("q_id", "d").agg(count(lit(1)).as("ov"))
+    val grid = r1.select("q_id").distinct()
+      .select(col("q_id"), explode(sequence(lit(1), lit(rboK))).as("d"))
+    val p9 = element_at(
+      array(lit(1L), lit(9L), lit(81L), lit(729L), lit(6561L)), col("d"))
+    val p10 = element_at(
+      array(lit(1L), lit(10L), lit(100L), lit(1000L), lit(10000L)),
+      col("d"))
+    grid.join(ov, Seq("q_id", "d"), "left")
+      .select(col("q_id"), col("d"), coalesce(col("ov"), lit(0L)).as("ov"),
+        p9.as("p9"), p10.as("p10"))
+      .select(col("q_id"), col("d"), col("ov"),
+        call_function("div", lit(1000000L) * col("p9") * col("ov"),
+          col("p10") * col("d")).as("term"),
+        call_function("div", lit(1000000L) * col("p9") * col("d"),
+          col("p10") * col("d")).as("perfect"))
+      .groupBy("q_id")
+      .agg(sum("term").as("rbo_micro"), sum("perfect").as("perfect_micro"),
+        max(when(col("d") === rboK, col("ov"))).as("ov_k"))
+      .select(col("q_id"), col("rbo_micro"), col("perfect_micro"),
+        col("ov_k"),
+        (col("rbo_micro").cast("double") / col("perfect_micro"))
+          .as("agreement"))
+      .orderBy("q_id")
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq(
       "q258_pmi_collocations" -> q258 _,
@@ -432,7 +516,8 @@ object MiningPack extends QueryPack {
       "q260_srp_lsh_dup" -> q260 _,
       "q261_asof_join" -> q261 _,
       "q264_multitouch_attribution" -> q264 _,
-      "q265_conformal_interval" -> q265 _)
+      "q265_conformal_interval" -> q265 _,
+      "q266_rbo_rank_overlap" -> q266 _)
 
   override val oracle: Seq[(String, String)] = Seq(
     "q258_pmi_collocations" ->
@@ -452,6 +537,55 @@ object MiningPack extends QueryPack {
          |FROM p JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
          |WHERE c12 >= $pmiMinSupport
          |ORDER BY pmi_micro DESC, p.w1, p.w2 LIMIT 50""".stripMargin,
+    "q266_rbo_rank_overlap" ->
+      s"""WITH x AS (
+         | SELECT doc_id, unnest($duckToks) AS w FROM documents),
+         |tf AS (SELECT doc_id, w, count(*) AS cnt FROM x GROUP BY 1, 2),
+         |idf AS (
+         | SELECT w, ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)
+         |              / count(*)) AS idf
+         | FROM tf GROUP BY w),
+         |c AS (SELECT doc_id, t.w, cnt * idf AS wt
+         | FROM tf t JOIN idf ON t.w = idf.w),
+         |q1 AS (SELECT doc_id AS q_id, w, wt AS qwt FROM c
+         |       WHERE doc_id < $rboQueryDocs),
+         |s1 AS (SELECT q1.q_id, c.doc_id, round(sum(c.wt * q1.qwt), 6) AS sc
+         | FROM c JOIN q1 ON c.w = q1.w
+         | WHERE c.doc_id <> q1.q_id GROUP BY 1, 2),
+         |r1k AS (SELECT * FROM (
+         |  SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sc DESC, doc_id) AS pos1 FROM s1)
+         | WHERE pos1 <= $rboK),
+         |q2 AS (SELECT doc_id AS q_id, w, cnt AS qcnt FROM tf
+         |       WHERE doc_id < $rboQueryDocs),
+         |s2 AS (SELECT q2.q_id, t.doc_id,
+         |  CAST(sum(t.cnt * q2.qcnt) AS BIGINT) AS sc
+         | FROM tf t JOIN q2 ON t.w = q2.w
+         | WHERE t.doc_id <> q2.q_id GROUP BY 1, 2),
+         |r2k AS (SELECT * FROM (
+         |  SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sc DESC, doc_id) AS pos2 FROM s2)
+         | WHERE pos2 <= $rboK),
+         |dd AS (SELECT unnest([1, 2, 3, 4, 5]) AS d),
+         |ov AS (SELECT a.q_id, dd.d, CAST(count(*) AS BIGINT) AS ov
+         | FROM r1k a JOIN r2k b
+         |   ON a.q_id = b.q_id AND a.doc_id = b.doc_id, dd
+         | WHERE a.pos1 <= dd.d AND b.pos2 <= dd.d GROUP BY 1, 2),
+         |gd AS (SELECT q_id, d FROM (SELECT DISTINCT q_id FROM r1k), dd),
+         |terms AS (SELECT gd.q_id, gd.d, COALESCE(ov.ov, 0) AS ov,
+         |  CAST([1, 9, 81, 729, 6561][gd.d] AS BIGINT) AS p9,
+         |  CAST([1, 10, 100, 1000, 10000][gd.d] AS BIGINT) AS p10
+         | FROM gd LEFT JOIN ov ON gd.q_id = ov.q_id AND gd.d = ov.d),
+         |agg AS (SELECT q_id,
+         |  CAST(sum(1000000 * p9 * ov // (p10 * d)) AS BIGINT)
+         |   AS rbo_micro,
+         |  CAST(sum(1000000 * p9 * d // (p10 * d)) AS BIGINT)
+         |   AS perfect_micro,
+         |  CAST(max(CASE WHEN d = $rboK THEN ov END) AS BIGINT) AS ov_k
+         | FROM terms GROUP BY 1)
+         |SELECT q_id, rbo_micro, perfect_micro, ov_k,
+         | CAST(rbo_micro AS DOUBLE) / perfect_micro AS agreement
+         |FROM agg ORDER BY q_id""".stripMargin,
     "q265_conformal_interval" ->
       s"""WITH base AS (
          | SELECT doc_id,

@@ -210,4 +210,56 @@ class MiningSpec extends SparkSpecBase {
     // finite test fold (loose band — small-sample noise)
     assert(coverage > 0.75 && coverage <= 1.0)
   }
+
+  test("q266: RBO equals the JVM two-ranking fold with exact rational weights") {
+    val docs = docToks()
+    val nDocs = docs.length
+    val tf = docs.flatMap { case (id, t) =>
+      t.groupBy(identity).map { case (w, o) => (id, w, o.length.toLong) }
+    }
+    val df = tf.groupBy(_._2).map { case (w, v) => w -> v.length }
+    def rank(score: Map[(Long, Long), Double]): Map[Long, Seq[Long]] =
+      score.groupBy(_._1._1).map { case (q, m) =>
+        q -> m.toSeq.map { case ((_, doc), sc) => (doc, sc) }
+          .sortBy { case (doc, sc) => (-sc, doc) }.take(5).map(_._1)
+      }
+    val byDoc = tf.groupBy(_._1)
+    def overlapScores(useIdf: Boolean): Map[(Long, Long), Double] = {
+      val w: Map[(Long, String), Double] = tf.map { case (id, word, cnt) =>
+        val weight = if (useIdf)
+          cnt * math.log(nDocs.toDouble / df(word)) else cnt.toDouble
+        (id, word) -> weight
+      }.toMap
+      val byWord = tf.groupBy(_._2)
+      val prods: Seq[((Long, Long), Double)] = for {
+        q <- (0L until 5L).toSeq
+        qe <- byDoc(q).toSeq
+        de <- byWord(qe._2).toSeq if de._1 != q
+      } yield ((q, de._1), w((q, qe._2)) * w((de._1, qe._2)))
+      prods.groupBy(_._1).map { case (k, v) =>
+        val s = v.map(_._2).sum
+        k -> (if (useIdf)
+          BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        else s)
+      }
+    }
+    val r1 = rank(overlapScores(useIdf = true))
+    val r2 = rank(overlapScores(useIdf = false))
+    val p9 = Array(1L, 9L, 81L, 729L, 6561L)
+    val p10 = Array(1L, 10L, 100L, 1000L, 10000L)
+    val expected = r1.keys.toSeq.sorted.map { q =>
+      val terms = (1 to 5).map { dd =>
+        val ov = (r1(q).take(dd).toSet intersect r2(q).take(dd).toSet).size
+        (ov.toLong, 1000000L * p9(dd - 1) * ov / (p10(dd - 1) * dd),
+          1000000L * p9(dd - 1) * dd / (p10(dd - 1) * dd))
+      }
+      val rbo = terms.map(_._2).sum; val perfect = terms.map(_._3).sum
+      (q, rbo, perfect, terms.last._1, rbo.toDouble / perfect)
+    }
+    val got = run("q266_rbo_rank_overlap").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got === expected)
+    assert(got.forall(r => r._2 <= r._3))
+  }
 }
