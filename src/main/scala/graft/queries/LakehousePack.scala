@@ -225,7 +225,66 @@ object LakehousePack extends QueryPack {
       .orderBy("yr")
   }
 
+  // --- q267: crawler-style table profile -----------------------------------
+
+  // (column, kind): num → min/max as double, ts → min/max as epoch-µs
+  // double, str → lexicographic min/max. Single source of truth for the
+  // Spark construction AND the generated oracle SQL.
+  private val profileCols = Seq(
+    ("o_orderkey", "num"), ("o_custkey", "num"), ("o_orderstatus", "str"),
+    ("o_totalprice", "num"), ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"))
+
+  /** q267 — ANALYZE-style table profile: per column of `orders`, the
+    * row count, EXACT distinct count, null count, and typed min/max
+    * (numerics/timestamps as doubles — timestamps via epoch-µs so no
+    * string-formatting parity surface exists; strings lexicographic).
+    * The native analog of the reference's Glue-crawler + catalog-stats
+    * layer (reference README.md's crawler step): the stats that feed
+    * partition planning, CBO-style join sizing (q240's estimator audit
+    * consumes exactly these), and schema-drift tripwires. ONE scan: all
+    * 6 columns' stats accumulate in a single aggregate (the multi-
+    * COUNT(DISTINCT) expand — the q92 shape — trades one pass over 6×
+    * expanded rows for 6 scans; at 100 TB swap exact ndv for the q-HLL
+    * sketches per the in-code note), then a 6-struct explode unpivots
+    * the 1-row result to column grain. min(cast) = cast(min) for the
+    * monotone double casts, so the oracle's aggregate-then-cast order
+    * is identical.
+    */
+  private def q267(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    def numExpr(c: String, k: String) = k match {
+      case "num" => col(c).cast("double")
+      // parquet TIMESTAMP_NTZ → TIMESTAMP is wall-clock identity under
+      // the UTC session; unix_micros then matches DuckDB's epoch_us
+      case "ts" => unix_micros(col(c).cast("timestamp")).cast("double")
+      case _ => lit(null).cast("double")
+    }
+    def strExpr(c: String, k: String) =
+      if (k == "str") col(c) else lit(null).cast("string")
+    val aggs = profileCols.flatMap { case (c, k) => Seq(
+      countDistinct(col(c)).as(s"${c}__ndv"),
+      (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
+      min(numExpr(c, k)).as(s"${c}__minn"),
+      max(numExpr(c, k)).as(s"${c}__maxn"),
+      min(strExpr(c, k)).as(s"${c}__mins"),
+      max(strExpr(c, k)).as(s"${c}__maxs"))
+    }
+    o.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .select(col("n_rows"), explode(array(profileCols.map { case (c, _) =>
+        struct(lit(c).as("column"),
+          col(s"${c}__ndv").as("ndv"), col(s"${c}__nulls").as("n_nulls"),
+          col(s"${c}__minn").as("min_num"), col(s"${c}__maxn").as("max_num"),
+          col(s"${c}__mins").as("min_str"), col(s"${c}__maxs").as("max_str"))
+      }: _*)).as("st"))
+      .select(col("st.column").as("column"), col("n_rows"), col("st.ndv"),
+        col("st.n_nulls"), col("st.min_num"), col("st.max_num"),
+        col("st.min_str"), col("st.max_str"))
+      .orderBy("column")
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q267_table_profile" -> q267 _,
     "q131_multitouch_attribution" -> q131 _,
     "q193_schema_evolution" -> q193 _,
     "q76_upsert_merge" -> q76 _,
@@ -236,6 +295,35 @@ object LakehousePack extends QueryPack {
     "q130_snapshot_diff" -> q130 _)
 
   override val oracle: Seq[(String, String)] = Seq(
+    "q267_table_profile" -> {
+      val stats = profileCols.map { case (c, k) =>
+        val (minn, maxn) = k match {
+          case "num" =>
+            (s"CAST(min($c) AS DOUBLE)", s"CAST(max($c) AS DOUBLE)")
+          case "ts" =>
+            (s"CAST(min(epoch_us($c)) AS DOUBLE)",
+              s"CAST(max(epoch_us($c)) AS DOUBLE)")
+          case _ => ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+        }
+        val mins = if (k == "str") s"min($c)" else "CAST(NULL AS VARCHAR)"
+        val maxs = if (k == "str") s"max($c)" else "CAST(NULL AS VARCHAR)"
+        s""" CAST(count(DISTINCT $c) AS BIGINT) AS ${c}__ndv,
+           | CAST(count(*) - count($c) AS BIGINT) AS ${c}__nulls,
+           | $minn AS ${c}__minn, $maxn AS ${c}__maxn,
+           | $mins AS ${c}__mins, $maxs AS ${c}__maxs""".stripMargin
+      }.mkString(",\n")
+      val rows = profileCols.map { case (c, _) =>
+        s"""SELECT '$c' AS "column", n_rows, ${c}__ndv AS ndv,
+           | ${c}__nulls AS n_nulls, ${c}__minn AS min_num,
+           | ${c}__maxn AS max_num, ${c}__mins AS min_str,
+           | ${c}__maxs AS max_str FROM g""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH g AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |$stats
+         |FROM orders)
+         |$rows
+         |ORDER BY "column"""".stripMargin
+    },
     "q193_schema_evolution" ->
       """WITH merged AS (
         | SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate

@@ -296,18 +296,22 @@ object MiningPack extends QueryPack {
 
   // --- q264: multi-touch attribution ---------------------------------------
 
-  /** q264 — multi-touch revenue attribution: each purchase's value is
-    * credited to the view/click touches by the SAME user inside the 7-day
-    * lookback, under the three classic models side by side — first-touch
-    * (all credit to the earliest touch), last-touch (latest), and linear
-    * (value split 1/n per touch, accumulated as exact micro-cents with a
-    * per-purchase truncating division — the deterministic contract both
-    * engines replay). Candidate generation reuses q261's
-    * tolerance-bucketed 2-probe equi-join — never a theta join; the
-    * first/last argmin/argmax fold as min/max(struct(ts, id, type))
-    * (id-uniqueness makes the tie-break total), and every post-candidate
-    * aggregation lives at purchase or touch-TYPE grain. Purchases with
-    * no in-window touch assign no credit (the unattributable bucket).
+  /** q264 — multi-touch revenue attribution, LONG-WINDOW plan: the same
+    * three models as q131 (`LakehousePack` — first/last/linear credit,
+    * observed-attribution semantics) but over a 7-DAY lookback instead of
+    * q131's single hour. The window length changes the right plan: q131's
+    * per-user equi-join with a range residual is fine when history ×
+    * 1-hour density bounds the fan-in, but at a 7-day tolerance (and at
+    * 100 TB event history) the per-user join degenerates toward each
+    * user's full history; here candidate generation reuses q261's
+    * tolerance-bucketed 2-probe equi-join, bounding fan-in by the 2-window
+    * event density regardless of history length. Mechanics also differ
+    * where q131 leans on windows: the first/last argmin/argmax fold as
+    * min/max(struct(ts, id, type)) — map-side combinable aggregates, no
+    * per-purchase row_number window — and linear credit accumulates as
+    * exact micro-cents with a per-purchase TRUNCATING division (the
+    * deterministic contract both engines replay). Purchases with no
+    * in-window touch assign no credit.
     */
   private def q264(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "events")

@@ -155,4 +155,30 @@ class LakehouseSpec extends SparkSpecBase {
       (1L, "a", 0L, None, 1), // a is the later row (id 2) → current
       (1L, "b", 0L, Some(0L), 0)))
   }
+
+  test("q267: profile stats equal a JVM recompute per column") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = spark.read.parquet(s"$sf/orders.parquet").collect()
+    val got = SparkEntry.queries("q267_table_profile")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet === Set("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority"))
+    def colVals(i: Int) = rows.map(r => if (r.isNullAt(i)) null else r.get(i))
+    val schema = rows.head.schema.fieldNames.zipWithIndex.toMap
+    got.foreach { case (c, r) =>
+      val vs = colVals(schema(c))
+      assert(r.getLong(1) === rows.length.toLong, s"$c n_rows")
+      assert(r.getLong(2) === vs.filter(_ != null).distinct.length.toLong,
+        s"$c ndv")
+      assert(r.getLong(3) === vs.count(_ == null).toLong, s"$c nulls")
+    }
+    // typed extremes: numeric key column and a string column, exactly
+    val keys = rows.map(_.getLong(schema("o_orderkey")))
+    assert(got("o_orderkey").getDouble(4) === keys.min.toDouble)
+    assert(got("o_orderkey").getDouble(5) === keys.max.toDouble)
+    val st = rows.map(_.getString(schema("o_orderstatus")))
+    assert(got("o_orderstatus").getString(6) === st.min)
+    assert(got("o_orderstatus").getString(7) === st.max)
+    assert(got("o_orderstatus").isNullAt(4) && got("o_orderkey").isNullAt(6))
+  }
 }
