@@ -50,6 +50,30 @@ object ExperimentsPack extends QueryPack {
         when(col("k") < 5, 1).otherwise(0).as("at_risk"))
       .orderBy("k")
 
+  // --- q270: l-diversity audit ---------------------------------------------
+
+  /** q270 — l-DIVERSITY audit, the homogeneity complement to q194's
+    * k-anonymity: with the QI coarsened to (nation, $1000 balance band),
+    * the market segment plays the SENSITIVE attribute; a class whose
+    * members all share one segment leaks it even when k is large (the
+    * homogeneity attack k-anonymity misses). Per QI class the distinct
+    * sensitive count l (exact multi-distinct in the same aggregate as
+    * k), reported as an l-histogram with classes below l = 3 flagged.
+    * Same two shrinking-grain shuffles as q194 — linear at any scale.
+    */
+  private def q270(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "customer")
+      .select(col("c_nationkey"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"),
+        col("c_mktsegment"))
+      .groupBy("c_nationkey", "bal_band")
+      .agg(count(lit(1)).as("k"), countDistinct("c_mktsegment").as("l"))
+      .groupBy("l")
+      .agg(count(lit(1)).as("n_classes"), sum("k").as("n_rows"))
+      .select(col("l"), col("n_classes"), col("n_rows"),
+        when(col("l") < 3, 1).otherwise(0).as("at_risk"))
+      .orderBy("l")
+
   // --- q195: A/B experiment readout ----------------------------------------
 
   /** q195 — A/B experiment readout: customers deterministically split
@@ -297,6 +321,7 @@ object ExperimentsPack extends QueryPack {
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq(
       "q194_k_anonymity" -> q194 _,
+      "q270_l_diversity" -> q270 _,
       "q195_ab_readout" -> q195 _,
       "q196_holt_trend" -> q196 _,
       "q197_dow_seasonality" -> q197 _,
@@ -304,6 +329,17 @@ object ExperimentsPack extends QueryPack {
       "q199_window_funnel" -> q199 _)
 
   override val oracle: Seq[(String, String)] = Seq(
+    "q270_l_diversity" ->
+      """WITH classes AS (
+        | SELECT c_nationkey,
+        |  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |  CAST(count(*) AS BIGINT) AS k,
+        |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l
+        | FROM customer GROUP BY 1, 2)
+        |SELECT l, CAST(count(*) AS BIGINT) AS n_classes,
+        | CAST(sum(k) AS BIGINT) AS n_rows,
+        | CASE WHEN l < 3 THEN 1 ELSE 0 END AS at_risk
+        |FROM classes GROUP BY l ORDER BY l""".stripMargin,
     "q194_k_anonymity" ->
       """WITH classes AS (
         | SELECT c_nationkey, c_mktsegment,

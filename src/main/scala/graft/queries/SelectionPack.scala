@@ -377,8 +377,58 @@ object SelectionPack extends QueryPack {
       .orderBy("step")
   }
 
+  // --- q268: source-mixture water-fill under a token budget ----------------
+
+  private val mixEpochs = 4
+
+  /** q268 — GREEDY WATER-FILL source mixing under a token budget (the
+    * DoReMi/data-mixing question "how many epochs of each source?" as an
+    * exact operator): each source offers up to 4 epochs whose marginal
+    * value decays 2× per repeat (quality_micro div 2^{epoch−1} — the
+    * diminishing-returns law repeated data obeys), the budget is 2× the
+    * corpus token count (derived broadcast scalar, no constant to drift),
+    * and the greedy optimum for separable diminishing returns is exactly:
+    * rank ALL (source, epoch) candidates by marginal value and take while
+    * cumulative tokens fit. Quality is the q207-family rule-pass rate in
+    * exact integer micro-units. Scale shape: ONE corpus scan to source
+    * grain; candidates are |sources|×4 rows, so the ranking window and
+    * the prefix sum run on a model-sized relation at any corpus size.
+    * Decay divisors via a literal power array (element_at) — integer
+    * exact, no pow(). The decay law guarantees epoch e+1 never outranks
+    * epoch e of the same source, so the greedy prefix is a valid
+    * schedule by construction (spec-pinned).
+    */
+  private def q268(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.loadParallel(s, dir, "documents")
+      .select(col("source"), TextOps.nToks(col("text")).cast("long").as("nt"),
+        when(CorpusOpsPack.reasonOf(toks(col("text"))) === "pass", 1L)
+          .otherwise(0L).as("pass"))
+      .groupBy("source")
+      .agg(sum("nt").as("tokens"), count(lit(1)).as("n_docs"),
+        sum("pass").as("n_pass"))
+      .withColumn("quality_micro",
+        expr("n_pass * 1000000 div n_docs"))
+    val budget = src.agg((sum("tokens") * lit(2L)).as("budget"))
+    val p2 = element_at(array(lit(1L), lit(2L), lit(4L), lit(8L)),
+      col("epoch"))
+    val cand = src.select(col("source"), col("tokens"),
+        col("quality_micro"),
+        explode(sequence(lit(1), lit(mixEpochs))).as("epoch"))
+      .withColumn("mv_micro",
+        call_function("div", col("quality_micro"), p2))
+    val w = Window.orderBy(col("mv_micro").desc, col("source"), col("epoch"))
+    cand.crossJoin(broadcast(budget))
+      .withColumn("cum_tokens", sum("tokens").over(w))
+      .filter(col("cum_tokens") <= col("budget"))
+      .select(col("source"), col("epoch"), col("tokens"),
+        col("quality_micro"), col("mv_micro"), col("cum_tokens"),
+        col("budget"))
+      .orderBy(col("mv_micro").desc, col("source"), col("epoch"))
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq(
+      "q268_mix_waterfill" -> q268 _,
       "q227_repetition_audit" -> q227 _,
       "q228_heldout_lm_eval" -> q228 _,
       "q229_priority_sample" -> q229 _,
@@ -394,6 +444,34 @@ object SelectionPack extends QueryPack {
       "i -> tk[i] || ' ' || tk[i + 1])"
 
   override val oracle: Seq[(String, String)] = Seq(
+    "q268_mix_waterfill" ->
+      s"""WITH t AS (SELECT doc_id, source, $duckToks AS tk
+         |      FROM documents),
+         |sg AS (SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS nt,
+         |  ${CorpusOpsPack.duckSignalCols}
+         | FROM t),
+         |src AS (
+         | SELECT source, CAST(sum(nt) AS BIGINT) AS tokens,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN ${CorpusOpsPack.duckReasonCase} = 'pass'
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+         | FROM sg GROUP BY 1),
+         |q AS (SELECT *,
+         |  CAST(n_pass * 1000000 // n_docs AS BIGINT) AS quality_micro
+         | FROM src),
+         |b AS (SELECT CAST(sum(tokens) * 2 AS BIGINT) AS budget FROM q),
+         |cand AS (SELECT source, tokens, quality_micro, e.epoch,
+         |  CAST(quality_micro // CAST([1, 2, 4, 8][e.epoch] AS BIGINT)
+         |    AS BIGINT) AS mv_micro
+         | FROM q, (SELECT unnest([1, 2, 3, 4]) AS epoch) e),
+         |rk AS (SELECT *,
+         |  CAST(sum(tokens) OVER (ORDER BY mv_micro DESC, source, epoch)
+         |    AS BIGINT) AS cum_tokens
+         | FROM cand)
+         |SELECT source, epoch, tokens, quality_micro, mv_micro,
+         | cum_tokens, budget
+         |FROM rk, b WHERE cum_tokens <= budget
+         |ORDER BY mv_micro DESC, source, epoch""".stripMargin,
     "q227_repetition_audit" ->
       s"""WITH per_doc AS (
         | SELECT source,

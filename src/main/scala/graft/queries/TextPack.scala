@@ -322,7 +322,62 @@ object TextPack extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // --- q269: windowed code-switch detection --------------------------------
+
+  private val csWin = 20
+
+  /** q269 — CODE-SWITCHING detection: q52's lang-ID lexicon argmax run
+    * per 20-token WINDOW instead of per document, then per-doc window
+    * sequence statistics — window count, distinct languages seen, and
+    * the number of adjacent-window language SWITCHES (the signal that a
+    * document interleaves languages even when its majority vote looks
+    * monolingual — the mixed-language hygiene check document-level
+    * lang-ID misses). Window prediction is the hit-argmax only ('und'
+    * when no lexicon hits — windows are too short for the script
+    * heuristic to add signal). Per-row shape: the window explode is
+    * bounded by doc length/20, prediction stays in codegen, and the
+    * per-doc fold runs over the sorted in-row window array (sort_array ∘
+    * collect_list, the q221 idiom; DuckDB mirrors with
+    * `list(pred ORDER BY widx)`) — one shuffle at doc grain, nothing
+    * pairwise.
+    */
+  private def q269(s: SparkSession, dir: String): DataFrame = {
+    val wins = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .withColumn("widx", explode(sequence(lit(0),
+        greatest(call_function("div", size(col("tk")) - 1, lit(csWin)),
+          lit(0)))))
+      .select(col("doc_id"), col("widx"),
+        array_distinct(
+          slice(col("tk"), col("widx") * csWin + 1, lit(csWin))).as("wdt"))
+    val hits = lex.map { case (l, ws) =>
+      l -> size(array_intersect(col("wdt"), array(ws.map(lit): _*)))
+    }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    val pred = hits.foldRight(lit("und"): Column) { case ((l, h), acc) =>
+      when(h === best && best > 0, lit(l)).otherwise(acc)
+    }
+    val n1 = greatest(size(col("sp")) - 1, lit(0))
+    wins.select(col("doc_id"), col("widx"), pred.as("pred"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("widx"), col("pred"))))
+        .as("spw"))
+      .select(col("doc_id"),
+        transform(col("spw"), e => e.getField("pred")).as("sp"))
+      .select(col("doc_id"),
+        size(col("sp")).as("n_windows"),
+        size(array_distinct(col("sp"))).as("langs_seen"),
+        aggregate(
+          zip_with(slice(col("sp"), lit(1), n1), slice(col("sp"), lit(2), n1),
+            (a, b) => when(a =!= b, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).as("n_switch"))
+      .withColumn("is_mixed",
+        when(col("n_switch") > 0, 1).otherwise(0))
+      .orderBy("doc_id")
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q269_code_switch" -> q269 _,
     "q57_array_funcs" -> q57 _,
     "q55_stats_agg" -> q55 _,
     "q56_datetime_breadth" -> q56 _,
@@ -368,6 +423,43 @@ object TextPack extends QueryPack {
        |   FROM documents) t) h)""".stripMargin
 
   override val oracle: Seq[(String, String)] = Seq(
+    "q269_code_switch" -> {
+      val hitCols = lex.map { case (l, ws) =>
+        s"CAST(len(list_intersect(wdt, " +
+          s"[${ws.map("'" + _ + "'").mkString(",")}])) AS INT) AS hits_$l"
+      }.mkString(",\n  ")
+      val best =
+        "greatest(" + lex.map { case (l, _) => s"hits_$l" }.mkString(", ") +
+          ")"
+      val predSql = lex.reverse.foldLeft("'und'") { case (acc, (l, _)) =>
+        s"CASE WHEN hits_$l = $best AND $best > 0 THEN '$l' ELSE $acc END"
+      }
+      s"""WITH t AS (
+         | SELECT doc_id,
+         |  list_filter(string_split(text,' '), x -> x <> '') AS tk
+         | FROM documents),
+         |wins AS (SELECT doc_id, u.widx,
+         |  list_distinct(tk[u.widx * $csWin + 1 : u.widx * $csWin + $csWin])
+         |   AS wdt
+         | FROM t, unnest(generate_series(0,
+         |   greatest((len(tk) - 1) // $csWin, 0))) AS u(widx)),
+         |h AS (SELECT doc_id, widx,
+         |  $hitCols
+         | FROM wins),
+         |wp AS (SELECT doc_id, widx, $predSql AS pred FROM h),
+         |sp AS (SELECT doc_id, list(pred ORDER BY widx) AS ps
+         | FROM wp GROUP BY 1),
+         |st AS (SELECT doc_id, ps,
+         |  CAST(coalesce(list_sum(list_transform(
+         |    generate_series(1, greatest(len(ps) - 1, 0)),
+         |    i -> CASE WHEN ps[i] <> ps[i + 1] THEN 1 ELSE 0 END)), 0)
+         |   AS INT) AS n_switch
+         | FROM sp)
+         |SELECT doc_id, CAST(len(ps) AS INT) AS n_windows,
+         | CAST(len(list_distinct(ps)) AS INT) AS langs_seen, n_switch,
+         | CASE WHEN n_switch > 0 THEN 1 ELSE 0 END AS is_mixed
+         |FROM st ORDER BY doc_id""".stripMargin
+    },
     "q104_repetition_signals" ->
       """WITH t AS (
         | SELECT doc_id,

@@ -181,4 +181,26 @@ class ExperimentsSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("q270: l-diversity histogram conserves rows; l bounded by segments") {
+    val rows = run("q270_l_diversity").collect()
+    val cust = spark.read.parquet(s"$sf0001/customer.parquet")
+      .selectExpr("CAST(c_nationkey AS BIGINT)",
+        "CAST(floor(c_acctbal / 1000) AS BIGINT)",
+        "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val classes = cust.groupBy(c => (c._1, c._2)).toSeq.map { case (_, v) =>
+      (v.length.toLong, v.map(_._3).distinct.length.toLong)
+    }
+    val expected = classes.groupBy(_._2).map { case (l, v) =>
+      (l, v.size.toLong, v.map(_._1).sum)
+    }.toSeq.sortBy(_._1)
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    assert(rows.map(_.getLong(2)).sum === cust.length.toLong)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 1 && r.getLong(0) <= 5) // 5 market segments
+      assert(r.getInt(3) === (if (r.getLong(0) < 3) 1 else 0))
+    }
+  }
 }

@@ -262,4 +262,28 @@ class MiningSpec extends SparkSpecBase {
     assert(got === expected)
     assert(got.forall(r => r._2 <= r._3))
   }
+
+  test("q269: windowed code-switch stats equal the JVM lexicon replay") {
+    val lex = Seq(
+      "en" -> Set("the", "a", "of", "and", "to", "in", "is"),
+      "es" -> Set("el", "la", "de", "que", "y", "los", "es"),
+      "fr" -> Set("le", "la", "de", "et", "les", "des", "est"),
+      "de" -> Set("der", "die", "und", "das", "ist", "von", "ein"))
+    val expected = docToks().map { case (id, t) =>
+      val preds = t.grouped(20).map { w =>
+        val dw = w.distinct.toSet
+        val hits = lex.map { case (l, ws) => l -> (dw intersect ws).size }
+        val best = hits.map(_._2).max
+        if (best == 0) "und"
+        else hits.find(_._2 == best).get._1 // first in lexicon order wins
+      }.toSeq
+      val switches = preds.zip(preds.drop(1)).count(p => p._1 != p._2)
+      (id, preds.length, preds.distinct.length, switches,
+        if (switches > 0) 1 else 0)
+    }.sortBy(_._1).toSeq
+    val got = run("q269_code_switch").collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4))).toSeq
+    assert(got === expected)
+  }
 }

