@@ -170,11 +170,52 @@ object GraphPack extends QueryPack {
   private def q191(s: SparkSession, dir: String): DataFrame =
     itemCf(Tables.load(s, dir, "lineitem")).orderBy("item", "rank")
 
+  // --- q271: k-core peeling ------------------------------------------------
+
+  private val coreK = 3
+  private val peelRounds = 3
+
+  /** q271 — k-CORE decomposition by synchronous peeling (3 fixed rounds
+    * at k = 3) over the co-purchase graph: round t keeps a node iff at
+    * least k of its neighbors survived round t−1 (round 1 is the plain
+    * degree filter). Fixed rounds, not convergence — the q189 doctrine:
+    * a bounded-round audit is deterministic, unrollable in the oracle,
+    * and what a curation pass wants (the surviving set after r rounds
+    * OVER-approximates the true k-core monotonically, so the flag is a
+    * one-sided screen). Per round the ALIVE VECTOR (node-grain, only
+    * shrinking) broadcasts onto the cached edge relation twice — both
+    * endpoints must be alive — and degrees reduce per node: one
+    * edge-grain partial-agg shuffle per round, never an edge×edge join.
+    * Output: every node's raw degree and its after-3-rounds core flag.
+    */
+  private def q271(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.functions.CoPurchase
+      .distinctPairs(Tables.load(s, dir, "lineitem"))
+    val edges = pairs
+      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    val deg0 = edges.groupBy("src").agg(count(lit(1)).as("d0")).persist()
+    val alive0 = deg0.filter(col("d0") >= coreK).select(col("src").as("u"))
+    def peel(a: DataFrame): DataFrame = edges
+      .join(broadcast(a.select(col("u").as("src"))), "src")
+      .join(broadcast(a.select(col("u").as("dst"))), "dst")
+      .groupBy("src").agg(count(lit(1)).as("d"))
+      .filter(col("d") >= coreK)
+      .select(col("src").as("u"))
+    val aliveFinal = (2 to peelRounds).foldLeft(alive0)((a, _) => peel(a))
+    deg0.select(col("src").as("u"), col("d0"))
+      .join(aliveFinal.withColumn("flag", lit(1)), Seq("u"), "left")
+      .select(col("u"), col("d0"),
+        coalesce(col("flag"), lit(0)).as("in_core"))
+      .orderBy("u")
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq(
       "q189_lpa_communities" -> q189 _,
       "q190_bfs_hops" -> q190 _,
-      "q191_item_item_cf" -> q191 _)
+      "q191_item_item_cf" -> q191 _,
+      "q271_kcore_peel" -> q271 _)
 
   /** The co-purchase graph CTE prefix every oracle here starts from —
     * same derivation as q155/q161's oracles (distinct per-order items →
@@ -230,6 +271,25 @@ object GraphPack extends QueryPack {
          |SELECT hop, count(*) AS n_nodes, min(node) AS min_node,
          | max(node) AS max_node
          |FROM v$bfsHops GROUP BY hop ORDER BY hop""".stripMargin,
+    "q271_kcore_peel" -> {
+      val rounds = (2 to peelRounds).map { i =>
+        s"""a$i AS (
+           | SELECT e.src AS u FROM edges e
+           | JOIN a${i - 1} x ON e.src = x.u
+           | JOIN a${i - 1} y ON e.dst = y.u
+           | GROUP BY 1 HAVING count(*) >= $coreK)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH $duckGraph,
+         |d0 AS (SELECT src, CAST(count(*) AS BIGINT) AS d0
+         | FROM edges GROUP BY 1),
+         |a1 AS (SELECT src AS u FROM d0 WHERE d0 >= $coreK),
+         |$rounds
+         |SELECT d0.src AS u, d0.d0,
+         | CASE WHEN a$peelRounds.u IS NULL THEN 0 ELSE 1 END AS in_core
+         |FROM d0 LEFT JOIN a$peelRounds ON d0.src = a$peelRounds.u
+         |ORDER BY u""".stripMargin
+    },
     "q191_item_item_cf" ->
       s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          |co AS (
