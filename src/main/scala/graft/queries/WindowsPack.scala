@@ -250,10 +250,55 @@ object WindowsPack extends QueryPack {
       .orderBy("prev", "event_type")
   }
 
+  // --- q272: MATCH_RECOGNIZE-style V-shape pattern detection ---------------
+
+  /** q272 — row-PATTERN detection (the SQL-2016 MATCH_RECOGNIZE shape
+    * Spark lacks natively), composed from windows: over each priority's
+    * daily order-count series, classify day-over-day deltas into
+    * strict-down / strict-up / flat, collapse maximal same-sign runs with
+    * the gaps-and-islands double-row_number (q87's trick at SIGN grain),
+    * then detect the pattern DOWN+ UP+ — a "V" — as a down-run whose
+    * successor run (lead over the RUN relation) is an up-run. Flat days
+    * break runs (strict pattern semantics). Emits per priority the
+    * down-run census, the longest decline, V count, and the deepest
+    * V's decline length. Scale shape: one corpus reduce to the
+    * calendar-bounded (priority, day) grain; every window after that
+    * runs on ≤ |days| rows per partition and the run relation is smaller
+    * still — pattern matching never touches fact grain.
+    */
+  private def q272(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("prio"),
+        to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("prio").orderBy("d")
+    val sg = daily.withColumn("prev", lag("n", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("sgn", when(col("n") > col("prev"), 1)
+        .when(col("n") < col("prev"), -1).otherwise(0))
+    val ws = Window.partitionBy("prio", "sgn").orderBy("d")
+    val runs = sg
+      .withColumn("isl", row_number().over(w) - row_number().over(ws))
+      .groupBy("prio", "sgn", "isl")
+      .agg(count(lit(1)).as("len"), min("d").as("start_d"))
+    val wr = Window.partitionBy("prio").orderBy("start_d")
+    runs.withColumn("next_sgn", lead("sgn", 1).over(wr))
+      .withColumn("is_v",
+        when(col("sgn") === -1 && col("next_sgn") === 1, 1).otherwise(0))
+      .groupBy("prio")
+      .agg(
+        sum(when(col("sgn") === -1, 1).otherwise(0)).as("n_down_runs"),
+        max(when(col("sgn") === -1, col("len"))).as("longest_down"),
+        sum("is_v").as("n_v"),
+        max(when(col("is_v") === 1, col("len"))).as("deepest_v_down"))
+      .orderBy("prio")
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q145_transition_matrix" -> q145 _,
     "q85_range_frame" -> q85 _,
     "q87_gaps_islands" -> q87 _,
+    "q272_vshape_patterns" -> q272 _,
     "q94_event_path" -> q94 _,
     "q40_window_rank" -> q40 _,
     "q41_running_total" -> q41 _,
@@ -266,6 +311,37 @@ object WindowsPack extends QueryPack {
     "q48_asof_last_purchase" -> q48 _)
 
   override val oracle: Seq[(String, String)] = Seq(
+    "q272_vshape_patterns" ->
+      """WITH daily AS (
+        | SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS d,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM orders GROUP BY 1, 2),
+        |sg0 AS (SELECT *, lag(n) OVER (PARTITION BY prio ORDER BY d)
+        |  AS prev FROM daily),
+        |sg AS (SELECT prio, d, n,
+        |  CASE WHEN n > prev THEN 1 WHEN n < prev THEN -1 ELSE 0 END AS sgn
+        | FROM sg0 WHERE prev IS NOT NULL),
+        |rn AS (SELECT *,
+        |  row_number() OVER (PARTITION BY prio ORDER BY d)
+        |   - row_number() OVER (PARTITION BY prio, sgn ORDER BY d) AS isl
+        | FROM sg),
+        |runs AS (SELECT prio, sgn, isl, CAST(count(*) AS BIGINT) AS len,
+        |  min(d) AS start_d
+        | FROM rn GROUP BY 1, 2, 3),
+        |fl AS (SELECT *,
+        |  lead(sgn) OVER (PARTITION BY prio ORDER BY start_d) AS next_sgn
+        | FROM runs),
+        |v AS (SELECT *, CASE WHEN sgn = -1 AND next_sgn = 1
+        |  THEN 1 ELSE 0 END AS is_v FROM fl)
+        |SELECT prio,
+        | CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_down_runs,
+        | CAST(max(CASE WHEN sgn = -1 THEN len END) AS BIGINT)
+        |  AS longest_down,
+        | CAST(sum(is_v) AS BIGINT) AS n_v,
+        | CAST(max(CASE WHEN is_v = 1 THEN len END) AS BIGINT)
+        |  AS deepest_v_down
+        |FROM v GROUP BY prio ORDER BY prio""".stripMargin,
     "q145_transition_matrix" ->
       """WITH t AS (
         | SELECT COALESCE(lag(event_type) OVER (

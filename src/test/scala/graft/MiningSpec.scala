@@ -286,4 +286,36 @@ class MiningSpec extends SparkSpecBase {
         r.getInt(4))).toSeq
     assert(got === expected)
   }
+
+  test("q272: V-shape runs equal the JVM pattern scan") {
+    val daily = spark.read.parquet(s"$sf0001/orders.parquet")
+      .selectExpr("o_orderpriority", "CAST(o_orderdate AS DATE) AS d")
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate))
+      .groupBy(identity).map { case ((p, d), v) => (p, d, v.size.toLong) }
+      .toSeq
+    val expected = daily.groupBy(_._1).map { case (p, rows) =>
+      val series = rows.sortBy(_._2.toEpochDay).map(_._3)
+      val sgns = series.zip(series.drop(1)).map { case (a, b) =>
+        if (b > a) 1 else if (b < a) -1 else 0
+      }
+      // collapse to runs, then scan for DOWN+ UP+ adjacencies
+      val runs = sgns.foldLeft(List.empty[(Int, Long)]) { (acc, s) =>
+        acc match {
+          case (hs, hl) :: t if hs == s => (hs, hl + 1) :: t
+          case _ => (s, 1L) :: acc
+        }
+      }.reverse
+      val vs = runs.zip(runs.drop(1)).filter(p => p._1._1 == -1 && p._2._1 == 1)
+      (p, runs.count(_._1 == -1).toLong,
+        runs.filter(_._1 == -1).map(_._2).sorted.lastOption,
+        vs.length.toLong, vs.map(_._1._2).sorted.lastOption)
+    }.toSeq.sortBy(_._1)
+    val got = run("q272_vshape_patterns").collect().map(r =>
+      (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
+    assert(got === expected)
+    // every V is a down-run: V count never exceeds down-run count
+    assert(got.forall(r => r._4 <= r._2))
+  }
 }
