@@ -161,13 +161,70 @@ object DataQualityPack extends QueryPack {
       .orderBy("source")
   }
 
+  // --- q274: Benford first-digit audit -------------------------------------
+
+  /** Benford expected first-digit shares log₁₀(1+1/d), micro-quantized —
+    * plan-time public constants, so no engine ever evaluates a log. */
+  private val benfordMicro =
+    Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L, 57992L,
+      51153L, 45757L)
+
+  /** q274 — BENFORD'S-LAW first-digit audit of order totals, the classic
+    * forensic screen for fabricated/synthetic monetary data: the observed
+    * first-significant-digit distribution against log₁₀(1+1/d), with
+    * per-digit deviations in exact integer micro-shares. The first digit
+    * comes from exact CENTS arithmetically — `cents div
+    * 10^(len(str(cents))−1)` — never from formatting a double (×100
+    * preserves the leading digit; bigint→string is engine-identical).
+    * Expected shares are micro-quantized literals, so the only doubles
+    * are the two final ratio columns. One scan to digit grain (9 rows),
+    * total as a broadcast scalar. On this synthetic corpus the audit
+    * correctly FLAGS non-Benford pricing (uniform-ish totals) — the
+    * operator, not the corpus, is under test (q64's calibration stance).
+    */
+  private def q274(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val digits = Tables.load(s, dir, "orders")
+      .select(cents.as("c"))
+      .filter(col("c") > 0)
+      .withColumn("d",
+        substring(col("c").cast("string"), 1, 1).cast("int"))
+      .groupBy("d").agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum("n").as("total"))
+    digits.crossJoin(broadcast(tot))
+      .withColumn("share_micro", expr("n * 1000000 div total"))
+      .withColumn("expected_micro",
+        element_at(array(benfordMicro.map(lit): _*), col("d")))
+      .select(col("d"), col("n"), col("share_micro"), col("expected_micro"),
+        abs(col("share_micro") - col("expected_micro")).as("dev_micro"),
+        (col("n").cast("double") / col("total")).as("share"))
+      .orderBy("d")
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q274_benford_audit" -> q274 _,
     "q127_column_profile" -> q127 _,
     "q128_integrity_audit" -> q128 _,
     "q167_winsorize" -> q167 _,
     "q192_psi_drift" -> q192 _)
 
   override val oracle: Seq[(String, String)] = Seq(
+    "q274_benford_audit" -> {
+      val arr = s"[${benfordMicro.mkString(", ")}]"
+      s"""WITH c AS (
+         | SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+         | FROM orders),
+         |d AS (SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS INT)
+         |   AS d, CAST(count(*) AS BIGINT) AS n
+         | FROM c WHERE c > 0 GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM d)
+         |SELECT d, n,
+         | CAST(n * 1000000 // total AS BIGINT) AS share_micro,
+         | CAST($arr[d] AS BIGINT) AS expected_micro,
+         | CAST(abs(n * 1000000 // total - $arr[d]) AS BIGINT) AS dev_micro,
+         | CAST(n AS DOUBLE) / total AS share
+         |FROM d, t ORDER BY d""".stripMargin
+    },
     "q192_psi_drift" ->
       s"""WITH t AS (
          | SELECT source,

@@ -126,6 +126,50 @@ object ExperimentsPack extends QueryPack {
       (col("cents_b").cast("double") / col("n_b") / 100.0).as("arpu_b"))
   }
 
+  // --- q273: quantile treatment effects ------------------------------------
+
+  /** q273 — QUANTILE TREATMENT EFFECTS for the q195 experiment: instead
+    * of comparing arm MEANS (which whale customers dominate), compare
+    * the arms' full spend DISTRIBUTIONS decile by decile — QTE(q) =
+    * spendA(q) − spendB(q). Reuses q195's md5 arm assignment verbatim
+    * (same experiment, same units) and q226's exact rank-grid decile
+    * machinery per arm: customer-grain exact cents, a per-arm rank
+    * window with custkey tiebreak, decile edges picked by
+    * ceil(d·n/10) rank join (percentile_disc semantics), then the two
+    * arms pivot side by side via one 10-row self-join. No-order
+    * customers enter at 0 — dropping them would bias both curves. All
+    * arithmetic exact BIGINT cents end to end.
+    */
+  private def q273(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val arm = when(
+      TrainingPipelinePack.bucket(col("c_custkey"), "ab", 2) === 0, "A")
+      .otherwise("B")
+    val perCust = Tables.load(s, dir, "customer")
+      .join(Tables.load(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select(arm.as("arm"), col("c_custkey").as("ck"),
+        coalesce(col("cents"), lit(0L)).as("x"))
+    val w = Window.partitionBy("arm").orderBy(col("x"), col("ck"))
+    val ranked = perCust.withColumn("rn", row_number().over(w))
+    val targets = perCust.groupBy("arm").agg(count(lit(1)).as("n"))
+      .select(col("arm"), explode(sequence(lit(1), lit(10))).as("decile"),
+        col("n"))
+      .withColumn("rn", ceil(col("decile") * col("n") / lit(10.0))
+        .cast("int"))
+    val edges = ranked.join(broadcast(targets), Seq("arm", "rn"))
+      .select(col("arm"), col("decile"), col("x"))
+    edges.filter(col("arm") === "A")
+      .select(col("decile"), col("x").as("spend_a"))
+      .join(edges.filter(col("arm") === "B")
+        .select(col("decile"), col("x").as("spend_b")), "decile")
+      .select(col("decile"), col("spend_a"), col("spend_b"),
+        (col("spend_a") - col("spend_b")).as("qte_cents"))
+      .orderBy("decile")
+  }
+
   // --- q196: Holt linear-trend smoothing -----------------------------------
 
   /** q196 — Holt double-exponential smoothing (α = 0.3, β = 0.2) of the
@@ -322,6 +366,7 @@ object ExperimentsPack extends QueryPack {
     Seq(
       "q194_k_anonymity" -> q194 _,
       "q270_l_diversity" -> q270 _,
+      "q273_qte_deciles" -> q273 _,
       "q195_ab_readout" -> q195 _,
       "q196_holt_trend" -> q196 _,
       "q197_dow_seasonality" -> q197 _,
@@ -329,6 +374,35 @@ object ExperimentsPack extends QueryPack {
       "q199_window_funnel" -> q199 _)
 
   override val oracle: Seq[(String, String)] = Seq(
+    "q273_qte_deciles" -> {
+      val arm =
+        s"CASE WHEN ${TrainingPipelinePack.duckBucket("c_custkey", "ab", 2)}" +
+          " = 0 THEN 'A' ELSE 'B' END"
+      s"""WITH spend AS (
+         | SELECT o_custkey,
+         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         |   AS cents
+         | FROM orders GROUP BY 1),
+         |pc AS (
+         | SELECT $arm AS arm, c_custkey AS ck, COALESCE(cents, 0) AS x
+         | FROM customer LEFT JOIN spend ON c_custkey = o_custkey),
+         |ranked AS (SELECT *,
+         |  row_number() OVER (PARTITION BY arm ORDER BY x, ck) AS rn
+         | FROM pc),
+         |targets AS (
+         | SELECT arm, decile, CAST(ceil(decile * n / 10.0) AS BIGINT) AS rn
+         | FROM (SELECT arm, count(*) AS n FROM pc GROUP BY 1),
+         |  generate_series(1, 10) AS g(decile)),
+         |edges AS (
+         | SELECT r.arm, CAST(t.decile AS INT) AS decile, r.x
+         | FROM ranked r JOIN targets t ON r.arm = t.arm AND r.rn = t.rn)
+         |SELECT a.decile, a.x AS spend_a, b.x AS spend_b,
+         | a.x - b.x AS qte_cents
+         |FROM (SELECT decile, x FROM edges WHERE arm = 'A') a
+         |JOIN (SELECT decile, x FROM edges WHERE arm = 'B') b
+         | ON a.decile = b.decile
+         |ORDER BY a.decile""".stripMargin
+    },
     "q270_l_diversity" ->
       """WITH classes AS (
         | SELECT c_nationkey,

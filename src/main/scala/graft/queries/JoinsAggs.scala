@@ -633,7 +633,44 @@ object JoinsAggs extends QueryPack {
           (acc, x) => lit(0.3) * x + lit(0.7) * acc), 6).as("ewma"))
       .orderBy("priority")
 
+  // --- q275: Gini revenue concentration ------------------------------------
+
+  /** q275 — GINI COEFFICIENT of customer revenue concentration per
+    * nation (the Lorenz-curve identity G = 2Σᵢ i·xᵢ/(n·Σx) − (n+1)/n
+    * over the ascending-sorted spend vector): the inequality audit
+    * behind "whale" analyses and mixture-balance decisions. Spend folds
+    * to exact customer-grain cents; the rank window partitions by
+    * NATION (bounded partitions, never a global sort) with a custkey
+    * tiebreak so the rank — and therefore the weighted sum — is total
+    * and deterministic; Σᵢ·xᵢ accumulates as exact BIGINTs and the two
+    * final ratios are the only doubles (identical IEEE sequence both
+    * engines). Customers with no orders enter at x = 0 via the left
+    * join — dropping them would understate inequality.
+    */
+  private def q275(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.load(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val base = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_nationkey").cast("long").as("nation"),
+        col("c_custkey").as("ck"), coalesce(col("cents"), lit(0L)).as("x"))
+    val w = Window.partitionBy("nation").orderBy(col("x"), col("ck"))
+    base.withColumn("i", row_number().over(w))
+      .groupBy("nation")
+      .agg(count(lit(1)).as("n_cust"), sum("x").as("total_cents"),
+        sum(col("i") * col("x")).as("six"))
+      .select(col("nation"), col("n_cust"), col("total_cents"),
+        (lit(2.0) * col("six").cast("double") /
+          (col("n_cust") * col("total_cents")).cast("double") -
+          (col("n_cust") + 1).cast("double") /
+            col("n_cust").cast("double")).as("gini"))
+      .orderBy("nation")
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q275_gini_concentration" -> q275 _,
     "q165_bag_setops" -> q165 _,
     "q166_ewma_revenue" -> q166 _,
     "q132_cohort_retention" -> q132 _,
@@ -671,6 +708,27 @@ object JoinsAggs extends QueryPack {
     "q36_pivot" -> q36 _)
 
   override val oracle: Seq[(String, String)] = Seq(
+    "q275_gini_concentration" ->
+      """WITH spend AS (
+        | SELECT o_custkey,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |   AS cents
+        | FROM orders GROUP BY 1),
+        |base AS (
+        | SELECT CAST(c_nationkey AS BIGINT) AS nation, c_custkey AS ck,
+        |  COALESCE(cents, 0) AS x
+        | FROM customer LEFT JOIN spend ON c_custkey = o_custkey),
+        |rk AS (SELECT *,
+        |  row_number() OVER (PARTITION BY nation ORDER BY x, ck) AS i
+        | FROM base),
+        |g AS (SELECT nation, CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(x) AS BIGINT) AS total_cents,
+        |  CAST(sum(i * x) AS BIGINT) AS six
+        | FROM rk GROUP BY 1)
+        |SELECT nation, n_cust, total_cents,
+        | 2.0 * six / (n_cust * total_cents)
+        |  - CAST(n_cust + 1 AS DOUBLE) / n_cust AS gini
+        |FROM g ORDER BY nation""".stripMargin,
     "q165_bag_setops" ->
       """WITH a AS (SELECT l_returnflag AS rf, l_linestatus AS ls
         |           FROM lineitem WHERE l_linenumber % 2 = 1),

@@ -318,4 +318,78 @@ class MiningSpec extends SparkSpecBase {
     // every V is a down-run: V count never exceeds down-run count
     assert(got.forall(r => r._4 <= r._2))
   }
+
+  test("q274: Benford digits equal the JVM tabulation; shares conserve") {
+    val cents = spark.read.parquet(s"$sf0001/orders.parquet")
+      .selectExpr("CAST(round(o_totalprice * 100) AS BIGINT)")
+      .collect().map(_.getLong(0)).filter(_ > 0)
+    val counts = cents.map(_.toString.head.asDigit)
+      .groupBy(identity).map { case (d, v) => d -> v.length.toLong }
+    val exp = Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L,
+      57992L, 51153L, 45757L)
+    val got = SparkEntry.queries("q274_benford_audit")(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(got.map(g => g._1 -> g._2).toMap === counts)
+    got.foreach { case (d, n, sm, em, dev, sh) =>
+      assert(sm === n * 1000000L / cents.length)
+      assert(em === exp(d - 1))
+      assert(dev === math.abs(sm - em))
+      assert(sh === n.toDouble / cents.length)
+    }
+    assert(got.map(_._2).sum === cents.length.toLong)
+  }
+
+  test("q275: per-nation Gini equals the JVM Lorenz identity") {
+    val spend = spark.read.parquet(s"$sf0001/orders.parquet")
+      .selectExpr("o_custkey", "CAST(round(o_totalprice * 100) AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val cust = spark.read.parquet(s"$sf0001/customer.parquet")
+      .selectExpr("c_custkey", "CAST(c_nationkey AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = cust.groupBy(_._2).map { case (nation, cs) =>
+      val xs = cs.map(c => (spend.getOrElse(c._1, 0L), c._1))
+        .sortBy(identity).map(_._1)
+      val n = xs.length.toLong
+      val tot = xs.sum
+      val six = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      (nation, n, tot,
+        2.0 * six / (n * tot) - (n + 1).toDouble / n)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q275_gini_concentration")(spark, sf0001)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === expected)
+    // Gini lives in [0, 1) up to the small-n finite-sample correction
+    assert(got.forall(g => g._4 >= -0.05 && g._4 < 1.0))
+  }
+
+  test("q273: QTE deciles equal the JVM per-arm rank selection") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def arm(id: Long): String = {
+      val hex = md.digest(s"ab|$id".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(8)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) "A" else "B"
+    }
+    val spend = spark.read.parquet(s"$sf0001/orders.parquet")
+      .selectExpr("o_custkey", "CAST(round(o_totalprice * 100) AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val perArm = spark.read.parquet(s"$sf0001/customer.parquet")
+      .selectExpr("c_custkey").collect().map(_.getLong(0))
+      .map(ck => (arm(ck), spend.getOrElse(ck, 0L), ck))
+      .groupBy(_._1)
+    def deciles(a: String): Map[Int, Long] = {
+      val xs = perArm(a).sortBy(c => (c._2, c._3)).map(_._2)
+      (1 to 10).map(d =>
+        d -> xs(math.ceil(d * xs.length / 10.0).toInt - 1)).toMap
+    }
+    val (da, db) = (deciles("A"), deciles("B"))
+    val got = SparkEntry.queries("q273_qte_deciles")(spark, sf0001)
+      .collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === (1 to 10).map(d =>
+      (d, da(d), db(d), da(d) - db(d))))
+  }
 }
