@@ -35,6 +35,9 @@ object Sessions {
       .withExtensions { e =>
         graft.functions.DotProduct.inject(e)
         graft.functions.MinHashSig.inject(e)
+        // naive bit_count(xor) <= k theta joins plan as pigeonhole-
+        // segment equi-joins (graft.plans.HammingJoinBlocking scaladoc)
+        e.injectOptimizerRule(_ => graft.plans.HammingJoinBlocking)
       }
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")

@@ -196,26 +196,35 @@ object MiningPack extends QueryPack {
     * segment join shuffles only (vec_id, sig, segment), and the heavy
     * double arrays re-join only for O(candidates) — q62's doctrine.
     */
-  private def q260(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.Vectors
+  /** The q260/q276 signature relation: corpus ∪ planted twins, int8
+    * quantization, 16-bit SRP signature — plus the double vectors for
+    * the verify stage. */
+  private def srpBase(s: SparkSession, dir: String): DataFrame = {
     val raw = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val twins = raw.filter(col("vec_id") % 25 === 0)
       .select((col("vec_id") + 1000000L).as("vec_id"),
         concat(array(col("v")(0) + lit(0.1)),
           slice(col("v"), 2, srpDims - 1)).as("v"))
-    val base = raw.unionAll(twins)
+    raw.unionAll(twins)
       .withColumn("scale",
         array_max(transform(col("v"), x => abs(x))) / 127.0)
       .withColumn("qv",
         transform(col("v"), x => floor(x / col("scale") + 0.5).cast("int")))
-    val sig = (0 until srpPlanes).map { p =>
+  }
+
+  private def srpSig: Column =
+    (0 until srpPlanes).map { p =>
       val w = array(srpW(p).map(lit(_)): _*)
       val dot = aggregate(zip_with(col("qv"), w, (x, y) => x * y),
         lit(0L), (acc, x) => acc + x)
       when(dot >= 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
-    val sigs = base.select(col("vec_id"), sig.as("sig"))
+
+  private def q260(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Vectors
+    val base = srpBase(s, dir)
+    val sigs = base.select(col("vec_id"), srpSig.as("sig"))
     val segs = sigs.select(col("vec_id"), col("sig"),
         explode(array(
           struct(lit(0).as("seg_idx"),
@@ -521,7 +530,33 @@ object MiningPack extends QueryPack {
       "q261_asof_join" -> q261 _,
       "q264_multitouch_attribution" -> q264 _,
       "q265_conformal_interval" -> q265 _,
-      "q266_rbo_rank_overlap" -> q266 _)
+      "q266_rbo_rank_overlap" -> q266 _,
+      "q276_hamming_join_rule" -> q276 _)
+
+  // --- q276: the naive hamming join, planned by the engine -----------------
+
+  /** q276 — q260's candidate stage written the NAIVE way on purpose: a
+    * plain theta self-join `bit_count(sig ⊕ sig2) ≤ 2 ∧ id < id2` with
+    * no manual blocking anywhere in the query. The
+    * [[graft.plans.HammingJoinBlocking]] optimizer rule (injected in
+    * every graft session) rewrites it into the pigeonhole-segment
+    * equi-join — the engine, not the query author, owns the scale plan.
+    * PlanShapeSpec pins that the executed plan carries the generated
+    * `graft_seg` equi-key and no nested loop; the oracle runs the naive
+    * all-pairs formulation — identical output is the rule's correctness
+    * claim at corpus scale (HammingRuleSpec proves bag semantics and
+    * the equi-join stand-down on fixtures).
+    */
+  private def q276(s: SparkSession, dir: String): DataFrame = {
+    val sigs = srpBase(s, dir).select(col("vec_id"), srpSig.as("sig"))
+    val y = sigs.select(col("vec_id").as("vec_id2"), col("sig").as("sig2"))
+    sigs.join(y,
+        bit_count(col("sig").bitwiseXOR(col("sig2"))) <= 2 &&
+          col("vec_id") < col("vec_id2"))
+      .select(col("vec_id"), col("vec_id2"),
+        bit_count(col("sig").bitwiseXOR(col("sig2"))).as("hamming"))
+      .orderBy("vec_id", "vec_id2")
+  }
 
   override val oracle: Seq[(String, String)] = Seq(
     "q258_pmi_collocations" ->
@@ -705,6 +740,35 @@ object MiningPack extends QueryPack {
          | p.ts_p - m2.ts_v AS gap_us
          |FROM p LEFT JOIN m2 ON p.p_event = m2.p_event
          |ORDER BY p.p_event""".stripMargin,
+    "q276_hamming_join_rule" ->
+      s"""WITH raw AS (
+         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |tw AS (
+         | SELECT vec_id + 1000000 AS vec_id,
+         |  list_concat([v[1] + 0.1], v[2:]) AS v
+         | FROM raw WHERE vec_id % 25 = 0),
+         |base AS (SELECT * FROM raw UNION ALL SELECT * FROM tw),
+         |s AS (SELECT vec_id, v,
+         |  list_max(list_transform(v, x -> abs(x)))
+         |   / CAST(127.0 AS DOUBLE) AS scale FROM base),
+         |qz AS (SELECT vec_id, v,
+         |  list_transform(v,
+         |   x -> CAST(floor(x / scale + CAST(0.5 AS DOUBLE)) AS INT)) AS qv
+         | FROM s),
+         |grid AS (SELECT p, d,
+         |  CASE WHEN CAST('0x' || substring(md5('srp|' || p || '|' || d),
+         |    1, 8) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS w
+         | FROM range($srpPlanes) t1(p), range($srpDims) t2(d)),
+         |pl AS (SELECT vec_id, p, sum(qv[d + 1] * w) AS dt
+         | FROM qz, grid GROUP BY vec_id, p),
+         |sigs AS (SELECT vec_id,
+         |  CAST(sum(CASE WHEN dt >= 0 THEN 1 << p ELSE 0 END) AS INT) AS sig
+         | FROM pl GROUP BY vec_id)
+         |SELECT a.vec_id, b.vec_id AS vec_id2,
+         | CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+         |FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 2
+         |ORDER BY a.vec_id, vec_id2""".stripMargin,
     "q260_srp_lsh_dup" ->
       s"""WITH raw AS (
          | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

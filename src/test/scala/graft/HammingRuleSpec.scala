@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The HammingJoinBlocking optimizer rule: a naive
+  * `bit_count(xor) <= k` theta join must plan as a pigeonhole-segment
+  * equi-join with EXACTLY the naive join's bag of rows — including
+  * duplicate-input multiplicity (the canonical-first-match residual
+  * replaces any dedup pass) — and must NOT fire when the join already
+  * has an equi key.
+  */
+class HammingRuleSpec extends SparkSpecBase {
+
+  private def sigs: Seq[(Long, Int)] =
+    (0 until 200).map { i =>
+      (i.toLong, scala.util.hashing.MurmurHash3.stringHash(i.toString)
+        & 0xffff)
+    }
+
+  private def frames = {
+    val s = spark
+    import s.implicits._
+    val df = sigs.toDF("id", "sig")
+    (df.select(col("id").as("a"), col("sig").as("sa")),
+      df.select(col("id").as("b"), col("sig").as("sb")))
+  }
+
+  test("naive hamming theta join plans as segment equi-join, identical bag") {
+    val (a, b) = frames
+    val joined = a.join(b,
+      bit_count(col("sa").bitwiseXOR(col("sb"))) <= 2 && col("a") < col("b"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"rule must remove the nested loop:\n${plan.take(3000)}")
+    assert(plan.contains("graft_seg"), plan.take(3000))
+    val got = joined.select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val expected = (for {
+      x <- sigs; y <- sigs
+      if x._1 < y._1 && Integer.bitCount(x._2 ^ y._2) <= 2
+    } yield (x._1, y._1)).sorted
+    assert(expected.nonEmpty, "fixture must exercise the hamming ball")
+    assert(got === expected)
+  }
+
+  test("bag semantics: duplicated input rows multiply, pairs never dedup") {
+    val (a, b) = frames
+    val naiveCount = (for {
+      x <- sigs; y <- sigs
+      if x._1 < y._1 && Integer.bitCount(x._2 ^ y._2) <= 2
+    } yield ()).size
+    val j2 = a.union(a).join(b,
+      bit_count(col("sa").bitwiseXOR(col("sb"))) <= 2 && col("a") < col("b"))
+    assert(j2.count() === 2L * naiveCount)
+  }
+
+  test("rule stands down when the join already has an equi key") {
+    val (a, b) = frames
+    val joined = a.join(b,
+      col("a") === col("b") &&
+        bit_count(col("sa").bitwiseXOR(col("sb"))) <= 2)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("graft_seg"), plan.take(3000))
+    // a == b forces identical sigs → hamming 0 → every id pairs itself
+    assert(joined.count() === sigs.length.toLong)
+  }
+}

@@ -482,6 +482,15 @@ class PlanShapeSpec extends SparkSpecBase {
       s"candidate join-back must broadcast:\n${p.take(4000)}")
   }
 
+  test("hamming rule: the naively-written q276 join plans via graft_seg") {
+    val p = planOf(q("q276_hamming_join_rule"))
+    assert(p.contains("graft_seg"),
+      s"HammingJoinBlocking must rewrite the theta join:\n${p.take(4000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"no nested-loop pair generation:\n${p.take(4000)}")
+  }
+
   test("as-of join: bucketed equi-join candidates, never a theta nested loop") {
     val p = planOf(q("q261_asof_join"))
     assert(!p.contains("BroadcastNestedLoopJoin") &&
