@@ -50,6 +50,10 @@ object SrpScaleProbe {
       .split(",").map(_.trim.toInt).toSeq
     val oldMaxK = args.lift(2).map(_.toInt).getOrElse(4)
     val spark = Sessions.local("graft-srp-scale")
+    // keep the all-pairs baseline HONEST: the HammingJoinBlocking rule
+    // would otherwise rewrite it into the very segment join under test
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "graft.plans.HammingJoinBlocking")
     val base = graft.catalog.Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
