@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** Optimizer rule: rewrite a naive HAMMING-DISTANCE theta join into a
   * pigeonhole-segment EQUI-join — the q63/q260 manual construction
@@ -37,15 +37,15 @@ object HammingJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
 
   private val segColName = "graft_seg"
   private val maxK = 7
-  private val sigBits = 32
 
   /** (leftSig, rightSig, k) when `e` is `bit_count(xor(a, b)) <= k` with
-    * one int ref per side. */
+    * one 32- or 64-bit signature per side. */
   private def hammingConjunct(e: Expression, left: LogicalPlan,
       right: LogicalPlan): Option[(Expression, Expression, Int)] = e match {
     case LessThanOrEqual(BitwiseCount(BitwiseXor(a, b)), Literal(k: Int, IntegerType))
         if k >= 0 && k <= maxK &&
-          a.dataType == IntegerType && b.dataType == IntegerType =>
+          (a.dataType == IntegerType || a.dataType == LongType) &&
+          b.dataType == a.dataType =>
       val aLbR = a.references.subsetOf(left.outputSet) &&
         b.references.subsetOf(right.outputSet)
       val bLaR = b.references.subsetOf(left.outputSet) &&
@@ -66,14 +66,18 @@ object HammingJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
     case _ => false
   }
 
-  /** Bit segment i of `sig` under an (k+1)-way split of 32 bits; the
-    * last segment absorbs the remainder. */
+  /** Bit segment i of `sig` under an (k+1)-way split of the signature
+    * width (32 for int, 64 for long); the last segment absorbs the
+    * remainder. */
   private def segment(sig: Expression, i: Int, nSeg: Int): Expression = {
-    val width = sigBits / nSeg
+    val isLong = sig.dataType == LongType
+    val bits = if (isLong) 64 else 32
+    val width = bits / nSeg
     val lo = i * width
-    val w = if (i == nSeg - 1) sigBits - lo else width
+    val w = if (i == nSeg - 1) bits - lo else width
     val shifted = ShiftRightUnsigned(sig, Literal(lo))
-    if (lo + w >= sigBits) shifted
+    if (lo + w >= bits) shifted
+    else if (isLong) BitwiseAnd(shifted, Literal((1L << w) - 1))
     else BitwiseAnd(shifted, Literal((1 << w) - 1))
   }
 
@@ -85,7 +89,7 @@ object HammingJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
     }
     val out = AttributeReference(segColName,
       StructType(Seq(StructField("idx", IntegerType, nullable = false),
-        StructField("v", IntegerType))))()
+        StructField("v", sig.dataType))))()
     (Generate(Explode(CreateArray(structs)), Nil, outer = false, None,
       Seq(out), child), out)
   }

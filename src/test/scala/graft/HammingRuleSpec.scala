@@ -55,6 +55,30 @@ class HammingRuleSpec extends SparkSpecBase {
     assert(j2.count() === 2L * naiveCount)
   }
 
+  test("64-bit signatures: long hamming join rewrites with long segments") {
+    val s = spark
+    import s.implicits._
+    val longs = (0 until 150).map { i =>
+      (i.toLong, scala.util.hashing.MurmurHash3.stringHash(i.toString).toLong
+        * 2654435761L) // spread over the full 64-bit range
+    }
+    val df = longs.toDF("id", "sig")
+    val a = df.select(col("id").as("a"), col("sig").as("sa"))
+    val b = df.select(col("id").as("b"), col("sig").as("sb"))
+    val joined = a.join(b,
+      bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3 && col("a") < col("b"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_seg") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    val got = joined.select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val expected = (for {
+      x <- longs; y <- longs
+      if x._1 < y._1 && java.lang.Long.bitCount(x._2 ^ y._2) <= 3
+    } yield (x._1, y._1)).sorted
+    assert(got === expected)
+  }
+
   test("rule stands down when the join already has an equi key") {
     val (a, b) = frames
     val joined = a.join(b,
