@@ -297,6 +297,53 @@ object DedupPack extends QueryPack {
       .orderBy("doc_id", "doc_id2")
   }
 
+  // --- q277: production-width SimHash via the hamming rule -----------------
+
+  private val sim64Bits = 60
+
+  private val pow2L: Array[Long] = Array.tabulate(sim64Bits)(j => 1L << j)
+
+  /** q277 — the PRODUCTION-WIDTH SimHash q63's scaladoc prescribes
+    * (width ~2·log₂ n; 60 bits here — 60 not 64 because DuckDB's `<<`
+    * overflow-checks BIGINT, and 60 splits evenly into the rule's 4
+    * pigeonhole segments for hamming ≤ 3), written NAIVELY on purpose:
+    * the pair stage is a plain `bit_count(sig ⊕ sig2) ≤ 3 ∧ id < id2`
+    * theta self-join with no blocking anywhere in the query — the
+    * [[graft.plans.HammingJoinBlocking]] rule plans the segment
+    * equi-join (PlanShapeSpec pins it). Signature construction is ONE
+    * aggregate per document with a 60-vote ARRAY accumulator (not 60
+    * separate aggregates): each token's md5 contributes ±1 per bit via
+    * nibble arithmetic, then the sign vector assembles against a
+    * literal power-of-two array. No lang blocking — at production
+    * width the hamming ball alone is selective (the SrpScaleProbe
+    * width law), so the operator needs no metadata crutch.
+    */
+  private def q277(s: SparkSession, dir: String): DataFrame = {
+    val bitsOf = (h: Column) =>
+      transform(sequence(lit(0), lit(sim64Bits - 1)), j =>
+        call_function("shiftright",
+          conv(h.substr((call_function("div", j, lit(4)) + 1).cast("int"),
+            lit(1)), 16, 10).cast("int"),
+          j % 4).bitwiseAND(lit(1)) * 2 - 1)
+    val sigs = docToks(s, dir)
+      .withColumn("m", transform(col("ts"), t => md5(t)))
+      .withColumn("votes", aggregate(col("m"),
+        array_repeat(lit(0), sim64Bits),
+        (acc, h) => zip_with(acc, bitsOf(h), (a, b) => a + b)))
+      .select(col("doc_id"),
+        aggregate(
+          zip_with(col("votes"), array(pow2L.map(lit(_)): _*),
+            (v, p) => when(v > 0, p).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x).as("sig"))
+    val y = sigs.select(col("doc_id").as("doc_id2"), col("sig").as("sig2"))
+    sigs.join(y,
+        bit_count(col("sig").bitwiseXOR(col("sig2"))) <= 3 &&
+          col("doc_id") < col("doc_id2"))
+      .select(col("doc_id"), col("doc_id2"),
+        bit_count(col("sig").bitwiseXOR(col("sig2"))).as("hamming"))
+      .orderBy("doc_id", "doc_id2")
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by `label` (the IVF-cell
     * shape). τ = 0.40, calibrated: the synthetic vectors are near-orthogonal
     * (max pairwise cos ≈ 0.47), so the production τ ≈ 0.95 would select
@@ -383,6 +430,7 @@ object DedupPack extends QueryPack {
     "q61_set_dedup" -> q61 _,
     "q62_minhash_lsh" -> q62 _,
     "q63_simhash" -> q63 _,
+    "q277_simhash64_rule" -> q277 _,
     "q64_cosine_dup" -> q64 _,
     "q65_jaccard_pairs" -> q65 _,
     "q107_containment_pairs" -> q107 _,
@@ -527,6 +575,28 @@ object DedupPack extends QueryPack {
          |   AS is_kept
          |FROM comp c JOIN quality q ON q.qid = c.node
          |ORDER BY c.node""".stripMargin,
+    "q277_simhash64_rule" ->
+      s"""WITH t0 AS (SELECT doc_id, $duckToks AS ts FROM documents),
+         |m AS (SELECT doc_id, list_transform(ts, t -> md5(t)) AS m
+         | FROM t0),
+         |v AS (SELECT doc_id,
+         |  list_transform(generate_series(0, ${sim64Bits - 1}), j ->
+         |   coalesce(list_sum(list_transform(m, h ->
+         |    ((CAST('0x' || substring(h, j // 4 + 1, 1) AS INT)
+         |      >> (j % 4)) & 1) * 2 - 1)), 0)) AS votes
+         | FROM m),
+         |sigs AS (SELECT doc_id,
+         |  CAST(coalesce(list_sum(list_transform(
+         |    generate_series(1, $sim64Bits), i ->
+         |    CASE WHEN votes[i] > 0
+         |     THEN CAST([${pow2L.mkString(", ")}][i] AS BIGINT)
+         |     ELSE 0 END)), 0) AS BIGINT) AS sig
+         | FROM v)
+         |SELECT a.doc_id, b.doc_id AS doc_id2,
+         | CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         |ORDER BY a.doc_id, doc_id2""".stripMargin,
     "q63_simhash" ->
       s"""WITH t0 AS (SELECT doc_id, lang, $duckToks AS ts FROM documents),
          |t AS (SELECT doc_id, lang,

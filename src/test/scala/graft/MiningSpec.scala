@@ -365,6 +365,32 @@ class MiningSpec extends SparkSpecBase {
     assert(got.forall(g => g._4 >= -0.05 && g._4 < 1.0))
   }
 
+  test("q277: 60-bit SimHash signatures and pairs equal the JVM recompute") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sig(tokens: Array[String]): Long = {
+      val votes = new Array[Int](60)
+      tokens.foreach { t =>
+        val hex = md.digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        (0 until 60).foreach { j =>
+          val nib = Integer.parseInt(hex.substring(j / 4, j / 4 + 1), 16)
+          votes(j) += ((nib >> (j % 4)) & 1) * 2 - 1
+        }
+      }
+      (0 until 60).map(j => if (votes(j) > 0) 1L << j else 0L).sum
+    }
+    // q277 signs over DISTINCT tokens (DedupPack.docToks applies
+    // array_distinct — the shingle-set grain every dedup query shares)
+    val sigs = docToks().map { case (id, t) => (id, sig(t.distinct)) }
+    val expected = (for {
+      a <- sigs; b <- sigs
+      if a._1 < b._1 && java.lang.Long.bitCount(a._2 ^ b._2) <= 3
+    } yield (a._1, b._1,
+      java.lang.Long.bitCount(a._2 ^ b._2))).sortBy(p => (p._1, p._2)).toSeq
+    val got = run("q277_simhash64_rule").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got === expected)
+  }
+
   test("q273: QTE deciles equal the JVM per-arm rank selection") {
     val md = java.security.MessageDigest.getInstance("MD5")
     def arm(id: Long): String = {

@@ -491,6 +491,13 @@ class PlanShapeSpec extends SparkSpecBase {
       s"no nested-loop pair generation:\n${p.take(4000)}")
   }
 
+  test("hamming rule: q277's 60-bit long join also plans via graft_seg") {
+    val p = planOf(q("q277_simhash64_rule"))
+    assert(p.contains("graft_seg") &&
+      !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(4000))
+  }
+
   test("as-of join: bucketed equi-join candidates, never a theta nested loop") {
     val p = planOf(q("q261_asof_join"))
     assert(!p.contains("BroadcastNestedLoopJoin") &&
