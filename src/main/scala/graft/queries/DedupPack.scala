@@ -335,6 +335,8 @@ object DedupPack extends QueryPack {
           zip_with(col("votes"), array(pow2L.map(lit(_)): _*),
             (v, p) => when(v > 0, p).otherwise(0L)),
           lit(0L), (acc, x) => acc + x).as("sig"))
+      // both sides of the self-join read this: one signature pass, not two
+      .persist()
     val y = sigs.select(col("doc_id").as("doc_id2"), col("sig").as("sig2"))
     sigs.join(y,
         bit_count(col("sig").bitwiseXOR(col("sig2"))) <= 3 &&

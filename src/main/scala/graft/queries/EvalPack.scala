@@ -412,10 +412,60 @@ object EvalPack extends QueryPack {
       .orderBy("source", "fold")
   }
 
+  // --- q278: decision stump (best Gini split) ------------------------------
+
+  /** q278 — a DECISION STUMP trained distributed: the single best
+    * threshold on the classifier score for predicting the rule-pass
+    * label, by exact Gini-impurity minimization. Every distinct score is
+    * a split candidate; left/right class counts come from prefix sums
+    * over the score grain (the q200 ordering window — bounded by the
+    * integer milli-score range, not the corpus), impurities are
+    * micro-quantized exact rationals — 10⁶ − (pos² + neg²)·10⁶ div n² —
+    * and the weighted impurity (n_l·imp_l + n_r·imp_r) div N picks the
+    * argmin with a threshold tiebreak (TakeOrdered, k = 1). Emits the
+    * split, both side impurities, the parent impurity and the gain.
+    * This is the one-node core of distributed tree building: at 100 TB
+    * the candidate relation is still |distinct scores| rows, so deeper
+    * trees are this same reduction per node. Count squares stay inside
+    * BIGINT to ~3·10⁹ rows per side; the decimal(38) swap is mechanical
+    * (q205 doctrine) beyond that.
+    */
+  private def q278(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val g = scoreGrain(s, dir)
+      .withColumn("n_l", sum("cnt").over(w))
+      .withColumn("pos_l", sum("pos").over(w))
+    val tot = scoreGrain(s, dir)
+      .agg(sum("cnt").as("n"), sum("pos").as("p"))
+    def gini(pos: Column, n: Column): Column =
+      lit(1000000L) - call_function("div",
+        (pos * pos + (n - pos) * (n - pos)) * lit(1000000L), n * n)
+    g.crossJoin(broadcast(tot))
+      .filter(col("n_l") < col("n"))
+      .select(col("score").as("threshold"),
+        col("n_l"), col("pos_l"), (col("n") - col("n_l")).as("n_r"),
+        gini(col("pos_l"), col("n_l")).as("imp_l_micro"),
+        gini(col("p") - col("pos_l"), col("n") - col("n_l"))
+          .as("imp_r_micro"),
+        gini(col("p"), col("n")).as("imp_parent_micro"),
+        col("n"))
+      .withColumn("wimp_micro", call_function("div",
+        col("n_l") * col("imp_l_micro") + col("n_r") * col("imp_r_micro"),
+        col("n")))
+      .withColumn("gain_micro",
+        col("imp_parent_micro") - col("wimp_micro"))
+      .select("threshold", "n_l", "pos_l", "n_r", "imp_l_micro",
+        "imp_r_micro", "wimp_micro", "imp_parent_micro", "gain_micro")
+      .orderBy(col("wimp_micro"), col("threshold"))
+      .limit(1)
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq(
       "q262_isotonic_calibration" -> q262 _,
       "q263_oof_target_encoding" -> q263 _,
+      "q278_decision_stump" -> q278 _,
       "q200_classifier_auc" -> q200 _,
       "q201_pr_sweep" -> q201 _,
       "q202_calibration_bins" -> q202 _,
@@ -426,6 +476,36 @@ object EvalPack extends QueryPack {
       "q207_target_encoding" -> q207 _)
 
   override val oracle: Seq[(String, String)] = Seq(
+    "q278_decision_stump" ->
+      s"""WITH $duckGrainCtes,
+         |pre AS (SELECT score,
+         |  CAST(sum(cnt) OVER (ORDER BY score) AS BIGINT) AS n_l,
+         |  CAST(sum(pos) OVER (ORDER BY score) AS BIGINT) AS pos_l
+         | FROM g),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+         |  CAST(sum(pos) AS BIGINT) AS p FROM g),
+         |cand AS (
+         | SELECT score AS threshold, n_l, pos_l, n - n_l AS n_r,
+         |  1000000 - (pos_l * pos_l + (n_l - pos_l) * (n_l - pos_l))
+         |    * 1000000 // (n_l * n_l) AS imp_l_micro,
+         |  1000000 - ((p - pos_l) * (p - pos_l)
+         |    + ((n - n_l) - (p - pos_l)) * ((n - n_l) - (p - pos_l)))
+         |    * 1000000 // ((n - n_l) * (n - n_l)) AS imp_r_micro,
+         |  1000000 - (p * p + (n - p) * (n - p)) * 1000000 // (n * n)
+         |    AS imp_parent_micro,
+         |  n
+         | FROM pre, tot WHERE n_l < n),
+         |sc AS (SELECT threshold, n_l, pos_l, n_r,
+         |  CAST(imp_l_micro AS BIGINT) AS imp_l_micro,
+         |  CAST(imp_r_micro AS BIGINT) AS imp_r_micro,
+         |  CAST((n_l * imp_l_micro + n_r * imp_r_micro) // n AS BIGINT)
+         |   AS wimp_micro,
+         |  CAST(imp_parent_micro AS BIGINT) AS imp_parent_micro
+         | FROM cand)
+         |SELECT threshold, n_l, pos_l, n_r, imp_l_micro, imp_r_micro, wimp_micro,
+         | imp_parent_micro,
+         | imp_parent_micro - wimp_micro AS gain_micro
+         |FROM sc ORDER BY wimp_micro, threshold LIMIT 1""".stripMargin,
     "q263_oof_target_encoding" ->
       s"""WITH t AS (SELECT doc_id, source, ${CorpusOpsPack.duckToks} AS tk
          |      FROM documents),

@@ -540,6 +540,61 @@ object SimilarityPack extends QueryPack {
     * cluster once (iterative, checkpoint-friendly), then search is a
     * broadcast-route + one co-partitioned cell scan.
     */
+  // --- q279: Davies–Bouldin clustering quality -----------------------------
+
+  /** q279 — DAVIES–BOULDIN index of the q84 learned k-means model:
+    * q176 reports the raw compactness/separation ingredients per
+    * cluster; this completes the actual DB statistic — the worst-other
+    * combination q176 deliberately leaves to thresholding. Per
+    * cluster i: dispersion S_i = mean squared-L2 to its centroid, and
+    * DB_i = max_{j≠i} (S_i+S_j)/M_ij with M_ij the squared centroid
+    * separation — lower is better; the squared-L2 variant keeps every
+    * quantity a deterministic per-row double that MICRO-QUANTIZES to an
+    * exact integer (floor(d²·10⁶)) before any multi-row sum, so
+    * accumulation order never matters and the ratios are exact integer
+    * division both engines replay. Scale shape: ONE map-side assignment
+    * pass over the corpus (literal k-row model, the q84 doctrine) →
+    * cluster grain; the pairwise M matrix is k² rows of literal
+    * centroids — model-sized at any corpus size. Ties in the worst-other
+    * argmax break toward the larger cluster id (max(struct)).
+    */
+  private def q279(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cent = learnedCentroids(e)
+    val best = array_min(centScores(col("v"), cent))
+    val perCluster = e
+      .select(best.getField("cluster").as("cluster"),
+        floor(best.getField("d2") * 1e6).cast("long").as("d2_micro"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        call_function("div", sum("d2_micro"), count(lit(1)))
+          .as("s_micro"))
+    val centDf = {
+      val s2 = s
+      import s2.implicits._
+      cent.toDF("cluster", "cv")
+    }
+    val m = centDf.alias("x").crossJoin(centDf.alias("y"))
+      .filter(col("x.cluster") =!= col("y.cluster"))
+      .select(col("x.cluster").as("cluster"),
+        col("y.cluster").as("other"),
+        floor(Vectors.sqDist(col("x.cv"), col("y.cv")) * 1e6).cast("long")
+          .as("m_micro"))
+    val sOther = perCluster.select(col("cluster").as("other"),
+      col("s_micro").as("s_other"))
+    perCluster.join(broadcast(m), "cluster")
+      .join(broadcast(sOther), "other")
+      .withColumn("ratio_micro", call_function("div",
+        (col("s_micro") + col("s_other")) * lit(1000000L), col("m_micro")))
+      .groupBy("cluster", "n_members", "s_micro")
+      .agg(max(struct(col("ratio_micro"), col("other"))).as("w"))
+      .select(col("cluster"), col("n_members"), col("s_micro"),
+        col("w.other").as("worst_other"),
+        col("w.ratio_micro").as("db_ratio_micro"))
+      .orderBy("cluster")
+  }
+
   private def q84(s: SparkSession, dir: String): DataFrame = {
     val eAll = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -768,6 +823,7 @@ object SimilarityPack extends QueryPack {
     "q169_ivf_pq" -> q169 _,
     "q82_hof_vector_features" -> q82 _,
     "q84_ivf_learned_cells" -> q84 _,
+    "q279_davies_bouldin" -> q279 _,
     "q172_semdedup" -> q172 _,
     "q176_cluster_quality" -> q176 _,
     "q178_adc_rerank" -> q178 _,
@@ -1165,6 +1221,35 @@ object SimilarityPack extends QueryPack {
     "q168_pq_adc" -> duckPq,
     "q169_ivf_pq" -> duckIvfPq,
     "q84_ivf_learned_cells" -> duckIvfLearned(1),
+    "q279_davies_bouldin" ->
+      s"""WITH $duckKmeansPrefix,
+         |own AS (
+         | SELECT a.vec_id, a.cluster,
+         |  CAST(floor(list_dot_product(d.dd, d.dd) * 1000000) AS BIGINT)
+         |   AS d2_micro
+         | FROM afin a JOIN dfin d
+         |  ON a.vec_id = d.vec_id AND a.cluster = d.cluster),
+         |pc AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(sum(d2_micro) // count(*) AS BIGINT) AS s_micro
+         | FROM own GROUP BY 1),
+         |mm AS (SELECT x.cluster AS cluster, y.cluster AS other,
+         |  CAST(floor(list_dot_product(
+         |    list_transform(generate_series(1, len(x.cv)),
+         |      i -> x.cv[i] - y.cv[i]),
+         |    list_transform(generate_series(1, len(x.cv)),
+         |      i -> x.cv[i] - y.cv[i])) * 1000000) AS BIGINT) AS m_micro
+         | FROM cent$kmIters x, cent$kmIters y
+         | WHERE x.cluster <> y.cluster),
+         |r AS (SELECT p.cluster, p.n_members, p.s_micro, mm.other,
+         |  CAST((p.s_micro + q.s_micro) * 1000000 // mm.m_micro AS BIGINT)
+         |   AS ratio_micro
+         | FROM pc p JOIN mm ON p.cluster = mm.cluster
+         | JOIN pc q ON q.cluster = mm.other),
+         |w AS (SELECT *, row_number() OVER (PARTITION BY cluster
+         |   ORDER BY ratio_micro DESC, other DESC) AS rn FROM r)
+         |SELECT cluster, n_members, s_micro, other AS worst_other,
+         | ratio_micro AS db_ratio_micro
+         |FROM w WHERE rn = 1 ORDER BY cluster""".stripMargin,
     "q108_ivf_multiprobe" -> duckIvfLearned(nProbe),
     "q109_ann_recall" -> duckRecall,
     "q82_hof_vector_features" ->

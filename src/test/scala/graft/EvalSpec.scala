@@ -228,4 +228,28 @@ class EvalSpec extends SparkSpecBase {
     // so its encoding can sit strictly below 1 even when the cell is pure
     assert(got.forall(c => c._5 > 0.0 && c._5 < 1.0))
   }
+
+  test("q278: stump algebra is exact; split beats the parent impurity") {
+    val r = run("q278_decision_stump").collect()
+    assert(r.length === 1)
+    val row = r.head
+    val (nL, posL, nR) = (row.getLong(1), row.getLong(2), row.getLong(3))
+    // totals from q200 — the same grain lineage
+    val aucRow = run("q200_classifier_auc").collect().head
+    val nPos = aucRow.getLong(0)
+    val n = nPos + aucRow.getLong(1)
+    assert(nL + nR === n)
+    def gini(p: Long, m: Long): Long =
+      1000000L - (p * p + (m - p) * (m - p)) * 1000000L / (m * m)
+    assert(row.getLong(4) === gini(posL, nL))
+    assert(row.getLong(5) === gini(nPos - posL, nR))
+    val wimp = (nL * row.getLong(4) + nR * row.getLong(5)) / n
+    assert(row.getLong(6) === wimp)
+    assert(row.getLong(7) === gini(nPos, n))
+    assert(row.getLong(8) === row.getLong(7) - wimp)
+    // weighted Gini never exceeds the parent (concavity), up to the ±2
+    // micro truncation slack of the quantized contract
+    assert(row.getLong(8) >= -2L)
+    assert(nL > 0 && nR > 0)
+  }
 }

@@ -237,4 +237,55 @@ class KMeansSpec extends SparkSpecBase {
     // v1 and v2 must already be nearly colinear
     assert(cos > 0.9, s"power iteration diverging: cos=$cos")
   }
+
+  test("q279: Davies-Bouldin equals a full JVM Lloyd + ratio recompute") {
+    val sf = "/root/testdata/sf0.001"
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>)")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    // Lloyd: seed = first k, 2 rounds (float32-widened sums are exact in
+    // double, so the JVM mean equals Spark's avg bit-for-bit)
+    var cent: Array[(Int, Array[Double])] =
+      vecs.take(8).zipWithIndex.map { case ((_, v), i) => (i, v.clone) }
+    def assign(): Array[(Long, Int, Double)] = vecs.map { case (id, v) =>
+      val best = cent.map { case (c, cv) => (d2(v, cv), c) }.minBy(identity)
+      (id, best._2, best._1)
+    }
+    (1 to 2).foreach { _ =>
+      val a = assign()
+      cent = a.groupBy(_._2).toArray.map { case (c, members) =>
+        val dim = vecs.head._2.length
+        val sums = new Array[Double](dim)
+        members.foreach { m =>
+          val v = vecs(m._1.toInt)._2
+          var i = 0; while (i < dim) { sums(i) += v(i); i += 1 }
+        }
+        (c, sums.map(_ / members.length))
+      }.sortBy(_._1)
+    }
+    val a = assign()
+    val perC = a.groupBy(_._2).map { case (c, ms) =>
+      val micro = ms.map(m => math.floor(m._3 * 1e6).toLong)
+      c -> (ms.length.toLong, micro.sum / ms.length)
+    }
+    val expected = perC.toSeq.sortBy(_._1).map { case (c, (n, sMicro)) =>
+      val ratios = perC.toSeq.filter(_._1 != c).map { case (o, (_, sO)) =>
+        val m = math.floor(d2(cent.find(_._1 == c).get._2,
+          cent.find(_._1 == o).get._2) * 1e6).toLong
+        ((sMicro + sO) * 1000000L / m, o)
+      }
+      val w = ratios.maxBy(identity)
+      (c, n, sMicro, w._2.toLong, w._1)
+    }
+    val got = SparkEntry.queries("q279_davies_bouldin")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getInt(3).toLong, r.getLong(4))).toSeq
+    assert(got === expected)
+  }
 }
