@@ -426,9 +426,79 @@ object SelectionPack extends QueryPack {
       .orderBy(col("mv_micro").desc, col("source"), col("epoch"))
   }
 
+  // --- q280: Neyman-optimal stratified sampling allocation -----------------
+
+  private val neymanBudget = 100L
+
+  /** q280 — NEYMAN ALLOCATION: split a 100-doc sample budget across the
+    * source strata ∝ n_h·σ_h (the variance-minimizing design for a
+    * stratified mean estimate — the statistically principled version of
+    * the proportional samplers q113/q229 implement). σ_h comes from the
+    * exact population-variance rational (n·Σy² − (Σy)²)/n² over
+    * n_chars; sqrt is correctly-rounded IEEE in both engines (the q195
+    * doctrine), and the weight n_h·σ_h MICRO-QUANTIZES immediately so
+    * the cross-strata total is an exact integer sum — never a
+    * float-accumulation across rows. Integer seats assign by LARGEST
+    * REMAINDER: base = B·w div W, then the B − Σbase leftover seats go
+    * to the largest (remainder, source) ranks — exact, deterministic,
+    * Σalloc = B by construction. Allocations cap at the stratum size
+    * (no re-allocation — the single-pass contract, flagged in the
+    * `capped` column). Selection inside each stratum is the salted-md5
+    * rank (q111 doctrine), fingerprinted (q164's md5-of-sorted-ids) so
+    * the driver compare pins the exact chosen SET. Everything after the
+    * one corpus scan runs at stratum grain.
+    */
+  private def q280(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    val g = base.groupBy("source").agg(
+        count(lit(1)).as("n"),
+        sum(col("n_chars")).as("sy"),
+        sum(col("n_chars") * col("n_chars")).as("syy"))
+      .withColumn("sigma",
+        sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+          / (col("n") * col("n")).cast("double")))
+      .withColumn("w_micro",
+        floor(col("n").cast("double") * col("sigma") * 1e6).cast("long"))
+    val tot = g.agg(sum("w_micro").as("wsum"))
+    val seats = g.crossJoin(broadcast(tot))
+      .withColumn("base", call_function("div",
+        lit(neymanBudget) * col("w_micro"), col("wsum")))
+      .withColumn("rem", (lit(neymanBudget) * col("w_micro")) % col("wsum"))
+    val leftovers = seats.agg(
+      (lit(neymanBudget) - sum("base")).as("r"))
+    val alloc = seats.crossJoin(broadcast(leftovers))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))))
+      .withColumn("alloc_raw",
+        col("base") + when(col("rk") <= col("r"), 1L).otherwise(0L))
+      .withColumn("alloc", least(col("alloc_raw"), col("n")))
+      .withColumn("capped",
+        when(col("alloc_raw") > col("n"), 1).otherwise(0))
+    val ranked = base.withColumn("mrk",
+      md5Hash32(col("doc_id"), "neyman"))
+    val chosen = ranked.join(broadcast(alloc.select("source", "alloc")),
+        "source")
+      .withColumn("rn", row_number().over(Window.partitionBy("source")
+        .orderBy(col("mrk"), col("doc_id"))))
+      .filter(col("rn") <= col("alloc"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_selected"),
+        md5(concat_ws(",", sort_array(collect_list(col("doc_id")))))
+          .as("sel_fp"))
+    alloc.select("source", "n", "sigma", "w_micro", "alloc", "capped")
+      .join(chosen, Seq("source"), "left")
+      .select(col("source"), col("n"), col("sigma"), col("w_micro"),
+        col("alloc"), col("capped"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+        col("sel_fp"))
+      .orderBy("source")
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq(
       "q268_mix_waterfill" -> q268 _,
+      "q280_neyman_allocation" -> q280 _,
       "q227_repetition_audit" -> q227 _,
       "q228_heldout_lm_eval" -> q228 _,
       "q229_priority_sample" -> q229 _,
@@ -444,6 +514,49 @@ object SelectionPack extends QueryPack {
       "i -> tk[i] || ' ' || tk[i + 1])"
 
   override val oracle: Seq[(String, String)] = Seq(
+    "q280_neyman_allocation" ->
+      s"""WITH base AS (SELECT source, doc_id, n_chars FROM documents),
+         |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(n_chars) AS BIGINT) AS sy,
+         |  CAST(sum(n_chars * n_chars) AS BIGINT) AS syy
+         | FROM base GROUP BY 1),
+         |g2 AS (SELECT *, sqrt(CAST(n * syy - sy * sy AS DOUBLE)
+         |  / CAST(n * n AS DOUBLE)) AS sigma FROM g),
+         |g3 AS (SELECT *, CAST(floor(CAST(n AS DOUBLE) * sigma * 1000000)
+         |  AS BIGINT) AS w_micro FROM g2),
+         |tot AS (SELECT CAST(sum(w_micro) AS BIGINT) AS wsum FROM g3),
+         |seats AS (SELECT g3.*,
+         |  CAST($neymanBudget * w_micro // wsum AS BIGINT) AS seat_base,
+         |  CAST(($neymanBudget * w_micro) % wsum AS BIGINT) AS rem
+         | FROM g3, tot),
+         |lf AS (SELECT CAST($neymanBudget - sum(seat_base) AS BIGINT) AS r
+         | FROM seats),
+         |al AS (SELECT s.*, lf.r,
+         |  row_number() OVER (ORDER BY rem DESC, source) AS rk
+         | FROM seats s, lf),
+         |al3 AS (SELECT *,
+         |  least(seat_base + CASE WHEN rk <= r THEN 1 ELSE 0 END, n)
+         |   AS alloc,
+         |  CASE WHEN seat_base + CASE WHEN rk <= r THEN 1 ELSE 0 END > n
+         |   THEN 1 ELSE 0 END AS capped
+         | FROM al),
+         |rkd AS (SELECT source, doc_id,
+         |  CAST('0x' || substring(md5('neyman|' ||
+         |    CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS mrk
+         | FROM base),
+         |ch AS (SELECT source, doc_id FROM (
+         |  SELECT r2.source, r2.doc_id, a.alloc,
+         |   row_number() OVER (PARTITION BY r2.source
+         |     ORDER BY r2.mrk, r2.doc_id) AS rn
+         |  FROM rkd r2 JOIN al3 a ON r2.source = a.source)
+         | WHERE rn <= alloc),
+         |sel AS (SELECT source, CAST(count(*) AS BIGINT) AS n_selected,
+         |  md5(array_to_string(list_sort(list(doc_id)), ',')) AS sel_fp
+         | FROM ch GROUP BY 1)
+         |SELECT a.source, n, sigma, w_micro, alloc, capped,
+         | COALESCE(n_selected, 0) AS n_selected, sel_fp
+         |FROM al3 a LEFT JOIN sel ON a.source = sel.source
+         |ORDER BY a.source""".stripMargin,
     "q268_mix_waterfill" ->
       s"""WITH t AS (SELECT doc_id, source, $duckToks AS tk
          |      FROM documents),

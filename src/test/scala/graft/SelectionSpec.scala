@@ -332,4 +332,54 @@ class SelectionSpec extends SparkSpecBase {
     var acc = 0L
     ordered.foreach { r => acc += r._3; assert(r._6 === acc) }
   }
+
+  test("q280: Neyman seats equal the JVM largest-remainder replay") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(salt: String, id: Long): Long = {
+      val hex = md.digest(s"$salt|$id".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val strata = docs.groupBy(_._1).toSeq.map { case (src, v) =>
+      val n = v.length.toLong
+      val sy = v.map(_._3).sum; val syy = v.map(d => d._3 * d._3).sum
+      val sigma = math.sqrt((n * syy - sy * sy).toDouble / (n * n).toDouble)
+      (src, n, sigma, math.floor(n.toDouble * sigma * 1e6).toLong)
+    }.sortBy(_._1)
+    val wsum = strata.map(_._4).sum
+    val seats = strata.map { case (src, n, sg, w) =>
+      (src, n, sg, w, 100L * w / wsum, (100L * w) % wsum)
+    }
+    val r = 100L - seats.map(_._5).sum
+    val ranked = seats.sortBy(sRow => (-sRow._6, sRow._1)).zipWithIndex
+    val alloc = ranked.map { case ((src, n, sg, w, b, _), i) =>
+      val raw = b + (if (i < r) 1L else 0L)
+      (src, n, sg, w, math.min(raw, n), if (raw > n) 1 else 0)
+    }.sortBy(_._1)
+    val byStratum = docs.groupBy(_._1)
+    val got = run("q280_neyman_allocation").collect().map(rr =>
+      (rr.getString(0), rr.getLong(1), rr.getDouble(2), rr.getLong(3),
+        rr.getLong(4), rr.getInt(5), rr.getLong(6),
+        Option(rr.getString(7)))).toSeq
+    assert(got.map(x => (x._1, x._2, x._3, x._4, x._5, x._6)) ===
+      alloc.map(a => (a._1, a._2, a._3, a._4, a._5, a._6)))
+    // seats conserve exactly when nothing capped; each stratum's chosen
+    // SET replays from the salted-md5 rank
+    if (got.forall(_._6 == 0)) assert(got.map(_._5).sum === 100L)
+    got.foreach { case (src, _, _, _, a, _, nSel, fp) =>
+      assert(nSel === a)
+      if (a > 0) {
+        val ids = byStratum(src).map(d => (h32("neyman", d._2), d._2))
+          .sortBy(identity).take(a.toInt).map(_._2).sorted
+        val expFp = {
+          val bytes = md.digest(ids.mkString(",").getBytes("UTF-8"))
+          bytes.map(b => f"$b%02x").mkString
+        }
+        assert(fp === Some(expFp), src)
+      } else assert(fp.isEmpty)
+    }
+  }
 }
