@@ -131,8 +131,10 @@ object MiningPack extends QueryPack {
     * expand as sums of triple products of those sums (value-bounded
     * « 10³⁸ here: each sum ≤ 10⁹ at sf0.1, so every triple product
     * ≤ 10²⁷; HUGEINT on the DuckDB side), and doubles appear ONLY in the
-    * final coefficient/R² ratios, where both engines divide the same two
-    * exact integers (identical IEEE op → bit-equal). R² comes from the
+    * final coefficient/R² ratios. Those ratios round to 6: determinants
+    * exceed 2⁵³, and DuckDB's HUGEINT→DOUBLE vs the JVM's
+    * BigDecimal→double conversion can disagree by 1 ulp on such
+    * integers (hit at sf0.1), which rounding absorbs. R² comes from the
     * same sums without any per-row residual pass: SSE·det = det·Σy² −
     * Σᵢ detᵢ·(Xᵀy)ᵢ and SST·n = n·Σy² − (Σy)² are exact integer
     * identities. Scale shape: ONE corpus scan reduced map-side to a
@@ -144,15 +146,21 @@ object MiningPack extends QueryPack {
     gramDets(probeFeatures(s, dir))
       .select(
         col("n").cast("bigint").as("n"),
-        (col("det0").cast("double") / col("det").cast("double")).as("beta0"),
-        (col("det1").cast("double") / col("det").cast("double")).as("beta1"),
-        (col("det2").cast("double") / col("det").cast("double")).as("beta2"),
-        (lit(1.0) -
+        // round(6): determinants exceed 2^53 at sf0.1+, and HUGEINT→
+        // DOUBLE (DuckDB) vs BigDecimal→double (JVM) can differ by 1 ulp
+        // on the conversion — rounding absorbs it (QueryPack doctrine)
+        round((col("det0").cast("double") / col("det").cast("double")), 6)
+          .as("beta0"),
+        round((col("det1").cast("double") / col("det").cast("double")), 6)
+          .as("beta1"),
+        round((col("det2").cast("double") / col("det").cast("double")), 6)
+          .as("beta2"),
+        round(lit(1.0) -
           ((col("det") * col("syy") - col("det0") * col("sy")
             - col("det1") * col("s1y") - col("det2") * col("s2y"))
             .cast("double") / col("det").cast("double")) /
           ((col("n") * col("syy") - col("sy") * col("sy"))
-            .cast("double") / col("n").cast("double"))).as("r2"))
+            .cast("double") / col("n").cast("double")), 6).as("r2"))
 
   // --- q260: SRP-LSH embedding near-dup ------------------------------------
 
@@ -834,12 +842,12 @@ object MiningPack extends QueryPack {
          |   + sy * (s1 * s12 - s11 * s2) AS det2
          | FROM g)
          |SELECT CAST(n AS BIGINT) AS n,
-         | CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) AS beta0,
-         | CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) AS beta1,
-         | CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) AS beta2,
-         | 1.0 - (CAST(det * syy - det0 * sy - det1 * s1y - det2 * s2y
-         |     AS DOUBLE) / CAST(det AS DOUBLE))
-         |   / (CAST(n * syy - sy * sy AS DOUBLE) / CAST(n AS DOUBLE))
+         | round(CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS beta0,
+         | round(CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS beta1,
+         | round(CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS beta2,
+         | round(1.0 - (CAST(det * syy - det0 * sy - det1 * s1y
+         |     - det2 * s2y AS DOUBLE) / CAST(det AS DOUBLE))
+         |   / (CAST(n * syy - sy * sy AS DOUBLE) / CAST(n AS DOUBLE)), 6)
          |  AS r2
          |FROM d""".stripMargin)
 }

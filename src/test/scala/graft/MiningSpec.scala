@@ -59,17 +59,19 @@ class MiningSpec extends SparkSpecBase {
     val det1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22)
     val det2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y)
     assert(det != BigInt(0))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val r = run("q259_linear_probe").collect()
     assert(r.length === 1)
     val row = r.head
     assert(row.getLong(0) === feats.length.toLong)
-    assert(row.getDouble(1) === det0.toDouble / det.toDouble)
-    assert(row.getDouble(2) === det1.toDouble / det.toDouble)
-    assert(row.getDouble(3) === det2.toDouble / det.toDouble)
+    assert(row.getDouble(1) === r6(det0.toDouble / det.toDouble))
+    assert(row.getDouble(2) === r6(det1.toDouble / det.toDouble))
+    assert(row.getDouble(3) === r6(det2.toDouble / det.toDouble))
     val sse = (det * syy - det0 * sy - det1 * s1y - det2 * s2y).toDouble /
       det.toDouble
     val sst = (n * syy - sy * sy).toDouble / n.toDouble
-    assert(row.getDouble(4) === 1.0 - sse / sst)
+    assert(row.getDouble(4) === r6(1.0 - sse / sst))
     assert(row.getDouble(4) > 0.0 && row.getDouble(4) <= 1.0)
     // OLS residual identity: SSE ≥ 0 ⇒ the solve actually minimized
     assert(sse >= 0.0 && sse <= sst)
