@@ -318,14 +318,17 @@ object DedupPack extends QueryPack {
     * width the hamming ball alone is selective (the SrpScaleProbe
     * width law), so the operator needs no metadata crutch.
     */
-  private def q277(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, sig): the 60-bit SimHash over a (doc_id, ts tokens)
+    * relation — q277's signature stage, shared with the rule scale
+    * probe. One aggregate per doc with a 60-vote array accumulator. */
+  private[graft] def sim64Sigs(docs: DataFrame): DataFrame = {
     val bitsOf = (h: Column) =>
       transform(sequence(lit(0), lit(sim64Bits - 1)), j =>
         call_function("shiftright",
           conv(h.substr((call_function("div", j, lit(4)) + 1).cast("int"),
             lit(1)), 16, 10).cast("int"),
           j % 4).bitwiseAND(lit(1)) * 2 - 1)
-    val sigs = docToks(s, dir)
+    docs
       .withColumn("m", transform(col("ts"), t => md5(t)))
       .withColumn("votes", aggregate(col("m"),
         array_repeat(lit(0), sim64Bits),
@@ -335,6 +338,10 @@ object DedupPack extends QueryPack {
           zip_with(col("votes"), array(pow2L.map(lit(_)): _*),
             (v, p) => when(v > 0, p).otherwise(0L)),
           lit(0L), (acc, x) => acc + x).as("sig"))
+  }
+
+  private def q277(s: SparkSession, dir: String): DataFrame = {
+    val sigs = sim64Sigs(docToks(s, dir))
       // both sides of the self-join read this: one signature pass, not two
       .persist()
     val y = sigs.select(col("doc_id").as("doc_id2"), col("sig").as("sig2"))
