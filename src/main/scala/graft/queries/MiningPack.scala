@@ -87,39 +87,45 @@ object MiningPack extends QueryPack {
 
   private def d(c: Column) = c.cast("decimal(38,0)")
 
+  // det3 of [[a b c][p q r][u v w]] as the cofactor expansion; operands
+  // are the Gram sums (≤ 10⁹ at sf0.1), every triple product ≤ 10²⁷.
+  private def det3(a: Column, b: Column, c: Column,
+           p: Column, q: Column, r: Column,
+           u: Column, v: Column, w: Column): Column =
+    a * (q * w - r * v) - b * (p * w - r * u) + c * (p * v - q * u)
+
+  /** The nine Gram/moment aggregate expressions over (x1, x2, y). */
+  private def gramAggs: Seq[Column] = Seq(
+    count(lit(1)).cast("decimal(38,0)").as("n"),
+    sum(d(col("x1"))).as("s1"), sum(d(col("x2"))).as("s2"),
+    sum(d(col("y"))).as("sy"),
+    sum(d(col("x1")) * d(col("x1"))).as("s11"),
+    sum(d(col("x1")) * d(col("x2"))).as("s12"),
+    sum(d(col("x2")) * d(col("x2"))).as("s22"),
+    sum(d(col("x1")) * d(col("y"))).as("s1y"),
+    sum(d(col("x2")) * d(col("y"))).as("s2y"),
+    sum(d(col("y")) * d(col("y"))).as("syy"))
+
+  /** The four Cramer determinant columns over the [[gramAggs]] names. */
+  private def detCols: Seq[Column] = Seq(
+    det3(col("n"), col("s1"), col("s2"),
+      col("s1"), col("s11"), col("s12"),
+      col("s2"), col("s12"), col("s22")).as("det"),
+    det3(col("sy"), col("s1"), col("s2"),
+      col("s1y"), col("s11"), col("s12"),
+      col("s2y"), col("s12"), col("s22")).as("det0"),
+    det3(col("n"), col("sy"), col("s2"),
+      col("s1"), col("s1y"), col("s12"),
+      col("s2"), col("s2y"), col("s22")).as("det1"),
+    det3(col("n"), col("s1"), col("sy"),
+      col("s1"), col("s11"), col("s1y"),
+      col("s2"), col("s12"), col("s2y")).as("det2"))
+
   /** One-scan Gram/moment sums + the four Cramer determinants (q259's
     * algebra) as a single broadcastable row. */
   private def gramDets(base: DataFrame): DataFrame = {
-    val g = base.agg(
-      count(lit(1)).cast("decimal(38,0)").as("n"),
-      sum(d(col("x1"))).as("s1"), sum(d(col("x2"))).as("s2"),
-      sum(d(col("y"))).as("sy"),
-      sum(d(col("x1")) * d(col("x1"))).as("s11"),
-      sum(d(col("x1")) * d(col("x2"))).as("s12"),
-      sum(d(col("x2")) * d(col("x2"))).as("s22"),
-      sum(d(col("x1")) * d(col("y"))).as("s1y"),
-      sum(d(col("x2")) * d(col("y"))).as("s2y"),
-      sum(d(col("y")) * d(col("y"))).as("syy"))
-    // det3 of [[a b c][p q r][u v w]] as the cofactor expansion; operands
-    // are the Gram sums (≤ 10⁹ at sf0.1), every triple product ≤ 10²⁷.
-    def det3(a: Column, b: Column, c: Column,
-             p: Column, q: Column, r: Column,
-             u: Column, v: Column, w: Column): Column =
-      a * (q * w - r * v) - b * (p * w - r * u) + c * (p * v - q * u)
-    g.select(
-        col("*"),
-        det3(col("n"), col("s1"), col("s2"),
-          col("s1"), col("s11"), col("s12"),
-          col("s2"), col("s12"), col("s22")).as("det"),
-        det3(col("sy"), col("s1"), col("s2"),
-          col("s1y"), col("s11"), col("s12"),
-          col("s2y"), col("s12"), col("s22")).as("det0"),
-        det3(col("n"), col("sy"), col("s2"),
-          col("s1"), col("s1y"), col("s12"),
-          col("s2"), col("s2y"), col("s22")).as("det1"),
-        det3(col("n"), col("s1"), col("sy"),
-          col("s1"), col("s11"), col("s1y"),
-          col("s2"), col("s12"), col("s2y")).as("det2"))
+    val g = base.agg(gramAggs.head, gramAggs.tail: _*)
+    g.select(col("*") +: detCols: _*)
   }
 
   /** q259 — a 2-feature linear probe fit by ordinary least squares via
@@ -530,6 +536,49 @@ object MiningPack extends QueryPack {
       .orderBy("q_id")
   }
 
+  // --- q281: grouped per-source probes -------------------------------------
+
+  /** q281 — MANY MODELS IN ONE PASS: the q259 closed-form OLS probe fit
+    * independently PER SOURCE — the per-segment modeling pattern (one
+    * model per tenant/domain/experiment cell) that closed-form solves
+    * make free at scale: the same single corpus scan now reduces
+    * map-side to |sources| Gram rows instead of one, and the Cramer
+    * solve broadcasts nothing at all — it's a per-row expression over
+    * the group-grain relation. Same exact-decimal algebra, same
+    * round(6) contract on the ratio outputs, plus each group's
+    * determinant nonzero-ness as a fit-health flag (a degenerate
+    * stratum yields NULL betas, not a crash).
+    */
+  private def q281(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val base = Tables.load(s, dir, "documents").select(
+      col("source"),
+      col("n_chars").as("x1"),
+      size(array_distinct(t)).cast("long").as("x2"),
+      size(t).cast("long").as("y"))
+    val g = base.groupBy("source").agg(gramAggs.head, gramAggs.tail: _*)
+    val withDets = g.select(col("*") +: detCols: _*)
+    withDets.select(
+        col("source"),
+        col("n").cast("bigint").as("n"),
+        when(col("det") =!= 0,
+          round(col("det0").cast("double") / col("det").cast("double"), 6))
+          .as("beta0"),
+        when(col("det") =!= 0,
+          round(col("det1").cast("double") / col("det").cast("double"), 6))
+          .as("beta1"),
+        when(col("det") =!= 0,
+          round(col("det2").cast("double") / col("det").cast("double"), 6))
+          .as("beta2"),
+        when(col("det") =!= 0, round(lit(1.0) -
+          ((col("det") * col("syy") - col("det0") * col("sy")
+            - col("det1") * col("s1y") - col("det2") * col("s2y"))
+            .cast("double") / col("det").cast("double")) /
+          ((col("n") * col("syy") - col("sy") * col("sy"))
+            .cast("double") / col("n").cast("double")), 6)).as("r2"))
+      .orderBy("source")
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq(
       "q258_pmi_collocations" -> q258 _,
@@ -539,7 +588,8 @@ object MiningPack extends QueryPack {
       "q264_multitouch_attribution" -> q264 _,
       "q265_conformal_interval" -> q265 _,
       "q266_rbo_rank_overlap" -> q266 _,
-      "q276_hamming_join_rule" -> q276 _)
+      "q276_hamming_join_rule" -> q276 _,
+      "q281_grouped_probes" -> q281 _)
 
   // --- q276: the naive hamming join, planned by the engine -----------------
 
@@ -584,6 +634,50 @@ object MiningPack extends QueryPack {
          |FROM p JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
          |WHERE c12 >= $pmiMinSupport
          |ORDER BY pmi_micro DESC, p.w1, p.w2 LIMIT 50""".stripMargin,
+    "q281_grouped_probes" ->
+      s"""WITH base AS (
+         | SELECT source, CAST(n_chars AS HUGEINT) AS x1,
+         |  CAST(len(list_distinct($duckToks)) AS HUGEINT) AS x2,
+         |  CAST(len($duckToks) AS HUGEINT) AS y
+         | FROM documents),
+         |g AS (
+         | SELECT source, CAST(count(*) AS HUGEINT) AS n,
+         |  CAST(sum(x1) AS HUGEINT) AS s1, CAST(sum(x2) AS HUGEINT) AS s2,
+         |  CAST(sum(y) AS HUGEINT) AS sy,
+         |  CAST(sum(x1 * x1) AS HUGEINT) AS s11,
+         |  CAST(sum(x1 * x2) AS HUGEINT) AS s12,
+         |  CAST(sum(x2 * x2) AS HUGEINT) AS s22,
+         |  CAST(sum(x1 * y) AS HUGEINT) AS s1y,
+         |  CAST(sum(x2 * y) AS HUGEINT) AS s2y,
+         |  CAST(sum(y * y) AS HUGEINT) AS syy
+         | FROM base GROUP BY 1),
+         |dd AS (
+         | SELECT *,
+         |  n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+         |   + s2 * (s1 * s12 - s11 * s2) AS det,
+         |  sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+         |   + s2 * (s1y * s12 - s11 * s2y) AS det0,
+         |  n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+         |   + s2 * (s1 * s2y - s1y * s2) AS det1,
+         |  n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+         |   + sy * (s1 * s12 - s11 * s2) AS det2
+         | FROM g)
+         |SELECT source, CAST(n AS BIGINT) AS n,
+         | CASE WHEN det <> 0 THEN
+         |  round(CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE), 6) END
+         |  AS beta0,
+         | CASE WHEN det <> 0 THEN
+         |  round(CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE), 6) END
+         |  AS beta1,
+         | CASE WHEN det <> 0 THEN
+         |  round(CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE), 6) END
+         |  AS beta2,
+         | CASE WHEN det <> 0 THEN
+         |  round(1.0 - (CAST(det * syy - det0 * sy - det1 * s1y
+         |      - det2 * s2y AS DOUBLE) / CAST(det AS DOUBLE))
+         |    / (CAST(n * syy - sy * sy AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+         |  END AS r2
+         |FROM dd ORDER BY source""".stripMargin,
     "q266_rbo_rank_overlap" ->
       s"""WITH x AS (
          | SELECT doc_id, unnest($duckToks) AS w FROM documents),

@@ -77,6 +77,46 @@ class MiningSpec extends SparkSpecBase {
     assert(sse >= 0.0 && sse <= sst)
   }
 
+  test("q281: per-source probes equal independent BigInt Cramer solves") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val feats = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("source", "n_chars", "text").collect().map { r =>
+        val t = r.getString(2).split(" ").filter(_.nonEmpty)
+        (r.getString(0), BigInt(r.getLong(1)),
+          BigInt(t.distinct.length), BigInt(t.length))
+      }
+    def det3(a: BigInt, b: BigInt, c: BigInt, p: BigInt, q: BigInt,
+             r: BigInt, u: BigInt, v: BigInt, w: BigInt): BigInt =
+      a * (q * w - r * v) - b * (p * w - r * u) + c * (p * v - q * u)
+    val expected = feats.groupBy(_._1).toSeq.map { case (src, rows) =>
+      val n = BigInt(rows.length)
+      val s1 = rows.map(_._2).sum; val s2 = rows.map(_._3).sum
+      val sy = rows.map(_._4).sum
+      val s11 = rows.map(f => f._2 * f._2).sum
+      val s12 = rows.map(f => f._2 * f._3).sum
+      val s22 = rows.map(f => f._3 * f._3).sum
+      val s1y = rows.map(f => f._2 * f._4).sum
+      val s2y = rows.map(f => f._3 * f._4).sum
+      val syy = rows.map(f => f._4 * f._4).sum
+      val det = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+      val det0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
+      val det1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22)
+      val det2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y)
+      assert(det != BigInt(0), src)
+      val sse = (det * syy - det0 * sy - det1 * s1y - det2 * s2y).toDouble /
+        det.toDouble
+      val sst = (n * syy - sy * sy).toDouble / n.toDouble
+      (src, rows.length.toLong, r6(det0.toDouble / det.toDouble),
+        r6(det1.toDouble / det.toDouble), r6(det2.toDouble / det.toDouble),
+        r6(1.0 - sse / sst))
+    }.sortBy(_._1)
+    val got = run("q281_grouped_probes").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got === expected)
+  }
+
   test("q260: SRP-LSH recovers the planted high-cosine twins, nothing else") {
     val got = run("q260_srp_lsh_dup").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
