@@ -376,8 +376,70 @@ object TextPack extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // --- q282: vocabulary-growth (Heaps) checkpoints -------------------------
+
+  private val heapsBuckets = 20
+
+  /** q282 — VOCABULARY GROWTH (the Heaps/Herdan curve) over 3-gram
+    * shingles: cumulative distinct-shingle count as the corpus is
+    * ingested in doc_id order, at 20 corpus checkpoints — the statistic
+    * that tells a corpus curator whether new data still contributes new
+    * content (the q185 Zipf audit's companion). Shingles, not unigrams:
+    * the synthetic vocabulary is ~40 words and saturates instantly,
+    * while the 3-gram space grows through the whole corpus — the
+    * operator, not the corpus, is under test (q64's stance).
+    *
+    * Scale trick: cumulative DISTINCT needs no stateful scan — a
+    * shingle contributes to the vocabulary exactly at its FIRST
+    * occurrence, so `groupBy(shingle).agg(min(doc_id))` turns the
+    * cumulative-distinct problem into novel-count-per-checkpoint plus a
+    * prefix sum over the 20-row checkpoint grain. Two shuffles
+    * (shingle grain, then checkpoint grain), no window ever touches
+    * doc or token grain. Checkpoint = doc_id·B div n (dense ids — the
+    * generator's contract, FIXTURES.md); type/token ratio reported in
+    * exact micro units.
+    */
+  private def q282(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+    val nDocs = docs.agg(count(lit(1)).as("n"))
+    def bkt(idCol: Column) =
+      least(call_function("div", idCol * heapsBuckets, col("n")),
+        lit(heapsBuckets - 1))
+    val shingles = docs.select(col("doc_id"),
+      explode(zip_with(
+        slice(col("tk"), lit(1), greatest(size(col("tk")) - 2, lit(0))),
+        zip_with(
+          slice(col("tk"), lit(2), greatest(size(col("tk")) - 2, lit(0))),
+          slice(col("tk"), lit(3), greatest(size(col("tk")) - 2, lit(0))),
+          (b, c) => concat(b, lit(" "), c)),
+        (a, bc) => concat(a, lit(" "), bc))).as("sh"))
+    val novel = shingles.groupBy("sh").agg(min("doc_id").as("fd"))
+      .crossJoin(broadcast(nDocs))
+      .groupBy(bkt(col("fd")).as("bkt"))
+      .agg(count(lit(1)).as("novel"))
+    val perBucket = shingles.crossJoin(broadcast(nDocs))
+      .groupBy(bkt(col("doc_id")).as("bkt"))
+      .agg(count(lit(1)).as("n_shingles"),
+        countDistinct("doc_id").as("n_docs"))
+    val w = Window.orderBy("bkt") // ≤ 20 checkpoint rows
+    perBucket.join(novel, Seq("bkt"), "left")
+      .select(col("bkt"), col("n_docs"), col("n_shingles"),
+        coalesce(col("novel"), lit(0L)).as("novel"))
+      .withColumn("docs_cum", sum("n_docs").over(w))
+      .withColumn("shingles_cum", sum("n_shingles").over(w))
+      .withColumn("vocab_cum", sum("novel").over(w))
+      .withColumn("ttr_micro", call_function("div",
+        col("vocab_cum") * lit(1000000L), col("shingles_cum")))
+      .select("bkt", "docs_cum", "shingles_cum", "vocab_cum", "novel",
+        "ttr_micro")
+      .orderBy("bkt")
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q269_code_switch" -> q269 _,
+    "q282_vocab_growth" -> q282 _,
     "q57_array_funcs" -> q57 _,
     "q55_stats_agg" -> q55 _,
     "q56_datetime_breadth" -> q56 _,
@@ -423,6 +485,41 @@ object TextPack extends QueryPack {
        |   FROM documents) t) h)""".stripMargin
 
   override val oracle: Seq[(String, String)] = Seq(
+    "q282_vocab_growth" ->
+      s"""WITH docs AS (
+         | SELECT doc_id,
+         |  list_filter(string_split(text,' '), x -> x <> '') AS tk
+         | FROM documents),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs),
+         |sh AS (
+         | SELECT doc_id,
+         |  tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS sh
+         | FROM docs, unnest(generate_series(1,
+         |   greatest(len(tk) - 2, 0))) AS u(i)),
+         |novel AS (
+         | SELECT least(fd * $heapsBuckets // n, ${heapsBuckets - 1})
+         |   AS bkt, CAST(count(*) AS BIGINT) AS novel
+         | FROM (SELECT sh, min(doc_id) AS fd FROM sh GROUP BY 1), nn
+         | GROUP BY 1),
+         |pb AS (
+         | SELECT least(doc_id * $heapsBuckets // n, ${heapsBuckets - 1})
+         |   AS bkt,
+         |  CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         | FROM sh, nn GROUP BY 1),
+         |j AS (SELECT pb.bkt, n_docs, n_shingles,
+         |  COALESCE(novel, 0) AS novel
+         | FROM pb LEFT JOIN novel ON pb.bkt = novel.bkt),
+         |c AS (SELECT *,
+         |  CAST(sum(n_docs) OVER (ORDER BY bkt) AS BIGINT) AS docs_cum,
+         |  CAST(sum(n_shingles) OVER (ORDER BY bkt) AS BIGINT)
+         |   AS shingles_cum,
+         |  CAST(sum(novel) OVER (ORDER BY bkt) AS BIGINT) AS vocab_cum
+         | FROM j)
+         |SELECT CAST(bkt AS BIGINT) AS bkt, docs_cum, shingles_cum,
+         | vocab_cum, novel,
+         | CAST(vocab_cum * 1000000 // shingles_cum AS BIGINT) AS ttr_micro
+         |FROM c ORDER BY bkt""".stripMargin,
     "q269_code_switch" -> {
       val hitCols = lex.map { case (l, ws) =>
         s"CAST(len(list_intersect(wdt, " +

@@ -117,6 +117,37 @@ class MiningSpec extends SparkSpecBase {
     assert(got === expected)
   }
 
+  test("q282: Heaps checkpoints equal the sequential first-occurrence scan") {
+    val docs = docToks().sortBy(_._1)
+    val n = docs.length
+    def bkt(id: Long): Long = math.min(id * 20 / n, 19L)
+    val seen = scala.collection.mutable.Set.empty[String]
+    case class Acc(var docs: Long = 0, var sh: Long = 0, var novel: Long = 0)
+    val per = scala.collection.mutable.Map.empty[Long, Acc]
+    docs.foreach { case (id, t) =>
+      val a = per.getOrElseUpdate(bkt(id), Acc())
+      a.docs += 1
+      t.sliding(3).filter(_.length == 3).foreach { w =>
+        val s3 = w.mkString(" ")
+        a.sh += 1
+        if (seen.add(s3)) a.novel += 1
+      }
+    }
+    var (dc, sc, vc) = (0L, 0L, 0L)
+    val expected = per.toSeq.sortBy(_._1).map { case (b, a) =>
+      dc += a.docs; sc += a.sh; vc += a.novel
+      (b, dc, sc, vc, a.novel, vc * 1000000L / sc)
+    }
+    val got = run("q282_vocab_growth").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected)
+    // the curve actually grows across checkpoints (shingles don't saturate)
+    assert(got.last._4 > got.head._4)
+    // TTR declines as the corpus grows (Heaps sublinearity)
+    assert(got.head._6 >= got.last._6)
+  }
+
   test("q260: SRP-LSH recovers the planted high-cosine twins, nothing else") {
     val got = run("q260_srp_lsh_dup").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
