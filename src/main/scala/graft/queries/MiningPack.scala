@@ -50,9 +50,10 @@ object MiningPack extends QueryPack {
     * broadcast at vocab grain. At 100 TB the only corpus-grain stage is
     * the bigram count's map-side partial agg; nothing pair-of-documents
     * sized ever shuffles. Ratio bound: c12·N·10⁶ ≤ N²·10⁶ stays inside
-    * BIGINT to N ≈ 3·10⁶ bigram instances per... the production variant
-    * casts the numerator decimal(38,0) (HUGEINT in the oracle) — here N
-    * is vocabulary-bounded (≈ 40² types) and the BIGINT form is exact.
+    * BIGINT to N ≈ 3·10⁶ bigram INSTANCES; past that the production
+    * variant casts the numerator decimal(38,0) (HUGEINT in the oracle).
+    * Here N is corpus-bounded far below that and the BIGINT form is
+    * exact.
     */
   private def q258(s: SparkSession, dir: String): DataFrame = {
     val pair = Tables.load(s, dir, "documents")
