@@ -526,11 +526,13 @@ object JoinsAggs extends QueryPack {
   /** q142 — RFM customer segmentation: recency (last order date),
     * frequency (order count), monetary (exact-cents spend) per customer,
     * each cut into quartiles. Customer grain reduces first (one
-    * partial-agg shuffle of orders), then three ntile windows run over
-    * the already-small aggregate. All orderings carry a custkey tiebreak
-    * so quartile assignment is total-ordered and engine-identical; at
-    * 100 TB the exact ntile swaps for approx_percentile boundaries
-    * (q114's scale note).
+    * partial-agg shuffle of orders), then each quartile cut runs as the
+    * exact distributed ntile ([[graft.functions.DistRank]]: range
+    * shuffle + per-slice rank + P-row offsets — customer grain grows
+    * with the corpus, so no single-partition window is allowed over it).
+    * All orderings carry a custkey tiebreak so quartile assignment is
+    * total-ordered and engine-identical; at 100 TB the exact ntile can
+    * further swap for approx_percentile boundaries (q114's scale note).
     */
   private def q142(s: SparkSession, dir: String): DataFrame = {
     val perCust = Tables.load(s, dir, "orders")
@@ -538,12 +540,11 @@ object JoinsAggs extends QueryPack {
       .agg(max("o_orderdate").as("last_order"),
         count(lit(1)).as("frequency"),
         sum(round(col("o_totalprice") * 100).cast("long")).as("spend_cents"))
-    def q(c: String, asc: Boolean) = ntile(4).over(
-      Window.orderBy(if (asc) col(c).asc else col(c).desc, col("o_custkey")))
-    perCust
-      .withColumn("r_q", q("last_order", asc = false))
-      .withColumn("f_q", q("frequency", asc = false))
-      .withColumn("m_q", q("spend_cents", asc = false))
+    def cut(df: DataFrame, tile: String, c: String): DataFrame =
+      graft.functions.DistRank.withNtile(df, tile, 4,
+        col(c).desc, col("o_custkey"))
+    cut(cut(cut(perCust, "r_q", "last_order"), "f_q", "frequency"),
+      "m_q", "spend_cents")
       .select(col("o_custkey"), col("last_order"), col("frequency"),
         (col("spend_cents") / 100.0).as("monetary"),
         col("r_q"), col("f_q"), col("m_q"),

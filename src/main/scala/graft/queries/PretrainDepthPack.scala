@@ -143,18 +143,18 @@ object PretrainDepthPack extends QueryPack {
     * integer-unit machinery), cut into three equal buckets — best-scored
     * = head — and keep each bucket at its configured rate (head 100%,
     * middle 50%, tail 10%) via the deterministic md5 bucket. Output is
-    * the per-bucket retention ledger. The global ntile is exact-parity
-    * form (one sort of a doc-grain projection); at 100 TB the cut comes
-    * from approx_percentile score boundaries instead (q114's note), and
-    * the keep decision stays per-row either way.
+    * the per-bucket retention ledger. The cut is the exact distributed
+    * ntile ([[graft.functions.DistRank]] — range shuffle + per-slice
+    * rank + P-row offsets, no single-partition window); at 100 TB an
+    * approx_percentile score-boundary cut (q114's note) drops the range
+    * shuffle too, and the keep decision stays per-row either way.
     */
   private def q171(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("lm_score").desc, col("doc_id"))
     val rate = when(col("ppl_bucket") === "head", 1000)
       .when(col("ppl_bucket") === "middle", 500)
       .otherwise(100)
-    lmScored(s, dir)
-      .withColumn("nt", ntile(3).over(w))
+    graft.functions.DistRank.withNtile(lmScored(s, dir),
+      "nt", 3, col("lm_score").desc, col("doc_id"))
       .withColumn("ppl_bucket",
         when(col("nt") === 1, "head")
           .when(col("nt") === 2, "middle")

@@ -137,10 +137,11 @@ object SelectionPack extends QueryPack {
     * becomes the EXACT integer key `(cents·2³²) div (h+1)`; the sample is
     * the top k=100 keys, the threshold τ is the (k+1)-th, and the
     * estimate is Σ max(wᵢ, τ) over the sample — every comparison and the
-    * estimator itself in integer cents. The rank here is a global window
-    * for oracle parity; at scale the identical top-(k+1) comes from
-    * Spark's TakeOrdered (per-partition heads + driver merge), and τ/the
-    * estimator are unchanged. One scan, one k-row reduction.
+    * estimator itself in integer cents. The top-(k+1) plans as Spark's
+    * TakeOrderedAndProject (per-partition heads + driver merge — never a
+    * global sort or a single-partition window over the corpus); the rank
+    * window then runs over the k+1 surviving rows only, a bounded grain.
+    * One scan, one k-row reduction.
     */
   private def q229(s: SparkSession, dir: String): DataFrame = {
     val k = 100
@@ -150,9 +151,9 @@ object SelectionPack extends QueryPack {
       .select(col("o_orderkey"), cents.as("cents"),
         call_function("div", cents * lit(4294967296L), h + 1).as("key"))
     val top = keyed
+      .orderBy(col("key").desc, col("o_orderkey")).limit(k + 1)
       .withColumn("rn", row_number().over(
         Window.orderBy(col("key").desc, col("o_orderkey"))))
-      .filter(col("rn") <= k + 1)
     val tau = top.filter(col("rn") === k + 1)
       .select(col("key").as("tau"))
     val trueTot = Tables.load(s, dir, "orders")

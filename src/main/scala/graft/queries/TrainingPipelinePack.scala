@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.catalog.Tables
-import graft.functions.TopK
+import graft.functions.{DistRank, TopK}
 
 /** Training-data pipeline assembly shapes over `documents` — the ops that
   * sit between corpus curation (dedup/quality, q50-q69, q104-q110) and the
@@ -116,19 +116,19 @@ object TrainingPipelinePack extends QueryPack {
   }
 
   /** q114 — curriculum staging: order the corpus by a difficulty proxy
-    * (avg word length, doc_id tiebreak) and cut into 4 equal stages with
-    * ntile; per-stage profile. The global ntile is one sort over a
-    * (doc_id, difficulty) projection — at 100 TB the same cut comes free
-    * from approx_percentile boundaries (3 numbers broadcast) instead of a
-    * total order; ntile is the exact-parity form.
+    * (avg word length, doc_id tiebreak) and cut into 4 equal stages; per-
+    * stage profile. The cut is the EXACT distributed ntile
+    * ([[graft.functions.DistRank]]): range shuffle + per-slice rank +
+    * P-row broadcast offsets — no single-partition window at any corpus
+    * size. (When ±1-row-exact stages aren't required, approx_percentile
+    * boundaries — 3 broadcast numbers — drop the range shuffle too.)
     */
   private def q114(s: SparkSession, dir: String): DataFrame = {
     val t = TextOps.toks(col("text"))
     val difficulty = aggregate(t, lit(0), (acc, x) => acc + length(x)) / size(t)
-    Tables.load(s, dir, "documents")
-      .withColumn("difficulty", difficulty)
-      .withColumn("stage",
-        ntile(4).over(Window.orderBy(col("difficulty"), col("doc_id"))))
+    DistRank.withNtile(
+      Tables.load(s, dir, "documents").withColumn("difficulty", difficulty),
+      "stage", 4, col("difficulty"), col("doc_id"))
       .groupBy("stage")
       .agg(count(lit(1)).as("n_docs"),
         // no round: min/max of exact int/int IEEE quotients are
@@ -144,16 +144,18 @@ object TrainingPipelinePack extends QueryPack {
   /** q115 — deterministic shuffle + round-robin shard packing: order by
     * md5(doc_id) (the reproducible "random" order every epoch-0 data
     * loader wants), deal into 8 shards round-robin, profile each shard.
-    * Exact equal-size shards require the total order (one global sort of
-    * an (id, hash) projection — the payload is joined back per shard on
-    * write); when ±1% imbalance is fine, shard = md5-bucket directly
-    * (q111's shape) and the sort disappears. Shard stats land within ~2%
-    * of each other — the balance evidence is the min/max spread.
+    * The total order runs as [[graft.functions.DistRank]]'s exact
+    * distributed row_number (range shuffle on the hash, never a single-
+    * partition window); when ±1% imbalance is fine, shard = md5-bucket
+    * directly (q111's shape) and even the range shuffle disappears. Shard
+    * stats land within ~2% of each other — the balance evidence is the
+    * min/max spread.
     */
   private def q115(s: SparkSession, dir: String): DataFrame = {
-    val rn = row_number().over(Window.orderBy(md5(col("doc_id").cast("string"))))
-    Tables.load(s, dir, "documents")
-      .withColumn("shard", (rn - 1) % 8)
+    DistRank.withRowNumber(
+      Tables.load(s, dir, "documents"),
+      "rn", md5(col("doc_id").cast("string")))
+      .withColumn("shard", (col("rn") - 1) % 8)
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_chars").as("n_chars"),
@@ -279,15 +281,17 @@ object TrainingPipelinePack extends QueryPack {
     * fingerprint of the ordered member list. The fingerprint turns "the
     * shard layout is reproducible" into one comparable scalar (any
     * membership or order change flips it), the same trick as q164's
-    * postings_md5. Same global-sort caveat as q115: exact round-robin
-    * needs one total order over an (id, hash) projection; md5-bucket
-    * sharding (q111) drops the sort when ±1% imbalance is acceptable.
+    * postings_md5. Total order via [[graft.functions.DistRank]] (q115's
+    * distributed-rank doctrine — range shuffle, never a single-partition
+    * window); md5-bucket sharding (q111) drops even that when ±1%
+    * imbalance is acceptable.
     */
   private def q177(s: SparkSession, dir: String): DataFrame = {
-    val rn = row_number().over(Window.orderBy(md5(col("doc_id").cast("string"))))
-    Tables.load(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), nToks(col("text")).as("ntk"))
-      .withColumn("shard", (rn - 1) % 8)
+    DistRank.withRowNumber(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), nToks(col("text")).as("ntk")),
+      "rn", md5(col("doc_id").cast("string")))
+      .withColumn("shard", (col("rn") - 1) % 8)
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
         sum("ntk").as("n_tokens"),
@@ -349,22 +353,23 @@ object TrainingPipelinePack extends QueryPack {
     * quantifies exactly how many pad tokens it buys back (the spec pins
     * sorted < arrival).
     *
-    * Scale: same global-sort caveat as q115 — the total order runs over
-    * an (id, length) projection, not the payload; production swaps the
-    * exact row_number deal for range-partitioned length buckets (one
-    * repartitionByRange, no global window) when ±1 batch-size skew is
-    * acceptable. Ratios are single divisions of exact integers.
+    * Scale: both deals run the [[graft.functions.DistRank]] exact
+    * distributed row_number over an (id, length) projection, not the
+    * payload — range shuffle + per-slice rank, no single-partition
+    * window; production can further swap the exact deal for range-
+    * partitioned length buckets when ±1 batch-size skew is acceptable.
+    * Ratios are single divisions of exact integers.
     */
   private def q183(s: SparkSession, dir: String): DataFrame = {
     // persisted: both strategy audits deal from the same (id, length)
-    // projection — without the cache each global window re-scans and
+    // projection — without the cache each rank pass re-scans and
     // re-tokenizes the corpus
     val docs = Tables.load(s, dir, "documents")
       .select(col("doc_id"), nToks(col("text")).as("ntk"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     def audit(strategy: String, order: Seq[Column]): DataFrame = {
-      val rn = row_number().over(Window.orderBy(order: _*))
-      docs.withColumn("b", floor((rn - 1) / lit(batchB)).cast("int"))
+      DistRank.withRowNumber(docs, "rn", order: _*)
+        .withColumn("b", floor((col("rn") - 1) / lit(batchB)).cast("int"))
         .groupBy("b")
         .agg(count(lit(1)).as("nb"), sum("ntk").as("real"),
           max("ntk").as("mx"))

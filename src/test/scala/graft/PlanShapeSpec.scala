@@ -289,12 +289,15 @@ class PlanShapeSpec extends SparkSpecBase {
   test("padding audit and tempered mixture read their cached projections") {
     import org.apache.spark.sql.execution.columnar.InMemoryRelation
     // q183: both strategy deals come from the cached (id, length)
-    // projection; q184: the normalizer row and the final projection
-    // both read the cached source-grain aggregate
+    // projection — through DistRank each deal reads its range-shuffled
+    // cache twice (offsets pass + rank join), so every leaf must still
+    // be a cache, never a re-scan of documents; q184: the normalizer row
+    // and the final projection both read the cached source-grain agg
     for (name <- Seq("q183_padding_audit", "q184_temperature_mixture")) {
       val leaves = q(name).queryExecution.optimizedPlan.collectLeaves()
-      assert(leaves.count(_.isInstanceOf[InMemoryRelation]) == 2 &&
-        leaves.size == 2, s"$name must read only its cache, twice")
+      assert(leaves.nonEmpty &&
+        leaves.forall(_.isInstanceOf[InMemoryRelation]),
+        s"$name must read only caches, got ${leaves.map(_.nodeName)}")
     }
   }
 
@@ -508,5 +511,33 @@ class PlanShapeSpec extends SparkSpecBase {
         l.contains("BroadcastHashJoin")).toList
     assert(joinLines.exists(l => l.contains("bkt") && l.contains("user_id")),
       s"candidate join must key on (user_id, bkt):\n${p.take(4000)}")
+  }
+
+  test("global ranks run distributed: every window carries graft_rank_pid") {
+    // the r5-flagged corpus-grain family — after the DistRank swap, NO
+    // window in these plans may order an unaggregated corpus-grain input
+    // in a single partition: the rank windows partition by the range-
+    // slice id, and the only unpartitioned windows are the P-row offsets
+    // prefix sums (which ORDER BY the same id — so every Window line
+    // must mention it)
+    for (name <- Seq("q114_curriculum_stages", "q115_shuffle_shards",
+        "q142_rfm_segments", "q171_ppl_buckets", "q177_shard_manifest",
+        "q183_padding_audit")) {
+      val p = planOf(q(name))
+      val windowLines = p.linesIterator.filter(_.contains("Window ")).toList
+      assert(windowLines.nonEmpty, s"$name: expected DistRank windows:\n$p")
+      assert(windowLines.forall(_.contains("graft_rank_pid")),
+        s"$name: corpus-grain unpartitioned window leaked:\n${p.take(5000)}")
+    }
+  }
+
+  test("priority sample: top-(k+1) is TakeOrdered, rank window is k+1-row") {
+    val p = planOf(q("q229_priority_sample"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-(k+1) must plan per-partition heads + driver merge:\n${p.take(4000)}")
+    // no global range-sort of the orders scan feeds the window — the only
+    // sort above the scan belongs to TakeOrderedAndProject itself
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"corpus-grain global sort leaked:\n${p.take(4000)}")
   }
 }
