@@ -52,13 +52,23 @@ object Observe {
       first: Column, rest: Column*): DataFrame =
     df.observe(name, first, rest: _*)
 
-  /** Listener delivery races the action's return: poll briefly. */
+  /** Listener delivery races the action's return: poll briefly. The read
+    * CONSUMES the entry (remove-on-read): entries are keyed by
+    * observation name only, so leaving them behind would let a later
+    * await of a reused name return the PREVIOUS action's stale row
+    * (ADVICE r5). One await per (name, action) — re-observing under the
+    * same name after a consume works; two concurrent queries sharing a
+    * name still race and must use distinct names.
+    */
   def awaitMetric(sink: MetricsSink, name: String,
       timeoutMs: Long = 10000): Row = {
     val deadline = System.nanoTime() + timeoutMs * 1000000L
-    while (!sink.metrics.contains(name) && System.nanoTime() < deadline)
+    var taken = sink.metrics.remove(name)
+    while (taken.isEmpty && System.nanoTime() < deadline) {
       Thread.sleep(20)
-    sink.metrics.getOrElse(name,
+      taken = sink.metrics.remove(name)
+    }
+    taken.getOrElse(
       throw new IllegalStateException(s"metric '$name' never arrived"))
   }
 }

@@ -15,9 +15,19 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   *
   * and the engine plans the scale-safe form. Eligibility: an INNER join
   * whose condition conjuncts include `bit_count(xor(l, r)) <= k`
-  * (k a literal ≤ 7, both sides 32-bit ints, one from each child) and
-  * which carries NO equi-conjunct — i.e. exactly the join Spark would
-  * otherwise execute as a nested-loop cartesian.
+  * (k a literal ≤ 7, both sides 32- or 64-bit integral signatures, one
+  * from each child).
+  *
+  * When the join ALSO carries equi-conjuncts (`=` or `<=>`) — e.g. the
+  * natural lang-blocked form `lang === lang2 && bit_count(...) <= k` —
+  * the rule COMPOSES: the generated segment equality joins the existing
+  * keys (the original condition is kept verbatim, so
+  * ExtractEquiJoinKeys collects both), turning a per-language nested
+  * loop into a (lang, segment)-keyed hash join. The ONLY stand-down:
+  * equi-conjuncts exist AND a side already fits under the broadcast
+  * threshold — there Spark's BroadcastHashJoin on the existing keys
+  * (hamming as a cheap residual) beats paying the (k+1)× explode, so
+  * the rule leaves the join alone.
   *
   * Rewrite: both children gain a generated `graft_seg` column exploding
   * the signature into k+1 disjoint bit segments (hamming ≤ k ⇒ at least
@@ -28,10 +38,10 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   * bag semantics preserved with no dedup pass. A final Project restores
   * the original output.
   *
-  * ExtractEquiJoinKeys then sees the two struct-field equalities and
-  * plans a hash/sort-merge join: candidate generation drops from |L|·|R|
-  * to Σ_bucket |bucket|² — the measured q63/SrpScaleProbe behavior —
-  * with zero changes to user code.
+  * ExtractEquiJoinKeys then sees the struct-field equalities (plus any
+  * composed user keys) and plans a hash/sort-merge join: candidate
+  * generation drops from |L|·|R| to Σ_bucket |bucket|² — the measured
+  * q63/SrpScaleProbe behavior — with zero changes to user code.
   */
 object HammingJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -57,13 +67,17 @@ object HammingJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   private def isEqui(e: Expression, left: LogicalPlan,
-      right: LogicalPlan): Boolean = e match {
-    case EqualTo(a, b) =>
+      right: LogicalPlan): Boolean = {
+    def crossChild(a: Expression, b: Expression): Boolean =
       (a.references.subsetOf(left.outputSet) &&
         b.references.subsetOf(right.outputSet)) ||
         (b.references.subsetOf(left.outputSet) &&
           a.references.subsetOf(right.outputSet))
-    case _ => false
+    e match {
+      case EqualTo(a, b) => crossChild(a, b)
+      case EqualNullSafe(a, b) => crossChild(a, b)
+      case _ => false
+    }
   }
 
   /** Bit segment i of `sig` under an (k+1)-way split of the signature
@@ -102,8 +116,15 @@ object HammingJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
       val hamming = conjuncts.flatMap(c =>
         hammingConjunct(c, left, right).map(c -> _)).headOption
       val hasEqui = conjuncts.exists(isEqui(_, left, right))
+      // with user equi-keys AND a broadcastable side, Spark's hash join
+      // on those keys (hamming as residual) already wins — stand down
+      val broadcastable = {
+        val t = conf.autoBroadcastJoinThreshold
+        t >= 0 && (left.stats.sizeInBytes <= t ||
+          right.stats.sizeInBytes <= t)
+      }
       hamming match {
-        case Some((_, (lSig, rSig, k))) if !hasEqui =>
+        case Some((_, (lSig, rSig, k))) if !(hasEqui && broadcastable) =>
           val nSeg = k + 1
           val (newLeft, segL) = explodeSegs(left, lSig, nSeg)
           val (newRight, segR) = explodeSegs(right, rSig, nSeg)

@@ -49,11 +49,11 @@ object MiningPack extends QueryPack {
     * vocabulary² grain, then every join (marginals, the grand total) is a
     * broadcast at vocab grain. At 100 TB the only corpus-grain stage is
     * the bigram count's map-side partial agg; nothing pair-of-documents
-    * sized ever shuffles. Ratio bound: c12·N·10⁶ ≤ N²·10⁶ stays inside
-    * BIGINT to N ≈ 3·10⁶ bigram INSTANCES; past that the production
-    * variant casts the numerator decimal(38,0) (HUGEINT in the oracle).
-    * Here N is corpus-bounded far below that and the BIGINT form is
-    * exact.
+    * sized ever shuffles. Ratio headroom: the numerator c12·N·10⁶ is
+    * ≤ N²·10⁶ worst-case — past BIGINT at N ≈ 3·10⁶ bigram instances —
+    * so it runs in decimal(38,0) (HUGEINT in the oracle) with the same
+    * truncating `div`; the emitted ratio itself is ≤ 10⁶·N/c1·c2 and
+    * stays BIGINT at any corpus size (ADVICE r5).
     */
   private def q258(s: SparkSession, dir: String): DataFrame = {
     val pair = Tables.load(s, dir, "documents")
@@ -67,7 +67,8 @@ object MiningPack extends QueryPack {
       .crossJoin(broadcast(n))
       .filter(col("c12") >= pmiMinSupport)
       .withColumn("pmi_micro",
-        expr("c12 * n_bg * 1000000 div (c1 * c2)"))
+        expr("cast(c12 as decimal(38,0)) * n_bg * 1000000" +
+          " div (cast(c1 as decimal(38,0)) * c2)"))
       .select("w1", "w2", "c12", "c1", "c2", "n_bg", "pmi_micro")
       .orderBy(desc("pmi_micro"), col("w1"), col("w2"))
       .limit(50)
@@ -149,25 +150,32 @@ object MiningPack extends QueryPack {
     * closed-form probes free at 100 TB where an iterative fitter would
     * cost a scan per epoch.
     */
-  private def q259(s: SparkSession, dir: String): DataFrame =
+  private def q259(s: SparkSession, dir: String): DataFrame = {
+    // q281's fit-health contract: a singular Gram system (collinear
+    // features, n < 3) yields NULL coefficients, never Inf/NaN
+    def guarded(c: Column): Column = when(col("det") =!= 0, c)
     gramDets(probeFeatures(s, dir))
       .select(
         col("n").cast("bigint").as("n"),
         // round(6): determinants exceed 2^53 at sf0.1+, and HUGEINT→
         // DOUBLE (DuckDB) vs BigDecimal→double (JVM) can differ by 1 ulp
         // on the conversion — rounding absorbs it (QueryPack doctrine)
-        round((col("det0").cast("double") / col("det").cast("double")), 6)
+        guarded(round(
+          (col("det0").cast("double") / col("det").cast("double")), 6))
           .as("beta0"),
-        round((col("det1").cast("double") / col("det").cast("double")), 6)
+        guarded(round(
+          (col("det1").cast("double") / col("det").cast("double")), 6))
           .as("beta1"),
-        round((col("det2").cast("double") / col("det").cast("double")), 6)
+        guarded(round(
+          (col("det2").cast("double") / col("det").cast("double")), 6))
           .as("beta2"),
-        round(lit(1.0) -
+        guarded(round(lit(1.0) -
           ((col("det") * col("syy") - col("det0") * col("sy")
             - col("det1") * col("s1y") - col("det2") * col("s2y"))
             .cast("double") / col("det").cast("double")) /
           ((col("n") * col("syy") - col("sy") * col("sy"))
-            .cast("double") / col("n").cast("double")), 6).as("r2"))
+            .cast("double") / col("n").cast("double")), 6)).as("r2"))
+  }
 
   // --- q260: SRP-LSH embedding near-dup ------------------------------------
 
@@ -590,7 +598,8 @@ object MiningPack extends QueryPack {
       "q265_conformal_interval" -> q265 _,
       "q266_rbo_rank_overlap" -> q266 _,
       "q276_hamming_join_rule" -> q276 _,
-      "q281_grouped_probes" -> q281 _)
+      "q281_grouped_probes" -> q281 _,
+      "q283_blocked_hamming_rule" -> q283 _)
 
   // --- q276: the naive hamming join, planned by the engine -----------------
 
@@ -617,6 +626,31 @@ object MiningPack extends QueryPack {
       .orderBy("vec_id", "vec_id2")
   }
 
+  /** q283 — q276's naive join with a BLOCK KEY written the natural way:
+    * `blk === blk2 && bit_count(sig ⊕ sig2) ≤ 2` (the lang-blocked shape
+    * every real near-dup pipeline has). Before r6, the rule stood down
+    * on ANY equi-conjunct and this query silently ran the per-block
+    * nested loop it exists to kill; now the rule COMPOSES — the segment
+    * equality joins the user's block key — unless a side is already
+    * broadcastable, where Spark's hash join on the block key wins
+    * outright (the stand-down HammingRuleSpec pins). Either way the
+    * engine owns the plan; the oracle is the naive blocked all-pairs.
+    * Twins stay in-block by construction (10⁶ ≡ 0 mod 4).
+    */
+  private def q283(s: SparkSession, dir: String): DataFrame = {
+    val sigs = srpBase(s, dir).select(col("vec_id"),
+      (col("vec_id") % 4).as("blk"), srpSig.as("sig"))
+    val y = sigs.select(col("vec_id").as("vec_id2"),
+      col("blk").as("blk2"), col("sig").as("sig2"))
+    sigs.join(y,
+        col("blk") === col("blk2") &&
+          bit_count(col("sig").bitwiseXOR(col("sig2"))) <= 2 &&
+          col("vec_id") < col("vec_id2"))
+      .select(col("vec_id"), col("vec_id2"), col("blk"),
+        bit_count(col("sig").bitwiseXOR(col("sig2"))).as("hamming"))
+      .orderBy("vec_id", "vec_id2")
+  }
+
   override val oracle: Seq[(String, String)] = Seq(
     "q258_pmi_collocations" ->
       s"""WITH t AS (SELECT $duckToks AS tk FROM documents),
@@ -631,7 +665,8 @@ object MiningPack extends QueryPack {
          |r AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM p GROUP BY 1),
          |n AS (SELECT CAST(sum(c12) AS BIGINT) AS n_bg FROM p)
          |SELECT p.w1, p.w2, c12, c1, c2, n_bg,
-         | CAST(c12 * n_bg * 1000000 // (c1 * c2) AS BIGINT) AS pmi_micro
+         | CAST(CAST(c12 AS HUGEINT) * n_bg * 1000000
+         |   // (CAST(c1 AS HUGEINT) * c2) AS BIGINT) AS pmi_micro
          |FROM p JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
          |WHERE c12 >= $pmiMinSupport
          |ORDER BY pmi_micro DESC, p.w1, p.w2 LIMIT 50""".stripMargin,
@@ -872,6 +907,36 @@ object MiningPack extends QueryPack {
          |FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id
          |WHERE bit_count(xor(a.sig, b.sig)) <= 2
          |ORDER BY a.vec_id, vec_id2""".stripMargin,
+    "q283_blocked_hamming_rule" ->
+      s"""WITH raw AS (
+         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |tw AS (
+         | SELECT vec_id + 1000000 AS vec_id,
+         |  list_concat([v[1] + 0.1], v[2:]) AS v
+         | FROM raw WHERE vec_id % 25 = 0),
+         |base AS (SELECT * FROM raw UNION ALL SELECT * FROM tw),
+         |s AS (SELECT vec_id, v,
+         |  list_max(list_transform(v, x -> abs(x)))
+         |   / CAST(127.0 AS DOUBLE) AS scale FROM base),
+         |qz AS (SELECT vec_id, v,
+         |  list_transform(v,
+         |   x -> CAST(floor(x / scale + CAST(0.5 AS DOUBLE)) AS INT)) AS qv
+         | FROM s),
+         |grid AS (SELECT p, d,
+         |  CASE WHEN CAST('0x' || substring(md5('srp|' || p || '|' || d),
+         |    1, 8) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS w
+         | FROM range($srpPlanes) t1(p), range($srpDims) t2(d)),
+         |pl AS (SELECT vec_id, p, sum(qv[d + 1] * w) AS dt
+         | FROM qz, grid GROUP BY vec_id, p),
+         |sigs AS (SELECT vec_id, vec_id % 4 AS blk,
+         |  CAST(sum(CASE WHEN dt >= 0 THEN 1 << p ELSE 0 END) AS INT) AS sig
+         | FROM pl GROUP BY vec_id)
+         |SELECT a.vec_id, b.vec_id AS vec_id2, a.blk AS blk,
+         | CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+         |FROM sigs a JOIN sigs b
+         | ON a.blk = b.blk AND a.vec_id < b.vec_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 2
+         |ORDER BY a.vec_id, vec_id2""".stripMargin,
     "q260_srp_lsh_dup" ->
       s"""WITH raw AS (
          | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -937,12 +1002,16 @@ object MiningPack extends QueryPack {
          |   + sy * (s1 * s12 - s11 * s2) AS det2
          | FROM g)
          |SELECT CAST(n AS BIGINT) AS n,
-         | round(CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS beta0,
-         | round(CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS beta1,
-         | round(CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS beta2,
-         | round(1.0 - (CAST(det * syy - det0 * sy - det1 * s1y
+         | CASE WHEN det <> 0 THEN
+         |  round(CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE), 6) END AS beta0,
+         | CASE WHEN det <> 0 THEN
+         |  round(CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE), 6) END AS beta1,
+         | CASE WHEN det <> 0 THEN
+         |  round(CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE), 6) END AS beta2,
+         | CASE WHEN det <> 0 THEN
+         |  round(1.0 - (CAST(det * syy - det0 * sy - det1 * s1y
          |     - det2 * s2y AS DOUBLE) / CAST(det AS DOUBLE))
          |   / (CAST(n * syy - sy * sy AS DOUBLE) / CAST(n AS DOUBLE)), 6)
-         |  AS r2
+         |  END AS r2
          |FROM d""".stripMargin)
 }

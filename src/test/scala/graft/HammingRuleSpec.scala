@@ -79,7 +79,7 @@ class HammingRuleSpec extends SparkSpecBase {
     assert(got === expected)
   }
 
-  test("rule stands down when the join already has an equi key") {
+  test("stand-down: equi key + broadcastable side leaves the join alone") {
     val (a, b) = frames
     val joined = a.join(b,
       col("a") === col("b") &&
@@ -88,5 +88,56 @@ class HammingRuleSpec extends SparkSpecBase {
     assert(!plan.contains("graft_seg"), plan.take(3000))
     // a == b forces identical sigs → hamming 0 → every id pairs itself
     assert(joined.count() === sigs.length.toLong)
+  }
+
+  test("stand-down also recognizes the null-safe <=> equi key") {
+    val (a, b) = frames
+    val joined = a.join(b,
+      col("a") <=> col("b") &&
+        bit_count(col("sa").bitwiseXOR(col("sb"))) <= 2)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("graft_seg"), plan.take(3000))
+    assert(joined.count() === sigs.length.toLong)
+  }
+
+  test("composition: lang-blocked hamming join plans (lang, graft_seg) keys") {
+    val s = spark
+    import s.implicits._
+    // force the composition path: with no broadcastable side, equi keys
+    // alone would leave a per-language SortMergeJoin feeding a nested
+    // residual scan — the rule must append the segment key instead
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val langOf = (i: Long) => if (i % 3 == 0) "en" else "de"
+      val df = sigs.map { case (id, sg) => (id, sg, langOf(id)) }
+        .toDF("id", "sig", "lang")
+      val a = df.select(col("id").as("a"), col("sig").as("sa"),
+        col("lang").as("la"))
+      val b = df.select(col("id").as("b"), col("sig").as("sb"),
+        col("lang").as("lb"))
+      val joined = a.join(b,
+        col("la") === col("lb") &&
+          bit_count(col("sa").bitwiseXOR(col("sb"))) <= 2 &&
+          col("a") < col("b"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_seg"),
+        s"rule must compose, not stand down:\n${plan.take(3000)}")
+      // the hash/SMJ keys must carry BOTH the user key and the segment
+      val joinLine = plan.linesIterator.find(l =>
+        l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+          l.contains("BroadcastHashJoin")).getOrElse("")
+      assert(joinLine.contains("la") && joinLine.contains("graft_seg"),
+        s"join keys must include lang AND segment:\n$joinLine")
+      val got = joined.select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val expected = (for {
+        x <- sigs; y <- sigs
+        if x._1 < y._1 && langOf(x._1) == langOf(y._1) &&
+          Integer.bitCount(x._2 ^ y._2) <= 2
+      } yield (x._1, y._1)).sorted
+      assert(expected.nonEmpty, "fixture must exercise the blocked ball")
+      assert(got === expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 }

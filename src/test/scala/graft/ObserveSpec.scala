@@ -38,4 +38,23 @@ class ObserveSpec extends SparkSpecBase {
       assert(spark.read.parquet(out).count() === m.getLong(0))
     } finally spark.listenerManager.unregister(sink)
   }
+
+  test("awaitMetric consumes: a reused name delivers the NEW action's row") {
+    val sink = Observe.attach(spark)
+    try {
+      def run(limit: Int): Long = {
+        val df = Observe.withMetrics(
+          graft.catalog.Tables.load(spark, dir, "orders").limit(limit),
+          "reused_name", count(lit(1)).as("n_rows"))
+        df.write.mode("overwrite").parquet(
+          java.nio.file.Files.createTempDirectory("observe_out2").toString)
+        Observe.awaitMetric(sink, "reused_name").getLong(0)
+      }
+      // before the remove-on-read fix the second await returned the
+      // FIRST action's stale 7-row entry immediately (ADVICE r5)
+      assert(run(7) === 7L)
+      assert(run(11) === 11L)
+      assert(!sink.metrics.contains("reused_name"), "read must consume")
+    } finally spark.listenerManager.unregister(sink)
+  }
 }
