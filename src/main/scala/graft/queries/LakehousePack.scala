@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.catalog.Tables
 import graft.etl.Lakehouse
@@ -283,8 +283,81 @@ object LakehousePack extends QueryPack {
       .orderBy("column")
   }
 
+  // --- q284: the profile at extreme NDV — per-column HLL sketch ------------
+
+  private val HllM = 64 // registers; p = 6 index bits, 26-bit suffix
+
+  /** q284 — q267's documented at-scale swap, shipped: the table profile
+    * with per-column distinct counts from a DETERMINISTIC HyperLogLog
+    * register sketch (q212's machinery at column grain) instead of the
+    * exact multi-distinct expand. Each column canonicalizes to an
+    * engine-identical string (ints/cents/epoch-µs — no format parity
+    * surface), hashes via the shared md5Hash32, routes to register
+    * h mod 64 with ρ = trailing-zeros + 1 (exact `bit_count((w&−w)−1)+1`,
+    * no float log), and estimates α·m²·2²⁷/Σ2^(27−reg) — the Σ an exact
+    * power-of-two integer — with the standard linear-counting fallback
+    * m·ln(m/V) when the raw estimate ≤ 2.5m and zero registers remain
+    * (the small-range regime the low-NDV columns like o_orderstatus live
+    * in). Exact ndv rides alongside as the audit; SketchSpec bounds
+    * |rel_err| per regime and `tools.NdvSketchProbe` measures the error
+    * law as distinct counts grow 10³→10⁶ at CONSTANT 64-register state.
+    *
+    * Scale: the profile's cost model flips — exact multi-distinct
+    * shuffles every distinct (column, value) pair; the sketch partial-
+    * aggregates 64 longs per column map-side, so profiling N columns of
+    * a 100 TB table shuffles O(N·64) registers. The only reason q267's
+    * exact form exists at any scale is the audit column this query
+    * carries next to its estimate.
+    */
+  private def q284(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    def canon(c: String, k: String): Column = k match {
+      case "num" =>
+        when(col(c).isNotNull,
+          round(col(c).cast("double") * 100).cast("long").cast("string"))
+      case "ts" => unix_micros(col(c).cast("timestamp")).cast("string")
+      case _ => col(c).cast("string")
+    }
+    val un = o.select(explode(array(profileCols.map { case (c, k) =>
+        struct(lit(c).as("column"), canon(c, k).as("v")) }: _*)).as("u"))
+      .select(col("u.column").as("column"), col("u.v").as("v"))
+      .filter(col("v").isNotNull)
+      .distinct() // column-distinct-value grain feeds sketch AND audit
+      .persist()
+    val ex = un.groupBy("column").agg(count(lit(1)).as("ndv"))
+    val hx = un.select(col("column"),
+        TrainingPipelinePack.md5Hash32(col("v"), "hllp").as("h"))
+      .distinct()
+    val w = call_function("div", col("h"), lit(HllM.toLong))
+    val regs = hx
+      .select(col("column"), (col("h") % HllM).as("idx"), w.as("w"))
+      .select(col("column"), col("idx"),
+        when(col("w") === 0, lit(27L))
+          .otherwise(call_function("bit_count",
+            col("w").bitwiseAND(lit(0L) - col("w")) - 1).cast("long") + 1)
+          .as("rho"))
+      .groupBy("column", "idx").agg(max("rho").as("reg"))
+    val agg = regs.groupBy("column").agg(
+      (sum(expr("shiftleft(1L, cast(27 - reg as int))")) +
+        (lit(HllM.toLong) - count(lit(1))) * lit(134217728L))
+        .as("sum_scaled"),
+      (lit(HllM.toLong) - count(lit(1))).as("n_zero_regs"))
+    val raw = lit(0.709) * lit(4096.0) * lit(134217728.0) /
+      col("sum_scaled").cast("double")
+    val est = round(
+      when(raw <= 160.0 && col("n_zero_regs") > 0,
+        lit(64.0) * log(lit(64.0) / col("n_zero_regs")))
+        .otherwise(raw), 4)
+    agg.join(ex, Seq("column"))
+      .select(col("column"), col("ndv"), col("n_zero_regs"),
+        est.as("hll_ndv"),
+        round((est - col("ndv")) / col("ndv"), 6).as("rel_err"))
+      .orderBy("column")
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q267_table_profile" -> q267 _,
+    "q284_profile_hll_ndv" -> q284 _,
     "q131_multitouch_attribution" -> q131 _,
     "q193_schema_evolution" -> q193 _,
     "q76_upsert_merge" -> q76 _,
@@ -323,6 +396,51 @@ object LakehousePack extends QueryPack {
          |FROM orders)
          |$rows
          |ORDER BY "column"""".stripMargin
+    },
+    "q284_profile_hll_ndv" -> {
+      val arms = profileCols.map { case (c, k) =>
+        val canon = k match {
+          case "num" =>
+            s"CAST(CAST(round($c * 100) AS BIGINT) AS VARCHAR)"
+          case "ts" => s"CAST(epoch_us($c) AS VARCHAR)"
+          case _ => s"CAST($c AS VARCHAR)"
+        }
+        s"""SELECT '$c' AS "column", $canon AS v
+           |FROM orders WHERE $c IS NOT NULL""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH u AS (
+         |$arms),
+         |d AS (SELECT DISTINCT "column", v FROM u),
+         |ex AS (SELECT "column", CAST(count(*) AS BIGINT) AS ndv
+         |       FROM d GROUP BY 1),
+         |hx AS (SELECT DISTINCT "column",
+         |        CAST('0x' || substring(md5('hllp|' || v), 1, 8) AS BIGINT)
+         |          AS h
+         |       FROM d),
+         |rw AS (SELECT "column", h % $HllM AS idx, h // $HllM AS w FROM hx),
+         |rho AS (SELECT "column", idx,
+         |         CASE WHEN w = 0 THEN 27
+         |              ELSE bit_count((w & (-w)) - 1) + 1 END AS rho
+         |        FROM rw),
+         |regs AS (SELECT "column", idx, max(rho) AS reg
+         |         FROM rho GROUP BY 1, 2),
+         |agg AS (SELECT "column",
+         |         CAST(sum(CAST(1 AS BIGINT) << (27 - reg)) AS BIGINT)
+         |          + ($HllM - count(*)) * 134217728 AS sum_scaled,
+         |         CAST($HllM - count(*) AS BIGINT) AS n_zero_regs
+         |        FROM regs GROUP BY 1),
+         |es AS (SELECT "column", sum_scaled, n_zero_regs,
+         |        round(CASE WHEN 0.709 * 4096.0 * 134217728.0
+         |           / CAST(sum_scaled AS DOUBLE) <= 160.0
+         |          AND n_zero_regs > 0
+         |         THEN 64.0 * ln(64.0 / n_zero_regs)
+         |         ELSE 0.709 * 4096.0 * 134217728.0
+         |           / CAST(sum_scaled AS DOUBLE) END, 4) AS hll_ndv
+         |       FROM agg)
+         |SELECT e."column", x.ndv, e.n_zero_regs, e.hll_ndv,
+         | round((e.hll_ndv - x.ndv) / x.ndv, 6) AS rel_err
+         |FROM es e JOIN ex x USING ("column")
+         |ORDER BY e."column"""".stripMargin
     },
     "q193_schema_evolution" ->
       """WITH merged AS (

@@ -37,6 +37,23 @@ object ResolutionPack extends QueryPack {
       .otherwise(array_distinct(transform(
         sequence(lit(1), length(nm) - 2), i => nm.substr(i, lit(3)))))
 
+  /** [[charGrams]] with a COLUMN gram length — the blocking key must be
+    * sizable from data (see q251's auto-ℓ). */
+  private def charGramsL(nm: Column, l: Column): Column =
+    when(length(nm) < l, array(nm))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), length(nm) - (l - lit(1))), i => nm.substr(i, l))))
+
+  /** Blocking gram length from registry size: |Σ|^ℓ ≫ n, the
+    * ErScaleProbe law (~10-char effective alphabet on id-bearing names:
+    * 10³ keys carry ≲30 k records at tiny blocks, 10⁴ ≲100 k, then 5).
+    * Shared verbatim by q251 and the probe's auto-ℓ arm. */
+  private[graft] def blockLenOf(n: Long): Int =
+    if (n > 100000L) 5 else if (n > 30000L) 4 else 3
+
+  private def blockLenCol(n: Column): Column =
+    lit(3) + (n > 30000L).cast("int") + (n > 100000L).cast("int")
+
   /** q251 — entity resolution with rare-gram blocking and golden-record
     * survivorship. A dirty registry is synthesized by re-inserting a
     * deterministic quarter of customers as case-mangled, suffix-typo'd
@@ -51,13 +68,18 @@ object ResolutionPack extends QueryPack {
     *     both records' rare-2 lists (both rank the shared grams by the same
     *     corpus df). Common grams (shared prefixes) are almost never
     *     anyone's rarest, so blocks stay tiny — no lang-block/all-pairs
-    *     blowup (the q63 lesson). One scale law applies, measured in
-    *     [[graft.tools.ErScaleProbe]]: the blocking-key space must
-    *     outgrow the corpus (|Σ|^ℓ ≫ n, the ER analogue of SimHash width
-    *     ~2·log₂ n) — on a k× registry, 3-gram candidates grow ×4 per
-    *     corpus doubling (digit-gram space saturates) while 5-gram
-    *     candidates grow ×2.2 with identical 100% planted recall; at
-    *     production scale raise the gram length, not the block count;
+    *     blowup (the q63 lesson). The BLOCKING gram length is AUTO-SIZED
+    *     from the registry (r6): [[blockLenOf]] picks ℓ ∈ {3,4,5} so the
+    *     key space outgrows the corpus (|Σ|^ℓ ≫ n, the ER analogue of
+    *     SimHash width ~2·log₂ n) — [[graft.tools.ErScaleProbe]] measures
+    *     fixed 3-grams going ×4 per corpus doubling (digit-gram space
+    *     saturates) where 5-grams hold ×~2 with identical 100% planted
+    *     recall, and its auto-ℓ arm tracks the good curve at every k. The
+    *     registry count that sizes ℓ rides the plan as a 1-row broadcast
+    *     (no driver action); VERIFICATION grams stay fixed at the 3-gram
+    *     τ-contract, so the match predicate — and with it the resolved
+    *     output — is ℓ-invariant (the ≤1-novel-gram recall proof is
+    *     length-independent);
     *  3. verify candidates by exact gram-set Jaccard ≥ 0.9 AND exact
     *     agreement on nation and segment (join-back of gram arrays only
     *     for O(candidates) pairs, the q62 shape). Multi-field agreement is
@@ -81,9 +103,17 @@ object ResolutionPack extends QueryPack {
         .select((col("rec_id") + ErOffset).as("rec_id"),
           upper(concat(col("raw_name"), lit("x"))).as("raw_name"),
           col("nation"), (col("bal") + lit(0.01)).as("bal"), col("segment")))
+    // persisted: blocking, verification AND survivorship all read this
+    // projection — without the cache the gram build re-runs per branch
+    // (the q110/q183 doctrine; r5 verdict's bench-tail note)
     val recs = dirty
-      .withColumn("grams", charGrams(lower(col("raw_name"))))
-    val gr = recs.select(col("rec_id"), explode(col("grams")).as("g"))
+      .withColumn("nm", lower(col("raw_name")))
+      .withColumn("grams", charGrams(col("nm")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nReg = recs.agg(count(lit(1)).as("n_reg"))
+    val gr = recs.crossJoin(broadcast(nReg))
+      .select(col("rec_id"),
+        explode(charGramsL(col("nm"), blockLenCol(col("n_reg")))).as("g"))
     val gdf = gr.groupBy("g").agg(count(lit(1)).as("df"))
     val rare = gr.join(gdf, Seq("g"))
       .withColumn("rk", row_number().over(
@@ -117,7 +147,7 @@ object ResolutionPack extends QueryPack {
     val l2 = edges
       .join(l1.select(col("dst").as("src"), col("lbl")), Seq("src"))
       .groupBy("dst").agg(min("lbl").as("cluster"))
-    val golden = dirty
+    val golden = recs
       .withColumn("cents", round(col("bal") * 100).cast("long"))
       .join(l2.select(col("dst").as("rec_id"), col("cluster")), Seq("rec_id"))
       .groupBy("cluster")
@@ -361,13 +391,22 @@ object ResolutionPack extends QueryPack {
          |  bal + 0.01, segment
          | FROM base WHERE ${duckBucket("rec_id", "erdup", ErDupMod)} = 0),
          |recs AS (
-         | SELECT rec_id, nation, bal, segment,
+         | SELECT rec_id, nation, bal, segment, nm,
          |  CASE WHEN len(nm) < 3 THEN [nm]
          |   ELSE list_distinct(list_transform(
          |     generate_series(1, len(nm) - 2),
          |     i -> substring(nm, i, 3))) END AS grams
          | FROM (SELECT *, lower(raw_name) AS nm FROM dirty)),
-         |gr AS (SELECT rec_id, unnest(grams) AS g FROM recs),
+         |bl AS (
+         | SELECT CASE WHEN count(*) > 100000 THEN 5
+         |  WHEN count(*) > 30000 THEN 4 ELSE 3 END AS l FROM recs),
+         |gr AS (
+         | SELECT rec_id, unnest(
+         |   CASE WHEN len(nm) < l THEN [nm]
+         |    ELSE list_distinct(list_transform(
+         |      generate_series(1, len(nm) - l + 1),
+         |      i -> substring(nm, i, l))) END) AS g
+         | FROM recs, bl),
          |gdf AS (SELECT g, count(*) AS df FROM gr GROUP BY g),
          |rare AS (
          | SELECT rec_id, g FROM (

@@ -127,15 +127,21 @@ object ErScaleProbe {
         base.count() // variants = dirty − k copies of base
       val (c3, t3, v3, f3) = block(3)
       val (c5, t5, v5, f5) = block(5)
-      if (f3 != nVariants || f5 != nVariants)
+      // the q251 auto-ℓ arm: the SAME sizing rule the shipped query
+      // applies in-plan — must track the good curve at every k
+      val lAuto = graft.queries.ResolutionPack.blockLenOf(nRecords)
+      val (ca, ta, va, fa) = block(lAuto)
+      if (f3 != nVariants || f5 != nVariants || fa != nVariants)
         sys.error(s"recall break at k=$k: planted=$nVariants " +
-          s"found3=$f3 found5=$f5")
+          s"found3=$f3 found5=$f5 foundAuto=$fa")
       println(s"""{"k":$k,"n_records":$nRecords,""" +
         s""""n_variants":$nVariants,""" +
         s""""cand_3gram":$c3,"t_3gram":${f"$t3%.2f"},""" +
         s""""verified_3gram":$v3,""" +
         s""""cand_5gram":$c5,"t_5gram":${f"$t5%.2f"},""" +
-        s""""verified_5gram":$v5,"recall":1.0}""")
+        s""""verified_5gram":$v5,""" +
+        s""""l_auto":$lAuto,"cand_auto":$ca,"t_auto":${f"$ta%.2f"},""" +
+        s""""verified_auto":$va,"recall":1.0}""")
       Seq(recs, dirty).foreach(_.unpersist())
     }
     spark.stop()

@@ -138,4 +138,22 @@ class SketchSpec extends SparkSpecBase {
     // merged estimate equals the direct estimate by construction
     assert(r.getLong(4) === r.getLong(2))
   }
+
+  test("q284 per-column HLL profile: every estimate lands in its regime's band") {
+    // m = 64 registers → HLL standard error 1.04/√64 ≈ 13%: ~2.7σ band
+    // everywhere (the transition zone ndv ≈ 2.5m is the worst case —
+    // linear counting's variance peaks there; NdvSketchProbe measures
+    // the law across 10³–4·10⁶). Deep linear-counting (ndv ≤ m, the
+    // low-cardinality enum columns) is far tighter.
+    val rows = run("q284_profile_hll_ndv").collect()
+    assert(rows.length == 6, "one row per profiled column")
+    rows.foreach { r =>
+      val (column, ndv, relErr) =
+        (r.getString(0), r.getLong(1), r.getDouble(4))
+      assert(ndv > 0)
+      val band = if (ndv <= 64) 0.15 else 0.35
+      assert(math.abs(relErr) <= band,
+        s"$column estimate out of band (ndv=$ndv): $relErr")
+    }
+  }
 }
