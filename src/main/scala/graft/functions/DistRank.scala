@@ -74,6 +74,13 @@ object DistRank {
   def withRowNumber(df: DataFrame, rnCol: String, order: Column*): DataFrame =
     withRnAndTotal(df, rnCol, order).drop(totCol)
 
+  /** [[withRowNumber]] plus the total row count as `nCol` — for callers
+    * deriving ntile/percent_rank/decile arithmetic from one rank pass.
+    */
+  def withRowNumberAndCount(df: DataFrame, rnCol: String, nCol: String,
+      order: Column*): DataFrame =
+    withRnAndTotal(df, rnCol, order).withColumnRenamed(totCol, nCol)
+
   /** SQL `NTILE(k)` reconstructed from a global row number `rn` and the
     * total row count `n`: the first `n % k` tiles take `n/k + 1` rows,
     * the rest `n/k` — exactly Spark's and DuckDB's NTILE. Integer-exact

@@ -641,16 +641,18 @@ object CorpusOpsPack extends QueryPack {
     * accumulation-order ulps.
     *
     * Scale: token explode → vocabulary aggregate is the only heavy
-    * stage; the rank window and the 6-sum reduce run at vocabulary
-    * grain. Output is one audit row.
+    * stage; the rank runs as the exact distributed row_number
+    * ([[graft.functions.DistRank]], r6 — vocabulary grows ~Heaps with
+    * the corpus, 10⁸+ terms at 100 TB, so no single-partition window
+    * over it) and the 6-sum reduce runs at vocabulary grain. Output is
+    * one audit row.
     */
   private def q185(s: SparkSession, dir: String): DataFrame = {
     val vocab = Tables.loadParallel(s, dir, "documents")
       .select(explode(toks(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
-    val xy = vocab
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("freq").desc, col("w"))))
+    val xy = graft.functions.DistRank
+      .withRowNumber(vocab, "rank", col("freq").desc, col("w"))
       .select(log(col("rank").cast("double")).as("x"),
         log(col("freq").cast("double")).as("y"))
     val a = xy.agg(count(lit(1)).cast("double").as("n"),

@@ -154,11 +154,10 @@ object ScaleOpsPack extends QueryPack {
     * bin ids, cumulative counts, edge values, errors — so the audit is
     * bit-deterministic. The histogram is one partial-agg shuffle of ≤64
     * groups however large the corpus; the exact side pays a full rank —
-    * written here as a GLOBAL row_number window (single-task, fine at
-    * audit scale and required for oracle parity), which at 100 TB would
-    * be replaced by the q226 rank-grid join or a TakeOrdered head, per
-    * the q229 substitution note. The audit quantifies exactly that
-    * sketch-vs-rank trade.
+    * the exact distributed row_number ([[graft.functions.DistRank]],
+    * r6: range shuffle + per-slice rank, no single-task window), so
+    * even the audit arm survives corpus growth. The audit quantifies
+    * exactly that sketch-vs-rank trade.
     */
   private def q236(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
@@ -182,9 +181,8 @@ object ScaleOpsPack extends QueryPack {
       .groupBy("decile", "rank")
       .agg(min(col("lo") + call_function("div",
         col("bin") * (col("hi") - col("lo") + 1), lit(64L))).as("approx_edge"))
-    val exact = docs
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("n_chars"), col("doc_id"))))
+    val exact = graft.functions.DistRank
+      .withRowNumber(docs, "rn", col("n_chars"), col("doc_id"))
       .join(broadcast(targets.withColumnRenamed("rank", "rn2")),
         col("rn") === col("rn2"))
       .select(col("decile").as("d2"), col("n_chars").as("exact_edge"))
@@ -342,10 +340,10 @@ object ScaleOpsPack extends QueryPack {
       .groupBy("user_id").agg(count(lit(1)).as("c"))
     val tot = cnts.agg(sum("c").as("n"), count(lit(1)).as("ndv"),
       sum(col("c") * col("c")).as("actual_pairs"))
+    // top-10 via sort+limit = TakeOrderedAndProject (per-partition heads
+    // + driver merge), never a global window over the ndv-grain counts
     val top = cnts
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("c").desc, col("user_id"))))
-      .filter(col("rn") <= 10)
+      .orderBy(col("c").desc, col("user_id")).limit(10)
       .agg(sum(col("c") * col("c")).as("top_sq"), sum("c").as("top_n"),
         count(lit(1)).as("top_k"))
     tot.crossJoin(broadcast(top))

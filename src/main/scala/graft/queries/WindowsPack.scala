@@ -145,18 +145,24 @@ object WindowsPack extends QueryPack {
       .orderBy("user_id", "event_id")
   }
 
-  /** ntile + percent_rank. Deliberately a GLOBAL window — acceptable only
-    * because `customer` is dimension-sized; a fact-table global ranking
-    * would serialize through one task and is the anti-pattern this library
-    * avoids elsewhere.
+  /** ntile + percent_rank over a total order — through the exact
+    * distributed rank ([[graft.functions.DistRank]], r6): customer grain
+    * grows with the corpus, so the r5-era single-task global window is
+    * gone; ntile and percent_rank reconstruct exactly from (rn, n) —
+    * rank ≡ row_number under the unique custkey tiebreak, so
+    * percent_rank's (rank−1)/(n−1) is the identical division.
     */
   private def q46(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
-    Tables.load(s, dir, "customer")
+    import graft.functions.DistRank
+    DistRank.withRowNumberAndCount(
+      Tables.load(s, dir, "customer"), "rn", "n",
+      col("c_acctbal").desc, col("c_custkey"))
       .select(
         col("c_custkey"), col("c_acctbal"),
-        ntile(4).over(w).as("quartile"),
-        percent_rank().over(w).as("pr"))
+        DistRank.ntileFromRn(col("rn"), col("n"), 4).cast("int")
+          .as("quartile"),
+        when(col("n") > 1, (col("rn") - 1).cast("double") / (col("n") - 1))
+          .otherwise(0.0).as("pr"))
       .orderBy("c_custkey")
   }
 

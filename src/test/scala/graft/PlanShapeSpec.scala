@@ -410,14 +410,22 @@ class PlanShapeSpec extends SparkSpecBase {
 
   test("ER candidates are an equi-join on the rare gram, never all-pairs") {
     val p = planOf(q("q251_entity_resolution"))
+    // the only permissible nested-loop joins are the 1-row scalar Cross
+    // broadcasts (the registry-count that sizes the auto-ℓ blocking key);
+    // record-pair generation must never nested-loop
+    val nlj = p.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toList
     assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"),
+      nlj.forall(_.contains("Cross")),
       s"rare-gram blocking must stay an equi-join:\n${p.take(4000)}")
     val joinLines = p.linesIterator.filter(l =>
       l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
         l.contains("BroadcastHashJoin")).toList
     assert(joinLines.exists(_.contains("g#")),
       s"candidate join must key on the gram:\n${p.take(4000)}")
+    // the recs projection is cached (blocking + verify + survivorship)
+    assert(p.contains("InMemoryTableScan"),
+      s"q251 must read the cached recs projection:\n${p.take(3000)}")
   }
 
   test("caliper matching broadcasts strata and joins on the score cell") {
@@ -522,7 +530,7 @@ class PlanShapeSpec extends SparkSpecBase {
     // must mention it)
     for (name <- Seq("q114_curriculum_stages", "q115_shuffle_shards",
         "q142_rfm_segments", "q171_ppl_buckets", "q177_shard_manifest",
-        "q183_padding_audit")) {
+        "q183_padding_audit", "q46_ntile_percentile", "q185_zipf_audit")) {
       val p = planOf(q(name))
       val windowLines = p.linesIterator.filter(_.contains("Window ")).toList
       assert(windowLines.nonEmpty, s"$name: expected DistRank windows:\n$p")
@@ -539,5 +547,22 @@ class PlanShapeSpec extends SparkSpecBase {
     // sort above the scan belongs to TakeOrderedAndProject itself
     assert(!p.contains("Exchange rangepartitioning"),
       s"corpus-grain global sort leaked:\n${p.take(4000)}")
+  }
+
+  test("join-card estimate: the top-10 head is TakeOrdered, no rank window") {
+    val p = planOf(q("q240_join_card_estimate"))
+    assert(p.contains("TakeOrderedAndProject"), p.take(4000))
+    assert(!p.contains("Window"), s"no window belongs in this plan:\n$p")
+  }
+
+  test("q236 audit: exact arm ranks distributed, sketch arm ≤64 groups") {
+    val p = planOf(q("q236_histogram_quantiles"))
+    val windowLines = p.linesIterator.filter(_.contains("Window ")).toList
+    assert(windowLines.nonEmpty, p)
+    // the exact-rank windows carry the range-slice id; the only other
+    // window is the ≤64-row bin cumsum (which mentions `bin`)
+    assert(windowLines.forall(l =>
+      l.contains("graft_rank_pid") || l.contains("bin")),
+      s"corpus-grain unpartitioned window leaked:\n${p.take(5000)}")
   }
 }
