@@ -14,9 +14,10 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   *   a.join(b, bit_count(a("sig") ^ b("sig")) <= k && ...)
   *
   * and the engine plans the scale-safe form. Eligibility: an INNER join
-  * whose condition conjuncts include `bit_count(xor(l, r)) <= k`
-  * (k a literal ≤ 7, both sides 32- or 64-bit integral signatures, one
-  * from each child).
+  * whose condition conjuncts bound `bit_count(xor(l, r))` by a literal
+  * in any comparison spelling (`≤ k`, `< k`, `k ≥ …`, `k > …`; effective
+  * k ≤ 7), both sides 32- or 64-bit integral signatures, one from each
+  * child.
   *
   * When the join ALSO carries equi-conjuncts (`=` or `<=>`) — e.g. the
   * natural lang-blocked form `lang === lang2 && bit_count(...) <= k` —
@@ -48,23 +49,40 @@ object HammingJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
   private val segColName = "graft_seg"
   private val maxK = 7
 
-  /** (leftSig, rightSig, k) when `e` is `bit_count(xor(a, b)) <= k` with
-    * one 32- or 64-bit signature per side. */
+  /** `(xorArg, k)` when `e` bounds `bit_count(x)` by a literal in any of
+    * the four comparison spellings — `≤ k`, `< k` (≡ ≤ k−1), `k ≥`,
+    * `k >` (≡ ≤ k−1). */
+  private def boundedBitCount(e: Expression): Option[(Expression, Int)] =
+    e match {
+      case LessThanOrEqual(BitwiseCount(x), Literal(k: Int, IntegerType)) =>
+        Some((x, k))
+      case LessThan(BitwiseCount(x), Literal(k: Int, IntegerType)) =>
+        Some((x, k - 1))
+      case GreaterThanOrEqual(Literal(k: Int, IntegerType), BitwiseCount(x)) =>
+        Some((x, k))
+      case GreaterThan(Literal(k: Int, IntegerType), BitwiseCount(x)) =>
+        Some((x, k - 1))
+      case _ => None
+    }
+
+  /** (leftSig, rightSig, k) when `e` bounds `bit_count(xor(a, b))` by a
+    * literal k ≤ [[maxK]], with one 32- or 64-bit signature per side. */
   private def hammingConjunct(e: Expression, left: LogicalPlan,
-      right: LogicalPlan): Option[(Expression, Expression, Int)] = e match {
-    case LessThanOrEqual(BitwiseCount(BitwiseXor(a, b)), Literal(k: Int, IntegerType))
-        if k >= 0 && k <= maxK &&
-          (a.dataType == IntegerType || a.dataType == LongType) &&
-          b.dataType == a.dataType =>
-      val aLbR = a.references.subsetOf(left.outputSet) &&
-        b.references.subsetOf(right.outputSet)
-      val bLaR = b.references.subsetOf(left.outputSet) &&
-        a.references.subsetOf(right.outputSet)
-      if (aLbR) Some((a, b, k))
-      else if (bLaR) Some((b, a, k))
-      else None
-    case _ => None
-  }
+      right: LogicalPlan): Option[(Expression, Expression, Int)] =
+    boundedBitCount(e) match {
+      case Some((BitwiseXor(a, b), k))
+          if k >= 0 && k <= maxK &&
+            (a.dataType == IntegerType || a.dataType == LongType) &&
+            b.dataType == a.dataType =>
+        val aLbR = a.references.subsetOf(left.outputSet) &&
+          b.references.subsetOf(right.outputSet)
+        val bLaR = b.references.subsetOf(left.outputSet) &&
+          a.references.subsetOf(right.outputSet)
+        if (aLbR) Some((a, b, k))
+        else if (bLaR) Some((b, a, k))
+        else None
+      case _ => None
+    }
 
   private def isEqui(e: Expression, left: LogicalPlan,
       right: LogicalPlan): Boolean = {

@@ -44,6 +44,28 @@ class HammingRuleSpec extends SparkSpecBase {
     assert(got === expected)
   }
 
+  test("comparison spellings: < k and reversed k >= forms also rewrite") {
+    val (a, b) = frames
+    val expected = (for {
+      x <- sigs; y <- sigs
+      if x._1 < y._1 && Integer.bitCount(x._2 ^ y._2) <= 2
+    } yield (x._1, y._1)).sorted
+    val spellings = Seq(
+      bit_count(col("sa").bitwiseXOR(col("sb"))) < 3, // ≡ ≤ 2
+      lit(2) >= bit_count(col("sa").bitwiseXOR(col("sb"))),
+      lit(3) > bit_count(col("sa").bitwiseXOR(col("sb"))))
+    for (cond <- spellings) {
+      val joined = a.join(b, cond && col("a") < col("b"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_seg") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"spelling must rewrite:\n${plan.take(2000)}")
+      val got = joined.select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(got === expected)
+    }
+  }
+
   test("bag semantics: duplicated input rows multiply, pairs never dedup") {
     val (a, b) = frames
     val naiveCount = (for {

@@ -305,8 +305,9 @@ class TrainingPipelineSpec extends SparkSpecBase {
     assert(run1.map(_.getString(4)).distinct.length === run1.length,
       "shards hold different documents")
     // q115 and q177 share the deal — per-shard doc counts must agree
+    // (shard is LongType since the r6 DistRank swap: global rn is long)
     val q115 = SparkEntry.queries("q115_shuffle_shards")(spark, sf0001)
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    run1.foreach(r => assert(q115(r.getInt(0)) === r.getLong(1)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    run1.foreach(r => assert(q115(r.getLong(0)) === r.getLong(1)))
   }
 }
