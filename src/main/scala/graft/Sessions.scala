@@ -38,6 +38,10 @@ object Sessions {
         // naive bit_count(xor) <= k theta joins plan as pigeonhole-
         // segment equi-joins (graft.plans.HammingJoinBlocking scaladoc)
         e.injectOptimizerRule(_ => graft.plans.HammingJoinBlocking)
+        // naive GLOBAL row_number()/ntile() windows over above-broadcast-
+        // threshold inputs plan as the distributed-rank shape
+        // (graft.plans.GlobalRankRewrite scaladoc)
+        e.injectOptimizerRule(_ => graft.plans.GlobalRankRewrite)
       }
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")

@@ -1,0 +1,242 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** Optimizer rule: plan a user-written GLOBAL rank window —
+  * `row_number()/ntile(k) OVER (ORDER BY … )` with NO PARTITION BY —
+  * as a distributed-rank shape instead of the single-partition
+  * `WindowExec` Spark would otherwise execute. This is
+  * [[graft.functions.DistRank]] promoted from a library call to an
+  * engine capability (the same promotion [[HammingJoinBlocking]] makes
+  * for hamming joins): the user writes the natural window, the engine
+  * owns the scale plan.
+  *
+  * Rewrite — every data-dependent quantity is an ORDER-INDEPENDENT
+  * aggregate, never a sampled partitioner, so the rank branch and the
+  * offsets branch are guaranteed the identical slice assignment even
+  * though each executes its own copy of the subtree. (The first design
+  * used `repartitionByRange` + `spark_partition_id`; RangePartitioner
+  * seeds its boundary SAMPLING on the runtime rdd id, so two physical
+  * executions of canonically-equal exchanges can pick different
+  * boundaries whenever ReuseExchange doesn't collapse them —
+  * correctness must not hang off an optimization, hence the
+  * deterministic slicing here. The library `DistRank` keeps the
+  * frequency-balanced range shuffle because its persist() pins one
+  * execution.)
+  *
+  *   1. a 1-row min/max aggregate of the FIRST order key broadcasts
+  *      into both branches (two executions, same result — min/max are
+  *      functions of the set);
+  *   2. slice = monotone equal-width bucket of the first key in
+  *      [0, 8·P): equal keys share a slice and the bucket is
+  *      non-decreasing along the sort direction, so slices are
+  *      contiguous runs of the total order — ties never straddle;
+  *      nulls slot at ±∞ per the null ordering; all arithmetic runs in
+  *      double, where subtract/divide/floor are monotone, so rounding
+  *      can merge adjacent slices but never reorder them;
+  *   3. rank branch: the original rank runs PARTITIONED by slice
+  *      (Spark's ordinary hash exchange — every window group is one
+  *      slice's rows);
+  *   4. offsets branch: an independent copy (leaves re-instanced)
+  *      aggregates to (slice, count); prefix-sum/total windows over the
+  *      ≤8·P-row count table are the bounded-grain exception; broadcast
+  *      join back on slice; global rn = local + prefix, ntile(k)
+  *      reconstructed exactly from (rn, total). Output aliases keep the
+  *      original exprIds and types, so parents are untouched.
+  *
+  * Eligibility: every window expression is `row_number()` or `ntile(k)`
+  * (rank/percent_rank stand down — their tie semantics need a total
+  * order the plan cannot verify); the first ORDER BY key is numeric
+  * (the bucket needs arithmetic; md5-string orders use the library
+  * DistRank); child and order are deterministic; and the child's
+  * estimated size exceeds `spark.sql.autoBroadcastJoinThreshold` (a
+  * window input that would fit in a broadcast executes fine in one
+  * task; −1 forces the rewrite, which is how the spec drives it at
+  * fixture scale).
+  *
+  * Balance caveat: equal-WIDTH slicing, not equal-frequency — a heavily
+  * skewed first key concentrates rows in few slices. Still never worse
+  * than the single-partition plan it replaces (a hot slice holds a
+  * subset), and AQE's skew handling applies to the hash exchange.
+  */
+object GlobalRankRewrite extends Rule[LogicalPlan] {
+
+  private val pidName = "graft_rank_pid"
+
+  private def supported(ne: NamedExpression): Boolean = ne match {
+    case Alias(WindowExpression(RowNumber(), _), _) => true
+    case Alias(WindowExpression(NTile(Literal(k: Int, IntegerType)), _), _)
+        if k > 0 => true
+    case _ => false
+  }
+
+  private def numericKey(order: Seq[SortOrder]): Boolean =
+    order.head.child.dataType match {
+      case _: NumericType => true
+      case _ => false
+    }
+
+  private def bigEnough(child: LogicalPlan): Boolean = {
+    val t = conf.autoBroadcastJoinThreshold
+    t < 0 || child.stats.sizeInBytes > t
+  }
+
+  /** Re-instance every multi-instance leaf so a second use of the same
+    * subtree carries fresh output attributes (standard self-join
+    * duplication), returning the order keys remapped into THAT copy's
+    * id space — every copy has its own, so expressions resolved against
+    * the original child must be re-bound per copy. */
+  private def freshCopy(plan: LogicalPlan,
+      order: Seq[SortOrder]): (LogicalPlan, Seq[SortOrder]) = {
+    val fresh = plan.transformUpWithNewOutput {
+      case m: MultiInstanceRelation =>
+        val orig = m.asInstanceOf[LogicalPlan]
+        val inst = m.newInstance().asInstanceOf[LogicalPlan]
+        (inst, orig.output.zip(inst.output))
+    }
+    val remap = AttributeMap(plan.output.zip(fresh.output))
+    val orderF = order.map(_.transform {
+      case a: Attribute => remap.getOrElse(a, a)
+    }.asInstanceOf[SortOrder])
+    (fresh, orderF)
+  }
+
+  def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case w @ Window(exprs, Nil, order, child, _)
+        if order.nonEmpty && exprs.nonEmpty && exprs.forall(supported) &&
+          numericKey(order) && child.deterministic &&
+          order.forall(_.deterministic) &&
+          !child.output.exists(_.name == pidName) && bigEnough(child) =>
+      rewrite(exprs, order, child)
+  }
+
+  /** Monotone [0, nSlices) bucket of the first order key, oriented along
+    * the sort direction; nulls at −1/nSlices per the null ordering.
+    * Double subtract/divide/floor are monotone under IEEE rounding, so
+    * rounding can merge adjacent slices, never reorder them; the clamp
+    * runs in LONG so an extreme quotient can't overflow the final int
+    * cast under ANSI. (A NaN min/max degenerates every slice to 0 —
+    * one partition, unbalanced but still correct.)
+    */
+  private def sliceOf(first: SortOrder, mn: Expression, mx: Expression,
+      nSlices: Int): Expression = {
+    val x = Cast(first.child, DoubleType)
+    val mnD = Cast(mn, DoubleType)
+    val mxD = Cast(mx, DoubleType)
+    val width = Greatest(Seq(
+      Divide(Subtract(mxD, mnD), Literal(nSlices.toDouble)),
+      Literal(Double.MinPositiveValue)))
+    val rawL = Floor(Divide(Subtract(x, mnD), width))
+    val clamped = Cast(Least(Seq(Greatest(Seq(rawL, Literal(0L))),
+      Literal(nSlices - 1L))), IntegerType)
+    val oriented = first.direction match {
+      case Ascending => clamped
+      case Descending => Subtract(Literal(nSlices - 1), clamped)
+    }
+    val nullSlice = first.nullOrdering match {
+      case NullsFirst => Literal(-1)
+      case NullsLast => Literal(nSlices)
+    }
+    If(IsNull(first.child), nullSlice, oriented)
+  }
+
+  private def minMaxAgg(first: SortOrder, child: LogicalPlan)
+      : (LogicalPlan, Attribute, Attribute) = {
+    val mnA = Alias(AggregateExpression(Min(first.child), Complete,
+      isDistinct = false), "graft_rank_mn")()
+    val mxA = Alias(AggregateExpression(Max(first.child), Complete,
+      isDistinct = false), "graft_rank_mx")()
+    (Aggregate(Nil, Seq(mnA, mxA), child), mnA.toAttribute, mxA.toAttribute)
+  }
+
+  private def rewrite(exprs: Seq[NamedExpression], order: Seq[SortOrder],
+      child: LogicalPlan): LogicalPlan = {
+    val nSlices = conf.numShufflePartitions * 8
+    val rankFrame =
+      SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
+    def broadcastCross(l: LogicalPlan, r: LogicalPlan): LogicalPlan =
+      Join(l, r, Cross, None,
+        JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST)))))
+
+    // rank branch: slice stamp (min/max broadcast) → per-slice window
+    val (mmChildL, orderMmL) = freshCopy(child, order)
+    val (mmL, mnL, mxL) = minMaxAgg(orderMmL.head, mmChildL)
+    val pidAliasL = Alias(sliceOf(order.head, mnL, mxL, nSlices), pidName)()
+    val rangedL = Project(child.output :+ pidAliasL,
+      broadcastCross(child, mmL))
+    val pidL = pidAliasL.toAttribute
+    val localRn = Alias(WindowExpression(RowNumber(),
+      WindowSpecDefinition(Seq(pidL), order, rankFrame)), "graft_rank_local")()
+    val rankWin = Window(Seq(localRn), Seq(pidL), order, rangedL)
+
+    // offsets branch: independent copy, identical slice by construction
+    val (childR, orderR) = freshCopy(child, order)
+    val (mmChildR, orderMmR) = freshCopy(child, order)
+    val (mmR, mnR, mxR) = minMaxAgg(orderMmR.head, mmChildR)
+    val pidAliasR = Alias(sliceOf(orderR.head, mnR, mxR, nSlices),
+      pidName + "_r")()
+    val rangedR = Project(Seq(pidAliasR), broadcastCross(childR, mmR))
+    val pidR = pidAliasR.toAttribute
+    val cntAlias = Alias(AggregateExpression(Count(Seq(Literal(1))),
+      Complete, isDistinct = false), "graft_rank_cnt")()
+    val counts = Aggregate(Seq(pidR), Seq(pidR, cntAlias), rangedR)
+    val cnt = cntAlias.toAttribute
+    val pidOrder = Seq(SortOrder(pidR, Ascending))
+    val offAlias = Alias(WindowExpression(
+      AggregateExpression(Sum(cnt), Complete, isDistinct = false),
+      WindowSpecDefinition(Nil, pidOrder,
+        SpecifiedWindowFrame(RowFrame, UnboundedPreceding, Literal(-1)))),
+      "graft_rank_off")()
+    val totAlias = Alias(WindowExpression(
+      AggregateExpression(Sum(cnt), Complete, isDistinct = false),
+      WindowSpecDefinition(Nil, pidOrder,
+        SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
+          UnboundedFollowing))), "graft_rank_tot")()
+    val offWin = Window(Seq(offAlias, totAlias), Nil, pidOrder, counts)
+    val offs = Project(Seq(pidR, offAlias.toAttribute, totAlias.toAttribute),
+      offWin)
+
+    val joined = Join(rankWin, offs, Inner,
+      Some(EqualTo(pidL, pidR)),
+      JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST)))))
+
+    // global rn (long) and the original outputs, exprIds preserved
+    val grn = Add(Cast(localRn.toAttribute, LongType),
+      Coalesce(Seq(offAlias.toAttribute, Literal(0L))))
+    val tot = totAlias.toAttribute
+    val outExprs = exprs.map {
+      case a @ Alias(WindowExpression(RowNumber(), _), name) =>
+        Alias(Cast(grn, IntegerType), name)(exprId = a.exprId,
+          qualifier = a.qualifier)
+      case a @ Alias(WindowExpression(NTile(Literal(k: Int, IntegerType)),
+          _), name) =>
+        Alias(Cast(ntileFromRn(grn, tot, k), IntegerType), name)(
+          exprId = a.exprId, qualifier = a.qualifier)
+      case other => other // unreachable under `supported`
+    }
+    Project(child.output ++ outExprs, joined)
+  }
+
+  /** SQL NTILE(k) from a global 1-based row number and the total count:
+    * the first `tot % k` tiles take `tot/k + 1` rows, the rest `tot/k`
+    * (DistRank.ntileFromRn as a catalyst expression; CaseWhen evaluates
+    * only the matching branch, so the q=0 division is unreachable). */
+  private def ntileFromRn(rn: Expression, tot: Expression, k: Int): Expression = {
+    val kL = Literal(k.toLong)
+    val q = IntegralDivide(tot, kL)
+    val r = Remainder(tot, kL)
+    val bigRows = Multiply(r, Add(q, Literal(1L)))
+    CaseWhen(
+      Seq((LessThanOrEqual(rn, bigRows),
+        Add(IntegralDivide(Subtract(rn, Literal(1L)), Add(q, Literal(1L))),
+          Literal(1L)))),
+      Some(Add(Add(r, IntegralDivide(
+        Subtract(Subtract(rn, bigRows), Literal(1L)), q)), Literal(1L))))
+  }
+}

@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The GlobalRankRewrite optimizer rule: a user-written
+  * `row_number()/ntile(k) OVER (ORDER BY …)` with no PARTITION BY must
+  * plan as the distributed-rank shape (range shuffle + pid-partitioned
+  * window + broadcast offsets, ONE physical shuffle via ReuseExchange)
+  * with output IDENTICAL to the naive single-partition window — and
+  * must stand down for unsupported functions, partitioned windows, and
+  * below-threshold inputs.
+  */
+class GlobalRankRewriteSpec extends SparkSpecBase {
+
+  private val threshold = "spark.sql.autoBroadcastJoinThreshold"
+
+  /** Run `body` with the broadcast threshold disabled so the rewrite
+    * fires at fixture scale (its size guard treats −1 as "always"). */
+  private def forced[T](body: => T): T = {
+    val old = spark.conf.get(threshold)
+    spark.conf.set(threshold, "-1")
+    try body finally spark.conf.set(threshold, old)
+  }
+
+  /** The naive plan, with the rule excluded — the semantics oracle. */
+  private def naive[T](body: => T): T = {
+    val key = "spark.sql.optimizer.excludedRules"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "graft.plans.GlobalRankRewrite")
+    try body
+    finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def corpus(n: Int): DataFrame =
+    spark.range(n.toLong).select(col("id"),
+      (col("id") * 1103515245L % 9973L).as("v"))
+
+  test("global row_number plans distributed, output identical to naive") {
+    val df = corpus(5000)
+    val build = () => df.withColumn("rn",
+      row_number().over(Window.orderBy(col("v"), col("id"))))
+    val expected = naive {
+      val r = build()
+      assert(!r.queryExecution.executedPlan.toString.contains("graft_rank"),
+        "exclusion must yield the naive plan")
+      r.collect().map(x => (x.getLong(0), x.getInt(2))).sorted.toSeq
+    }
+    forced {
+      val r = build()
+      val p = r.queryExecution.executedPlan.toString
+      assert(p.contains("graft_rank_pid"), s"rule must fire:\n${p.take(3000)}")
+      val windows = p.linesIterator.filter(_.contains("Window ")).toList
+      assert(windows.forall(_.contains("graft_rank_pid")),
+        s"no corpus-grain unpartitioned window may remain:\n${p.take(4000)}")
+      val got = r.collect().map(x => (x.getLong(0), x.getInt(2))).sorted.toSeq
+      assert(got === expected)
+    }
+  }
+
+  test("joined + cached child ranks exactly (the q220 regression shape)") {
+    // the first rule design derived slices from RangePartitioner's
+    // rdd-id-seeded sampling — two branch executions could disagree on
+    // boundaries whenever exchange reuse didn't collapse them (caught by
+    // q220's hilbert branch: broadcast-LUT join over a cached distinct).
+    // The deterministic min/max slice must rank this shape exactly.
+    val s = spark
+    import s.implicits._
+    val cells = spark.range(4000)
+      .select((col("id") % 64).cast("int").as("x"),
+        (col("id") / 64).cast("int").as("y"))
+      .distinct().persist()
+    try {
+      val lut = (for { hx <- 0 until 64; hy <- 0 until 64 }
+        yield (hx, hy, (hx * 131 + hy * 17).toLong)).toDF("hx", "hy", "h")
+      val keyed = cells.join(broadcast(lut),
+        col("x") === col("hx") && col("y") === col("hy"))
+        .select(col("x"), col("y"), col("h"))
+      val build = () => keyed.withColumn("rn",
+        row_number().over(Window.orderBy(col("h"), col("x"), col("y"))))
+      val expected = naive(build().collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(3))).sorted.toSeq)
+      forced {
+        val r = build()
+        assert(r.queryExecution.executedPlan.toString
+          .contains("graft_rank_pid"), "rule must fire on the joined child")
+        val got = r.collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getInt(3))).sorted.toSeq
+        assert(got === expected)
+        // ranks must be a permutation of 1..n — no gaps, no duplicates
+        val rns = got.map(_._3).sorted
+        assert(rns === (1 to rns.size).toList)
+      }
+    } finally cells.unpersist()
+  }
+
+  test("global ntile reconstructs exactly: divisible, remainder, n < k") {
+    for ((n, k) <- Seq((4000, 8), (1777, 3), (2, 5))) {
+      val df = corpus(n)
+      val build = () => df.withColumn("t",
+        ntile(k).over(Window.orderBy(col("v"), col("id"))))
+      val expected = naive(build().collect()
+        .map(x => (x.getLong(0), x.getInt(2))).sorted.toSeq)
+      forced {
+        val r = build()
+        assert(r.queryExecution.executedPlan.toString
+          .contains("graft_rank_pid"), s"rule must fire at n=$n k=$k")
+        val got = r.collect().map(x => (x.getLong(0), x.getInt(2)))
+          .sorted.toSeq
+        assert(got === expected, s"ntile mismatch at n=$n k=$k")
+      }
+    }
+  }
+
+  test("descending keys and multiple rank columns in one window") {
+    val df = corpus(3000)
+    val build = () => df.select(col("id"),
+      row_number().over(Window.orderBy(col("v").desc, col("id"))).as("rn"),
+      ntile(7).over(Window.orderBy(col("v").desc, col("id"))).as("t"))
+    val expected = naive(build().collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getInt(2))).sorted.toSeq)
+    forced {
+      val got = build().collect()
+        .map(x => (x.getLong(0), x.getInt(1), x.getInt(2))).sorted.toSeq
+      assert(got === expected)
+    }
+  }
+
+  test("stand-downs: partitioned, rank(), mixed agg, below threshold") {
+    val df = corpus(1000)
+    forced {
+      // partitioned window: not the rule's business
+      val part = df.withColumn("rn", row_number().over(
+        Window.partitionBy(col("id") % 7).orderBy(col("v"), col("id"))))
+      assert(!part.queryExecution.executedPlan.toString
+        .contains("graft_rank_pid"))
+      // rank(): tie semantics a slice-split cannot verify — stand down
+      val rk = df.withColumn("r",
+        rank().over(Window.orderBy(col("v"), col("id"))))
+      assert(!rk.queryExecution.executedPlan.toString
+        .contains("graft_rank_pid"))
+      // mixed row_number + running sum: the sum needs the global frame
+      val mixed = df.select(col("id"),
+        row_number().over(Window.orderBy(col("v"), col("id"))).as("rn"),
+        sum("v").over(Window.orderBy(col("v"), col("id"))).as("s"))
+      assert(!mixed.queryExecution.executedPlan.toString
+        .contains("graft_rank_pid"))
+    }
+    // default threshold: a tiny input executes fine in one task
+    val small = df.withColumn("rn",
+      row_number().over(Window.orderBy(col("v"), col("id"))))
+    assert(!small.queryExecution.executedPlan.toString
+      .contains("graft_rank_pid"),
+      "below-threshold inputs must keep the naive plan")
+  }
+}
