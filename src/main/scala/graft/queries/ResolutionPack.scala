@@ -47,7 +47,10 @@ object ResolutionPack extends QueryPack {
   /** Blocking gram length from registry size: |Σ|^ℓ ≫ n, the
     * ErScaleProbe law (~10-char effective alphabet on id-bearing names:
     * 10³ keys carry ≲30 k records at tiny blocks, 10⁴ ≲100 k, then 5).
-    * Shared verbatim by q251 and the probe's auto-ℓ arm. */
+    * Shared by q251 (which sizes n from the stats-only base count ×
+    * the fixed 5/4 dup expansion — a size class, not an exact census)
+    * and the probe's auto-ℓ arm (which uses the actual registry count —
+    * same law, same thresholds). */
   private[graft] def blockLenOf(n: Long): Int =
     if (n > 100000L) 5 else if (n > 30000L) 4 else 3
 
@@ -103,17 +106,28 @@ object ResolutionPack extends QueryPack {
         .select((col("rec_id") + ErOffset).as("rec_id"),
           upper(concat(col("raw_name"), lit("x"))).as("raw_name"),
           col("nation"), (col("bal") + lit(0.01)).as("bal"), col("segment")))
-    // persisted: blocking, verification AND survivorship all read this
-    // projection — without the cache the gram build re-runs per branch
-    // (the q110/q183 doctrine; r5 verdict's bench-tail note)
+    // NOT persisted — measured at sf0.1: caching the gram-array rows
+    // costs MORE than recomputing the substring transform inside each
+    // branch's codegen pipeline (6.6 s cached vs 5.0 s uncached on the
+    // same host); columnar scans + WSCG beat a row-cache round-trip for
+    // cheap per-row derivations. (The q110/q183 caches survive because
+    // their cached grain is REDUCED, not row-grain-with-arrays.)
     val recs = dirty
       .withColumn("nm", lower(col("raw_name")))
       .withColumn("grams", charGrams(col("nm")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nReg = recs.agg(count(lit(1)).as("n_reg"))
+    // sizing signal only (threshold at 30 k/100 k): the base-table count
+    // is a stats-only parquet read, and the md5-quarter expansion is a
+    // fixed 5/4 — both engines derive the same n_reg without a second
+    // pass over the gram-computed registry
+    val nReg = Tables.load(s, dir, "customer")
+      .agg(call_function("div", count(lit(1)) * 5, lit(4L)).as("n_reg"))
+    // blocking grams: at ℓ=3 share the verification grams expression;
+    // the variable-ℓ branch only evaluates when the registry outgrows
+    // the 3-gram key space (CaseWhen is lazy per row)
+    val blockGrams = when(blockLenCol(col("n_reg")) === 3, col("grams"))
+      .otherwise(charGramsL(col("nm"), blockLenCol(col("n_reg"))))
     val gr = recs.crossJoin(broadcast(nReg))
-      .select(col("rec_id"),
-        explode(charGramsL(col("nm"), blockLenCol(col("n_reg")))).as("g"))
+      .select(col("rec_id"), explode(blockGrams).as("g"))
     val gdf = gr.groupBy("g").agg(count(lit(1)).as("df"))
     val rare = gr.join(gdf, Seq("g"))
       .withColumn("rk", row_number().over(
@@ -398,8 +412,9 @@ object ResolutionPack extends QueryPack {
          |     i -> substring(nm, i, 3))) END AS grams
          | FROM (SELECT *, lower(raw_name) AS nm FROM dirty)),
          |bl AS (
-         | SELECT CASE WHEN count(*) > 100000 THEN 5
-         |  WHEN count(*) > 30000 THEN 4 ELSE 3 END AS l FROM recs),
+         | SELECT CASE WHEN n_reg > 100000 THEN 5
+         |  WHEN n_reg > 30000 THEN 4 ELSE 3 END AS l
+         | FROM (SELECT count(*) * 5 // 4 AS n_reg FROM customer)),
          |gr AS (
          | SELECT rec_id, unnest(
          |   CASE WHEN len(nm) < l THEN [nm]

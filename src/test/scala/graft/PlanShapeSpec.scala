@@ -423,9 +423,6 @@ class PlanShapeSpec extends SparkSpecBase {
         l.contains("BroadcastHashJoin")).toList
     assert(joinLines.exists(_.contains("g#")),
       s"candidate join must key on the gram:\n${p.take(4000)}")
-    // the recs projection is cached (blocking + verify + survivorship)
-    assert(p.contains("InMemoryTableScan"),
-      s"q251 must read the cached recs projection:\n${p.take(3000)}")
   }
 
   test("caliper matching broadcasts strata and joins on the score cell") {
