@@ -1,6 +1,5 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
@@ -87,25 +86,14 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     t < 0 || child.stats.sizeInBytes > t
   }
 
-  /** Re-instance every multi-instance leaf so a second use of the same
-    * subtree carries fresh output attributes (standard self-join
-    * duplication), returning the order keys remapped into THAT copy's
-    * id space — every copy has its own, so expressions resolved against
-    * the original child must be re-bound per copy. */
-  private def freshCopy(plan: LogicalPlan,
-      order: Seq[SortOrder]): (LogicalPlan, Seq[SortOrder]) = {
-    val fresh = plan.transformUpWithNewOutput {
-      case m: MultiInstanceRelation =>
-        val orig = m.asInstanceOf[LogicalPlan]
-        val inst = m.newInstance().asInstanceOf[LogicalPlan]
-        (inst, orig.output.zip(inst.output))
-    }
-    val remap = AttributeMap(plan.output.zip(fresh.output))
-    val orderF = order.map(_.transform {
-      case a: Attribute => remap.getOrElse(a, a)
-    }.asInstanceOf[SortOrder])
-    (fresh, orderF)
-  }
+  // The child subtree is SHARED verbatim by the rank branch, the offsets
+  // branch, and both min/max aggregates (trees are immutable — reusing
+  // the node is safe). No leaf re-instancing: every join boundary this
+  // rule creates exposes ONLY freshly-aliased columns on the right side,
+  // so child output attributes never collide across a join, and each
+  // branch binds its expressions against its own subtree. (Re-instancing
+  // via MultiInstanceRelation.newInstance breaks on chained copies of
+  // InMemoryRelation — its stats remap expects the original output ids.)
 
   def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case w @ Window(exprs, Nil, order, child, _)
@@ -165,8 +153,7 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
         JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST)))))
 
     // rank branch: slice stamp (min/max broadcast) → per-slice window
-    val (mmChildL, orderMmL) = freshCopy(child, order)
-    val (mmL, mnL, mxL) = minMaxAgg(orderMmL.head, mmChildL)
+    val (mmL, mnL, mxL) = minMaxAgg(order.head, child)
     val pidAliasL = Alias(sliceOf(order.head, mnL, mxL, nSlices), pidName)()
     val rangedL = Project(child.output :+ pidAliasL,
       broadcastCross(child, mmL))
@@ -175,13 +162,11 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
       WindowSpecDefinition(Seq(pidL), order, rankFrame)), "graft_rank_local")()
     val rankWin = Window(Seq(localRn), Seq(pidL), order, rangedL)
 
-    // offsets branch: independent copy, identical slice by construction
-    val (childR, orderR) = freshCopy(child, order)
-    val (mmChildR, orderMmR) = freshCopy(child, order)
-    val (mmR, mnR, mxR) = minMaxAgg(orderMmR.head, mmChildR)
-    val pidAliasR = Alias(sliceOf(orderR.head, mnR, mxR, nSlices),
+    // offsets branch: same subtree, identical slice by construction
+    val (mmR, mnR, mxR) = minMaxAgg(order.head, child)
+    val pidAliasR = Alias(sliceOf(order.head, mnR, mxR, nSlices),
       pidName + "_r")()
-    val rangedR = Project(Seq(pidAliasR), broadcastCross(childR, mmR))
+    val rangedR = Project(Seq(pidAliasR), broadcastCross(child, mmR))
     val pidR = pidAliasR.toAttribute
     val cntAlias = Alias(AggregateExpression(Count(Seq(Literal(1))),
       Complete, isDistinct = false), "graft_rank_cnt")()

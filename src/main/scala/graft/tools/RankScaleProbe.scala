@@ -57,21 +57,47 @@ object RankScaleProbe {
 
       val dist = DistRank.withNtile(df, "t", 8, col("v"), col("id"))
       val (dn, tDist) = profile(dist)
-      val (nn, tNaive) = if (k <= naiveMaxK) {
-        val naive = df.withColumn("t",
-          ntile(8).over(Window.orderBy(col("v"), col("id"))))
-        profile(naive)
-      } else (-1L, -1.0)
+      def naiveDf() = df.withColumn("t",
+        ntile(8).over(Window.orderBy(col("v"), col("id"))))
+      // the ENGINE path: the same naive window, auto-planned by
+      // GlobalRankRewrite (threshold −1 forces the rewrite; the rule is
+      // otherwise identical to what fires on >10 MB inputs)
+      val (rn_, tRule) = {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try profile(naiveDf())
+        finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+          "10485760")
+      }
+      val excl = "spark.sql.optimizer.excludedRules" ->
+        "graft.plans.GlobalRankRewrite"
+      spark.conf.set(excl._1, excl._2)
+      val (nn, tNaive) = if (k <= naiveMaxK) profile(naiveDf())
+      else (-1L, -1.0)
       if (k <= naiveMaxK) {
-        val naive = df.withColumn("t",
-          ntile(8).over(Window.orderBy(col("v"), col("id"))))
+        val naive = naiveDf()
         val diff = dist.select("id", "t").exceptAll(naive.select("id", "t"))
           .count() +
           naive.select("id", "t").exceptAll(dist.select("id", "t")).count()
         require(diff == 0, s"distributed ntile diverged at k=$k")
       }
+      spark.conf.unset(excl._1)
+      // engine path must agree with the library path exactly
+      val ruled = {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          val r = naiveDf()
+          require(r.queryExecution.executedPlan.toString
+            .contains("graft_rank_pid"), s"rule did not fire at k=$k")
+          val diff = dist.select("id", "t").exceptAll(r.select("id", "t"))
+            .count() +
+            r.select("id", "t").exceptAll(dist.select("id", "t")).count()
+          require(diff == 0, s"rule-planned ntile diverged at k=$k")
+        } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+          "10485760")
+      }
       println(s"""{"k":$k,"n":$n,"t_dist":${f"$tDist%.2f"},""" +
-        s""""t_naive":${f"$tNaive%.2f"},"rows_dist":$dn,"rows_naive":$nn}""")
+        s""""t_rule":${f"$tRule%.2f"},"t_naive":${f"$tNaive%.2f"},""" +
+        s""""rows_dist":$dn,"rows_rule":$rn_,"rows_naive":$nn}""")
       df.unpersist()
     }
     spark.stop()
