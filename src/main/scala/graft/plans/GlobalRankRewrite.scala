@@ -51,9 +51,10 @@ import org.apache.spark.sql.types._
   *
   * Eligibility: every window expression is `row_number()` or `ntile(k)`
   * (rank/percent_rank stand down — their tie semantics need a total
-  * order the plan cannot verify); the first ORDER BY key is numeric
-  * (the bucket needs arithmetic; md5-string orders use the library
-  * DistRank); child and order are deterministic; and the child's
+  * order the plan cannot verify); the first ORDER BY key is numeric, a
+  * date, or a timestamp (the bucket needs arithmetic — dates slice as
+  * epoch days, timestamps as epoch micros; md5-string orders use the
+  * library DistRank); child and order are deterministic; and the child's
   * estimated size exceeds `spark.sql.autoBroadcastJoinThreshold` (a
   * window input that would fit in a broadcast executes fine in one
   * task; −1 forces the rewrite, which is how the spec drives it at
@@ -77,9 +78,17 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
 
   private def numericKey(order: Seq[SortOrder]): Boolean =
     order.head.child.dataType match {
-      case _: NumericType => true
+      case _: NumericType | DateType | TimestampType => true
       case _ => false
     }
+
+  /** The first key as a numeric for bucket arithmetic — dates as epoch
+    * days, timestamps as epoch micros (both strictly monotone). */
+  private def asNumeric(e: Expression): Expression = e.dataType match {
+    case DateType => UnixDate(e)
+    case TimestampType => UnixMicros(e)
+    case _ => e
+  }
 
   private def bigEnough(child: LogicalPlan): Boolean = {
     val t = conf.autoBroadcastJoinThreshold
@@ -114,9 +123,9 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     */
   private def sliceOf(first: SortOrder, mn: Expression, mx: Expression,
       nSlices: Int): Expression = {
-    val x = Cast(first.child, DoubleType)
-    val mnD = Cast(mn, DoubleType)
-    val mxD = Cast(mx, DoubleType)
+    val x = Cast(asNumeric(first.child), DoubleType)
+    val mnD = Cast(asNumeric(mn), DoubleType)
+    val mxD = Cast(asNumeric(mx), DoubleType)
     val width = Greatest(Seq(
       Divide(Subtract(mxD, mnD), Literal(nSlices.toDouble)),
       Literal(Double.MinPositiveValue)))

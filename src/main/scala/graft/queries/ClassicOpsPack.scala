@@ -236,7 +236,13 @@ object ClassicOpsPack extends QueryPack {
       .select(col("x"), col("y"), col("h"))
     def fileStatsOf(ordering: String, keyed: DataFrame,
                     key: org.apache.spark.sql.Column) = {
-      val rk = row_number().over(Window.orderBy(key, col("x"), col("y")))
+      // constant partition key: declares the ≤4096-cell bounded grain so
+      // the single-partition rank is a CHOICE (GlobalRankRewrite stands
+      // down on partitioned windows; stats overestimate the tiny grid
+      // aggregate and would otherwise trigger the distributed plan,
+      // whose two extra exchanges are pure overhead at this size)
+      val rk = row_number().over(
+        Window.partitionBy(lit(0)).orderBy(key, col("x"), col("y")))
       keyed
         .withColumn("f",
           call_function("div", (rk - 1).cast("long"), lit(cellsPerFile.toLong)))

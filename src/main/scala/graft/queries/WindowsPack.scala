@@ -300,7 +300,31 @@ object WindowsPack extends QueryPack {
       .orderBy("prio")
   }
 
+  /** q285 — a corpus-grain decile cut written the NAIVE way on purpose:
+    * plain `ntile(10) OVER (ORDER BY n_chars, doc_id)` with no manual
+    * distribution anywhere in the query. The
+    * [[graft.plans.GlobalRankRewrite]] optimizer rule (injected in every
+    * graft session) plans it as the distributed-rank shape once the
+    * input outgrows the broadcast threshold — the engine, not the query
+    * author, owns the scale plan (the q276 doctrine, for the window
+    * family). At gate SFs the raw scan sits under the threshold and the
+    * single-task plan is the right one; GlobalRankRewriteSpec pins the
+    * rewritten plan and its exact parity under a forced threshold.
+    */
+  private def q285(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("tile",
+        ntile(10).over(Window.orderBy(col("n_chars"), col("doc_id"))))
+      .groupBy("tile")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"),
+        sum("n_chars").as("sum_chars"))
+      .orderBy("tile")
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q285_global_ntile_rule" -> q285 _,
     "q145_transition_matrix" -> q145 _,
     "q85_range_frame" -> q85 _,
     "q87_gaps_islands" -> q87 _,
@@ -317,6 +341,16 @@ object WindowsPack extends QueryPack {
     "q48_asof_last_purchase" -> q48 _)
 
   override val oracle: Seq[(String, String)] = Seq(
+    "q285_global_ntile_rule" ->
+      """WITH t AS (
+        | SELECT doc_id, n_chars,
+        |  ntile(10) OVER (ORDER BY n_chars, doc_id) AS tile
+        | FROM documents)
+        |SELECT tile, count(*) AS n_docs,
+        | CAST(min(n_chars) AS BIGINT) AS min_chars,
+        | CAST(max(n_chars) AS BIGINT) AS max_chars,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM t GROUP BY tile ORDER BY tile""".stripMargin,
     "q272_vshape_patterns" ->
       """WITH daily AS (
         | SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS d,

@@ -116,6 +116,27 @@ class GlobalRankRewriteSpec extends SparkSpecBase {
     }
   }
 
+  test("date and timestamp first keys slice as epoch days/micros") {
+    val df = spark.range(2000).select(col("id"),
+      date_add(lit(java.sql.Date.valueOf("2020-01-01")),
+        (col("id") * 37 % 365).cast("int")).as("d"),
+      timestamp_seconds(col("id") * 1103515245L % 999983L).as("ts"))
+    for (key <- Seq("d", "ts")) {
+      val build = () => df.withColumn("rn",
+        row_number().over(Window.orderBy(col(key), col("id"))))
+      val expected = naive(build().collect()
+        .map(x => (x.getLong(0), x.getInt(3))).sorted.toSeq)
+      forced {
+        val r = build()
+        assert(r.queryExecution.executedPlan.toString
+          .contains("graft_rank_pid"), s"rule must fire on $key key")
+        val got = r.collect().map(x => (x.getLong(0), x.getInt(3)))
+          .sorted.toSeq
+        assert(got === expected, s"$key-keyed rank mismatch")
+      }
+    }
+  }
+
   test("descending keys and multiple rank columns in one window") {
     val df = corpus(3000)
     val build = () => df.select(col("id"),
@@ -127,6 +148,20 @@ class GlobalRankRewriteSpec extends SparkSpecBase {
       val got = build().collect()
         .map(x => (x.getLong(0), x.getInt(1), x.getInt(2))).sorted.toSeq
       assert(got === expected)
+    }
+  }
+
+  test("q285: the naively-authored corpus decile plans via the rule, same rows") {
+    val build = () =>
+      SparkEntry.queries("q285_global_ntile_rule")(spark,
+        "/root/testdata/sf0.001")
+    val expected = naive(build().collect().map(_.toString).toSeq)
+    forced {
+      val r = build()
+      assert(r.queryExecution.executedPlan.toString
+        .contains("graft_rank_pid"),
+        "the engine must own q285's scale plan under a forced threshold")
+      assert(r.collect().map(_.toString).toSeq === expected)
     }
   }
 
