@@ -437,7 +437,87 @@ object TextPack extends QueryPack {
       .orderBy("bkt")
   }
 
+  // --- q286: BPE merge induction (tokenizer TRAINING) ----------------------
+
+  private val bpeRounds = 4
+
+  /** Greedy left-to-right application of merge (a, b) to a symbol array:
+    * position i is dropped when it is the second half of a match starting
+    * at i−1, and becomes `a||b` when a match starts at it. Because q286's
+    * argmax EXCLUDES self-pairs (a ≠ b), matches can never chain or
+    * overlap, so this position-local rule IS the greedy semantics — the
+    * restriction that makes the apply order-free and therefore
+    * expressible identically in both engines (with a = b, "aaaa" needs a
+    * sequential fold: greedy gives [aa][aa], position-local rules
+    * don't). Guards keep every element_at in [1, n] (ANSI-safe; `&&`
+    * short-circuits).
+    */
+  private def applyMerge(syms: Column, a: Column, b: Column): Column = {
+    val n = size(syms)
+    filter(
+      transform(sequence(lit(1), n), i =>
+        when(i > 1 && element_at(syms, i - 1) === a &&
+          element_at(syms, i) === b, lit(null).cast("string"))
+          .when(element_at(syms, i) === a && i < n &&
+            element_at(syms, i + 1) === b, concat(a, b))
+          .otherwise(element_at(syms, i))),
+      x => x.isNotNull)
+  }
+
+  /** q286 — byte-pair-encoding MERGE INDUCTION over the corpus: the
+    * tokenizer-TRAINING step (q105's chunker consumes a trained
+    * tokenizer; this builds one). Classic Sennrich BPE on the
+    * word-frequency table: words split to character symbols, then
+    * [[bpeRounds]] rounds of (count adjacent symbol pairs weighted by
+    * word frequency → take the most frequent pair, ties by pair →
+    * merge it everywhere). Output is the learned merge table
+    * (round, pair, count) — the artifact a tokenizer ships.
+    *
+    * Self-pairs (a = b) are excluded from the argmax so the merge apply
+    * is position-local and order-free ([[applyMerge]]) — the one
+    * restriction that keeps the operator exactly reproducible in
+    * DuckDB SQL (the unrolled per-round CTE chain is generated from the
+    * same constants, so the engines cannot drift).
+    *
+    * Scale shape: training runs at VOCAB grain (the word-freq table —
+    * Heaps-bounded, orders below corpus grain), which is exactly how
+    * production BPE trainers work; per round, pair counting is one
+    * partial-agg shuffle of vocab-grain bigrams, the argmax is
+    * TakeOrdered(1), and the apply is a map-side transform under a
+    * 1-row broadcast. The per-round persist keeps round r's lineage
+    * from re-deriving rounds 1..r−1 (plan blowup, not data cost).
+    */
+  private def q286(s: SparkSession, dir: String): DataFrame = {
+    var cur = Tables.load(s, dir, "documents")
+      .select(explode(toks(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("w"), col("freq"), split(col("w"), "").as("syms"))
+    val bests = (1 to bpeRounds).map { r =>
+      cur = cur.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = cur.select(col("freq"),
+          explode(zip_with(
+            slice(col("syms"), lit(1),
+              greatest(size(col("syms")) - 1, lit(0))),
+            slice(col("syms"), lit(2),
+              greatest(size(col("syms")) - 1, lit(0))),
+            (x, y) => struct(x.as("w1"), y.as("w2")))).as("p"))
+        .filter(col("p.w1") =!= col("p.w2"))
+        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(sum("freq").as("cnt"))
+      val best = pairs.orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1)
+        .select(lit(r).as("round"), col("w1"), col("w2"), col("cnt"))
+      cur = cur
+        .crossJoin(broadcast(best.select(col("w1").as("ma"),
+          col("w2").as("mb"))))
+        .select(col("w"), col("freq"),
+          applyMerge(col("syms"), col("ma"), col("mb")).as("syms"))
+      best
+    }
+    bests.reduce(_ unionByName _).orderBy("round")
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q286_bpe_merges" -> q286 _,
     "q269_code_switch" -> q269 _,
     "q282_vocab_growth" -> q282 _,
     "q57_array_funcs" -> q57 _,
@@ -485,6 +565,44 @@ object TextPack extends QueryPack {
        |   FROM documents) t) h)""".stripMargin
 
   override val oracle: Seq[(String, String)] = Seq(
+    "q286_bpe_merges" -> {
+      // unrolled per-round CTE chain, generated from the same constants
+      // as the Spark loop so the two sides cannot drift
+      val rounds = (1 to bpeRounds).map { r =>
+        s"""p$r AS (
+           | SELECT s.w1 AS w1, s.w2 AS w2, CAST(sum(freq) AS BIGINT) AS cnt
+           | FROM (SELECT freq, unnest(list_transform(
+           |    generate_series(1, len(syms) - 1),
+           |    i -> {'w1': syms[i], 'w2': syms[i + 1]})) AS s
+           |   FROM w${r - 1}) x
+           | WHERE s.w1 <> s.w2 GROUP BY 1, 2),
+           |b$r AS (
+           | SELECT $r AS round, w1, w2, cnt FROM p$r
+           | ORDER BY cnt DESC, w1, w2 LIMIT 1),
+           |w$r AS (
+           | SELECT w, freq,
+           |  list_filter(list_transform(generate_series(1, len(syms)),
+           |   i -> CASE
+           |    WHEN i > 1 AND syms[i - 1] = b.w1 AND syms[i] = b.w2
+           |     THEN NULL
+           |    WHEN syms[i] = b.w1 AND i < len(syms)
+           |     AND syms[i + 1] = b.w2 THEN b.w1 || b.w2
+           |    ELSE syms[i] END), x -> x IS NOT NULL) AS syms
+           | FROM w${r - 1}, b$r b)""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to bpeRounds).map(r => s"SELECT * FROM b$r")
+        .mkString("\nUNION ALL\n")
+      s"""WITH w0 AS (
+         | SELECT w, CAST(count(*) AS BIGINT) AS freq,
+         |  string_split(w, '') AS syms
+         | FROM (SELECT unnest(
+         |    list_filter(string_split(text, ' '), x -> x <> '')) AS w
+         |   FROM documents) t
+         | GROUP BY w),
+         |$rounds
+         |$union
+         |ORDER BY round""".stripMargin
+    },
     "q282_vocab_growth" ->
       s"""WITH docs AS (
          | SELECT doc_id,

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.catalog.Tables
+
+/** q286 BPE merge induction vs an independent JVM trainer: classic
+  * Sennrich BPE over the word-frequency table (with the q286 self-pair
+  * exclusion), greedy merge application replayed sequentially — the
+  * distributed pair-count/argmax/apply rounds must learn the identical
+  * merge table, and best-pair counts must be non-increasing (a merge can
+  * only hide occurrences, never create a pair more frequent than its
+  * parents).
+  */
+class BpeSpec extends SparkSpecBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q286 merges equal a sequential JVM BPE trainer; counts decrease") {
+    val wordFreq = Tables.load(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+    var vocab: Seq[(Vector[String], Long)] =
+      wordFreq.map { case (w, f) => (w.split("").toVector, f) }.toSeq
+    val expected = (1 to 4).map { r =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, f) <- vocab; i <- 0 until syms.length - 1
+           if syms(i) != syms(i + 1))
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      val ((a, b), cnt) = counts.toSeq
+        .minBy { case ((x, y), c) => (-c, x, y) }
+      vocab = vocab.map { case (syms, f) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        (out.result(), f)
+      }
+      (r, a, b, cnt)
+    }
+
+    val got = SparkEntry.queries("q286_bpe_merges")(spark, sf)
+      .collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getString(2), x.getLong(3)))
+      .toSeq
+    assert(got === expected)
+    val cnts = got.map(_._4)
+    assert(cnts == cnts.sorted.reverse, s"best-pair counts must not rise: $cnts")
+    assert(cnts.head > 1, "fixture must exercise real merges")
+  }
+}
