@@ -487,12 +487,16 @@ object TextPack extends QueryPack {
     * 1-row broadcast. The per-round persist keeps round r's lineage
     * from re-deriving rounds 1..r−1 (plan blowup, not data cost).
     */
-  private def q286(s: SparkSession, dir: String): DataFrame = {
+  /** The shared BPE training loop: per round, (the argmax merge row,
+    * the post-merge vocab state). q286 reads the merges, q287 the
+    * states. */
+  private def bpeTrain(s: SparkSession,
+      dir: String): Seq[(DataFrame, DataFrame)] = {
     var cur = Tables.load(s, dir, "documents")
       .select(explode(toks(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(col("w"), col("freq"), split(col("w"), "").as("syms"))
-    val bests = (1 to bpeRounds).map { r =>
+    (1 to bpeRounds).map { r =>
       cur = cur.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = cur.select(col("freq"),
           explode(zip_with(
@@ -511,13 +515,39 @@ object TextPack extends QueryPack {
           col("w2").as("mb"))))
         .select(col("w"), col("freq"),
           applyMerge(col("syms"), col("ma"), col("mb")).as("syms"))
-      best
+      (best, cur)
     }
-    bests.reduce(_ unionByName _).orderBy("round")
   }
+
+  private def q286(s: SparkSession, dir: String): DataFrame =
+    bpeTrain(s, dir).map(_._1).reduce(_ unionByName _).orderBy("round")
+
+  /** q287 — the tokenizer-design readout over q286's training run: the
+    * COMPRESSION CURVE. After each merge round, the subword-type count
+    * (the vocabulary the tokenizer would ship at that budget) and the
+    * corpus subword total (Σ freq·|segmentation|), i.e. how many tokens
+    * the model would actually see — the fertility/compression trade a
+    * tokenizer budget decision is made on. Micro-units for the ratio
+    * (exact integer div, the QueryPack doctrine). Each round's stats are
+    * two small aggregates over the persisted vocab-grain state.
+    */
+  private def q287(s: SparkSession, dir: String): DataFrame =
+    bpeTrain(s, dir).zipWithIndex.map { case ((_, state), i) =>
+      val types = state.select(explode(col("syms")).as("sy"))
+        .agg(countDistinct("sy").as("n_subword_types"))
+      val tot = state.agg(
+        sum("freq").as("corpus_tokens"),
+        sum(col("freq") * size(col("syms"))).as("corpus_subwords"))
+      tot.crossJoin(broadcast(types))
+        .select(lit(i + 1).as("round"), col("n_subword_types"),
+          col("corpus_tokens"), col("corpus_subwords"),
+          call_function("div", col("corpus_subwords") * 1000000L,
+            col("corpus_tokens")).as("subwords_per_token_micro"))
+    }.reduce(_ unionByName _).orderBy("round")
 
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q286_bpe_merges" -> q286 _,
+    "q287_bpe_compression" -> q287 _,
     "q269_code_switch" -> q269 _,
     "q282_vocab_growth" -> q282 _,
     "q57_array_funcs" -> q57 _,
@@ -564,42 +594,63 @@ object TextPack extends QueryPack {
        |      AS dt
        |   FROM documents) t) h)""".stripMargin
 
+  /** The unrolled per-round BPE CTE chain (`w0, p1, b1, w1, …, w4`),
+    * generated from the same constants as the Spark loop so the two
+    * sides cannot drift. Shared by the q286 and q287 oracles. */
+  private lazy val duckBpeChain: String = {
+    val rounds = (1 to bpeRounds).map { r =>
+      s"""p$r AS (
+         | SELECT s.w1 AS w1, s.w2 AS w2, CAST(sum(freq) AS BIGINT) AS cnt
+         | FROM (SELECT freq, unnest(list_transform(
+         |    generate_series(1, len(syms) - 1),
+         |    i -> {'w1': syms[i], 'w2': syms[i + 1]})) AS s
+         |   FROM w${r - 1}) x
+         | WHERE s.w1 <> s.w2 GROUP BY 1, 2),
+         |b$r AS (
+         | SELECT $r AS round, w1, w2, cnt FROM p$r
+         | ORDER BY cnt DESC, w1, w2 LIMIT 1),
+         |w$r AS (
+         | SELECT w, freq,
+         |  list_filter(list_transform(generate_series(1, len(syms)),
+         |   i -> CASE
+         |    WHEN i > 1 AND syms[i - 1] = b.w1 AND syms[i] = b.w2
+         |     THEN NULL
+         |    WHEN syms[i] = b.w1 AND i < len(syms)
+         |     AND syms[i + 1] = b.w2 THEN b.w1 || b.w2
+         |    ELSE syms[i] END), x -> x IS NOT NULL) AS syms
+         | FROM w${r - 1}, b$r b)""".stripMargin
+    }.mkString(",\n")
+    s"""w0 AS (
+       | SELECT w, CAST(count(*) AS BIGINT) AS freq,
+       |  string_split(w, '') AS syms
+       | FROM (SELECT unnest(
+       |    list_filter(string_split(text, ' '), x -> x <> '')) AS w
+       |   FROM documents) t
+       | GROUP BY w),
+       |$rounds""".stripMargin
+  }
+
   override val oracle: Seq[(String, String)] = Seq(
     "q286_bpe_merges" -> {
-      // unrolled per-round CTE chain, generated from the same constants
-      // as the Spark loop so the two sides cannot drift
-      val rounds = (1 to bpeRounds).map { r =>
-        s"""p$r AS (
-           | SELECT s.w1 AS w1, s.w2 AS w2, CAST(sum(freq) AS BIGINT) AS cnt
-           | FROM (SELECT freq, unnest(list_transform(
-           |    generate_series(1, len(syms) - 1),
-           |    i -> {'w1': syms[i], 'w2': syms[i + 1]})) AS s
-           |   FROM w${r - 1}) x
-           | WHERE s.w1 <> s.w2 GROUP BY 1, 2),
-           |b$r AS (
-           | SELECT $r AS round, w1, w2, cnt FROM p$r
-           | ORDER BY cnt DESC, w1, w2 LIMIT 1),
-           |w$r AS (
-           | SELECT w, freq,
-           |  list_filter(list_transform(generate_series(1, len(syms)),
-           |   i -> CASE
-           |    WHEN i > 1 AND syms[i - 1] = b.w1 AND syms[i] = b.w2
-           |     THEN NULL
-           |    WHEN syms[i] = b.w1 AND i < len(syms)
-           |     AND syms[i + 1] = b.w2 THEN b.w1 || b.w2
-           |    ELSE syms[i] END), x -> x IS NOT NULL) AS syms
-           | FROM w${r - 1}, b$r b)""".stripMargin
-      }.mkString(",\n")
       val union = (1 to bpeRounds).map(r => s"SELECT * FROM b$r")
         .mkString("\nUNION ALL\n")
-      s"""WITH w0 AS (
-         | SELECT w, CAST(count(*) AS BIGINT) AS freq,
-         |  string_split(w, '') AS syms
-         | FROM (SELECT unnest(
-         |    list_filter(string_split(text, ' '), x -> x <> '')) AS w
-         |   FROM documents) t
-         | GROUP BY w),
-         |$rounds
+      s"""WITH $duckBpeChain
+         |$union
+         |ORDER BY round""".stripMargin
+    },
+    "q287_bpe_compression" -> {
+      val union = (1 to bpeRounds).map { r =>
+        s"""SELECT $r AS round,
+           | (SELECT CAST(count(DISTINCT sy) AS BIGINT)
+           |  FROM (SELECT unnest(syms) AS sy FROM w$r) z)
+           |  AS n_subword_types,
+           | CAST(sum(freq) AS BIGINT) AS corpus_tokens,
+           | CAST(sum(freq * len(syms)) AS BIGINT) AS corpus_subwords,
+           | CAST(sum(freq * len(syms)) AS BIGINT) * 1000000
+           |  // CAST(sum(freq) AS BIGINT) AS subwords_per_token_micro
+           |FROM w$r""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $duckBpeChain
          |$union
          |ORDER BY round""".stripMargin
     },

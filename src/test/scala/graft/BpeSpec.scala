@@ -54,4 +54,25 @@ class BpeSpec extends SparkSpecBase {
     assert(cnts == cnts.sorted.reverse, s"best-pair counts must not rise: $cnts")
     assert(cnts.head > 1, "fixture must exercise real merges")
   }
+
+  test("q287 compression curve: tokens constant, subwords strictly shrink") {
+    val rows = SparkEntry.queries("q287_bpe_compression")(spark, sf)
+      .collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toSeq
+    assert(rows.map(_._1) === (1 to 4))
+    // corpus token count is invariant under merging
+    assert(rows.map(_._3).distinct.size === 1)
+    // every merge round removes exactly best-count subword occurrences
+    val merges = SparkEntry.queries("q286_bpe_merges")(spark, sf)
+      .collect().map(_.getLong(3)).toSeq
+    val subwords = rows.map(_._4)
+    assert(subwords.zip(subwords.tail).zip(merges.tail).forall {
+      case ((prev, next), cnt) => prev - next == cnt
+    }, s"round r+1 must remove exactly its merge count: $subwords vs $merges")
+    // the subword-type count can grow by at most 1 per round (the new
+    // merged symbol) and never exceeds chars + rounds
+    val types = rows.map(_._2)
+    assert(types.zip(types.tail).forall { case (a, b) => b <= a + 1 })
+  }
 }
