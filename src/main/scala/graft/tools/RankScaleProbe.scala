@@ -100,6 +100,44 @@ object RankScaleProbe {
         s""""rows_dist":$dn,"rows_rule":$rn_,"rows_naive":$nn}""")
       df.unpersist()
     }
+
+    // skew arm: the rule's documented equal-width caveat, quantified.
+    // v = 10⁶/(id%997+1) piles most rows into the low end of the value
+    // range — equal-width slices go hot while DistRank's frequency-
+    // balanced range shuffle stays even. Outputs still asserted equal.
+    {
+      val k = ks.max
+      val df = spark.range(baseN * k).select(col("id"),
+        call_function("div", lit(1000000L), col("id") % 997L + 1L).as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = df.count()
+      def profile(ranked: DataFrame): (Long, Double) =
+        timed(ranked.groupBy("t")
+          .agg(count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"))
+          .collect().map(_.getLong(1)).sum)
+      val dist = DistRank.withNtile(df, "t", 8, col("v"), col("id"))
+      val (_, tDist) = profile(dist)
+      val (_, tRule) = {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try profile(df.withColumn("t",
+          ntile(8).over(Window.orderBy(col("v"), col("id")))))
+        finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+          "10485760")
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val ruled = df.withColumn("t",
+          ntile(8).over(Window.orderBy(col("v"), col("id"))))
+        val diff = dist.select("id", "t").exceptAll(ruled.select("id", "t"))
+          .count() +
+          ruled.select("id", "t").exceptAll(dist.select("id", "t")).count()
+        require(diff == 0, "skew-keyed rule ntile diverged")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        "10485760")
+      println(s"""{"shape":"skew","k":$k,"n":$n,""" +
+        s""""t_dist":${f"$tDist%.2f"},"t_rule":${f"$tRule%.2f"}}""")
+      df.unpersist()
+    }
     spark.stop()
   }
 }
