@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, CollectList, Complete, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -44,7 +44,7 @@ import org.apache.spark.sql.types._
   *      slice's rows);
   *   4. offsets branch: an independent copy (leaves re-instanced)
   *      aggregates to (slice, count); prefix-sum/total windows over the
-  *      ≤8·P-row count table are the bounded-grain exception; broadcast
+  *      ≤P-row count table are the bounded-grain exception; broadcast
   *      join back on slice; global rn = local + prefix, ntile(k)
   *      reconstructed exactly from (rn, total). Output aliases keep the
   *      original exprIds and types, so parents are untouched.
@@ -113,28 +113,90 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
       rewrite(exprs, order, child)
   }
 
-  /** Monotone [0, nSlices) bucket of the first order key, oriented along
-    * the sort direction; nulls at −1/nSlices per the null ordering.
-    * Double subtract/divide/floor are monotone under IEEE rounding, so
-    * rounding can merge adjacent slices, never reorder them; the clamp
-    * runs in LONG so an extreme quotient can't overflow the final int
-    * cast under ANSI. (A NaN min/max degenerates every slice to 0 —
-    * one partition, unbalanced but still correct.)
+  private val targetSamples = 65536L
+
+  /** A 1-row plan carrying `nSlices − 1` frequency-adaptive split
+    * points of the first order key, plus their attributes. Every step
+    * is a DETERMINISTIC function of the data SET — no sampled
+    * partitioner, no order dependence — so two executions (one per
+    * branch) are guaranteed identical:
+    *
+    *   1. count the rows (order-independent aggregate);
+    *   2. keep rows whose murmur3(first key) ≡ 0 (mod rate), with
+    *      rate = max(1, count/[[targetSamples]]) — a per-row
+    *      deterministic ~64 k-element uniform sample whose aggregate
+    *      buffer is bounded at ANY corpus size;
+    *   3. `sort_array(collect_list(...))` normalizes away collection
+    *      order; resample nSlices−1 evenly-indexed elements as split
+    *      points — frequency-balanced boundaries (equal-COUNT slices up
+    *      to sampling noise, the upgrade over the first equal-WIDTH cut
+    *      whose hot slices the skew probe measured 1.9× slower).
+    *
+    * Empty sample → all-null split points → every row lands in slice 0
+    * (one partition — degenerate but correct; below-threshold inputs
+    * stand down before this anyway).
     */
-  private def sliceOf(first: SortOrder, mn: Expression, mx: Expression,
+  private def boundaryRow(first: SortOrder, child: LogicalPlan,
+      nSlices: Int): (LogicalPlan, Seq[Attribute]) = {
+    def bCross(l: LogicalPlan, r: LogicalPlan): LogicalPlan =
+      Join(l, r, Cross, None,
+        JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST)))))
+    val cntA = Alias(AggregateExpression(Count(Seq(Literal(1))), Complete,
+      isDistinct = false), "graft_rank_n")()
+    val cntAgg = Aggregate(Nil, Seq(cntA), child)
+    val withCnt = bCross(child, cntAgg)
+    val x = Cast(asNumeric(first.child), DoubleType)
+    val rate = Greatest(Seq(Literal(1L),
+      IntegralDivide(cntA.toAttribute, Literal(targetSamples))))
+    val keep = EqualTo(Pmod(Cast(new Murmur3Hash(Seq(first.child)),
+      LongType), rate), Literal(0L))
+    val sampA = Alias(AggregateExpression(
+      CollectList(If(keep, x, Literal(null, DoubleType))), Complete,
+      isDistinct = false), "graft_rank_smp")()
+    val sampAgg = Aggregate(Nil, Seq(sampA), withCnt)
+    val arrA = Alias(new SortArray(sampA.toAttribute), "graft_rank_arr")()
+    val arrProj = Project(Seq(arrA), sampAgg)
+    val arr = arrA.toAttribute
+    val m = Cast(Size(arr), LongType)
+    val bndAliases = (1 until nSlices).map { j =>
+      val idx = Cast(Greatest(Seq(Literal(1L),
+        IntegralDivide(Multiply(Literal(j.toLong), m),
+          Literal(nSlices.toLong)))), IntegerType)
+      Alias(If(LessThanOrEqual(m, Literal(0L)),
+        Literal(null, DoubleType), ElementAt(arr, idx)),
+        s"graft_rank_bnd$j")()
+    }
+    (Project(bndAliases, arrProj), bndAliases.map(_.toAttribute))
+  }
+
+  /** Monotone [0, nSlices) bucket of the first order key from the
+    * [[boundaryRow]] split points: slice = number of split points
+    * strictly before the key in sort order. Equal keys share a slice
+    * and the count is non-decreasing along the sort direction, so
+    * slices are contiguous runs of the total order — ties never
+    * straddle; duplicate split values just leave slices empty. Nulls
+    * slot at −1/nSlices per the null ordering; NaN floats (which sort
+    * greatest) are pinned to the edge slice explicitly because every
+    * NaN comparison is false.
+    */
+  private def sliceOf(first: SortOrder, bnds: Seq[Attribute],
       nSlices: Int): Expression = {
     val x = Cast(asNumeric(first.child), DoubleType)
-    val mnD = Cast(asNumeric(mn), DoubleType)
-    val mxD = Cast(asNumeric(mx), DoubleType)
-    val width = Greatest(Seq(
-      Divide(Subtract(mxD, mnD), Literal(nSlices.toDouble)),
-      Literal(Double.MinPositiveValue)))
-    val rawL = Floor(Divide(Subtract(x, mnD), width))
-    val clamped = Cast(Least(Seq(Greatest(Seq(rawL, Literal(0L))),
-      Literal(nSlices - 1L))), IntegerType)
-    val oriented = first.direction match {
-      case Ascending => clamped
-      case Descending => Subtract(Literal(nSlices - 1), clamped)
+    def before(b: Expression): Expression = first.direction match {
+      case Ascending => LessThan(b, x)
+      case Descending => GreaterThan(b, x)
+    }
+    val count = bnds.map[Expression](b =>
+      If(And(IsNotNull(b), before(b)), Literal(1), Literal(0)))
+      .reduce((a, b) => Add(a, b))
+    val oriented = first.child.dataType match {
+      case FloatType | DoubleType =>
+        val nanSlice = first.direction match {
+          case Ascending => Literal(nSlices - 1) // NaN sorts greatest
+          case Descending => Literal(0)
+        }
+        If(IsNaN(x), nanSlice, count)
+      case _ => count
     }
     val nullSlice = first.nullOrdering match {
       case NullsFirst => Literal(-1)
@@ -143,39 +205,30 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     If(IsNull(first.child), nullSlice, oriented)
   }
 
-  private def minMaxAgg(first: SortOrder, child: LogicalPlan)
-      : (LogicalPlan, Attribute, Attribute) = {
-    val mnA = Alias(AggregateExpression(Min(first.child), Complete,
-      isDistinct = false), "graft_rank_mn")()
-    val mxA = Alias(AggregateExpression(Max(first.child), Complete,
-      isDistinct = false), "graft_rank_mx")()
-    (Aggregate(Nil, Seq(mnA, mxA), child), mnA.toAttribute, mxA.toAttribute)
-  }
-
   private def rewrite(exprs: Seq[NamedExpression], order: Seq[SortOrder],
       child: LogicalPlan): LogicalPlan = {
-    val nSlices = conf.numShufflePartitions * 8
+    val nSlices = conf.numShufflePartitions
     val rankFrame =
       SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
     def broadcastCross(l: LogicalPlan, r: LogicalPlan): LogicalPlan =
       Join(l, r, Cross, None,
         JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST)))))
 
-    // rank branch: slice stamp (min/max broadcast) → per-slice window
-    val (mmL, mnL, mxL) = minMaxAgg(order.head, child)
-    val pidAliasL = Alias(sliceOf(order.head, mnL, mxL, nSlices), pidName)()
+    // rank branch: slice stamp (split-point broadcast) → per-slice window
+    val (bndL, bndAttrsL) = boundaryRow(order.head, child, nSlices)
+    val pidAliasL = Alias(sliceOf(order.head, bndAttrsL, nSlices), pidName)()
     val rangedL = Project(child.output :+ pidAliasL,
-      broadcastCross(child, mmL))
+      broadcastCross(child, bndL))
     val pidL = pidAliasL.toAttribute
     val localRn = Alias(WindowExpression(RowNumber(),
       WindowSpecDefinition(Seq(pidL), order, rankFrame)), "graft_rank_local")()
     val rankWin = Window(Seq(localRn), Seq(pidL), order, rangedL)
 
     // offsets branch: same subtree, identical slice by construction
-    val (mmR, mnR, mxR) = minMaxAgg(order.head, child)
-    val pidAliasR = Alias(sliceOf(order.head, mnR, mxR, nSlices),
+    val (bndR, bndAttrsR) = boundaryRow(order.head, child, nSlices)
+    val pidAliasR = Alias(sliceOf(order.head, bndAttrsR, nSlices),
       pidName + "_r")()
-    val rangedR = Project(Seq(pidAliasR), broadcastCross(child, mmR))
+    val rangedR = Project(Seq(pidAliasR), broadcastCross(child, bndR))
     val pidR = pidAliasR.toAttribute
     val cntAlias = Alias(AggregateExpression(Count(Seq(Literal(1))),
       Complete, isDistinct = false), "graft_rank_cnt")()

