@@ -810,7 +810,60 @@ object SimilarityPack extends QueryPack {
       .orderBy("q_id")
   }
 
+  // --- q288: semantic decontamination --------------------------------------
+
+  private val DecontamTau = 0.95
+  private val DecontamEvery = 50L // every 50th vector is an eval example
+  private val DecontamLeakEvery = 100L // half of those leak into training
+  private val DecontamOffset = 2000000L
+
+  /** q288 — SEMANTIC decontamination: eval-set leakage detection in
+    * embedding space, the companion to the n-gram-exact q143/q243 (which
+    * miss paraphrased or lightly-edited leaks by construction). Every
+    * 50th vector is the held-out eval set; the training corpus is the
+    * rest PLUS planted leaks — near-copies (q260's plant rule) of half
+    * the eval examples. Each training vector takes its max cosine
+    * against the eval set; anything ≥ τ = 0.95 is flagged with its
+    * matched eval id. On this near-orthogonal synthetic corpus the
+    * flagged set must be exactly the planted leaks — the same
+    * planted-truth doctrine as q260.
+    *
+    * Scale: the eval set is the SMALL side by definition (thousands of
+    * benchmark examples vs a 100 TB corpus), so it broadcasts and the
+    * corpus never shuffles — one map-side scan computes all cosines,
+    * and the per-vector argmax is a window at corpus-vector grain over
+    * |eval| candidate rows. The production upgrade for a large eval
+    * suite is q260's SRP blocking on top — the flag predicate and the
+    * τ contract stay unchanged.
+    */
+  private def q288(s: SparkSession, dir: String): DataFrame = {
+    val c0 = corpus(s, dir)
+    val eval = c0.filter(col("vec_id") % DecontamEvery === 0)
+      .select(col("vec_id").as("ev_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val leaks = c0.filter(col("vec_id") % DecontamLeakEvery === 0)
+      .select((col("vec_id") + DecontamOffset).as("vec_id"),
+        concat(array(element_at(col("v"), 1) + lit(0.1)),
+          slice(col("v"), lit(2), size(col("v")) - 1)).as("v"))
+      .withColumn("nrm", sqrt(Vectors.dot(col("v"), col("v"))))
+    val train = c0.filter(col("vec_id") % DecontamEvery =!= 0)
+      .select("vec_id", "v", "nrm")
+      .unionByName(leaks)
+    val scored = train.join(broadcast(eval))
+      .withColumn("cos",
+        Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("ev_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1 && col("cos") >= DecontamTau)
+      .select(col("vec_id"), col("ev_id").as("matched_eval_id"),
+        round(col("cos"), 6).as("cos6"))
+      .orderBy("vec_id")
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q288_semantic_decontam" -> q288 _,
     "q108_ivf_multiprobe" -> q108 _,
     "q109_ann_recall" -> q109 _,
     "q70_ann_bruteforce" -> q70 _,
@@ -1265,6 +1318,32 @@ object SimilarityPack extends QueryPack {
         | round(list_sum(list_transform(range(1, len(v) + 1),
         |   i -> v[i] * v[len(v) - i + 1])), 6) AS revdot6
         |FROM e ORDER BY vec_id""".stripMargin,
+    "q288_semantic_decontam" ->
+      s"""WITH e AS (
+         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |       CAST(embedding AS DOUBLE[]))) AS nrm
+         | FROM embeddings),
+         |ev AS (SELECT vec_id AS ev_id, v AS qv, nrm AS qnrm
+         |       FROM e WHERE vec_id % $DecontamEvery = 0),
+         |lk AS (
+         | SELECT vec_id + $DecontamOffset AS vec_id,
+         |  list_concat([v[1] + 0.1], v[2:]) AS v
+         | FROM e WHERE vec_id % $DecontamLeakEvery = 0),
+         |tr AS (
+         | SELECT vec_id, v, nrm FROM e WHERE vec_id % $DecontamEvery <> 0
+         | UNION ALL
+         | SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM lk),
+         |scored AS (
+         | SELECT b.vec_id, a.ev_id, $duckCos AS cos
+         | FROM ev a CROSS JOIN tr b),
+         |ranked AS (
+         | SELECT vec_id, ev_id, cos, row_number() OVER (
+         |   PARTITION BY vec_id ORDER BY cos DESC, ev_id) AS rk
+         | FROM scored)
+         |SELECT vec_id, ev_id AS matched_eval_id, round(cos, 6) AS cos6
+         |FROM ranked WHERE rk = 1 AND cos >= $DecontamTau
+         |ORDER BY vec_id""".stripMargin,
     "q70_ann_bruteforce" -> duckBruteforce,
     // q72 computes the same relation as q70 through the typed TopK
     // aggregator — one oracle, two physical strategies.
