@@ -36,6 +36,18 @@ import org.apache.spark.storage.StorageLevel
   * must be stamped once (same doctrine as the k-row model literals in
   * SimilarityPack — here the driver never sees the data at all, only a
   * P-row broadcast flows).
+  *
+  * CACHE CONTRACT: the persist must outlive the caller's ACTION — both
+  * passes re-read it lazily, and unpersisting early would re-execute the
+  * range shuffle with fresh RangePartitioner boundaries (the offsets
+  * would then describe a partitioning the rank pass never saw — a silent
+  * wrong answer, the exact trap [[graft.plans.GlobalRankRewrite]]'s
+  * deterministic slicing exists to dodge). DistRank therefore cannot
+  * unpersist on the caller's behalf; callers running many rank queries
+  * in one session must `spark.catalog.clearCache()` between logical
+  * queries (the Verify/Bench harnesses do) or cached blocks accumulate —
+  * e.g. q142's three nested [[withNtile]] calls coexist as three caches
+  * until the harness clears them.
   */
 object DistRank {
 

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, CollectList, Complete, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, CollectSet, Complete, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -29,25 +29,27 @@ import org.apache.spark.sql.types._
   * frequency-balanced range shuffle because its persist() pins one
   * execution.)
   *
-  *   1. a 1-row min/max aggregate of the FIRST order key broadcasts
-  *      into both branches (two executions, same result — min/max are
-  *      functions of the set);
-  *   2. slice = monotone equal-width bucket of the first key in
-  *      [0, 8·P): equal keys share a slice and the bucket is
-  *      non-decreasing along the sort direction, so slices are
-  *      contiguous runs of the total order — ties never straddle;
-  *      nulls slot at ±∞ per the null ordering; all arithmetic runs in
-  *      double, where subtract/divide/floor are monotone, so rounding
-  *      can merge adjacent slices but never reorder them;
+  *   1. a 1-row [[boundaryRow]] aggregate derives P−1 frequency-adaptive
+  *      split points of the FIRST order key from a deterministic
+  *      hash-mod sample (bounded buffer — see boundaryRow's doc); the
+  *      SAME boundary subtree broadcasts into both branches, so even if
+  *      exchange reuse fails to collapse the two physical broadcasts,
+  *      both executions compute an identical function of the data set;
+  *   2. slice = number of split points strictly before the key in sort
+  *      order: equal keys share a slice and the count is non-decreasing
+  *      along the sort direction, so slices are contiguous runs of the
+  *      total order — ties never straddle; nulls slot at ±1 slice per
+  *      the null ordering, NaN floats pin to the sort-greatest edge;
   *   3. rank branch: the original rank runs PARTITIONED by slice
   *      (Spark's ordinary hash exchange — every window group is one
   *      slice's rows);
-  *   4. offsets branch: an independent copy (leaves re-instanced)
-  *      aggregates to (slice, count); prefix-sum/total windows over the
-  *      ≤P-row count table are the bounded-grain exception; broadcast
-  *      join back on slice; global rn = local + prefix, ntile(k)
-  *      reconstructed exactly from (rn, total). Output aliases keep the
-  *      original exprIds and types, so parents are untouched.
+  *   4. offsets branch: a second projection over the shared child + the
+  *      shared boundary row aggregates to (slice, count); prefix-sum/
+  *      total windows over the ≤P-row count table are the bounded-grain
+  *      exception; broadcast join back on slice; global rn = local +
+  *      prefix, ntile(k) reconstructed exactly from (rn, total). Output
+  *      aliases keep the original exprIds and types, so parents are
+  *      untouched.
   *
   * Eligibility: every window expression is `row_number()` or `ntile(k)`
   * (rank/percent_rank stand down — their tie semantics need a total
@@ -60,10 +62,14 @@ import org.apache.spark.sql.types._
   * task; −1 forces the rewrite, which is how the spec drives it at
   * fixture scale).
   *
-  * Balance caveat: equal-WIDTH slicing, not equal-frequency — a heavily
-  * skewed first key concentrates rows in few slices. Still never worse
-  * than the single-partition plan it replaces (a hot slice holds a
-  * subset), and AQE's skew handling applies to the hash exchange.
+  * Balance caveat: split points are value-quantiles of a DISTINCT
+  * sample whose inclusion probability grows with a key's row count
+  * (see [[boundaryRow]]) — approximately frequency-adaptive, exactly so
+  * when per-key multiplicities are comparable. A single mega-hot key
+  * still concentrates its rows in one slice (ties cannot split by
+  * construction); that slice holds a subset of what the single-partition
+  * plan it replaces held, and AQE's skew handling applies to the hash
+  * exchange.
   */
 object GlobalRankRewrite extends Rule[LogicalPlan] {
 
@@ -115,22 +121,39 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
 
   private val targetSamples = 65536L
 
+  /** Types `Murmur3Hash` accepts without the legacy map-hash flag. */
+  private def hashable(dt: DataType): Boolean = dt match {
+    case _: MapType => false
+    case ArrayType(et, _) => hashable(et)
+    case StructType(fields) => fields.forall(f => hashable(f.dataType))
+    case _ => true
+  }
+
   /** A 1-row plan carrying `nSlices − 1` frequency-adaptive split
     * points of the first order key, plus their attributes. Every step
     * is a DETERMINISTIC function of the data SET — no sampled
-    * partitioner, no order dependence — so two executions (one per
-    * branch) are guaranteed identical:
+    * partitioner, no order dependence — so even were it executed twice,
+    * both executions would be identical (the rewrite additionally
+    * shares ONE boundary subtree across both branches):
     *
     *   1. count the rows (order-independent aggregate);
-    *   2. keep rows whose murmur3(first key) ≡ 0 (mod rate), with
-    *      rate = max(1, count/[[targetSamples]]) — a per-row
-    *      deterministic ~64 k-element uniform sample whose aggregate
-    *      buffer is bounded at ANY corpus size;
-    *   3. `sort_array(collect_list(...))` normalizes away collection
-    *      order; resample nSlices−1 evenly-indexed elements as split
-    *      points — frequency-balanced boundaries (equal-COUNT slices up
-    *      to sampling noise, the upgrade over the first equal-WIDTH cut
-    *      whose hot slices the skew probe measured 1.9× slower).
+    *   2. keep rows whose murmur3(ALL hashable output columns) ≡ 0
+    *      (mod rate), with rate = max(1, count/[[targetSamples]]), and
+    *      `collect_set` the kept FIRST-KEY values. Hashing the whole
+    *      row (not just the key) plus the set dedup bounds the buffer
+    *      at ANY corpus size AND any key distribution: the set holds at
+    *      most the distinct kept key values, expected ≤ distinct-rows/
+    *      rate ≤ [[targetSamples]] — a constant key contributes ONE
+    *      element where a key-only hash + list collected all n rows or
+    *      none (the low-NDV OOM the first cut had);
+    *   3. `sort_array` normalizes away collection order; resample
+    *      nSlices−1 evenly-indexed elements as split points. Inclusion
+    *      probability rises with a key's (distinct-row) multiplicity —
+    *      ≈ min(1, rows(k)/rate) — so boundaries stay frequency-aware
+    *      (the upgrade over the first equal-WIDTH cut whose hot slices
+    *      the skew probe measured 1.9× slower), while a key hotter than
+    *      `rate` saturates at one sample element — exactly right, since
+    *      ties can never split across slices anyway.
     *
     * Empty sample → all-null split points → every row lands in slice 0
     * (one partition — degenerate but correct; below-threshold inputs
@@ -148,10 +171,14 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     val x = Cast(asNumeric(first.child), DoubleType)
     val rate = Greatest(Seq(Literal(1L),
       IntegralDivide(cntA.toAttribute, Literal(targetSamples))))
-    val keep = EqualTo(Pmod(Cast(new Murmur3Hash(Seq(first.child)),
+    val hashCols: Seq[Expression] = {
+      val cols = child.output.filter(a => hashable(a.dataType))
+      if (cols.isEmpty) Seq(first.child) else cols
+    }
+    val keep = EqualTo(Pmod(Cast(new Murmur3Hash(hashCols),
       LongType), rate), Literal(0L))
     val sampA = Alias(AggregateExpression(
-      CollectList(If(keep, x, Literal(null, DoubleType))), Complete,
+      CollectSet(If(keep, x, Literal(null, DoubleType))), Complete,
       isDistinct = false), "graft_rank_smp")()
     val sampAgg = Aggregate(Nil, Seq(sampA), withCnt)
     val arrA = Alias(new SortArray(sampA.toAttribute), "graft_rank_arr")()
@@ -214,21 +241,26 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
       Join(l, r, Cross, None,
         JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST)))))
 
+    // ONE boundary subtree, shared by both branches (trees are
+    // immutable; its attributes never escape either branch's Project,
+    // so the duplicate exprIds can't meet above a join). Sharing keeps
+    // the child subtree at one instance per sampling aggregate instead
+    // of two, and lets ReuseExchange collapse the two broadcasts.
+    val (bnd, bndAttrs) = boundaryRow(order.head, child, nSlices)
+
     // rank branch: slice stamp (split-point broadcast) → per-slice window
-    val (bndL, bndAttrsL) = boundaryRow(order.head, child, nSlices)
-    val pidAliasL = Alias(sliceOf(order.head, bndAttrsL, nSlices), pidName)()
+    val pidAliasL = Alias(sliceOf(order.head, bndAttrs, nSlices), pidName)()
     val rangedL = Project(child.output :+ pidAliasL,
-      broadcastCross(child, bndL))
+      broadcastCross(child, bnd))
     val pidL = pidAliasL.toAttribute
     val localRn = Alias(WindowExpression(RowNumber(),
       WindowSpecDefinition(Seq(pidL), order, rankFrame)), "graft_rank_local")()
     val rankWin = Window(Seq(localRn), Seq(pidL), order, rangedL)
 
-    // offsets branch: same subtree, identical slice by construction
-    val (bndR, bndAttrsR) = boundaryRow(order.head, child, nSlices)
-    val pidAliasR = Alias(sliceOf(order.head, bndAttrsR, nSlices),
+    // offsets branch: same child + same boundary row → identical slice
+    val pidAliasR = Alias(sliceOf(order.head, bndAttrs, nSlices),
       pidName + "_r")()
-    val rangedR = Project(Seq(pidAliasR), broadcastCross(child, bndR))
+    val rangedR = Project(Seq(pidAliasR), broadcastCross(child, bnd))
     val pidR = pidAliasR.toAttribute
     val cntAlias = Alias(AggregateExpression(Count(Seq(Literal(1))),
       Complete, isDistinct = false), "graft_rank_cnt")()

@@ -193,6 +193,30 @@ class GlobalRankRewriteSpec extends SparkSpecBase {
     }
   }
 
+  test("constant and 2-value first keys: bounded sample, output exact") {
+    // the first sampling cut hashed ONLY the first key, so a constant
+    // key either collected the whole relation into the 1-row boundary
+    // aggregate or sampled nothing; the full-row hash + collect_set
+    // bounds the buffer at min(NDV, ~targetSamples) — here ≤ 2 elements
+    // — while slices degenerate gracefully (ties can never split)
+    for (ndv <- Seq(1L, 2L)) {
+      val df = spark.range(5000).select(col("id"),
+        (col("id") % ndv).as("v"))
+      val build = () => df.withColumn("rn",
+        row_number().over(Window.orderBy(col("v"), col("id"))))
+      val expected = naive(build().collect()
+        .map(x => (x.getLong(0), x.getInt(2))).sorted.toSeq)
+      forced {
+        val r = build()
+        assert(r.queryExecution.executedPlan.toString
+          .contains("graft_rank_pid"), s"rule must fire at ndv=$ndv")
+        val got = r.collect().map(x => (x.getLong(0), x.getInt(2)))
+          .sorted.toSeq
+        assert(got === expected, s"rank mismatch at ndv=$ndv")
+      }
+    }
+  }
+
   test("stand-downs: partitioned, rank(), mixed agg, below threshold") {
     val df = corpus(1000)
     forced {
