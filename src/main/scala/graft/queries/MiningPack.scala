@@ -179,24 +179,12 @@ object MiningPack extends QueryPack {
 
   // --- q260: SRP-LSH embedding near-dup ------------------------------------
 
-  private val srpPlanes = 16
-  private val srpDims = 64
+  // Signature machinery lives in the shared [[graft.functions.Srp]]
+  // object since round 7 (q289 composes it with decontamination); the
+  // constants keep their local names for the oracle interpolations.
+  private val srpPlanes = graft.functions.Srp.planes
+  private val srpDims = graft.functions.Srp.dims
   private val srpTau = 0.95
-
-  /** ±1 signed-random-projection weights, derived from md5 of the public
-    * `srp|plane|dim` label — plan-time CONSTANTS (no data dependency), so
-    * Scala computes them directly with java MessageDigest while the oracle
-    * recomputes the identical values via SQL `md5(...)`: both take the
-    * first 8 hex chars as an integer mod 2 (the md5Hash32 convention).
-    */
-  private lazy val srpW: Array[Array[Int]] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(srpPlanes, srpDims) { (p, d) =>
-      val hex = md.digest(s"srp|$p|$d".getBytes("UTF-8"))
-        .map(b => f"$b%02x").mkString.take(8)
-      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1 else -1
-    }
-  }
 
   /** q260 — the SRP-LSH (signed-random-projection / hyperplane-hash) SCALE
     * PATH for embedding-cosine near-dup: the angular analog of q63's text
@@ -230,32 +218,19 @@ object MiningPack extends QueryPack {
         concat(array(col("v")(0) + lit(0.1)),
           slice(col("v"), 2, srpDims - 1)).as("v"))
     raw.unionAll(twins)
-      .withColumn("scale",
-        array_max(transform(col("v"), x => abs(x))) / 127.0)
+      .withColumn("scale", graft.functions.Srp.scaleOf(col("v")))
       .withColumn("qv",
-        transform(col("v"), x => floor(x / col("scale") + 0.5).cast("int")))
+        graft.functions.Srp.quantize(col("v"), col("scale")))
   }
 
-  private def srpSig: Column =
-    (0 until srpPlanes).map { p =>
-      val w = array(srpW(p).map(lit(_)): _*)
-      val dot = aggregate(zip_with(col("qv"), w, (x, y) => x * y),
-        lit(0L), (acc, x) => acc + x)
-      when(dot >= 0, lit(1 << p)).otherwise(lit(0))
-    }.reduce(_ + _)
+  private def srpSig: Column = graft.functions.Srp.sig(col("qv"))
 
   private def q260(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Vectors
     val base = srpBase(s, dir)
     val sigs = base.select(col("vec_id"), srpSig.as("sig"))
     val segs = sigs.select(col("vec_id"), col("sig"),
-        explode(array(
-          struct(lit(0).as("seg_idx"),
-            col("sig").bitwiseAND(lit(0x3f)).as("seg_val")),
-          struct(lit(1).as("seg_idx"),
-            shiftright(col("sig"), 6).bitwiseAND(lit(0x1f)).as("seg_val")),
-          struct(lit(2).as("seg_idx"),
-            shiftright(col("sig"), 11).as("seg_val")))).as("seg"))
+        explode(graft.functions.Srp.segments(col("sig"))).as("seg"))
       .select(col("vec_id"), col("sig"),
         col("seg.seg_idx").as("seg_idx"), col("seg.seg_val").as("seg_val"))
     val cands = segs.alias("x").join(segs.alias("y"),
