@@ -309,25 +309,33 @@ object LakehousePack extends QueryPack {
     * exact form exists at any scale is the audit column this query
     * carries next to its estimate.
     */
-  private def q284(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.load(s, dir, "orders")
-    def canon(c: String, k: String): Column = k match {
-      case "num" =>
-        when(col(c).isNotNull,
-          round(col(c).cast("double") * 100).cast("long").cast("string"))
-      case "ts" => unix_micros(col(c).cast("timestamp")).cast("string")
-      case _ => col(c).cast("string")
-    }
-    val un = o.select(explode(array(profileCols.map { case (c, k) =>
-        struct(lit(c).as("column"), canon(c, k).as("v")) }: _*)).as("u"))
+  /** Engine-identical canonical string of a profiled column (shared by
+    * q284/q290): cents-scaled longs for numerics, epoch-µs for
+    * timestamps, plain casts otherwise. */
+  private def profileCanon(c: String, k: String): Column = k match {
+    case "num" =>
+      when(col(c).isNotNull,
+        round(col(c).cast("double") * 100).cast("long").cast("string"))
+    case "ts" => unix_micros(col(c).cast("timestamp")).cast("string")
+    case _ => col(c).cast("string")
+  }
+
+  /** Row-grain `(column, v)` unpivot of the profiled columns, nulls
+    * dropped (shared by q284/q290). */
+  private def profileUnpivot(o: DataFrame): DataFrame =
+    o.select(explode(array(profileCols.map { case (c, k) =>
+        struct(lit(c).as("column"), profileCanon(c, k).as("v")) }: _*))
+        .as("u"))
       .select(col("u.column").as("column"), col("u.v").as("v"))
       .filter(col("v").isNotNull)
-      .distinct() // column-distinct-value grain feeds sketch AND audit
-      .persist()
-    val ex = un.groupBy("column").agg(count(lit(1)).as("ndv"))
-    val hx = un.select(col("column"),
-        TrainingPipelinePack.md5Hash32(col("v"), "hllp").as("h"))
-      .distinct()
+
+  /** `(column, h)` hashes → per-column HLL estimate
+    * `(column, n_zero_regs, hll_ndv)`. max-ρ registers are
+    * duplicate-insensitive, so the input may be at ANY grain — q284
+    * feeds distinct hashes (it rides the audit's distinct anyway), q290
+    * feeds raw row grain and lets the two-level hash aggregate partial-
+    * combine to ≤ [[HllM]] groups per column map-side. */
+  private def hllProfile(hx: DataFrame): DataFrame = {
     val w = call_function("div", col("h"), lit(HllM.toLong))
     val regs = hx
       .select(col("column"), (col("h") % HllM).as("idx"), w.as("w"))
@@ -348,16 +356,48 @@ object LakehousePack extends QueryPack {
       when(raw <= 160.0 && col("n_zero_regs") > 0,
         lit(64.0) * log(lit(64.0) / col("n_zero_regs")))
         .otherwise(raw), 4)
-    agg.join(ex, Seq("column"))
+    agg.select(col("column"), col("n_zero_regs"), est.as("hll_ndv"))
+  }
+
+  private def q284(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val un = profileUnpivot(o)
+      .distinct() // column-distinct-value grain feeds sketch AND audit
+      .persist()
+    val ex = un.groupBy("column").agg(count(lit(1)).as("ndv"))
+    val hx = un.select(col("column"),
+        TrainingPipelinePack.md5Hash32(col("v"), "hllp").as("h"))
+      .distinct()
+    hllProfile(hx).join(ex, Seq("column"))
       .select(col("column"), col("ndv"), col("n_zero_regs"),
-        est.as("hll_ndv"),
-        round((est - col("ndv")) / col("ndv"), 6).as("rel_err"))
+        col("hll_ndv"),
+        round((col("hll_ndv") - col("ndv")) / col("ndv"), 6).as("rel_err"))
       .orderBy("column")
+  }
+
+  /** q290 — q284's AUDIT-FREE form, the shape the round-6 verdict asked
+    * to ship as a query: per-column NDV estimates from the 64-register
+    * HLL sketch with NO exact-distinct audit riding alongside — so the
+    * plan has NO shuffle at (column, value) grain anywhere. Hashes flow
+    * at raw row grain straight into the (column, idx) max-ρ aggregate:
+    * partial aggregation combines to ≤ 64 groups per column map-side,
+    * and profiling N columns of a 100 TB table shuffles O(N·64) longs —
+    * the registers-only cost model q284's scaladoc could only claim for
+    * its streaming twin (`streaming/NdvStream`) now holds for the
+    * shipped batch query. Estimates are bit-identical to q284's (max-ρ
+    * is duplicate-insensitive), which the shared oracle pins.
+    */
+  private def q290(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val hx = profileUnpivot(o).select(col("column"),
+      TrainingPipelinePack.md5Hash32(col("v"), "hllp").as("h"))
+    hllProfile(hx).orderBy("column")
   }
 
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q267_table_profile" -> q267 _,
     "q284_profile_hll_ndv" -> q284 _,
+    "q290_profile_hll_only" -> q290 _,
     "q131_multitouch_attribution" -> q131 _,
     "q193_schema_evolution" -> q193 _,
     "q76_upsert_merge" -> q76 _,
@@ -441,6 +481,48 @@ object LakehousePack extends QueryPack {
          | round((e.hll_ndv - x.ndv) / x.ndv, 6) AS rel_err
          |FROM es e JOIN ex x USING ("column")
          |ORDER BY e."column"""".stripMargin
+    },
+    // q290: identical register math from ROW-grain hashes (max-ρ is
+    // duplicate-insensitive — the DISTINCT here is a DuckDB-side
+    // convenience, not a semantic requirement) and no exact audit.
+    "q290_profile_hll_only" -> {
+      val arms = profileCols.map { case (c, k) =>
+        val canon = k match {
+          case "num" =>
+            s"CAST(CAST(round($c * 100) AS BIGINT) AS VARCHAR)"
+          case "ts" => s"CAST(epoch_us($c) AS VARCHAR)"
+          case _ => s"CAST($c AS VARCHAR)"
+        }
+        s"""SELECT '$c' AS "column", $canon AS v
+           |FROM orders WHERE $c IS NOT NULL""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH u AS (
+         |$arms),
+         |hx AS (SELECT DISTINCT "column",
+         |        CAST('0x' || substring(md5('hllp|' || v), 1, 8) AS BIGINT)
+         |          AS h
+         |       FROM u),
+         |rw AS (SELECT "column", h % $HllM AS idx, h // $HllM AS w FROM hx),
+         |rho AS (SELECT "column", idx,
+         |         CASE WHEN w = 0 THEN 27
+         |              ELSE bit_count((w & (-w)) - 1) + 1 END AS rho
+         |        FROM rw),
+         |regs AS (SELECT "column", idx, max(rho) AS reg
+         |         FROM rho GROUP BY 1, 2),
+         |agg AS (SELECT "column",
+         |         CAST(sum(CAST(1 AS BIGINT) << (27 - reg)) AS BIGINT)
+         |          + ($HllM - count(*)) * 134217728 AS sum_scaled,
+         |         CAST($HllM - count(*) AS BIGINT) AS n_zero_regs
+         |        FROM regs GROUP BY 1)
+         |SELECT "column", n_zero_regs,
+         | round(CASE WHEN 0.709 * 4096.0 * 134217728.0
+         |    / CAST(sum_scaled AS DOUBLE) <= 160.0
+         |   AND n_zero_regs > 0
+         |  THEN 64.0 * ln(64.0 / n_zero_regs)
+         |  ELSE 0.709 * 4096.0 * 134217728.0
+         |    / CAST(sum_scaled AS DOUBLE) END, 4) AS hll_ndv
+         |FROM agg
+         |ORDER BY "column"""".stripMargin
     },
     "q193_schema_evolution" ->
       """WITH merged AS (

@@ -552,6 +552,22 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("Window"), s"no window belongs in this plan:\n$p")
   }
 
+  test("q290 registers-only profile: two hash exchanges, no join, no " +
+    "value-grain distinct") {
+    val p = planOf(q("q290_profile_hll_only"))
+    // registers-only = row-grain hashes → (column, idx) max-ρ →
+    // (column) estimate: exactly the two aggregate exchanges, nothing
+    // at (column, value) grain, and no audit join anywhere. The final
+    // range exchange sorts ≤ n_profiled_columns rows — bounded grain.
+    val hashEx = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx:\n$p")
+    assert(!p.contains("Join"), s"audit join leaked into q290:\n$p")
+    val distinctAgg = p.linesIterator.exists(l =>
+      l.contains("HashAggregate(keys=[column#") && l.contains(", v#"))
+    assert(!distinctAgg, s"(column, value)-grain aggregate leaked:\n$p")
+  }
+
   test("q236 audit: exact arm ranks distributed, sketch arm ≤64 groups") {
     val p = planOf(q("q236_histogram_quantiles"))
     val windowLines = p.linesIterator.filter(_.contains("Window ")).toList
