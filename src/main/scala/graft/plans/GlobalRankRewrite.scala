@@ -54,9 +54,10 @@ import org.apache.spark.sql.types._
   * Eligibility: every window expression is `row_number()` or `ntile(k)`
   * (rank/percent_rank stand down — their tie semantics need a total
   * order the plan cannot verify); the first ORDER BY key is numeric, a
-  * date, or a timestamp (the bucket needs arithmetic — dates slice as
-  * epoch days, timestamps as epoch micros; md5-string orders use the
-  * library DistRank); child and order are deterministic; and the child's
+  * date, a timestamp (sliced as epoch days/micros), or a UTF8-binary
+  * string (split points stay native strings — LessThan, sort_array and
+  * the window ORDER BY agree on byte order; non-default collations
+  * stand down); child and order are deterministic; and the child's
   * estimated size exceeds `spark.sql.autoBroadcastJoinThreshold` (a
   * window input that would fit in a broadcast executes fine in one
   * task; −1 forces the rewrite, which is how the spec drives it at
@@ -82,9 +83,16 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  private def numericKey(order: Seq[SortOrder]): Boolean =
+  private def supportedKey(order: Seq[SortOrder]): Boolean =
     order.head.child.dataType match {
       case _: NumericType | DateType | TimestampType => true
+      // UTF8-binary strings only: LessThan, sort_array, and the window's
+      // ORDER BY all agree on plain byte ordering there; a non-default
+      // collation would need all three proven consistent, so it stands
+      // down.
+      // (collation accessors are private[sql]; the default singleton IS
+      // the UTF8_BINARY collation, so identity is the public check)
+      case s: StringType => s == StringType
       case _ => false
     }
 
@@ -95,6 +103,22 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     case TimestampType => UnixMicros(e)
     case _ => e
   }
+
+  /** The comparison form of the first key: strings stay NATIVE (split
+    * points, LessThan, and sort_array share UTF8-binary ordering);
+    * everything else goes through [[asNumeric]] and a double cast. */
+  private def keyExpr(first: SortOrder): Expression =
+    first.child.dataType match {
+      case _: StringType => first.child
+      case _ => Cast(asNumeric(first.child), DoubleType)
+    }
+
+  /** The split-point type matching [[keyExpr]]. */
+  private def keyType(first: SortOrder): DataType =
+    first.child.dataType match {
+      case s: StringType => s
+      case _ => DoubleType
+    }
 
   private def bigEnough(child: LogicalPlan): Boolean = {
     val t = conf.autoBroadcastJoinThreshold
@@ -113,7 +137,7 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
   def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case w @ Window(exprs, Nil, order, child, _)
         if order.nonEmpty && exprs.nonEmpty && exprs.forall(supported) &&
-          numericKey(order) && child.deterministic &&
+          supportedKey(order) && child.deterministic &&
           order.forall(_.deterministic) &&
           !child.output.exists(_.name == pidName) && bigEnough(child) =>
       rewrite(exprs, order, child)
@@ -168,7 +192,8 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
       isDistinct = false), "graft_rank_n")()
     val cntAgg = Aggregate(Nil, Seq(cntA), child)
     val withCnt = bCross(child, cntAgg)
-    val x = Cast(asNumeric(first.child), DoubleType)
+    val x = keyExpr(first)
+    val kt = keyType(first)
     val rate = Greatest(Seq(Literal(1L),
       IntegralDivide(cntA.toAttribute, Literal(targetSamples))))
     val hashCols: Seq[Expression] = {
@@ -178,7 +203,7 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     val keep = EqualTo(Pmod(Cast(new Murmur3Hash(hashCols),
       LongType), rate), Literal(0L))
     val sampA = Alias(AggregateExpression(
-      CollectSet(If(keep, x, Literal(null, DoubleType))), Complete,
+      CollectSet(If(keep, x, Literal(null, kt))), Complete,
       isDistinct = false), "graft_rank_smp")()
     val sampAgg = Aggregate(Nil, Seq(sampA), withCnt)
     val arrA = Alias(new SortArray(sampA.toAttribute), "graft_rank_arr")()
@@ -190,7 +215,7 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
         IntegralDivide(Multiply(Literal(j.toLong), m),
           Literal(nSlices.toLong)))), IntegerType)
       Alias(If(LessThanOrEqual(m, Literal(0L)),
-        Literal(null, DoubleType), ElementAt(arr, idx)),
+        Literal(null, kt), ElementAt(arr, idx)),
         s"graft_rank_bnd$j")()
     }
     (Project(bndAliases, arrProj), bndAliases.map(_.toAttribute))
@@ -208,7 +233,7 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     */
   private def sliceOf(first: SortOrder, bnds: Seq[Attribute],
       nSlices: Int): Expression = {
-    val x = Cast(asNumeric(first.child), DoubleType)
+    val x = keyExpr(first)
     def before(b: Expression): Expression = first.direction match {
       case Ascending => LessThan(b, x)
       case Descending => GreaterThan(b, x)

@@ -323,8 +323,35 @@ object WindowsPack extends QueryPack {
         sum("n_chars").as("sum_chars"))
       .orderBy("tile")
 
+  /** q291 — q285's STRING-KEY sibling, closing the round-6 gap where a
+    * string-ordered global rank always stood down to the single-partition
+    * plan: the epoch-0 deterministic shuffle written the NAIVE way —
+    * plain `row_number() OVER (ORDER BY md5(doc_id), doc_id)`, no manual
+    * distribution — then round-robin shard packing (q115's semantics;
+    * q115 calls the library [[graft.functions.DistRank]] explicitly,
+    * this query leaves the plan to [[graft.plans.GlobalRankRewrite]],
+    * whose split points now stay NATIVE strings — UTF8-binary byte order
+    * is shared by LessThan, sort_array, and the window sort). At gate
+    * SFs the scan sits under the broadcast threshold and the single-task
+    * plan is right; GlobalRankRewriteSpec pins the forced rewrite and
+    * its exact parity on md5-string keys.
+    */
+  private def q291(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("fp", md5(col("doc_id").cast("string")))
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("fp"), col("doc_id"))))
+      .withColumn("shard", (col("rn") - 1) % 8)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("n_chars"),
+        min("doc_id").as("min_doc_id"))
+      .orderBy("shard")
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q285_global_ntile_rule" -> q285 _,
+    "q291_string_rank_rule" -> q291 _,
     "q145_transition_matrix" -> q145 _,
     "q85_range_frame" -> q85 _,
     "q87_gaps_islands" -> q87 _,
@@ -351,6 +378,17 @@ object WindowsPack extends QueryPack {
         | CAST(max(n_chars) AS BIGINT) AS max_chars,
         | CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM t GROUP BY tile ORDER BY tile""".stripMargin,
+    "q291_string_rank_rule" ->
+      """WITH t AS (
+        | SELECT doc_id, n_chars,
+        |  (row_number() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) % 8
+        |   AS shard
+        | FROM documents)
+        |SELECT shard, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        | min(doc_id) AS min_doc_id
+        |FROM t GROUP BY shard ORDER BY shard""".stripMargin,
     "q272_vshape_patterns" ->
       """WITH daily AS (
         | SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS d,

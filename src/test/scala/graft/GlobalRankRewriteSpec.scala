@@ -62,6 +62,41 @@ class GlobalRankRewriteSpec extends SparkSpecBase {
     }
   }
 
+  test("string-keyed global row_number and ntile: distributed, exact") {
+    // round-6 gap: a string first key stood down to the single-partition
+    // plan. Split points now stay NATIVE strings (UTF8-binary byte order
+    // is shared by LessThan, sort_array, and the window ORDER BY).
+    val df = corpus(5000).withColumn("fp", md5(col("v").cast("string")))
+    val build = () => df
+      .withColumn("rn", row_number().over(Window.orderBy(col("fp"), col("id"))))
+      .withColumn("nt", ntile(7).over(Window.orderBy(col("fp"), col("id"))))
+    val expected = naive(build().collect()
+      .map(x => (x.getLong(0), x.getInt(3), x.getInt(4))).sorted.toSeq)
+    forced {
+      val r = build()
+      val p = r.queryExecution.executedPlan.toString
+      assert(p.contains("graft_rank_pid"),
+        s"rule must fire on a string key:\n${p.take(3000)}")
+      val windows = p.linesIterator.filter(_.contains("Window ")).toList
+      assert(windows.forall(_.contains("graft_rank_pid")),
+        s"no corpus-grain unpartitioned window may remain:\n${p.take(4000)}")
+      val got = r.collect()
+        .map(x => (x.getLong(0), x.getInt(3), x.getInt(4))).sorted.toSeq
+      assert(got === expected)
+    }
+  }
+
+  test("non-binary collation first key stands down") {
+    val df = corpus(500)
+      .withColumn("fp", expr("collate(cast(v as string), 'UNICODE_CI')"))
+    forced {
+      val r = df.withColumn("rn",
+        row_number().over(Window.orderBy(col("fp"), col("id"))))
+      assert(!r.queryExecution.executedPlan.toString.contains("graft_rank"),
+        "collated keys must keep the naive plan")
+    }
+  }
+
   test("joined + cached child ranks exactly (the q220 regression shape)") {
     // the first rule design derived slices from RangePartitioner's
     // rdd-id-seeded sampling — two branch executions could disagree on
