@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.types._
 
 /** Optimizer rule: rewrite a naive HAMMING-DISTANCE theta join into a
   * pigeonhole-segment EQUI-join — the q63/q260 manual construction
@@ -13,11 +13,30 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   *
   *   a.join(b, bit_count(a("sig") ^ b("sig")) <= k && ...)
   *
-  * and the engine plans the scale-safe form. Eligibility: an INNER join
-  * whose condition conjuncts bound `bit_count(xor(l, r))` by a literal
-  * in any comparison spelling (`≤ k`, `< k`, `k ≥ …`, `k > …`; effective
-  * k ≤ 7), both sides 32- or 64-bit integral signatures, one from each
-  * child.
+  * and the engine plans the scale-safe form. Three signature spellings
+  * are eligible (effective k ≤ 7, INNER join, bound literal in any
+  * comparison direction — `≤ k`, `< k`, `k ≥ …`, `k > …`):
+  *
+  *   1. SCALAR — `bit_count(l ^ r) ≤ k`, one 32/64-bit integral
+  *      signature per side (the round-5 surface);
+  *   2. MULTI-WORD — `bit_count(l0 ^ r0) + bit_count(l1 ^ r1) + … ≤ k`,
+  *      the natural spelling of a 128-bit-plus SimHash carried as word
+  *      columns: the words concatenate into one global bit space and
+  *      the k+1 pigeonhole segments split THAT, so a segment may cover
+  *      a slice of one word or slices of several (its value is an
+  *      array of the covered slices, uniformly long-typed);
+  *   3. ARRAY — `aggregate(zip_with(l, r, (x, y) -> bit_count(x ^ y)),
+  *      0, (acc, v) -> acc + v) ≤ k`, the spelling for signatures of
+  *      UNKNOWN static width (`array<int|bigint>`). Array length is not
+  *      available at plan time, so segments interleave at WORD grain:
+  *      segment j is the signature with every element whose index ≢ j
+  *      (mod k+1) nulled out — a length-agnostic array value. k bit
+  *      flips touch ≤ k words, so ≤ k of the k+1 interleaved word
+  *      groups differ and at least one segment is exactly equal:
+  *      pigeonhole at word grain, valid for ANY length. (Pairs of
+  *      different lengths never satisfy the original predicate —
+  *      zip_with pads with null and the sum goes null — and the kept
+  *      original condition filters any such candidate.)
   *
   * When the join ALSO carries equi-conjuncts (`=` or `<=>`) — e.g. the
   * natural lang-blocked form `lang === lang2 && bit_count(...) <= k` —
@@ -31,13 +50,13 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   * the rule leaves the join alone.
   *
   * Rewrite: both children gain a generated `graft_seg` column exploding
-  * the signature into k+1 disjoint bit segments (hamming ≤ k ⇒ at least
-  * one of k+1 segments is EXACTLY equal — pigeonhole); the join becomes
-  * an equi-join on (seg_idx, seg_val) with the ORIGINAL condition kept,
-  * plus a canonical-first-match residual (segment i matches AND all
-  * segments j < i differ) so every qualifying pair joins EXACTLY once —
-  * bag semantics preserved with no dedup pass. A final Project restores
-  * the original output.
+  * the signature into k+1 disjoint segments (hamming ≤ k ⇒ at least one
+  * is EXACTLY equal — pigeonhole); the join becomes an equi-join on
+  * (seg_idx, seg_val) with the ORIGINAL condition kept, plus a
+  * canonical-first-match residual (segment i matches AND all segments
+  * j < i differ) so every qualifying pair joins EXACTLY once — bag
+  * semantics preserved with no dedup pass. A final Project restores the
+  * original output.
   *
   * ExtractEquiJoinKeys then sees the struct-field equalities (plus any
   * composed user keys) and plans a hash/sort-merge join: candidate
@@ -49,40 +68,197 @@ object HammingJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
   private val segColName = "graft_seg"
   private val maxK = 7
 
-  /** `(xorArg, k)` when `e` bounds `bit_count(x)` by a literal in any of
-    * the four comparison spellings — `≤ k`, `< k` (≡ ≤ k−1), `k ≥`,
-    * `k >` (≡ ≤ k−1). */
-  private def boundedBitCount(e: Expression): Option[(Expression, Int)] =
+  /** One matched hamming bound, reduced to what the rewrite needs: the
+    * per-side segment-value builders (same index ⇒ comparable values of
+    * [[valueType]]) and the segment count. */
+  private case class Blocking(nSeg: Int, valueType: DataType,
+      segL: Int => Expression, segR: Int => Expression)
+
+  private def stripCast(e: Expression): Expression = e match {
+    case c: Cast => stripCast(c.child)
+    case _ => e
+  }
+
+  /** `(lhs, k)` when `e` bounds `lhs` by an integral literal in any of
+    * the four comparison spellings. */
+  private def boundedBy(e: Expression): Option[(Expression, Int)] = {
+    def lit(l: Expression): Option[Int] = l match {
+      case Literal(k: Int, IntegerType) => Some(k)
+      case Literal(k: Long, LongType) if k.isValidInt => Some(k.toInt)
+      case _ => None
+    }
     e match {
-      case LessThanOrEqual(BitwiseCount(x), Literal(k: Int, IntegerType)) =>
-        Some((x, k))
-      case LessThan(BitwiseCount(x), Literal(k: Int, IntegerType)) =>
-        Some((x, k - 1))
-      case GreaterThanOrEqual(Literal(k: Int, IntegerType), BitwiseCount(x)) =>
-        Some((x, k))
-      case GreaterThan(Literal(k: Int, IntegerType), BitwiseCount(x)) =>
-        Some((x, k - 1))
+      case LessThanOrEqual(x, l) => lit(l).map(k => (x, k))
+      case LessThan(x, l) => lit(l).map(k => (x, k - 1))
+      case GreaterThanOrEqual(l, x) => lit(l).map(k => (x, k))
+      case GreaterThan(l, x) => lit(l).map(k => (x, k - 1))
+      case _ => None
+    }
+  }
+
+  /** Flatten an additive tree of `bit_count(…)` terms (casts stripped)
+    * into the xor arguments, left-to-right. */
+  private def bitCountTerms(e: Expression): Option[Seq[Expression]] =
+    stripCast(e) match {
+      case Add(a, b, _) =>
+        for { x <- bitCountTerms(a); y <- bitCountTerms(b) } yield x ++ y
+      case BitwiseCount(x) => Some(Seq(x))
       case _ => None
     }
 
-  /** (leftSig, rightSig, k) when `e` bounds `bit_count(xor(a, b))` by a
-    * literal k ≤ [[maxK]], with one 32- or 64-bit signature per side. */
-  private def hammingConjunct(e: Expression, left: LogicalPlan,
-      right: LogicalPlan): Option[(Expression, Expression, Int)] =
-    boundedBitCount(e) match {
-      case Some((BitwiseXor(a, b), k))
-          if k >= 0 && k <= maxK &&
-            (a.dataType == IntegerType || a.dataType == LongType) &&
-            b.dataType == a.dataType =>
-        val aLbR = a.references.subsetOf(left.outputSet) &&
-          b.references.subsetOf(right.outputSet)
-        val bLaR = b.references.subsetOf(left.outputSet) &&
-          a.references.subsetOf(right.outputSet)
-        if (aLbR) Some((a, b, k))
-        else if (bLaR) Some((b, a, k))
+  private def isWord(dt: DataType): Boolean =
+    dt == IntegerType || dt == LongType
+
+  private def sameVar(e: Expression, v: NamedLambdaVariable): Boolean =
+    stripCast(e) match {
+      case n: NamedLambdaVariable => n.exprId == v.exprId
+      case _ => false
+    }
+
+  /** `(l, r)` when `e` is the array-HOF hamming sum
+    * `aggregate(zip_with(l, r, (x, y) -> bit_count(x ^ y)), 0,
+    * (acc, v) -> acc + v)` (casts tolerated, xor/add args in either
+    * order, identity finish). */
+  private def arrayHammingSum(e: Expression): Option[(Expression, Expression)] =
+    stripCast(e) match {
+      case ArrayAggregate(
+          ZipWith(l, r, LambdaFunction(zbody,
+            Seq(xv: NamedLambdaVariable, yv: NamedLambdaVariable), _)),
+          zero,
+          LambdaFunction(mbody,
+            Seq(acc: NamedLambdaVariable, mv: NamedLambdaVariable), _),
+          finish) =>
+        val okZip = stripCast(zbody) match {
+          case BitwiseCount(BitwiseXor(a, b)) =>
+            (sameVar(a, xv) && sameVar(b, yv)) ||
+              (sameVar(a, yv) && sameVar(b, xv))
+          case _ => false
+        }
+        val okZero = zero match {
+          case Literal(0, _) | Literal(0L, _) => true
+          case _ => false
+        }
+        val okMerge = stripCast(mbody) match {
+          case Add(a, b, _) =>
+            (sameVar(a, acc) && sameVar(b, mv)) ||
+              (sameVar(a, mv) && sameVar(b, acc))
+          case _ => false
+        }
+        val okFinish = finish match {
+          case LambdaFunction(fb,
+              Seq(fv: NamedLambdaVariable), _) => sameVar(fb, fv)
+          case _ => false
+        }
+        val okElem = (l.dataType, r.dataType) match {
+          case (ArrayType(le, _), ArrayType(re, _)) =>
+            isWord(le) && le == re
+          case _ => false
+        }
+        if (okZip && okZero && okMerge && okFinish && okElem) Some((l, r))
         else None
       case _ => None
     }
+
+  /** Bit slice [lo, lo+w) of a single 32/64-bit word. */
+  private def slice(sig: Expression, lo: Int, w: Int): Expression = {
+    val isLong = sig.dataType == LongType
+    val bits = if (isLong) 64 else 32
+    val shifted = ShiftRightUnsigned(sig, Literal(lo))
+    if (lo + w >= bits) shifted
+    else if (isLong) BitwiseAnd(shifted, Literal((1L << w) - 1))
+    else BitwiseAnd(shifted, Literal((1 << w) - 1))
+  }
+
+  /** Scalar form: (k+1)-way split of one word; the last segment absorbs
+    * the remainder. Value type stays the signature's own (the round-5
+    * plan shape, unchanged). */
+  private def scalarSeg(sig: Expression, i: Int, nSeg: Int): Expression = {
+    val bits = if (sig.dataType == LongType) 64 else 32
+    val width = bits / nSeg
+    val lo = i * width
+    slice(sig, lo, if (i == nSeg - 1) bits - lo else width)
+  }
+
+  /** Multi-word form: global bit space = the words concatenated; segment
+    * i covers a contiguous global range and its value is the ARRAY of
+    * per-word slices in that range (uniformly cast to long). */
+  private def multiWordSeg(words: Seq[Expression], i: Int,
+      nSeg: Int): Expression = {
+    val wordBits = words.map(w => if (w.dataType == LongType) 64 else 32)
+    val total = wordBits.sum
+    val width = total / nSeg
+    val glo = i * width
+    val ghi = if (i == nSeg - 1) total else glo + width
+    var off = 0
+    val slices = words.zip(wordBits).flatMap { case (w, b) =>
+      val lo = math.max(glo, off)
+      val hi = math.min(ghi, off + b)
+      val s = if (hi > lo) Some(Cast(slice(w, lo - off, hi - lo), LongType))
+        else None
+      off += b
+      s
+    }
+    CreateArray(slices)
+  }
+
+  /** Array form: segment j nulls out every element whose index ≢ j
+    * (mod nSeg) — a length-agnostic word-grain interleave. */
+  private def arraySeg(sig: Expression, j: Int, nSeg: Int): Expression = {
+    val ArrayType(et, cn) = sig.dataType: @unchecked
+    val x = NamedLambdaVariable("graft_x", et, cn)
+    val ix = NamedLambdaVariable("graft_i", IntegerType, nullable = false)
+    ArrayTransform(sig, LambdaFunction(
+      If(EqualTo(Pmod(ix, Literal(nSeg)), Literal(j)), x,
+        Literal(null, et)), Seq(x, ix)))
+  }
+
+  /** Orient `(a, b)` as `(left-side, right-side)`, or None if mixed. */
+  private def orient(a: Expression, b: Expression, left: LogicalPlan,
+      right: LogicalPlan): Option[(Expression, Expression)] =
+    if (a.references.subsetOf(left.outputSet) &&
+      b.references.subsetOf(right.outputSet)) Some((a, b))
+    else if (b.references.subsetOf(left.outputSet) &&
+      a.references.subsetOf(right.outputSet)) Some((b, a))
+    else None
+
+  /** Match one conjunct as a hamming bound in any of the three signature
+    * spellings and build the segment machinery. */
+  private def blockingOf(e: Expression, left: LogicalPlan,
+      right: LogicalPlan): Option[Blocking] =
+    boundedBy(e).filter { case (_, k) => k >= 0 && k <= maxK }
+      .flatMap { case (lhs, k) =>
+        val nSeg = k + 1
+        arrayHammingSum(lhs) match {
+          case Some((a, b)) =>
+            orient(a, b, left, right).map { case (l, r) =>
+              Blocking(nSeg, l.dataType,
+                i => arraySeg(l, i, nSeg), i => arraySeg(r, i, nSeg))
+            }
+          case None => bitCountTerms(lhs).flatMap { xs =>
+            val pairs = xs.map {
+              case BitwiseXor(a, b)
+                  if isWord(a.dataType) && a.dataType == b.dataType =>
+                orient(a, b, left, right)
+              case _ => None
+            }
+            if (pairs.exists(_.isEmpty)) None
+            else {
+              val words = pairs.flatten
+              if (words.size == 1) {
+                val (l, r) = words.head
+                Some(Blocking(nSeg, l.dataType,
+                  i => scalarSeg(l, i, nSeg), i => scalarSeg(r, i, nSeg)))
+              } else {
+                val ls = words.map(_._1)
+                val rs = words.map(_._2)
+                Some(Blocking(nSeg, ArrayType(LongType, containsNull = false),
+                  i => multiWordSeg(ls, i, nSeg),
+                  i => multiWordSeg(rs, i, nSeg)))
+              }
+            }
+          }
+        }
+      }
 
   private def isEqui(e: Expression, left: LogicalPlan,
       right: LogicalPlan): Boolean = {
@@ -98,30 +274,15 @@ object HammingJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  /** Bit segment i of `sig` under an (k+1)-way split of the signature
-    * width (32 for int, 64 for long); the last segment absorbs the
-    * remainder. */
-  private def segment(sig: Expression, i: Int, nSeg: Int): Expression = {
-    val isLong = sig.dataType == LongType
-    val bits = if (isLong) 64 else 32
-    val width = bits / nSeg
-    val lo = i * width
-    val w = if (i == nSeg - 1) bits - lo else width
-    val shifted = ShiftRightUnsigned(sig, Literal(lo))
-    if (lo + w >= bits) shifted
-    else if (isLong) BitwiseAnd(shifted, Literal((1L << w) - 1))
-    else BitwiseAnd(shifted, Literal((1 << w) - 1))
-  }
-
-  private def explodeSegs(child: LogicalPlan, sig: Expression,
-      nSeg: Int): (LogicalPlan, Attribute) = {
-    val structs = (0 until nSeg).map { i =>
+  private def explodeSegs(child: LogicalPlan, segVals: Seq[Expression],
+      valueType: DataType): (LogicalPlan, Attribute) = {
+    val structs = segVals.zipWithIndex.map { case (v, i) =>
       CreateNamedStruct(Seq(Literal("idx"), Literal(i),
-        Literal("v"), segment(sig, i, nSeg)))
+        Literal("v"), v))
     }
     val out = AttributeReference(segColName,
       StructType(Seq(StructField("idx", IntegerType, nullable = false),
-        StructField("v", sig.dataType))))()
+        StructField("v", valueType))))()
     (Generate(Explode(CreateArray(structs)), Nil, outer = false, None,
       Seq(out), child), out)
   }
@@ -131,8 +292,8 @@ object HammingJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
         if !left.output.exists(_.name == segColName) &&
           !right.output.exists(_.name == segColName) =>
       val conjuncts = splitConjunctivePredicates(cond)
-      val hamming = conjuncts.flatMap(c =>
-        hammingConjunct(c, left, right).map(c -> _)).headOption
+      val blocking = conjuncts.flatMap(c =>
+        blockingOf(c, left, right)).headOption
       val hasEqui = conjuncts.exists(isEqui(_, left, right))
       // with user equi-keys AND a broadcastable side, Spark's hash join
       // on those keys (hamming as residual) already wins — stand down
@@ -141,11 +302,13 @@ object HammingJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
         t >= 0 && (left.stats.sizeInBytes <= t ||
           right.stats.sizeInBytes <= t)
       }
-      hamming match {
-        case Some((_, (lSig, rSig, k))) if !(hasEqui && broadcastable) =>
-          val nSeg = k + 1
-          val (newLeft, segL) = explodeSegs(left, lSig, nSeg)
-          val (newRight, segR) = explodeSegs(right, rSig, nSeg)
+      blocking match {
+        case Some(b) if !(hasEqui && broadcastable) =>
+          val nSeg = b.nSeg
+          val (newLeft, segL) =
+            explodeSegs(left, (0 until nSeg).map(b.segL), b.valueType)
+          val (newRight, segR) =
+            explodeSegs(right, (0 until nSeg).map(b.segR), b.valueType)
           val idxL = GetStructField(segL, 0, Some("idx"))
           val idxR = GetStructField(segR, 0, Some("idx"))
           val valL = GetStructField(segL, 1, Some("v"))
@@ -154,8 +317,7 @@ object HammingJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
           // differ, so each qualifying pair survives exactly once
           val canonical = (0 until nSeg).map { i =>
             val below = (0 until i).map(jx =>
-              Not(EqualTo(segment(lSig, jx, nSeg),
-                segment(rSig, jx, nSeg))))
+              Not(EqualTo(b.segL(jx), b.segR(jx))))
             (EqualTo(idxL, Literal(i)) +: below)
               .reduceLeft[Expression](And)
           }.reduceLeft[Expression](Or)

@@ -353,6 +353,60 @@ object DedupPack extends QueryPack {
       .orderBy("doc_id", "doc_id2")
   }
 
+  // --- q292: 120-bit SimHash as two words via the multi-word rule ----------
+
+  private val simWideWords = 2 // 2 × 60 bits = 120-bit signature
+
+  /** q292 — SimHash BEYOND one machine word: a 120-bit signature carried
+    * as TWO 60-bit BIGINT columns (production SimHash is 128-bit; 120 =
+    * 2×60 keeps every word DuckDB-`<<`-safe, the q277 constraint), with
+    * the pair stage written NAIVELY as the summed spelling
+    * `bit_count(s0 ⊕ t0) + bit_count(s1 ⊕ t1) ≤ 3 ∧ id < id2` — no
+    * blocking anywhere in the query. [[graft.plans.HammingJoinBlocking]]
+    * (round 7) recognizes the multi-word sum, concatenates the words
+    * into one 120-bit space, and equi-joins on 4 pigeonhole segments
+    * whose values are arrays of per-word slices — closing the round-6
+    * width cap (32/64-bit only) that made production-width signatures
+    * fall back to the nested loop. Signature construction is q277's
+    * single 120-vote array aggregate; words assemble from vote slices.
+    */
+  private[graft] def simWideSigs(docs: DataFrame): DataFrame = {
+    val wideBits = simWideWords * sim64Bits
+    val bitsOf = (h: Column) =>
+      transform(sequence(lit(0), lit(wideBits - 1)), j =>
+        call_function("shiftright",
+          conv(h.substr((call_function("div", j, lit(4)) + 1).cast("int"),
+            lit(1)), 16, 10).cast("int"),
+          j % 4).bitwiseAND(lit(1)) * 2 - 1)
+    def wordOf(votes: Column, w: Int): Column =
+      aggregate(
+        zip_with(slice(votes, w * sim64Bits + 1, sim64Bits),
+          array(pow2L.map(lit(_)): _*),
+          (v, p) => when(v > 0, p).otherwise(0L)),
+        lit(0L), (acc, x) => acc + x)
+    docs
+      .withColumn("m", transform(col("ts"), t => md5(t)))
+      .withColumn("votes", aggregate(col("m"),
+        array_repeat(lit(0), wideBits),
+        (acc, h) => zip_with(acc, bitsOf(h), (a, b) => a + b)))
+      .select(col("doc_id"), wordOf(col("votes"), 0).as("sig0"),
+        wordOf(col("votes"), 1).as("sig1"))
+  }
+
+  private def q292(s: SparkSession, dir: String): DataFrame = {
+    val sigs = simWideSigs(docToks(s, dir))
+      // both sides of the self-join read this: one signature pass
+      .persist()
+    val y = sigs.select(col("doc_id").as("doc_id2"), col("sig0").as("t0"),
+      col("sig1").as("t1"))
+    val ham = bit_count(col("sig0").bitwiseXOR(col("t0"))) +
+      bit_count(col("sig1").bitwiseXOR(col("t1")))
+    sigs.join(y, ham <= 3 && col("doc_id") < col("doc_id2"))
+      .select(col("doc_id"), col("doc_id2"),
+        ham.cast("int").as("hamming"))
+      .orderBy("doc_id", "doc_id2")
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by `label` (the IVF-cell
     * shape). τ = 0.40, calibrated: the synthetic vectors are near-orthogonal
     * (max pairwise cos ≈ 0.47), so the production τ ≈ 0.95 would select
@@ -440,6 +494,7 @@ object DedupPack extends QueryPack {
     "q62_minhash_lsh" -> q62 _,
     "q63_simhash" -> q63 _,
     "q277_simhash64_rule" -> q277 _,
+    "q292_simhash128_rule" -> q292 _,
     "q64_cosine_dup" -> q64 _,
     "q65_jaccard_pairs" -> q65 _,
     "q107_containment_pairs" -> q107 _,
@@ -605,6 +660,35 @@ object DedupPack extends QueryPack {
          | CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
          |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         |ORDER BY a.doc_id, doc_id2""".stripMargin,
+    "q292_simhash128_rule" ->
+      s"""WITH t0 AS (SELECT doc_id, $duckToks AS ts FROM documents),
+         |m AS (SELECT doc_id, list_transform(ts, t -> md5(t)) AS m
+         | FROM t0),
+         |v AS (SELECT doc_id,
+         |  list_transform(generate_series(0, ${simWideWords * sim64Bits - 1}),
+         |   j -> coalesce(list_sum(list_transform(m, h ->
+         |    ((CAST('0x' || substring(h, j // 4 + 1, 1) AS INT)
+         |      >> (j % 4)) & 1) * 2 - 1)), 0)) AS votes
+         | FROM m),
+         |sigs AS (SELECT doc_id,
+         |  CAST(coalesce(list_sum(list_transform(
+         |    generate_series(1, $sim64Bits), i ->
+         |    CASE WHEN votes[i] > 0
+         |     THEN CAST([${pow2L.mkString(", ")}][i] AS BIGINT)
+         |     ELSE 0 END)), 0) AS BIGINT) AS sig0,
+         |  CAST(coalesce(list_sum(list_transform(
+         |    generate_series(1, $sim64Bits), i ->
+         |    CASE WHEN votes[i + $sim64Bits] > 0
+         |     THEN CAST([${pow2L.mkString(", ")}][i] AS BIGINT)
+         |     ELSE 0 END)), 0) AS BIGINT) AS sig1
+         | FROM v)
+         |SELECT a.doc_id, b.doc_id AS doc_id2,
+         | CAST(bit_count(xor(a.sig0, b.sig0))
+         |   + bit_count(xor(a.sig1, b.sig1)) AS INT) AS hamming
+         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig0, b.sig0))
+         |  + bit_count(xor(a.sig1, b.sig1)) <= 3
          |ORDER BY a.doc_id, doc_id2""".stripMargin,
     "q63_simhash" ->
       s"""WITH t0 AS (SELECT doc_id, lang, $duckToks AS ts FROM documents),

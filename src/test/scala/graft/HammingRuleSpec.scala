@@ -162,4 +162,76 @@ class HammingRuleSpec extends SparkSpecBase {
       assert(got === expected)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
+
+  // 16 signature bits spread across two 64-bit words (8 low bits each) —
+  // the same hamming ball as `sigs`, carried in the 128-bit spellings.
+  private def sigs128: Seq[(Long, Long, Long)] =
+    sigs.map { case (id, sg) =>
+      (id, (sg & 0xff).toLong, ((sg >> 8) & 0xff).toLong)
+    }
+
+  private def expected128: Seq[(Long, Long)] = (for {
+    x <- sigs128; y <- sigs128
+    if x._1 < y._1 &&
+      java.lang.Long.bitCount(x._2 ^ y._2) +
+        java.lang.Long.bitCount(x._3 ^ y._3) <= 2
+  } yield (x._1, y._1)).sorted
+
+  test("multi-word signatures: summed bit_count join rewrites exactly") {
+    val s = spark
+    import s.implicits._
+    val df = sigs128.toDF("id", "w0", "w1")
+    val a = df.select(col("id").as("a"), col("w0").as("a0"),
+      col("w1").as("a1"))
+    val b = df.select(col("id").as("b"), col("w0").as("b0"),
+      col("w1").as("b1"))
+    val joined = a.join(b,
+      (bit_count(col("a0").bitwiseXOR(col("b0"))) +
+        bit_count(col("a1").bitwiseXOR(col("b1")))) <= 2 &&
+        col("a") < col("b"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_seg") &&
+      !plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"multi-word spelling must rewrite:\n${plan.take(3000)}")
+    val got = joined.select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(expected128.nonEmpty, "fixture must exercise the hamming ball")
+    assert(got === expected128)
+  }
+
+  test("array-of-longs signatures: HOF hamming sum rewrites exactly") {
+    val s = spark
+    import s.implicits._
+    val df = sigs128.toDF("id", "w0", "w1")
+      .select(col("id"), array(col("w0"), col("w1")).as("sig"))
+    val a = df.select(col("id").as("a"), col("sig").as("va"))
+    val b = df.select(col("id").as("b"), col("sig").as("vb"))
+    val ham = aggregate(
+      zip_with(col("va"), col("vb"), (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0), (acc, v) => acc + v)
+    val joined = a.join(b, ham <= 2 && col("a") < col("b"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_seg") &&
+      !plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"array spelling must rewrite:\n${plan.take(3000)}")
+    val got = joined.select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got === expected128)
+  }
+
+  test("array signatures: duplicate multiplicity preserved (bag)") {
+    val s = spark
+    import s.implicits._
+    val df = sigs128.toDF("id", "w0", "w1")
+      .select(col("id"), array(col("w0"), col("w1")).as("sig"))
+    val a = df.select(col("id").as("a"), col("sig").as("va"))
+    val b = df.select(col("id").as("b"), col("sig").as("vb"))
+    val ham = aggregate(
+      zip_with(col("va"), col("vb"), (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0), (acc, v) => acc + v)
+    val j2 = a.union(a).join(b, ham <= 2 && col("a") < col("b"))
+    assert(j2.count() === 2L * expected128.size)
+  }
 }

@@ -506,6 +506,13 @@ class PlanShapeSpec extends SparkSpecBase {
       !p.contains("CartesianProduct"), p.take(4000))
   }
 
+  test("hamming rule: q292's two-word 120-bit sum also plans via graft_seg") {
+    val p = planOf(q("q292_simhash128_rule"))
+    assert(p.contains("graft_seg") &&
+      !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(4000))
+  }
+
   test("as-of join: bucketed equi-join candidates, never a theta nested loop") {
     val p = planOf(q("q261_asof_join"))
     assert(!p.contains("BroadcastNestedLoopJoin") &&
