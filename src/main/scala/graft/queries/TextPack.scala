@@ -464,6 +464,42 @@ object TextPack extends QueryPack {
       x => x.isNotNull)
   }
 
+  /** Greedy left-to-right merge apply WITHOUT the self-pair
+    * restriction — real Sennrich semantics, closing round 6's "What's
+    * missing #2". The greedy scan is still POSITION-LOCAL via a
+    * run-parity closed form: overlapping matches only arise when a = b
+    * (a run of equal symbols), and greedy takes the 1st, 3rd, 5th, …
+    * match of each run — so a match starting at i is taken iff
+    * `syms[i..i+1] = (a, b)` and, when a = b, the count of consecutive
+    * a's immediately before i is EVEN ("aaaa" → [aa][aa], "aaa" →
+    * [aa][a]). A merged token `a||b` can never re-match (it would need
+    * a = a||b, impossible for nonempty b), so the single-pass greedy,
+    * the repeated-leftmost-merge fixpoint, and this closed form all
+    * coincide — which is what makes the op DuckDB-expressible and
+    * oracle-checkable after all. O(n²) per word in the run scan; words
+    * are short and the whole apply stays inside one codegen'd
+    * transform.
+    */
+  private[graft] def applyMergeGreedy(syms: Column, a: Column,
+      b: Column): Column = {
+    val n = size(syms)
+    // largest j < i with syms[j] ≠ a (0 if none): i − that − 1 is the
+    // length of the run of a's immediately before i
+    def maxNonA(i: Column): Column =
+      coalesce(array_max(filter(sequence(lit(1), n),
+        j => j < i && element_at(syms, j) =!= a)), lit(0))
+    def taken(i: Column): Column =
+      element_at(syms, i) === a && i < n &&
+        element_at(syms, i + 1) === b &&
+        (a =!= b || pmod(i - maxNonA(i) - 1, lit(2)) === 0)
+    filter(
+      transform(sequence(lit(1), n), i =>
+        when(i > 1 && taken(i - 1), lit(null).cast("string"))
+          .when(taken(i), concat(a, b))
+          .otherwise(element_at(syms, i))),
+      x => x.isNotNull)
+  }
+
   /** q286 — byte-pair-encoding MERGE INDUCTION over the corpus: the
     * tokenizer-TRAINING step (q105's chunker consumes a trained
     * tokenizer; this builds one). Classic Sennrich BPE on the
@@ -474,10 +510,12 @@ object TextPack extends QueryPack {
     * (round, pair, count) — the artifact a tokenizer ships.
     *
     * Self-pairs (a = b) are excluded from the argmax so the merge apply
-    * is position-local and order-free ([[applyMerge]]) — the one
-    * restriction that keeps the operator exactly reproducible in
-    * DuckDB SQL (the unrolled per-round CTE chain is generated from the
-    * same constants, so the engines cannot drift).
+    * is position-local and order-free ([[applyMerge]]) — a deliberate,
+    * documented variant; q293 runs the SAME loop with full Sennrich
+    * semantics (self-pairs compete, [[applyMergeGreedy]]'s run-parity
+    * greedy apply) and is equally oracle-checked (the unrolled
+    * per-round CTE chains are generated from the same constants, so the
+    * engines cannot drift).
     *
     * Scale shape: training runs at VOCAB grain (the word-freq table —
     * Heaps-bounded, orders below corpus grain), which is exactly how
@@ -489,38 +527,58 @@ object TextPack extends QueryPack {
     */
   /** The shared BPE training loop: per round, (the argmax merge row,
     * the post-merge vocab state). q286 reads the merges, q287 the
-    * states. */
-  private def bpeTrain(s: SparkSession,
-      dir: String): Seq[(DataFrame, DataFrame)] = {
+    * states, q293 runs it with `selfPairs = true` (full Sennrich
+    * semantics: self-pairs compete in the argmax and the apply is the
+    * greedy run-parity form). */
+  private def bpeTrain(s: SparkSession, dir: String,
+      selfPairs: Boolean = false): Seq[(DataFrame, DataFrame)] = {
     var cur = Tables.load(s, dir, "documents")
       .select(explode(toks(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(col("w"), col("freq"), split(col("w"), "").as("syms"))
     (1 to bpeRounds).map { r =>
       cur = cur.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val pairs = cur.select(col("freq"),
-          explode(zip_with(
-            slice(col("syms"), lit(1),
-              greatest(size(col("syms")) - 1, lit(0))),
-            slice(col("syms"), lit(2),
-              greatest(size(col("syms")) - 1, lit(0))),
-            (x, y) => struct(x.as("w1"), y.as("w2")))).as("p"))
-        .filter(col("p.w1") =!= col("p.w2"))
-        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
-        .agg(sum("freq").as("cnt"))
+      val bigrams = cur.select(col("freq"),
+        explode(zip_with(
+          slice(col("syms"), lit(1),
+            greatest(size(col("syms")) - 1, lit(0))),
+          slice(col("syms"), lit(2),
+            greatest(size(col("syms")) - 1, lit(0))),
+          (x, y) => struct(x.as("w1"), y.as("w2")))).as("p"))
+      val pairs =
+        (if (selfPairs) bigrams
+         else bigrams.filter(col("p.w1") =!= col("p.w2")))
+          .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+          .agg(sum("freq").as("cnt"))
       val best = pairs.orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1)
         .select(lit(r).as("round"), col("w1"), col("w2"), col("cnt"))
       cur = cur
         .crossJoin(broadcast(best.select(col("w1").as("ma"),
           col("w2").as("mb"))))
         .select(col("w"), col("freq"),
-          applyMerge(col("syms"), col("ma"), col("mb")).as("syms"))
+          (if (selfPairs) applyMergeGreedy(col("syms"), col("ma"), col("mb"))
+           else applyMerge(col("syms"), col("ma"), col("mb"))).as("syms"))
       (best, cur)
     }
   }
 
   private def q286(s: SparkSession, dir: String): DataFrame =
     bpeTrain(s, dir).map(_._1).reduce(_ unionByName _).orderBy("round")
+
+  /** q293 — q286 with FULL Sennrich semantics: self-pairs (a = a)
+    * compete in the per-round argmax (overlapping occurrences counted,
+    * as in the reference implementation) and the merge apply is the
+    * greedy left-to-right scan via [[applyMergeGreedy]]'s run-parity
+    * closed form. This closes the round-6 "tokenizer diverges from
+    * production BPE on repetitive text" caveat — and does it on the
+    * oracle route, not the spec-only one, because the closed form is
+    * position-local and therefore DuckDB-expressible. Same scale shape
+    * as q286: vocab-grain state, one bigram shuffle + TakeOrdered(1)
+    * argmax + broadcast apply per round.
+    */
+  private def q293(s: SparkSession, dir: String): DataFrame =
+    bpeTrain(s, dir, selfPairs = true)
+      .map(_._1).reduce(_ unionByName _).orderBy("round")
 
   /** q287 — the tokenizer-design readout over q286's training run: the
     * COMPRESSION CURVE. After each merge round, the subword-type count
@@ -548,6 +606,7 @@ object TextPack extends QueryPack {
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q286_bpe_merges" -> q286 _,
     "q287_bpe_compression" -> q287 _,
+    "q293_bpe_greedy" -> q293 _,
     "q269_code_switch" -> q269 _,
     "q282_vocab_growth" -> q282 _,
     "q57_array_funcs" -> q57 _,
@@ -630,7 +689,58 @@ object TextPack extends QueryPack {
        |$rounds""".stripMargin
   }
 
+  /** q293's greedy chain (`gw0, gp1, gb1, gw1, …`): no self-pair filter
+    * in the counts, run-parity greedy apply — generated from the same
+    * constants as the Spark loop. */
+  private lazy val duckBpeGreedyChain: String = {
+    // taken(i): match starts at i; for a = b additionally the run of
+    // a's immediately before i must have EVEN length
+    def taken(i: String): String =
+      s"""(syms[$i] = b.w1 AND ($i) < len(syms)
+         |      AND syms[($i) + 1] = b.w2
+         |      AND (b.w1 <> b.w2 OR (($i) - coalesce(list_max(
+         |       list_filter(generate_series(1, len(syms)),
+         |        j -> j < ($i) AND syms[j] <> b.w1)), 0) - 1) % 2 = 0))"""
+        .stripMargin
+    val rounds = (1 to bpeRounds).map { r =>
+      s"""gp$r AS (
+         | SELECT s.w1 AS w1, s.w2 AS w2, CAST(sum(freq) AS BIGINT) AS cnt
+         | FROM (SELECT freq, unnest(list_transform(
+         |    generate_series(1, len(syms) - 1),
+         |    i -> {'w1': syms[i], 'w2': syms[i + 1]})) AS s
+         |   FROM gw${r - 1}) x
+         | GROUP BY 1, 2),
+         |gb$r AS (
+         | SELECT $r AS round, w1, w2, cnt FROM gp$r
+         | ORDER BY cnt DESC, w1, w2 LIMIT 1),
+         |gw$r AS (
+         | SELECT w, freq,
+         |  list_filter(list_transform(generate_series(1, len(syms)),
+         |   i -> CASE
+         |    WHEN i > 1 AND ${taken("i - 1")}
+         |     THEN NULL
+         |    WHEN ${taken("i")} THEN b.w1 || b.w2
+         |    ELSE syms[i] END), x -> x IS NOT NULL) AS syms
+         | FROM gw${r - 1}, gb$r b)""".stripMargin
+    }.mkString(",\n")
+    s"""gw0 AS (
+       | SELECT w, CAST(count(*) AS BIGINT) AS freq,
+       |  string_split(w, '') AS syms
+       | FROM (SELECT unnest(
+       |    list_filter(string_split(text, ' '), x -> x <> '')) AS w
+       |   FROM documents) t
+       | GROUP BY w),
+       |$rounds""".stripMargin
+  }
+
   override val oracle: Seq[(String, String)] = Seq(
+    "q293_bpe_greedy" -> {
+      val union = (1 to bpeRounds).map(r => s"SELECT * FROM gb$r")
+        .mkString("\nUNION ALL\n")
+      s"""WITH $duckBpeGreedyChain
+         |$union
+         |ORDER BY round""".stripMargin
+    },
     "q286_bpe_merges" -> {
       val union = (1 to bpeRounds).map(r => s"SELECT * FROM b$r")
         .mkString("\nUNION ALL\n")

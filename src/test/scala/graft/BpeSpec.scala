@@ -55,6 +55,65 @@ class BpeSpec extends SparkSpecBase {
     assert(cnts.head > 1, "fixture must exercise real merges")
   }
 
+  test("q293 greedy merges equal the JVM trainer WITH self-pairs") {
+    val wordFreq = Tables.load(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+    var vocab: Seq[(Vector[String], Long)] =
+      wordFreq.map { case (w, f) => (w.split("").toVector, f) }.toSeq
+    val expected = (1 to 4).map { r =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      // full Sennrich: self-pairs count too (overlapping occurrences)
+      for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      val ((a, b), cnt) = counts.toSeq
+        .minBy { case ((x, y), c) => (-c, x, y) }
+      vocab = vocab.map { case (syms, f) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2 // greedy: consumed pair can't chain
+          } else { out += syms(i); i += 1 }
+        }
+        (out.result(), f)
+      }
+      (r, a, b, cnt)
+    }
+
+    val got = SparkEntry.queries("q293_bpe_greedy")(spark, sf)
+      .collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getString(2), x.getLong(3)))
+      .toSeq
+    assert(got === expected)
+  }
+
+  test("greedy apply run-parity form: canonical self-pair fixtures") {
+    val s = spark
+    import s.implicits._
+    // (word, merge-a, merge-b, expected greedy segmentation)
+    val cases = Seq(
+      ("aaaa", "a", "a", Seq("aa", "aa")),
+      ("aaa", "a", "a", Seq("aa", "a")),
+      ("aaaaa", "a", "a", Seq("aa", "aa", "a")),
+      ("baaab", "a", "a", Seq("b", "aa", "a", "b")),
+      ("abab", "a", "b", Seq("ab", "ab")),
+      ("aab", "a", "b", Seq("a", "ab")),
+      ("aba", "b", "a", Seq("a", "ba")),
+      ("xyx", "a", "a", Seq("x", "y", "x")))
+    for ((w, a, b, exp) <- cases) {
+      val out = Seq(w).toDF("w")
+        .select(graft.queries.TextPack.applyMergeGreedy(
+          split(col("w"), ""), lit(a), lit(b)).as("syms"))
+        .collect().head.getSeq[String](0)
+      assert(out === exp, s"greedy($w, $a+$b)")
+    }
+  }
+
   test("q287 compression curve: tokens constant, subwords strictly shrink") {
     val rows = SparkEntry.queries("q287_bpe_compression")(spark, sf)
       .collect()
