@@ -51,9 +51,13 @@ import org.apache.spark.sql.types._
   *      aliases keep the original exprIds and types, so parents are
   *      untouched.
   *
-  * Eligibility: every window expression is `row_number()` or `ntile(k)`
-  * (rank/percent_rank stand down — their tie semantics need a total
-  * order the plan cannot verify); the first ORDER BY key is numeric, a
+  * Eligibility: every window expression is `row_number()`, `ntile(k)`,
+  * `rank()`, `dense_rank()`, or `percent_rank()` (since round 7: ties
+  * are slice-safe because equal ORDER BY tuples share the first key and
+  * therefore a slice, so global rank = per-slice rank + whole-slice row
+  * offsets, dense rank adds per-slice DISTINCT-tuple offsets — distinct
+  * tuples cannot straddle slices either — and percent_rank is
+  * (rank−1)/(total−1)); the first ORDER BY key is numeric, a
   * date, a timestamp (sliced as epoch days/micros), or a UTF8-binary
   * string (split points stay native strings — LessThan, sort_array and
   * the window ORDER BY agree on byte order; non-default collations
@@ -77,9 +81,17 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
   private val pidName = "graft_rank_pid"
 
   private def supported(ne: NamedExpression): Boolean = ne match {
-    case Alias(WindowExpression(RowNumber(), _), _) => true
-    case Alias(WindowExpression(NTile(Literal(k: Int, IntegerType)), _), _)
-        if k > 0 => true
+    case Alias(WindowExpression(fn, _), _) => fn match {
+      case RowNumber() => true
+      case NTile(Literal(k: Int, IntegerType)) => k > 0
+      // ties are safe: equal ORDER BY tuples have equal first keys, so
+      // they share a slice by construction — rank/dense_rank offsets
+      // are exact sums over whole preceding slices
+      case _: Rank => true
+      case _: DenseRank => true
+      case _: PercentRank => true
+      case _ => false
+    }
     case _ => false
   }
 
@@ -260,11 +272,24 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
   private def rewrite(exprs: Seq[NamedExpression], order: Seq[SortOrder],
       child: LogicalPlan): LogicalPlan = {
     val nSlices = conf.numShufflePartitions
-    val rankFrame =
+    val rowFrame =
       SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
+    val rangeFrame =
+      SpecifiedWindowFrame(RangeFrame, UnboundedPreceding, CurrentRow)
     def broadcastCross(l: LogicalPlan, r: LogicalPlan): LogicalPlan =
       Join(l, r, Cross, None,
         JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST)))))
+
+    val fns = exprs.collect { case Alias(WindowExpression(f, _), _) => f }
+    val needRn = fns.exists {
+      case RowNumber() | NTile(_) => true
+      case _ => false
+    }
+    val needRk = fns.exists {
+      case _: Rank | _: PercentRank => true
+      case _ => false
+    }
+    val needDr = fns.exists { case _: DenseRank => true; case _ => false }
 
     // ONE boundary subtree, shared by both branches (trees are
     // immutable; its attributes never escape either branch's Project,
@@ -278,41 +303,74 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     val rangedL = Project(child.output :+ pidAliasL,
       broadcastCross(child, bnd))
     val pidL = pidAliasL.toAttribute
+    val orderKeys = order.map(_.child)
     val localRn = Alias(WindowExpression(RowNumber(),
-      WindowSpecDefinition(Seq(pidL), order, rankFrame)), "graft_rank_local")()
-    val rankWin = Window(Seq(localRn), Seq(pidL), order, rangedL)
+      WindowSpecDefinition(Seq(pidL), order, rowFrame)),
+      "graft_rank_local")()
+    val localRk = Alias(WindowExpression(Rank(orderKeys),
+      WindowSpecDefinition(Seq(pidL), order, rangeFrame)),
+      "graft_rank_lrk")()
+    val localDr = Alias(WindowExpression(DenseRank(orderKeys),
+      WindowSpecDefinition(Seq(pidL), order, rangeFrame)),
+      "graft_rank_ldr")()
+    val locals = (if (needRn) Seq(localRn) else Nil) ++
+      (if (needRk) Seq(localRk) else Nil) ++
+      (if (needDr) Seq(localDr) else Nil)
+    val rankWin = Window(locals, Seq(pidL), order, rangedL)
 
-    // offsets branch: same child + same boundary row → identical slice
+    // offsets branch: same child + same boundary row → identical slice.
+    // Row counts always; per-slice DISTINCT order-tuple counts only when
+    // a dense_rank needs them (distinct tuples cannot straddle slices —
+    // equal tuples share the first key — so prefix sums of per-slice
+    // distinct counts ARE the global dense offsets).
     val pidAliasR = Alias(sliceOf(order.head, bndAttrs, nSlices),
       pidName + "_r")()
-    val rangedR = Project(Seq(pidAliasR), broadcastCross(child, bnd))
+    val keyAliases = order.zipWithIndex.map { case (o, i) =>
+      Alias(o.child, s"graft_rank_key$i")()
+    }
+    val rangedR = Project(
+      if (needDr) pidAliasR +: keyAliases else Seq(pidAliasR),
+      broadcastCross(child, bnd))
     val pidR = pidAliasR.toAttribute
     val cntAlias = Alias(AggregateExpression(Count(Seq(Literal(1))),
       Complete, isDistinct = false), "graft_rank_cnt")()
-    val counts = Aggregate(Seq(pidR), Seq(pidR, cntAlias), rangedR)
+    val dcntAlias = Alias(AggregateExpression(
+      Count(Seq(CreateStruct(keyAliases.map(_.toAttribute)))),
+      Complete, isDistinct = true), "graft_rank_dcnt")()
+    val counts = Aggregate(Seq(pidR),
+      if (needDr) Seq(pidR, cntAlias, dcntAlias) else Seq(pidR, cntAlias),
+      rangedR)
     val cnt = cntAlias.toAttribute
     val pidOrder = Seq(SortOrder(pidR, Ascending))
-    val offAlias = Alias(WindowExpression(
-      AggregateExpression(Sum(cnt), Complete, isDistinct = false),
-      WindowSpecDefinition(Nil, pidOrder,
-        SpecifiedWindowFrame(RowFrame, UnboundedPreceding, Literal(-1)))),
-      "graft_rank_off")()
+    def prefixSum(x: Attribute, name: String): Alias =
+      Alias(WindowExpression(
+        AggregateExpression(Sum(x), Complete, isDistinct = false),
+        WindowSpecDefinition(Nil, pidOrder,
+          SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
+            Literal(-1)))), name)()
+    val offAlias = prefixSum(cnt, "graft_rank_off")
+    val doffAlias = prefixSum(dcntAlias.toAttribute, "graft_rank_doff")
     val totAlias = Alias(WindowExpression(
       AggregateExpression(Sum(cnt), Complete, isDistinct = false),
       WindowSpecDefinition(Nil, pidOrder,
         SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
           UnboundedFollowing))), "graft_rank_tot")()
-    val offWin = Window(Seq(offAlias, totAlias), Nil, pidOrder, counts)
-    val offs = Project(Seq(pidR, offAlias.toAttribute, totAlias.toAttribute),
-      offWin)
+    val offWins = Seq(offAlias, totAlias) ++
+      (if (needDr) Seq(doffAlias) else Nil)
+    val offWin = Window(offWins, Nil, pidOrder, counts)
+    val offs = Project(pidR +: offWins.map(_.toAttribute), offWin)
 
     val joined = Join(rankWin, offs, Inner,
       Some(EqualTo(pidL, pidR)),
       JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST)))))
 
-    // global rn (long) and the original outputs, exprIds preserved
-    val grn = Add(Cast(localRn.toAttribute, LongType),
-      Coalesce(Seq(offAlias.toAttribute, Literal(0L))))
+    // global ranks (long) and the original outputs, exprIds preserved
+    def plusOff(local: Alias, off: Alias): Expression =
+      Add(Cast(local.toAttribute, LongType),
+        Coalesce(Seq(off.toAttribute, Literal(0L))))
+    val grn = plusOff(localRn, offAlias)
+    val grk = plusOff(localRk, offAlias)
+    val gdr = plusOff(localDr, doffAlias)
     val tot = totAlias.toAttribute
     val outExprs = exprs.map {
       case a @ Alias(WindowExpression(RowNumber(), _), name) =>
@@ -322,6 +380,20 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
           _), name) =>
         Alias(Cast(ntileFromRn(grn, tot, k), IntegerType), name)(
           exprId = a.exprId, qualifier = a.qualifier)
+      case a @ Alias(WindowExpression(_: Rank, _), name) =>
+        Alias(Cast(grk, IntegerType), name)(exprId = a.exprId,
+          qualifier = a.qualifier)
+      case a @ Alias(WindowExpression(_: DenseRank, _), name) =>
+        Alias(Cast(gdr, IntegerType), name)(exprId = a.exprId,
+          qualifier = a.qualifier)
+      case a @ Alias(WindowExpression(_: PercentRank, _), name) =>
+        // Spark: (rank − 1) / (n − 1), 0.0 for the single-row relation
+        val pr = CaseWhen(
+          Seq((GreaterThan(tot, Literal(1L)),
+            Divide(Cast(Subtract(grk, Literal(1L)), DoubleType),
+              Cast(Subtract(tot, Literal(1L)), DoubleType)))),
+          Some(Literal(0.0)))
+        Alias(pr, name)(exprId = a.exprId, qualifier = a.qualifier)
       case other => other // unreachable under `supported`
     }
     Project(child.output ++ outExprs, joined)

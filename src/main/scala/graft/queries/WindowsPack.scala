@@ -349,9 +349,38 @@ object WindowsPack extends QueryPack {
         min("doc_id").as("min_doc_id"))
       .orderBy("shard")
 
+  /** q294 — the RANK-FAMILY member of the naive-global-window set
+    * (q285 ntile, q291 string row_number): corpus-grain `rank()`,
+    * `dense_rank()`, and `percent_rank()` over `ORDER BY n_chars` with
+    * REAL ties (many documents share a length), written with no manual
+    * distribution. Round 7's [[graft.plans.GlobalRankRewrite]] extension
+    * plans all three distributed — ties are slice-safe since equal keys
+    * share a slice, so per-slice ranks + whole-slice offsets (row counts
+    * for rank, distinct-tuple counts for dense_rank) are exact. Readout
+    * groups by dense rank decile to keep the oracle surface stable.
+    */
+  private def q294(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("n_chars"))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("rk", rank().over(w))
+      .withColumn("dr", dense_rank().over(w))
+      .withColumn("pr", percent_rank().over(w))
+      .groupBy((col("dr") % 10).as("dr_mod"))
+      .agg(count(lit(1)).as("n_docs"),
+        min("rk").as("min_rank"),
+        max("rk").as("max_rank"),
+        max("dr").as("max_dense"),
+        // min/max, not sum: double sums are accumulation-order-dependent
+        round(min("pr"), 6).as("min_pr6"),
+        round(max("pr"), 6).as("max_pr6"))
+      .orderBy("dr_mod")
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q285_global_ntile_rule" -> q285 _,
     "q291_string_rank_rule" -> q291 _,
+    "q294_rank_family_rule" -> q294 _,
     "q145_transition_matrix" -> q145 _,
     "q85_range_frame" -> q85 _,
     "q87_gaps_islands" -> q87 _,
@@ -389,6 +418,20 @@ object WindowsPack extends QueryPack {
         | CAST(sum(n_chars) AS BIGINT) AS n_chars,
         | min(doc_id) AS min_doc_id
         |FROM t GROUP BY shard ORDER BY shard""".stripMargin,
+    "q294_rank_family_rule" ->
+      """WITH t AS (
+        | SELECT doc_id, n_chars,
+        |  rank() OVER (ORDER BY n_chars) AS rk,
+        |  dense_rank() OVER (ORDER BY n_chars) AS dr,
+        |  percent_rank() OVER (ORDER BY n_chars) AS pr
+        | FROM documents)
+        |SELECT CAST(dr % 10 AS BIGINT) AS dr_mod, count(*) AS n_docs,
+        | CAST(min(rk) AS INT) AS min_rank,
+        | CAST(max(rk) AS INT) AS max_rank,
+        | CAST(max(dr) AS INT) AS max_dense,
+        | round(min(pr), 6) AS min_pr6,
+        | round(max(pr), 6) AS max_pr6
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "q272_vshape_patterns" ->
       """WITH daily AS (
         | SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS d,

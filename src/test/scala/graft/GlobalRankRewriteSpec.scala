@@ -252,18 +252,13 @@ class GlobalRankRewriteSpec extends SparkSpecBase {
     }
   }
 
-  test("stand-downs: partitioned, rank(), mixed agg, below threshold") {
+  test("stand-downs: partitioned, mixed agg, below threshold") {
     val df = corpus(1000)
     forced {
       // partitioned window: not the rule's business
       val part = df.withColumn("rn", row_number().over(
         Window.partitionBy(col("id") % 7).orderBy(col("v"), col("id"))))
       assert(!part.queryExecution.executedPlan.toString
-        .contains("graft_rank_pid"))
-      // rank(): tie semantics a slice-split cannot verify — stand down
-      val rk = df.withColumn("r",
-        rank().over(Window.orderBy(col("v"), col("id"))))
-      assert(!rk.queryExecution.executedPlan.toString
         .contains("graft_rank_pid"))
       // mixed row_number + running sum: the sum needs the global frame
       val mixed = df.select(col("id"),
@@ -278,5 +273,56 @@ class GlobalRankRewriteSpec extends SparkSpecBase {
     assert(!small.queryExecution.executedPlan.toString
       .contains("graft_rank_pid"),
       "below-threshold inputs must keep the naive plan")
+  }
+
+  test("rank/dense_rank/percent_rank with heavy ties: distributed, exact") {
+    // round-6 stood these down ("tie semantics need a total order") —
+    // over-conservative: equal ORDER BY tuples share a first key and
+    // therefore a slice, so per-slice ranks + whole-slice offsets are
+    // exact. v % 40 gives ~125-row tie groups across slice boundaries.
+    val df = corpus(5000).withColumn("t", col("v") % 40)
+    val w = Window.orderBy(col("t"))
+    val build = () => df.select(col("id"), col("t"),
+      rank().over(w).as("rk"),
+      dense_rank().over(w).as("dr"),
+      percent_rank().over(w).as("pr"))
+    val expected = naive(build().collect()
+      .map(x => (x.getLong(0), x.getInt(2), x.getInt(3), x.getDouble(4)))
+      .sorted.toSeq)
+    forced {
+      val r = build()
+      val p = r.queryExecution.executedPlan.toString
+      assert(p.contains("graft_rank_pid"),
+        s"rule must fire on rank family:\n${p.take(3000)}")
+      val windows = p.linesIterator.filter(_.contains("Window ")).toList
+      assert(windows.forall(_.contains("graft_rank")),
+        s"no corpus-grain unpartitioned window may remain:\n${p.take(4000)}")
+      val got = r.collect()
+        .map(x => (x.getLong(0), x.getInt(2), x.getInt(3), x.getDouble(4)))
+        .sorted.toSeq
+      assert(got === expected)
+    }
+  }
+
+  test("rank family combined with row_number and ntile in one window") {
+    val df = corpus(3000).withColumn("t", col("v") % 17)
+    val w = Window.orderBy(col("t"), col("id"))
+    val build = () => df.select(col("id"),
+      row_number().over(w).as("rn"),
+      rank().over(w).as("rk"),
+      dense_rank().over(w).as("dr"),
+      ntile(6).over(w).as("nt"))
+    val expected = naive(build().collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getInt(2), x.getInt(3),
+        x.getInt(4))).sorted.toSeq)
+    forced {
+      val r = build()
+      assert(r.queryExecution.executedPlan.toString
+        .contains("graft_rank_pid"))
+      val got = r.collect()
+        .map(x => (x.getLong(0), x.getInt(1), x.getInt(2), x.getInt(3),
+          x.getInt(4))).sorted.toSeq
+      assert(got === expected)
+    }
   }
 }
