@@ -394,10 +394,61 @@ object LakehousePack extends QueryPack {
     hllProfile(hx).orderBy("column")
   }
 
+  // --- q295: count-min sketch for heavy hitters ----------------------------
+
+  private val CmsDepth = 4
+  private val CmsWidth = 512
+  private val CmsTopK = 20
+
+  /** q295 — COUNT-MIN SKETCH token-frequency profile: the frequency
+    * sibling of q284's HLL cardinality sketch (Cormode–Muthukrishnan).
+    * Token counts fold into a [[CmsDepth]]×[[CmsWidth]] grid of cells —
+    * row r buckets by the deterministic salted md5 (`cms{r}|token`),
+    * cell = Σ freq — and a point query reads min over the d cells a
+    * token hashes to: an upper bound that overshoots only by colliding
+    * mass (est − truth ≥ 0 always, the `overcount` audit column). The
+    * readout estimates the top-[[CmsTopK]] exact tokens next to their
+    * truth, so the oracle pins both the grid arithmetic and the
+    * one-sided error property.
+    *
+    * Scale: cell building is the q290 cost model again — sums
+    * partial-aggregate map-side into ≤ d·w = 2048 groups regardless of
+    * vocabulary (never a per-token shuffle beyond the vocab-grain
+    * frequency table every text op shares), the grid broadcasts for
+    * point queries, and the audit's top-k is a TakeOrdered. This is how
+    * heavy-hitter monitoring runs at 100 TB: O(d·w) state, one pass.
+    */
+  private def q295(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.load(s, dir, "documents")
+      .select(explode(TextOps.toks(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .persist()
+    def buckets(tok: Column): Column = array((0 until CmsDepth).map { r =>
+      struct(lit(r).as("r"),
+        (TrainingPipelinePack.md5Hash32(tok, s"cms$r") % CmsWidth)
+          .as("bucket"))
+    }: _*)
+    val cells = tf
+      .select(col("freq"), explode(buckets(col("tok"))).as("c"))
+      .groupBy(col("c.r").as("r"), col("c.bucket").as("bucket"))
+      .agg(sum("freq").as("cell"))
+    val audit = tf.orderBy(col("freq").desc, col("tok")).limit(CmsTopK)
+    audit
+      .select(col("tok"), col("freq"), explode(buckets(col("tok"))).as("c"))
+      .select(col("tok"), col("freq"), col("c.r").as("r"),
+        col("c.bucket").as("bucket"))
+      .join(broadcast(cells), Seq("r", "bucket"))
+      .groupBy("tok", "freq").agg(min("cell").as("cms_est"))
+      .select(col("tok"), col("freq"), col("cms_est"),
+        (col("cms_est") - col("freq")).as("overcount"))
+      .orderBy(col("freq").desc, col("tok"))
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q267_table_profile" -> q267 _,
     "q284_profile_hll_ndv" -> q284 _,
     "q290_profile_hll_only" -> q290 _,
+    "q295_cms_heavy_hitters" -> q295 _,
     "q131_multitouch_attribution" -> q131 _,
     "q193_schema_evolution" -> q193 _,
     "q76_upsert_merge" -> q76 _,
@@ -524,6 +575,30 @@ object LakehousePack extends QueryPack {
          |FROM agg
          |ORDER BY "column"""".stripMargin
     },
+    "q295_cms_heavy_hitters" ->
+      s"""WITH tk AS (
+         | SELECT unnest(${CorpusOpsPack.duckToks}) AS tok FROM documents),
+         |tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq
+         |       FROM tk GROUP BY tok),
+         |cells AS (
+         | SELECT r,
+         |  CAST('0x' || substring(md5('cms' || r || '|' || tok), 1, 8)
+         |    AS BIGINT) % $CmsWidth AS bucket,
+         |  CAST(sum(freq) AS BIGINT) AS cell
+         | FROM tf, range($CmsDepth) t(r) GROUP BY 1, 2),
+         |audit AS (SELECT tok, freq FROM tf
+         |          ORDER BY freq DESC, tok LIMIT $CmsTopK),
+         |est AS (
+         | SELECT a.tok, a.freq, min(c.cell) AS cms_est
+         | FROM audit a
+         |  CROSS JOIN range($CmsDepth) t(r)
+         |  JOIN cells c ON c.r = t.r
+         |   AND c.bucket = CAST('0x' ||
+         |     substring(md5('cms' || t.r || '|' || a.tok), 1, 8)
+         |     AS BIGINT) % $CmsWidth
+         | GROUP BY 1, 2)
+         |SELECT tok, freq, cms_est, cms_est - freq AS overcount
+         |FROM est ORDER BY freq DESC, tok""".stripMargin,
     "q193_schema_evolution" ->
       """WITH merged AS (
         | SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
