@@ -42,6 +42,9 @@ object Sessions {
         // threshold inputs plan as the distributed-rank shape
         // (graft.plans.GlobalRankRewrite scaladoc)
         e.injectOptimizerRule(_ => graft.plans.GlobalRankRewrite)
+        // naive band/as-of theta joins plan as bucketed equi-joins
+        // (graft.plans.BandJoinBlocking scaladoc)
+        e.injectOptimizerRule(_ => graft.plans.BandJoinBlocking)
       }
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")

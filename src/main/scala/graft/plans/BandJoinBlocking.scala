@@ -1,0 +1,214 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** Optimizer rule: rewrite a naive BAND theta join — two conjuncts
+  * bounding `X − Y` in a literal interval, the universal spelling of
+  * as-of joins, windowed correlation, and tolerance matching —
+  *
+  *   views.join(purchases,
+  *     v("ts") <= p("ts") && v("ts") >= p("ts") - T && ...)
+  *
+  * into a bucketed EQUI-join: the manual `ts div T` construction q261
+  * builds by hand, promoted to an engine capability (the third member
+  * of the family after [[HammingJoinBlocking]] and
+  * [[GlobalRankRewrite]]). Eligibility: an INNER join whose condition
+  * conjuncts bound `X − Y` from BOTH sides with integral literals
+  * (after normalizing `x ± c cmp y ± c'` in any of the four comparison
+  * spellings, strict forms tightened by 1), X and Y integral-typed
+  * (int/long — the repo's epoch-micros doctrine keeps time BIGINT, so
+  * time bands are integral bands), deterministic, one side each.
+  *
+  * Rewrite: with `lo ≤ X − Y ≤ hi`, W = hi − lo, B = max(W, 1):
+  * every qualifying Y lies in `[X − lo − B, X − lo]`, so
+  * `floorDiv(Y, B)` equals `floorDiv(X − lo, B)` or that minus one — a
+  * GUARANTEE, not an approximation. The right child gains a generated
+  * `floorDiv(Y, B)` bucket column; the left child EXPLODES into its two
+  * probe buckets; the join becomes an equi-join on the bucket with the
+  * ORIGINAL condition kept as residual. The two probe buckets are
+  * distinct, so every qualifying pair matches EXACTLY once — bag
+  * semantics with no dedup pass and no canonical-match residual
+  * (simpler than the hamming rule: the match bucket is a function of
+  * the pair, not a choice among segments). floorDiv is implemented as
+  * `(v − pmod(v, B)) div B`, exact for negative values too.
+  *
+  * Composition and stand-down mirror [[HammingJoinBlocking]]: existing
+  * equi conjuncts (`v.user === p.user`) compose — ExtractEquiJoinKeys
+  * collects (user, bucket) and the per-user nested loop becomes the
+  * q261 hash-join shape automatically — and the rule stands down only
+  * when equi keys exist AND a side is already broadcastable (a
+  * BroadcastHashJoin on the user keys with the band as residual beats
+  * paying the 2× explode).
+  *
+  * Scale: candidate fan-in per probe row is the 2-bucket event density
+  * (the band width), not the partner side's cardinality — the measured
+  * AsofScaleProbe law, now engine-owned for any naive band spelling.
+  */
+object BandJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
+
+  private val bandColName = "graft_band"
+
+  private def integral(dt: DataType): Boolean =
+    dt == IntegerType || dt == LongType || dt == ShortType || dt == ByteType
+
+  private def litLong(e: Expression): Option[Long] = e match {
+    case Literal(v: Int, IntegerType) => Some(v.toLong)
+    case Literal(v: Long, LongType) => Some(v)
+    case Literal(v: Short, ShortType) => Some(v.toLong)
+    case Literal(v: Byte, ByteType) => Some(v.toLong)
+    case _ => None
+  }
+
+  /** `e` as `base + offset` with a literal integral offset. */
+  private def lin(e: Expression): (Expression, Long) = e match {
+    case Add(a, l, _) if litLong(l).isDefined =>
+      val (b, o) = lin(a); (b, o + litLong(l).get)
+    case Add(l, a, _) if litLong(l).isDefined =>
+      val (b, o) = lin(a); (b, o + litLong(l).get)
+    case Subtract(a, l, _) if litLong(l).isDefined =>
+      val (b, o) = lin(a); (b, o - litLong(l).get)
+    case _ => (e, 0L)
+  }
+
+  /** One-sided bound `lBase − rBase ≤ bound` (isUpper) or `≥ bound`,
+    * with lBase over `left` and rBase over `right`, both integral and
+    * deterministic. */
+  private case class Bound(lBase: Expression, rBase: Expression,
+      bound: Long, isUpper: Boolean)
+
+  private def boundOf(e: Expression, left: LogicalPlan,
+      right: LogicalPlan): Option[Bound] = {
+    // a cmp b with strictness adjustment already folded into `adj`
+    def mk(a: Expression, b: Expression, adj: Long,
+        aLeqB: Boolean): Option[Bound] = {
+      val (ab, ao) = lin(a)
+      val (bb, bo) = lin(b)
+      if (!integral(ab.dataType) || !integral(bb.dataType) ||
+        !ab.deterministic || !bb.deterministic ||
+        ab.references.isEmpty || bb.references.isEmpty) None
+      else if (ab.references.subsetOf(left.outputSet) &&
+        bb.references.subsetOf(right.outputSet)) {
+        // a ≤ b: X − Y ≤ bo − ao − adj ; a ≥ b: X − Y ≥ bo − ao + adj
+        if (aLeqB) Some(Bound(ab, bb, bo - ao - adj, isUpper = true))
+        else Some(Bound(ab, bb, bo - ao + adj, isUpper = false))
+      } else if (ab.references.subsetOf(right.outputSet) &&
+        bb.references.subsetOf(left.outputSet)) {
+        // a ≤ b with a on the right: X − Y ≥ ao − bo + adj
+        if (aLeqB) Some(Bound(bb, ab, ao - bo + adj, isUpper = false))
+        else Some(Bound(bb, ab, ao - bo - adj, isUpper = true))
+      } else None
+    }
+    e match {
+      case LessThanOrEqual(a, b) => mk(a, b, 0L, aLeqB = true)
+      case LessThan(a, b) => mk(a, b, 1L, aLeqB = true)
+      case GreaterThanOrEqual(a, b) => mk(a, b, 0L, aLeqB = false)
+      case GreaterThan(a, b) => mk(a, b, 1L, aLeqB = false)
+      case _ => None
+    }
+  }
+
+  private def isEqui(e: Expression, left: LogicalPlan,
+      right: LogicalPlan): Boolean = {
+    def crossChild(a: Expression, b: Expression): Boolean =
+      (a.references.subsetOf(left.outputSet) &&
+        b.references.subsetOf(right.outputSet)) ||
+        (b.references.subsetOf(left.outputSet) &&
+          a.references.subsetOf(right.outputSet))
+    e match {
+      case EqualTo(a, b) => crossChild(a, b)
+      case EqualNullSafe(a, b) => crossChild(a, b)
+      case _ => false
+    }
+  }
+
+  def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case j @ Join(left, right, Inner, Some(cond), hint)
+        if !left.output.exists(_.name == bandColName) &&
+          !right.output.exists(_.name == bandColName) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val bounds = conjuncts.flatMap(boundOf(_, left, right))
+      // first (lBase, rBase) pair bounded from BOTH sides
+      val band = bounds.filter(_.isUpper).flatMap { u =>
+        val lowers = bounds.filter(b => !b.isUpper &&
+          b.lBase.semanticEquals(u.lBase) &&
+          b.rBase.semanticEquals(u.rBase))
+        if (lowers.isEmpty) None
+        else {
+          val lo = lowers.map(_.bound).max
+          val his = bounds.filter(b => b.isUpper &&
+            b.lBase.semanticEquals(u.lBase) &&
+            b.rBase.semanticEquals(u.rBase)).map(_.bound)
+          Some((u.lBase, u.rBase, lo, his.min))
+        }
+      }.find { case (_, _, lo, hi) => hi >= lo }
+      val hasEqui = conjuncts.exists(isEqui(_, left, right))
+      val broadcastable = {
+        val t = conf.autoBroadcastJoinThreshold
+        t >= 0 && (left.stats.sizeInBytes <= t ||
+          right.stats.sizeInBytes <= t)
+      }
+      // an equi conjunct that CONTAINS a band base (e.g. the manual
+      // `ts div T` bucket key q261 builds by hand) means the query is
+      // already blocked on this band — a second bucket key would only
+      // double the probe side. The manual bucket usually reaches the
+      // join as a materialized attribute, so expand equi expressions
+      // through child Project aliases before the containment check.
+      lazy val aliasMap: AttributeMap[Expression] = AttributeMap(
+        (left.collect { case Project(pl, _) => pl } ++
+          right.collect { case Project(pl, _) => pl })
+          .flatten.collect { case a: Alias => a.toAttribute -> a.child })
+      def expand(e: Expression): Expression = {
+        var cur = e
+        var i = 0
+        while (i < 4 && cur.exists {
+          case a: Attribute => aliasMap.contains(a)
+          case _ => false
+        }) {
+          cur = cur.transformUp {
+            case a: Attribute if aliasMap.contains(a) => aliasMap(a)
+          }
+          i += 1
+        }
+        cur
+      }
+      // compare in the fully-expanded normal form on BOTH sides:
+      // expansion rewrites the band base itself (p_ts → the arithmetic
+      // that defined it), so the raw attribute would never be found
+      def alreadyBlocked(x: Expression, y: Expression): Boolean = {
+        val (ex, ey) = (expand(x), expand(y))
+        def hits(a: Expression, b: Expression): Boolean =
+          Seq(a, b).map(expand).exists(e =>
+            e.exists(_.semanticEquals(ex)) ||
+              e.exists(_.semanticEquals(ey)))
+        conjuncts.exists {
+          case EqualTo(a, b) => hits(a, b)
+          case EqualNullSafe(a, b) => hits(a, b)
+          case _ => false
+        }
+      }
+      band match {
+        case Some((x, y, lo, hi))
+            if !(hasEqui && broadcastable) && !alreadyBlocked(x, y) =>
+          val b = Literal(math.max(hi - lo, 1L))
+          def fdiv(v: Expression): Expression =
+            IntegralDivide(Subtract(v, Pmod(v, b)), b)
+          val bkR = Alias(fdiv(Cast(y, LongType)), bandColName + "_r")()
+          val newRight = Project(right.output :+ bkR, right)
+          val xAdj = Subtract(Cast(x, LongType), Literal(lo))
+          val probe = fdiv(xAdj)
+          val out = AttributeReference(bandColName, LongType)()
+          val newLeft = Generate(
+            Explode(CreateArray(Seq(probe,
+              Subtract(probe, Literal(1L))))),
+            Nil, outer = false, None, Seq(out), left)
+          val newCond = And(EqualTo(out, bkR.toAttribute), cond)
+          Project(j.output,
+            Join(newLeft, newRight, Inner, Some(newCond), hint))
+        case _ => j
+      }
+  }
+}

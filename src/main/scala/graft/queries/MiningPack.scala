@@ -301,6 +301,41 @@ object MiningPack extends QueryPack {
       .orderBy("p_event")
   }
 
+  /** q296 — q261's candidate stage written the NAIVE way on purpose
+    * (the q276/q285 doctrine, extended to band joins in round 7): a
+    * plain `v.user = p.user ∧ p.ts − T ≤ v.ts ≤ p.ts` theta join with
+    * NO bucketing anywhere in the query text —
+    * [[graft.plans.BandJoinBlocking]] normalizes the two range
+    * conjuncts into the band `0 ≤ ts_p − ts_v ≤ T`, explodes the probe
+    * side into its 2 buckets, and plans the (user, bucket) equi-join
+    * q261 builds by hand. Same argmax + left-join readout and the same
+    * oracle as q261. At gate SFs the view side broadcasts and the
+    * equi-key stand-down correctly keeps Spark's BroadcastHashJoin;
+    * BandRuleSpec pins the forced rewrite and its exact-bag parity.
+    */
+  private def q296(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event"), col("user_id"),
+        col("us").as("ts_p"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_event"), col("user_id").as("v_user"),
+        col("us").as("ts_v"))
+    val cand = p.join(v,
+      col("user_id") === col("v_user") &&
+        col("ts_v") <= col("ts_p") &&
+        col("ts_v") >= col("ts_p") - asofTolUs)
+    val best = cand.groupBy("p_event")
+      .agg(max(struct(col("ts_v"), col("v_event"))).as("m"))
+    p.join(best, Seq("p_event"), "left")
+      .select(col("p_event"), col("user_id"), col("ts_p"),
+        col("m.v_event").as("v_event"), col("m.ts_v").as("ts_v"),
+        (col("ts_p") - col("m.ts_v")).as("gap_us"))
+      .orderBy("p_event")
+  }
+
   // --- q264: multi-touch attribution ---------------------------------------
 
   /** q264 — multi-touch revenue attribution, LONG-WINDOW plan: the same
@@ -569,6 +604,7 @@ object MiningPack extends QueryPack {
       "q259_linear_probe" -> q259 _,
       "q260_srp_lsh_dup" -> q260 _,
       "q261_asof_join" -> q261 _,
+      "q296_band_join_rule" -> q296 _,
       "q264_multitouch_attribution" -> q264 _,
       "q265_conformal_interval" -> q265 _,
       "q266_rbo_rank_overlap" -> q266 _,
@@ -834,6 +870,28 @@ object MiningPack extends QueryPack {
          |FROM fa FULL JOIN la USING (touch) FULL JOIN lin USING (touch)
          |ORDER BY touch""".stripMargin,
     "q261_asof_join" ->
+      s"""WITH e AS (
+         | SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+         | FROM events),
+         |p AS (SELECT event_id AS p_event, user_id, us AS ts_p
+         | FROM e WHERE event_type = 'purchase'),
+         |v AS (SELECT event_id AS v_event, user_id, us AS ts_v
+         | FROM e WHERE event_type = 'view'),
+         |cand AS (
+         | SELECT p.p_event, p.ts_p, v.v_event, v.ts_v
+         | FROM p JOIN v ON v.user_id = p.user_id
+         |  AND v.ts_v <= p.ts_p AND v.ts_v >= p.ts_p - $asofTolUs),
+         |m AS (SELECT p_event, max(ts_v) AS ts_v FROM cand GROUP BY 1),
+         |m2 AS (SELECT c.p_event, m.ts_v, max(c.v_event) AS v_event
+         | FROM cand c JOIN m ON c.p_event = m.p_event AND c.ts_v = m.ts_v
+         | GROUP BY 1, 2)
+         |SELECT p.p_event, p.user_id, p.ts_p, m2.v_event, m2.ts_v,
+         | p.ts_p - m2.ts_v AS gap_us
+         |FROM p LEFT JOIN m2 ON p.p_event = m2.p_event
+         |ORDER BY p.p_event""".stripMargin,
+    // q296 computes q261's relation through the naive band spelling —
+    // one oracle, two physical strategies (the q70/q72 pattern).
+    "q296_band_join_rule" ->
       s"""WITH e AS (
          | SELECT event_id, user_id, event_type, epoch_us(ts) AS us
          | FROM events),
