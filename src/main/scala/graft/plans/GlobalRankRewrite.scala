@@ -52,7 +52,8 @@ import org.apache.spark.sql.types._
   *      untouched.
   *
   * Eligibility: every window expression is `row_number()`, `ntile(k)`,
-  * `rank()`, `dense_rank()`, or `percent_rank()` (since round 7: ties
+  * `rank()`, `dense_rank()`, `percent_rank()`, or `cume_dist()` — the
+  * complete SQL rank-function family — (since round 7: ties
   * are slice-safe because equal ORDER BY tuples share the first key and
   * therefore a slice, so global rank = per-slice rank + whole-slice row
   * offsets, dense rank adds per-slice DISTINCT-tuple offsets — distinct
@@ -90,6 +91,10 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
       case _: Rank => true
       case _: DenseRank => true
       case _: PercentRank => true
+      // cume_dist = (rows in the range frame ≤ current) / total: the
+      // numerator decomposes as per-slice range-frame count + whole-
+      // slice row offset (ties share a slice), one exact division
+      case _: CumeDist => true
       case _ => false
     }
     case _ => false
@@ -290,6 +295,7 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
       case _ => false
     }
     val needDr = fns.exists { case _: DenseRank => true; case _ => false }
+    val needLe = fns.exists { case _: CumeDist => true; case _ => false }
 
     // ONE boundary subtree, shared by both branches (trees are
     // immutable; its attributes never escape either branch's Project,
@@ -313,9 +319,16 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     val localDr = Alias(WindowExpression(DenseRank(orderKeys),
       WindowSpecDefinition(Seq(pidL), order, rangeFrame)),
       "graft_rank_ldr")()
+    // rows in the slice's range frame ≤ current (cume_dist numerator)
+    val localLe = Alias(WindowExpression(
+      AggregateExpression(Count(Seq(Literal(1))), Complete,
+        isDistinct = false),
+      WindowSpecDefinition(Seq(pidL), order, rangeFrame)),
+      "graft_rank_lle")()
     val locals = (if (needRn) Seq(localRn) else Nil) ++
       (if (needRk) Seq(localRk) else Nil) ++
-      (if (needDr) Seq(localDr) else Nil)
+      (if (needDr) Seq(localDr) else Nil) ++
+      (if (needLe) Seq(localLe) else Nil)
     val rankWin = Window(locals, Seq(pidL), order, rangedL)
 
     // offsets branch: same child + same boundary row → identical slice.
@@ -371,6 +384,7 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     val grn = plusOff(localRn, offAlias)
     val grk = plusOff(localRk, offAlias)
     val gdr = plusOff(localDr, doffAlias)
+    val gle = plusOff(localLe, offAlias)
     val tot = totAlias.toAttribute
     val outExprs = exprs.map {
       case a @ Alias(WindowExpression(RowNumber(), _), name) =>
@@ -394,6 +408,10 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
               Cast(Subtract(tot, Literal(1L)), DoubleType)))),
           Some(Literal(0.0)))
         Alias(pr, name)(exprId = a.exprId, qualifier = a.qualifier)
+      case a @ Alias(WindowExpression(_: CumeDist, _), name) =>
+        // Spark: (rows in frame ≤ current) / n — both exact integers
+        val cd = Divide(Cast(gle, DoubleType), Cast(tot, DoubleType))
+        Alias(cd, name)(exprId = a.exprId, qualifier = a.qualifier)
       case other => other // unreachable under `supported`
     }
     Project(child.output ++ outExprs, joined)

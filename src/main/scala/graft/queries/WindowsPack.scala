@@ -366,6 +366,7 @@ object WindowsPack extends QueryPack {
       .withColumn("rk", rank().over(w))
       .withColumn("dr", dense_rank().over(w))
       .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
       .groupBy((col("dr") % 10).as("dr_mod"))
       .agg(count(lit(1)).as("n_docs"),
         min("rk").as("min_rank"),
@@ -373,7 +374,8 @@ object WindowsPack extends QueryPack {
         max("dr").as("max_dense"),
         // min/max, not sum: double sums are accumulation-order-dependent
         round(min("pr"), 6).as("min_pr6"),
-        round(max("pr"), 6).as("max_pr6"))
+        round(max("pr"), 6).as("max_pr6"),
+        round(max("cd"), 6).as("max_cd6"))
       .orderBy("dr_mod")
   }
 
@@ -423,14 +425,16 @@ object WindowsPack extends QueryPack {
         | SELECT doc_id, n_chars,
         |  rank() OVER (ORDER BY n_chars) AS rk,
         |  dense_rank() OVER (ORDER BY n_chars) AS dr,
-        |  percent_rank() OVER (ORDER BY n_chars) AS pr
+        |  percent_rank() OVER (ORDER BY n_chars) AS pr,
+        |  cume_dist() OVER (ORDER BY n_chars) AS cd
         | FROM documents)
         |SELECT CAST(dr % 10 AS BIGINT) AS dr_mod, count(*) AS n_docs,
         | CAST(min(rk) AS INT) AS min_rank,
         | CAST(max(rk) AS INT) AS max_rank,
         | CAST(max(dr) AS INT) AS max_dense,
         | round(min(pr), 6) AS min_pr6,
-        | round(max(pr), 6) AS max_pr6
+        | round(max(pr), 6) AS max_pr6,
+        | round(max(cd), 6) AS max_cd6
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "q272_vshape_patterns" ->
       """WITH daily AS (

@@ -285,10 +285,11 @@ class GlobalRankRewriteSpec extends SparkSpecBase {
     val build = () => df.select(col("id"), col("t"),
       rank().over(w).as("rk"),
       dense_rank().over(w).as("dr"),
-      percent_rank().over(w).as("pr"))
+      percent_rank().over(w).as("pr"),
+      cume_dist().over(w).as("cd"))
     val expected = naive(build().collect()
-      .map(x => (x.getLong(0), x.getInt(2), x.getInt(3), x.getDouble(4)))
-      .sorted.toSeq)
+      .map(x => (x.getLong(0), x.getInt(2), x.getInt(3), x.getDouble(4),
+        x.getDouble(5))).sorted.toSeq)
     forced {
       val r = build()
       val p = r.queryExecution.executedPlan.toString
@@ -298,8 +299,8 @@ class GlobalRankRewriteSpec extends SparkSpecBase {
       assert(windows.forall(_.contains("graft_rank")),
         s"no corpus-grain unpartitioned window may remain:\n${p.take(4000)}")
       val got = r.collect()
-        .map(x => (x.getLong(0), x.getInt(2), x.getInt(3), x.getDouble(4)))
-        .sorted.toSeq
+        .map(x => (x.getLong(0), x.getInt(2), x.getInt(3), x.getDouble(4),
+          x.getDouble(5))).sorted.toSeq
       assert(got === expected)
     }
   }
