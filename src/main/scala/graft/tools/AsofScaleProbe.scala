@@ -98,16 +98,46 @@ object AsofScaleProbe {
         .agg(sum(col("np") * col("nv"))).collect().head.getLong(0)
 
       val (nb, tB) = timed(bucketed().count())
+      // since round 7 the naive text is itself auto-planned by
+      // BandJoinBlocking whenever neither side broadcasts — that IS the
+      // engine arm. The true naive baseline needs the rule excluded
+      // (conf is read at optimization time, so each arm materializes
+      // under its own conf — the RuleScaleProbe drill).
+      val excl = "spark.sql.optimizer.excludedRules" ->
+        "graft.plans.BandJoinBlocking"
+      val (nr, tR) = {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          require(naive().queryExecution.executedPlan.toString
+            .contains("graft_band"), s"band rule did not fire at k=$k")
+          timed(naive().count())
+        } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+          "10485760")
+      }
+      spark.conf.set(excl._1, excl._2)
       val (nn, tN) = if (k <= naiveMaxK) timed(naive().count())
         else (-1L, -1.0)
       if (k <= naiveMaxK) {
-        val diff = bucketed().exceptAll(naive()).count() +
-          naive().exceptAll(bucketed()).count()
+        val naiveRows = naive()
+        val diff = bucketed().exceptAll(naiveRows).count() +
+          naiveRows.exceptAll(bucketed()).count()
         require(diff == 0, s"as-of mismatch at k=$k")
+      }
+      spark.conf.unset(excl._1)
+      if (k <= naiveMaxK) {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          val ruled = naive()
+          val diff = bucketed().exceptAll(ruled).count() +
+            ruled.exceptAll(bucketed()).count()
+          require(diff == 0, s"rule-planned as-of diverged at k=$k")
+        } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+          "10485760")
       }
       println(s"""{"k":$k,"events":$n,"matched":$nb,""" +
         s""""naive_pairs":$naivePairs,"bucket_pairs":$bucketPairs,""" +
-        s""""t_bucketed":${f"$tB%.2f"},"naive_matched":$nn,""" +
+        s""""t_bucketed":${f"$tB%.2f"},"t_rule":${f"$tR%.2f"},""" +
+        s""""rule_matched":$nr,"naive_matched":$nn,""" +
         s""""t_naive":${f"$tN%.2f"}}""")
       e.unpersist()
     }
