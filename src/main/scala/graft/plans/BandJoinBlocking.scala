@@ -17,11 +17,16 @@ import org.apache.spark.sql.types._
   * builds by hand, promoted to an engine capability (the third member
   * of the family after [[HammingJoinBlocking]] and
   * [[GlobalRankRewrite]]). Eligibility: an INNER join whose condition
-  * conjuncts bound `X − Y` from BOTH sides with integral literals
-  * (after normalizing `x ± c cmp y ± c'` in any of the four comparison
-  * spellings, strict forms tightened by 1), X and Y integral-typed
-  * (int/long — the repo's epoch-micros doctrine keeps time BIGINT, so
-  * time bands are integral bands), deterministic, one side each.
+  * conjuncts bound `X − Y` from BOTH sides with literal offsets (after
+  * normalizing `x ± c cmp y ± c'` in any of the four comparison
+  * spellings, strict forms tightened by 1 base unit), X and Y
+  * integral-, DATE-, or TIMESTAMP-typed from one side each,
+  * deterministic, same ordering domain. Offsets follow the key's unit:
+  * plain ± for integrals, `date_add/date_sub` DAYS for dates,
+  * `ts ± INTERVAL` day-time MICROS for timestamps — so both the
+  * epoch-micros BIGINT doctrine this repo uses and the native
+  * `BETWEEN date_sub(d, 30) AND d` / `ts - INTERVAL '7' DAY` SQL
+  * spellings all normalize.
   *
   * Rewrite: with `lo ≤ X − Y ≤ hi`, W = hi − lo, B = max(W, 1):
   * every qualifying Y lies in `[X − lo − B, X − lo]`, so
@@ -55,6 +60,19 @@ object BandJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
   private def integral(dt: DataType): Boolean =
     dt == IntegerType || dt == LongType || dt == ShortType || dt == ByteType
 
+  /** Bandable key kinds; the offset unit follows the kind (days for
+    * dates, micros for timestamps, the value itself for integrals). */
+  private def bandable(dt: DataType): Boolean =
+    integral(dt) || dt == DateType || dt == TimestampType
+
+  /** Same ordering domain: exact type match for date/timestamp, any
+    * integral pairing otherwise (comparison coercion widens anyway). */
+  private def sameKind(a: DataType, b: DataType): Boolean = (a, b) match {
+    case (DateType, DateType) => true
+    case (TimestampType, TimestampType) => true
+    case (x, y) => integral(x) && integral(y)
+  }
+
   private def litLong(e: Expression): Option[Long] = e match {
     case Literal(v: Int, IntegerType) => Some(v.toLong)
     case Literal(v: Long, LongType) => Some(v)
@@ -63,7 +81,18 @@ object BandJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
-  /** `e` as `base + offset` with a literal integral offset. */
+  /** A day-time interval literal in MICROS (sign-folded or not — by
+    * optimize time ConstantFolding usually has, but be tolerant). */
+  private def litInterval(e: Expression): Option[Long] = e match {
+    case Literal(v: Long, _: DayTimeIntervalType) => Some(v)
+    case UnaryMinus(Literal(v: Long, _: DayTimeIntervalType), _) =>
+      Some(-v)
+    case _ => None
+  }
+
+  /** `e` as `base + offset` with a literal offset in the base's unit:
+    * plain ± for integrals, date_add/date_sub days for dates,
+    * `ts ± INTERVAL` micros for timestamps. */
   private def lin(e: Expression): (Expression, Long) = e match {
     case Add(a, l, _) if litLong(l).isDefined =>
       val (b, o) = lin(a); (b, o + litLong(l).get)
@@ -71,7 +100,22 @@ object BandJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
       val (b, o) = lin(a); (b, o + litLong(l).get)
     case Subtract(a, l, _) if litLong(l).isDefined =>
       val (b, o) = lin(a); (b, o - litLong(l).get)
+    case DateAdd(a, l) if litLong(l).isDefined =>
+      val (b, o) = lin(a); (b, o + litLong(l).get)
+    case DateSub(a, l) if litLong(l).isDefined =>
+      val (b, o) = lin(a); (b, o - litLong(l).get)
+    case TimestampAddInterval(a, l, _) if litInterval(l).isDefined =>
+      val (b, o) = lin(a); (b, o + litInterval(l).get)
     case _ => (e, 0L)
+  }
+
+  /** The bucket-arithmetic form of a band base: dates as epoch days,
+    * timestamps as epoch micros (matching [[lin]]'s offset units),
+    * integrals widened to long. */
+  private def asNum(e: Expression): Expression = e.dataType match {
+    case DateType => Cast(UnixDate(e), LongType)
+    case TimestampType => UnixMicros(e)
+    case _ => Cast(e, LongType)
   }
 
   /** One-sided bound `lBase − rBase ≤ bound` (isUpper) or `≥ bound`,
@@ -87,7 +131,8 @@ object BandJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
         aLeqB: Boolean): Option[Bound] = {
       val (ab, ao) = lin(a)
       val (bb, bo) = lin(b)
-      if (!integral(ab.dataType) || !integral(bb.dataType) ||
+      if (!bandable(ab.dataType) || !bandable(bb.dataType) ||
+        !sameKind(ab.dataType, bb.dataType) ||
         !ab.deterministic || !bb.deterministic ||
         ab.references.isEmpty || bb.references.isEmpty) None
       else if (ab.references.subsetOf(left.outputSet) &&
@@ -127,7 +172,13 @@ object BandJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
 
   def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(cond), hint)
-        if !left.output.exists(_.name == bandColName) &&
+        // streaming interval joins ARE bands, but their state cleanup
+        // hangs off the raw time-bound conjuncts the watermark analyzer
+        // extracted — injecting a bucket key breaks
+        // StreamingSymmetricHashJoin's state manager. Spark's native
+        // interval join already IS the bounded-state plan there.
+        if !j.isStreaming &&
+          !left.output.exists(_.name == bandColName) &&
           !right.output.exists(_.name == bandColName) =>
       val conjuncts = splitConjunctivePredicates(cond)
       val bounds = conjuncts.flatMap(boundOf(_, left, right))
@@ -196,9 +247,9 @@ object BandJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
           val b = Literal(math.max(hi - lo, 1L))
           def fdiv(v: Expression): Expression =
             IntegralDivide(Subtract(v, Pmod(v, b)), b)
-          val bkR = Alias(fdiv(Cast(y, LongType)), bandColName + "_r")()
+          val bkR = Alias(fdiv(asNum(y)), bandColName + "_r")()
           val newRight = Project(right.output :+ bkR, right)
-          val xAdj = Subtract(Cast(x, LongType), Literal(lo))
+          val xAdj = Subtract(asNum(x), Literal(lo))
           val probe = fdiv(xAdj)
           val out = AttributeReference(bandColName, LongType)()
           val newLeft = Generate(

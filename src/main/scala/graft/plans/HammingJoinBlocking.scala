@@ -289,7 +289,11 @@ object HammingJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
 
   def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(cond), hint)
-        if !left.output.exists(_.name == segColName) &&
+        // stream-stream joins manage per-key state through the raw
+        // join shape — never restructure them (the BandJoinBlocking
+        // lesson; same hazard here)
+        if !j.isStreaming &&
+          !left.output.exists(_.name == segColName) &&
           !right.output.exists(_.name == segColName) =>
       val conjuncts = splitConjunctivePredicates(cond)
       val blocking = conjuncts.flatMap(c =>

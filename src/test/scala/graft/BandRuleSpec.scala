@@ -179,6 +179,54 @@ class BandRuleSpec extends SparkSpecBase {
       plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("DATE bands: date_sub spelling fires, exact bag in days") {
+    val s = spark
+    import s.implicits._
+    noBroadcast {
+      val base = spark.range(2000).select(col("id"),
+        date_add(lit(java.sql.Date.valueOf("2020-01-01")),
+          (col("id") * 37 % 365).cast("int")).as("d"))
+      val a = base.select(col("id").as("a_id"), col("d").as("a_d"))
+      val b = base.select(col("id").as("b_id"), col("d").as("b_d"))
+      val joined = a.join(b,
+        col("b_d") >= date_sub(col("a_d"), 30) && col("b_d") <= col("a_d"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_band"),
+        s"date band must rewrite:\n${plan.take(2500)}")
+      val got = joined.select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val days = (0 until 2000).map(i => (i.toLong, (i * 37 % 365)))
+      val expected = (for {
+        (ai, ad) <- days; (bi, bd) <- days
+        if bd >= ad - 30 && bd <= ad
+      } yield (ai, bi)).sorted
+      assert(expected.nonEmpty && got === expected)
+    }
+  }
+
+  test("TIMESTAMP bands: INTERVAL spelling fires, exact bag in micros") {
+    noBroadcast {
+      val base = spark.range(2000).select(col("id"),
+        timestamp_micros(col("id") * 7919L % 100000000L).as("t"))
+      val a = base.select(col("id").as("a_id"), col("t").as("a_t"))
+      val b = base.select(col("id").as("b_id"), col("t").as("b_t"))
+      val joined = a.join(b,
+        col("b_t") >= col("a_t") - expr("INTERVAL '10' SECOND") &&
+          col("b_t") <= col("a_t"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_band"),
+        s"timestamp band must rewrite:\n${plan.take(2500)}")
+      val got = joined.select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val us = (0 until 2000).map(i => (i.toLong, i * 7919L % 100000000L))
+      val expected = (for {
+        (ai, at) <- us; (bi, bt) <- us
+        if bt >= at - 10000000L && bt <= at
+      } yield (ai, bi)).sorted
+      assert(expected.nonEmpty && got === expected)
+    }
+  }
+
   test("half-bounded ranges do not fire") {
     val (p, v) = events
     noBroadcast {
