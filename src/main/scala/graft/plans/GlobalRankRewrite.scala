@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, CollectSet, Complete, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, CollectSet, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -53,7 +53,16 @@ import org.apache.spark.sql.types._
   *
   * Eligibility: every window expression is `row_number()`, `ntile(k)`,
   * `rank()`, `dense_rank()`, `percent_rank()`, or `cume_dist()` — the
-  * complete SQL rank-function family — (since round 7: ties
+  * complete SQL rank-function family — or a CUMULATIVE aggregate
+  * (sum/count/min/max/avg over an UnboundedPreceding..CurrentRow ROWS
+  * or RANGE frame, non-distinct, unfiltered; sum/avg restricted to
+  * exact types — integral/decimal — because a double running sum
+  * differs from the naive row-by-row fold by ulps). Cumulative aggs
+  * decompose as per-slice running value ⊕ exclusive prefix-combine of
+  * per-slice totals (Sum/Count prefix-sums, Min/Max prefix-min/max —
+  * Least/Greatest null-skipping IS the running-min/max semantics);
+  * Average splits into Sum and Count and divides once, bit-equal to
+  * Spark's own sum/count division. (Since round 7: ties
   * are slice-safe because equal ORDER BY tuples share the first key and
   * therefore a slice, so global rank = per-slice rank + whole-slice row
   * offsets, dense rank adds per-slice DISTINCT-tuple offsets — distinct
@@ -81,7 +90,39 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
 
   private val pidName = "graft_rank_pid"
 
+  /** Exact-arithmetic input types for cumulative Sum/Average: integral
+    * sums are order-independent (wrap identically), decimal sums are
+    * exact — double/float sums would differ from the naive plan's
+    * row-by-row accumulation by ulps, so they stand down. */
+  private def integralType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  private def exactSumType(dt: DataType): Boolean =
+    integralType(dt) || dt.isInstanceOf[DecimalType]
+
+  /** A cumulative-aggregate window: UnboundedPreceding..CurrentRow
+    * frame (ROWS or RANGE — the default agg-with-ORDER-BY frame is
+    * RANGE), non-distinct, unfiltered, and decomposable as per-slice
+    * running value ⊕ whole-prior-slice totals. */
+  private def cumulativeAgg(ne: NamedExpression): Boolean = ne match {
+    case Alias(WindowExpression(ae: AggregateExpression,
+        WindowSpecDefinition(_, _,
+          SpecifiedWindowFrame(_, UnboundedPreceding, CurrentRow))), _)
+        if !ae.isDistinct && ae.filter.isEmpty =>
+      ae.aggregateFunction match {
+        case Sum(e, _) => exactSumType(e.dataType)
+        case Average(e, _) => integralType(e.dataType)
+        case _: Count => true
+        case Min(_) | Max(_) => true
+        case _ => false
+      }
+    case _ => false
+  }
+
   private def supported(ne: NamedExpression): Boolean = ne match {
+    case _ if cumulativeAgg(ne) => true
     case Alias(WindowExpression(fn, _), _) => fn match {
       case RowNumber() => true
       case NTile(Literal(k: Int, IntegerType)) => k > 0
@@ -325,36 +366,97 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
         isDistinct = false),
       WindowSpecDefinition(Seq(pidL), order, rangeFrame)),
       "graft_rank_lle")()
+    // offsets branch pid (defined early — cumulative-agg prefixes below
+    // need its sort order): same child + same boundary row → identical
+    // slice. Row counts always; per-slice DISTINCT order-tuple counts
+    // only when a dense_rank needs them (distinct tuples cannot
+    // straddle slices — equal tuples share the first key — so prefix
+    // sums of per-slice distinct counts ARE the global dense offsets).
+    val pidAliasR = Alias(sliceOf(order.head, bndAttrs, nSlices),
+      pidName + "_r")()
+    val pidR = pidAliasR.toAttribute
+    val pidOrder = Seq(SortOrder(pidR, Ascending))
+
+    // --- cumulative-aggregate machinery (round 7): each supported agg
+    // window decomposes as a PER-SLICE running aggregate (local, same
+    // frame, partitioned by slice) ⊕ an EXCLUSIVE prefix-combine of
+    // per-slice totals (Sum/Count prefix-sum, Min/Max prefix-min/max);
+    // Average decomposes into its Sum and Count parts and divides once.
+    // combineOp: 0 = null-aware add (Sum), 1 = plain add (Count),
+    // 2 = Least (Min), 3 = Greatest (Max).
+    final case class CumUnit(local: Alias, slice: Alias, prefix: Alias,
+        combineOp: Int)
+    def cumUnit(fn: AggregateFunction, op: Int,
+        frame: SpecifiedWindowFrame, tag: String): CumUnit = {
+      val local = Alias(WindowExpression(
+        AggregateExpression(fn, Complete, isDistinct = false),
+        WindowSpecDefinition(Seq(pidL), order, frame)),
+        s"graft_rank_lcm$tag")()
+      val slice = Alias(AggregateExpression(fn, Complete,
+        isDistinct = false), s"graft_rank_tcm$tag")()
+      val pfn: AggregateFunction = op match {
+        case 2 => Min(slice.toAttribute)
+        case 3 => Max(slice.toAttribute)
+        case _ => Sum(slice.toAttribute)
+      }
+      val prefix = Alias(WindowExpression(
+        AggregateExpression(pfn, Complete, isDistinct = false),
+        WindowSpecDefinition(Nil, pidOrder,
+          SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
+            Literal(-1)))), s"graft_rank_pcm$tag")()
+      CumUnit(local, slice, prefix, op)
+    }
+    val cumSeq: Seq[(ExprId, Seq[CumUnit], Boolean)] =
+      exprs.zipWithIndex.flatMap {
+        case (a @ Alias(WindowExpression(ae: AggregateExpression,
+            WindowSpecDefinition(_, _,
+              f @ SpecifiedWindowFrame(_, UnboundedPreceding,
+                CurrentRow))), _), i) if cumulativeAgg(a) =>
+          ae.aggregateFunction match {
+            case s: Sum => Some((a.exprId, Seq(cumUnit(s, 0, f, s"s$i")),
+              false))
+            case c: Count => Some((a.exprId,
+              Seq(cumUnit(c, 1, f, s"c$i")), false))
+            case m: Min => Some((a.exprId,
+              Seq(cumUnit(m, 2, f, s"n$i")), false))
+            case m: Max => Some((a.exprId,
+              Seq(cumUnit(m, 3, f, s"x$i")), false))
+            case Average(e, _) => Some((a.exprId,
+              Seq(cumUnit(Sum(e), 0, f, s"as$i"),
+                cumUnit(Count(Seq(e)), 1, f, s"ac$i")), true))
+            case _ => None // unreachable under `supported`
+          }
+        case _ => None
+      }
+    val cumMap = cumSeq.map(c => c._1 -> c).toMap
+    val cumUnits = cumSeq.flatMap(_._2)
+
     val locals = (if (needRn) Seq(localRn) else Nil) ++
       (if (needRk) Seq(localRk) else Nil) ++
       (if (needDr) Seq(localDr) else Nil) ++
-      (if (needLe) Seq(localLe) else Nil)
+      (if (needLe) Seq(localLe) else Nil) ++
+      cumUnits.map(_.local)
     val rankWin = Window(locals, Seq(pidL), order, rangedL)
 
-    // offsets branch: same child + same boundary row → identical slice.
-    // Row counts always; per-slice DISTINCT order-tuple counts only when
-    // a dense_rank needs them (distinct tuples cannot straddle slices —
-    // equal tuples share the first key — so prefix sums of per-slice
-    // distinct counts ARE the global dense offsets).
-    val pidAliasR = Alias(sliceOf(order.head, bndAttrs, nSlices),
-      pidName + "_r")()
     val keyAliases = order.zipWithIndex.map { case (o, i) =>
       Alias(o.child, s"graft_rank_key$i")()
     }
+    // slice-aggregate inputs reference child columns, so pass them
+    // through when cumulative aggs exist (column pruning trims unused)
     val rangedR = Project(
-      if (needDr) pidAliasR +: keyAliases else Seq(pidAliasR),
+      (pidAliasR +: (if (needDr) keyAliases else Nil)) ++
+        (if (cumUnits.nonEmpty) child.output else Nil),
       broadcastCross(child, bnd))
-    val pidR = pidAliasR.toAttribute
     val cntAlias = Alias(AggregateExpression(Count(Seq(Literal(1))),
       Complete, isDistinct = false), "graft_rank_cnt")()
     val dcntAlias = Alias(AggregateExpression(
       Count(Seq(CreateStruct(keyAliases.map(_.toAttribute)))),
       Complete, isDistinct = true), "graft_rank_dcnt")()
     val counts = Aggregate(Seq(pidR),
-      if (needDr) Seq(pidR, cntAlias, dcntAlias) else Seq(pidR, cntAlias),
+      (Seq(pidR, cntAlias) ++ (if (needDr) Seq(dcntAlias) else Nil)) ++
+        cumUnits.map(_.slice),
       rangedR)
     val cnt = cntAlias.toAttribute
-    val pidOrder = Seq(SortOrder(pidR, Ascending))
     def prefixSum(x: Attribute, name: String): Alias =
       Alias(WindowExpression(
         AggregateExpression(Sum(x), Complete, isDistinct = false),
@@ -369,7 +471,8 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
         SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
           UnboundedFollowing))), "graft_rank_tot")()
     val offWins = Seq(offAlias, totAlias) ++
-      (if (needDr) Seq(doffAlias) else Nil)
+      (if (needDr) Seq(doffAlias) else Nil) ++
+      cumUnits.map(_.prefix)
     val offWin = Window(offWins, Nil, pidOrder, counts)
     val offs = Project(pidR +: offWins.map(_.toAttribute), offWin)
 
@@ -386,7 +489,32 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     val gdr = plusOff(localDr, doffAlias)
     val gle = plusOff(localLe, offAlias)
     val tot = totAlias.toAttribute
+    // global value of one cumulative-agg unit: running local ⊕ the
+    // exclusive prefix of prior-slice totals
+    def combineUnit(u: CumUnit): Expression = {
+      val l = u.local.toAttribute
+      val p = u.prefix.toAttribute
+      u.combineOp match {
+        case 0 => // Sum: null only when BOTH parts saw no non-null input
+          If(And(IsNull(l), IsNull(p)), Literal(null, l.dataType),
+            Add(Coalesce(Seq(l, Literal.default(l.dataType))),
+              Cast(Coalesce(Seq(p, Literal.default(p.dataType))),
+                l.dataType)))
+        case 1 => Add(l, Coalesce(Seq(p, Literal(0L)))) // Count: no nulls
+        case 2 => Least(Seq(l, p)) // Least/Greatest skip nulls — exactly
+        case 3 => Greatest(Seq(l, p)) // the running-min/max semantics
+      }
+    }
     val outExprs = exprs.map {
+      case a: Alias if cumMap.contains(a.exprId) =>
+        val (_, units, isAvg) = cumMap(a.exprId)
+        val value =
+          if (isAvg)
+            Divide(Cast(combineUnit(units(0)), DoubleType),
+              Cast(combineUnit(units(1)), DoubleType))
+          else combineUnit(units.head)
+        Alias(Cast(value, a.dataType), a.name)(exprId = a.exprId,
+          qualifier = a.qualifier)
       case a @ Alias(WindowExpression(RowNumber(), _), name) =>
         Alias(Cast(grn, IntegerType), name)(exprId = a.exprId,
           qualifier = a.qualifier)

@@ -379,10 +379,39 @@ object WindowsPack extends QueryPack {
       .orderBy("dr_mod")
   }
 
+  /** q297 — the DATA-SELECTION BUDGET CURVE, the cumulative-aggregate
+    * member of the naive-global-window set (q285/q291/q294): documents
+    * ordered best-first (longest-first here — stand-in for a quality
+    * score), one window computes the running corpus size (chars and
+    * docs) alongside the selection vigintile, and the readout is the
+    * budget each 5%-prefix costs — the curve a "select the best X under
+    * a token budget" decision reads. Round 7's cumulative extension of
+    * [[graft.plans.GlobalRankRewrite]] plans the running sums
+    * per-slice + prefix-combined; the ntile shares the same slicing.
+    * At gate SFs the input sits under the broadcast threshold;
+    * GlobalRankRewriteSpec pins the forced rewrite's exact parity.
+    */
+  private def q297(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("cum_chars", sum("n_chars").over(w))
+      .withColumn("cum_docs", count(lit(1)).over(w))
+      .withColumn("tile", ntile(20).over(wt))
+      .groupBy("tile")
+      .agg(max("cum_chars").as("budget_chars"),
+        max("cum_docs").as("budget_docs"),
+        min("n_chars").as("min_doc_chars"))
+      .orderBy("tile")
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q285_global_ntile_rule" -> q285 _,
     "q291_string_rank_rule" -> q291 _,
     "q294_rank_family_rule" -> q294 _,
+    "q297_budget_curve" -> q297 _,
     "q145_transition_matrix" -> q145 _,
     "q85_range_frame" -> q85 _,
     "q87_gaps_islands" -> q87 _,
@@ -436,6 +465,22 @@ object WindowsPack extends QueryPack {
         | round(max(pr), 6) AS max_pr6,
         | round(max(cd), 6) AS max_cd6
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q297_budget_curve" ->
+      """WITH t AS (
+        | SELECT doc_id, n_chars,
+        |  sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS cum_chars,
+        |  count(*) OVER (ORDER BY n_chars DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS cum_docs,
+        |  ntile(20) OVER (ORDER BY n_chars DESC, doc_id) AS tile
+        | FROM documents)
+        |SELECT tile,
+        | CAST(max(cum_chars) AS BIGINT) AS budget_chars,
+        | CAST(max(cum_docs) AS BIGINT) AS budget_docs,
+        | CAST(min(n_chars) AS BIGINT) AS min_doc_chars
+        |FROM t GROUP BY tile ORDER BY tile""".stripMargin,
     "q272_vshape_patterns" ->
       """WITH daily AS (
         | SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS d,

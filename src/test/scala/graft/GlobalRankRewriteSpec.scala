@@ -260,11 +260,19 @@ class GlobalRankRewriteSpec extends SparkSpecBase {
         Window.partitionBy(col("id") % 7).orderBy(col("v"), col("id"))))
       assert(!part.queryExecution.executedPlan.toString
         .contains("graft_rank_pid"))
-      // mixed row_number + running sum: the sum needs the global frame
-      val mixed = df.select(col("id"),
-        row_number().over(Window.orderBy(col("v"), col("id"))).as("rn"),
-        sum("v").over(Window.orderBy(col("v"), col("id"))).as("s"))
-      assert(!mixed.queryExecution.executedPlan.toString
+      // DOUBLE running sum: accumulation order differs by ulps from the
+      // naive row-by-row fold — exact-type doctrine stands it down
+      // (integral/decimal sums rewrite since round 7)
+      val dbl = df.withColumn("d", col("v").cast("double"))
+        .select(col("id"),
+          sum("d").over(Window.orderBy(col("v"), col("id"))).as("s"))
+      assert(!dbl.queryExecution.executedPlan.toString
+        .contains("graft_rank_pid"))
+      // moving frames (not UP..CR) are not cumulative — stand down
+      val moving = df.select(col("id"),
+        sum("v").over(Window.orderBy(col("v"), col("id"))
+          .rowsBetween(-2, 0)).as("s"))
+      assert(!moving.queryExecution.executedPlan.toString
         .contains("graft_rank_pid"))
     }
     // default threshold: a tiny input executes fine in one task
@@ -301,6 +309,62 @@ class GlobalRankRewriteSpec extends SparkSpecBase {
       val got = r.collect()
         .map(x => (x.getLong(0), x.getInt(2), x.getInt(3), x.getDouble(4),
           x.getDouble(5))).sorted.toSeq
+      assert(got === expected)
+    }
+  }
+
+  test("cumulative aggregates: running sum/count/min/max/avg, exact") {
+    // round-7 extension: global UP..CR aggregate windows decompose as
+    // per-slice running value + exclusive prefix-combine of slice
+    // totals. ROWS frame over a TOTAL order (exactness needs a
+    // deterministic row sequence, same as row_number).
+    val df = corpus(5000).withColumn("m",
+      when(col("id") % 11 === 0, lit(null)).otherwise(col("v") - 5000))
+    val w = Window.orderBy(col("v"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val build = () => df.select(col("id"),
+      sum("m").over(w).as("s"),
+      count("m").over(w).as("c"),
+      min("m").over(w).as("mn"),
+      max("m").over(w).as("mx"),
+      avg("m").over(w).as("a"))
+    def collect(r: org.apache.spark.sql.DataFrame) = r.collect()
+      .map(x => (x.getLong(0),
+        if (x.isNullAt(1)) None else Some(x.getLong(1)),
+        x.getLong(2),
+        if (x.isNullAt(3)) None else Some(x.getLong(3)),
+        if (x.isNullAt(4)) None else Some(x.getLong(4)),
+        if (x.isNullAt(5)) None else Some(x.getDouble(5))))
+      .sorted.toSeq
+    val expected = naive(collect(build()))
+    forced {
+      val r = build()
+      val p = r.queryExecution.executedPlan.toString
+      assert(p.contains("graft_rank_pid"),
+        s"rule must fire on cumulative aggs:\n${p.take(3000)}")
+      val windows = p.linesIterator.filter(_.contains("Window ")).toList
+      assert(windows.forall(_.contains("graft_rank")),
+        s"no corpus-grain unpartitioned window may remain:\n${p.take(4000)}")
+      assert(collect(r) === expected)
+    }
+  }
+
+  test("cumulative RANGE frame with ties matches naive (default frame)") {
+    // default agg-with-ORDER-BY frame is RANGE UP..CR: all tied rows
+    // share the group total — well-defined under ties, slice-safe
+    val df = corpus(4000).withColumn("t", col("v") % 37)
+    val w = Window.orderBy(col("t")) // ties + default RANGE frame
+    val build = () => df.select(col("id"),
+      sum("v").over(w).as("s"),
+      count(lit(1)).over(w).as("c"))
+    val expected = naive(build().collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).sorted.toSeq)
+    forced {
+      val r = build()
+      assert(r.queryExecution.executedPlan.toString
+        .contains("graft_rank_pid"))
+      val got = r.collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).sorted.toSeq
       assert(got === expected)
     }
   }
