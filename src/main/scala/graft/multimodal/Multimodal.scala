@@ -7,10 +7,14 @@ import graft.catalog.Tables
 /** Multimodal-column plumbing: image/audio/video payloads modeled as opaque
   * `binary` columns with typed metadata, plus batched feature extraction.
   *
-  * The container has no media codecs, so the *decode* step is a
-  * clearly-marked deterministic stub ([[fakeDecode]]) — the Spark-side
-  * plumbing (schema, binary columns, batch iteration shape, partitioning)
-  * is real and oracle/spec-tested. In PySpark this stage would be
+  * Two decode tiers. The container has no media codec LIBRARIES, so the
+  * generic decode is a clearly-marked deterministic stub ([[fakeDecode]])
+  * — but formats that need no library decode for REAL: [[decodePgm]] is a
+  * genuine Netpbm P5 parser over valid images [[pgmTable]] encodes
+  * (q298), so the decode stage itself is exercised, not only the
+  * plumbing. Either way the Spark side (schema, binary columns, batch
+  * iteration shape, partitioning) is oracle/spec-tested. In PySpark this
+  * stage would be
   * `mapInPandas` (arrow-batched pandas UDF); the Scala-native equivalent
   * of that batch shape is `Dataset.mapPartitions` with an `Encoder` —
   * per-partition imperative iteration, zero driver involvement, state
@@ -84,6 +88,106 @@ object Multimodal {
           val n = r.payload.length
           MediaFeatures(r.doc_id, n, hist, sum,
             if (n == 0) 0.0 else sum.toDouble / n)
+        }
+      }
+  }
+
+  // --- REAL codec: Netpbm P5 (binary PGM) ----------------------------------
+
+  /** A media table whose payloads are REAL images: each document's bytes
+    * become the pixel plane of a valid Netpbm P5 (binary PGM) grayscale
+    * image — a published, codec-free format, so the decode step below is
+    * a genuine parser rather than [[fakeDecode]]'s stand-in. The header
+    * is built with native string expressions; the pixel plane is the
+    * UTF-8 text zero-padded/truncated to width×height via binary rpad.
+    * Dimensions vary per document (hash-derived), so the parser's field
+    * reading is actually exercised.
+    */
+  def pgmTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        (col("doc_id") % 7 * 8 + 16).cast("int").as("width"),
+        (col("doc_id") % 5 * 8 + 16).cast("int").as("height"),
+        col("text"))
+      .select(col("doc_id"), col("width"), col("height"),
+        expr("cast(concat(" +
+          "cast(concat('P5\n', cast(width as string), ' ', " +
+          "cast(height as string), '\n255\n') as binary), " +
+          "rpad(cast(text as binary), width * height, X'00')) as binary)")
+          .as("payload"))
+
+  final case class PgmImage(width: Int, height: Int, maxVal: Int,
+      pixels: Array[Byte])
+
+  /** REAL Netpbm P5 parser (the published netpbm spec): `P5` magic,
+    * whitespace runs and `#`-to-end-of-line comments between header
+    * fields, three decimal fields (width, height, maxval ≤ 255), exactly
+    * ONE whitespace byte after maxval, then exactly width×height raw
+    * pixel bytes. Returns None on ANY malformation — truncated planes,
+    * trailing garbage, missing fields, out-of-range maxval.
+    */
+  def decodePgm(payload: Array[Byte]): Option[PgmImage] = {
+    if (payload.length < 2 || payload(0) != 'P'.toByte ||
+      payload(1) != '5'.toByte) return None
+    var i = 2
+    def isWs(b: Byte): Boolean =
+      b == ' '.toByte || b == '\n'.toByte || b == '\r'.toByte ||
+        b == '\t'.toByte
+    def skipWsAndComments(): Unit = {
+      var go = true
+      while (go && i < payload.length) {
+        if (isWs(payload(i))) i += 1
+        else if (payload(i) == '#'.toByte) {
+          while (i < payload.length && payload(i) != '\n'.toByte) i += 1
+        } else go = false
+      }
+    }
+    def readField(): Int = {
+      skipWsAndComments()
+      val s = i
+      while (i < payload.length && payload(i) >= '0'.toByte &&
+        payload(i) <= '9'.toByte) i += 1
+      if (i == s || i - s > 7) -1
+      else new String(payload, s, i - s, "US-ASCII").toInt
+    }
+    val w = readField()
+    val h = readField()
+    val m = readField()
+    if (w <= 0 || h <= 0 || m <= 0 || m > 255) return None
+    // exactly one whitespace byte separates maxval from the plane
+    if (i >= payload.length || !isWs(payload(i))) return None
+    i += 1
+    val n = w.toLong * h.toLong
+    if (n > Int.MaxValue || payload.length - i != n.toInt) return None
+    Some(PgmImage(w, h, m,
+      java.util.Arrays.copyOfRange(payload, i, payload.length)))
+  }
+
+  final case class PgmFeatures(doc_id: Long, width: Int, height: Int,
+      n_pixels: Int, pix_sum: Long, mean_pixel: Double)
+
+  /** Batched REAL decode + feature extraction — the same sanctioned
+    * mapPartitions batch shape as [[extractFeatures]], but the body is
+    * the genuine [[decodePgm]] parser; undecodable payloads are dropped
+    * (the DLQ shape — count them upstream via `decodePgm(..).isEmpty`
+    * if the pipeline needs the audit).
+    */
+  def extractPgmFeatures(media: DataFrame): Dataset[PgmFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "payload").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          decodePgm(r.payload).map { img =>
+            var sum = 0L
+            var j = 0
+            while (j < img.pixels.length) {
+              sum += img.pixels(j) & 0xff; j += 1
+            }
+            val n = img.width * img.height
+            PgmFeatures(r.doc_id, img.width, img.height, n, sum,
+              if (n == 0) 0.0 else sum.toDouble / n)
+          }
         }
       }
   }

@@ -51,6 +51,27 @@ object MultimodalStreamPack extends QueryPack {
         posexplode(col("histogram")).as(Seq("bin", "bin_count")))
       .orderBy("doc_id", "bin")
 
+  /** q298 — REAL codec decode: each document's bytes travel as a VALID
+    * Netpbm P5 (binary PGM) grayscale image — a published,
+    * dependency-free format — and [[Multimodal.decodePgm]] is a genuine
+    * parser (magic, `#` comments, whitespace runs, exact plane length),
+    * not q96's documented stand-in. This closes the round-6 "real
+    * codec-backed decode" gap to the extent the sandbox allows: real
+    * decode for a real format that needs no codec library. Features
+    * flow through the same sanctioned mapPartitions batch path; the
+    * oracle recomputes pixel stats from the payload CONSTRUCTION (text
+    * bytes zero-padded to width×height — padding contributes 0), while
+    * the parser itself is pinned by MultimodalSpec's roundtrip,
+    * comment/whitespace, and malformation cases.
+    */
+  private def q298(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractPgmFeatures(Multimodal.pgmTable(s, dir))
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        col("n_pixels"), col("pix_sum"),
+        round(col("mean_pixel"), 6).as("mean_pixel6"))
+      .orderBy("doc_id")
+
   /** q49 — native session_window, batch mode, over the events table. */
   private def q49(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
@@ -96,11 +117,29 @@ object MultimodalStreamPack extends QueryPack {
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q95_media_meta" -> q95 _,
     "q96_media_features" -> q96 _,
+    "q298_pgm_decode" -> q298 _,
     "q49_session_window" -> q49 _,
     "q58_tumbling_window" -> q58 _,
     "q59_sliding_window" -> q59 _)
 
   override val oracle: Seq[(String, String)] = Seq(
+    "q298_pgm_decode" ->
+      """WITH base AS (
+        | SELECT doc_id,
+        |  CAST(doc_id % 7 * 8 + 16 AS INT) AS width,
+        |  CAST(doc_id % 5 * 8 + 16 AS INT) AS height,
+        |  text
+        | FROM documents),
+        |px AS (
+        | SELECT doc_id, width, height, width * height AS n_pixels,
+        |  CAST(coalesce(list_sum(list_transform(
+        |    string_split(text[1:width * height], ''), c -> ascii(c))), 0)
+        |   AS BIGINT) AS pix_sum
+        | FROM base)
+        |SELECT doc_id, width, height, CAST(n_pixels AS INT) AS n_pixels,
+        | pix_sum,
+        | round(CAST(pix_sum AS DOUBLE) / n_pixels, 6) AS mean_pixel6
+        |FROM px ORDER BY doc_id""".stripMargin,
     "q95_media_meta" ->
       """SELECT doc_id,
         | (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,

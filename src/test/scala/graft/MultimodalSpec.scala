@@ -28,6 +28,54 @@ class MultimodalSpec extends SparkSpecBase {
       && out(2L).mean_byte === 0.0)
   }
 
+  test("decodePgm: roundtrip against the encoded table") {
+    val media = Multimodal.pgmTable(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "width", "height", "payload")
+      .collect().take(50)
+    assert(media.nonEmpty)
+    for (r <- media) {
+      val img = Multimodal.decodePgm(r.getAs[Array[Byte]]("payload"))
+      assert(img.isDefined, s"doc ${r.getLong(0)} must decode")
+      assert(img.get.width === r.getInt(1) &&
+        img.get.height === r.getInt(2) && img.get.maxVal === 255)
+      assert(img.get.pixels.length === r.getInt(1) * r.getInt(2))
+    }
+  }
+
+  test("decodePgm: real-parser behaviors — comments, whitespace, maxval") {
+    def pgm(header: String, planeLen: Int): Array[Byte] =
+      header.getBytes("US-ASCII") ++ Array.fill(planeLen)(7.toByte)
+    // canonical
+    assert(Multimodal.decodePgm(pgm("P5\n3 2\n255\n", 6)).exists(i =>
+      i.width == 3 && i.height == 2 && i.maxVal == 255))
+    // '#' comments run to end-of-line anywhere between fields
+    assert(Multimodal.decodePgm(
+      pgm("P5 # made by graft\n 3 # w\n2\t255\n", 6)).exists(i =>
+      i.width == 3 && i.height == 2))
+    // arbitrary whitespace runs between fields
+    assert(Multimodal.decodePgm(pgm("P5\r\n\t 3\n\n2  \t255 ", 6)).isDefined)
+    // sub-255 maxval is legal
+    assert(Multimodal.decodePgm(pgm("P5\n1 1\n15\n", 1))
+      .exists(_.maxVal == 15))
+  }
+
+  test("decodePgm: malformations all reject") {
+    def pgm(header: String, planeLen: Int): Array[Byte] =
+      header.getBytes("US-ASCII") ++ Array.fill(planeLen)(7.toByte)
+    val bad = Seq(
+      pgm("P6\n3 2\n255\n", 6), // wrong magic (that's binary PPM)
+      pgm("P5\n3 2\n255\n", 5), // truncated plane
+      pgm("P5\n3 2\n255\n", 7), // trailing garbage
+      pgm("P5\n3 2\n65535\n", 6), // 2-byte maxval unsupported here
+      pgm("P5\n3\n255\n", 6), // missing height
+      pgm("P5\n0 2\n255\n", 0), // zero dimension
+      pgm("P5\n3 2\n255", 6), // no whitespace after maxval
+      Array[Byte](), // empty
+      "just text".getBytes("US-ASCII"))
+    for ((p, i) <- bad.zipWithIndex)
+      assert(Multimodal.decodePgm(p).isEmpty, s"malformation $i must reject")
+  }
+
   test("frameSample strides through the payload as 1-byte frames") {
     val s = spark
     import s.implicits._
