@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
@@ -16,7 +16,8 @@ import org.apache.spark.sql.types._
   * into a bucketed EQUI-join: the manual `ts div T` construction q261
   * builds by hand, promoted to an engine capability (the third member
   * of the family after [[HammingJoinBlocking]] and
-  * [[GlobalRankRewrite]]). Eligibility: an INNER join whose condition
+  * [[GlobalRankRewrite]]). Eligibility: an INNER / LEFT OUTER / LEFT
+  * SEMI / LEFT ANTI join whose condition
   * conjuncts bound `X − Y` from BOTH sides with literal offsets (after
   * normalizing `x ± c cmp y ± c'` in any of the four comparison
   * spellings, strict forms tightened by 1 base unit), X and Y
@@ -52,6 +53,14 @@ import org.apache.spark.sql.types._
   * Scale: candidate fan-in per probe row is the 2-bucket event density
   * (the band width), not the partner side's cardinality — the measured
   * AsofScaleProbe law, now engine-owned for any naive band spelling.
+  *
+  * Non-inner variants (round 8, [[RewriteSupport]] doctrine): LEFT
+  * SEMI/ANTI gain a left row id and collapse the 2-bucket explode back
+  * to left grain (anti: a row qualifies iff BOTH its probe rows found
+  * nothing); LEFT OUTER runs the outer join at exploded grain — matched
+  * rows are exactly-once already — and keeps one null-extended
+  * representative (the idx-0 probe) for rids whose per-rid window match
+  * count is zero.
   */
 object BandJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -170,14 +179,19 @@ object BandJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  private def rewriteable(jt: JoinType): Boolean = jt match {
+    case Inner | LeftOuter | LeftSemi | LeftAnti => true
+    case _ => false
+  }
+
   def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case j @ Join(left, right, Inner, Some(cond), hint)
+    case j @ Join(left, right, jt, Some(cond), hint)
         // streaming interval joins ARE bands, but their state cleanup
         // hangs off the raw time-bound conjuncts the watermark analyzer
         // extracted — injecting a bucket key breaks
         // StreamingSymmetricHashJoin's state manager. Spark's native
         // interval join already IS the bounded-state plan there.
-        if !j.isStreaming &&
+        if rewriteable(jt) && !j.isStreaming &&
           !left.output.exists(_.name == bandColName) &&
           !right.output.exists(_.name == bandColName) =>
       val conjuncts = splitConjunctivePredicates(cond)
@@ -251,14 +265,61 @@ object BandJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
           val newRight = Project(right.output :+ bkR, right)
           val xAdj = Subtract(asNum(x), Literal(lo))
           val probe = fdiv(xAdj)
-          val out = AttributeReference(bandColName, LongType)()
-          val newLeft = Generate(
-            Explode(CreateArray(Seq(probe,
-              Subtract(probe, Literal(1L))))),
-            Nil, outer = false, None, Seq(out), left)
-          val newCond = And(EqualTo(out, bkR.toAttribute), cond)
-          Project(j.output,
-            Join(newLeft, newRight, Inner, Some(newCond), hint))
+          jt match {
+            case Inner =>
+              val out = AttributeReference(bandColName, LongType)()
+              val newLeft = Generate(
+                Explode(CreateArray(Seq(probe,
+                  Subtract(probe, Literal(1L))))),
+                Nil, outer = false, None, Seq(out), left)
+              val newCond = And(EqualTo(out, bkR.toAttribute), cond)
+              Project(j.output,
+                Join(newLeft, newRight, Inner, Some(newCond), hint))
+            case LeftSemi | LeftAnti =>
+              // per-left-row semantics — row id + collapse
+              // (RewriteSupport doctrine). The two probe buckets are
+              // distinct by construction, so the anti count is exactly 2.
+              val (leftW, rid) = RewriteSupport.withRid(left)
+              val out = AttributeReference(bandColName, LongType)()
+              val newLeft = Generate(
+                Explode(CreateArray(Seq(probe,
+                  Subtract(probe, Literal(1L))))),
+                Nil, outer = false, None, Seq(out), leftW)
+              val newCond = And(EqualTo(out, bkR.toAttribute), cond)
+              val joined = Join(newLeft, newRight, jt, Some(newCond), hint)
+              if (jt == LeftSemi)
+                RewriteSupport.regroupSemi(joined, rid, left.output,
+                  j.output)
+              else
+                RewriteSupport.regroupAnti(joined, rid, left.output,
+                  j.output, nSeg = 2)
+            case _ => // LeftOuter
+              // matched rows are exactly-once already (distinct probe
+              // buckets); unmatched left rows keep one null-extended
+              // representative — the idx=0 probe (collapseOuter). The
+              // generated right bucket key is the null-on-unmatched
+              // marker: it is non-null on every real match because the
+              // equi-key rejects nulls.
+              val (leftW, rid) = RewriteSupport.withRid(left)
+              val probes = Seq(probe, Subtract(probe, Literal(1L)))
+              val structs = probes.zipWithIndex.map { case (p, i) =>
+                CreateNamedStruct(Seq(Literal("idx"), Literal(i),
+                  Literal("bkt"), p))
+              }
+              val out = AttributeReference(bandColName,
+                StructType(Seq(
+                  StructField("idx", IntegerType, nullable = false),
+                  StructField("bkt", LongType))))()
+              val newLeft = Generate(Explode(CreateArray(structs)),
+                Nil, outer = false, None, Seq(out), leftW)
+              val idxL = GetStructField(out, 0, Some("idx"))
+              val bktL = GetStructField(out, 1, Some("bkt"))
+              val newCond = And(EqualTo(bktL, bkR.toAttribute), cond)
+              val joined = Join(newLeft, newRight, LeftOuter,
+                Some(newCond), hint)
+              RewriteSupport.collapseOuter(joined, rid, bkR.toAttribute,
+                EqualTo(idxL, Literal(0)), j.output)
+          }
         case _ => j
       }
   }

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
@@ -14,8 +14,9 @@ import org.apache.spark.sql.types._
   *   a.join(b, bit_count(a("sig") ^ b("sig")) <= k && ...)
   *
   * and the engine plans the scale-safe form. Three signature spellings
-  * are eligible (effective k ≤ 7, INNER join, bound literal in any
-  * comparison direction — `≤ k`, `< k`, `k ≥ …`, `k > …`):
+  * are eligible (effective k ≤ 7, INNER / LEFT SEMI / LEFT ANTI joins,
+  * bound literal in any comparison direction — `≤ k`, `< k`, `k ≥ …`,
+  * `k > …`):
   *
   *   1. SCALAR — `bit_count(l ^ r) ≤ k`, one 32/64-bit integral
   *      signature per side (the round-5 surface);
@@ -62,6 +63,14 @@ import org.apache.spark.sql.types._
   * composed user keys) and plans a hash/sort-merge join: candidate
   * generation drops from |L|·|R| to Σ_bucket |bucket|² — the measured
   * q63/SrpScaleProbe behavior — with zero changes to user code.
+  *
+  * LEFT SEMI and LEFT ANTI (round 8) are the decontamination shapes —
+  * "corpus docs near SOME eval doc" / "near NO eval doc" — with
+  * per-LEFT-ROW semantics: the left gains a row id, the semi/anti runs
+  * at segment grain (no canonical residual — any match suffices), and
+  * [[RewriteSupport]] collapses back to left grain (semi: one group per
+  * matched rid; anti: a row qualifies iff all k+1 of its segment rows
+  * survived — pigeonhole guarantees a true match claims at least one).
   */
 object HammingJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -287,12 +296,17 @@ object HammingJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
       Seq(out), child), out)
   }
 
+  private def rewriteable(jt: JoinType): Boolean = jt match {
+    case Inner | LeftSemi | LeftAnti => true
+    case _ => false
+  }
+
   def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case j @ Join(left, right, Inner, Some(cond), hint)
+    case j @ Join(left, right, jt, Some(cond), hint)
         // stream-stream joins manage per-key state through the raw
         // join shape — never restructure them (the BandJoinBlocking
         // lesson; same hazard here)
-        if !j.isStreaming &&
+        if rewriteable(jt) && !j.isStreaming &&
           !left.output.exists(_.name == segColName) &&
           !right.output.exists(_.name == segColName) =>
       val conjuncts = splitConjunctivePredicates(cond)
@@ -307,7 +321,7 @@ object HammingJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
           right.stats.sizeInBytes <= t)
       }
       blocking match {
-        case Some(b) if !(hasEqui && broadcastable) =>
+        case Some(b) if !(hasEqui && broadcastable) && jt == Inner =>
           val nSeg = b.nSeg
           val (newLeft, segL) =
             explodeSegs(left, (0 until nSeg).map(b.segL), b.valueType)
@@ -329,6 +343,32 @@ object HammingJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
             cond, canonical).reduceLeft[Expression](And)
           Project(j.output,
             Join(newLeft, newRight, Inner, Some(newCond), hint))
+        case Some(b) if !(hasEqui && broadcastable) =>
+          // LEFT-SEMI / LEFT-ANTI — the decontamination shapes
+          // ("corpus docs near/not-near ANY eval doc"). Explode the left
+          // with a row id, run the semi/anti at segment grain (any-match
+          // suffices — no canonical residual needed), collapse back to
+          // left grain per RewriteSupport's doctrine: semi = one group
+          // per matched rid; anti = rid whose nSeg blocking rows ALL
+          // survived (pigeonhole — a true match claims ≥ 1 segment).
+          val nSeg = b.nSeg
+          val (leftW, rid) = RewriteSupport.withRid(left)
+          val (newLeft, segL) =
+            explodeSegs(leftW, (0 until nSeg).map(b.segL), b.valueType)
+          val (newRight, segR) =
+            explodeSegs(right, (0 until nSeg).map(b.segR), b.valueType)
+          val idxL = GetStructField(segL, 0, Some("idx"))
+          val idxR = GetStructField(segR, 0, Some("idx"))
+          val valL = GetStructField(segL, 1, Some("v"))
+          val valR = GetStructField(segR, 1, Some("v"))
+          val newCond = Seq(EqualTo(idxL, idxR), EqualTo(valL, valR),
+            cond).reduceLeft[Expression](And)
+          val joined = Join(newLeft, newRight, jt, Some(newCond), hint)
+          if (jt == LeftSemi)
+            RewriteSupport.regroupSemi(joined, rid, left.output, j.output)
+          else
+            RewriteSupport.regroupAnti(joined, rid, left.output,
+              j.output, nSeg)
         case _ => j
       }
   }

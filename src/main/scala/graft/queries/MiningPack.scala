@@ -610,7 +610,11 @@ object MiningPack extends QueryPack {
       "q266_rbo_rank_overlap" -> q266 _,
       "q276_hamming_join_rule" -> q276 _,
       "q281_grouped_probes" -> q281 _,
-      "q283_blocked_hamming_rule" -> q283 _)
+      "q283_blocked_hamming_rule" -> q283 _,
+      "q299_hamming_anti_rule" -> q299 _,
+      "q300_band_outer_rule" -> q300 _,
+      "q301_band_anti_rule" -> q301 _,
+      "q302_hamming_semi_rule" -> q302 _)
 
   // --- q276: the naive hamming join, planned by the engine -----------------
 
@@ -662,7 +666,161 @@ object MiningPack extends QueryPack {
       .orderBy("vec_id", "vec_id2")
   }
 
+  // --- q299/q302: hamming anti/semi — the decontamination pair (round 8) ---
+
+  /** q299 — signature-space DECONTAMINATION written the naive way: the
+    * corpus LEFT-ANTI joined to an eval slice (every 17th signature) on
+    * `bit_count(sig ⊕ esig) ≤ 2` — "keep corpus docs near NO eval doc",
+    * the signature twin of q143's n-gram and q289's embedding
+    * decontamination. [[graft.plans.HammingJoinBlocking]] (round 8)
+    * rewrites LEFT ANTI per-left-row: row id + segment explode + anti at
+    * segment grain + the all-segments-survived collapse (pigeonhole — a
+    * true match claims at least one segment). The eval slice is drawn
+    * from the corpus itself, so eval rows self-match at hamming 0 and
+    * are always excluded; the oracle is the naive NOT EXISTS.
+    */
+  private def q299(s: SparkSession, dir: String): DataFrame = {
+    val sigs = srpBase(s, dir).select(col("vec_id"), srpSig.as("sig"))
+    val ev = sigs.filter(col("vec_id") % 17 === 0)
+      .select(col("vec_id").as("eval_id"), col("sig").as("esig"))
+    sigs.join(ev,
+        bit_count(col("sig").bitwiseXOR(col("esig"))) <= 2, "left_anti")
+      .orderBy("vec_id")
+  }
+
+  /** q302 — q299's complement: the CONTAMINATED slice via the naive
+    * LEFT-SEMI spelling ("corpus docs near SOME eval doc"), rewritten by
+    * the same rule through the semi collapse (one group per matched row
+    * id — left-grain bag preserved). q299 ∪ q302 = corpus is the pair's
+    * internal consistency; the oracle is the naive EXISTS. */
+  private def q302(s: SparkSession, dir: String): DataFrame = {
+    val sigs = srpBase(s, dir).select(col("vec_id"), srpSig.as("sig"))
+    val ev = sigs.filter(col("vec_id") % 17 === 0)
+      .select(col("vec_id").as("eval_id"), col("sig").as("esig"))
+    sigs.join(ev,
+        bit_count(col("sig").bitwiseXOR(col("esig"))) <= 2, "left_semi")
+      .orderBy("vec_id")
+  }
+
+  // --- q300/q301: band outer/anti ------------------------------------------
+
+  private val ctxWinUs = 600000000L // 10 minutes in µs
+
+  /** q300 — trailing view context as a naive LEFT-OUTER band join: every
+    * purchase paired with ALL views (any user — deliberately no equi
+    * key) in the trailing 10 minutes, unmatched purchases kept
+    * null-extended. Without [[graft.plans.BandJoinBlocking]] this plans
+    * as a BroadcastNestedLoopJoin at ANY scale (outer joins have no
+    * hash path without equi keys); the rule's round-8 outer variant
+    * fires even at gate SF (the broadcast stand-down requires an equi
+    * conjunct), so the gate itself executes the rid + 2-bucket explode +
+    * per-rid window collapse. Oracle: the naive LEFT JOIN.
+    */
+  private def q300(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        expr("ts div 1000").as("us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event"), col("us").as("ts_p"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_event"), col("us").as("ts_v"))
+    p.join(v,
+        col("ts_v") <= col("ts_p") &&
+          col("ts_v") >= col("ts_p") - ctxWinUs, "left")
+      .select(col("p_event"), col("v_event"),
+        (col("ts_p") - col("ts_v")).as("gap_us"))
+      .orderBy("p_event", "v_event")
+  }
+
+  /** q301 — UNATTRIBUTED purchases: the q261 as-of COMPLEMENT written as
+    * a naive LEFT-ANTI band join — purchases with NO same-user view in
+    * the trailing 7 days. At gate SFs the view side broadcasts and the
+    * equi+broadcastable stand-down keeps Spark's BroadcastHashJoin
+    * LeftAnti (band as residual) — the q296 doctrine: the rule owns the
+    * plan precisely when the input is too big for that to work, and
+    * BandRuleSpec pins the forced rewrite's exact left-grain partition.
+    * Oracle: the naive NOT EXISTS. */
+  private def q301(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event"), col("user_id"),
+        col("us").as("ts_p"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("us").as("ts_v"))
+    p.join(v,
+        col("user_id") === col("v_user") &&
+          col("ts_v") <= col("ts_p") &&
+          col("ts_v") >= col("ts_p") - asofTolUs, "left_anti")
+      .orderBy("p_event")
+  }
+
+  /** The SRP signature pipeline as a DuckDB CTE chain ending in
+    * `sigs(vec_id, sig)` — q276/q283's inline blocks, factored for the
+    * round-8 semi/anti oracles. */
+  private val srpSigsCte: String =
+    s"""raw AS (
+       | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |tw AS (
+       | SELECT vec_id + 1000000 AS vec_id,
+       |  list_concat([v[1] + 0.1], v[2:]) AS v
+       | FROM raw WHERE vec_id % 25 = 0),
+       |base AS (SELECT * FROM raw UNION ALL SELECT * FROM tw),
+       |s AS (SELECT vec_id, v,
+       |  list_max(list_transform(v, x -> abs(x)))
+       |   / CAST(127.0 AS DOUBLE) AS scale FROM base),
+       |qz AS (SELECT vec_id, v,
+       |  list_transform(v,
+       |   x -> CAST(floor(x / scale + CAST(0.5 AS DOUBLE)) AS INT)) AS qv
+       | FROM s),
+       |grid AS (SELECT p, d,
+       |  CASE WHEN CAST('0x' || substring(md5('srp|' || p || '|' || d),
+       |    1, 8) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS w
+       | FROM range($srpPlanes) t1(p), range($srpDims) t2(d)),
+       |pl AS (SELECT vec_id, p, sum(qv[d + 1] * w) AS dt
+       | FROM qz, grid GROUP BY vec_id, p),
+       |sigs AS (SELECT vec_id,
+       |  CAST(sum(CASE WHEN dt >= 0 THEN 1 << p ELSE 0 END) AS INT) AS sig
+       | FROM pl GROUP BY vec_id)""".stripMargin
+
   override val oracle: Seq[(String, String)] = Seq(
+    "q299_hamming_anti_rule" ->
+      s"""WITH $srpSigsCte
+         |SELECT s.vec_id, s.sig FROM sigs s
+         |WHERE NOT EXISTS (SELECT 1 FROM sigs e
+         | WHERE e.vec_id % 17 = 0 AND bit_count(xor(s.sig, e.sig)) <= 2)
+         |ORDER BY s.vec_id""".stripMargin,
+    "q302_hamming_semi_rule" ->
+      s"""WITH $srpSigsCte
+         |SELECT s.vec_id, s.sig FROM sigs s
+         |WHERE EXISTS (SELECT 1 FROM sigs e
+         | WHERE e.vec_id % 17 = 0 AND bit_count(xor(s.sig, e.sig)) <= 2)
+         |ORDER BY s.vec_id""".stripMargin,
+    "q300_band_outer_rule" ->
+      s"""WITH e AS (
+         | SELECT event_id, event_type, epoch_us(ts) AS us FROM events),
+         |p AS (SELECT event_id AS p_event, us AS ts_p
+         | FROM e WHERE event_type = 'purchase'),
+         |v AS (SELECT event_id AS v_event, us AS ts_v
+         | FROM e WHERE event_type = 'view')
+         |SELECT p.p_event, v.v_event, p.ts_p - v.ts_v AS gap_us
+         |FROM p LEFT JOIN v
+         | ON v.ts_v <= p.ts_p AND v.ts_v >= p.ts_p - $ctxWinUs
+         |ORDER BY p.p_event, v.v_event""".stripMargin,
+    "q301_band_anti_rule" ->
+      s"""WITH e AS (
+         | SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+         | FROM events),
+         |p AS (SELECT event_id AS p_event, user_id, us AS ts_p
+         | FROM e WHERE event_type = 'purchase'),
+         |v AS (SELECT user_id AS v_user, us AS ts_v
+         | FROM e WHERE event_type = 'view')
+         |SELECT p.p_event, p.user_id, p.ts_p FROM p
+         |WHERE NOT EXISTS (SELECT 1 FROM v
+         | WHERE v.v_user = p.user_id AND v.ts_v <= p.ts_p
+         |  AND v.ts_v >= p.ts_p - $asofTolUs)
+         |ORDER BY p.p_event""".stripMargin,
     "q258_pmi_collocations" ->
       s"""WITH t AS (SELECT $duckToks AS tk FROM documents),
          |b AS (

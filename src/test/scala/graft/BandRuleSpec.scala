@@ -227,6 +227,77 @@ class BandRuleSpec extends SparkSpecBase {
     }
   }
 
+  // --- round-8: per-left-row variants --------------------------------------
+
+  // narrower band than `tol`: the outer/anti fixtures need UNMATCHED
+  // probes to exist (at width 1000 every probe finds a view)
+  private val tol2 = 251L
+
+  test("left-outer band join: matched bag + one null row per unmatched") {
+    val (p, v) = events
+    noBroadcast {
+      val ps = p.filter(col("p_id") < 400)
+      val vs = v.filter(col("v_id") % 3 === 0 && col("v_id") < 400)
+      def build = ps.join(vs, col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - tol2, "left")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("p_id", "v_id").collect()
+          .map(r => (r.getLong(0),
+            if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq.sorted
+      val expected = excluded {
+        val r = build
+        assert(!r.queryExecution.executedPlan.toString
+          .contains("graft_band"))
+        rows(r)
+      }
+      val r = build
+      assert(r.queryExecution.executedPlan.toString.contains("graft_band"),
+        "left-outer band must rewrite")
+      val got = rows(r)
+      assert(expected.exists(_._2 == -1L) && expected.exists(_._2 >= 0L),
+        "fixture must have both matched and unmatched probes")
+      assert(got === expected)
+    }
+  }
+
+  test("left-semi and left-anti band joins: exact left-grain partition") {
+    val (p, v) = events
+    noBroadcast {
+      val ps = p.filter(col("p_id") < 400)
+      val vs = v.filter(col("v_id") % 3 === 0 && col("v_id") < 400)
+      for (jt <- Seq("left_semi", "left_anti")) {
+        def build = ps.join(vs, col("v_ts") <= col("p_ts") &&
+          col("v_ts") >= col("p_ts") - tol2, jt)
+        val expected = excluded {
+          val r = build
+          assert(!r.queryExecution.executedPlan.toString
+            .contains("graft_band"))
+          r.select("p_id").collect().map(_.getLong(0)).toSeq.sorted
+        }
+        val r = build
+        assert(r.queryExecution.executedPlan.toString
+          .contains("graft_band"), s"$jt band must rewrite")
+        val got = r.select("p_id").collect().map(_.getLong(0)).toSeq.sorted
+        assert(expected.nonEmpty && got === expected, jt)
+      }
+    }
+  }
+
+  test("left-outer/semi/anti preserve duplicate left rows") {
+    val (p, v) = events
+    noBroadcast {
+      val ps = p.filter(col("p_id") < 300)
+      val vs = v.filter(col("v_id") % 3 === 0 && col("v_id") < 300)
+      val band = col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - tol2
+      for (jt <- Seq("left", "left_semi", "left_anti")) {
+        val once = ps.join(vs, band, jt).count()
+        val twice = ps.union(ps).join(vs, band, jt).count()
+        assert(once > 0L && twice === 2L * once, jt)
+      }
+    }
+  }
+
   test("half-bounded ranges do not fire") {
     val (p, v) = events
     noBroadcast {

@@ -221,6 +221,55 @@ class HammingRuleSpec extends SparkSpecBase {
     assert(got === expected128)
   }
 
+  // the round-8 decontamination shapes: semi = "near SOME eval doc",
+  // anti = "near NO eval doc" — per-left-row semantics, collapsed back
+  // to left grain by the rid aggregate (RewriteSupport doctrine)
+  private def evalIds: Set[Long] = sigs.map(_._1).filter(_ % 7 == 0).toSet
+
+  private def semiExpected: Seq[Long] = sigs.collect {
+    case (id, sg) if sigs.exists { case (eid, eg) =>
+      evalIds(eid) && Integer.bitCount(sg ^ eg) <= 2 } => id
+  }.sorted
+
+  test("left-semi hamming join rewrites: exact matched-left set") {
+    val (a, b) = frames
+    val eval = b.filter(col("b") % 7 === 0)
+    val joined = a.join(eval,
+      bit_count(col("sa").bitwiseXOR(col("sb"))) <= 2, "left_semi")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_seg") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"semi must rewrite:\n${plan.take(3000)}")
+    val got = joined.select("a").collect().map(_.getLong(0)).toSeq.sorted
+    assert(semiExpected.nonEmpty && semiExpected.size < sigs.size,
+      "fixture must split the corpus")
+    assert(got === semiExpected)
+  }
+
+  test("left-anti hamming join rewrites: exact decontaminated complement") {
+    val (a, b) = frames
+    val eval = b.filter(col("b") % 7 === 0)
+    val joined = a.join(eval,
+      bit_count(col("sa").bitwiseXOR(col("sb"))) <= 2, "left_anti")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_seg") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"anti must rewrite:\n${plan.take(3000)}")
+    val got = joined.select("a").collect().map(_.getLong(0)).toSeq.sorted
+    val expected = sigs.map(_._1).filterNot(semiExpected.toSet).sorted
+    assert(expected.nonEmpty && got === expected)
+  }
+
+  test("semi/anti preserve duplicate left rows (bag at left grain)") {
+    val (a, b) = frames
+    val eval = b.filter(col("b") % 7 === 0)
+    val ham = bit_count(col("sa").bitwiseXOR(col("sb"))) <= 2
+    assert(a.union(a).join(eval, ham, "left_semi").count() ===
+      2L * semiExpected.size)
+    assert(a.union(a).join(eval, ham, "left_anti").count() ===
+      2L * (sigs.size - semiExpected.size))
+  }
+
   test("array signatures: duplicate multiplicity preserved (bag)") {
     val s = spark
     import s.implicits._
