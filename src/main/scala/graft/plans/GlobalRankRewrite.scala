@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, CollectSet, Complete, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
@@ -62,7 +62,12 @@ import org.apache.spark.sql.types._
   * per-slice totals (Sum/Count prefix-sums, Min/Max prefix-min/max —
   * Least/Greatest null-skipping IS the running-min/max semantics);
   * Average splits into Sum and Count and divides once, bit-equal to
-  * Spark's own sum/count division. (Since round 7: ties
+  * Spark's own sum/count division. Round 8 adds global LEAD/LAG with
+  * literal offsets whose input is a function of the ORDER BY keys (the
+  * tie-safety condition — see [[orderFunc]]): each offset family plans
+  * as a left-outer equi self-join of the ranked output on the global
+  * row number, with the out-of-range default restored from the
+  * unmatched side. (Since round 7: ties
   * are slice-safe because equal ORDER BY tuples share the first key and
   * therefore a slice, so global rank = per-slice rank + whole-slice row
   * offsets, dense rank adds per-slice DISTINCT-tuple offsets — distinct
@@ -121,8 +126,68 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  private def supported(ne: NamedExpression): Boolean = ne match {
+  /** `e` is a deterministic function of the ORDER BY key expressions
+    * (and literals) alone. This is the tie-safety condition for global
+    * lead/lag (round 8): the rewrite joins two executions of the rank
+    * machinery on the global row number, and tied rows may receive
+    * different row numbers in each execution — but the value at sorted
+    * position k is the k-th ORDER BY tuple regardless of which tied row
+    * holds it, so an input that depends only on that tuple is exact. An
+    * input carrying non-key columns (e.g. `lag(payload) OVER (ORDER BY
+    * ts)` with duplicate ts) could stitch inconsistent tie resolutions,
+    * so it stands down. */
+  private def orderFunc(e: Expression, keys: Seq[Expression]): Boolean =
+    e.deterministic && (e.foldable ||
+      keys.exists(_.semanticEquals(e)) ||
+      (e.children.nonEmpty && e.children.forall(orderFunc(_, keys))))
+
+  /** One-level alias expansion through the window's immediate child
+    * Project — the analyzer extracts non-trivial window inputs as `_w0`
+    * aliases there, which would otherwise hide a key-derived input from
+    * [[orderFunc]]. Both the input and the order keys expand through
+    * the SAME level, so the comparison stays apples-to-apples even
+    * when project collapsing has rewritten the keys too. */
+  private def expandOnce(e: Expression, child: LogicalPlan): Expression =
+    child match {
+      case Project(pl, _) =>
+        val m = AttributeMap(
+          pl.collect { case a: Alias => a.toAttribute -> a.child })
+        e.transformUp { case a: Attribute if m.contains(a) => m(a) }
+      case _ => e
+    }
+
+  /** One global lead/lag: read the ORDER-key-derived `input` at global
+    * row number `grn + delta` (lag n → −n, lead n → +n), `default` when
+    * that position is out of range. */
+  private case class OffsetUnit(exprId: ExprId, name: String,
+      qualifier: Seq[String], input: Expression, delta: Int,
+      default: Expression, dt: DataType)
+
+  private def offsetUnit(ne: NamedExpression, order: Seq[SortOrder],
+      child: LogicalPlan): Option[OffsetUnit] = {
+    lazy val keys = order.map(o => expandOnce(o.child, child))
+    def ok(input: Expression, default: Expression): Boolean =
+      default.foldable && orderFunc(expandOnce(input, child), keys)
+    ne match {
+      case a @ Alias(WindowExpression(fn, _), _) => fn match {
+        case Lead(input, Literal(n: Int, IntegerType), default, false)
+            if ok(input, default) =>
+          Some(OffsetUnit(a.exprId, a.name, a.qualifier, input, n,
+            default, a.dataType))
+        case Lag(input, Literal(n: Int, IntegerType), default, false)
+            if ok(input, default) =>
+          Some(OffsetUnit(a.exprId, a.name, a.qualifier, input, -n,
+            default, a.dataType))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  private def supported(ne: NamedExpression, order: Seq[SortOrder],
+      child: LogicalPlan): Boolean = ne match {
     case _ if cumulativeAgg(ne) => true
+    case _ if offsetUnit(ne, order, child).isDefined => true
     case Alias(WindowExpression(fn, _), _) => fn match {
       case RowNumber() => true
       case NTile(Literal(k: Int, IntegerType)) => k > 0
@@ -194,7 +259,8 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
 
   def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case w @ Window(exprs, Nil, order, child, _)
-        if order.nonEmpty && exprs.nonEmpty && exprs.forall(supported) &&
+        if order.nonEmpty && exprs.nonEmpty &&
+          exprs.forall(supported(_, order, child)) &&
           supportedKey(order) && child.deterministic &&
           order.forall(_.deterministic) &&
           !child.output.exists(_.name == pidName) && bigEnough(child) =>
@@ -326,8 +392,10 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
       Join(l, r, Cross, None,
         JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST)))))
 
+    val offUnits = exprs.flatMap(offsetUnit(_, order, child))
+    val offUnitIds = offUnits.map(_.exprId).toSet
     val fns = exprs.collect { case Alias(WindowExpression(f, _), _) => f }
-    val needRn = fns.exists {
+    val needRn = offUnits.nonEmpty || fns.exists {
       case RowNumber() | NTile(_) => true
       case _ => false
     }
@@ -505,7 +573,10 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
         case 3 => Greatest(Seq(l, p)) // the running-min/max semantics
       }
     }
-    val outExprs = exprs.map {
+    val outExprs = exprs.filterNot {
+      case a: Alias => offUnitIds.contains(a.exprId)
+      case _ => false
+    }.map {
       case a: Alias if cumMap.contains(a.exprId) =>
         val (_, units, isAvg) = cumMap(a.exprId)
         val value =
@@ -542,7 +613,62 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
         Alias(cd, name)(exprId = a.exprId, qualifier = a.qualifier)
       case other => other // unreachable under `supported`
     }
-    Project(child.output ++ outExprs, joined)
+    if (offUnits.isEmpty) Project(child.output ++ outExprs, joined)
+    else {
+      // --- global lead/lag (round 8): value at grn + delta via an
+      // equi self-join on the global row number. The right side is a
+      // SECOND instance of the rank machinery (shared immutable nodes;
+      // exposed columns freshly aliased, so the join resolves) — legal
+      // because every quantity in it is an order-independent function
+      // of the data set, and tie-safe because eligibility restricts the
+      // input to functions of the ORDER BY tuple (the value at sorted
+      // position k is unique even where tied ROWS swap positions
+      // between the two executions). ReuseExchange collapses the
+      // duplicated shuffles when physical plans match.
+      val grnAlias = Alias(grn, "graft_rank_grn")()
+      val base = Project((child.output ++ outExprs) :+ grnAlias, joined)
+      var cur: LogicalPlan = base
+      val lookups =
+        scala.collection.mutable.Map.empty[ExprId, (Attribute, Attribute)]
+      offUnits.groupBy(_.delta).toSeq.sortBy(_._1).foreach {
+        case (d, units) =>
+          val tag = if (d < 0) s"m${-d}" else d.toString
+          val jrnA = Alias(grn, s"graft_rank_jrn$tag")()
+          val valAs = units.zipWithIndex.map { case (u, i) =>
+            u -> Alias(u.input, s"graft_rank_lv${tag}_$i")()
+          }
+          val rightP = Project(jrnA +: valAs.map(_._2), joined)
+          // source row: jrn == grn + delta (left refs left, right right
+          // — ExtractEquiJoinKeys plans the hash join on computed keys)
+          cur = Join(cur, rightP, LeftOuter,
+            Some(EqualTo(Add(grnAlias.toAttribute, Literal(d.toLong)),
+              jrnA.toAttribute)), JoinHint.NONE)
+          valAs.foreach { case (u, va) =>
+            // nullable copies: above the outer join these attributes CAN
+            // be null even when the underlying expressions cannot —
+            // non-nullable metadata would let NullPropagation fold the
+            // IsNull default branch away (binding is by exprId, so the
+            // relaxed copy is always safe)
+            lookups(u.exprId) = (jrnA.toAttribute.withNullability(true),
+              va.toAttribute.withNullability(true))
+          }
+      }
+      val finalOut = exprs.map {
+        case a: Alias if offUnitIds.contains(a.exprId) =>
+          val u = offUnits.find(_.exprId == a.exprId).get
+          val (jrn, v) = lookups(u.exprId)
+          // no source row at grn + delta (out of range) → default;
+          // jrn is the matched marker (never null on a real match)
+          Alias(If(IsNull(jrn), Cast(u.default, u.dt), Cast(v, u.dt)),
+            u.name)(exprId = u.exprId, qualifier = u.qualifier)
+        case a: Alias =>
+          outExprs.collectFirst {
+            case o: Alias if o.exprId == a.exprId => o.toAttribute
+          }.get
+        case other => other // unreachable under `supported`
+      }
+      Project(child.output ++ finalOut, cur)
+    }
   }
 
   /** SQL NTILE(k) from a global 1-based row number and the total count:

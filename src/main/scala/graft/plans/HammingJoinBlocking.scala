@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
@@ -14,9 +14,9 @@ import org.apache.spark.sql.types._
   *   a.join(b, bit_count(a("sig") ^ b("sig")) <= k && ...)
   *
   * and the engine plans the scale-safe form. Three signature spellings
-  * are eligible (effective k ≤ 7, INNER / LEFT SEMI / LEFT ANTI joins,
-  * bound literal in any comparison direction — `≤ k`, `< k`, `k ≥ …`,
-  * `k > …`):
+  * are eligible (effective k ≤ 7, INNER / LEFT OUTER / LEFT SEMI /
+  * LEFT ANTI joins, bound literal in any comparison direction — `≤ k`,
+  * `< k`, `k ≥ …`, `k > …`):
   *
   *   1. SCALAR — `bit_count(l ^ r) ≤ k`, one 32/64-bit integral
   *      signature per side (the round-5 surface);
@@ -64,13 +64,17 @@ import org.apache.spark.sql.types._
   * generation drops from |L|·|R| to Σ_bucket |bucket|² — the measured
   * q63/SrpScaleProbe behavior — with zero changes to user code.
   *
-  * LEFT SEMI and LEFT ANTI (round 8) are the decontamination shapes —
-  * "corpus docs near SOME eval doc" / "near NO eval doc" — with
-  * per-LEFT-ROW semantics: the left gains a row id, the semi/anti runs
-  * at segment grain (no canonical residual — any match suffices), and
-  * [[RewriteSupport]] collapses back to left grain (semi: one group per
-  * matched rid; anti: a row qualifies iff all k+1 of its segment rows
-  * survived — pigeonhole guarantees a true match claims at least one).
+  * LEFT SEMI / LEFT ANTI / LEFT OUTER (round 8) have per-LEFT-ROW
+  * semantics: the left gains a row id and [[RewriteSupport]] collapses
+  * the segment explode back to left grain. Semi/anti are the
+  * decontamination shapes — "corpus docs near SOME eval doc" / "near NO
+  * eval doc" — running at segment grain with no canonical residual
+  * (semi: one group per matched rid; anti: a row qualifies iff all k+1
+  * of its segment rows survived — pigeonhole guarantees a true match
+  * claims at least one). Outer keeps the canonical residual (matched
+  * pairs exactly once, as in the inner form) and keeps one
+  * null-extended representative for match-free rows via a per-rid
+  * window match count.
   */
 object HammingJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -297,7 +301,7 @@ object HammingJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   private def rewriteable(jt: JoinType): Boolean = jt match {
-    case Inner | LeftSemi | LeftAnti => true
+    case Inner | LeftSemi | LeftAnti | LeftOuter => true
     case _ => false
   }
 
@@ -344,13 +348,16 @@ object HammingJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
           Project(j.output,
             Join(newLeft, newRight, Inner, Some(newCond), hint))
         case Some(b) if !(hasEqui && broadcastable) =>
-          // LEFT-SEMI / LEFT-ANTI — the decontamination shapes
-          // ("corpus docs near/not-near ANY eval doc"). Explode the left
-          // with a row id, run the semi/anti at segment grain (any-match
-          // suffices — no canonical residual needed), collapse back to
-          // left grain per RewriteSupport's doctrine: semi = one group
-          // per matched rid; anti = rid whose nSeg blocking rows ALL
-          // survived (pigeonhole — a true match claims ≥ 1 segment).
+          // LEFT-SEMI / LEFT-ANTI — the decontamination shapes ("corpus
+          // docs near/not-near ANY eval doc") — and LEFT-OUTER (near-dup
+          // adjacency keeping isolated rows). Explode the left with a
+          // row id and collapse back to left grain per RewriteSupport's
+          // doctrine: semi = one group per matched rid (any-match
+          // suffices — no canonical residual); anti = rid whose nSeg
+          // blocking rows ALL survived (pigeonhole — a true match claims
+          // ≥ 1 segment); outer keeps the canonical residual (matched
+          // pairs exactly once) plus one null-extended representative
+          // for match-free rids.
           val nSeg = b.nSeg
           val (leftW, rid) = RewriteSupport.withRid(left)
           val (newLeft, segL) =
@@ -361,14 +368,29 @@ object HammingJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
           val idxR = GetStructField(segR, 0, Some("idx"))
           val valL = GetStructField(segL, 1, Some("v"))
           val valR = GetStructField(segR, 1, Some("v"))
-          val newCond = Seq(EqualTo(idxL, idxR), EqualTo(valL, valR),
-            cond).reduceLeft[Expression](And)
+          val canonical = (0 until nSeg).map { i =>
+            val below = (0 until i).map(jx =>
+              Not(EqualTo(b.segL(jx), b.segR(jx))))
+            (EqualTo(idxL, Literal(i)) +: below)
+              .reduceLeft[Expression](And)
+          }.reduceLeft[Expression](Or)
+          val newCond = (Seq(EqualTo(idxL, idxR), EqualTo(valL, valR),
+            cond) ++ (if (jt == LeftOuter) Seq(canonical) else Nil))
+            .reduceLeft[Expression](And)
           val joined = Join(newLeft, newRight, jt, Some(newCond), hint)
-          if (jt == LeftSemi)
-            RewriteSupport.regroupSemi(joined, rid, left.output, j.output)
-          else
-            RewriteSupport.regroupAnti(joined, rid, left.output,
-              j.output, nSeg)
+          jt match {
+            case LeftSemi =>
+              RewriteSupport.regroupSemi(joined, rid, left.output,
+                j.output)
+            case LeftAnti =>
+              RewriteSupport.regroupAnti(joined, rid, left.output,
+                j.output, nSeg)
+            case _ => // LeftOuter: the segment struct is the marker —
+              // generated non-null on every match, null-extended
+              // otherwise
+              RewriteSupport.collapseOuter(joined, rid, segR,
+                EqualTo(idxL, Literal(0)), j.output)
+          }
         case _ => j
       }
   }

@@ -78,8 +78,13 @@ private[plans] object RewriteSupport {
     * null rejection). Matched rows pass; a rid with zero matches keeps
     * only its canonical representative (`keepIfUnmatched`). */
   def collapseOuter(joined: LogicalPlan, rid: Attribute,
-      marker: Attribute, keepIfUnmatched: Expression,
+      marker0: Attribute, keepIfUnmatched: Expression,
       out: Seq[Attribute]): LogicalPlan = {
+    // nullable copy: above the outer join the marker CAN be null even
+    // when its defining expression cannot — non-nullable metadata would
+    // let NullPropagation fold IsNotNull(marker) to true (binding is by
+    // exprId, so the relaxed copy is always safe)
+    val marker = marker0.withNullability(true)
     val mcnt = Alias(WindowExpression(
       AggregateExpression(Count(Seq(marker)), Complete,
         isDistinct = false),

@@ -614,7 +614,8 @@ object MiningPack extends QueryPack {
       "q299_hamming_anti_rule" -> q299 _,
       "q300_band_outer_rule" -> q300 _,
       "q301_band_anti_rule" -> q301 _,
-      "q302_hamming_semi_rule" -> q302 _)
+      "q302_hamming_semi_rule" -> q302 _,
+      "q304_hamming_outer_rule" -> q304 _)
 
   // --- q276: the naive hamming join, planned by the engine -----------------
 
@@ -700,6 +701,25 @@ object MiningPack extends QueryPack {
     sigs.join(ev,
         bit_count(col("sig").bitwiseXOR(col("esig"))) <= 2, "left_semi")
       .orderBy("vec_id")
+  }
+
+  /** q304 — near-dup ADJACENCY with isolated rows kept: the corpus
+    * LEFT-OUTER joined to the q299 eval slice on the naive hamming
+    * bound — every corpus row with ALL its eval near-dups, or one
+    * null-extended row when it has none. The round-8 outer variant of
+    * [[graft.plans.HammingJoinBlocking]] keeps the inner form's
+    * canonical-first-match residual (matched pairs exactly once) and
+    * collapses the explode through a per-row-id window match count.
+    * Oracle: the naive LEFT JOIN. */
+  private def q304(s: SparkSession, dir: String): DataFrame = {
+    val sigs = srpBase(s, dir).select(col("vec_id"), srpSig.as("sig"))
+    val ev = sigs.filter(col("vec_id") % 17 === 0)
+      .select(col("vec_id").as("eval_id"), col("sig").as("esig"))
+    sigs.join(ev,
+        bit_count(col("sig").bitwiseXOR(col("esig"))) <= 2, "left")
+      .select(col("vec_id"), col("eval_id"),
+        bit_count(col("sig").bitwiseXOR(col("esig"))).as("hamming"))
+      .orderBy("vec_id", "eval_id")
   }
 
   // --- q300/q301: band outer/anti ------------------------------------------
@@ -797,6 +817,22 @@ object MiningPack extends QueryPack {
          |WHERE EXISTS (SELECT 1 FROM sigs e
          | WHERE e.vec_id % 17 = 0 AND bit_count(xor(s.sig, e.sig)) <= 2)
          |ORDER BY s.vec_id""".stripMargin,
+    "q304_hamming_outer_rule" ->
+      s"""WITH $srpSigsCte
+         |SELECT s.vec_id, e.eval_id,
+         | CAST(bit_count(xor(s.sig, e.sig)) AS INT) AS hamming
+         |FROM sigs s LEFT JOIN
+         | (SELECT vec_id AS eval_id, sig FROM sigs WHERE vec_id % 17 = 0) e
+         | ON bit_count(xor(s.sig, e.sig)) <= 2
+         |ORDER BY s.vec_id, e.eval_id""".stripMargin,
+    "q304_hamming_outer_rule" ->
+      s"""WITH $srpSigsCte
+         |SELECT s.vec_id, e.eval_id,
+         | CAST(bit_count(xor(s.sig, e.sig)) AS INT) AS hamming
+         |FROM sigs s LEFT JOIN
+         | (SELECT vec_id AS eval_id, sig FROM sigs WHERE vec_id % 17 = 0) e
+         | ON bit_count(xor(s.sig, e.sig)) <= 2
+         |ORDER BY s.vec_id, e.eval_id""".stripMargin,
     "q300_band_outer_rule" ->
       s"""WITH e AS (
          | SELECT event_id, event_type, epoch_us(ts) AS us FROM events),

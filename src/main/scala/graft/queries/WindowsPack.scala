@@ -407,7 +407,29 @@ object WindowsPack extends QueryPack {
       .orderBy("tile")
   }
 
+  /** q303 — GLOBAL inter-arrival gaps as naive lead/lag windows: every
+    * event with its predecessor/successor timestamp and the gap, over
+    * the whole corpus ordered by (time, event_id). The round-8 lead/lag
+    * extension of [[graft.plans.GlobalRankRewrite]] plans each offset
+    * family as an equi self-join on the distributed global row number —
+    * eligible because the lag/lead inputs are the sort key itself (the
+    * tie-safety condition; see the rule's orderFunc doc). At gate SFs
+    * the input sits under the broadcast threshold and executes naive;
+    * GlobalRankRewriteSpec pins the forced rewrite's per-row parity.
+    */
+  private def q303(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("ts_us", "event_id")
+    withTsUs(Tables.load(s, dir, "events"))
+      .select(
+        col("event_id"), col("ts_us"),
+        lag("ts_us", 1).over(w).as("prev_us"),
+        lead("ts_us", 1).over(w).as("next_us"))
+      .withColumn("gap_us", col("ts_us") - col("prev_us"))
+      .orderBy("event_id")
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q303_global_lag_rule" -> q303 _,
     "q285_global_ntile_rule" -> q285 _,
     "q291_string_rank_rule" -> q291 _,
     "q294_rank_family_rule" -> q294 _,
@@ -428,6 +450,14 @@ object WindowsPack extends QueryPack {
     "q48_asof_last_purchase" -> q48 _)
 
   override val oracle: Seq[(String, String)] = Seq(
+    "q303_global_lag_rule" ->
+      """WITH e AS (
+        | SELECT event_id, epoch_us(ts) AS ts_us FROM events)
+        |SELECT event_id, ts_us,
+        | lag(ts_us) OVER (ORDER BY ts_us, event_id) AS prev_us,
+        | lead(ts_us) OVER (ORDER BY ts_us, event_id) AS next_us,
+        | ts_us - lag(ts_us) OVER (ORDER BY ts_us, event_id) AS gap_us
+        |FROM e ORDER BY event_id""".stripMargin,
     "q285_global_ntile_rule" ->
       """WITH t AS (
         | SELECT doc_id, n_chars,

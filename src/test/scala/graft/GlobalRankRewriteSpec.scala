@@ -390,4 +390,64 @@ class GlobalRankRewriteSpec extends SparkSpecBase {
       assert(got === expected)
     }
   }
+
+  // --- round-8: global lead/lag of ORDER-key-derived inputs ----------------
+
+  test("global lag/lead of key functions: distributed, exact per row") {
+    val df = corpus(5000)
+    val w = Window.orderBy(col("v"), col("id"))
+    val build = () => df.select(col("id"), col("v"),
+      lag(col("v"), 1).over(w).as("prev"),
+      lead(col("v") * 2L, 2, -1L).over(w).as("nxt2"),
+      row_number().over(w).as("rn"))
+    def rows(r: DataFrame) = r.collect().map(x => (x.getLong(0),
+      if (x.isNullAt(2)) -999L else x.getLong(2),
+      x.getLong(3), x.getInt(4))).sorted.toSeq
+    val expected = naive {
+      val r = build()
+      assert(!r.queryExecution.executedPlan.toString.contains("graft_rank"))
+      rows(r)
+    }
+    forced {
+      val r = build()
+      val p = r.queryExecution.executedPlan.toString
+      assert(p.contains("graft_rank_jrn"),
+        s"lead/lag rewrite must fire:\n${p.take(3000)}")
+      val windows = p.linesIterator.filter(_.contains("Window ")).toList
+      assert(windows.forall(_.contains("graft_rank_pid")),
+        s"no corpus-grain unpartitioned window may remain:\n${p.take(4000)}")
+      assert(rows(r) === expected)
+    }
+  }
+
+  test("lag under heavy key ties: exact as a (key, lag) bag") {
+    // with a non-total order, tied ROWS may swap positions between the
+    // two executions the rewrite joins — eligibility restricts inputs
+    // to functions of the ORDER BY tuple precisely so the VALUE at each
+    // sorted position is still unique. Per-row ids are not comparable
+    // under ties (true of the naive plan across runs too), so the
+    // contract is the (key, lag-value) multiset.
+    val df = corpus(4000).withColumn("b", col("v") % 5L)
+    val w = Window.orderBy(col("b"))
+    val build = () => df.select(col("b"), lag(col("b"), 1).over(w).as("p"))
+    def bag(r: DataFrame) = r.collect().map(x => (x.getLong(0),
+      if (x.isNullAt(1)) -1L else x.getLong(1))).sorted.toSeq
+    val expected = naive(bag(build()))
+    forced {
+      val r = build()
+      assert(r.queryExecution.executedPlan.toString
+        .contains("graft_rank_jrn"))
+      assert(bag(build()) === expected)
+    }
+  }
+
+  test("lag of a NON-key column stands down (tie-stitch hazard)") {
+    val df = corpus(3000).withColumn("payload", col("id") * 31L)
+    forced {
+      val r = df.select(col("id"),
+        lag(col("payload"), 1).over(Window.orderBy(col("v"))).as("p"))
+      assert(!r.queryExecution.executedPlan.toString.contains("graft_rank"),
+        "payload is not a function of the order keys — must stand down")
+    }
+  }
 }

@@ -260,6 +260,27 @@ class HammingRuleSpec extends SparkSpecBase {
     assert(expected.nonEmpty && got === expected)
   }
 
+  test("left-outer hamming join: matched bag + one null per unmatched") {
+    val (a, b) = frames
+    val eval = b.filter(col("b") % 7 === 0)
+    val joined = a.join(eval,
+      bit_count(col("sa").bitwiseXOR(col("sb"))) <= 2, "left")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_seg") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"outer must rewrite:\n${plan.take(3000)}")
+    val got = joined.select("a", "b").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSeq.sorted
+    val expected = sigs.flatMap { case (id, sg) =>
+      val ms = sigs.collect { case (eid, eg)
+        if evalIds(eid) && Integer.bitCount(sg ^ eg) <= 2 => eid }
+      if (ms.isEmpty) Seq((id, -1L)) else ms.map(e => (id, e))
+    }.sorted
+    assert(expected.exists(_._2 == -1L) && expected.exists(_._2 >= 0L))
+    assert(got === expected)
+  }
+
   test("semi/anti preserve duplicate left rows (bag at left grain)") {
     val (a, b) = frames
     val eval = b.filter(col("b") % 7 === 0)
