@@ -14,7 +14,7 @@ import graft.Sessions
   * ×2 per doubling. Both arms are asserted to KEEP the identical row
   * set wherever the naive arm runs.
   *
-  * Signatures are golden-ratio-scrambled 64-bit longs — near-uniform,
+  * Signatures are xxhash64-scrambled 64-bit longs — near-uniform,
   * so cross-row hamming-≤2 collisions are vanishingly rare and the
   * kept set is essentially corpus − eval (eval rows self-match at
   * distance 0 and are always dropped); segment buckets stay tiny and
@@ -42,8 +42,7 @@ object AntiRuleScaleProbe {
 
     for (n <- ns) {
       val corpus = spark.range(n.toLong)
-        .select(col("id"), (col("id") * lit(-7046029254386353131L))
-          .as("sig")) // 0x9E3779B97F4A7C15 — golden-ratio scramble
+        .select(col("id"), xxhash64(col("id")).as("sig")) // uniform 64-bit
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       corpus.count()
       val eval = corpus.filter(col("id") % 64 === 0)
