@@ -67,7 +67,19 @@ import org.apache.spark.sql.types._
   * tie-safety condition — see [[orderFunc]]): each offset family plans
   * as a left-outer equi self-join of the ranked output on the global
   * row number, with the out-of-range default restored from the
-  * unmatched side. (Since round 7: ties
+  * unmatched side. Round 8 also adds MOVING-frame sum/count
+  * (`ROWS n PRECEDING..CurrentRow`, n a positive int literal) over the
+  * same tie-safe inputs, via the prefix identity
+  * `moving(i) = cum(i) − cum(i−n−1)`: the cumulative machinery computes
+  * cum, the lead/lag self-join fetches cum at global position i−n−1,
+  * and SQL null semantics are restored exactly by a paired cumulative
+  * COUNT (the frame's non-null count is the same difference — zero
+  * means the naive fold returns null). Sum inputs are integral-only:
+  * the identity is exact for Long arithmetic (associative mod 2⁶⁴, so
+  * even wrap-around matches the naive fold) but a decimal cum can
+  * overflow to null where the bounded frame would not, and a double cum
+  * differs by ulps; moving MIN/MAX don't decompose by subtraction at
+  * all (they'd need a carried slice tail) — all stand down. (Since round 7: ties
   * are slice-safe because equal ORDER BY tuples share the first key and
   * therefore a slice, so global rank = per-slice rank + whole-slice row
   * offsets, dense rank adds per-slice DISTINCT-tuple offsets — distinct
@@ -184,10 +196,57 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     }
   }
 
+  /** "n PRECEDING" as a row count — the DataFrame API writes it as a
+    * negative literal (`rowsBetween(-n, 0)`), the SQL parser as
+    * `UnaryMinus(n)` (which constant folding may or may not have
+    * collapsed by the time this rule sees the plan). */
+  private def precedingRows(lo: Expression): Option[Int] = lo match {
+    case Literal(v: Int, IntegerType) if v < 0 => Some(-v)
+    case UnaryMinus(Literal(v: Int, IntegerType), _) if v > 0 => Some(v)
+    case _ => None
+  }
+
+  /** One moving-frame aggregate: `sum(input)`/`count(…)` OVER (ORDER BY …
+    * ROWS n PRECEDING..CurrentRow). `sumInput` is empty for a bare
+    * count; `cntFn` is the paired cumulative count that restores null
+    * semantics (for Sum it counts the SAME input, so frame-non-null =
+    * cnt(i) − cnt(i−n−1) decides the null branch exactly). Inputs must
+    * be functions of the ORDER BY tuple ([[orderFunc]] — with a ROWS
+    * frame over ties, anything else is tie-order-dependent even in the
+    * naive plan) and Sum inputs integral (see the object doc). */
+  private case class MovUnit(exprId: ExprId, name: String,
+      qualifier: Seq[String], dt: DataType, sumInput: Option[Expression],
+      cntFn: Count, n: Int)
+
+  private def movUnit(ne: NamedExpression, order: Seq[SortOrder],
+      child: LogicalPlan): Option[MovUnit] = {
+    lazy val keys = order.map(o => expandOnce(o.child, child))
+    def okIn(e: Expression): Boolean = orderFunc(expandOnce(e, child), keys)
+    ne match {
+      case a @ Alias(WindowExpression(ae: AggregateExpression,
+          WindowSpecDefinition(_, _,
+            SpecifiedWindowFrame(RowFrame, lo, CurrentRow))), _)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        precedingRows(lo).flatMap { n =>
+          ae.aggregateFunction match {
+            case Sum(e, _) if integralType(e.dataType) && okIn(e) =>
+              Some(MovUnit(a.exprId, a.name, a.qualifier, a.dataType,
+                Some(e), Count(Seq(e)), n))
+            case c: Count if c.children.forall(okIn) =>
+              Some(MovUnit(a.exprId, a.name, a.qualifier, a.dataType,
+                None, c, n))
+            case _ => None
+          }
+        }
+      case _ => None
+    }
+  }
+
   private def supported(ne: NamedExpression, order: Seq[SortOrder],
       child: LogicalPlan): Boolean = ne match {
     case _ if cumulativeAgg(ne) => true
     case _ if offsetUnit(ne, order, child).isDefined => true
+    case _ if movUnit(ne, order, child).isDefined => true
     case Alias(WindowExpression(fn, _), _) => fn match {
       case RowNumber() => true
       case NTile(Literal(k: Int, IntegerType)) => k > 0
@@ -394,8 +453,10 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
 
     val offUnits = exprs.flatMap(offsetUnit(_, order, child))
     val offUnitIds = offUnits.map(_.exprId).toSet
+    val movUnits = exprs.flatMap(movUnit(_, order, child))
+    val movIds = movUnits.map(_.exprId).toSet
     val fns = exprs.collect { case Alias(WindowExpression(f, _), _) => f }
-    val needRn = offUnits.nonEmpty || fns.exists {
+    val needRn = offUnits.nonEmpty || movUnits.nonEmpty || fns.exists {
       case RowNumber() | NTile(_) => true
       case _ => false
     }
@@ -499,11 +560,25 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     val cumMap = cumSeq.map(c => c._1 -> c).toMap
     val cumUnits = cumSeq.flatMap(_._2)
 
+    // moving-frame machinery (round 8): moving agg = cum(i) − cum(i−n−1);
+    // the cum pair (value + null-restoring count) rides the SAME
+    // cumulative machinery as UnboundedPreceding windows (ROWS frame —
+    // ties are safe because eligibility restricts inputs to functions of
+    // the ORDER BY tuple), and cum(i−n−1) is fetched by the lead/lag
+    // self-join at delta −(n+1).
+    final case class MovCum(u: MovUnit, sum: Option[CumUnit], cnt: CumUnit)
+    val movCums = movUnits.zipWithIndex.map { case (u, i) =>
+      MovCum(u,
+        u.sumInput.map(e => cumUnit(Sum(e), 0, rowFrame, s"ms$i")),
+        cumUnit(u.cntFn, 1, rowFrame, s"mc$i"))
+    }
+    val allCumUnits = cumUnits ++ movCums.flatMap(m => m.sum.toSeq :+ m.cnt)
+
     val locals = (if (needRn) Seq(localRn) else Nil) ++
       (if (needRk) Seq(localRk) else Nil) ++
       (if (needDr) Seq(localDr) else Nil) ++
       (if (needLe) Seq(localLe) else Nil) ++
-      cumUnits.map(_.local)
+      allCumUnits.map(_.local)
     val rankWin = Window(locals, Seq(pidL), order, rangedL)
 
     val keyAliases = order.zipWithIndex.map { case (o, i) =>
@@ -513,7 +588,7 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     // through when cumulative aggs exist (column pruning trims unused)
     val rangedR = Project(
       (pidAliasR +: (if (needDr) keyAliases else Nil)) ++
-        (if (cumUnits.nonEmpty) child.output else Nil),
+        (if (allCumUnits.nonEmpty) child.output else Nil),
       broadcastCross(child, bnd))
     val cntAlias = Alias(AggregateExpression(Count(Seq(Literal(1))),
       Complete, isDistinct = false), "graft_rank_cnt")()
@@ -522,7 +597,7 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
       Complete, isDistinct = true), "graft_rank_dcnt")()
     val counts = Aggregate(Seq(pidR),
       (Seq(pidR, cntAlias) ++ (if (needDr) Seq(dcntAlias) else Nil)) ++
-        cumUnits.map(_.slice),
+        allCumUnits.map(_.slice),
       rangedR)
     val cnt = cntAlias.toAttribute
     def prefixSum(x: Attribute, name: String): Alias =
@@ -540,7 +615,7 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
           UnboundedFollowing))), "graft_rank_tot")()
     val offWins = Seq(offAlias, totAlias) ++
       (if (needDr) Seq(doffAlias) else Nil) ++
-      cumUnits.map(_.prefix)
+      allCumUnits.map(_.prefix)
     val offWin = Window(offWins, Nil, pidOrder, counts)
     val offs = Project(pidR +: offWins.map(_.toAttribute), offWin)
 
@@ -574,7 +649,8 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
       }
     }
     val outExprs = exprs.filterNot {
-      case a: Alias => offUnitIds.contains(a.exprId)
+      case a: Alias => offUnitIds.contains(a.exprId) ||
+        movIds.contains(a.exprId)
       case _ => false
     }.map {
       case a: Alias if cumMap.contains(a.exprId) =>
@@ -613,29 +689,55 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
         Alias(cd, name)(exprId = a.exprId, qualifier = a.qualifier)
       case other => other // unreachable under `supported`
     }
-    if (offUnits.isEmpty) Project(child.output ++ outExprs, joined)
+    if (offUnits.isEmpty && movUnits.isEmpty)
+      Project(child.output ++ outExprs, joined)
     else {
-      // --- global lead/lag (round 8): value at grn + delta via an
-      // equi self-join on the global row number. The right side is a
-      // SECOND instance of the rank machinery (shared immutable nodes;
-      // exposed columns freshly aliased, so the join resolves) — legal
-      // because every quantity in it is an order-independent function
-      // of the data set, and tie-safe because eligibility restricts the
-      // input to functions of the ORDER BY tuple (the value at sorted
-      // position k is unique even where tied ROWS swap positions
-      // between the two executions). ReuseExchange collapses the
+      // --- global lead/lag + moving frames (round 8): value at
+      // grn + delta via an equi self-join on the global row number. The
+      // right side is a SECOND instance of the rank machinery (shared
+      // immutable nodes; exposed columns freshly aliased, so the join
+      // resolves) — legal because every quantity in it is an
+      // order-independent function of the data set, and tie-safe because
+      // eligibility restricts inputs to functions of the ORDER BY tuple
+      // (the value at sorted position k is unique even where tied ROWS
+      // swap positions between the two executions). Lead/lag fetch the
+      // raw input at delta; a moving unit fetches its CUMULATIVE pair at
+      // delta −(n+1) and subtracts. ReuseExchange collapses the
       // duplicated shuffles when physical plans match.
       val grnAlias = Alias(grn, "graft_rank_grn")()
-      val base = Project((child.output ++ outExprs) :+ grnAlias, joined)
+      // left-side combined cum values for moving units, aliased INSIDE
+      // the base projection (the attributes they read — per-slice locals
+      // and prefix windows — live at `joined` and are pruned above it)
+      val movLeftAs: Seq[((ExprId, Int), Alias)] = movCums.flatMap { m =>
+        m.sum.map(s => ((m.u.exprId, 0),
+          Alias(combineUnit(s), s"graft_rank_cls${m.u.exprId.id}")()))
+          .toSeq :+ ((m.u.exprId, 1),
+            Alias(combineUnit(m.cnt), s"graft_rank_clc${m.u.exprId.id}")())
+      }
+      val movLeft = movLeftAs.toMap
+      val base = Project(
+        (child.output ++ outExprs) ++ movLeftAs.map(_._2) :+ grnAlias,
+        joined)
+      // (slot, delta, value-over-`joined`): slot 0 = lead/lag input or
+      // moving cum-sum, slot 1 = moving cum-count
+      final case class Fetch(slot: (ExprId, Int), delta: Int,
+          value: Expression)
+      val fetches =
+        offUnits.map(u => Fetch((u.exprId, 0), u.delta, u.input)) ++
+          movCums.flatMap { m =>
+            val d = -(m.u.n + 1)
+            m.sum.map(s => Fetch((m.u.exprId, 0), d, combineUnit(s)))
+              .toSeq :+ Fetch((m.u.exprId, 1), d, combineUnit(m.cnt))
+          }
       var cur: LogicalPlan = base
-      val lookups =
-        scala.collection.mutable.Map.empty[ExprId, (Attribute, Attribute)]
-      offUnits.groupBy(_.delta).toSeq.sortBy(_._1).foreach {
-        case (d, units) =>
+      val lookups = scala.collection.mutable
+        .Map.empty[(ExprId, Int), (Attribute, Attribute)]
+      fetches.groupBy(_.delta).toSeq.sortBy(_._1).foreach {
+        case (d, fs) =>
           val tag = if (d < 0) s"m${-d}" else d.toString
           val jrnA = Alias(grn, s"graft_rank_jrn$tag")()
-          val valAs = units.zipWithIndex.map { case (u, i) =>
-            u -> Alias(u.input, s"graft_rank_lv${tag}_$i")()
+          val valAs = fs.zipWithIndex.map { case (f, i) =>
+            f -> Alias(f.value, s"graft_rank_lv${tag}_$i")()
           }
           val rightP = Project(jrnA +: valAs.map(_._2), joined)
           // source row: jrn == grn + delta (left refs left, right right
@@ -643,24 +745,48 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
           cur = Join(cur, rightP, LeftOuter,
             Some(EqualTo(Add(grnAlias.toAttribute, Literal(d.toLong)),
               jrnA.toAttribute)), JoinHint.NONE)
-          valAs.foreach { case (u, va) =>
+          valAs.foreach { case (f, va) =>
             // nullable copies: above the outer join these attributes CAN
             // be null even when the underlying expressions cannot —
             // non-nullable metadata would let NullPropagation fold the
             // IsNull default branch away (binding is by exprId, so the
             // relaxed copy is always safe)
-            lookups(u.exprId) = (jrnA.toAttribute.withNullability(true),
+            lookups(f.slot) = (jrnA.toAttribute.withNullability(true),
               va.toAttribute.withNullability(true))
           }
       }
       val finalOut = exprs.map {
         case a: Alias if offUnitIds.contains(a.exprId) =>
           val u = offUnits.find(_.exprId == a.exprId).get
-          val (jrn, v) = lookups(u.exprId)
+          val (jrn, v) = lookups((u.exprId, 0))
           // no source row at grn + delta (out of range) → default;
           // jrn is the matched marker (never null on a real match)
           Alias(If(IsNull(jrn), Cast(u.default, u.dt), Cast(v, u.dt)),
             u.name)(exprId = u.exprId, qualifier = u.qualifier)
+        case a: Alias if movIds.contains(a.exprId) =>
+          val m = movCums.find(_.u.exprId == a.exprId).get
+          // frame non-null count = cnt(i) − cnt(i−n−1); an unmatched
+          // fetch means the frame starts at row 1 (prefix = 0)
+          val cntL = movLeft((a.exprId, 1)).toAttribute
+          val (_, cntV) = lookups((a.exprId, 1))
+          val frameCnt =
+            Subtract(cntL, Coalesce(Seq(cntV, Literal(0L))))
+          val value = m.sum match {
+            case None => Cast(frameCnt, m.u.dt)
+            case Some(_) =>
+              val sumL = movLeft((a.exprId, 0)).toAttribute
+              val (_, sumV) = lookups((a.exprId, 0))
+              val zero = Literal.default(sumL.dataType)
+              // zero non-null inputs in the frame → SQL null, exactly
+              // the naive fold's empty-buffer result; otherwise the
+              // prefix difference (exact for integral sums — Long
+              // addition is associative mod 2⁶⁴ even under wrap)
+              If(EqualTo(frameCnt, Literal(0L)), Literal(null, m.u.dt),
+                Cast(Subtract(Coalesce(Seq(sumL, zero)),
+                  Coalesce(Seq(sumV, zero))), m.u.dt))
+          }
+          Alias(value, m.u.name)(exprId = m.u.exprId,
+            qualifier = m.u.qualifier)
         case a: Alias =>
           outExprs.collectFirst {
             case o: Alias if o.exprId == a.exprId => o.toAttribute

@@ -428,7 +428,31 @@ object WindowsPack extends QueryPack {
       .orderBy("event_id")
   }
 
+  /** q305 — CURRICULUM BATCH BUDGET as a naive global MOVING window:
+    * documents in curriculum order (shortest-first, (n_chars, doc_id)),
+    * each row reporting the trailing-64-document character cost and
+    * fill count — the "can the next training batch afford this window"
+    * readout next to q297's whole-prefix budget curve. The round-8
+    * moving-frame extension of [[graft.plans.GlobalRankRewrite]] plans
+    * it distributed via the prefix identity
+    * `moving(i) = cum(i) − cum(i−65)` — cumulative machinery plus the
+    * lead/lag self-join fetch, eligible because the summed input IS the
+    * first sort key (the tie-safety condition). At gate SFs the input
+    * sits under the broadcast threshold and executes naive;
+    * GlobalRankRewriteSpec pins the forced rewrite's exact parity.
+    */
+  private def q305(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("n_chars"), col("doc_id"))
+      .rowsBetween(-63, Window.currentRow)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("win_chars", sum("n_chars").over(w))
+      .withColumn("win_docs", count(lit(1)).over(w))
+      .orderBy("doc_id")
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q305_moving_window_rule" -> q305 _,
     "q303_global_lag_rule" -> q303 _,
     "q285_global_ntile_rule" -> q285 _,
     "q291_string_rank_rule" -> q291 _,
@@ -450,6 +474,14 @@ object WindowsPack extends QueryPack {
     "q48_asof_last_purchase" -> q48 _)
 
   override val oracle: Seq[(String, String)] = Seq(
+    "q305_moving_window_rule" ->
+      """SELECT doc_id, n_chars,
+        | CAST(sum(n_chars) OVER (ORDER BY n_chars, doc_id
+        |   ROWS BETWEEN 63 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |  AS win_chars,
+        | count(*) OVER (ORDER BY n_chars, doc_id
+        |   ROWS BETWEEN 63 PRECEDING AND CURRENT ROW) AS win_docs
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q303_global_lag_rule" ->
       """WITH e AS (
         | SELECT event_id, epoch_us(ts) AS ts_us FROM events)

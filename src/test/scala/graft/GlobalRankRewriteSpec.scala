@@ -268,10 +268,13 @@ class GlobalRankRewriteSpec extends SparkSpecBase {
           sum("d").over(Window.orderBy(col("v"), col("id"))).as("s"))
       assert(!dbl.queryExecution.executedPlan.toString
         .contains("graft_rank_pid"))
-      // moving frames (not UP..CR) are not cumulative — stand down
-      val moving = df.select(col("id"),
-        sum("v").over(Window.orderBy(col("v"), col("id"))
-          .rowsBetween(-2, 0)).as("s"))
+      // moving DOUBLE sum: integral moving frames rewrite since round 8
+      // (prefix-difference identity), but a double cum differs from the
+      // bounded naive fold by ulps — exact-type doctrine stands it down
+      val moving = df.withColumn("d", col("v").cast("double"))
+        .select(col("id"),
+          sum("d").over(Window.orderBy(col("v"), col("id"))
+            .rowsBetween(-2, 0)).as("s"))
       assert(!moving.queryExecution.executedPlan.toString
         .contains("graft_rank_pid"))
     }
@@ -448,6 +451,82 @@ class GlobalRankRewriteSpec extends SparkSpecBase {
         lag(col("payload"), 1).over(Window.orderBy(col("v"))).as("p"))
       assert(!r.queryExecution.executedPlan.toString.contains("graft_rank"),
         "payload is not a function of the order keys — must stand down")
+    }
+  }
+
+  test("global moving sum/count: distributed, exact incl. null runs, " +
+    "over-wide frames, and a mixed window") {
+    // moving(i) = cum(i) − cum(i−n−1); the paired cumulative count
+    // restores SQL null semantics exactly (x has both scattered nulls
+    // and a solid null run longer than the frame, so fully-null frames
+    // occur), the 100000-row frame degenerates to the cumulative case,
+    // and row_number shares the node to exercise unit mixing.
+    val df = corpus(5000).withColumn("x",
+      when(col("v") % 7 === 0 || col("v") < 600, lit(null).cast("long"))
+        .otherwise(col("v")))
+    val w = Window.orderBy(col("v"), col("id")).rowsBetween(-9, 0)
+    val wAll = Window.orderBy(col("v"), col("id")).rowsBetween(-100000, 0)
+    val build = () => df.select(col("id"),
+      sum(col("x")).over(w).as("ms"),
+      count(col("x")).over(w).as("mc"),
+      count(lit(1)).over(w).as("mn"),
+      sum(col("x")).over(wAll).as("mw"),
+      row_number().over(Window.orderBy(col("v"), col("id"))).as("rn"))
+    def rows(r: DataFrame) = r.collect().map(x => (x.getLong(0),
+      if (x.isNullAt(1)) Long.MinValue else x.getLong(1),
+      x.getLong(2), x.getLong(3),
+      if (x.isNullAt(4)) Long.MinValue else x.getLong(4),
+      x.getInt(5))).sorted.toSeq
+    val expected = naive(rows(build()))
+    forced {
+      val r = build()
+      val p = r.queryExecution.executedPlan.toString
+      assert(p.contains("graft_rank_pid"), s"rule must fire:\n${p.take(3000)}")
+      assert(p.contains("graft_rank_jrn"),
+        "the cum-fetch self-join must exist")
+      val windows = p.linesIterator.filter(_.contains("Window ")).toList
+      assert(windows.forall(_.contains("graft_rank_pid")),
+        s"no corpus-grain unpartitioned window may remain:\n${p.take(4000)}")
+      assert(rows(build()) === expected)
+    }
+  }
+
+  test("moving sum under heavy key ties: exact as a (key, values) bag") {
+    // with ties, WHICH tied row holds position i is arbitrary in the
+    // naive plan too — the deterministic object is the multiset of
+    // (key, moving values) pairs, which both plans must share exactly
+    val df = corpus(4000).withColumn("b", col("v") % 5L)
+    val w = Window.orderBy(col("b")).rowsBetween(-6, 0)
+    val build = () => df.select(col("b"),
+      sum(col("b") * 3L).over(w).as("ms"),
+      count(lit(1)).over(w).as("mn"))
+    def bag(r: DataFrame) = r.collect().map(x =>
+      (x.getLong(0), x.getLong(1), x.getLong(2))).sorted.toSeq
+    val expected = naive(bag(build()))
+    forced {
+      assert(build().queryExecution.executedPlan.toString
+        .contains("graft_rank_jrn"))
+      assert(bag(build()) === expected)
+    }
+  }
+
+  test("moving frames stand down: non-key input, avg/min/max, RANGE") {
+    val df = corpus(3000).withColumn("payload", col("id") * 31L)
+    val wu = Window.orderBy(col("v"), col("id")).rowsBetween(-3, 0)
+    forced {
+      for ((name, q) <- Seq(
+        "non-key input" -> df.select(
+          sum(col("payload")).over(Window.orderBy(col("v"))
+            .rowsBetween(-3, 0)).as("s")),
+        "moving avg (double fold)" -> df.select(
+          avg(col("v")).over(wu).as("a")),
+        "moving min (no subtraction)" -> df.select(
+          min(col("v")).over(wu).as("m")),
+        "RANGE preceding (value frame)" -> df.select(
+          sum(col("v")).over(Window.orderBy(col("v"))
+            .rangeBetween(-3, 0)).as("r"))))
+        assert(!q.queryExecution.executedPlan.toString.contains("graft_rank"),
+          s"$name must stand down")
     }
   }
 }
