@@ -7,12 +7,18 @@ import graft.catalog.Tables
 /** Multimodal-column plumbing: image/audio/video payloads modeled as opaque
   * `binary` columns with typed metadata, plus batched feature extraction.
   *
-  * Two decode tiers. The container has no media codec LIBRARIES, so the
-  * generic decode is a clearly-marked deterministic stub ([[fakeDecode]])
-  * — but formats that need no library decode for REAL: [[decodePgm]] is a
-  * genuine Netpbm P5 parser over valid images [[pgmTable]] encodes
-  * (q298), so the decode stage itself is exercised, not only the
-  * plumbing. Either way the Spark side (schema, binary columns, batch
+  * THREE decode tiers, by how real the codec is:
+  *   1. [[decodeImage]] — the JDK's `javax.imageio` (java.desktop module:
+  *      PNG/JPEG/GIF/BMP/TIFF readers, an actual DEFLATE/Huffman codec
+  *      stack, zero external dependencies) over REAL PNGs that
+  *      [[pngTable]] encodes through the same library (q307);
+  *   2. [[decodePgm]] — a genuine Netpbm P5 parser written here, over
+  *      valid images [[pgmTable]] encodes with native expressions (q298)
+  *      — real decode of a published format that needs no library;
+  *   3. [[fakeDecode]] — a clearly-marked deterministic stub for the
+  *      modalities whose codecs the JVM does NOT ship (compressed
+  *      audio/video); the plumbing around it is identical.
+  * Whatever the tier, the Spark side (schema, binary columns, batch
   * iteration shape, partitioning) is oracle/spec-tested. In PySpark this
   * stage would be
   * `mapInPandas` (arrow-batched pandas UDF); the Scala-native equivalent
@@ -56,12 +62,14 @@ object Multimodal {
       byte_sum: Long, // exact Σ byte values (mean = byte_sum/n_bytes)
       mean_byte: Double)
 
-  /** STUB decoder — deterministic fake standing in for image/audio decode
-    * (no codecs in this container). Consumes the payload bytes in one pass
+  /** STUB decoder — deterministic fake standing in for the decode of
+    * modalities whose codecs the JVM does not ship (compressed
+    * audio/video; images decode for REAL via [[decodeImage]]). Consumes
+    * the payload bytes in one pass
     * and emits a 16-bin byte histogram + exact byte sum: the *shape* of a
     * feature extractor (bounded output per row, single sequential read of
     * the payload), which is what the pipeline plumbing cares about. Swap
-    * the body for a real decoder (???) when codecs exist; the Spark
+    * the body for a real decoder (???) when such codecs exist; the Spark
     * plumbing around it does not change.
     */
   def fakeDecode(payload: Array[Byte]): (Array[Long], Long) = {
@@ -186,6 +194,91 @@ object Multimodal {
             }
             val n = img.width * img.height
             PgmFeatures(r.doc_id, img.width, img.height, n, sum,
+              if (n == 0) 0.0 else sum.toDouble / n)
+          }
+        }
+      }
+  }
+
+  // --- REAL codec: PNG (and friends) via the JDK's javax.imageio -----------
+
+  /** A media table whose payloads are REAL PNGs: each document's bytes
+    * become the gray plane of a width×height 8-bit grayscale image,
+    * encoded through the JDK's PNG writer (`javax.imageio`, java.desktop
+    * module) — an actual DEFLATE-compressed codec, not a header format.
+    * Same hash-derived dimensions and zero-padded/truncated plane as
+    * [[pgmTable]], so the two real-codec tiers share their oracle
+    * algebra. Encoding runs in the sanctioned mapPartitions batch shape
+    * (the write IS a codec invocation, not a column expression).
+    */
+  def pngTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        (col("doc_id") % 7 * 8 + 16).cast("int").as("width"),
+        (col("doc_id") % 5 * 8 + 16).cast("int").as("height"),
+        col("text"))
+      .select(col("doc_id"), col("width"), col("height"),
+        expr("rpad(cast(text as binary), width * height, X'00')")
+          .as("plane"))
+      .as[(Long, Int, Int, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // no temp-file cache
+        rows.map { case (id, w, h, plane) =>
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          img.getRaster.setDataElements(0, 0, w, h, plane)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** REAL image decode through `javax.imageio` — whatever readers the
+    * JDK registers (PNG, JPEG, GIF, BMP, TIFF, WBMP): container parse,
+    * pixel-data inflation, raster access. Returns the gray-plane
+    * (band 0) dimensions and exact sample sum; None when no registered
+    * reader accepts the bytes or the stream is corrupt. PNG grayscale is
+    * lossless, so a [[pngTable]] roundtrip reproduces the source plane
+    * bit-exactly (MultimodalSpec pins it, and BMP's uncompressed
+    * roundtrip too).
+    */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Long)] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val raster = img.getRaster
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        Some((w, h, sum))
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** Batched REAL codec decode + feature extraction — identical batch
+    * shape to [[extractPgmFeatures]], with the JDK codec stack as the
+    * body; unreadable payloads are dropped (the DLQ shape).
+    */
+  def extractImageFeatures(media: DataFrame): Dataset[PgmFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "payload").as[MediaRow]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { r =>
+          decodeImage(r.payload).map { case (w, h, sum) =>
+            val n = w * h
+            PgmFeatures(r.doc_id, w, h, n, sum,
               if (n == 0) 0.0 else sum.toDouble / n)
           }
         }

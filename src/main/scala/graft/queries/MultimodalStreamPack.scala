@@ -72,6 +72,28 @@ object MultimodalStreamPack extends QueryPack {
         round(col("mean_pixel"), 6).as("mean_pixel6"))
       .orderBy("doc_id")
 
+  /** q307 — REAL COMPRESSED-CODEC decode: each document's bytes become a
+    * genuine PNG (written through the JDK's `javax.imageio` PNG encoder —
+    * an actual DEFLATE codec in the java.desktop module, no external
+    * library), and [[Multimodal.decodeImage]] reads it back through the
+    * same codec stack: container parse, zlib inflation, raster access.
+    * This retires the long-standing "no codecs in the sandbox" caveat for
+    * the image modality — the JDK ships PNG/JPEG/GIF/BMP/TIFF readers.
+    * PNG grayscale is lossless, so the decoded plane reproduces the
+    * source bytes exactly and the oracle recomputes the identical pixel
+    * stats from the payload CONSTRUCTION, exactly as q298 (the two real
+    * tiers share dimension/plane algebra); the codec roundtrip itself
+    * plus multi-format (BMP) and corrupt-stream behavior are pinned in
+    * MultimodalSpec.
+    */
+  private def q307(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractImageFeatures(Multimodal.pngTable(s, dir))
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        col("n_pixels"), col("pix_sum"),
+        round(col("mean_pixel"), 6).as("mean_pixel6"))
+      .orderBy("doc_id")
+
   /** q49 — native session_window, batch mode, over the events table. */
   private def q49(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
@@ -118,28 +140,35 @@ object MultimodalStreamPack extends QueryPack {
     "q95_media_meta" -> q95 _,
     "q96_media_features" -> q96 _,
     "q298_pgm_decode" -> q298 _,
+    "q307_png_decode" -> q307 _,
     "q49_session_window" -> q49 _,
     "q58_tumbling_window" -> q58 _,
     "q59_sliding_window" -> q59 _)
 
+  /** q298 and q307 share their oracle algebra: both real-codec tables
+    * use the same hash-derived dimensions and zero-padded plane, so the
+    * decoded stats recompute identically from the construction. */
+  private val pixelStatsOracle =
+    """WITH base AS (
+      | SELECT doc_id,
+      |  CAST(doc_id % 7 * 8 + 16 AS INT) AS width,
+      |  CAST(doc_id % 5 * 8 + 16 AS INT) AS height,
+      |  text
+      | FROM documents),
+      |px AS (
+      | SELECT doc_id, width, height, width * height AS n_pixels,
+      |  CAST(coalesce(list_sum(list_transform(
+      |    string_split(text[1:width * height], ''), c -> ascii(c))), 0)
+      |   AS BIGINT) AS pix_sum
+      | FROM base)
+      |SELECT doc_id, width, height, CAST(n_pixels AS INT) AS n_pixels,
+      | pix_sum,
+      | round(CAST(pix_sum AS DOUBLE) / n_pixels, 6) AS mean_pixel6
+      |FROM px ORDER BY doc_id""".stripMargin
+
   override val oracle: Seq[(String, String)] = Seq(
-    "q298_pgm_decode" ->
-      """WITH base AS (
-        | SELECT doc_id,
-        |  CAST(doc_id % 7 * 8 + 16 AS INT) AS width,
-        |  CAST(doc_id % 5 * 8 + 16 AS INT) AS height,
-        |  text
-        | FROM documents),
-        |px AS (
-        | SELECT doc_id, width, height, width * height AS n_pixels,
-        |  CAST(coalesce(list_sum(list_transform(
-        |    string_split(text[1:width * height], ''), c -> ascii(c))), 0)
-        |   AS BIGINT) AS pix_sum
-        | FROM base)
-        |SELECT doc_id, width, height, CAST(n_pixels AS INT) AS n_pixels,
-        | pix_sum,
-        | round(CAST(pix_sum AS DOUBLE) / n_pixels, 6) AS mean_pixel6
-        |FROM px ORDER BY doc_id""".stripMargin,
+    "q307_png_decode" -> pixelStatsOracle,
+    "q298_pgm_decode" -> pixelStatsOracle,
     "q95_media_meta" ->
       """SELECT doc_id,
         | (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,

@@ -603,10 +603,42 @@ object TextPack extends QueryPack {
             col("corpus_tokens")).as("subwords_per_token_micro"))
     }.reduce(_ unionByName _).orderBy("round")
 
+  /** q306 — BPE ENCODE (tokenizer INFERENCE), the apply half of
+    * q286/q287's training: segment the whole corpus with the trained
+    * 4-merge table and read per-SOURCE fertility — the readout that
+    * tells a pipeline which data slices tokenize expensively (code-ish
+    * vs prose-ish sources). Scale shape: encoding runs at VOCAB grain —
+    * one corpus-grain partial-agg shuffle to (source, word) counts,
+    * then the subword lengths of the trained vocabulary join back at
+    * word grain (Heaps-bounded keys; never a corpus-grain join) and the
+    * readout aggregates to source grain. This is the merges-as-dim-table
+    * apply: inference consumes the trained segmentation as a lookup
+    * table instead of replaying K chained merges over the corpus.
+    */
+  private def q306(s: SparkSession, dir: String): DataFrame = {
+    val lens = bpeTrain(s, dir).last._2
+      .select(col("w"), size(col("syms")).cast("long").as("n_sub"))
+    val docs = Tables.load(s, dir, "documents")
+    val bySrcWord = docs
+      .select(col("source"), explode(toks(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+    val enc = bySrcWord.join(lens, Seq("w"))
+      .groupBy("source")
+      .agg(sum("cnt").as("tokens"),
+        sum(col("cnt") * col("n_sub")).as("subwords"))
+    docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(enc, Seq("source"))
+      .select(col("source"), col("n_docs"), col("tokens"), col("subwords"),
+        call_function("div", col("subwords") * 1000000L, col("tokens"))
+          .as("fertility_micro"))
+      .orderBy("source")
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q286_bpe_merges" -> q286 _,
     "q287_bpe_compression" -> q287 _,
     "q293_bpe_greedy" -> q293 _,
+    "q306_bpe_encode" -> q306 _,
     "q269_code_switch" -> q269 _,
     "q282_vocab_growth" -> q282 _,
     "q57_array_funcs" -> q57 _,
@@ -748,6 +780,28 @@ object TextPack extends QueryPack {
          |$union
          |ORDER BY round""".stripMargin
     },
+    "q306_bpe_encode" ->
+      s"""WITH $duckBpeChain,
+         |lens AS (
+         | SELECT w, CAST(len(syms) AS BIGINT) AS n_sub FROM w$bpeRounds),
+         |tok AS (
+         | SELECT source, unnest(
+         |   list_filter(string_split(text, ' '), x -> x <> '')) AS w
+         | FROM documents),
+         |sw AS (
+         | SELECT source, w, CAST(count(*) AS BIGINT) AS cnt
+         | FROM tok GROUP BY 1, 2),
+         |enc AS (
+         | SELECT source, CAST(sum(cnt) AS BIGINT) AS tokens,
+         |  CAST(sum(cnt * n_sub) AS BIGINT) AS subwords
+         | FROM sw JOIN lens USING (w) GROUP BY source),
+         |nd AS (
+         | SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         | FROM documents GROUP BY source)
+         |SELECT nd.source, n_docs, tokens, subwords,
+         | subwords * 1000000 // tokens AS fertility_micro
+         |FROM nd JOIN enc USING (source)
+         |ORDER BY nd.source""".stripMargin,
     "q287_bpe_compression" -> {
       val union = (1 to bpeRounds).map { r =>
         s"""SELECT $r AS round,

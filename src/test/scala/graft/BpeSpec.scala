@@ -134,4 +134,27 @@ class BpeSpec extends SparkSpecBase {
     val types = rows.map(_._2)
     assert(types.zip(types.tail).forall { case (a, b) => b <= a + 1 })
   }
+
+  test("q306 encode join-back conserves q287's corpus totals per source") {
+    // the vocab-grain encode (per-source word counts × trained subword
+    // lengths) must reassemble EXACTLY the final-round corpus totals —
+    // the partition-of-the-corpus identity that proves the dim-table
+    // apply equals replaying the merges over every document
+    val enc = SparkEntry.queries("q306_bpe_encode")(spark, sf).collect()
+    val last = SparkEntry.queries("q287_bpe_compression")(spark, sf)
+      .orderBy(org.apache.spark.sql.functions.col("round").desc)
+      .limit(1).collect()(0)
+    assert(enc.map(_.getAs[Long]("tokens")).sum ===
+      last.getAs[Long]("corpus_tokens"), "token conservation across sources")
+    assert(enc.map(_.getAs[Long]("subwords")).sum ===
+      last.getAs[Long]("corpus_subwords"), "subword conservation")
+    // fertility is a proper average: between the per-source extremes
+    val f = enc.map(_.getAs[Long]("fertility_micro"))
+    val corpusF = last.getAs[Long]("subwords_per_token_micro")
+    assert(corpusF >= f.min && corpusF <= f.max,
+      s"corpus fertility $corpusF outside per-source band [${f.min}, ${f.max}]")
+    // every source accounted for
+    assert(enc.map(_.getAs[Long]("n_docs")).sum ===
+      graft.catalog.Tables.load(spark, sf, "documents").count())
+  }
 }

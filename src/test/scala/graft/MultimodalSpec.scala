@@ -76,6 +76,76 @@ class MultimodalSpec extends SparkSpecBase {
       assert(Multimodal.decodePgm(p).isEmpty, s"malformation $i must reject")
   }
 
+  test("decodeImage: PNG roundtrip through the JDK codec is bit-exact") {
+    // encode a known gray plane through javax.imageio's PNG writer (a
+    // real DEFLATE codec), decode through decodeImage, expect the exact
+    // dimensions and pixel sum — PNG grayscale is lossless
+    def png(w: Int, h: Int, plane: Array[Byte]): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, w, h, plane)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val plane = Array.tabulate(24 * 16)(i => ((i * 37 + 11) % 256).toByte)
+    val expected = plane.map(_ & 0xff).map(_.toLong).sum
+    assert(Multimodal.decodeImage(png(24, 16, plane)) ===
+      Some((24, 16, expected)))
+    // the PNG bytes really are a compressed container, not raw pixels
+    val bytes = png(24, 16, plane)
+    assert(bytes.take(8).map(_ & 0xff).toSeq ===
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a), "PNG magic")
+    assert(bytes.length < 24 * 16, "DEFLATE must compress this plane")
+  }
+
+  test("decodeImage: multi-format (BMP lossless, JPEG lossy) and rejects") {
+    def imgBytes(fmt: String, w: Int, h: Int,
+        plane: Array[Byte]): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, w, h, plane)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val plane = Array.tabulate(16 * 16)(i => ((i * 31 + 5) % 256).toByte)
+    val exact = plane.map(_ & 0xff).map(_.toLong).sum
+    // BMP stores the plane uncompressed — roundtrip is exact too
+    assert(Multimodal.decodeImage(imgBytes("bmp", 16, 16, plane)) ===
+      Some((16, 16, exact)))
+    // JPEG is lossy: dimensions survive, the sum only approximately
+    val Some((jw, jh, jsum)) =
+      Multimodal.decodeImage(imgBytes("jpg", 16, 16, plane))
+    assert((jw, jh) === (16, 16))
+    assert(math.abs(jsum - exact) < exact / 10, "JPEG sum within 10%")
+    // corrupt stream (valid magic, truncated body) and garbage reject
+    val truncated = imgBytes("png", 16, 16, plane).take(40)
+    assert(Multimodal.decodeImage(truncated).isEmpty, "truncated PNG")
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+    assert(Multimodal.decodeImage(Array[Byte]()).isEmpty)
+  }
+
+  test("pngTable payloads decode to the documents' own bytes") {
+    val media = Multimodal.pngTable(spark, "/root/testdata/sf0.001")
+    val feats = Multimodal.extractImageFeatures(media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(feats.size === media.count(), "every PNG must decode")
+    // recompute from the construction for a sample of docs
+    val docs = graft.catalog.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (id <- docs.keys.take(25)) {
+      val (w, h) = ((id % 7 * 8 + 16).toInt, (id % 5 * 8 + 16).toInt)
+      val bytes = docs(id).getBytes("UTF-8").take(w * h)
+      val f = feats(id)
+      assert((f.width, f.height) === (w, h), s"doc $id dims")
+      assert(f.pix_sum === bytes.map(_ & 0xff).map(_.toLong).sum,
+        s"doc $id pixel sum (padding contributes 0)")
+    }
+  }
+
   test("frameSample strides through the payload as 1-byte frames") {
     val s = spark
     import s.implicits._
