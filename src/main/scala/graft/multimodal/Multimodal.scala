@@ -12,12 +12,16 @@ import graft.catalog.Tables
   *      PNG/JPEG/GIF/BMP/TIFF readers, an actual DEFLATE/Huffman codec
   *      stack, zero external dependencies) over REAL PNGs that
   *      [[pngTable]] encodes through the same library (q307);
-  *   2. [[decodePgm]] — a genuine Netpbm P5 parser written here, over
+  *   2. [[decodeWav]] — the JDK's `javax.sound.sampled` RIFF/WAVE codec
+  *      over REAL WAV files that [[wavTable]] encodes through the same
+  *      library (q309) — the audio modality decodes for real too;
+  *   3. [[decodePgm]] — a genuine Netpbm P5 parser written here, over
   *      valid images [[pgmTable]] encodes with native expressions (q298)
   *      — real decode of a published format that needs no library;
-  *   3. [[fakeDecode]] — a clearly-marked deterministic stub for the
-  *      modalities whose codecs the JVM does NOT ship (compressed
-  *      audio/video); the plumbing around it is identical.
+  *   4. [[fakeDecode]] — a clearly-marked deterministic stub for the
+  *      modalities whose codecs the JVM does NOT ship (COMPRESSED
+  *      audio — mp3/aac — and video); the plumbing around it is
+  *      identical.
   * Whatever the tier, the Spark side (schema, binary columns, batch
   * iteration shape, partitioning) is oracle/spec-tested. In PySpark this
   * stage would be
@@ -64,7 +68,8 @@ object Multimodal {
 
   /** STUB decoder — deterministic fake standing in for the decode of
     * modalities whose codecs the JVM does not ship (compressed
-    * audio/video; images decode for REAL via [[decodeImage]]). Consumes
+    * audio — mp3/aac — and video; images decode for REAL via
+    * [[decodeImage]], PCM audio via [[decodeWav]]). Consumes
     * the payload bytes in one pass
     * and emits a 16-bin byte histogram + exact byte sum: the *shape* of a
     * feature extractor (bounded output per row, single sequential read of
@@ -265,6 +270,46 @@ object Multimodal {
       }
     } catch { case _: java.io.IOException => None }
 
+  /** Sampled-position AVERAGE HASH (aHash) over a decoded gray raster —
+    * the perceptual-hash step of an image near-dup pipeline: 63 evenly
+    * spaced raster positions (row-major linear index
+    * `i·(n−1)/62`, integer division; 63 bits keep the sign bit clear),
+    * bit i set iff the sample exceeds
+    * the image's integer mean (Σ/n). Every quantity is exact integer
+    * arithmetic on decoded pixel values, so an oracle can recompute the
+    * hash from the source plane — while THIS path reads the pixels
+    * through the real codec ([[decodeImage]]'s raster).
+    */
+  def imageAHash(payload: Array[Byte]): Option[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val n = w.toLong * h.toLong
+        val raster = img.getRaster
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        val mean = sum / n
+        var hash = 0L
+        var i = 0
+        while (i < 63) {
+          val idx = i.toLong * (n - 1) / 62L
+          val s = raster.getSample((idx % w).toInt, (idx / w).toInt, 0)
+          if (s > mean) hash |= (1L << i)
+          i += 1
+        }
+        Some(hash)
+      }
+    } catch { case _: java.io.IOException => None }
+
   /** Batched REAL codec decode + feature extraction — identical batch
     * shape to [[extractPgmFeatures]], with the JDK codec stack as the
     * body; unreadable payloads are dropped (the DLQ shape).
@@ -279,6 +324,87 @@ object Multimodal {
           decodeImage(r.payload).map { case (w, h, sum) =>
             val n = w * h
             PgmFeatures(r.doc_id, w, h, n, sum,
+              if (n == 0) 0.0 else sum.toDouble / n)
+          }
+        }
+      }
+  }
+
+  // --- REAL codec: WAV via the JDK's javax.sound.sampled -------------------
+
+  /** A media table whose payloads are REAL WAV files: each document's
+    * bytes become 8-bit unsigned PCM mono samples at a hash-derived
+    * sample rate, written through the JDK's WAV encoder
+    * (`javax.sound.sampled.AudioSystem`, java.desktop module) — the
+    * audio sibling of [[pngTable]]. PCM is lossless, so the decoded
+    * sample stream reproduces the document bytes exactly.
+    */
+  def wavTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        (col("doc_id") % 2 * 22050 + 22050).cast("int").as("rate"),
+        col("text").cast("binary").as("samples"))
+      .as[(Long, Int, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, rate, samples) =>
+          val fmt = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+            rate.toFloat, 8, 1, 1, rate.toFloat, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(samples), fmt,
+            samples.length.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  final case class WavFeatures(doc_id: Long, sample_rate: Int,
+      n_samples: Long, sample_sum: Long, mean_sample: Double)
+
+  /** REAL audio decode through `javax.sound.sampled`: RIFF/WAVE
+    * container parse (fmt/data chunks, sample rate, channels, bit
+    * depth) and the PCM sample stream. None when the bytes aren't a
+    * supported audio file. For the 8-bit unsigned mono PCM that
+    * [[wavTable]] writes, the decoded bytes ARE the original samples.
+    */
+  def decodeWav(payload: Array[Byte]): Option[(Float, Long, Long)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val rate = ais.getFormat.getSampleRate
+        val buf = new Array[Byte](8192)
+        var n = 0L
+        var sum = 0L
+        var read = ais.read(buf)
+        while (read > 0) {
+          var i = 0
+          while (i < read) { sum += buf(i) & 0xff; i += 1 }
+          n += read
+          read = ais.read(buf)
+        }
+        Some((rate, n, sum))
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** Batched REAL audio decode — the same sanctioned mapPartitions
+    * batch shape; undecodable payloads drop (the DLQ shape). */
+  def extractWavFeatures(media: DataFrame): Dataset[WavFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "payload").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          decodeWav(r.payload).map { case (rate, n, sum) =>
+            WavFeatures(r.doc_id, rate.toInt, n, sum,
               if (n == 0) 0.0 else sum.toDouble / n)
           }
         }

@@ -10,7 +10,19 @@ import org.apache.spark.sql.types._
 /** Optimizer rule: plan a user-written GLOBAL rank window —
   * `row_number()/ntile(k) OVER (ORDER BY … )` with NO PARTITION BY —
   * as a distributed-rank shape instead of the single-partition
-  * `WindowExec` Spark would otherwise execute. This is
+  * `WindowExec` Spark would otherwise execute. Round 8 extends the same
+  * machinery to PARTITIONED windows whose partition keys have a
+  * PROVABLY bounded domain (booleans, `pmod/%` by a small literal,
+  * bounded CASE/IF ladders — see [[boundedDomain]]): by pigeonhole such
+  * a window's parallelism is capped at ≤ [[maxGroups]] tasks at any
+  * data size on any cluster, so the rewrite needs no skew estimate —
+  * the ceiling is a theorem. The boundary table becomes one row per
+  * group (still broadcastable), every window/aggregate/join gains the
+  * group key (null-safe — a null partition value is a group like any
+  * other) next to the slice id, and offsets prefix-combine per group.
+  * Attribute-valued partitions (`lang`, `country`) stay stood down:
+  * nothing in the plan proves their cardinality (catalog column stats
+  * could admit them later). This is
   * [[graft.functions.DistRank]] promoted from a library call to an
   * engine capability (the same promotion [[HammingJoinBlocking]] makes
   * for hamming joins): the user writes the natural window, the engine
@@ -175,9 +187,13 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
       qualifier: Seq[String], input: Expression, delta: Int,
       default: Expression, dt: DataType)
 
-  private def offsetUnit(ne: NamedExpression, order: Seq[SortOrder],
-      child: LogicalPlan): Option[OffsetUnit] = {
-    lazy val keys = order.map(o => expandOnce(o.child, child))
+  private def offsetUnit(ne: NamedExpression, parts: Seq[Expression],
+      order: Seq[SortOrder], child: LogicalPlan): Option[OffsetUnit] = {
+    // partition keys join the tie-safety key set: within a window
+    // partition every part expression is constant, so a part-derived
+    // input is constant across any tie resolution there
+    lazy val keys = order.map(o => expandOnce(o.child, child)) ++
+      parts.map(expandOnce(_, child))
     def ok(input: Expression, default: Expression): Boolean =
       default.foldable && orderFunc(expandOnce(input, child), keys)
     ne match {
@@ -218,9 +234,10 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
       qualifier: Seq[String], dt: DataType, sumInput: Option[Expression],
       cntFn: Count, n: Int)
 
-  private def movUnit(ne: NamedExpression, order: Seq[SortOrder],
-      child: LogicalPlan): Option[MovUnit] = {
-    lazy val keys = order.map(o => expandOnce(o.child, child))
+  private def movUnit(ne: NamedExpression, parts: Seq[Expression],
+      order: Seq[SortOrder], child: LogicalPlan): Option[MovUnit] = {
+    lazy val keys = order.map(o => expandOnce(o.child, child)) ++
+      parts.map(expandOnce(_, child))
     def okIn(e: Expression): Boolean = orderFunc(expandOnce(e, child), keys)
     ne match {
       case a @ Alias(WindowExpression(ae: AggregateExpression,
@@ -242,11 +259,11 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  private def supported(ne: NamedExpression, order: Seq[SortOrder],
-      child: LogicalPlan): Boolean = ne match {
+  private def supported(ne: NamedExpression, parts: Seq[Expression],
+      order: Seq[SortOrder], child: LogicalPlan): Boolean = ne match {
     case _ if cumulativeAgg(ne) => true
-    case _ if offsetUnit(ne, order, child).isDefined => true
-    case _ if movUnit(ne, order, child).isDefined => true
+    case _ if offsetUnit(ne, parts, order, child).isDefined => true
+    case _ if movUnit(ne, parts, order, child).isDefined => true
     case Alias(WindowExpression(fn, _), _) => fn match {
       case RowNumber() => true
       case NTile(Literal(k: Int, IntegerType)) => k > 0
@@ -307,6 +324,63 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     t < 0 || child.stats.sizeInBytes > t
   }
 
+  private val maxGroups = 64L
+
+  /** A PROVABLE upper bound on an expression's value domain, for the
+    * pigeonhole gate on partitioned windows: only shapes whose bound is
+    * a static theorem qualify — literals, booleans, `pmod/%` by a small
+    * literal, all-literal CASE/IF ladders — never a guess about data
+    * (an attribute like `lang` may well be low-cardinality, but nothing
+    * in the plan proves it; with catalog column stats that case could
+    * be admitted later). Casts and aliases can merge values, not split
+    * them, so they preserve any child bound. */
+  private def boundedDomain(e: Expression): Option[Long] = e match {
+    case _ if !e.deterministic => None
+    case _ if e.foldable => Some(1L)
+    case _ if e.dataType == BooleanType => Some(3L) // true/false/null
+    case a: Alias => boundedDomain(a.child)
+    case c: Cast => boundedDomain(c.child)
+    case p: Pmod => p.right match {
+      case Literal(k: Int, IntegerType) if k > 0 && k <= 1000000 =>
+        Some(k + 1L) // [0, k) plus null
+      case Literal(k: Long, LongType) if k > 0 && k <= 1000000 =>
+        Some(k + 1L)
+      case _ => None
+    }
+    case r: Remainder => r.right match {
+      case Literal(k: Int, IntegerType) if k > 0 && k <= 1000000 =>
+        Some(2L * k) // (−k, k) plus null
+      case Literal(k: Long, LongType) if k > 0 && k <= 1000000 =>
+        Some(2L * k)
+      case _ => None
+    }
+    case CaseWhen(branches, elseValue) =>
+      // the output domain is the union of the branch-value domains
+      // (plus null when a branch can miss) — branch values recurse, so
+      // ladders over bounded arms qualify, not only literal ladders
+      val doms = (branches.map(_._2) ++ elseValue.toSeq).map(boundedDomain)
+      if (doms.forall(_.isDefined)) Some(doms.flatten.sum + 1L) else None
+    case If(_, t, f) =>
+      for (a <- boundedDomain(t); b <- boundedDomain(f)) yield a + b + 1L
+    case _ => None
+  }
+
+  /** Pigeonhole gate: every partition expression's domain is provably
+    * bounded and the product of bounds is ≤ [[maxGroups]] — so the
+    * naive plan's parallelism is CAPPED at that many tasks at any data
+    * size and on any cluster (each group is one WindowExec partition),
+    * which is the one case where rewriting a partitioned window needs
+    * no skew estimate: the ceiling is a theorem. Expressions expand one
+    * level through the child Project first (the analyzer extracts
+    * non-trivial partition keys as `_w0` aliases). */
+  private def boundedParts(parts: Seq[Expression],
+      child: LogicalPlan): Boolean = {
+    val doms = parts.map(p => boundedDomain(expandOnce(p, child)))
+    doms.forall(_.isDefined) &&
+      doms.flatten.foldLeft(1L)((a, b) =>
+        if (a > maxGroups) a else a * b) <= maxGroups
+  }
+
   // The child subtree is SHARED verbatim by the rank branch, the offsets
   // branch, and both min/max aggregates (trees are immutable — reusing
   // the node is safe). No leaf re-instancing: every join boundary this
@@ -317,13 +391,14 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
   // InMemoryRelation — its stats remap expects the original output ids.)
 
   def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case w @ Window(exprs, Nil, order, child, _)
+    case w @ Window(exprs, parts, order, child, _)
         if order.nonEmpty && exprs.nonEmpty &&
-          exprs.forall(supported(_, order, child)) &&
+          (parts.isEmpty || boundedParts(parts, child)) &&
+          exprs.forall(supported(_, parts, order, child)) &&
           supportedKey(order) && child.deterministic &&
-          order.forall(_.deterministic) &&
+          parts.forall(_.deterministic) && order.forall(_.deterministic) &&
           !child.output.exists(_.name == pidName) && bigEnough(child) =>
-      rewrite(exprs, order, child)
+      rewrite(exprs, parts, order, child)
   }
 
   private val targetSamples = 65536L
@@ -366,15 +441,41 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     * (one partition — degenerate but correct; below-threshold inputs
     * stand down before this anyway).
     */
-  private def boundaryRow(first: SortOrder, child: LogicalPlan,
-      nSlices: Int): (LogicalPlan, Seq[Attribute]) = {
-    def bCross(l: LogicalPlan, r: LogicalPlan): LogicalPlan =
-      Join(l, r, Cross, None,
-        JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST)))))
+  /** Broadcast join of `l` against the small boundary/count side: a
+    * plain broadcast CROSS when there are no keys (the unpartitioned
+    * case — one row) and a null-safe broadcast equi-join on the
+    * partition keys otherwise (null partition values form a group like
+    * any other, so `<=>`, never `=`). */
+  private def bndJoin(l: LogicalPlan, r: LogicalPlan,
+      cond: Option[Expression]): LogicalPlan =
+    Join(l, r, if (cond.isEmpty) Cross else Inner, cond,
+      JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST)))))
+
+  private def grpCond(parts: Seq[Expression],
+      grps: Seq[Attribute]): Option[Expression] =
+    parts.zip(grps).map[Expression] { case (p, g) => EqualNullSafe(p, g) }
+      .reduceOption(And)
+
+  /** [[boundaryRow]] generalized over the window's partition keys: the
+    * counts and samples aggregate PER GROUP (≤ [[maxGroups]] rows by the
+    * pigeonhole gate, so the result still broadcasts), and each child
+    * row is stamped with ITS group's split points by the null-safe
+    * broadcast join — the per-row slice semantics are unchanged. With no
+    * partition keys the groupings are global and the plan degenerates to
+    * the original 1-row boundary cross. Returns (plan, group attributes,
+    * split-point attributes) — the group attributes are fresh aliases,
+    * so they never collide with child output above a join. */
+  private def boundaryRow(parts: Seq[Expression], first: SortOrder,
+      child: LogicalPlan,
+      nSlices: Int): (LogicalPlan, Seq[Attribute], Seq[Attribute]) = {
+    val g1 = parts.zipWithIndex.map { case (p, i) =>
+      Alias(p, s"graft_rank_cg$i")()
+    }
+    val gAttrs = g1.map(_.toAttribute)
     val cntA = Alias(AggregateExpression(Count(Seq(Literal(1))), Complete,
       isDistinct = false), "graft_rank_n")()
-    val cntAgg = Aggregate(Nil, Seq(cntA), child)
-    val withCnt = bCross(child, cntAgg)
+    val cntAgg = Aggregate(parts, g1 :+ cntA, child)
+    val withCnt = bndJoin(child, cntAgg, grpCond(parts, gAttrs))
     val x = keyExpr(first)
     val kt = keyType(first)
     val rate = Greatest(Seq(Literal(1L),
@@ -388,9 +489,9 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     val sampA = Alias(AggregateExpression(
       CollectSet(If(keep, x, Literal(null, kt))), Complete,
       isDistinct = false), "graft_rank_smp")()
-    val sampAgg = Aggregate(Nil, Seq(sampA), withCnt)
+    val sampAgg = Aggregate(gAttrs, gAttrs :+ sampA, withCnt)
     val arrA = Alias(new SortArray(sampA.toAttribute), "graft_rank_arr")()
-    val arrProj = Project(Seq(arrA), sampAgg)
+    val arrProj = Project(gAttrs :+ arrA, sampAgg)
     val arr = arrA.toAttribute
     val m = Cast(Size(arr), LongType)
     val bndAliases = (1 until nSlices).map { j =>
@@ -401,7 +502,8 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
         Literal(null, kt), ElementAt(arr, idx)),
         s"graft_rank_bnd$j")()
     }
-    (Project(bndAliases, arrProj), bndAliases.map(_.toAttribute))
+    (Project(gAttrs ++ bndAliases, arrProj), gAttrs,
+      bndAliases.map(_.toAttribute))
   }
 
   /** Monotone [0, nSlices) bucket of the first order key from the
@@ -440,20 +542,17 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     If(IsNull(first.child), nullSlice, oriented)
   }
 
-  private def rewrite(exprs: Seq[NamedExpression], order: Seq[SortOrder],
-      child: LogicalPlan): LogicalPlan = {
+  private def rewrite(exprs: Seq[NamedExpression], parts: Seq[Expression],
+      order: Seq[SortOrder], child: LogicalPlan): LogicalPlan = {
     val nSlices = conf.numShufflePartitions
     val rowFrame =
       SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
     val rangeFrame =
       SpecifiedWindowFrame(RangeFrame, UnboundedPreceding, CurrentRow)
-    def broadcastCross(l: LogicalPlan, r: LogicalPlan): LogicalPlan =
-      Join(l, r, Cross, None,
-        JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST)))))
 
-    val offUnits = exprs.flatMap(offsetUnit(_, order, child))
+    val offUnits = exprs.flatMap(offsetUnit(_, parts, order, child))
     val offUnitIds = offUnits.map(_.exprId).toSet
-    val movUnits = exprs.flatMap(movUnit(_, order, child))
+    val movUnits = exprs.flatMap(movUnit(_, parts, order, child))
     val movIds = movUnits.map(_.exprId).toSet
     val fns = exprs.collect { case Alias(WindowExpression(f, _), _) => f }
     val needRn = offUnits.nonEmpty || movUnits.nonEmpty || fns.exists {
@@ -471,29 +570,39 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     // immutable; its attributes never escape either branch's Project,
     // so the duplicate exprIds can't meet above a join). Sharing keeps
     // the child subtree at one instance per sampling aggregate instead
-    // of two, and lets ReuseExchange collapse the two broadcasts.
-    val (bnd, bndAttrs) = boundaryRow(order.head, child, nSlices)
+    // of two, and lets ReuseExchange collapse the two broadcasts. With
+    // partition keys (the bounded-domain case) the boundary table is
+    // one row PER GROUP and each row is stamped with its own group's
+    // split points; every downstream step gains the group key next to
+    // the slice id — same per-row semantics, per-group offsets.
+    val (bnd, bndGrps, bndAttrs) =
+      boundaryRow(parts, order.head, child, nSlices)
 
     // rank branch: slice stamp (split-point broadcast) → per-slice window
+    val grpLAs = parts.zipWithIndex.map { case (p, i) =>
+      Alias(p, s"graft_rank_gl$i")()
+    }
+    val grpL = grpLAs.map(_.toAttribute)
     val pidAliasL = Alias(sliceOf(order.head, bndAttrs, nSlices), pidName)()
-    val rangedL = Project(child.output :+ pidAliasL,
-      broadcastCross(child, bnd))
+    val rangedL = Project((child.output ++ grpLAs) :+ pidAliasL,
+      bndJoin(child, bnd, grpCond(parts, bndGrps)))
     val pidL = pidAliasL.toAttribute
+    val winPartL: Seq[Expression] = grpL :+ pidL
     val orderKeys = order.map(_.child)
     val localRn = Alias(WindowExpression(RowNumber(),
-      WindowSpecDefinition(Seq(pidL), order, rowFrame)),
+      WindowSpecDefinition(winPartL, order, rowFrame)),
       "graft_rank_local")()
     val localRk = Alias(WindowExpression(Rank(orderKeys),
-      WindowSpecDefinition(Seq(pidL), order, rangeFrame)),
+      WindowSpecDefinition(winPartL, order, rangeFrame)),
       "graft_rank_lrk")()
     val localDr = Alias(WindowExpression(DenseRank(orderKeys),
-      WindowSpecDefinition(Seq(pidL), order, rangeFrame)),
+      WindowSpecDefinition(winPartL, order, rangeFrame)),
       "graft_rank_ldr")()
     // rows in the slice's range frame ≤ current (cume_dist numerator)
     val localLe = Alias(WindowExpression(
       AggregateExpression(Count(Seq(Literal(1))), Complete,
         isDistinct = false),
-      WindowSpecDefinition(Seq(pidL), order, rangeFrame)),
+      WindowSpecDefinition(winPartL, order, rangeFrame)),
       "graft_rank_lle")()
     // offsets branch pid (defined early — cumulative-agg prefixes below
     // need its sort order): same child + same boundary row → identical
@@ -501,6 +610,10 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     // only when a dense_rank needs them (distinct tuples cannot
     // straddle slices — equal tuples share the first key — so prefix
     // sums of per-slice distinct counts ARE the global dense offsets).
+    val grpRAs = parts.zipWithIndex.map { case (p, i) =>
+      Alias(p, s"graft_rank_gr$i")()
+    }
+    val grpR = grpRAs.map(_.toAttribute)
     val pidAliasR = Alias(sliceOf(order.head, bndAttrs, nSlices),
       pidName + "_r")()
     val pidR = pidAliasR.toAttribute
@@ -519,7 +632,7 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
         frame: SpecifiedWindowFrame, tag: String): CumUnit = {
       val local = Alias(WindowExpression(
         AggregateExpression(fn, Complete, isDistinct = false),
-        WindowSpecDefinition(Seq(pidL), order, frame)),
+        WindowSpecDefinition(winPartL, order, frame)),
         s"graft_rank_lcm$tag")()
       val slice = Alias(AggregateExpression(fn, Complete,
         isDistinct = false), s"graft_rank_tcm$tag")()
@@ -530,7 +643,7 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
       }
       val prefix = Alias(WindowExpression(
         AggregateExpression(pfn, Complete, isDistinct = false),
-        WindowSpecDefinition(Nil, pidOrder,
+        WindowSpecDefinition(grpR, pidOrder,
           SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
             Literal(-1)))), s"graft_rank_pcm$tag")()
       CumUnit(local, slice, prefix, op)
@@ -579,7 +692,7 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
       (if (needDr) Seq(localDr) else Nil) ++
       (if (needLe) Seq(localLe) else Nil) ++
       allCumUnits.map(_.local)
-    val rankWin = Window(locals, Seq(pidL), order, rangedL)
+    val rankWin = Window(locals, winPartL, order, rangedL)
 
     val keyAliases = order.zipWithIndex.map { case (o, i) =>
       Alias(o.child, s"graft_rank_key$i")()
@@ -587,40 +700,44 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     // slice-aggregate inputs reference child columns, so pass them
     // through when cumulative aggs exist (column pruning trims unused)
     val rangedR = Project(
-      (pidAliasR +: (if (needDr) keyAliases else Nil)) ++
+      ((pidAliasR +: grpRAs) ++ (if (needDr) keyAliases else Nil)) ++
         (if (allCumUnits.nonEmpty) child.output else Nil),
-      broadcastCross(child, bnd))
+      bndJoin(child, bnd, grpCond(parts, bndGrps)))
     val cntAlias = Alias(AggregateExpression(Count(Seq(Literal(1))),
       Complete, isDistinct = false), "graft_rank_cnt")()
     val dcntAlias = Alias(AggregateExpression(
       Count(Seq(CreateStruct(keyAliases.map(_.toAttribute)))),
       Complete, isDistinct = true), "graft_rank_dcnt")()
-    val counts = Aggregate(Seq(pidR),
-      (Seq(pidR, cntAlias) ++ (if (needDr) Seq(dcntAlias) else Nil)) ++
+    val counts = Aggregate(grpR :+ pidR,
+      ((grpR :+ pidR) ++ Seq(cntAlias) ++
+        (if (needDr) Seq(dcntAlias) else Nil)) ++
         allCumUnits.map(_.slice),
       rangedR)
     val cnt = cntAlias.toAttribute
     def prefixSum(x: Attribute, name: String): Alias =
       Alias(WindowExpression(
         AggregateExpression(Sum(x), Complete, isDistinct = false),
-        WindowSpecDefinition(Nil, pidOrder,
+        WindowSpecDefinition(grpR, pidOrder,
           SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
             Literal(-1)))), name)()
     val offAlias = prefixSum(cnt, "graft_rank_off")
     val doffAlias = prefixSum(dcntAlias.toAttribute, "graft_rank_doff")
     val totAlias = Alias(WindowExpression(
       AggregateExpression(Sum(cnt), Complete, isDistinct = false),
-      WindowSpecDefinition(Nil, pidOrder,
+      WindowSpecDefinition(grpR, pidOrder,
         SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
           UnboundedFollowing))), "graft_rank_tot")()
     val offWins = Seq(offAlias, totAlias) ++
       (if (needDr) Seq(doffAlias) else Nil) ++
       allCumUnits.map(_.prefix)
-    val offWin = Window(offWins, Nil, pidOrder, counts)
-    val offs = Project(pidR +: offWins.map(_.toAttribute), offWin)
+    val offWin = Window(offWins, grpR, pidOrder, counts)
+    val offs = Project((grpR :+ pidR) ++ offWins.map(_.toAttribute), offWin)
 
     val joined = Join(rankWin, offs, Inner,
-      Some(EqualTo(pidL, pidR)),
+      Some((EqualTo(pidL, pidR) +:
+        grpL.zip(grpR).map[Expression] { case (l, r) =>
+          EqualNullSafe(l, r)
+        }).reduce(And)),
       JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST)))))
 
     // global ranks (long) and the original outputs, exprIds preserved
@@ -716,7 +833,8 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
       }
       val movLeft = movLeftAs.toMap
       val base = Project(
-        (child.output ++ outExprs) ++ movLeftAs.map(_._2) :+ grnAlias,
+        (child.output ++ grpL ++ outExprs) ++ movLeftAs.map(_._2)
+          :+ grnAlias,
         joined)
       // (slot, delta, value-over-`joined`): slot 0 = lead/lag input or
       // moving cum-sum, slot 1 = moving cum-count
@@ -736,15 +854,24 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
         case (d, fs) =>
           val tag = if (d < 0) s"m${-d}" else d.toString
           val jrnA = Alias(grn, s"graft_rank_jrn$tag")()
+          // right-side copies of the group keys: fresh aliases, so the
+          // self-join resolves (grpL ids exist on both sides otherwise)
+          val grpJAs = grpL.zipWithIndex.map { case (g, i) =>
+            Alias(g, s"graft_rank_gj${tag}_$i")()
+          }
           val valAs = fs.zipWithIndex.map { case (f, i) =>
             f -> Alias(f.value, s"graft_rank_lv${tag}_$i")()
           }
-          val rightP = Project(jrnA +: valAs.map(_._2), joined)
-          // source row: jrn == grn + delta (left refs left, right right
-          // — ExtractEquiJoinKeys plans the hash join on computed keys)
+          val rightP = Project((jrnA +: grpJAs) ++ valAs.map(_._2), joined)
+          // source row: same group AND jrn == grn + delta (left refs
+          // left, right right — ExtractEquiJoinKeys plans the hash join
+          // on computed keys; group equality is null-safe)
           cur = Join(cur, rightP, LeftOuter,
-            Some(EqualTo(Add(grnAlias.toAttribute, Literal(d.toLong)),
-              jrnA.toAttribute)), JoinHint.NONE)
+            Some((EqualTo(Add(grnAlias.toAttribute, Literal(d.toLong)),
+              jrnA.toAttribute) +:
+              grpL.zip(grpJAs).map[Expression] { case (l, j) =>
+                EqualNullSafe(l, j.toAttribute)
+              }).reduce(And)), JoinHint.NONE)
           valAs.foreach { case (f, va) =>
             // nullable copies: above the outer join these attributes CAN
             // be null even when the underlying expressions cannot —

@@ -94,6 +94,60 @@ object MultimodalStreamPack extends QueryPack {
         round(col("mean_pixel"), 6).as("mean_pixel6"))
       .orderBy("doc_id")
 
+  /** q309 — REAL AUDIO-CODEC decode: each document's bytes become 8-bit
+    * unsigned PCM mono samples inside a genuine RIFF/WAVE container
+    * (written through the JDK's `javax.sound.sampled` encoder), and
+    * [[Multimodal.decodeWav]] parses it back through the same codec
+    * stack — container chunks, format negotiation, sample stream. With
+    * q307's PNG tier this leaves only COMPRESSED audio/video (mp3/aac/
+    * h264) on the stub route, codecs the JVM genuinely does not ship.
+    * PCM is lossless, so the oracle recomputes sample stats from the
+    * payload construction (the document's own bytes + the hash-derived
+    * rate); the codec roundtrip, declared-vs-decoded rate, and
+    * corrupt-container rejects are pinned in MultimodalSpec.
+    */
+  private def q309(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractWavFeatures(Multimodal.wavTable(s, dir))
+      .toDF()
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+        col("sample_sum"),
+        round(col("mean_sample"), 6).as("mean_sample6"))
+      .orderBy("doc_id")
+
+  /** q310 — IMAGE NEAR-DUP over REAL decoded pixels: the multimodal
+    * pipeline composed end-to-end. Documents travel as genuine PNGs
+    * ([[Multimodal.pngTable]]), the perceptual hash
+    * ([[Multimodal.imageAHash]]) reads each image back through the JDK
+    * codec and thresholds 63 sampled raster positions against the image
+    * mean, and near-duplicate pairs come from the NAIVE hamming theta
+    * self-join (`bit_count(h ⊕ h2) ≤ 1 ∧ id < id2`, q276's authorship
+    * doctrine) — which [[graft.plans.HammingJoinBlocking]] plans as a
+    * pigeonhole segment equi-join at scale. The oracle recomputes the
+    * identical integer aHash from the source plane and replays the
+    * all-pairs join; the lookalike synthetic corpus legitimately yields
+    * a dense duplicate set (the miner's honest output on it).
+    */
+  private def q310(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = Multimodal.pngTable(s, dir)
+      .select("doc_id", "payload").as[Multimodal.MediaRow]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap(r =>
+          Multimodal.imageAHash(r.payload).map(h => (r.doc_id, h)))
+      }
+      .toDF("doc_id", "ahash")
+    val y = hashes.select(col("doc_id").as("doc_id2"),
+      col("ahash").as("ahash2"))
+    hashes.join(y,
+        bit_count(col("ahash").bitwiseXOR(col("ahash2"))) <= 1 &&
+          col("doc_id") < col("doc_id2"))
+      .select(col("doc_id"), col("doc_id2"),
+        bit_count(col("ahash").bitwiseXOR(col("ahash2")))
+          .cast("int").as("dist"))
+      .orderBy("doc_id", "doc_id2")
+  }
+
   /** q49 — native session_window, batch mode, over the events table. */
   private def q49(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
@@ -141,6 +195,8 @@ object MultimodalStreamPack extends QueryPack {
     "q96_media_features" -> q96 _,
     "q298_pgm_decode" -> q298 _,
     "q307_png_decode" -> q307 _,
+    "q309_wav_decode" -> q309 _,
+    "q310_image_neardup" -> q310 _,
     "q49_session_window" -> q49 _,
     "q58_tumbling_window" -> q58 _,
     "q59_sliding_window" -> q59 _)
@@ -168,6 +224,46 @@ object MultimodalStreamPack extends QueryPack {
 
   override val oracle: Seq[(String, String)] = Seq(
     "q307_png_decode" -> pixelStatsOracle,
+    "q310_image_neardup" ->
+      """WITH base AS (
+        | SELECT doc_id, CAST(doc_id % 7 * 8 + 16 AS INT) AS w,
+        |  CAST(doc_id % 5 * 8 + 16 AS INT) AS h, text
+        | FROM documents),
+        |px AS (
+        | SELECT doc_id, w, h, CAST(w * h AS BIGINT) AS n, text,
+        |  CAST(coalesce(list_sum(list_transform(
+        |    string_split(text[1:w * h], ''), c -> ascii(c))), 0)
+        |   AS BIGINT) AS pix_sum
+        | FROM base),
+        |hsh AS (
+        | SELECT doc_id,
+        |  CAST(list_sum(list_transform(generate_series(0, 62), i ->
+        |   CASE WHEN (CASE
+        |      WHEN (i * (n - 1) // 62) + 1 <= least(length(text), n)
+        |      THEN ascii(text[((i * (n - 1) // 62) + 1):
+        |                     ((i * (n - 1) // 62) + 1)])
+        |      ELSE 0 END) > pix_sum // n
+        |    THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS ahash
+        | FROM px)
+        |SELECT a.doc_id, b.doc_id AS doc_id2,
+        | CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS dist
+        |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 1
+        |ORDER BY a.doc_id, doc_id2""".stripMargin,
+    "q309_wav_decode" ->
+      """WITH s AS (
+        | SELECT doc_id,
+        |  CAST(doc_id % 2 * 22050 + 22050 AS INT) AS sample_rate,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_samples,
+        |  CAST(coalesce(list_sum(list_transform(
+        |    string_split(text, ''), c -> ascii(c))), 0) AS BIGINT)
+        |   AS sample_sum
+        | FROM documents)
+        |SELECT doc_id, sample_rate, n_samples, sample_sum,
+        | round(CASE WHEN n_samples = 0 THEN 0.0
+        |  ELSE CAST(sample_sum AS DOUBLE) / n_samples END, 6)
+        |  AS mean_sample6
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q298_pgm_decode" -> pixelStatsOracle,
     "q95_media_meta" ->
       """SELECT doc_id,

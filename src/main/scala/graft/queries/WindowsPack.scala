@@ -451,7 +451,34 @@ object WindowsPack extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** q308 — PER-TIER CURRICULUM RANK as a naive bounded-partition
+    * window: documents fall into 3 length tiers (a CASE ladder — an
+    * all-literal-output partition key), and within each tier every
+    * document gets its longest-first rank and quartile. At scale this
+    * naive window is pigeonhole-capped at 3 tasks no matter the cluster
+    * — the shape round 8's bounded-domain extension of
+    * [[graft.plans.GlobalRankRewrite]] plans as per-(tier, slice)
+    * windows with per-tier offsets (the gate needs no skew estimate:
+    * the 3-task ceiling is provable from the CASE ladder itself). At
+    * gate SFs the input sits under the broadcast threshold and executes
+    * naive; GlobalRankRewriteSpec pins the forced rewrite's parity.
+    */
+  private def q308(s: SparkSession, dir: String): DataFrame = {
+    val tier = when(col("n_chars") < 220, lit("short"))
+      .when(col("n_chars") < 380, lit("medium"))
+      .otherwise(lit("long"))
+    val w = Window.partitionBy(col("tier"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("tier", tier)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .orderBy("tier", "rn")
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q308_tier_rank_rule" -> q308 _,
     "q305_moving_window_rule" -> q305 _,
     "q303_global_lag_rule" -> q303 _,
     "q285_global_ntile_rule" -> q285 _,
@@ -474,6 +501,19 @@ object WindowsPack extends QueryPack {
     "q48_asof_last_purchase" -> q48 _)
 
   override val oracle: Seq[(String, String)] = Seq(
+    "q308_tier_rank_rule" ->
+      """WITH t AS (
+        | SELECT doc_id, n_chars,
+        |  CASE WHEN n_chars < 220 THEN 'short'
+        |       WHEN n_chars < 380 THEN 'medium'
+        |       ELSE 'long' END AS tier
+        | FROM documents)
+        |SELECT doc_id, n_chars, tier,
+        | row_number() OVER (PARTITION BY tier
+        |   ORDER BY n_chars DESC, doc_id) AS rn,
+        | ntile(4) OVER (PARTITION BY tier
+        |   ORDER BY n_chars DESC, doc_id) AS quartile
+        |FROM t ORDER BY tier, rn""".stripMargin,
     "q305_moving_window_rule" ->
       """SELECT doc_id, n_chars,
         | CAST(sum(n_chars) OVER (ORDER BY n_chars, doc_id

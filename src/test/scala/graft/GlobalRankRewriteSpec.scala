@@ -255,10 +255,18 @@ class GlobalRankRewriteSpec extends SparkSpecBase {
   test("stand-downs: partitioned, mixed agg, below threshold") {
     val df = corpus(1000)
     forced {
-      // partitioned window: not the rule's business
+      // attribute-partitioned window: the domain of `v` is not provable
+      // from the plan, so the pigeonhole gate cannot admit it (bounded
+      // DERIVED partitions like id % 3 rewrite since round 8)
       val part = df.withColumn("rn", row_number().over(
-        Window.partitionBy(col("id") % 7).orderBy(col("v"), col("id"))))
+        Window.partitionBy(col("v")).orderBy(col("v"), col("id"))))
       assert(!part.queryExecution.executedPlan.toString
+        .contains("graft_rank_pid"))
+      // bounded shape but bound above maxGroups: id % 100 proves only
+      // |domain| ≤ 200 — too many groups to justify the machinery
+      val wide = df.withColumn("rn", row_number().over(
+        Window.partitionBy(col("id") % 100).orderBy(col("v"), col("id"))))
+      assert(!wide.queryExecution.executedPlan.toString
         .contains("graft_rank_pid"))
       // DOUBLE running sum: accumulation order differs by ulps from the
       // naive row-by-row fold — exact-type doctrine stands it down
@@ -507,6 +515,81 @@ class GlobalRankRewriteSpec extends SparkSpecBase {
       assert(build().queryExecution.executedPlan.toString
         .contains("graft_rank_jrn"))
       assert(bag(build()) === expected)
+    }
+  }
+
+  test("bounded-domain partitioned windows: whole family, exact per row") {
+    // PARTITION BY id % 3 — a provably ≤4-value domain, so the naive
+    // plan's parallelism is capped at 4 tasks at ANY size (pigeonhole);
+    // the rewrite runs every family member per (group, slice) with
+    // per-group offsets. Unique in-group order → per-row parity.
+    val df = corpus(6000)
+    val w = Window.partitionBy(col("id") % 3).orderBy(col("v"), col("id"))
+    val build = () => df.select(col("id"),
+      row_number().over(w).as("rn"),
+      rank().over(w).as("rk"),
+      dense_rank().over(w).as("dr"),
+      ntile(5).over(w).as("nt"),
+      sum(col("v")).over(w.rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)).as("cs"))
+    def rows(r: DataFrame) = r.collect().map(x => (x.getLong(0),
+      x.getInt(1), x.getInt(2), x.getInt(3), x.getInt(4), x.getLong(5)))
+      .sorted.toSeq
+    val expected = naive(rows(build()))
+    forced {
+      val r = build()
+      val p = r.queryExecution.executedPlan.toString
+      assert(p.contains("graft_rank_pid"), s"rule must fire:\n${p.take(3000)}")
+      val windows = p.linesIterator.filter(_.contains("Window ")).toList
+      assert(windows.forall(_.contains("graft_rank_pid")),
+        s"every window must carry the slice id:\n${p.take(4000)}")
+      assert(rows(build()) === expected)
+    }
+  }
+
+  test("partitioned lead/lag + moving sum stay group-confined") {
+    // lag at each group's first row must be null (no cross-group
+    // stitch), moving frames must not leak across groups; a NULLABLE
+    // pmod partition key exercises the null group end-to-end
+    val df = corpus(4000).withColumn("x",
+      when(col("id") % 11 === 0, lit(null).cast("long"))
+        .otherwise(col("v")))
+    val w = Window.partitionBy(pmod(col("x"), lit(3L)))
+      .orderBy(col("v"), col("id"))
+    val build = () => df.select(col("id"),
+      lag(col("v"), 1).over(w).as("pv"),
+      sum(col("v")).over(w.rowsBetween(-7, 0)).as("ms"),
+      count(lit(1)).over(w.rowsBetween(-7, 0)).as("mn"))
+    def rows(r: DataFrame) = r.collect().map(x => (x.getLong(0),
+      if (x.isNullAt(1)) Long.MinValue else x.getLong(1),
+      x.getLong(2), x.getLong(3))).sorted.toSeq
+    val expected = naive(rows(build()))
+    forced {
+      val r = build()
+      val p = r.queryExecution.executedPlan.toString
+      assert(p.contains("graft_rank_jrn"), s"self-join must exist:\n${p.take(2500)}")
+      assert(rows(build()) === expected)
+    }
+  }
+
+  test("CASE-ladder partition key (all-literal tiers) rewrites exactly") {
+    val df = corpus(5000)
+    val tier = when(col("v") < 3000, lit("low"))
+      .when(col("v") < 7000, lit("mid")).otherwise(lit("high"))
+    val w = Window.partitionBy(tier).orderBy(col("v"), col("id"))
+    val build = () => df.select(col("id"), tier.as("tier"),
+      row_number().over(w).as("rn"),
+      cume_dist().over(w).as("cd"))
+    def rows(r: DataFrame) = r.collect().map(x => (x.getLong(0),
+      x.getString(1), x.getInt(2),
+      BigDecimal(x.getDouble(3)).setScale(9, BigDecimal.RoundingMode.HALF_UP)))
+      .sorted.toSeq
+    val expected = naive(rows(build()))
+    forced {
+      val r = build()
+      assert(r.queryExecution.executedPlan.toString
+        .contains("graft_rank_pid"))
+      assert(rows(build()) === expected)
     }
   }
 

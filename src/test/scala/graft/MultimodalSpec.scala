@@ -146,6 +146,53 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("decodeWav: RIFF/WAVE roundtrip through the JDK codec is exact") {
+    def wav(rate: Int, samples: Array[Byte]): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+        rate.toFloat, 8, 1, 1, rate.toFloat, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(samples), fmt,
+        samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val samples = Array.tabulate(1000)(i => ((i * 13 + 7) % 256).toByte)
+    val expected = samples.map(_ & 0xff).map(_.toLong).sum
+    val bytes = wav(44100, samples)
+    // a real container: RIFF magic + WAVE form type, not bare samples
+    assert(new String(bytes.take(4), "US-ASCII") === "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") === "WAVE")
+    assert(Multimodal.decodeWav(bytes) ===
+      Some((44100.0f, 1000L, expected)))
+    // declared rate surfaces from the container, not from metadata
+    assert(Multimodal.decodeWav(wav(22050, samples)).get._1 === 22050.0f)
+    // empty sample stream decodes to an empty, valid file
+    assert(Multimodal.decodeWav(wav(44100, Array[Byte]())) ===
+      Some((44100.0f, 0L, 0L)))
+    // corrupt container and garbage reject
+    assert(Multimodal.decodeWav(bytes.take(20)).isEmpty, "truncated WAV")
+    assert(Multimodal.decodeWav("not audio at all".getBytes).isEmpty)
+  }
+
+  test("q310's naive hamming join is the engine's to plan at scale") {
+    // the composed multimodal pipeline: real-codec decode → aHash →
+    // NAIVE theta join; above the broadcast threshold the hamming rule
+    // must plan the pigeonhole segment equi-join (forced here via -1)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val r = SparkEntry.queries("q310_image_neardup")(
+        spark, "/root/testdata/sf0.001")
+      val p = r.queryExecution.executedPlan.toString
+      assert(p.contains("graft_seg"),
+        s"hamming rule must plan the aHash join:\n${p.take(3000)}")
+    } finally spark.conf.set(key, old)
+  }
+
   test("frameSample strides through the payload as 1-byte frames") {
     val s = spark
     import s.implicits._
