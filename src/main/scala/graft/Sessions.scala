@@ -45,6 +45,10 @@ object Sessions {
         // naive band/as-of theta joins plan as bucketed equi-joins
         // (graft.plans.BandJoinBlocking scaladoc)
         e.injectOptimizerRule(_ => graft.plans.BandJoinBlocking)
+        // naive GLOBAL exact percentile/median aggregates plan as
+        // distributed order-statistic selection, composing with
+        // GlobalRankRewrite (graft.plans.PercentileRewrite scaladoc)
+        e.injectOptimizerRule(_ => graft.plans.PercentileRewrite)
       }
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")

@@ -59,6 +59,31 @@ object ApproxPack extends QueryPack {
         max("l_quantity").as("qty_max"))
       .orderBy("l_returnflag")
 
+  /** q311 — GLOBAL exact-percentile ladder, written naively: one
+    * `median` + two `percentile`s over the whole table with no GROUP BY.
+    * Spark's native plan funnels every (value, count) pair into ONE
+    * OpenHashMap on one reducer — the aggregate-shaped cousin of the
+    * naive global `row_number()` cliff. The injected
+    * [[graft.plans.PercentileRewrite]] re-plans it above the broadcast
+    * threshold as distributed order-statistic selection (count +
+    * distributed rank via GlobalRankRewrite + positional filter + 1-row
+    * interpolation), bit-equal (PercentileRewriteSpec). Rounded to 6 per
+    * the cross-engine float doctrine — DuckDB's `quantile_cont` lerps as
+    * `lo + frac·(hi−lo)` vs Spark's `(1−frac)·lo + frac·hi`, 1-ulp
+    * divergence when a position interpolates across distinct values.
+    */
+  private def q311(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .agg( // plain aliased percentiles — rounding lives in the Project
+        // above so the Aggregate stays the naive shape the rule matches
+        expr("median(l_quantity)").as("p50"),
+        expr("percentile(l_quantity, 0.9)").as("p90"),
+        expr("percentile(l_quantity, 0.99)").as("p99"))
+      .select(
+        round(col("p50"), 6).as("qty_p50"),
+        round(col("p90"), 6).as("qty_p90"),
+        round(col("p99"), 6).as("qty_p99"))
+
   /** Approx-percentile twin (Greenwald-Khanna; ApproxSpec bounds it). */
   def approxQuantiles(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem")
@@ -71,7 +96,8 @@ object ApproxPack extends QueryPack {
 
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q37_distinct_scale" -> q37 _,
-    "q38_percentiles" -> q38 _)
+    "q38_percentiles" -> q38 _,
+    "q311_global_percentile_ladder" -> q311 _)
 
   override val oracle: Seq[(String, String)] = Seq(
     "q37_distinct_scale" ->
@@ -86,5 +112,10 @@ object ApproxPack extends QueryPack {
         | min(l_quantity) AS qty_min,
         | max(l_quantity) AS qty_max
         |FROM lineitem GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin)
+        |ORDER BY l_returnflag""".stripMargin,
+    "q311_global_percentile_ladder" ->
+      """SELECT round(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
+        | round(quantile_cont(l_quantity, 0.9), 6) AS qty_p90,
+        | round(quantile_cont(l_quantity, 0.99), 6) AS qty_p99
+        |FROM lineitem""".stripMargin)
 }
