@@ -171,7 +171,7 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     * [[orderFunc]]. Both the input and the order keys expand through
     * the SAME level, so the comparison stays apples-to-apples even
     * when project collapsing has rewritten the keys too. */
-  private def expandOnce(e: Expression, child: LogicalPlan): Expression =
+  private[plans] def expandOnce(e: Expression, child: LogicalPlan): Expression =
     child match {
       case Project(pl, _) =>
         val m = AttributeMap(
@@ -324,7 +324,7 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     t < 0 || child.stats.sizeInBytes > t
   }
 
-  private val maxGroups = 64L
+  private[plans] val maxGroups = 64L
 
   /** A PROVABLE upper bound on an expression's value domain, for the
     * pigeonhole gate on partitioned windows: only shapes whose bound is
@@ -334,7 +334,7 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     * in the plan proves it; with catalog column stats that case could
     * be admitted later). Casts and aliases can merge values, not split
     * them, so they preserve any child bound. */
-  private def boundedDomain(e: Expression): Option[Long] = e match {
+  private[plans] def boundedDomain(e: Expression): Option[Long] = e match {
     case _ if !e.deterministic => None
     case _ if e.foldable => Some(1L)
     case _ if e.dataType == BooleanType => Some(3L) // true/false/null

@@ -3,63 +3,81 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
-import org.apache.spark.sql.catalyst.plans.{Cross => CrossType}
+import org.apache.spark.sql.catalyst.plans.{Cross => CrossType, Inner => InnerType, LeftOuter => LeftOuterType}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
 
-/** Plans naive GLOBAL exact-percentile aggregates distributed.
+/** Plans naive exact-percentile aggregates distributed.
   *
   * Spark's exact `percentile`/`median`/`percentile_cont` is a
   * `TypedAggregateWithHashMapAsBuffer`: every (value → count) pair of the
-  * column funnels into ONE OpenHashMap, and at GLOBAL grain (no GROUP BY)
-  * the final merge is a single task holding the whole column's distinct
-  * values. For a continuous column (scores, embeddings norms, latencies)
-  * distinct ≈ rows, so `SELECT median(score) FROM corpus` at 100 TB is a
-  * driver-sized OOM on one reducer — the same single-point cliff the
-  * naive global `row_number()` window has, wearing an aggregate's clothes.
+  * column funnels into ONE OpenHashMap per group, and the final merge per
+  * group is a single task holding that group's distinct values. Two naive
+  * shapes hit a wall at scale:
+  *
+  *   - GLOBAL grain (no GROUP BY): one reducer holds the whole column's
+  *     distinct values — for a continuous column (scores, latencies)
+  *     distinct ≈ rows, so `SELECT median(score) FROM corpus` at 100 TB
+  *     is an OOM on one task, the aggregate-shaped cousin of the naive
+  *     global `row_number()` cliff.
+  *   - PROVABLY-BOUNDED groups: `GROUP BY CASE …` / `pmod(k)` ladders
+  *     cap parallelism at the domain size by pigeonhole (the same
+  *     theorem [[GlobalRankRewrite]] uses for bounded-partition
+  *     windows) — ≤ 64 tasks each holding ~n/64 distinct values is the
+  *     same cliff wearing a tier label. Attribute groups (`lang`,
+  *     `l_returnflag`) stand down: nothing in the plan proves their
+  *     cardinality, and high-NDV grouping parallelizes natively.
   *
   * The rewrite re-expresses the aggregate as ORDER-STATISTIC SELECTION:
   *
-  *   1. project the column, drop nulls (Percentile ignores them);
-  *   2. count the rows (1-row side, broadcast);
-  *   3. stamp each row with its global `row_number()` over the value
-  *      order — emitted as the NAIVE window, which [[GlobalRankRewrite]]
-  *      (same fixed-point batch) immediately re-plans as the
-  *      distributed-rank shape: sampled split points, per-slice ranks,
-  *      broadcast offsets. Rule composition, not duplication: this rule
-  *      contributes the aggregate→rank reduction, the rank rule
-  *      contributes the scale plan it already owns;
-  *   4. keep only the rows at positions `floor(pos)+1` / `ceil(pos)+1`
-  *      per requested percentile, `pos = p·(n−1)` — ≤ 2·|percentiles|
-  *      rows survive at any corpus size;
-  *   5. a final 1-row aggregate interpolates exactly as
+  *   1. drop null values (Percentile ignores them), project the column
+  *      (+ group keys);
+  *   2. count rows — globally (1 row, broadcast) or per group over the
+  *      UNFILTERED input (≤ [[GlobalRankRewrite.maxGroups]] rows, so
+  *      all-null groups keep their output row);
+  *   3. stamp each row with its `row_number()` over the value order —
+  *      emitted as the NAIVE window (global, or partitioned by the
+  *      bounded group keys), which [[GlobalRankRewrite]] (same
+  *      fixed-point batch) immediately re-plans as the distributed-rank
+  *      shape. Rule composition, not duplication: this rule contributes
+  *      the aggregate→rank reduction, the rank rule contributes the
+  *      scale plan it already owns;
+  *   4. keep only rows at positions `floor(pos)+1` / `ceil(pos)+1` per
+  *      requested percentile, `pos = p·(n−1)` with n the (group's)
+  *      non-null count — ≤ 2·|percentiles| rows per group survive at
+  *      any corpus size;
+  *   5. a final tiny aggregate interpolates exactly as
   *      `PercentileBase.getPercentile` does:
   *      `(higher−pos)·toDouble(lo) + (pos−lower)·toDouble(hi)`, with the
   *      same two short-circuits (integral position; equal boundary
   *      values) so results are BIT-EQUAL to the naive path, NaN and all.
+  *      Grouped results left-outer-join back onto the full group table
+  *      (both sides ≤ maxGroups rows) so value-free groups surface with
+  *      the native null.
   *
   * Row-number selection is tie-safe: among equal values `row_number` is
-  * arbitrary, but the VALUE at a given global position is unique, and
+  * arbitrary, but the VALUE at a given (group, position) is unique, and
   * the value is all the interpolation reads.
   *
-  * Fires only when: grouping is empty (per-group percentiles parallelize
-  * per group — no global cliff); every aggregate expression is a plain
-  * aliased `Percentile` (no DISTINCT, no FILTER, frequency = 1 — a
-  * non-unit frequency weights rows and selection would need weighted
-  * ranks); all percentiles target the SAME column expression with the
-  * same `reverse` flag (the common `p50/p90/p99` ladder — mixed columns
-  * would need one rank pipeline each); every percentage is a foldable
-  * literal in [0, 1] (out-of-range stands down so the native error
-  * surfaces); the value type is numeric (ANSI intervals have their own
-  * result-type algebra) and NOT foldable (a constant column is a
-  * zero-cost native aggregate — and FoldablePropagation keeps reshaping
-  * a rewritten constant pipeline every fixed-point iteration, so the
-  * plan never converges); and the PROJECTED column side is above the
-  * broadcast threshold (the same gate [[GlobalRankRewrite]] applies to
-  * the emitted window, so the two rules agree on when scale is worth a
-  * range shuffle; below it the native hash-map aggregate is strictly
-  * cheaper). `percentile_disc` is a different class with its own
-  * selection rule and a legacy flag — it stands down here.
+  * Fires only when: every aggregate expression is a plain aliased
+  * `Percentile` (no DISTINCT, no FILTER, frequency = 1 — a non-unit
+  * frequency weights rows and selection would need weighted ranks) or a
+  * passthrough of a grouping expression; all percentiles target the
+  * SAME column expression with the same `reverse` flag (the common
+  * `p50/p90/p99` ladder — mixed columns would need one rank pipeline
+  * each); every percentage is a foldable literal in [0, 1]
+  * (out-of-range stands down so the native error surfaces); the value
+  * type is numeric (ANSI intervals have their own result-type algebra)
+  * and NOT foldable (a constant column is a zero-cost native
+  * aggregate — and FoldablePropagation keeps reshaping a rewritten
+  * constant pipeline every fixed-point iteration, so the plan never
+  * converges); grouping, if any, is provably bounded as above; and the
+  * PROJECTED column side is above the broadcast threshold (the same
+  * gate [[GlobalRankRewrite]] applies to the emitted window, so the two
+  * rules agree on when scale is worth a range shuffle; below it the
+  * native hash-map aggregate is strictly cheaper). `percentile_disc` is
+  * a different class with its own selection rule and a legacy flag — it
+  * stands down here.
   *
   * `reverse = true` (percentile_cont … ORDER BY x DESC) flips the sort
   * direction of the emitted window — PercentileBase sorts descending and
@@ -67,9 +85,14 @@ import org.apache.spark.sql.types._
   */
 object PercentileRewrite extends Rule[LogicalPlan] {
 
-  /** One requested percentile of the shared column. */
-  private case class Target(p: Double, origin: Alias, scalar: Boolean,
-      ps: Seq[Double])
+  /** One aliased percentile of the shared column. */
+  private case class Target(origin: Alias, scalar: Boolean, ps: Seq[Double])
+
+  /** An output slot of the original aggregate list, in order. */
+  private sealed trait OutUnit
+  private case class GroupOut(origin: NamedExpression, idx: Int)
+    extends OutUnit
+  private case class PctOut(t: Target) extends OutUnit
 
   private def unitFrequency(e: Expression): Boolean =
     e.foldable && (e.eval() match {
@@ -78,7 +101,7 @@ object PercentileRewrite extends Rule[LogicalPlan] {
       case _ => false
     })
 
-  /** Foldable percentage(s) in [0,1]: Some(list) — scalar yields one. */
+  /** Foldable percentage(s) in [0,1]: Some(list, isScalar). */
   private def percentages(e: Expression): Option[(Seq[Double], Boolean)] = {
     if (!e.foldable) return None
     e.dataType match {
@@ -100,26 +123,37 @@ object PercentileRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  /** The shared (column, reverse) of a supported all-Percentile aggregate
-    * list, with per-alias targets — None when any entry is unsupported. */
-  private def analyze(aggs: Seq[NamedExpression])
-      : Option[(Expression, Boolean, Seq[Target])] = {
+  /** The shared (column, reverse) plus per-slot units — None when any
+    * aggregate-list entry is neither a supported percentile nor a
+    * grouping passthrough, or no percentile is present at all. */
+  private def analyze(groups: Seq[Expression], aggs: Seq[NamedExpression])
+      : Option[(Expression, Boolean, Seq[OutUnit])] = {
     if (aggs.isEmpty) return None
+    def groupIdx(ne: NamedExpression): Option[Int] = {
+      val c = ne match { case Alias(ch, _) => ch; case x => x }
+      val i = groups.indexWhere(_.semanticEquals(c))
+      if (i >= 0) Some(i) else None
+    }
+    var col0: Option[(Expression, Boolean)] = None
     val units = aggs.map {
       case a @ Alias(AggregateExpression(
           Percentile(col, pct, freq, _, _, rev), Complete, false, None, _), _)
           if col.dataType.isInstanceOf[NumericType] && col.deterministic &&
             !col.foldable && unitFrequency(freq) =>
-        percentages(pct).map { case (ps, scalar) => (col, rev, a, ps, scalar) }
-      case _ => None
+        percentages(pct).flatMap { case (ps, scalar) =>
+          col0 match {
+            case None => col0 = Some((col, rev))
+              Some(PctOut(Target(a, scalar, ps)))
+            case Some((c0, r0)) if c0.canonicalized == col.canonicalized &&
+                r0 == rev =>
+              Some(PctOut(Target(a, scalar, ps)))
+            case _ => None
+          }
+        }
+      case ne => groupIdx(ne).map(GroupOut(ne, _))
     }
-    if (units.exists(_.isEmpty)) return None
-    val us = units.flatten
-    val (col0, rev0) = (us.head._1, us.head._2)
-    if (!us.forall(u => u._1.canonicalized == col0.canonicalized &&
-        u._2 == rev0)) return None
-    Some((col0, rev0, us.map { case (_, _, a, ps, scalar) =>
-      Target(ps.head, a, scalar, ps) }))
+    if (units.exists(_.isEmpty) || col0.isEmpty) None
+    else col0.map { case (c, r) => (c, r, units.flatten) }
   }
 
   private def bigEnough(p: LogicalPlan): Boolean = {
@@ -127,82 +161,77 @@ object PercentileRewrite extends Rule[LogicalPlan] {
     t < 0 || p.stats.sizeInBytes > t
   }
 
+  /** Pigeonhole gate for grouped percentiles: every grouping expression
+    * (expanded one level through the child's Project — the
+    * PullOutGroupingExpressions alias) has a provable domain bound and
+    * the product is ≤ [[GlobalRankRewrite.maxGroups]]. Returns the
+    * expanded expressions so the emitted window's partition keys are
+    * the PROVABLE forms (the bound must survive into the plan
+    * [[GlobalRankRewrite]] gates on). */
+  private def boundedGroups(groups: Seq[Expression],
+      child: LogicalPlan): Option[Seq[Expression]] = {
+    val ex = groups.map(GlobalRankRewrite.expandOnce(_, child))
+    val doms = ex.map(GlobalRankRewrite.boundedDomain)
+    if (doms.forall(_.isDefined) &&
+      doms.flatten.foldLeft(1L)((a, b) =>
+        if (a > GlobalRankRewrite.maxGroups) a else a * b) <=
+        GlobalRankRewrite.maxGroups) Some(ex)
+    else None
+  }
+
   def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case agg @ Aggregate(Nil, aggExprs, child, _)
+    case agg @ Aggregate(groups, aggExprs, child, _)
         if !child.isStreaming && child.deterministic &&
+          groups.forall(_.deterministic) &&
           !child.output.exists(_.name == "graft_pct_x") =>
-      analyze(aggExprs) match {
-        case Some((col, rev, targets)) =>
-          val pxA = Alias(col, "graft_pct_x")()
-          val proj = Project(Seq(pxA), child)
-          if (!bigEnough(proj)) agg
-          else rewrite(proj, pxA, rev, targets, agg)
+      analyze(groups, aggExprs) match {
+        case Some((col, rev, units)) if groups.isEmpty =>
+          rewriteGlobal(col, rev,
+            units.collect { case PctOut(t) => t }, child, agg)
+        case Some((col, rev, units)) =>
+          boundedGroups(groups, child) match {
+            case Some(ex) => rewriteGrouped(col, rev, units, ex, child, agg)
+            case None => agg
+          }
         case None => agg
       }
   }
 
-  private def rewrite(proj: Project, pxA: Alias, rev: Boolean,
-      targets: Seq[Target], orig: Aggregate): LogicalPlan = {
-    val px = pxA.toAttribute
-    val flt = Filter(IsNotNull(px), proj)
-
-    // 1-row count side (order-independent aggregate, broadcast)
-    val cntA = Alias(AggregateExpression(Count(Seq(Literal(1))), Complete,
-      isDistinct = false), "graft_pct_n")()
-    val cnt = Aggregate(Nil, Seq(cntA), flt)
-    val pn = cntA.toAttribute
-
-    // naive global row_number — GlobalRankRewrite re-plans it (same
-    // fixed-point batch; both rules share the broadcast-threshold gate)
-    val dir = if (rev) Descending else Ascending
-    val ord = Seq(SortOrder(px, dir))
-    val rnA = Alias(WindowExpression(RowNumber(),
-      WindowSpecDefinition(Nil, ord,
-        SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))),
-      "graft_pct_rn")()
-    val win = Window(Seq(rnA), Nil, ord, flt)
-    // row_number is IntegerType; positions are Long — cast once (no
-    // analyzer below the optimizer to insert it implicitly)
-    val rn = Cast(rnA.toAttribute, LongType)
-
-    val j = Join(win, cnt, CrossType, None,
-      JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST)))))
-
+  /** Positional selection + interpolation shared by both grains: given
+    * the value/count/rank expressions, yields the keep condition and a
+    * per-percentage interpolation body with the aggregate functions
+    * embedded (Aggregate result expressions cannot reference sibling
+    * aliases; PhysicalAggregation maps each shared instance to one
+    * buffer slot). */
+  private final class Selection(px: Attribute, pn: Attribute,
+      rn: Expression, allPs: Seq[Double]) {
     // pos = p·(n−1) exactly as PercentileBase: maxPosition.toDouble · p
-    def pos(p: Double): Expression =
-      Multiply(Cast(Subtract(pn, Literal(1L)), DoubleType), Literal(p))
-    def lowerRn(p: Double): Expression =
-      Add(Floor(pos(p)), Literal(1L))
-    def higherRn(p: Double): Expression =
-      Add(Ceil(pos(p)), Literal(1L))
+    private def pos(n: Expression, p: Double): Expression =
+      Multiply(Cast(Subtract(n, Literal(1L)), DoubleType), Literal(p))
+    private def lowerRn(p: Double): Expression =
+      Add(Floor(pos(pn, p)), Literal(1L))
+    private def higherRn(p: Double): Expression =
+      Add(Ceil(pos(pn, p)), Literal(1L))
 
-    val allPs = targets.flatMap(_.ps).distinct
-    val keepCond = allPs.flatMap[Expression] { p =>
+    val keepCond: Expression = allPs.flatMap[Expression] { p =>
       Seq(EqualTo(rn, lowerRn(p)), EqualTo(rn, higherRn(p)))
     }.reduce(Or)
-    val keep = Filter(keepCond, j)
 
-    // ≤ 2·|ps| surviving rows → 1-row final aggregate. Boundary values
-    // via Max over a positional mask (exactly one row matches each rn).
-    // Aggregate result expressions cannot reference sibling aliases, so
-    // the AggregateExpression trees are embedded directly — ONE instance
-    // each, shared across result expressions, which PhysicalAggregation
-    // maps to a single buffer slot (shared resultId).
-    def maxIf(cond: Expression): AggregateExpression =
+    private def maxIf(cond: Expression): AggregateExpression =
       AggregateExpression(Max(If(cond, px, Literal(null, px.dataType))),
         Complete, isDistinct = false)
-    val nAt = AggregateExpression(Max(pn), Complete, isDistinct = false)
-
-    val perP: Map[Double, (Expression, Expression)] = allPs.map { p =>
+    val nAt: Expression =
+      AggregateExpression(Max(pn), Complete, isDistinct = false)
+    private val perP: Map[Double, (Expression, Expression)] = allPs.map { p =>
       p -> (maxIf(EqualTo(rn, lowerRn(p))): Expression,
         maxIf(EqualTo(rn, higherRn(p))): Expression)
     }.toMap
 
-    // post-aggregate interpolation, PercentileBase.getPercentile verbatim
+    /** Post-aggregate interpolation, PercentileBase.getPercentile
+      * verbatim. */
     def interp(p: Double): Expression = {
       val (lo, hi) = perP(p)
-      val posA = Multiply(Cast(Subtract(nAt, Literal(1L)), DoubleType),
-        Literal(p))
+      val posA = pos(nAt, p)
       val lowerA = Floor(posA)
       val higherA = Ceil(posA)
       val lerp = Add(
@@ -217,15 +246,130 @@ object PercentileRewrite extends Rule[LogicalPlan] {
       If(EqualTo(lo, hi), Cast(lo, DoubleType), lerp)
     }
 
-    val results: Seq[NamedExpression] = targets.map { t =>
-      val body = if (t.scalar) interp(t.p)
+    /** The result body for one target (array form wraps per-p bodies;
+      * null when the group had no values). */
+    def body(t: Target): Expression =
+      if (t.scalar) interp(t.ps.head)
       else {
         val at = ArrayType(DoubleType, containsNull = false)
-        If(IsNull(nAt), Literal(null, at),
-          CreateArray(t.ps.map(interp)))
+        If(IsNull(nAt), Literal(null, at), CreateArray(t.ps.map(interp)))
       }
-      Alias(body, t.origin.name)(exprId = t.origin.exprId)
+  }
+
+  private def rowFrame =
+    SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
+
+  private def bcast: JoinHint =
+    JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST))))
+
+  private def rewriteGlobal(col: Expression, rev: Boolean,
+      targets: Seq[Target], child: LogicalPlan,
+      orig: Aggregate): LogicalPlan = {
+    val pxA = Alias(col, "graft_pct_x")()
+    val proj = Project(Seq(pxA), child)
+    if (!bigEnough(proj)) return orig
+    val px = pxA.toAttribute
+    val flt = Filter(IsNotNull(px), proj)
+
+    // 1-row count side (order-independent aggregate, broadcast)
+    val cntA = Alias(AggregateExpression(Count(Seq(Literal(1))), Complete,
+      isDistinct = false), "graft_pct_n")()
+    val cnt = Aggregate(Nil, Seq(cntA), flt)
+
+    // naive global row_number — GlobalRankRewrite re-plans it (same
+    // fixed-point batch; both rules share the broadcast-threshold gate)
+    val dir = if (rev) Descending else Ascending
+    val ord = Seq(SortOrder(px, dir))
+    val rnA = Alias(WindowExpression(RowNumber(),
+      WindowSpecDefinition(Nil, ord, rowFrame)), "graft_pct_rn")()
+    val win = Window(Seq(rnA), Nil, ord, flt)
+
+    val j = Join(win, cnt, CrossType, None, bcast)
+    // row_number is IntegerType; positions are Long — cast once (no
+    // analyzer below the optimizer to insert it implicitly)
+    val sel = new Selection(px, cntA.toAttribute,
+      Cast(rnA.toAttribute, LongType), targets.flatMap(_.ps).distinct)
+    val keep = Filter(sel.keepCond, j)
+
+    val results: Seq[NamedExpression] = targets.map { t =>
+      Alias(sel.body(t), t.origin.name)(exprId = t.origin.exprId)
     }
     Aggregate(Nil, results, keep)
+  }
+
+  /** Bounded-group grain: per-group rank pipeline (the emitted window is
+    * partitioned by the PROVABLY-bounded keys, so [[GlobalRankRewrite]]'s
+    * pigeonhole path re-plans it), per-group counts over the UNFILTERED
+    * input, and a left-outer assembly so value-free groups keep their
+    * native null row. Every non-rank collection here is ≤ maxGroups
+    * rows. */
+  private def rewriteGrouped(col: Expression, rev: Boolean,
+      units: Seq[OutUnit], groupEx: Seq[Expression], child: LogicalPlan,
+      orig: Aggregate): LogicalPlan = {
+    val targets = units.collect { case PctOut(t) => t }
+
+    // value pipeline: null-drop FIRST (on the raw expression, directly
+    // over the child) so the Project above stays the window's immediate
+    // child — the bounded-domain gate expands partition keys exactly one
+    // Project level
+    val fltC = Filter(IsNotNull(col), child)
+    val gAs = groupEx.zipWithIndex.map { case (g, i) =>
+      Alias(g, s"graft_pct_g$i")()
+    }
+    val gAttrs = gAs.map(_.toAttribute)
+    val pxA = Alias(col, "graft_pct_x")()
+    val proj = Project(gAs :+ pxA, fltC)
+    if (!bigEnough(proj)) return orig
+    val px = pxA.toAttribute
+
+    val dir = if (rev) Descending else Ascending
+    val ord = Seq(SortOrder(px, dir))
+    val rnA = Alias(WindowExpression(RowNumber(),
+      WindowSpecDefinition(gAttrs, ord, rowFrame)), "graft_pct_rn")()
+    val win = Window(Seq(rnA), gAttrs, ord, proj)
+
+    // full group table over the UNFILTERED input: non-null value counts
+    // per group, one row per group INCLUDING all-null groups
+    val cgAs = groupEx.zipWithIndex.map { case (g, i) =>
+      Alias(g, s"graft_pct_cg$i")()
+    }
+    val px2A = Alias(col, "graft_pct_x2")()
+    val projAll = Project(cgAs :+ px2A, child)
+    val cgAttrs = cgAs.map(_.toAttribute)
+    val cntA = Alias(AggregateExpression(Count(Seq(px2A.toAttribute)),
+      Complete, isDistinct = false), "graft_pct_n")()
+    val cnt = Aggregate(cgAttrs, (cgAttrs: Seq[NamedExpression]) :+ cntA,
+      projAll)
+
+    def grpCond(ls: Seq[Attribute], rs: Seq[Attribute]): Expression =
+      ls.zip(rs).map[Expression] { case (l, r) => EqualNullSafe(l, r) }
+        .reduce(And)
+
+    val j = Join(win, cnt, InnerType, Some(grpCond(gAttrs, cgAttrs)), bcast)
+    val sel = new Selection(px, cntA.toAttribute,
+      Cast(rnA.toAttribute, LongType), targets.flatMap(_.ps).distinct)
+    val keep = Filter(sel.keepCond, j)
+
+    // per-group results (≤ 2·|ps| rows per group reach this aggregate)
+    val resAs = targets.zipWithIndex.map { case (t, i) =>
+      Alias(sel.body(t), s"graft_pct_r$i")()
+    }
+    val resAgg = Aggregate(gAttrs,
+      (gAttrs: Seq[NamedExpression]) ++ resAs, keep)
+
+    // assemble: every group row from cnt, results where a group had
+    // values, native null otherwise — both sides ≤ maxGroups rows
+    val outer = Join(cnt, resAgg, LeftOuterType,
+      Some(grpCond(cgAttrs, gAttrs)), bcast)
+
+    val out: Seq[NamedExpression] = units.map {
+      case GroupOut(origin, i) =>
+        Alias(cgAttrs(i), origin.name)(exprId = origin.exprId)
+      case PctOut(t) =>
+        val idx = targets.indexWhere(_.origin.exprId == t.origin.exprId)
+        Alias(resAs(idx).toAttribute.withNullability(true),
+          t.origin.name)(exprId = t.origin.exprId)
+    }
+    Project(out, outer)
   }
 }

@@ -84,6 +84,30 @@ object ApproxPack extends QueryPack {
         round(col("p90"), 6).as("qty_p90"),
         round(col("p99"), 6).as("qty_p99"))
 
+  /** q312 — BOUNDED-GROUP exact-percentile ladder, written naively:
+    * `median`/`percentile` per CASE-ladder length tier. The tier
+    * expression's domain is provably ≤ 4 (three literal arms + null),
+    * so the native plan's parallelism is pigeonhole-capped at 4 tasks
+    * each holding its tier's whole value multiset —
+    * [[graft.plans.PercentileRewrite]]'s grouped path re-plans it
+    * per-group-distributed (the emitted bounded-partition window is
+    * itself re-planned by GlobalRankRewrite's round-8 pigeonhole path).
+    * Attribute-valued groups (q38's `l_returnflag`) stand down — nothing
+    * proves their cardinality.
+    */
+  private def q312(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .groupBy(
+        when(col("n_chars") < 200, "short")
+          .when(col("n_chars") < 400, "medium")
+          .otherwise("long").as("tier"))
+      .agg(
+        expr("median(n_chars)").as("p50"),
+        expr("percentile(n_chars, 0.9)").as("p90"))
+      .select(col("tier"), round(col("p50"), 6).as("chars_p50"),
+        round(col("p90"), 6).as("chars_p90"))
+      .orderBy("tier")
+
   /** Approx-percentile twin (Greenwald-Khanna; ApproxSpec bounds it). */
   def approxQuantiles(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem")
@@ -97,7 +121,8 @@ object ApproxPack extends QueryPack {
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q37_distinct_scale" -> q37 _,
     "q38_percentiles" -> q38 _,
-    "q311_global_percentile_ladder" -> q311 _)
+    "q311_global_percentile_ladder" -> q311 _,
+    "q312_tier_percentile_ladder" -> q312 _)
 
   override val oracle: Seq[(String, String)] = Seq(
     "q37_distinct_scale" ->
@@ -117,5 +142,11 @@ object ApproxPack extends QueryPack {
       """SELECT round(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
         | round(quantile_cont(l_quantity, 0.9), 6) AS qty_p90,
         | round(quantile_cont(l_quantity, 0.99), 6) AS qty_p99
-        |FROM lineitem""".stripMargin)
+        |FROM lineitem""".stripMargin,
+    "q312_tier_percentile_ladder" ->
+      """SELECT CASE WHEN n_chars < 200 THEN 'short'
+        |   WHEN n_chars < 400 THEN 'medium' ELSE 'long' END AS tier,
+        | round(quantile_cont(n_chars, 0.5), 6) AS chars_p50,
+        | round(quantile_cont(n_chars, 0.9), 6) AS chars_p90
+        |FROM documents GROUP BY 1 ORDER BY tier""".stripMargin)
 }

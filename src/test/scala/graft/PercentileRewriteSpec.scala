@@ -147,6 +147,88 @@ class PercentileRewriteSpec extends SparkSpecBase {
         expr("percentile(v, 0.5d)").as("q")))
   }
 
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq.map(bits)).toSeq
+      .sortBy(_.mkString("|"))
+
+  test("bounded-group percentile ladder: per-group distributed, bit-equal") {
+    // pmod key: provable 5-group domain → the grouped path fires and the
+    // emitted bounded-partition window is GlobalRankRewrite's to re-plan
+    val build = () => corpus(5000)
+      .groupBy(pmod(col("id"), lit(5)).as("g"))
+      .agg(expr("median(v)").as("p50"),
+        expr("percentile(v, 0.9d)").as("p90"))
+    val expected = naive(rows(build()))
+    forced {
+      val r = build()
+      val p = r.queryExecution.executedPlan.toString
+      assert(!p.toLowerCase.contains("percentile"),
+        s"grouped rule must remove the hash-map aggregate:\n${p.take(3000)}")
+      assert(p.contains("graft_pct_rn") && p.contains("graft_rank_pid"),
+        s"bounded-group rank must compose with GlobalRankRewrite:\n${p.take(3000)}")
+      assert(rows(r) === expected)
+    }
+  }
+
+  test("CASE-ladder groups with an all-null-value tier keep their row") {
+    // tier 'd' (id%7==3) has only null values — the native plan still
+    // emits its group row with a null percentile; the left-outer
+    // assembly must reproduce it
+    val df = corpus(4000).select(
+      when(col("id") % 7 === 0, "a").when(col("id") % 7 === 1, "b")
+        .when(col("id") % 7 === 3, "d").otherwise("c").as("tier"),
+      when(col("id") % 7 === 3, lit(null).cast("double"))
+        .otherwise(col("v")).as("v"))
+    val build = () => df.groupBy(col("tier"))
+      .agg(expr("percentile(v, 0.5d)").as("p"))
+    // tier is an ATTRIBUTE of df here — push the CASE into the groupBy
+    // so the domain is provable
+    val build2 = () => corpus(4000).select(col("id"),
+      when(col("id") % 7 === 3, lit(null).cast("double"))
+        .otherwise(col("v")).as("v"))
+      .groupBy(
+        when(col("id") % 7 === 0, "a").when(col("id") % 7 === 1, "b")
+          .when(col("id") % 7 === 3, "d").otherwise("c").as("tier"))
+      .agg(expr("percentile(v, 0.5d)").as("p"))
+    val expected = naive(rows(build2()))
+    forced {
+      val r = build2()
+      val p = r.queryExecution.executedPlan.toString
+      assert(!p.toLowerCase.contains("percentile"),
+        s"CASE-ladder groups must fire:\n${p.take(3000)}")
+      assert(rows(r) === expected)
+      assert(rows(r).exists(row => row(1) == null),
+        "the all-null tier must surface with a null percentile")
+    }
+    // the ATTRIBUTE-grouped spelling fires too: expandOnce pierces the
+    // tier alias to the CASE ladder one Project below, so the domain
+    // proof survives the select() hop (a SOURCE column with no defining
+    // expression in the plan — q38's l_returnflag — still stands down;
+    // the stand-downs test pins groupBy(id))
+    forced {
+      val r = build()
+      val p = r.queryExecution.executedPlan.toString
+      assert(!p.toLowerCase.contains("percentile"),
+        s"alias-pierced CASE groups must fire:\n${p.take(3000)}")
+      assert(rows(r) === expected)
+    }
+  }
+
+  test("grouped array percentage and null group key") {
+    val build = () => corpus(4000)
+      .groupBy(when(col("id") % 3 === 0, lit(null).cast("int"))
+        .otherwise(pmod(col("id"), lit(3)).cast("int")).as("g"))
+      .agg(expr("percentile(v, array(0.25d, 0.75d))").as("iqr"))
+    val expected = naive(rows(build()))
+    forced {
+      val r = build()
+      val p = r.queryExecution.executedPlan.toString
+      assert(!p.toLowerCase.contains("percentile"),
+        s"null-capable bounded groups must fire:\n${p.take(3000)}")
+      assert(rows(r) === expected)
+    }
+  }
+
   test("stand-downs: grouped, mixed columns, distinct, frequency, disc") {
     def keepsNative(df: DataFrame): Unit = forced {
       val p = df.queryExecution.executedPlan.toString
@@ -154,8 +236,10 @@ class PercentileRewriteSpec extends SparkSpecBase {
         s"must stand down:\n${p.take(2000)}")
     }
     val t = corpus(3000)
-    keepsNative(t.groupBy((col("id") % 3).as("g"))
-      .agg(expr("percentile(v, 0.5d)").as("p")))
+    // an attribute group key has no provable domain bound (id%3 WOULD
+    // fire since the grouped path landed — boundedDomain proves it)
+    keepsNative(t.groupBy(col("id")).agg(
+      expr("percentile(v, 0.5d)").as("p")))
     keepsNative(t.agg(expr("percentile(v, 0.5d)").as("a"),
       expr("percentile(id, 0.5d)").as("b")))
     keepsNative(t.agg(expr("percentile(DISTINCT v, 0.5d)").as("p")))
