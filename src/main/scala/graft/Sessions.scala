@@ -49,6 +49,9 @@ object Sessions {
         // distributed order-statistic selection, composing with
         // GlobalRankRewrite (graft.plans.PercentileRewrite scaladoc)
         e.injectOptimizerRule(_ => graft.plans.PercentileRewrite)
+        // naive deterministic mode() aggregates plan as two-level
+        // hash aggregation (graft.plans.ModeRewrite scaladoc)
+        e.injectOptimizerRule(_ => graft.plans.ModeRewrite)
       }
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")

@@ -108,6 +108,23 @@ object ApproxPack extends QueryPack {
         round(col("p90"), 6).as("chars_p90"))
       .orderBy("tier")
 
+  /** q313 — deterministic `mode()` per language, written naively. The
+    * native plan builds a value→count OpenHashMap per language and
+    * merges each on ONE task — at corpus scale each language's map holds
+    * every distinct source. [[graft.plans.ModeRewrite]] re-plans the
+    * WITHIN-GROUP (deterministic-tie) form as two-level hash
+    * aggregation: count per (lang, source), then
+    * `max_by(source, struct(cnt, source))` per lang — map-side partials
+    * at both levels, any NDV, any group count. ASC ties pick the
+    * SMALLEST tied value (first in the given order), mirrored in the
+    * oracle's `ORDER BY n DESC, source ASC` rank.
+    */
+  private def q313(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(expr("mode() WITHIN GROUP (ORDER BY source)").as("top_source"))
+      .orderBy("lang")
+
   /** Approx-percentile twin (Greenwald-Khanna; ApproxSpec bounds it). */
   def approxQuantiles(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem")
@@ -122,7 +139,8 @@ object ApproxPack extends QueryPack {
     "q37_distinct_scale" -> q37 _,
     "q38_percentiles" -> q38 _,
     "q311_global_percentile_ladder" -> q311 _,
-    "q312_tier_percentile_ladder" -> q312 _)
+    "q312_tier_percentile_ladder" -> q312 _,
+    "q313_mode_top_source" -> q313 _)
 
   override val oracle: Seq[(String, String)] = Seq(
     "q37_distinct_scale" ->
@@ -148,5 +166,12 @@ object ApproxPack extends QueryPack {
         |   WHEN n_chars < 400 THEN 'medium' ELSE 'long' END AS tier,
         | round(quantile_cont(n_chars, 0.5), 6) AS chars_p50,
         | round(quantile_cont(n_chars, 0.9), 6) AS chars_p90
-        |FROM documents GROUP BY 1 ORDER BY tier""".stripMargin)
+        |FROM documents GROUP BY 1 ORDER BY tier""".stripMargin,
+    "q313_mode_top_source" ->
+      """SELECT lang, source AS top_source FROM (
+        | SELECT lang, source,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY count(*) DESC, source ASC) AS rn
+        | FROM documents GROUP BY lang, source) t
+        |WHERE rn = 1 ORDER BY lang""".stripMargin)
 }
