@@ -90,8 +90,13 @@ import org.apache.spark.sql.types._
   * the identity is exact for Long arithmetic (associative mod 2⁶⁴, so
   * even wrap-around matches the naive fold) but a decimal cum can
   * overflow to null where the bounded frame would not, and a double cum
-  * differs by ulps; moving MIN/MAX don't decompose by subtraction at
-  * all (they'd need a carried slice tail) — all stand down. (Since round 7: ties
+  * differs by ulps. Moving MIN/MAX (no subtraction inverse), moving
+  * AVERAGE, and non-integral moving SUMs take the GHOST-BLOCK path
+  * instead ([[GhostUnit]]): exactly-B-row blocks of the global row
+  * number with the block tails unioned forward as ghost context, the
+  * original frame re-run per block — frame contents AND fold order
+  * match the naive window row-for-row, so even double folds are
+  * bit-equal. (Since round 7: ties
   * are slice-safe because equal ORDER BY tuples share the first key and
   * therefore a slice, so global rank = per-slice rank + whole-slice row
   * offsets, dense rank adds per-slice DISTINCT-tuple offsets — distinct
@@ -259,11 +264,57 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     }
   }
 
+  /** One order-fold-exact bounded-frame aggregate that CANNOT decompose
+    * by prefix subtraction: moving Min/Max (no inverse), non-integral
+    * Sum (prefix difference drifts by ulps / can overflow where the
+    * frame would not), and Average (its naive fold is the frame's own
+    * sequential sum). Computed instead by GLOBAL RE-BLOCKING (see the
+    * ghost stage in [[rewrite]]): rows land in exactly-B-row blocks of
+    * the global row number with B ≥ the frame reach, each block's last
+    * `n` rows are UNIONed into the next block as ghost context, and the
+    * ORIGINAL frame runs per block ordered by the global row number —
+    * every real row's frame holds exactly the global frame's rows in
+    * global order, so even a double sum folds bit-identically to the
+    * naive single-partition window. Inputs must be functions of the
+    * ORDER BY tuple ([[orderFunc]]) — the standing tie doctrine: frame
+    * membership among tied rows is permutation-dependent, but equal
+    * tuples then carry equal inputs, so every permutation folds the
+    * same. */
+  private case class GhostUnit(origin: Alias, ae: AggregateExpression,
+      n: Int)
+
+  private def ghostUnit(ne: NamedExpression, parts: Seq[Expression],
+      order: Seq[SortOrder], child: LogicalPlan): Option[GhostUnit] = {
+    lazy val keys = order.map(o => expandOnce(o.child, child)) ++
+      parts.map(expandOnce(_, child))
+    def okIn(e: Expression): Boolean = orderFunc(expandOnce(e, child), keys)
+    ne match {
+      case a @ Alias(WindowExpression(ae: AggregateExpression,
+          WindowSpecDefinition(_, _,
+            SpecifiedWindowFrame(RowFrame, lo, CurrentRow))), _)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        precedingRows(lo).flatMap { n =>
+          val ok = ae.aggregateFunction match {
+            case Min(e) => okIn(e)
+            case Max(e) => okIn(e)
+            // integral Sum and Count take the cheaper prefix-difference
+            // path (movUnit) — no union, no second corpus shuffle
+            case Sum(e, _) => !integralType(e.dataType) && okIn(e)
+            case Average(e, _) => okIn(e)
+            case _ => false
+          }
+          if (ok) Some(GhostUnit(a, ae, n)) else None
+        }
+      case _ => None
+    }
+  }
+
   private def supported(ne: NamedExpression, parts: Seq[Expression],
       order: Seq[SortOrder], child: LogicalPlan): Boolean = ne match {
     case _ if cumulativeAgg(ne) => true
     case _ if offsetUnit(ne, parts, order, child).isDefined => true
     case _ if movUnit(ne, parts, order, child).isDefined => true
+    case _ if ghostUnit(ne, parts, order, child).isDefined => true
     case Alias(WindowExpression(fn, _), _) => fn match {
       case RowNumber() => true
       case NTile(Literal(k: Int, IntegerType)) => k > 0
@@ -554,8 +605,11 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     val offUnitIds = offUnits.map(_.exprId).toSet
     val movUnits = exprs.flatMap(movUnit(_, parts, order, child))
     val movIds = movUnits.map(_.exprId).toSet
+    val ghostUnits = exprs.flatMap(ghostUnit(_, parts, order, child))
+    val ghostIds = ghostUnits.map(_.origin.exprId).toSet
     val fns = exprs.collect { case Alias(WindowExpression(f, _), _) => f }
-    val needRn = offUnits.nonEmpty || movUnits.nonEmpty || fns.exists {
+    val needRn = offUnits.nonEmpty || movUnits.nonEmpty ||
+      ghostUnits.nonEmpty || fns.exists {
       case RowNumber() | NTile(_) => true
       case _ => false
     }
@@ -767,7 +821,7 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     }
     val outExprs = exprs.filterNot {
       case a: Alias => offUnitIds.contains(a.exprId) ||
-        movIds.contains(a.exprId)
+        movIds.contains(a.exprId) || ghostIds.contains(a.exprId)
       case _ => false
     }.map {
       case a: Alias if cumMap.contains(a.exprId) =>
@@ -806,7 +860,7 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
         Alias(cd, name)(exprId = a.exprId, qualifier = a.qualifier)
       case other => other // unreachable under `supported`
     }
-    if (offUnits.isEmpty && movUnits.isEmpty)
+    if (offUnits.isEmpty && movUnits.isEmpty && ghostUnits.isEmpty)
       Project(child.output ++ outExprs, joined)
     else {
       // --- global lead/lag + moving frames (round 8): value at
@@ -832,9 +886,27 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
             Alias(combineUnit(m.cnt), s"graft_rank_clc${m.u.exprId.id}")())
       }
       val movLeft = movLeftAs.toMap
+      // --- ghost-stage pre-aliases (bounded-frame Min/Max/Avg/non-
+      // integral Sum): rows re-block into EXACTLY-B-row blocks of the
+      // global row number, B ≥ max frame reach — block membership is
+      // pure position arithmetic, never value-dependent, so no empty or
+      // undersized slice can sever a frame (grn-sliced, not key-sliced).
+      val maxReach =
+        if (ghostUnits.isEmpty) 0L else ghostUnits.map(_.n).max.toLong
+      val bSize = Greatest(Seq(Literal(math.max(maxReach, 1L)),
+        IntegralDivide(Subtract(Add(totAlias.toAttribute,
+          Literal(nSlices.toLong)), Literal(1L)),
+          Literal(nSlices.toLong))))
+      val blkA = Alias(IntegralDivide(Subtract(grn, Literal(1L)), bSize),
+        "graft_rank_blk")()
+      val spillA = Alias(GreaterThanOrEqual(
+        Pmod(Subtract(grn, Literal(1L)), bSize),
+        Subtract(bSize, Literal(maxReach))), "graft_rank_spill")()
+      val ghostPre: Seq[Alias] =
+        if (ghostUnits.isEmpty) Nil else Seq(blkA, spillA)
       val base = Project(
-        (child.output ++ grpL ++ outExprs) ++ movLeftAs.map(_._2)
-          :+ grnAlias,
+        ((child.output ++ grpL ++ outExprs) ++ movLeftAs.map(_._2) ++
+          ghostPre) :+ grnAlias,
         joined)
       // (slot, delta, value-over-`joined`): slot 0 = lead/lag input or
       // moving cum-sum, slot 1 = moving cum-count
@@ -847,7 +919,45 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
             m.sum.map(s => Fetch((m.u.exprId, 0), d, combineUnit(s)))
               .toSeq :+ Fetch((m.u.exprId, 1), d, combineUnit(m.cnt))
           }
+      // --- ghost stage: union each block's last-maxReach rows into the
+      // NEXT block (marker + bumped block id), run every ghost unit's
+      // ORIGINAL frame per (group, block) ordered by the global row
+      // number (unique — no ties), then drop the ghosts. A real row's
+      // frame in the blocked window holds exactly the global frame's
+      // rows in global order (ghosts fill the cross-block reach; block 0
+      // truncates at the sequence start exactly like the naive plan), so
+      // the per-frame fold — even a double sum — is bit-identical.
       var cur: LogicalPlan = base
+      val ghostOuts: Map[ExprId, Attribute] =
+        if (ghostUnits.isEmpty) Map.empty
+        else {
+          val ghA = Alias(Literal(false), "graft_rank_gh")()
+          val ghTA = Alias(Literal(true), "graft_rank_gh")()
+          val blkRA = Alias(blkA.toAttribute, "graft_rank_gblk")()
+          val blkSA = Alias(Add(blkA.toAttribute, Literal(1L)),
+            "graft_rank_gblk")()
+          val realP = Project(base.output ++ Seq(ghA, blkRA), base)
+          val ghostP = Project(base.output ++ Seq(ghTA, blkSA),
+            Filter(spillA.toAttribute, base))
+          val un = Union(realP, ghostP)
+          // union output keeps the REAL side's exprIds, so every
+          // downstream reference (grpL, grn, child columns, the fetch
+          // joins below) resolves untouched
+          val gblk = blkRA.toAttribute
+          val gOrd = Seq(SortOrder(grnAlias.toAttribute, Ascending))
+          val gws = ghostUnits.map { u =>
+            Alias(WindowExpression(u.ae,
+              WindowSpecDefinition(grpL :+ gblk, gOrd,
+                SpecifiedWindowFrame(RowFrame, Literal(-u.n),
+                  CurrentRow))),
+              s"graft_rank_gw${u.origin.exprId.id}")()
+          }
+          val gwin = Window(gws, grpL :+ gblk, gOrd, un)
+          cur = Filter(Not(ghA.toAttribute), gwin)
+          ghostUnits.zip(gws).map { case (u, w) =>
+            u.origin.exprId -> w.toAttribute
+          }.toMap
+        }
       val lookups = scala.collection.mutable
         .Map.empty[(ExprId, Int), (Attribute, Attribute)]
       fetches.groupBy(_.delta).toSeq.sortBy(_._1).foreach {
@@ -883,6 +993,9 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
           }
       }
       val finalOut = exprs.map {
+        case a: Alias if ghostIds.contains(a.exprId) =>
+          Alias(ghostOuts(a.exprId), a.name)(exprId = a.exprId,
+            qualifier = a.qualifier)
         case a: Alias if offUnitIds.contains(a.exprId) =>
           val u = offUnits.find(_.exprId == a.exprId).get
           val (jrn, v) = lookups((u.exprId, 0))

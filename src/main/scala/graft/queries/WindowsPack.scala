@@ -451,6 +451,32 @@ object WindowsPack extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** q314 — TRAILING QUALITY BAND as a naive global moving window with
+    * the aggregates a prefix difference CANNOT express: min/max have no
+    * subtraction inverse and the average's double fold is
+    * order-sensitive. The ghost-block extension of
+    * [[graft.plans.GlobalRankRewrite]] plans them distributed anyway:
+    * rows re-block into exactly-B-row blocks of the global row number,
+    * each block's last 63 rows union forward as ghost context, and the
+    * ORIGINAL frame runs per block — frame contents and fold order match
+    * the naive window row-for-row (bit-equal doubles included). Inputs
+    * are functions of the first sort key (tie doctrine); the scrambled
+    * `·k mod p` forms keep the min/max non-monotone so the frame
+    * genuinely matters. At gate SFs the input sits under the broadcast
+    * threshold and executes naive; GlobalRankRewriteSpec pins the
+    * forced rewrite's exact parity.
+    */
+  private def q314(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("n_chars"), col("doc_id"))
+      .rowsBetween(-63, Window.currentRow)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("band_min", min(col("n_chars") * 3L % 251L).over(w))
+      .withColumn("band_max", max(col("n_chars") * 7L % 509L).over(w))
+      .withColumn("band_avg", round(avg(col("n_chars")).over(w), 6))
+      .orderBy("doc_id")
+  }
+
   /** q308 — PER-TIER CURRICULUM RANK as a naive bounded-partition
     * window: documents fall into 3 length tiers (a CASE ladder — an
     * all-literal-output partition key), and within each tier every
@@ -480,6 +506,7 @@ object WindowsPack extends QueryPack {
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q308_tier_rank_rule" -> q308 _,
     "q305_moving_window_rule" -> q305 _,
+    "q314_moving_band_monitor" -> q314 _,
     "q303_global_lag_rule" -> q303 _,
     "q285_global_ntile_rule" -> q285 _,
     "q291_string_rank_rule" -> q291 _,
@@ -522,6 +549,15 @@ object WindowsPack extends QueryPack {
         | count(*) OVER (ORDER BY n_chars, doc_id
         |   ROWS BETWEEN 63 PRECEDING AND CURRENT ROW) AS win_docs
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q314_moving_band_monitor" ->
+      """SELECT doc_id, n_chars,
+        | min(n_chars * 3 % 251) OVER w AS band_min,
+        | max(n_chars * 7 % 509) OVER w AS band_max,
+        | round(avg(n_chars) OVER w, 6) AS band_avg
+        |FROM documents
+        |WINDOW w AS (ORDER BY n_chars, doc_id
+        |  ROWS BETWEEN 63 PRECEDING AND CURRENT ROW)
+        |ORDER BY doc_id""".stripMargin,
     "q303_global_lag_rule" ->
       """WITH e AS (
         | SELECT event_id, epoch_us(ts) AS ts_us FROM events)

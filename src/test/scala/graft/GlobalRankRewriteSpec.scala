@@ -276,15 +276,8 @@ class GlobalRankRewriteSpec extends SparkSpecBase {
           sum("d").over(Window.orderBy(col("v"), col("id"))).as("s"))
       assert(!dbl.queryExecution.executedPlan.toString
         .contains("graft_rank_pid"))
-      // moving DOUBLE sum: integral moving frames rewrite since round 8
-      // (prefix-difference identity), but a double cum differs from the
-      // bounded naive fold by ulps — exact-type doctrine stands it down
-      val moving = df.withColumn("d", col("v").cast("double"))
-        .select(col("id"),
-          sum("d").over(Window.orderBy(col("v"), col("id"))
-            .rowsBetween(-2, 0)).as("s"))
-      assert(!moving.queryExecution.executedPlan.toString
-        .contains("graft_rank_pid"))
+      // (a moving DOUBLE sum used to stand down here — since the ghost-
+      // block path it rewrites bit-exactly; see the ghost-frame test)
     }
     // default threshold: a tiny input executes fine in one task
     val small = df.withColumn("rn",
@@ -593,23 +586,100 @@ class GlobalRankRewriteSpec extends SparkSpecBase {
     }
   }
 
-  test("moving frames stand down: non-key input, avg/min/max, RANGE") {
+  test("moving frames stand down: non-key input, RANGE frame") {
     val df = corpus(3000).withColumn("payload", col("id") * 31L)
-    val wu = Window.orderBy(col("v"), col("id")).rowsBetween(-3, 0)
     forced {
       for ((name, q) <- Seq(
         "non-key input" -> df.select(
           sum(col("payload")).over(Window.orderBy(col("v"))
             .rowsBetween(-3, 0)).as("s")),
-        "moving avg (double fold)" -> df.select(
-          avg(col("v")).over(wu).as("a")),
-        "moving min (no subtraction)" -> df.select(
-          min(col("v")).over(wu).as("m")),
         "RANGE preceding (value frame)" -> df.select(
           sum(col("v")).over(Window.orderBy(col("v"))
             .rangeBetween(-3, 0)).as("r"))))
         assert(!q.queryExecution.executedPlan.toString.contains("graft_rank"),
           s"$name must stand down")
+    }
+  }
+
+  test("ghost-block frames: moving min/max/avg/double-sum, exact per row") {
+    // unique total order (v, id) → per-row parity; several blocks via a
+    // raised shuffle-partition count; null-value runs exercise the
+    // empty-frame → null branch (min/max skip nulls)
+    val df = corpus(6000).select(col("id"),
+      when(col("id") % 11 === 0, lit(null).cast("long"))
+        .otherwise(col("v")).as("v"))
+    val w = Window.orderBy(col("v"), col("id")).rowsBetween(-7, 0)
+    val build = () => df.select(col("id"),
+      min(col("v") * 3L - 1L).over(w).as("mn"),
+      max(col("v") % 97L).over(w).as("mx"),
+      avg(col("v")).over(w).as("av"),
+      sum(col("v").cast("double") / 7.0d).over(w).as("ds"))
+    def collectBits(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map { x =>
+        (x.getLong(0), x.toSeq.drop(1).map {
+          case d: Double => java.lang.Double.doubleToLongBits(d)
+          case o => o
+        })
+      }.sortBy(_._1).toSeq
+    val parts = "spark.sql.shuffle.partitions"
+    val oldParts = spark.conf.get(parts)
+    spark.conf.set(parts, "5")
+    try {
+      val expected = naive(collectBits(build()))
+      forced {
+        val r = build()
+        val p = r.queryExecution.executedPlan.toString
+        assert(p.contains("graft_rank_gblk"),
+          s"ghost stage must plan:\n${p.take(3000)}")
+        val windows = p.linesIterator.filter(_.contains("Window ")).toList
+        assert(windows.forall(l => l.contains("graft_rank_pid") ||
+          l.contains("graft_rank_gblk")),
+          s"no corpus-grain unpartitioned window may remain:\n${p.take(4000)}")
+        assert(collectBits(r) === expected)
+      }
+    } finally spark.conf.set(parts, oldParts)
+  }
+
+  test("ghost-block frames under heavy ties: exact as a (key, values) bag") {
+    // order by the key alone (17 distinct values, ~350 copies each):
+    // per-row assignment among ties is permutation-dependent in BOTH
+    // plans, but inputs are key functions, so the (key → value multiset)
+    // bag is invariant — the same doctrine as the moving-sum tie spec
+    val df = corpus(6000).select(col("id"), (col("v") % 17L).as("k"))
+    val w = Window.orderBy(col("k")).rowsBetween(-5, 0)
+    val build = () => df.select(col("k"),
+      min(col("k") * 13L % 7L).over(w).as("mn"),
+      avg(col("k")).over(w).as("av"))
+    def bag(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x => (x.getLong(0), x.getLong(1),
+        java.lang.Double.doubleToLongBits(x.getDouble(2))))
+        .sorted.toSeq
+    val expected = naive(bag(build()))
+    forced {
+      val r = build()
+      assert(r.queryExecution.executedPlan.toString
+        .contains("graft_rank_gblk"))
+      assert(bag(r) === expected)
+    }
+  }
+
+  test("ghost frames compose with row_number and lag in one window spec") {
+    val df = corpus(5000)
+    val ord = Window.orderBy(col("v"), col("id"))
+    val build = () => df.select(col("id"),
+      row_number().over(ord).as("rn"),
+      min(col("v")).over(ord.rowsBetween(-4, 0)).as("mn"),
+      lag(col("v"), 2).over(ord).as("lg"),
+      sum(col("v")).over(ord.rowsBetween(-4, 0)).as("ms"))
+    def norm(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val expected = naive(norm(build()))
+    forced {
+      val r = build()
+      val p = r.queryExecution.executedPlan.toString
+      assert(p.contains("graft_rank_gblk") && p.contains("graft_rank_jrn"),
+        s"ghost + fetch machinery must coexist:\n${p.take(3000)}")
+      assert(norm(r) === expected)
     }
   }
 }
