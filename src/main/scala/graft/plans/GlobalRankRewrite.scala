@@ -264,47 +264,67 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  /** One order-fold-exact bounded-frame aggregate that CANNOT decompose
-    * by prefix subtraction: moving Min/Max (no inverse), non-integral
-    * Sum (prefix difference drifts by ulps / can overflow where the
-    * frame would not), and Average (its naive fold is the frame's own
-    * sequential sum). Computed instead by GLOBAL RE-BLOCKING (see the
-    * ghost stage in [[rewrite]]): rows land in exactly-B-row blocks of
-    * the global row number with B ≥ the frame reach, each block's last
-    * `n` rows are UNIONed into the next block as ghost context, and the
-    * ORIGINAL frame runs per block ordered by the global row number —
-    * every real row's frame holds exactly the global frame's rows in
-    * global order, so even a double sum folds bit-identically to the
-    * naive single-partition window. Inputs must be functions of the
-    * ORDER BY tuple ([[orderFunc]]) — the standing tie doctrine: frame
-    * membership among tied rows is permutation-dependent, but equal
-    * tuples then carry equal inputs, so every permutation folds the
-    * same. */
+  /** One order-fold-exact ROWS-bounded-frame aggregate that the prefix
+    * path cannot express: moving Min/Max (no subtraction inverse),
+    * non-integral Sum (prefix difference drifts by ulps / can overflow
+    * where the frame would not), Average (its naive fold is the frame's
+    * own sequential sum), and ANY frame with a FOLLOWING bound (no
+    * prefix identity reaches forward). Computed by GLOBAL RE-BLOCKING
+    * (the ghost stage in [[rewrite]]): rows land in exactly-B-row
+    * blocks of the global row number with B ≥ max(backward, forward)
+    * reach, each block's last `back` rows UNION forward into the next
+    * block and its first `fwd` rows backward into the previous one as
+    * ghost context, and the ORIGINAL frame runs per block ordered by
+    * the global row number — every real row's frame holds exactly the
+    * global frame's rows in global order, so even a double sum folds
+    * bit-identically to the naive single-partition window. Inputs must
+    * be functions of the ORDER BY tuple ([[orderFunc]]) — the standing
+    * tie doctrine: frame membership among tied rows is
+    * permutation-dependent, but equal tuples then carry equal inputs,
+    * so every permutation folds the same. */
   private case class GhostUnit(origin: Alias, ae: AggregateExpression,
-      n: Int)
+      frame: SpecifiedWindowFrame, back: Int, fwd: Int)
+
+  /** A ROWS-frame boundary as a signed row offset: negative = preceding,
+    * positive = following, 0 = current row. */
+  private def rowBound(e: Expression): Option[Int] = e match {
+    case CurrentRow => Some(0)
+    case Literal(v: Int, IntegerType) => Some(v)
+    case UnaryMinus(Literal(v: Int, IntegerType), _) => Some(-v)
+    case _ => None
+  }
 
   private def ghostUnit(ne: NamedExpression, parts: Seq[Expression],
       order: Seq[SortOrder], child: LogicalPlan): Option[GhostUnit] = {
+    // the prefix-difference path (movUnit) claims integral-sum/count
+    // frames ending at CURRENT ROW — cheaper (no union, no second
+    // corpus shuffle); everything else row-bounded lands here,
+    // including FOLLOWING bounds no prefix identity can reach
+    if (movUnit(ne, parts, order, child).isDefined) return None
     lazy val keys = order.map(o => expandOnce(o.child, child)) ++
       parts.map(expandOnce(_, child))
     def okIn(e: Expression): Boolean = orderFunc(expandOnce(e, child), keys)
     ne match {
       case a @ Alias(WindowExpression(ae: AggregateExpression,
           WindowSpecDefinition(_, _,
-            SpecifiedWindowFrame(RowFrame, lo, CurrentRow))), _)
+            f @ SpecifiedWindowFrame(RowFrame, lo, hi))), _)
           if !ae.isDistinct && ae.filter.isEmpty =>
-        precedingRows(lo).flatMap { n =>
-          val ok = ae.aggregateFunction match {
+        for {
+          l <- rowBound(lo)
+          h <- rowBound(hi)
+          if l <= h && (l != 0 || h != 0)
+          back = math.max(0, -l)
+          fwd = math.max(0, h)
+          ok = ae.aggregateFunction match {
             case Min(e) => okIn(e)
             case Max(e) => okIn(e)
-            // integral Sum and Count take the cheaper prefix-difference
-            // path (movUnit) — no union, no second corpus shuffle
-            case Sum(e, _) => !integralType(e.dataType) && okIn(e)
+            case Sum(e, _) => okIn(e)
             case Average(e, _) => okIn(e)
+            case c: Count => c.children.forall(okIn)
             case _ => false
           }
-          if (ok) Some(GhostUnit(a, ae, n)) else None
-        }
+          if ok
+        } yield GhostUnit(a, ae, f, back, fwd)
       case _ => None
     }
   }
@@ -891,19 +911,29 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
       // global row number, B ≥ max frame reach — block membership is
       // pure position arithmetic, never value-dependent, so no empty or
       // undersized slice can sever a frame (grn-sliced, not key-sliced).
-      val maxReach =
-        if (ghostUnits.isEmpty) 0L else ghostUnits.map(_.n).max.toLong
-      val bSize = Greatest(Seq(Literal(math.max(maxReach, 1L)),
+      val maxBack =
+        if (ghostUnits.isEmpty) 0L else ghostUnits.map(_.back).max.toLong
+      val maxFwd =
+        if (ghostUnits.isEmpty) 0L else ghostUnits.map(_.fwd).max.toLong
+      val bSize = Greatest(Seq(
+        Literal(math.max(math.max(maxBack, maxFwd), 1L)),
         IntegralDivide(Subtract(Add(totAlias.toAttribute,
           Literal(nSlices.toLong)), Literal(1L)),
           Literal(nSlices.toLong))))
       val blkA = Alias(IntegralDivide(Subtract(grn, Literal(1L)), bSize),
         "graft_rank_blk")()
+      // tail spill (forward ghosts): a block's last maxBack rows feed
+      // the NEXT block's backward reach
       val spillA = Alias(GreaterThanOrEqual(
         Pmod(Subtract(grn, Literal(1L)), bSize),
-        Subtract(bSize, Literal(maxReach))), "graft_rank_spill")()
+        Subtract(bSize, Literal(maxBack))), "graft_rank_spill")()
+      // head spill (backward ghosts): a block's first maxFwd rows feed
+      // the PREVIOUS block's forward reach
+      val spillFA = Alias(LessThan(
+        Pmod(Subtract(grn, Literal(1L)), bSize),
+        Literal(maxFwd)), "graft_rank_spillf")()
       val ghostPre: Seq[Alias] =
-        if (ghostUnits.isEmpty) Nil else Seq(blkA, spillA)
+        if (ghostUnits.isEmpty) Nil else Seq(blkA, spillA, spillFA)
       val base = Project(
         ((child.output ++ grpL ++ outExprs) ++ movLeftAs.map(_._2) ++
           ghostPre) :+ grnAlias,
@@ -932,14 +962,24 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
         if (ghostUnits.isEmpty) Map.empty
         else {
           val ghA = Alias(Literal(false), "graft_rank_gh")()
-          val ghTA = Alias(Literal(true), "graft_rank_gh")()
           val blkRA = Alias(blkA.toAttribute, "graft_rank_gblk")()
-          val blkSA = Alias(Add(blkA.toAttribute, Literal(1L)),
-            "graft_rank_gblk")()
           val realP = Project(base.output ++ Seq(ghA, blkRA), base)
-          val ghostP = Project(base.output ++ Seq(ghTA, blkSA),
-            Filter(spillA.toAttribute, base))
-          val un = Union(realP, ghostP)
+          def ghostSide(cond: Expression, delta: Long): LogicalPlan =
+            Project(base.output ++ Seq(
+              Alias(Literal(true), "graft_rank_gh")(),
+              Alias(Add(blkA.toAttribute, Literal(delta)),
+                "graft_rank_gblk")()),
+              Filter(cond, base))
+          val sides = Seq(realP) ++
+            (if (maxBack > 0) Seq(ghostSide(spillA.toAttribute, 1L))
+             else Nil) ++
+            // head ghosts of block 0 would land in block −1 (no real
+            // rows) — skip them at the source
+            (if (maxFwd > 0) Seq(ghostSide(
+              And(spillFA.toAttribute,
+                GreaterThan(blkA.toAttribute, Literal(0L))), -1L))
+             else Nil)
+          val un = Union(sides)
           // union output keeps the REAL side's exprIds, so every
           // downstream reference (grpL, grn, child columns, the fetch
           // joins below) resolves untouched
@@ -947,9 +987,7 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
           val gOrd = Seq(SortOrder(grnAlias.toAttribute, Ascending))
           val gws = ghostUnits.map { u =>
             Alias(WindowExpression(u.ae,
-              WindowSpecDefinition(grpL :+ gblk, gOrd,
-                SpecifiedWindowFrame(RowFrame, Literal(-u.n),
-                  CurrentRow))),
+              WindowSpecDefinition(grpL :+ gblk, gOrd, u.frame)),
               s"graft_rank_gw${u.origin.exprId.id}")()
           }
           val gwin = Window(gws, grpL :+ gblk, gOrd, un)

@@ -75,9 +75,11 @@ import org.apache.spark.sql.types._
   * PROJECTED column side is above the broadcast threshold (the same
   * gate [[GlobalRankRewrite]] applies to the emitted window, so the two
   * rules agree on when scale is worth a range shuffle; below it the
-  * native hash-map aggregate is strictly cheaper). `percentile_disc` is
-  * a different class with its own selection rule and a legacy flag — it
-  * stands down here.
+  * native hash-map aggregate is strictly cheaper). `percentile_disc`
+  * rides the same pipeline with its own positional law — the smallest
+  * 1-based position ≥ p·n (the non-legacy cume_dist selection), one row
+  * per percentile and no interpolation; the legacy-calculation flag
+  * changes that law, so legacy instances stand down.
   *
   * `reverse = true` (percentile_cont … ORDER BY x DESC) flips the sort
   * direction of the emitted window — PercentileBase sorts descending and
@@ -85,8 +87,10 @@ import org.apache.spark.sql.types._
   */
 object PercentileRewrite extends Rule[LogicalPlan] {
 
-  /** One aliased percentile of the shared column. */
-  private case class Target(origin: Alias, scalar: Boolean, ps: Seq[Double])
+  /** One aliased percentile of the shared column; `disc` selects the
+    * percentile_disc positional rule (no interpolation). */
+  private case class Target(origin: Alias, scalar: Boolean,
+      ps: Seq[Double], disc: Boolean)
 
   /** An output slot of the original aggregate list, in order. */
   private sealed trait OutUnit
@@ -135,20 +139,34 @@ object PercentileRewrite extends Rule[LogicalPlan] {
       if (i >= 0) Some(i) else None
     }
     var col0: Option[(Expression, Boolean)] = None
+    def pctTarget(col: Expression, rev: Boolean, a: Alias,
+        ps: Seq[Double], scalar: Boolean, disc: Boolean): Option[OutUnit] =
+      col0 match {
+        case None => col0 = Some((col, rev))
+          Some(PctOut(Target(a, scalar, ps, disc)))
+        case Some((c0, r0)) if c0.canonicalized == col.canonicalized &&
+            r0 == rev =>
+          Some(PctOut(Target(a, scalar, ps, disc)))
+        case _ => None
+      }
+    def okCol(col: Expression): Boolean =
+      col.dataType.isInstanceOf[NumericType] && col.deterministic &&
+        !col.foldable
     val units = aggs.map {
       case a @ Alias(AggregateExpression(
           Percentile(col, pct, freq, _, _, rev), Complete, false, None, _), _)
-          if col.dataType.isInstanceOf[NumericType] && col.deterministic &&
-            !col.foldable && unitFrequency(freq) =>
+          if okCol(col) && unitFrequency(freq) =>
         percentages(pct).flatMap { case (ps, scalar) =>
-          col0 match {
-            case None => col0 = Some((col, rev))
-              Some(PctOut(Target(a, scalar, ps)))
-            case Some((c0, r0)) if c0.canonicalized == col.canonicalized &&
-                r0 == rev =>
-              Some(PctOut(Target(a, scalar, ps)))
-            case _ => None
-          }
+          pctTarget(col, rev, a, ps, scalar, disc = false)
+        }
+      // non-legacy percentile_disc: pure positional selection — the
+      // smallest 1-based position ≥ p·n (ceil; ≥ 1), no interpolation.
+      // The legacy flag changes the position law, so it stands down.
+      case a @ Alias(AggregateExpression(
+          PercentileDisc(col, pct, rev, _, _, false), Complete, false,
+          None, _), _) if okCol(col) =>
+        percentages(pct).flatMap { case (ps, scalar) =>
+          pctTarget(col, rev, a, ps, scalar, disc = true)
         }
       case ne => groupIdx(ne).map(GroupOut(ne, _))
     }
@@ -204,17 +222,27 @@ object PercentileRewrite extends Rule[LogicalPlan] {
     * aliases; PhysicalAggregation maps each shared instance to one
     * buffer slot). */
   private final class Selection(px: Attribute, pn: Attribute,
-      rn: Expression, allPs: Seq[Double]) {
-    // pos = p·(n−1) exactly as PercentileBase: maxPosition.toDouble · p
+      rn: Expression, specs: Seq[(Double, Boolean)]) {
+    // cont: pos = p·(n−1) exactly as PercentileBase
+    // (maxPosition.toDouble · p); rows at floor+1 / ceil+1
     private def pos(n: Expression, p: Double): Expression =
       Multiply(Cast(Subtract(n, Literal(1L)), DoubleType), Literal(p))
-    private def lowerRn(p: Double): Expression =
-      Add(Floor(pos(pn, p)), Literal(1L))
-    private def higherRn(p: Double): Expression =
-      Add(Ceil(pos(pn, p)), Literal(1L))
+    private def lowerRn(n: Expression, p: Double): Expression =
+      Add(Floor(pos(n, p)), Literal(1L))
+    private def higherRn(n: Expression, p: Double): Expression =
+      Add(Ceil(pos(n, p)), Literal(1L))
+    // disc: the smallest 1-based position ≥ p·n (ceil, floored at 1) —
+    // the non-legacy cume_dist selection law
+    private def discRn(n: Expression, p: Double): Expression =
+      Greatest(Seq(Literal(1L),
+        Ceil(Multiply(Literal(p), Cast(n, DoubleType)))))
 
-    val keepCond: Expression = allPs.flatMap[Expression] { p =>
-      Seq(EqualTo(rn, lowerRn(p)), EqualTo(rn, higherRn(p)))
+    private def rnsOf(p: Double, disc: Boolean): Seq[Expression] =
+      if (disc) Seq(discRn(pn, p))
+      else Seq(lowerRn(pn, p), higherRn(pn, p))
+
+    val keepCond: Expression = specs.flatMap { case (p, d) =>
+      rnsOf(p, d).map[Expression](EqualTo(rn, _))
     }.reduce(Or)
 
     private def maxIf(cond: Expression): AggregateExpression =
@@ -222,15 +250,15 @@ object PercentileRewrite extends Rule[LogicalPlan] {
         Complete, isDistinct = false)
     val nAt: Expression =
       AggregateExpression(Max(pn), Complete, isDistinct = false)
-    private val perP: Map[Double, (Expression, Expression)] = allPs.map { p =>
-      p -> (maxIf(EqualTo(rn, lowerRn(p))): Expression,
-        maxIf(EqualTo(rn, higherRn(p))): Expression)
-    }.toMap
+    private val perP: Map[(Double, Boolean), Seq[Expression]] =
+      specs.map { case (p, d) =>
+        (p, d) -> rnsOf(p, d).map(k => maxIf(EqualTo(rn, k)): Expression)
+      }.toMap
 
     /** Post-aggregate interpolation, PercentileBase.getPercentile
       * verbatim. */
     def interp(p: Double): Expression = {
-      val (lo, hi) = perP(p)
+      val Seq(lo, hi) = perP((p, false))
       val posA = pos(nAt, p)
       val lowerA = Floor(posA)
       val higherA = Ceil(posA)
@@ -246,13 +274,21 @@ object PercentileRewrite extends Rule[LogicalPlan] {
       If(EqualTo(lo, hi), Cast(lo, DoubleType), lerp)
     }
 
+    /** percentile_disc: the selected value itself, as a double. */
+    def discVal(p: Double): Expression =
+      Cast(perP((p, true)).head, DoubleType)
+
+    private def one(p: Double, disc: Boolean): Expression =
+      if (disc) discVal(p) else interp(p)
+
     /** The result body for one target (array form wraps per-p bodies;
       * null when the group had no values). */
     def body(t: Target): Expression =
-      if (t.scalar) interp(t.ps.head)
+      if (t.scalar) one(t.ps.head, t.disc)
       else {
         val at = ArrayType(DoubleType, containsNull = false)
-        If(IsNull(nAt), Literal(null, at), CreateArray(t.ps.map(interp)))
+        If(IsNull(nAt), Literal(null, at),
+          CreateArray(t.ps.map(one(_, t.disc))))
       }
   }
 
@@ -288,7 +324,8 @@ object PercentileRewrite extends Rule[LogicalPlan] {
     // row_number is IntegerType; positions are Long — cast once (no
     // analyzer below the optimizer to insert it implicitly)
     val sel = new Selection(px, cntA.toAttribute,
-      Cast(rnA.toAttribute, LongType), targets.flatMap(_.ps).distinct)
+      Cast(rnA.toAttribute, LongType),
+      targets.flatMap(t => t.ps.map(pp => (pp, t.disc))).distinct)
     val keep = Filter(sel.keepCond, j)
 
     val results: Seq[NamedExpression] = targets.map { t =>
@@ -347,7 +384,8 @@ object PercentileRewrite extends Rule[LogicalPlan] {
 
     val j = Join(win, cnt, InnerType, Some(grpCond(gAttrs, cgAttrs)), bcast)
     val sel = new Selection(px, cntA.toAttribute,
-      Cast(rnA.toAttribute, LongType), targets.flatMap(_.ps).distinct)
+      Cast(rnA.toAttribute, LongType),
+      targets.flatMap(t => t.ps.map(pp => (pp, t.disc))).distinct)
     val keep = Filter(sel.keepCond, j)
 
     // per-group results (≤ 2·|ps| rows per group reach this aggregate)

@@ -125,6 +125,29 @@ object ApproxPack extends QueryPack {
       .agg(expr("mode() WITHIN GROUP (ORDER BY source)").as("top_source"))
       .orderBy("lang")
 
+  /** q316 — GLOBAL `percentile_disc` ladder, written naively. Same
+    * OpenHashMap cliff as q311; [[graft.plans.PercentileRewrite]]'s
+    * disc arm selects the value at the smallest 1-based position
+    * ≥ p·n (the non-legacy cume_dist law, spec-pinned against native),
+    * no interpolation. The oracle replays the identical positional law
+    * in window SQL — `min(v) where rn ≥ p·n` over the ascending
+    * numbering — rather than DuckDB's own `quantile_disc`, whose
+    * position convention differs.
+    */
+  private def q316(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.load(s, dir, "lineitem")
+    t.createOrReplaceTempView("graft_q316_lineitem")
+    t.sparkSession.sql( // rounding in the OUTER select keeps the
+      // Aggregate the naive all-percentile shape the rule matches
+      """SELECT round(p25, 6) AS disc_p25, round(p90, 6) AS disc_p90
+        |FROM (SELECT
+        |  percentile_disc(0.25d) WITHIN GROUP (ORDER BY l_quantity)
+        |    AS p25,
+        |  percentile_disc(0.9d) WITHIN GROUP (ORDER BY l_quantity)
+        |    AS p90
+        | FROM graft_q316_lineitem)""".stripMargin)
+  }
+
   /** Approx-percentile twin (Greenwald-Khanna; ApproxSpec bounds it). */
   def approxQuantiles(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem")
@@ -140,7 +163,8 @@ object ApproxPack extends QueryPack {
     "q38_percentiles" -> q38 _,
     "q311_global_percentile_ladder" -> q311 _,
     "q312_tier_percentile_ladder" -> q312 _,
-    "q313_mode_top_source" -> q313 _)
+    "q313_mode_top_source" -> q313 _,
+    "q316_disc_ladder" -> q316 _)
 
   override val oracle: Seq[(String, String)] = Seq(
     "q37_distinct_scale" ->
@@ -173,5 +197,16 @@ object ApproxPack extends QueryPack {
         |  row_number() OVER (PARTITION BY lang
         |    ORDER BY count(*) DESC, source ASC) AS rn
         | FROM documents GROUP BY lang, source) t
-        |WHERE rn = 1 ORDER BY lang""".stripMargin)
+        |WHERE rn = 1 ORDER BY lang""".stripMargin,
+    "q316_disc_ladder" ->
+      """WITH s AS (SELECT l_quantity AS v,
+        |  row_number() OVER (ORDER BY l_quantity) AS rn,
+        |  count(*) OVER () AS n
+        | FROM lineitem WHERE l_quantity IS NOT NULL)
+        |SELECT
+        | round(cast(min(CASE WHEN rn >= 0.25 * n THEN v END)
+        |   AS double), 6) AS disc_p25,
+        | round(cast(min(CASE WHEN rn >= 0.9 * n THEN v END)
+        |   AS double), 6) AS disc_p90
+        |FROM s""".stripMargin)
 }

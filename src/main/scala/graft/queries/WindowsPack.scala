@@ -477,6 +477,27 @@ object WindowsPack extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** q315 — CENTERED SMOOTHING BAND, the FOLLOWING-bound shape no
+    * prefix identity reaches: each document in curriculum order reads
+    * its surrounding 64-row window (31 back, 32 forward) — min/avg
+    * envelope, the classic symmetric smoother. The two-directional
+    * ghost-block extension of [[graft.plans.GlobalRankRewrite]] plans
+    * it distributed: block tails spill forward AND block heads spill
+    * backward as ghost context, the original centered frame runs per
+    * block. At gate SFs the input executes naive (below threshold);
+    * GlobalRankRewriteSpec pins the forced rewrite's bit parity.
+    */
+  private def q315(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("n_chars"), col("doc_id"))
+      .rowsBetween(-31, 32)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("band_lo", min(col("n_chars") * 5L % 331L).over(w))
+      .withColumn("band_mean", round(avg(col("n_chars")).over(w), 6))
+      .withColumn("band_n", count(lit(1)).over(w))
+      .orderBy("doc_id")
+  }
+
   /** q308 — PER-TIER CURRICULUM RANK as a naive bounded-partition
     * window: documents fall into 3 length tiers (a CASE ladder — an
     * all-literal-output partition key), and within each tier every
@@ -507,6 +528,7 @@ object WindowsPack extends QueryPack {
     "q308_tier_rank_rule" -> q308 _,
     "q305_moving_window_rule" -> q305 _,
     "q314_moving_band_monitor" -> q314 _,
+    "q315_centered_smoothing" -> q315 _,
     "q303_global_lag_rule" -> q303 _,
     "q285_global_ntile_rule" -> q285 _,
     "q291_string_rank_rule" -> q291 _,
@@ -557,6 +579,15 @@ object WindowsPack extends QueryPack {
         |FROM documents
         |WINDOW w AS (ORDER BY n_chars, doc_id
         |  ROWS BETWEEN 63 PRECEDING AND CURRENT ROW)
+        |ORDER BY doc_id""".stripMargin,
+    "q315_centered_smoothing" ->
+      """SELECT doc_id, n_chars,
+        | min(n_chars * 5 % 331) OVER w AS band_lo,
+        | round(avg(n_chars) OVER w, 6) AS band_mean,
+        | count(*) OVER w AS band_n
+        |FROM documents
+        |WINDOW w AS (ORDER BY n_chars, doc_id
+        |  ROWS BETWEEN 31 PRECEDING AND 32 FOLLOWING)
         |ORDER BY doc_id""".stripMargin,
     "q303_global_lag_rule" ->
       """WITH e AS (

@@ -663,6 +663,41 @@ class GlobalRankRewriteSpec extends SparkSpecBase {
     }
   }
 
+  test("ghost frames with FOLLOWING bounds: centered and forward-only") {
+    // no prefix identity reaches forward — centered min/avg, a
+    // forward-only integral sum, and a count between following bounds
+    // all take the ghost path; unique (v, id) order → per-row parity
+    val df = corpus(5000)
+    val ord = Window.orderBy(col("v"), col("id"))
+    val build = () => df.select(col("id"),
+      min(col("v")).over(ord.rowsBetween(-3, 3)).as("cmin"),
+      avg(col("v")).over(ord.rowsBetween(-3, 3)).as("cavg"),
+      sum(col("v")).over(ord.rowsBetween(0, 5)).as("fsum"),
+      count(lit(1)).over(ord.rowsBetween(2, 4)).as("fcnt"))
+    def norm(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map { x =>
+        (x.getLong(0), x.toSeq.drop(1).map {
+          case d: Double => java.lang.Double.doubleToLongBits(d)
+          case o => o
+        })
+      }.sortBy(_._1).toSeq
+    val parts = "spark.sql.shuffle.partitions"
+    val oldParts = spark.conf.get(parts)
+    spark.conf.set(parts, "6")
+    try {
+      val expected = naive(norm(build()))
+      forced {
+        val r = build()
+        val p = r.queryExecution.executedPlan.toString
+        // the spill aliases inline into the Filter conditions, so the
+        // marker is the 3-branch union feeding the blocked window
+        assert(p.contains("graft_rank_gblk") && p.contains("Union"),
+          s"two-directional ghost stage must plan:\n${p.take(3000)}")
+        assert(norm(r) === expected)
+      }
+    } finally spark.conf.set(parts, oldParts)
+  }
+
   test("ghost frames compose with row_number and lag in one window spec") {
     val df = corpus(5000)
     val ord = Window.orderBy(col("v"), col("id"))

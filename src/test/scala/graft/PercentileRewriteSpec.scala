@@ -229,7 +229,48 @@ class PercentileRewriteSpec extends SparkSpecBase {
     }
   }
 
-  test("stand-downs: grouped, mixed columns, distinct, frequency, disc") {
+  test("percentile_disc: positional selection, global and grouped") {
+    val t = corpus(4001)
+    t.createOrReplaceTempView("graft_pct_d")
+    // adversarial positions: exact hits (p = k/n), boundaries, and the
+    // ceil law between them
+    val build = () => spark.sql(
+      """SELECT
+        | percentile_disc(0.0d)  WITHIN GROUP (ORDER BY v) AS d0,
+        | percentile_disc(0.25d) WITHIN GROUP (ORDER BY v) AS d25,
+        | percentile_disc(0.5d)  WITHIN GROUP (ORDER BY v) AS d50,
+        | percentile_disc(0.75d) WITHIN GROUP (ORDER BY v) AS d75,
+        | percentile_disc(1.0d)  WITHIN GROUP (ORDER BY v) AS d100
+        |FROM graft_pct_d""".stripMargin)
+    val expected = naive(row(build()))
+    forced {
+      val r = build()
+      val p = r.queryExecution.executedPlan.toString
+      assert(!p.toLowerCase.contains("percentile"),
+        s"disc must rewrite:\n${p.take(3000)}")
+      assert(row(r) === expected)
+    }
+    // DESC + exact-hit counts (n divisible by 4) + ties + grouped
+    val t2 = spark.range(4000).select(
+      pmod(col("id"), lit(4)).as("g"), (col("id") % 40).cast("double").as("v"))
+    t2.createOrReplaceTempView("graft_pct_d2")
+    // one shared direction per pipeline (mixed ASC+DESC stands down —
+    // the ladder shares one rank order by design)
+    val build2 = () => spark.sql(
+      """SELECT g,
+        | percentile_disc(0.5d) WITHIN GROUP (ORDER BY v DESC) AS d50r,
+        | percentile_disc(0.31d) WITHIN GROUP (ORDER BY v DESC) AS d31r
+        |FROM graft_pct_d2 GROUP BY g""".stripMargin)
+    val expected2 = naive(rows(build2()))
+    forced {
+      val r = build2()
+      assert(!r.queryExecution.executedPlan.toString.toLowerCase
+        .contains("percentile"))
+      assert(rows(r) === expected2)
+    }
+  }
+
+  test("stand-downs: grouped, mixed columns, distinct, frequency") {
     def keepsNative(df: DataFrame): Unit = forced {
       val p = df.queryExecution.executedPlan.toString
       assert(p.toLowerCase.contains("percentile"),
@@ -244,10 +285,6 @@ class PercentileRewriteSpec extends SparkSpecBase {
       expr("percentile(id, 0.5d)").as("b")))
     keepsNative(t.agg(expr("percentile(DISTINCT v, 0.5d)").as("p")))
     keepsNative(t.agg(expr("percentile(v, 0.5d, 2)").as("p")))
-    t.createOrReplaceTempView("graft_pct_disc")
-    keepsNative(spark.sql(
-      "SELECT percentile_disc(0.5d) WITHIN GROUP (ORDER BY v) AS p " +
-        "FROM graft_pct_disc"))
     // mixed percentile + other aggregate stands down too
     keepsNative(t.agg(expr("percentile(v, 0.5d)").as("p"),
       sum(col("v")).as("s")))
