@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, CollectSet, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, CollectSet, Complete, Count, First, Last, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -264,6 +264,64 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     }
   }
 
+  /** One ABSOLUTE-position window value: first_value / nth_value /
+    * last_value over an UnboundedPreceding frame read the input at a
+    * FIXED sorted position (1, k, or the partition end) — a ≤ maxGroups-
+    * row broadcast fetch, not a window at all:
+    *
+    *   - `first_value(e)` (UP..CR or UP..UF): the frame always contains
+    *     position 1, so every row reads the value at sorted position 1.
+    *   - `nth_value(e, k)` ROWS UP..CR: position k once the frame holds
+    *     k rows → `If(grn ≥ k, value@k, null)`; RANGE UP..CR: the frame
+    *     extends through the CURRENT TIE RUN, so the gate is the
+    *     range-frame row count (the cume_dist numerator) ≥ k; UP..UF:
+    *     `If(tot ≥ k, value@k, null)`.
+    *   - `last_value(e)` UP..CR: the frame ends at the current row
+    *     (ROWS) or its tie run (RANGE) — with the key-function input
+    *     guard both equal the CURRENT row's input, a plain projection;
+    *     UP..UF: the value at position `tot`.
+    *
+    * ignoreNulls variants read data-dependent positions and stand down.
+    * `gate`: 0 = none (first_value), 1 = grn ≥ k, 2 = range-count ≥ k,
+    * 3 = tot ≥ k. `pos`: Some(k) for a literal position, None = the
+    * partition end (tot). `current` short-circuits last_value UP..CR. */
+  private case class AbsUnit(exprId: ExprId, name: String,
+      qualifier: Seq[String], dt: DataType, input: Expression,
+      pos: Option[Int], gate: Int, current: Boolean)
+
+  private def absUnit(ne: NamedExpression, parts: Seq[Expression],
+      order: Seq[SortOrder], child: LogicalPlan): Option[AbsUnit] = {
+    lazy val keys = order.map(o => expandOnce(o.child, child)) ++
+      parts.map(expandOnce(_, child))
+    def okIn(e: Expression): Boolean = orderFunc(expandOnce(e, child), keys)
+    def mk(a: Alias, e: Expression, pos: Option[Int], gate: Int,
+        current: Boolean = false): Option[AbsUnit] =
+      if (okIn(e)) Some(AbsUnit(a.exprId, a.name, a.qualifier, a.dataType,
+        e, pos, gate, current))
+      else None
+    ne match {
+      case a @ Alias(WindowExpression(we, WindowSpecDefinition(_, _,
+          SpecifiedWindowFrame(ft, UnboundedPreceding, hi))), _)
+          if hi == CurrentRow || hi == UnboundedFollowing =>
+        val toEnd = hi == UnboundedFollowing
+        we match {
+          case AggregateExpression(First(e, false), _, false, None, _) =>
+            mk(a, e, Some(1), 0)
+          case AggregateExpression(Last(e, false), _, false, None, _) =>
+            if (toEnd) mk(a, e, None, 0) else mk(a, e, None, 0,
+              current = true)
+          case NthValue(e, Literal(k: Int, IntegerType), false) if k >= 1 =>
+            val gate = if (toEnd) 3 else ft match {
+              case RowFrame => 1
+              case RangeFrame => 2
+            }
+            mk(a, e, Some(k), gate)
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
   /** One order-fold-exact ROWS-bounded-frame aggregate that the prefix
     * path cannot express: moving Min/Max (no subtraction inverse),
     * non-integral Sum (prefix difference drifts by ulps / can overflow
@@ -335,6 +393,7 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     case _ if offsetUnit(ne, parts, order, child).isDefined => true
     case _ if movUnit(ne, parts, order, child).isDefined => true
     case _ if ghostUnit(ne, parts, order, child).isDefined => true
+    case _ if absUnit(ne, parts, order, child).isDefined => true
     case Alias(WindowExpression(fn, _), _) => fn match {
       case RowNumber() => true
       case NTile(Literal(k: Int, IntegerType)) => k > 0
@@ -627,9 +686,11 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     val movIds = movUnits.map(_.exprId).toSet
     val ghostUnits = exprs.flatMap(ghostUnit(_, parts, order, child))
     val ghostIds = ghostUnits.map(_.origin.exprId).toSet
+    val absUnits = exprs.flatMap(absUnit(_, parts, order, child))
+    val absIds = absUnits.map(_.exprId).toSet
     val fns = exprs.collect { case Alias(WindowExpression(f, _), _) => f }
     val needRn = offUnits.nonEmpty || movUnits.nonEmpty ||
-      ghostUnits.nonEmpty || fns.exists {
+      ghostUnits.nonEmpty || absUnits.nonEmpty || fns.exists {
       case RowNumber() | NTile(_) => true
       case _ => false
     }
@@ -638,7 +699,10 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
       case _ => false
     }
     val needDr = fns.exists { case _: DenseRank => true; case _ => false }
-    val needLe = fns.exists { case _: CumeDist => true; case _ => false }
+    val needLe = absUnits.exists(_.gate == 2) || fns.exists {
+      case _: CumeDist => true
+      case _ => false
+    }
 
     // ONE boundary subtree, shared by both branches (trees are
     // immutable; its attributes never escape either branch's Project,
@@ -841,7 +905,8 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     }
     val outExprs = exprs.filterNot {
       case a: Alias => offUnitIds.contains(a.exprId) ||
-        movIds.contains(a.exprId) || ghostIds.contains(a.exprId)
+        movIds.contains(a.exprId) || ghostIds.contains(a.exprId) ||
+        absIds.contains(a.exprId)
       case _ => false
     }.map {
       case a: Alias if cumMap.contains(a.exprId) =>
@@ -880,7 +945,8 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
         Alias(cd, name)(exprId = a.exprId, qualifier = a.qualifier)
       case other => other // unreachable under `supported`
     }
-    if (offUnits.isEmpty && movUnits.isEmpty && ghostUnits.isEmpty)
+    if (offUnits.isEmpty && movUnits.isEmpty && ghostUnits.isEmpty &&
+        absUnits.isEmpty)
       Project(child.output ++ outExprs, joined)
     else {
       // --- global lead/lag + moving frames (round 8): value at
@@ -934,9 +1000,13 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
         Literal(maxFwd)), "graft_rank_spillf")()
       val ghostPre: Seq[Alias] =
         if (ghostUnits.isEmpty) Nil else Seq(blkA, spillA, spillFA)
+      // RANGE-framed nth_value gates on the cume_dist numerator
+      val gleAlias = Alias(gle, "graft_rank_glel")()
+      val absPre: Seq[Alias] =
+        if (absUnits.exists(_.gate == 2)) Seq(gleAlias) else Nil
       val base = Project(
         ((child.output ++ grpL ++ outExprs) ++ movLeftAs.map(_._2) ++
-          ghostPre) :+ grnAlias,
+          ghostPre ++ absPre) :+ grnAlias,
         joined)
       // (slot, delta, value-over-`joined`): slot 0 = lead/lag input or
       // moving cum-sum, slot 1 = moving cum-count
@@ -1030,7 +1100,63 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
               va.toAttribute.withNullability(true))
           }
       }
+      // --- absolute-position fetches: one broadcast join per distinct
+      // position (literal k, or the partition end `tot`); the right side
+      // filters `joined` to the ≤ maxGroups rows AT that position.
+      // `current`-flagged units (last_value UP..CR) are plain
+      // projections and fetch nothing.
+      val absLookups = scala.collection.mutable
+        .Map.empty[ExprId, (Attribute, Attribute)]
+      absUnits.filterNot(_.current).groupBy(_.pos).foreach {
+        case (pos, us) =>
+          val tag = pos.map(_.toString).getOrElse("end")
+          val jrnA = Alias(grn, s"graft_rank_arn$tag")()
+          val grpJAs = grpL.zipWithIndex.map { case (g, i) =>
+            Alias(g, s"graft_rank_ag${tag}_$i")()
+          }
+          val valAs = us.map { u =>
+            u -> Alias(u.input, s"graft_rank_av${tag}_${u.exprId.id}")()
+          }
+          // position filter INSIDE the right side: jrn == k, or == the
+          // group's total for the partition-end fetch (tot lives at
+          // `joined`, so the comparison is all right-side)
+          val posCond = pos match {
+            case Some(k) => EqualTo(grn, Literal(k.toLong))
+            case None => EqualTo(grn, totAlias.toAttribute)
+          }
+          val rightP = Project((jrnA +: grpJAs) ++ valAs.map(_._2),
+            Filter(posCond, joined))
+          cur = Join(cur, rightP, LeftOuter,
+            grpL.zip(grpJAs).map[Expression] { case (l, j) =>
+              EqualNullSafe(l, j.toAttribute)
+            }.reduceOption(And), JoinHint(None,
+              Some(HintInfo(strategy = Some(BROADCAST)))))
+          valAs.foreach { case (u, va) =>
+            absLookups(u.exprId) = (jrnA.toAttribute.withNullability(true),
+              va.toAttribute.withNullability(true))
+          }
+      }
       val finalOut = exprs.map {
+        case a: Alias if absIds.contains(a.exprId) =>
+          val u = absUnits.find(_.exprId == a.exprId).get
+          val value =
+            if (u.current) Cast(u.input, u.dt)
+            else {
+              val (jrn, v) = absLookups(u.exprId)
+              val fetched = If(IsNull(jrn), Literal(null, u.dt),
+                Cast(v, u.dt))
+              u.gate match {
+                case 0 => fetched
+                case 1 => If(GreaterThanOrEqual(grnAlias.toAttribute,
+                  Literal(u.pos.get.toLong)), fetched,
+                  Literal(null, u.dt))
+                case 2 => If(GreaterThanOrEqual(gleAlias.toAttribute,
+                  Literal(u.pos.get.toLong)), fetched,
+                  Literal(null, u.dt))
+                case 3 => fetched // match exists iff tot ≥ k
+              }
+            }
+          Alias(value, u.name)(exprId = u.exprId, qualifier = u.qualifier)
         case a: Alias if ghostIds.contains(a.exprId) =>
           Alias(ghostOuts(a.exprId), a.name)(exprId = a.exprId,
             qualifier = a.qualifier)

@@ -498,6 +498,33 @@ object WindowsPack extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** q317 — CURRICULUM LANDMARKS as naive global first/nth/last_value
+    * windows: every document reads the shortest document's length, the
+    * 100th document's length (null until the running frame holds 100
+    * rows), and the longest overall. Naively each is the
+    * single-partition global window; [[graft.plans.GlobalRankRewrite]]'s
+    * absolute-fetch arm reads each landmark with ONE ≤ maxGroups-row
+    * broadcast join against the rank machinery (position 1, position
+    * 100, position `tot`) — no window at all for the constant reads,
+    * and the ROWS gate (`grn ≥ 100`) restores the warm-up nulls
+    * exactly. At gate SFs the input executes naive (below threshold);
+    * GlobalRankRewriteSpec pins the forced rewrite's parity.
+    */
+  private def q317(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.load(s, dir, "documents")
+    t.createOrReplaceTempView("graft_q317_docs")
+    t.sparkSession.sql(
+      """SELECT doc_id, n_chars,
+        | first_value(n_chars) OVER w AS shortest_chars,
+        | nth_value(n_chars, 100) OVER w AS chars_at_100,
+        | last_value(n_chars) OVER (ORDER BY n_chars, doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |   AS longest_chars
+        |FROM graft_q317_docs
+        |WINDOW w AS (ORDER BY n_chars, doc_id)
+        |ORDER BY doc_id""".stripMargin)
+  }
+
   /** q308 — PER-TIER CURRICULUM RANK as a naive bounded-partition
     * window: documents fall into 3 length tiers (a CASE ladder — an
     * all-literal-output partition key), and within each tier every
@@ -529,6 +556,7 @@ object WindowsPack extends QueryPack {
     "q305_moving_window_rule" -> q305 _,
     "q314_moving_band_monitor" -> q314 _,
     "q315_centered_smoothing" -> q315 _,
+    "q317_curriculum_landmarks" -> q317 _,
     "q303_global_lag_rule" -> q303 _,
     "q285_global_ntile_rule" -> q285 _,
     "q291_string_rank_rule" -> q291 _,
@@ -588,6 +616,16 @@ object WindowsPack extends QueryPack {
         |FROM documents
         |WINDOW w AS (ORDER BY n_chars, doc_id
         |  ROWS BETWEEN 31 PRECEDING AND 32 FOLLOWING)
+        |ORDER BY doc_id""".stripMargin,
+    "q317_curriculum_landmarks" ->
+      """SELECT doc_id, n_chars,
+        | first_value(n_chars) OVER w AS shortest_chars,
+        | nth_value(n_chars, 100) OVER w AS chars_at_100,
+        | last_value(n_chars) OVER (ORDER BY n_chars, doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |   AS longest_chars
+        |FROM documents
+        |WINDOW w AS (ORDER BY n_chars, doc_id)
         |ORDER BY doc_id""".stripMargin,
     "q303_global_lag_rule" ->
       """WITH e AS (

@@ -698,6 +698,49 @@ class GlobalRankRewriteSpec extends SparkSpecBase {
     } finally spark.conf.set(parts, oldParts)
   }
 
+  test("first/nth/last_value over global order: absolute fetches, exact") {
+    // unique (v, id) order → per-row parity across all gates: the
+    // constant position-1 read, ROWS-gated nth (null until the frame
+    // holds k rows), the partition-end last_value, and the
+    // current-row short-circuit
+    val df = corpus(5000)
+    val t = df.sparkSession
+    df.createOrReplaceTempView("graft_absv")
+    val build = () => t.sql(
+      """SELECT id,
+        | first_value(v * 7 % 13) OVER (ORDER BY v, id) AS fv,
+        | nth_value(v * 7 % 13, 3) OVER (ORDER BY v, id) AS nv,
+        | last_value(v) OVER (ORDER BY v, id) AS lv,
+        | last_value(v * 2) OVER (ORDER BY v, id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |   AS le,
+        | nth_value(v, 4000) OVER (ORDER BY v, id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |   AS nf
+        |FROM graft_absv""".stripMargin)
+    def norm(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val expected = naive(norm(build()))
+    forced {
+      val r = build()
+      val p = r.queryExecution.executedPlan.toString
+      assert(p.contains("graft_rank_pid"),
+        s"abs-fetch family must plan distributed:\n${p.take(3000)}")
+      val windows = p.linesIterator.filter(_.contains("Window ")).toList
+      assert(windows.forall(_.contains("graft_rank_pid")),
+        s"no single-partition window may remain:\n${p.take(4000)}")
+      assert(norm(r) === expected)
+    }
+    // ignoreNulls variants read data-dependent positions → stand down
+    forced {
+      val ig = t.sql(
+        """SELECT first_value(v, true) OVER (ORDER BY v, id) AS f
+          |FROM graft_absv""".stripMargin)
+      assert(!ig.queryExecution.executedPlan.toString
+        .contains("graft_rank_pid"), "IGNORE NULLS must stand down")
+    }
+  }
+
   test("ghost frames compose with row_number and lag in one window spec") {
     val df = corpus(5000)
     val ord = Window.orderBy(col("v"), col("id"))
