@@ -387,6 +387,50 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     }
   }
 
+  /** One VALUE-BAND frame aggregate: `agg(x) OVER (ORDER BY k RANGE
+    * BETWEEN … PRECEDING AND … FOLLOWING)` with FINITE literal value
+    * offsets. Unlike ROWS frames, a RANGE frame's membership is decided
+    * by the KEY VALUE alone — the frame is a permutation-independent
+    * bag — so bag-determined aggregates (min/max/count/exact-type
+    * sum/integral avg) need no [[orderFunc]] input guard: any tie
+    * resolution folds the same. Double sums stand down (arbitrary fold
+    * order — exactness doctrine, same as the full-frame arm). */
+  private case class RangeUnit(origin: Alias, lo: Long, hi: Long)
+
+  /** A RANGE-frame boundary as a signed value offset (the DataFrame API
+    * writes `rangeBetween(-n, 0)` as a negative literal, the SQL parser
+    * as `UnaryMinus(n)`; CurrentRow is offset 0). */
+  private def rangeBound(e: Expression): Option[Long] = e match {
+    case CurrentRow => Some(0L)
+    case Literal(v: Byte, _) => Some(v.toLong)
+    case Literal(v: Short, _) => Some(v.toLong)
+    case Literal(v: Int, _) => Some(v.toLong)
+    case Literal(v: Long, _) => Some(v)
+    case UnaryMinus(inner, _) => rangeBound(inner).map(x => -x)
+    case _ => None
+  }
+
+  private def rangeUnit(ne: NamedExpression): Option[RangeUnit] = ne match {
+    case a @ Alias(WindowExpression(ae: AggregateExpression,
+        WindowSpecDefinition(_, _,
+          SpecifiedWindowFrame(RangeFrame, loE, hiE))), _)
+        if !ae.isDistinct && ae.filter.isEmpty =>
+      for {
+        lo <- rangeBound(loE)
+        hi <- rangeBound(hiE)
+        if lo <= hi
+        ok = ae.aggregateFunction match {
+          case Sum(e, _) => exactSumType(e.dataType)
+          case Average(e, _) => integralType(e.dataType)
+          case _: Count => true
+          case Min(_) | Max(_) => true
+          case _ => false
+        }
+        if ok
+      } yield RangeUnit(a, lo, hi)
+    case _ => None
+  }
+
   private def supported(ne: NamedExpression, parts: Seq[Expression],
       order: Seq[SortOrder], child: LogicalPlan): Boolean = ne match {
     case _ if cumulativeAgg(ne) => true
@@ -520,6 +564,32 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
   // via MultiInstanceRelation.newInstance breaks on chained copies of
   // InMemoryRelation — its stats remap expects the original output ids.)
 
+  /** One FULL-FRAME aggregate over an order-less partitioned window
+    * (`agg(x) OVER (PARTITION BY …)` — every row reads its partition's
+    * whole-frame aggregate). The naive plan is one WindowExec task per
+    * partition value; over a PROVABLY bounded domain that is the
+    * pigeonhole cliff again, and the aggregate needs no window at all:
+    * a partial-combining hash Aggregate (corpus-parallel at any size)
+    * broadcast-joined back onto the rows. Sum/Average restricted to
+    * exact types — an order-less double window fold is arbitrary-order
+    * in the NAIVE plan too, but re-planning may not change which
+    * arbitrary answer a user sees (exactness doctrine). */
+  private def fullFrameAgg(ne: NamedExpression): Option[AggregateExpression] =
+    ne match {
+      case Alias(WindowExpression(ae: AggregateExpression,
+          WindowSpecDefinition(_, _, SpecifiedWindowFrame(_,
+            UnboundedPreceding, UnboundedFollowing))), _)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Sum(e, _) if exactSumType(e.dataType) => Some(ae)
+          case Average(e, _) if integralType(e.dataType) => Some(ae)
+          case _: Count => Some(ae)
+          case Min(_) | Max(_) => Some(ae)
+          case _ => None
+        }
+      case _ => None
+    }
+
   def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case w @ Window(exprs, parts, order, child, _)
         if order.nonEmpty && exprs.nonEmpty &&
@@ -529,6 +599,105 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
           parts.forall(_.deterministic) && order.forall(_.deterministic) &&
           !child.output.exists(_.name == pidName) && bigEnough(child) =>
       rewrite(exprs, parts, order, child)
+    case w @ Window(exprs, parts, Nil, child, _)
+        if exprs.nonEmpty &&
+          (parts.isEmpty || boundedParts(parts, child)) &&
+          exprs.forall(fullFrameAgg(_).isDefined) &&
+          child.deterministic && parts.forall(_.deterministic) &&
+          !child.output.exists(_.name == pidName) && bigEnough(child) =>
+      rewriteFullFrame(exprs, parts, child)
+    case w @ Window(exprs, parts, Seq(so @ SortOrder(_, Ascending, _, _)),
+        child, _)
+        if exprs.nonEmpty && integralType(so.child.dataType) &&
+          (parts.isEmpty || boundedParts(parts, child)) &&
+          exprs.forall(rangeUnit(_).isDefined) &&
+          child.deterministic && parts.forall(_.deterministic) &&
+          so.child.deterministic &&
+          !child.output.exists(_.name.startsWith(vbName)) &&
+          bigEnough(child) =>
+      rewriteValueBand(exprs, parts, so, child)
+  }
+
+  private val vbName = "graft_rank_vb"
+
+  /** Value-band (finite-offset RANGE) frames by VALUE BUCKETING: with
+    * bucket width B = max over frames of (hi − lo), every key value a
+    * real row's frame can reach lies within one bucket of the row's own
+    * — so each row lands in its own bucket plus ghost copies in the ≤ 2
+    * buckets whose real rows can need it (`floor((k−hi)/B)` and the
+    * next: the needed-by key range `[k−hi, k−lo]` spans ≤ 2 buckets
+    * because its width is ≤ B), and the ORIGINAL range frame re-runs
+    * per (partition, bucket) ordered by the key. The frame's VALUE
+    * predicate makes over-copying harmless — a ghost outside every real
+    * row's band simply joins no frame — and `array_distinct` makes
+    * double-copying impossible, so each per-bucket frame holds exactly
+    * the global frame's bag. Null keys: arithmetic maps them to the
+    * null bucket, all together, exactly the one group the naive plan
+    * gives them (and no finite band admits a null key, so they ghost
+    * nowhere). Skew honesty: bucket population is data-dependent, but
+    * the naive plan is ONE task (or one per bounded partition) at any
+    * skew — an all-equal-keys corpus degenerates back to it, never
+    * below it. Replication is ≤ 3× (usually 2×) regardless of B, data,
+    * or frame width. */
+  private def rewriteValueBand(exprs: Seq[NamedExpression],
+      parts: Seq[Expression], so: SortOrder,
+      child: LogicalPlan): LogicalPlan = {
+    val units = exprs.map(rangeUnit(_).get)
+    val bWidth = Literal(math.max(1L, units.map(u => u.hi - u.lo).max))
+    val k = Cast(so.child, LongType)
+    def bucket(v: Expression): Expression =
+      IntegralDivide(Subtract(v, Pmod(v, bWidth)), bWidth)
+    val own = bucket(k)
+    val ghostBkts = units.flatMap { u =>
+      val bh = bucket(Subtract(k, Literal(u.hi)))
+      Seq(bh, Add(bh, Literal(1L)))
+    }
+    val arr = Alias(ArrayDistinct(CreateArray(own +: ghostBkts)),
+      vbName + "s")()
+    val withArr = Project(child.output :+ arr, child)
+    val bkt = AttributeReference(vbName, LongType)()
+    val gen = Generate(Explode(arr.toAttribute), Nil, outer = false,
+      None, Seq(bkt), withArr)
+    val newParts = parts :+ (bkt: Expression)
+    val newExprs = exprs.map {
+      case a @ Alias(WindowExpression(f, WindowSpecDefinition(_, o, fr)),
+          name) =>
+        Alias(WindowExpression(f, WindowSpecDefinition(newParts, o, fr)),
+          name)(exprId = a.exprId, qualifier = a.qualifier)
+    }
+    val win = Window(newExprs, newParts, Seq(so), gen)
+    val real = Filter(EqualNullSafe(bkt, own), win)
+    Project(child.output ++ newExprs.map(_.toAttribute), real)
+  }
+
+  /** Full-frame partitioned aggregates as hash-agg + broadcast join-back
+    * (≤ [[maxGroups]] aggregate rows by the pigeonhole gate). With no
+    * partition at all (`agg(x) OVER ()`) the aggregate side is a single
+    * global row and the join-back is a broadcast cross join — the 1-row
+    * degenerate of the same shape (an empty corpus yields an empty join
+    * either way, matching the naive window's zero rows). */
+  private def rewriteFullFrame(exprs: Seq[NamedExpression],
+      parts: Seq[Expression], child: LogicalPlan): LogicalPlan = {
+    val cgAs = parts.zipWithIndex.map { case (p, i) =>
+      Alias(p, s"graft_rank_fg$i")()
+    }
+    val cgAttrs = cgAs.map(_.toAttribute)
+    val aggAs = exprs.map { ne =>
+      ne -> Alias(fullFrameAgg(ne).get, s"graft_rank_fa${ne.exprId.id}")()
+    }
+    val aggSide = Aggregate(parts,
+      (cgAs: Seq[NamedExpression]) ++ aggAs.map(_._2), child)
+    val cond = parts.zip(cgAttrs).map[Expression] { case (p, g) =>
+      EqualNullSafe(p, g)
+    }.reduceOption(And)
+    val joinType = if (parts.isEmpty) Cross else Inner
+    val joined = Join(child, aggSide, joinType, cond,
+      JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST)))))
+    val out = exprs.zip(aggAs).map { case (ne, (_, fa)) =>
+      Alias(fa.toAttribute, ne.name)(exprId = ne.exprId,
+        qualifier = ne.qualifier)
+    }
+    Project(child.output ++ out, joined)
   }
 
   private val targetSamples = 65536L

@@ -525,6 +525,71 @@ object WindowsPack extends QueryPack {
         |ORDER BY doc_id""".stripMargin)
   }
 
+  /** q318 — TIER SHARE-OF-TOTAL as a naive FULL-FRAME partitioned
+    * window: `sum(n_chars) OVER (PARTITION BY tier)` with no ORDER BY —
+    * one WindowExec task per tier at any corpus size (3-task pigeonhole
+    * ceiling from the CASE ladder). The full-frame arm of
+    * [[graft.plans.GlobalRankRewrite]] re-plans it as a
+    * partial-combining hash aggregate broadcast-joined back onto the
+    * rows — no window operator at all, corpus-parallel at any scale.
+    * Share in exact integer micro-units (`·10⁶ div`, float doctrine).
+    */
+  private def q318(s: SparkSession, dir: String): DataFrame = {
+    val tier = when(col("n_chars") < 220, lit("short"))
+      .when(col("n_chars") < 380, lit("medium"))
+      .otherwise(lit("long"))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), tier.as("tier"))
+      .withColumn("tier_chars",
+        sum("n_chars").over(Window.partitionBy(tier)))
+      .withColumn("share_micro",
+        expr("n_chars * 1000000L div tier_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** q319 — GLOBAL MIN-MAX NORMALIZATION as a naive OVER () window:
+    * `sum/min/max(n_chars) OVER ()` with neither PARTITION BY nor
+    * ORDER BY — the naive plan is ONE WindowExec task holding the whole
+    * corpus. The [[graft.plans.GlobalRankRewrite]] full-frame arm
+    * re-plans it as a 1-row global hash aggregate broadcast-cross-joined
+    * back onto the rows — no window operator, corpus-parallel at any
+    * size. Normalized position in exact integer micro-units. */
+  private def q319(s: SparkSession, dir: String): DataFrame = {
+    val g = Window.partitionBy()
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("corpus_chars", sum("n_chars").over(g))
+      .withColumn("min_chars", min("n_chars").over(g))
+      .withColumn("max_chars", max("n_chars").over(g))
+      .withColumn("norm_micro",
+        expr("""(n_chars - min_chars) * 1000000L
+               | div (max_chars - min_chars)""".stripMargin))
+      .orderBy("doc_id")
+  }
+
+  /** q320 — BURST MONITOR as a naive VALUE-BAND window: every event
+    * reads the count / user extrema / exact user-id sum of the events in
+    * its trailing 30-SECOND band of event time — `RANGE BETWEEN
+    * 30000000 PRECEDING AND CURRENT ROW` over the µs key, the frame
+    * whose row reach is data-dependent (bursts widen it). The
+    * value-band arm of [[graft.plans.GlobalRankRewrite]] plans it
+    * distributed by VALUE BUCKETING: 30-second buckets of ts_us, each
+    * row ghost-copied into the ≤ 2 neighbor buckets whose rows can read
+    * it, original frame re-run per bucket — RANGE membership is decided
+    * by the key value, so per-bucket frames hold exactly the global
+    * bag. At gate SFs the input executes naive (below threshold);
+    * GlobalRankRewriteSpec pins the forced rewrite's parity. */
+  private def q320(s: SparkSession, dir: String): DataFrame = {
+    val band = Window.orderBy("ts_us").rangeBetween(-30000000L, 0L)
+    withTsUs(Tables.load(s, dir, "events"))
+      .select(col("event_id"), col("ts_us"), col("user_id"))
+      .withColumn("band_events", count(lit(1)).over(band))
+      .withColumn("band_min_user", min("user_id").over(band))
+      .withColumn("band_max_user", max("user_id").over(band))
+      .withColumn("band_user_sum", sum("user_id").over(band))
+      .orderBy("event_id")
+  }
+
   /** q308 — PER-TIER CURRICULUM RANK as a naive bounded-partition
     * window: documents fall into 3 length tiers (a CASE ladder — an
     * all-literal-output partition key), and within each tier every
@@ -557,6 +622,9 @@ object WindowsPack extends QueryPack {
     "q314_moving_band_monitor" -> q314 _,
     "q315_centered_smoothing" -> q315 _,
     "q317_curriculum_landmarks" -> q317 _,
+    "q318_tier_share" -> q318 _,
+    "q319_global_norm" -> q319 _,
+    "q320_burst_monitor" -> q320 _,
     "q303_global_lag_rule" -> q303 _,
     "q285_global_ntile_rule" -> q285 _,
     "q291_string_rank_rule" -> q291 _,
@@ -627,6 +695,36 @@ object WindowsPack extends QueryPack {
         |FROM documents
         |WINDOW w AS (ORDER BY n_chars, doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q318_tier_share" ->
+      """WITH t AS (SELECT doc_id, n_chars,
+        |  CASE WHEN n_chars < 220 THEN 'short'
+        |    WHEN n_chars < 380 THEN 'medium' ELSE 'long' END AS tier
+        | FROM documents)
+        |SELECT doc_id, n_chars, tier,
+        | sum(n_chars) OVER (PARTITION BY tier) AS tier_chars,
+        | n_chars * 1000000 // sum(n_chars) OVER (PARTITION BY tier)
+        |  AS share_micro
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q319_global_norm" ->
+      """SELECT doc_id, n_chars,
+        | sum(n_chars) OVER () AS corpus_chars,
+        | min(n_chars) OVER () AS min_chars,
+        | max(n_chars) OVER () AS max_chars,
+        | (n_chars - min(n_chars) OVER ()) * 1000000
+        |  // (max(n_chars) OVER () - min(n_chars) OVER ()) AS norm_micro
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q320_burst_monitor" ->
+      """WITH e AS (
+        | SELECT event_id, epoch_us(ts) AS ts_us, user_id FROM events)
+        |SELECT event_id, ts_us, user_id,
+        | count(*) OVER w AS band_events,
+        | min(user_id) OVER w AS band_min_user,
+        | max(user_id) OVER w AS band_max_user,
+        | sum(user_id) OVER w AS band_user_sum
+        |FROM e
+        |WINDOW w AS (ORDER BY ts_us
+        |  RANGE BETWEEN 30000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q303_global_lag_rule" ->
       """WITH e AS (
         | SELECT event_id, epoch_us(ts) AS ts_us FROM events)

@@ -586,18 +586,23 @@ class GlobalRankRewriteSpec extends SparkSpecBase {
     }
   }
 
-  test("moving frames stand down: non-key input, RANGE frame") {
+  test("moving frames stand down: non-key input; RANGE goes value-band") {
     val df = corpus(3000).withColumn("payload", col("id") * 31L)
     forced {
-      for ((name, q) <- Seq(
-        "non-key input" -> df.select(
-          sum(col("payload")).over(Window.orderBy(col("v"))
-            .rowsBetween(-3, 0)).as("s")),
-        "RANGE preceding (value frame)" -> df.select(
-          sum(col("v")).over(Window.orderBy(col("v"))
-            .rangeBetween(-3, 0)).as("r"))))
-        assert(!q.queryExecution.executedPlan.toString.contains("graft_rank"),
-          s"$name must stand down")
+      // ROWS frame with a non-key input: tie-order-dependent even in
+      // the naive plan — stands down entirely
+      val rows = df.select(
+        sum(col("payload")).over(Window.orderBy(col("v"))
+          .rowsBetween(-3, 0)).as("s"))
+      assert(!rows.queryExecution.executedPlan.toString
+        .contains("graft_rank"), "non-key ROWS input must stand down")
+      // a finite-offset RANGE frame is no longer a stand-down: the
+      // value-band arm claims it (parity pinned in its own tests)
+      val rng = df.select(
+        sum(col("v")).over(Window.orderBy(col("v"))
+          .rangeBetween(-3, 0)).as("r"))
+      assert(rng.queryExecution.executedPlan.toString
+        .contains("graft_rank_vb"), "RANGE frame plans value-band")
     }
   }
 
@@ -738,6 +743,180 @@ class GlobalRankRewriteSpec extends SparkSpecBase {
           |FROM graft_absv""".stripMargin)
       assert(!ig.queryExecution.executedPlan.toString
         .contains("graft_rank_pid"), "IGNORE NULLS must stand down")
+    }
+  }
+
+  test("full-frame aggs over bounded partitions: hash-agg join-back") {
+    // sum(w) OVER (PARTITION BY pmod/CASE) with no ORDER BY — naive is
+    // one task per partition value; the rewrite is a partial-combining
+    // aggregate + broadcast join-back with no window at all
+    val df = corpus(5000).select(col("id"), col("v"),
+      when(col("id") % 11 === 0, lit(null).cast("long"))
+        .otherwise(col("v")).as("w"))
+    val wp = Window.partitionBy(pmod(col("id"), lit(7)))
+    val build = () => df.select(col("id"),
+      sum(col("w")).over(wp).as("tw"),
+      count(col("w")).over(wp).as("cw"),
+      min(col("v")).over(wp).as("mn"),
+      max(col("v")).over(wp).as("mx"),
+      avg(col("w")).over(wp).as("aw"))
+    def norm(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map { x =>
+        (x.getLong(0), x.toSeq.drop(1).map {
+          case d: Double => java.lang.Double.doubleToLongBits(d)
+          case o => o
+        })
+      }.sortBy(_._1).toSeq
+    val expected = naive(norm(build()))
+    forced {
+      val r = build()
+      val p = r.queryExecution.executedPlan.toString
+      assert(!p.contains("Window "),
+        s"full-frame rewrite needs no window:\n${p.take(3000)}")
+      assert(p.contains("graft_rank_fg"), s"join-back shape:\n${p.take(3000)}")
+      assert(norm(r) === expected)
+    }
+    // attribute partitions (no domain proof) and double sums (order-
+    // arbitrary fold even in the naive plan) stand down
+    forced {
+      val attr = df.select(sum(col("w"))
+        .over(Window.partitionBy(col("v"))).as("s"))
+      assert(!attr.queryExecution.executedPlan.toString
+        .contains("graft_rank_fg"))
+      val dbl = df.select(sum(col("w").cast("double"))
+        .over(wp).as("s"))
+      assert(!dbl.queryExecution.executedPlan.toString
+        .contains("graft_rank_fg"))
+    }
+  }
+
+  test("fully global full-frame aggs (OVER ()) plan as 1-row cross join") {
+    val df = corpus(5000).select(col("id"), col("v"),
+      when(col("id") % 13 === 0, lit(null).cast("long"))
+        .otherwise(col("v")).as("w"))
+    val g = Window.partitionBy()
+    val build = () => df.select(col("id"),
+      sum(col("w")).over(g).as("tw"),
+      count(col("w")).over(g).as("cw"),
+      min(col("v")).over(g).as("mn"),
+      max(col("v")).over(g).as("mx"),
+      avg(col("w")).over(g).as("aw"))
+    def norm(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map { x =>
+        (x.getLong(0), x.toSeq.drop(1).map {
+          case d: Double => java.lang.Double.doubleToLongBits(d)
+          case o => o
+        })
+      }.sortBy(_._1).toSeq
+    val expected = naive(norm(build()))
+    forced {
+      val r = build()
+      val p = r.queryExecution.executedPlan.toString
+      assert(!p.contains("Window "),
+        s"global full-frame needs no window:\n${p.take(3000)}")
+      assert(p.contains("graft_rank_fa"), s"agg-side shape:\n${p.take(3000)}")
+      assert(norm(r) === expected)
+    }
+    // empty corpus: zero rows either way (the naive window emits none)
+    forced {
+      val empty = build().where(col("id") < 0)
+      assert(empty.count() === 0L)
+      val r = df.where(col("id") < -1)
+        .select(sum(col("w")).over(g).as("tw"))
+      assert(r.count() === 0L)
+    }
+  }
+
+  test("value-band RANGE frames: bucketed rewrite matches naive") {
+    // trailing and centered value bands over a global ascending integral
+    // key, with null input values, duplicate keys, and empty frames
+    val df = corpus(5000).select(col("id"),
+      (col("v") % 701L).as("k"), // duplicate keys
+      when(col("id") % 11 === 0, lit(null).cast("long"))
+        .otherwise(col("v")).as("w"))
+    val trail = Window.orderBy(col("k")).rangeBetween(-50L, 0L)
+    val cent = Window.orderBy(col("k")).rangeBetween(-25L, 25L)
+    val fwd = Window.orderBy(col("k")).rangeBetween(5L, 30L)
+    val build = () => df.select(col("id"), col("k"),
+      sum(col("w")).over(trail).as("ts"),
+      count(col("w")).over(trail).as("tc"),
+      min(col("w")).over(cent).as("cmn"),
+      max(col("w")).over(cent).as("cmx"),
+      avg(col("w")).over(fwd).as("fa"))
+    def norm(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map { x =>
+        (x.getLong(0), x.toSeq.drop(1).map {
+          case d: Double => java.lang.Double.doubleToLongBits(d)
+          case o => o
+        })
+      }.sortBy(_._1).toSeq
+    val expected = naive(norm(build()))
+    forced {
+      val r = build()
+      val p = r.queryExecution.executedPlan.toString
+      assert(p.contains("graft_rank_vb"), s"value-band shape:\n${p.take(3000)}")
+      assert(norm(r) === expected)
+    }
+  }
+
+  test("value-band RANGE frames: null keys keep the naive group") {
+    val df = corpus(3000).select(col("id"),
+      when(col("id") % 7 === 0, lit(null).cast("long"))
+        .otherwise(col("v") % 211L).as("k"),
+      col("v").as("w"))
+    val band = Window.orderBy(col("k")).rangeBetween(-20L, 0L)
+    val build = () => df.select(col("id"),
+      sum(col("w")).over(band).as("s"),
+      count(lit(1)).over(band).as("c"))
+    def norm(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x => (x.getLong(0), x.toSeq.drop(1)))
+        .sortBy(_._1).toSeq
+    val expected = naive(norm(build()))
+    forced {
+      val r = build()
+      assert(r.queryExecution.executedPlan.toString
+        .contains("graft_rank_vb"))
+      assert(norm(r) === expected)
+    }
+  }
+
+  test("value-band RANGE frames compose with bounded partitions") {
+    val df = corpus(4000).select(col("id"), (col("v") % 397L).as("k"),
+      col("v").as("w"))
+    val band = Window.partitionBy(pmod(col("id"), lit(5)))
+      .orderBy(col("k")).rangeBetween(-40L, 10L)
+    val build = () => df.select(col("id"),
+      sum(col("w")).over(band).as("s"),
+      max(col("w")).over(band).as("m"))
+    def norm(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x => (x.getLong(0), x.toSeq.drop(1)))
+        .sortBy(_._1).toSeq
+    val expected = naive(norm(build()))
+    forced {
+      val r = build()
+      assert(r.queryExecution.executedPlan.toString
+        .contains("graft_rank_vb"))
+      assert(norm(r) === expected)
+    }
+  }
+
+  test("value-band stand-downs: DESC, double sum, attribute partition") {
+    val df = corpus(2000).select(col("id"), (col("v") % 101L).as("k"),
+      col("v").as("w"))
+    forced {
+      val desc = df.select(sum(col("w")).over(
+        Window.orderBy(col("k").desc).rangeBetween(-10L, 0L)).as("s"))
+      assert(!desc.queryExecution.executedPlan.toString
+        .contains("graft_rank_vb"))
+      val dbl = df.select(sum(col("w").cast("double")).over(
+        Window.orderBy(col("k")).rangeBetween(-10L, 0L)).as("s"))
+      assert(!dbl.queryExecution.executedPlan.toString
+        .contains("graft_rank_vb"))
+      val attr = df.select(sum(col("w")).over(
+        Window.partitionBy(col("w")).orderBy(col("k"))
+          .rangeBetween(-10L, 0L)).as("s"))
+      assert(!attr.queryExecution.executedPlan.toString
+        .contains("graft_rank_vb"))
     }
   }
 
