@@ -60,8 +60,7 @@ import org.apache.spark.sql.types._
   * the value is all the interpolation reads.
   *
   * Fires only when: every aggregate expression is a plain aliased
-  * `Percentile` (no DISTINCT, no FILTER, frequency = 1 — a non-unit
-  * frequency weights rows and selection would need weighted ranks) or a
+  * `Percentile` (no DISTINCT, no FILTER) or a
   * passthrough of a grouping expression; all percentiles target the
   * SAME column expression with the same `reverse` flag (the common
   * `p50/p90/p99` ladder — mixed columns would need one rank pipeline
@@ -84,6 +83,28 @@ import org.apache.spark.sql.types._
   * `reverse = true` (percentile_cont … ORDER BY x DESC) flips the sort
   * direction of the emitted window — PercentileBase sorts descending and
   * runs the identical position math, so nothing else changes.
+  *
+  * WEIGHTED percentiles (`percentile(x, p, freq)` with a non-unit
+  * integral frequency — token-weighted length quantiles and friends)
+  * have the SAME one-buffer cliff and re-plan at GLOBAL grain through a
+  * cumulative-weight variant of the selection: aggregate the corpus to
+  * (distinct value, total weight) — the very pairs the naive buffer
+  * holds, but as a corpus-parallel hash aggregate — stamp each distinct
+  * value with its running weight along the percentile direction (a naive
+  * global cumulative-sum window; [[GlobalRankRewrite]] re-plans it, rule
+  * composition again), and select the value bracketing expanded-multiset
+  * position k as the one with `cum − w < k ≤ cum`. Positions are
+  * `p·(N−1)` over N = total weight, interpolation is byte-identical to
+  * the unweighted path. Semantics mirrored from `Percentile.update`:
+  * null values and null/zero frequencies contribute nothing; a NEGATIVE
+  * frequency next to a non-null value throws (a per-row raise in the
+  * rewritten filter, exactly where the naive buffer update throws).
+  * Floating-point value columns stand down on this path only — the
+  * naive buffer keys by boxed equality where −0.0 ≠ 0.0, but a hash
+  * aggregate normalizes them together; integral/decimal group exactly.
+  * All targets must share ONE frequency expression (mixed unit/weighted
+  * stands down via the shared-slot check), and weighted GROUPED
+  * percentiles stand down for now.
   */
 object PercentileRewrite extends Rule[LogicalPlan] {
 
@@ -127,37 +148,56 @@ object PercentileRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  /** The shared (column, reverse) plus per-slot units — None when any
-    * aggregate-list entry is neither a supported percentile nor a
-    * grouping passthrough, or no percentile is present at all. */
+  /** The shared (column, reverse, frequency) plus per-slot units — None
+    * when any aggregate-list entry is neither a supported percentile nor
+    * a grouping passthrough, or no percentile is present at all. The
+    * frequency slot is None for unit frequency (the unweighted row-rank
+    * pipeline) and Some(freq) for a shared non-unit WEIGHTED frequency
+    * (the distinct-value cumulative-weight pipeline) — mixing the two in
+    * one aggregate stands down via the shared-slot mismatch. */
   private def analyze(groups: Seq[Expression], aggs: Seq[NamedExpression])
-      : Option[(Expression, Boolean, Seq[OutUnit])] = {
+      : Option[(Expression, Boolean, Option[Expression], Seq[OutUnit])] = {
     if (aggs.isEmpty) return None
     def groupIdx(ne: NamedExpression): Option[Int] = {
       val c = ne match { case Alias(ch, _) => ch; case x => x }
       val i = groups.indexWhere(_.semanticEquals(c))
       if (i >= 0) Some(i) else None
     }
-    var col0: Option[(Expression, Boolean)] = None
-    def pctTarget(col: Expression, rev: Boolean, a: Alias,
-        ps: Seq[Double], scalar: Boolean, disc: Boolean): Option[OutUnit] =
+    var col0: Option[(Expression, Boolean, Option[Expression])] = None
+    def pctTarget(col: Expression, rev: Boolean, fr: Option[Expression],
+        a: Alias, ps: Seq[Double], scalar: Boolean,
+        disc: Boolean): Option[OutUnit] =
       col0 match {
-        case None => col0 = Some((col, rev))
+        case None => col0 = Some((col, rev, fr))
           Some(PctOut(Target(a, scalar, ps, disc)))
-        case Some((c0, r0)) if c0.canonicalized == col.canonicalized &&
-            r0 == rev =>
+        case Some((c0, r0, f0)) if c0.canonicalized == col.canonicalized &&
+            r0 == rev && f0.map(_.canonicalized) == fr.map(_.canonicalized) =>
           Some(PctOut(Target(a, scalar, ps, disc)))
         case _ => None
       }
     def okCol(col: Expression): Boolean =
       col.dataType.isInstanceOf[NumericType] && col.deterministic &&
         !col.foldable
+    // weighted values must group EXACTLY: the naive buffer is a map
+    // keyed by boxed equality, where −0.0 and 0.0 are distinct keys —
+    // a hash aggregate normalizes them together, so floating columns
+    // stand down on the weighted path (integral/decimal group exactly)
+    def okWeightedCol(col: Expression): Boolean = okCol(col) &&
+      (integralType(col.dataType) || col.dataType.isInstanceOf[DecimalType])
+    def okFreq(freq: Expression): Boolean =
+      integralType(freq.dataType) && freq.deterministic
     val units = aggs.map {
       case a @ Alias(AggregateExpression(
           Percentile(col, pct, freq, _, _, rev), Complete, false, None, _), _)
           if okCol(col) && unitFrequency(freq) =>
         percentages(pct).flatMap { case (ps, scalar) =>
-          pctTarget(col, rev, a, ps, scalar, disc = false)
+          pctTarget(col, rev, None, a, ps, scalar, disc = false)
+        }
+      case a @ Alias(AggregateExpression(
+          Percentile(col, pct, freq, _, _, rev), Complete, false, None, _), _)
+          if okWeightedCol(col) && okFreq(freq) =>
+        percentages(pct).flatMap { case (ps, scalar) =>
+          pctTarget(col, rev, Some(freq), a, ps, scalar, disc = false)
         }
       // non-legacy percentile_disc: pure positional selection — the
       // smallest 1-based position ≥ p·n (ceil; ≥ 1), no interpolation.
@@ -166,12 +206,17 @@ object PercentileRewrite extends Rule[LogicalPlan] {
           PercentileDisc(col, pct, rev, _, _, false), Complete, false,
           None, _), _) if okCol(col) =>
         percentages(pct).flatMap { case (ps, scalar) =>
-          pctTarget(col, rev, a, ps, scalar, disc = true)
+          pctTarget(col, rev, None, a, ps, scalar, disc = true)
         }
       case ne => groupIdx(ne).map(GroupOut(ne, _))
     }
     if (units.exists(_.isEmpty) || col0.isEmpty) None
-    else col0.map { case (c, r) => (c, r, units.flatten) }
+    else col0.map { case (c, r, f) => (c, r, f, units.flatten) }
+  }
+
+  private def integralType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
   }
 
   private def bigEnough(p: LogicalPlan): Boolean = {
@@ -203,15 +248,18 @@ object PercentileRewrite extends Rule[LogicalPlan] {
           groups.forall(_.deterministic) &&
           !child.output.exists(_.name == "graft_pct_x") =>
       analyze(groups, aggExprs) match {
-        case Some((col, rev, units)) if groups.isEmpty =>
+        case Some((col, rev, None, units)) if groups.isEmpty =>
           rewriteGlobal(col, rev,
             units.collect { case PctOut(t) => t }, child, agg)
-        case Some((col, rev, units)) =>
+        case Some((col, rev, Some(freq), units)) if groups.isEmpty =>
+          rewriteWeightedGlobal(col, freq, rev,
+            units.collect { case PctOut(t) => t }, child, agg)
+        case Some((col, rev, None, units)) =>
           boundedGroups(groups, child) match {
             case Some(ex) => rewriteGrouped(col, rev, units, ex, child, agg)
             case None => agg
           }
-        case None => agg
+        case _ => agg
       }
   }
 
@@ -222,7 +270,7 @@ object PercentileRewrite extends Rule[LogicalPlan] {
     * aliases; PhysicalAggregation maps each shared instance to one
     * buffer slot). */
   private final class Selection(px: Attribute, pn: Attribute,
-      rn: Expression, specs: Seq[(Double, Boolean)]) {
+      hit: Expression => Expression, specs: Seq[(Double, Boolean)]) {
     // cont: pos = p·(n−1) exactly as PercentileBase
     // (maxPosition.toDouble · p); rows at floor+1 / ceil+1
     private def pos(n: Expression, p: Double): Expression =
@@ -242,7 +290,7 @@ object PercentileRewrite extends Rule[LogicalPlan] {
       else Seq(lowerRn(pn, p), higherRn(pn, p))
 
     val keepCond: Expression = specs.flatMap { case (p, d) =>
-      rnsOf(p, d).map[Expression](EqualTo(rn, _))
+      rnsOf(p, d).map(hit)
     }.reduce(Or)
 
     private def maxIf(cond: Expression): AggregateExpression =
@@ -252,7 +300,7 @@ object PercentileRewrite extends Rule[LogicalPlan] {
       AggregateExpression(Max(pn), Complete, isDistinct = false)
     private val perP: Map[(Double, Boolean), Seq[Expression]] =
       specs.map { case (p, d) =>
-        (p, d) -> rnsOf(p, d).map(k => maxIf(EqualTo(rn, k)): Expression)
+        (p, d) -> rnsOf(p, d).map(k => maxIf(hit(k)): Expression)
       }.toMap
 
     /** Post-aggregate interpolation, PercentileBase.getPercentile
@@ -323,8 +371,69 @@ object PercentileRewrite extends Rule[LogicalPlan] {
     val j = Join(win, cnt, CrossType, None, bcast)
     // row_number is IntegerType; positions are Long — cast once (no
     // analyzer below the optimizer to insert it implicitly)
+    val rn = Cast(rnA.toAttribute, LongType)
     val sel = new Selection(px, cntA.toAttribute,
-      Cast(rnA.toAttribute, LongType),
+      k => EqualTo(rn, k),
+      targets.flatMap(t => t.ps.map(pp => (pp, t.disc))).distinct)
+    val keep = Filter(sel.keepCond, j)
+
+    val results: Seq[NamedExpression] = targets.map { t =>
+      Alias(sel.body(t), t.origin.name)(exprId = t.origin.exprId)
+    }
+    Aggregate(Nil, results, keep)
+  }
+
+  /** WEIGHTED global grain: (distinct value, total weight) hash
+    * aggregate → cumulative weight along the percentile direction (a
+    * naive global window that [[GlobalRankRewrite]] re-plans) →
+    * bracketing-value selection `cum − w < k ≤ cum` → the shared
+    * interpolation. See the object doc for the mirrored
+    * `Percentile.update` semantics (null/zero skip, negative throw). */
+  private def rewriteWeightedGlobal(col: Expression, freq: Expression,
+      rev: Boolean, targets: Seq[Target], child: LogicalPlan,
+      orig: Aggregate): LogicalPlan = {
+    val pxA = Alias(col, "graft_pct_x")()
+    val pfA = Alias(Cast(freq, LongType), "graft_pct_f")()
+    val proj = Project(Seq(pxA, pfA), child)
+    if (!bigEnough(proj)) return orig
+    val px = pxA.toAttribute
+    val pf = pfA.toAttribute
+    val zero = Literal(0L)
+    // per-row gate mirroring Percentile.update: a null value or null
+    // frequency skips BEFORE the sign check (so a negative frequency
+    // next to a null value does NOT throw, matching the naive buffer),
+    // zero contributes nothing, negative raises where the scan reads it
+    val gate = If(LessThan(pf, zero),
+      Cast(RaiseError(Literal(
+        "Negative values found in the frequency expression")), BooleanType),
+      GreaterThan(pf, zero))
+    val flt = Filter(And(And(IsNotNull(px), IsNotNull(pf)), gate), proj)
+
+    // the naive buffer's (value → weight) pairs, corpus-parallel
+    val wA = Alias(AggregateExpression(Sum(pf), Complete,
+      isDistinct = false), "graft_pct_w")()
+    val vals = Aggregate(Seq(px), Seq(px: NamedExpression, wA), flt)
+
+    // 1-row expanded-multiset size N = total weight (broadcast)
+    val nA = Alias(AggregateExpression(Sum(pf), Complete,
+      isDistinct = false), "graft_pct_n")()
+    val tot = Aggregate(Nil, Seq(nA), flt)
+
+    // running weight in the percentile direction, at distinct-value
+    // grain — emitted naive; GlobalRankRewrite's cumulative arm
+    // re-plans it in the same fixed-point batch (rule composition)
+    val dir = if (rev) Descending else Ascending
+    val ord = Seq(SortOrder(px, dir))
+    val cwA = Alias(WindowExpression(AggregateExpression(
+      Sum(wA.toAttribute), Complete, isDistinct = false),
+      WindowSpecDefinition(Nil, ord, rowFrame)), "graft_pct_cw")()
+    val win = Window(Seq(cwA), Nil, ord, vals)
+
+    val j = Join(win, tot, CrossType, None, bcast)
+    val cw = cwA.toAttribute
+    val prev = Subtract(cw, wA.toAttribute)
+    val sel = new Selection(px, nA.toAttribute,
+      k => And(GreaterThan(k, prev), LessThanOrEqual(k, cw)),
       targets.flatMap(t => t.ps.map(pp => (pp, t.disc))).distinct)
     val keep = Filter(sel.keepCond, j)
 
@@ -383,8 +492,9 @@ object PercentileRewrite extends Rule[LogicalPlan] {
         .reduce(And)
 
     val j = Join(win, cnt, InnerType, Some(grpCond(gAttrs, cgAttrs)), bcast)
+    val rn = Cast(rnA.toAttribute, LongType)
     val sel = new Selection(px, cntA.toAttribute,
-      Cast(rnA.toAttribute, LongType),
+      k => EqualTo(rn, k),
       targets.flatMap(t => t.ps.map(pp => (pp, t.disc))).distinct)
     val keep = Filter(sel.keepCond, j)
 

@@ -148,6 +148,35 @@ object ApproxPack extends QueryPack {
         | FROM graft_q316_lineitem)""".stripMargin)
   }
 
+  /** q321 — WEIGHTED global percentile ladder, written naively:
+    * `percentile(n_chars, p, n_tokens)` — each document's length counts
+    * once per TOKEN, the "what document length does the median training
+    * token live in" readout (token-weighted quantiles diverge hard from
+    * document-weighted ones when long docs dominate the token budget).
+    * The native plan funnels every (value, weight) pair into ONE
+    * OpenHashMap reducer; [[graft.plans.PercentileRewrite]]'s weighted
+    * path re-plans it as a distinct-value weight aggregate + cumulative
+    * weight along the value order (itself re-planned by
+    * GlobalRankRewrite) + bracketing-value selection, bit-equal
+    * (PercentileRewriteSpec). The oracle expands the multiset literally
+    * — `generate_series(1, f)` replicates each row f times — and runs
+    * plain `quantile_cont` over the expansion, an independent spelling
+    * of the same expanded-multiset law. Rounded to 6 per the q311 lerp
+    * doctrine. */
+  private def q321(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("n_chars"),
+        expr("length(text) - length(replace(text, ' ', '')) + 1")
+          .as("n_tokens"))
+      .agg( // rounding lives in the Project above (naive-shape doctrine)
+        expr("percentile(n_chars, 0.5d, n_tokens)").as("p50"),
+        expr("percentile(n_chars, 0.9d, n_tokens)").as("p90"),
+        expr("percentile(n_chars, 0.99d, n_tokens)").as("p99"))
+      .select(
+        round(col("p50"), 6).as("wchars_p50"),
+        round(col("p90"), 6).as("wchars_p90"),
+        round(col("p99"), 6).as("wchars_p99"))
+
   /** Approx-percentile twin (Greenwald-Khanna; ApproxSpec bounds it). */
   def approxQuantiles(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem")
@@ -164,7 +193,8 @@ object ApproxPack extends QueryPack {
     "q311_global_percentile_ladder" -> q311 _,
     "q312_tier_percentile_ladder" -> q312 _,
     "q313_mode_top_source" -> q313 _,
-    "q316_disc_ladder" -> q316 _)
+    "q316_disc_ladder" -> q316 _,
+    "q321_weighted_percentile" -> q321 _)
 
   override val oracle: Seq[(String, String)] = Seq(
     "q37_distinct_scale" ->
@@ -208,5 +238,16 @@ object ApproxPack extends QueryPack {
         |   AS double), 6) AS disc_p25,
         | round(cast(min(CASE WHEN rn >= 0.9 * n THEN v END)
         |   AS double), 6) AS disc_p90
-        |FROM s""".stripMargin)
+        |FROM s""".stripMargin,
+    "q321_weighted_percentile" ->
+      """WITH d AS (SELECT n_chars,
+        |  length(text) - length(replace(text, ' ', '')) + 1 AS f
+        | FROM documents),
+        |x AS (SELECT n_chars FROM (
+        |  SELECT n_chars, unnest(range(f)) FROM d
+        |  WHERE n_chars IS NOT NULL))
+        |SELECT round(quantile_cont(n_chars, 0.5), 6) AS wchars_p50,
+        | round(quantile_cont(n_chars, 0.9), 6) AS wchars_p90,
+        | round(quantile_cont(n_chars, 0.99), 6) AS wchars_p99
+        |FROM x""".stripMargin)
 }

@@ -270,6 +270,69 @@ class PercentileRewriteSpec extends SparkSpecBase {
     }
   }
 
+  test("weighted global percentile: cumulative-weight selection") {
+    // integral value column (the weighted path's exact-grouping gate),
+    // nulls in both value and frequency, zero weights, duplicate values
+    val df = spark.range(4000L).select(
+      when(col("id") % 11 === 0, lit(null).cast("long"))
+        .otherwise(col("id") * 1103515245L % 997L).as("v"),
+      when(col("id") % 13 === 0, lit(null).cast("long"))
+        .otherwise(col("id") % 7L).as("f"))
+    val build = () => df.agg(
+      expr("percentile(v, 0.5d, f)").as("p50"),
+      expr("percentile(v, array(0.25d, 0.9d, 0.99d), f)").as("ps"))
+    val expected = naive(row(build()))
+    forced {
+      val r = build()
+      val p = r.queryExecution.executedPlan.toString
+      assert(!p.toLowerCase.contains("percentile"),
+        s"rule must remove the hash-map aggregate:\n${p.take(3000)}")
+      assert(p.contains("graft_pct_cw") && p.contains("graft_rank_pid"),
+        s"cumulative weight must compose with GlobalRankRewrite:\n${
+          p.take(3000)}")
+      assert(row(r) === expected)
+    }
+  }
+
+  test("weighted percentile edges: all-zero weights and negative throw") {
+    val zeros = spark.range(2000L).select(
+      (col("id") % 101L).as("v"), lit(0L).as("f"))
+    val build = () => zeros.agg(expr("percentile(v, 0.5d, f)").as("p"))
+    val expected = naive(row(build()))
+    assert(expected === Seq(null))
+    forced { assert(row(build()) === expected) }
+    // a negative frequency next to a non-null value throws on BOTH paths
+    val neg = spark.range(2000L).select((col("id") % 101L).as("v"),
+      when(col("id") === 1500, lit(-2L)).otherwise(col("id") % 5L).as("f"))
+    val negBuild = () => neg.agg(expr("percentile(v, 0.5d, f)").as("p"))
+    naive { assertThrows[Exception](row(negBuild())) }
+    forced { assertThrows[Exception](row(negBuild())) }
+  }
+
+  test("weighted stand-downs: float column, grouped, mixed frequency") {
+    def keepsNative(df: DataFrame): Unit = forced {
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.toLowerCase.contains("percentile"),
+        s"must stand down:\n${p.take(2000)}")
+    }
+    val t = spark.range(3000L).select(col("id"),
+      (col("id") % 997L).as("v"),
+      (col("id") % 997L).cast("double").as("vd"),
+      (col("id") % 7L).as("f"))
+    // floating value column: the naive buffer keys −0.0 ≠ 0.0, a hash
+    // aggregate merges them — exactness doctrine stand-down
+    keepsNative(t.agg(expr("percentile(vd, 0.5d, f)").as("p")))
+    // weighted grouped: not implemented, stands down even when bounded
+    keepsNative(t.groupBy(pmod(col("id"), lit(3)))
+      .agg(expr("percentile(v, 0.5d, f)").as("p")))
+    // mixed unit and weighted frequency in one aggregate list
+    keepsNative(t.agg(expr("percentile(v, 0.5d, f)").as("a"),
+      expr("percentile(v, 0.5d)").as("b")))
+    // mixed frequency EXPRESSIONS in one aggregate list
+    keepsNative(t.agg(expr("percentile(v, 0.5d, f)").as("a"),
+      expr("percentile(v, 0.5d, f + 1)").as("b")))
+  }
+
   test("stand-downs: grouped, mixed columns, distinct, frequency") {
     def keepsNative(df: DataFrame): Unit = forced {
       val p = df.queryExecution.executedPlan.toString
