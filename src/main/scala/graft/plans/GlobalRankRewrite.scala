@@ -175,13 +175,34 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     * aliases there, which would otherwise hide a key-derived input from
     * [[orderFunc]]. Both the input and the order keys expand through
     * the SAME level, so the comparison stays apples-to-apples even
-    * when project collapsing has rewritten the keys too. */
+    * when project collapsing has rewritten the keys too. An Aggregate
+    * child expands the same way through its output aliases (an output
+    * attribute IS its aliased expression evaluated on the group tuple)
+    * — [[PercentileRewrite]]'s weighted-grouped pipeline parks the
+    * bounded group keys there. */
   private[plans] def expandOnce(e: Expression, child: LogicalPlan): Expression =
     child match {
       case Project(pl, _) =>
         val m = AttributeMap(
           pl.collect { case a: Alias => a.toAttribute -> a.child })
         e.transformUp { case a: Attribute if m.contains(a) => m(a) }
+      case ag: Aggregate =>
+        val m = AttributeMap(ag.aggregateExpressions.collect {
+          case a @ Alias(ch, _) if !ch.exists(
+            _.isInstanceOf[AggregateExpression]) => a.toAttribute -> ch
+        })
+        val e2 = e.transformUp {
+          case a: Attribute if m.contains(a) => m(a)
+        }
+        // continue through the aggregate's input side: Filters are
+        // value-transparent and the defining Project may sit below one
+        // (grouping keys routinely surface as `_groupingexpression`
+        // attributes the optimizer substitutes back into the aggregate)
+        def belowFilters(p: LogicalPlan): LogicalPlan = p match {
+          case f: Filter => belowFilters(f.child)
+          case other => other
+        }
+        expandOnce(e2, belowFilters(ag.child))
       case _ => e
     }
 

@@ -103,8 +103,13 @@ import org.apache.spark.sql.types._
   * naive buffer keys by boxed equality where −0.0 ≠ 0.0, but a hash
   * aggregate normalizes them together; integral/decimal group exactly.
   * All targets must share ONE frequency expression (mixed unit/weighted
-  * stands down via the shared-slot check), and weighted GROUPED
-  * percentiles stand down for now.
+  * stands down via the shared-slot check). Weighted BOUNDED-GROUP
+  * percentiles run the same pipeline per group: the (group, value)
+  * weight aggregate aliases its expanded group keys in its own output
+  * so the per-group cumulative window's pigeonhole proof pierces one
+  * level ([[GlobalRankRewrite.expandOnce]] handles Aggregate children),
+  * and the left-outer assembly restores all-null / all-zero-weight
+  * groups' native null row.
   */
 object PercentileRewrite extends Rule[LogicalPlan] {
 
@@ -257,6 +262,12 @@ object PercentileRewrite extends Rule[LogicalPlan] {
         case Some((col, rev, None, units)) =>
           boundedGroups(groups, child) match {
             case Some(ex) => rewriteGrouped(col, rev, units, ex, child, agg)
+            case None => agg
+          }
+        case Some((col, rev, Some(freq), units)) =>
+          boundedGroups(groups, child) match {
+            case Some(ex) =>
+              rewriteWeightedGrouped(col, freq, rev, units, ex, child, agg)
             case None => agg
           }
         case _ => agg
@@ -443,6 +454,117 @@ object PercentileRewrite extends Rule[LogicalPlan] {
     Aggregate(Nil, results, keep)
   }
 
+  /** Each group key in its expanded (provable) form when that form's
+    * references survive into the child's output, else the original
+    * expression — a user Project between the key's definition and the
+    * Aggregate may have dropped the defining columns, making the
+    * expanded form unevaluable there even though the domain PROOF it
+    * provided still holds (the original attribute carries the same
+    * per-row values by construction). */
+  private def evaluableGroups(expanded: Seq[Expression],
+      original: Seq[Expression], child: LogicalPlan): Seq[Expression] =
+    expanded.zip(original).map { case (e, g) =>
+      if (e.references.subsetOf(child.outputSet)) e else g
+    }
+
+  /** WEIGHTED bounded-group grain: the weighted-global pipeline per
+    * provably-bounded group. The (group, value) weight aggregate GROUPS
+    * BY the expanded bounded expressions and ALIASES them in its own
+    * output, so the per-group cumulative-weight window sits directly on
+    * an Aggregate whose aliases [[GlobalRankRewrite.expandOnce]] pierces
+    * — the pigeonhole proof survives and the window re-plans
+    * per-group-distributed. Per-group totals come from the UNFILTERED
+    * input (all-null and all-zero-weight groups keep their native null
+    * row via the left-outer assembly; zero weights add 0 to N). */
+  private def rewriteWeightedGrouped(col: Expression, freq: Expression,
+      rev: Boolean, units: Seq[OutUnit], groupEx: Seq[Expression],
+      child: LogicalPlan, orig: Aggregate): LogicalPlan = {
+    val targets = units.collect { case PctOut(t) => t }
+    val fL = Cast(freq, LongType)
+    val zero = Literal(0L)
+    // per-row gate mirroring Percentile.update (see rewriteWeightedGlobal)
+    val gate = If(LessThan(fL, zero),
+      Cast(RaiseError(Literal(
+        "Negative values found in the frequency expression")), BooleanType),
+      GreaterThan(fL, zero))
+    val fltC = Filter(And(And(IsNotNull(col), IsNotNull(fL)), gate), child)
+    if (!bigEnough(Project(Seq(Alias(col, "graft_pct_x")()), child)))
+      return orig
+
+    // evaluate each group key in its expanded (provable) form when its
+    // references survive into the child's output, else as the original
+    // expression (a user Project may have dropped the defining columns
+    // — the domain proof still held, but re-evaluation must resolve;
+    // the inner window then simply keeps its naive bounded plan)
+    val evalEx = evaluableGroups(groupEx, orig.groupingExpressions, child)
+
+    // (group, value) weights — group keys aliased IN the aggregate so
+    // the window's bounded-domain proof pierces one level to them
+    val gAs = evalEx.zipWithIndex.map { case (g, i) =>
+      Alias(g, s"graft_pct_g$i")()
+    }
+    val pxA = Alias(col, "graft_pct_x")()
+    val wA = Alias(AggregateExpression(Sum(fL), Complete,
+      isDistinct = false), "graft_pct_w")()
+    val vals = Aggregate(evalEx :+ col,
+      (gAs: Seq[NamedExpression]) ++ Seq(pxA, wA), fltC)
+    val gAttrs = gAs.map(_.toAttribute)
+    val px = pxA.toAttribute
+
+    // running weight per group along the percentile direction
+    val dir = if (rev) Descending else Ascending
+    val ord = Seq(SortOrder(px, dir))
+    val cwA = Alias(WindowExpression(AggregateExpression(
+      Sum(wA.toAttribute), Complete, isDistinct = false),
+      WindowSpecDefinition(gAttrs, ord, rowFrame)), "graft_pct_cw")()
+    val win = Window(Seq(cwA), gAttrs, ord, vals)
+
+    // full group table over the UNFILTERED input: per-group total
+    // weight N over rows the naive buffer would store (null value or
+    // null frequency contribute nothing; zeros add 0)
+    val cgAs = evalEx.zipWithIndex.map { case (g, i) =>
+      Alias(g, s"graft_pct_cg$i")()
+    }
+    val f2A = Alias(If(And(IsNotNull(col), IsNotNull(fL)), fL,
+      Literal(null, LongType)), "graft_pct_f2")()
+    val projAll = Project(cgAs :+ f2A, child)
+    val cgAttrs = cgAs.map(_.toAttribute)
+    val nA = Alias(AggregateExpression(Sum(f2A.toAttribute), Complete,
+      isDistinct = false), "graft_pct_n")()
+    val cnt = Aggregate(cgAttrs, (cgAttrs: Seq[NamedExpression]) :+ nA,
+      projAll)
+
+    def grpCond(ls: Seq[Attribute], rs: Seq[Attribute]): Expression =
+      ls.zip(rs).map[Expression] { case (l, r) => EqualNullSafe(l, r) }
+        .reduce(And)
+
+    val j = Join(win, cnt, InnerType, Some(grpCond(gAttrs, cgAttrs)), bcast)
+    val cw = cwA.toAttribute
+    val prev = Subtract(cw, wA.toAttribute)
+    val sel = new Selection(px, nA.toAttribute,
+      k => And(GreaterThan(k, prev), LessThanOrEqual(k, cw)),
+      targets.flatMap(t => t.ps.map(pp => (pp, t.disc))).distinct)
+    val keep = Filter(sel.keepCond, j)
+
+    val resAs = targets.zipWithIndex.map { case (t, i) =>
+      Alias(sel.body(t), s"graft_pct_r$i")()
+    }
+    val resAgg = Aggregate(gAttrs,
+      (gAttrs: Seq[NamedExpression]) ++ resAs, keep)
+    val outer = Join(cnt, resAgg, LeftOuterType,
+      Some(grpCond(cgAttrs, gAttrs)), bcast)
+
+    val out: Seq[NamedExpression] = units.map {
+      case GroupOut(origin, i) =>
+        Alias(cgAttrs(i), origin.name)(exprId = origin.exprId)
+      case PctOut(t) =>
+        val idx = targets.indexWhere(_.origin.exprId == t.origin.exprId)
+        Alias(resAs(idx).toAttribute.withNullability(true),
+          t.origin.name)(exprId = t.origin.exprId)
+    }
+    Project(out, outer)
+  }
+
   /** Bounded-group grain: per-group rank pipeline (the emitted window is
     * partitioned by the PROVABLY-bounded keys, so [[GlobalRankRewrite]]'s
     * pigeonhole path re-plans it), per-group counts over the UNFILTERED
@@ -459,7 +581,8 @@ object PercentileRewrite extends Rule[LogicalPlan] {
     // child — the bounded-domain gate expands partition keys exactly one
     // Project level
     val fltC = Filter(IsNotNull(col), child)
-    val gAs = groupEx.zipWithIndex.map { case (g, i) =>
+    val evalEx = evaluableGroups(groupEx, orig.groupingExpressions, child)
+    val gAs = evalEx.zipWithIndex.map { case (g, i) =>
       Alias(g, s"graft_pct_g$i")()
     }
     val gAttrs = gAs.map(_.toAttribute)
@@ -476,7 +599,7 @@ object PercentileRewrite extends Rule[LogicalPlan] {
 
     // full group table over the UNFILTERED input: non-null value counts
     // per group, one row per group INCLUDING all-null groups
-    val cgAs = groupEx.zipWithIndex.map { case (g, i) =>
+    val cgAs = evalEx.zipWithIndex.map { case (g, i) =>
       Alias(g, s"graft_pct_cg$i")()
     }
     val px2A = Alias(col, "graft_pct_x2")()

@@ -177,6 +177,31 @@ object ApproxPack extends QueryPack {
         round(col("p90"), 6).as("wchars_p90"),
         round(col("p99"), 6).as("wchars_p99"))
 
+  /** q322 — WEIGHTED BOUNDED-GROUP percentile ladder, written naively:
+    * token-weighted length quantiles per CASE-ladder length tier (q312's
+    * pigeonhole groups × q321's weights). The native plan is one
+    * OpenHashMap per tier merged on ≤ 4 tasks;
+    * [[graft.plans.PercentileRewrite]]'s weighted-grouped path re-plans
+    * it per-group-distributed — the (tier, value) weight aggregate
+    * aliases its group keys so the per-tier cumulative window's
+    * pigeonhole proof survives and GlobalRankRewrite re-plans it in the
+    * same batch. Oracle: per-tier expanded multiset + quantile_cont. */
+  private def q322(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("n_chars"),
+        expr("length(text) - length(replace(text, ' ', '')) + 1")
+          .as("n_tokens"))
+      .groupBy(when(col("n_chars") < 220, "short")
+        .when(col("n_chars") < 380, "medium")
+        .otherwise("long").as("tier"))
+      .agg(
+        expr("percentile(n_chars, 0.5d, n_tokens)").as("p50"),
+        expr("percentile(n_chars, 0.9d, n_tokens)").as("p90"))
+      .select(col("tier"),
+        round(col("p50"), 6).as("wchars_p50"),
+        round(col("p90"), 6).as("wchars_p90"))
+      .orderBy("tier")
+
   /** Approx-percentile twin (Greenwald-Khanna; ApproxSpec bounds it). */
   def approxQuantiles(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem")
@@ -194,7 +219,8 @@ object ApproxPack extends QueryPack {
     "q312_tier_percentile_ladder" -> q312 _,
     "q313_mode_top_source" -> q313 _,
     "q316_disc_ladder" -> q316 _,
-    "q321_weighted_percentile" -> q321 _)
+    "q321_weighted_percentile" -> q321 _,
+    "q322_tier_weighted_percentile" -> q322 _)
 
   override val oracle: Seq[(String, String)] = Seq(
     "q37_distinct_scale" ->
@@ -249,5 +275,17 @@ object ApproxPack extends QueryPack {
         |SELECT round(quantile_cont(n_chars, 0.5), 6) AS wchars_p50,
         | round(quantile_cont(n_chars, 0.9), 6) AS wchars_p90,
         | round(quantile_cont(n_chars, 0.99), 6) AS wchars_p99
-        |FROM x""".stripMargin)
+        |FROM x""".stripMargin,
+    "q322_tier_weighted_percentile" ->
+      """WITH d AS (SELECT n_chars,
+        |  CASE WHEN n_chars < 220 THEN 'short'
+        |   WHEN n_chars < 380 THEN 'medium' ELSE 'long' END AS tier,
+        |  length(text) - length(replace(text, ' ', '')) + 1 AS f
+        | FROM documents),
+        |x AS (SELECT tier, n_chars FROM (
+        |  SELECT tier, n_chars, unnest(range(f)) FROM d
+        |  WHERE n_chars IS NOT NULL))
+        |SELECT tier, round(quantile_cont(n_chars, 0.5), 6) AS wchars_p50,
+        | round(quantile_cont(n_chars, 0.9), 6) AS wchars_p90
+        |FROM x GROUP BY tier ORDER BY tier""".stripMargin)
 }

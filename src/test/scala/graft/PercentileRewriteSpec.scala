@@ -309,6 +309,55 @@ class PercentileRewriteSpec extends SparkSpecBase {
     forced { assertThrows[Exception](row(negBuild())) }
   }
 
+  test("weighted bounded-group percentiles: per-group pipeline") {
+    // CASE-ladder tiers (provable domain), nulls in value and weight,
+    // one all-null-value tier and one all-zero-weight tier keep their
+    // native null row
+    val df = spark.range(6000L).select(col("id"),
+      when(col("id") % 5 === 4, lit(null).cast("long"))
+        .otherwise(col("id") * 1103515245L % 797L).as("v"),
+      when(col("id") % 5 === 3, lit(0L))
+        .when(col("id") % 17 === 0, lit(null).cast("long"))
+        .otherwise(col("id") % 9L).as("f"))
+    val tier = when(col("id") % 5 === 4, lit("znull"))
+      .when(col("id") % 5 === 3, lit("zzero"))
+      .when(col("id") % 5 === 2, lit("c"))
+      .when(col("id") % 5 === 1, lit("b")).otherwise(lit("a"))
+    val build = () => df.groupBy(tier.as("tier")).agg(
+      expr("percentile(v, 0.5d, f)").as("p50"),
+      expr("percentile(v, array(0.1d, 0.95d), f)").as("ps"))
+    def rows(r: DataFrame): Seq[Seq[Any]] =
+      r.orderBy("tier").collect().toSeq.map(_.toSeq.map(bits))
+    val expected = naive(rows(build()))
+    forced {
+      val r = build()
+      val p = r.queryExecution.executedPlan.toString
+      assert(!p.toLowerCase.contains("percentile"),
+        s"rule must remove the hash-map aggregate:\n${p.take(3000)}")
+      assert(p.contains("graft_pct_cw") && p.contains("graft_rank_pid"),
+        s"per-group cumulative weight must compose:\n${p.take(3000)}")
+      assert(rows(r) === expected)
+    }
+    // the select-then-group shape whose Project DROPPED the defining
+    // column: the pipeline still fires and matches (group keys evaluate
+    // as the original attribute), but the inner cumulative window keeps
+    // its naive bounded plan — nothing below the Aggregate can
+    // recompute the proof form
+    val dropped = df.select(tier.as("tier"), col("v"), col("f"))
+    val build2 = () => dropped.groupBy(col("tier")).agg(
+      expr("percentile(v, 0.5d, f)").as("p50"),
+      expr("percentile(v, array(0.1d, 0.95d), f)").as("ps"))
+    val expected2 = naive(rows(build2()))
+    forced {
+      val r = build2()
+      val p = r.queryExecution.executedPlan.toString
+      assert(!p.toLowerCase.contains("percentile"),
+        s"rule must still fire on the dropped-column shape:\n${
+          p.take(3000)}")
+      assert(rows(r) === expected2)
+    }
+  }
+
   test("weighted stand-downs: float column, grouped, mixed frequency") {
     def keepsNative(df: DataFrame): Unit = forced {
       val p = df.queryExecution.executedPlan.toString
@@ -322,8 +371,8 @@ class PercentileRewriteSpec extends SparkSpecBase {
     // floating value column: the naive buffer keys −0.0 ≠ 0.0, a hash
     // aggregate merges them — exactness doctrine stand-down
     keepsNative(t.agg(expr("percentile(vd, 0.5d, f)").as("p")))
-    // weighted grouped: not implemented, stands down even when bounded
-    keepsNative(t.groupBy(pmod(col("id"), lit(3)))
+    // weighted grouped by an ATTRIBUTE: no domain proof, stands down
+    keepsNative(t.groupBy(col("v"))
       .agg(expr("percentile(v, 0.5d, f)").as("p")))
     // mixed unit and weighted frequency in one aggregate list
     keepsNative(t.agg(expr("percentile(v, 0.5d, f)").as("a"),
