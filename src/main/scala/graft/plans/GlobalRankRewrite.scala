@@ -627,8 +627,7 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
           child.deterministic && parts.forall(_.deterministic) &&
           !child.output.exists(_.name == pidName) && bigEnough(child) =>
       rewriteFullFrame(exprs, parts, child)
-    case w @ Window(exprs, parts, Seq(so @ SortOrder(_, Ascending, _, _)),
-        child, _)
+    case w @ Window(exprs, parts, Seq(so), child, _)
         if exprs.nonEmpty && integralType(so.child.dataType) &&
           (parts.isEmpty || boundedParts(parts, child)) &&
           exprs.forall(rangeUnit(_).isDefined) &&
@@ -659,13 +658,24 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     * the naive plan is ONE task (or one per bounded partition) at any
     * skew — an all-equal-keys corpus degenerates back to it, never
     * below it. Replication is ≤ 3× (usually 2×) regardless of B, data,
-    * or frame width. */
+    * or frame width.
+    *
+    * DESC keys ride the same math on the NEGATED key: Spark computes a
+    * descending RANGE bound as `key − offset`, so the frame of row k is
+    * `[k − hi, k − lo]` — exactly the ascending formula on m = −k — and
+    * the per-bucket window re-runs the ORIGINAL descending spec, so
+    * only the bucket assignment needs the mirror. (−Long.MinValue wraps;
+    * a key at that single value would mis-bucket, the same wrap the
+    * naive bound arithmetic hits first.) */
   private def rewriteValueBand(exprs: Seq[NamedExpression],
       parts: Seq[Expression], so: SortOrder,
       child: LogicalPlan): LogicalPlan = {
     val units = exprs.map(rangeUnit(_).get)
     val bWidth = Literal(math.max(1L, units.map(u => u.hi - u.lo).max))
-    val k = Cast(so.child, LongType)
+    val k = so.direction match {
+      case Ascending => Cast(so.child, LongType)
+      case Descending => UnaryMinus(Cast(so.child, LongType))
+    }
     def bucket(v: Expression): Expression =
       IntegralDivide(Subtract(v, Pmod(v, bWidth)), bWidth)
     val own = bucket(k)

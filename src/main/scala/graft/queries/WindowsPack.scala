@@ -590,6 +590,25 @@ object WindowsPack extends QueryPack {
       .orderBy("event_id")
   }
 
+  /** q323 — LOOKAHEAD MONITOR as a naive DESC VALUE-BAND window: events
+    * newest-first, each reading the count / exact user-id sum of the
+    * events in the 30 seconds AFTER it (under DESC, "30 000 000
+    * PRECEDING" = up to 30 s LARGER ts_us — the lookahead). The
+    * value-band arm of [[graft.plans.GlobalRankRewrite]] handles DESC
+    * keys by running the identical bucket math on the negated key
+    * (Spark computes descending RANGE bounds as key − offset, the exact
+    * mirror). At gate SFs the input executes naive (below threshold);
+    * GlobalRankRewriteSpec pins the forced rewrite's parity. */
+  private def q323(s: SparkSession, dir: String): DataFrame = {
+    val band = Window.orderBy(col("ts_us").desc)
+      .rangeBetween(-30000000L, 0L)
+    withTsUs(Tables.load(s, dir, "events"))
+      .select(col("event_id"), col("ts_us"), col("user_id"))
+      .withColumn("ahead_events", count(lit(1)).over(band))
+      .withColumn("ahead_user_sum", sum("user_id").over(band))
+      .orderBy("event_id")
+  }
+
   /** q308 — PER-TIER CURRICULUM RANK as a naive bounded-partition
     * window: documents fall into 3 length tiers (a CASE ladder — an
     * all-literal-output partition key), and within each tier every
@@ -625,6 +644,7 @@ object WindowsPack extends QueryPack {
     "q318_tier_share" -> q318 _,
     "q319_global_norm" -> q319 _,
     "q320_burst_monitor" -> q320 _,
+    "q323_lookahead_monitor" -> q323 _,
     "q303_global_lag_rule" -> q303 _,
     "q285_global_ntile_rule" -> q285 _,
     "q291_string_rank_rule" -> q291 _,
@@ -723,6 +743,16 @@ object WindowsPack extends QueryPack {
         | sum(user_id) OVER w AS band_user_sum
         |FROM e
         |WINDOW w AS (ORDER BY ts_us
+        |  RANGE BETWEEN 30000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q323_lookahead_monitor" ->
+      """WITH e AS (
+        | SELECT event_id, epoch_us(ts) AS ts_us, user_id FROM events)
+        |SELECT event_id, ts_us, user_id,
+        | count(*) OVER w AS ahead_events,
+        | sum(user_id) OVER w AS ahead_user_sum
+        |FROM e
+        |WINDOW w AS (ORDER BY ts_us DESC
         |  RANGE BETWEEN 30000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
     "q303_global_lag_rule" ->

@@ -900,14 +900,37 @@ class GlobalRankRewriteSpec extends SparkSpecBase {
     }
   }
 
-  test("value-band stand-downs: DESC, double sum, attribute partition") {
+  test("value-band DESC keys: negated-key buckets match naive") {
+    // descending RANGE bounds compute as key − offset, so the mirror
+    // m = −k reduces DESC to the ascending bucket math; nulls (sorted
+    // LAST under DESC) still collapse to the null bucket
+    val df = corpus(4000).select(col("id"),
+      when(col("id") % 13 === 0, lit(null).cast("long"))
+        .otherwise(col("v") % 509L).as("k"),
+      col("v").as("w"))
+    val band = Window.orderBy(col("k").desc).rangeBetween(-30L, 0L)
+    val cent = Window.orderBy(col("k").desc).rangeBetween(-15L, 20L)
+    val build = () => df.select(col("id"),
+      sum(col("w")).over(band).as("s"),
+      count(col("w")).over(band).as("c"),
+      min(col("w")).over(cent).as("mn"),
+      max(col("w")).over(cent).as("mx"))
+    def norm(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x => (x.getLong(0), x.toSeq.drop(1)))
+        .sortBy(_._1).toSeq
+    val expected = naive(norm(build()))
+    forced {
+      val r = build()
+      assert(r.queryExecution.executedPlan.toString
+        .contains("graft_rank_vb"))
+      assert(norm(r) === expected)
+    }
+  }
+
+  test("value-band stand-downs: double sum, attribute partition") {
     val df = corpus(2000).select(col("id"), (col("v") % 101L).as("k"),
       col("v").as("w"))
     forced {
-      val desc = df.select(sum(col("w")).over(
-        Window.orderBy(col("k").desc).rangeBetween(-10L, 0L)).as("s"))
-      assert(!desc.queryExecution.executedPlan.toString
-        .contains("graft_rank_vb"))
       val dbl = df.select(sum(col("w").cast("double")).over(
         Window.orderBy(col("k")).rangeBetween(-10L, 0L)).as("s"))
       assert(!dbl.queryExecution.executedPlan.toString
