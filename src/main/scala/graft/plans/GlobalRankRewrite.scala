@@ -452,6 +452,47 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** One HALF-OPEN value frame: `agg(x) OVER (ORDER BY k RANGE BETWEEN
+    * UNBOUNDED PRECEDING AND hi FOLLOWING)` (hi ≥ 1) or `… BETWEEN lo
+    * PRECEDING AND UNBOUNDED FOLLOWING` (lo ≤ −1). Decomposes as two
+    * value-determined pieces the rule's other arms already plan:
+    * prefix `[UP, k+hi] = [UP, k] ∪ [k+1, k+hi]` (cumulative ⊕ finite
+    * band), suffix `[k+lo, ∞) = [k+lo, k−1] ∪ [k, ∞)` (finite band ⊕
+    * DESC cumulative). `sumIdx`/`cntIdx` index the per-piece units a
+    * target combines (Average recombines from Sum+Count — integral
+    * sums stay exact in doubles below 2⁵³, so the final division is
+    * the naive one bit-for-bit). */
+  private case class HovUnit(origin: Alias, fn: AggregateFunction,
+      off: Long, prefix: Boolean)
+
+  private def hovUnit(ne: NamedExpression): Option[HovUnit] = ne match {
+    case a @ Alias(WindowExpression(ae: AggregateExpression,
+        WindowSpecDefinition(_, _,
+          SpecifiedWindowFrame(RangeFrame, loE, hiE))), _)
+        if !ae.isDistinct && ae.filter.isEmpty =>
+      val shape = (loE, hiE) match {
+        case (UnboundedPreceding, h) =>
+          rangeBound(h).collect { case hi if hi >= 1 => (hi, true) }
+        case (l, UnboundedFollowing) =>
+          rangeBound(l).collect { case lo if lo <= -1 => (lo, false) }
+        case _ => None
+      }
+      shape.flatMap { case (off, prefix) =>
+        ae.aggregateFunction match {
+          case Sum(e, _) if integralType(e.dataType) =>
+            Some(HovUnit(a, ae.aggregateFunction, off, prefix))
+          case Average(e, _) if integralType(e.dataType) =>
+            Some(HovUnit(a, ae.aggregateFunction, off, prefix))
+          case _: Count =>
+            Some(HovUnit(a, ae.aggregateFunction, off, prefix))
+          case Min(_) | Max(_) =>
+            Some(HovUnit(a, ae.aggregateFunction, off, prefix))
+          case _ => None
+        }
+      }
+    case _ => None
+  }
+
   private def supported(ne: NamedExpression, parts: Seq[Expression],
       order: Seq[SortOrder], child: LogicalPlan): Boolean = ne match {
     case _ if cumulativeAgg(ne) => true
@@ -628,7 +669,9 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
           !child.output.exists(_.name == pidName) && bigEnough(child) =>
       rewriteFullFrame(exprs, parts, child)
     case w @ Window(exprs, parts, Seq(so), child, _)
-        if exprs.nonEmpty && integralType(so.child.dataType) &&
+        if exprs.nonEmpty &&
+          (integralType(so.child.dataType) ||
+            so.child.dataType == DateType) &&
           (parts.isEmpty || boundedParts(parts, child)) &&
           exprs.forall(rangeUnit(_).isDefined) &&
           child.deterministic && parts.forall(_.deterministic) &&
@@ -636,9 +679,122 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
           !child.output.exists(_.name.startsWith(vbName)) &&
           bigEnough(child) =>
       rewriteValueBand(exprs, parts, so, child)
+    case w @ Window(exprs, parts,
+        Seq(so @ SortOrder(_, Ascending, _, _)), child, _)
+        if exprs.nonEmpty &&
+          (integralType(so.child.dataType) ||
+            so.child.dataType == DateType) &&
+          (parts.isEmpty || boundedParts(parts, child)) &&
+          exprs.forall(hovUnit(_).isDefined) &&
+          child.deterministic && parts.forall(_.deterministic) &&
+          so.child.deterministic &&
+          !child.output.exists(_.name.startsWith(hovName)) &&
+          bigEnough(child) =>
+      rewriteHalfOpen(exprs, parts, so, child)
   }
 
   private val vbName = "graft_rank_vb"
+  private val hovName = "graft_rank_ho"
+
+  /** Half-open value frames by DECOMPOSITION into the rule's own other
+    * arms: prefix `[UP, k+hi]` = cumulative `[UP, k]` ⊕ finite band
+    * `[k+1, k+hi]`; suffix `[k+lo, ∞)` = finite band `[k+lo, k−1]` ⊕
+    * DESC cumulative `[k, ∞)` — every piece is value-determined, the
+    * pieces partition the frame (integral key space, so `k+1` is the
+    * next representable key; dates count in days), and the pieces are
+    * emitted as NAIVE stacked windows that this rule's cumulative and
+    * value-band arms re-plan in the same fixed-point batch. All
+    * emitted windows order by the numeric key form (epoch days for
+    * dates) so frame bounds are uniformly Long.
+    *
+    * Null keys take the cumulative piece ALONE: empirically a null-key
+    * row's `[UP, k+hi]` frame is the null GROUP — exactly its ASC
+    * cumulative frame — and its `[k+lo, ∞)` frame is ALL rows — exactly
+    * its DESC (nulls-last) cumulative frame; adding the band piece
+    * would double-count the null group (spec-pinned).
+    *
+    * Average recombines from Sum + Count pieces: the naive buffer sums
+    * integral inputs in doubles, which is EXACT below 2⁵³ regardless of
+    * order, so `cast(Σ) / cast(n)` is the naive division bit-for-bit
+    * (the integral-input gate is what makes this a theorem). */
+  private def rewriteHalfOpen(exprs: Seq[NamedExpression],
+      parts: Seq[Expression], so: SortOrder,
+      child: LogicalPlan): LogicalPlan = {
+    val units = exprs.map(hovUnit(_).get)
+    val base = so.child.dataType match {
+      case DateType => Cast(UnixDate(so.child), LongType)
+      case _ => Cast(so.child, LongType)
+    }
+    var n = 0
+    def fresh(): String = { n += 1; s"$hovName$n" }
+    val cumFr =
+      SpecifiedWindowFrame(RangeFrame, UnboundedPreceding, CurrentRow)
+    val soA = SortOrder(base, Ascending)
+    val soD = SortOrder(base, Descending)
+    val specCumA = WindowSpecDefinition(parts, Seq(soA), cumFr)
+    val specCumD = WindowSpecDefinition(parts, Seq(soD), cumFr)
+    def specBand(lo: Long, hi: Long) = WindowSpecDefinition(parts,
+      Seq(soA), SpecifiedWindowFrame(RangeFrame, Literal(lo), Literal(hi)))
+    def we(fn: AggregateFunction, spec: WindowSpecDefinition): Alias =
+      Alias(WindowExpression(AggregateExpression(fn, Complete,
+        isDistinct = false), spec), fresh())()
+
+    case class Pieces(cum: Seq[Alias], band: Seq[Alias], unit: HovUnit)
+    val pieces = units.map { u =>
+      val cumSpec = if (u.prefix) specCumA else specCumD
+      val bSpec =
+        if (u.prefix) specBand(1L, u.off) else specBand(u.off, -1L)
+      u.fn match {
+        case Average(e, _) =>
+          Pieces(Seq(we(Sum(e), cumSpec), we(Count(Seq(e)), cumSpec)),
+            Seq(we(Sum(e), bSpec), we(Count(Seq(e)), bSpec)), u)
+        case f =>
+          Pieces(Seq(we(f, cumSpec)), Seq(we(f, bSpec)), u)
+      }
+    }
+
+    val bandExprs = pieces.flatMap(_.band)
+    val cumAExprs = pieces.filter(_.unit.prefix).flatMap(_.cum)
+    val cumDExprs = pieces.filterNot(_.unit.prefix).flatMap(_.cum)
+    var plan: LogicalPlan = child
+    if (bandExprs.nonEmpty)
+      plan = Window(bandExprs, parts, Seq(soA), plan)
+    if (cumAExprs.nonEmpty)
+      plan = Window(cumAExprs, parts, Seq(soA), plan)
+    if (cumDExprs.nonEmpty)
+      plan = Window(cumDExprs, parts, Seq(soD), plan)
+
+    val keyNull = IsNull(base)
+    def comb(p: Pieces): Expression = {
+      val cum = p.cum.map(_.toAttribute)
+      val band = p.band.map(_.toAttribute)
+      def mergedSum(cs: Expression, bs: Expression): Expression = {
+        val zero = Literal(0L)
+        If(And(IsNull(cs), IsNull(bs)), Literal(null, cs.dataType),
+          Add(Coalesce(Seq(cs, zero)), Coalesce(Seq(bs, zero))))
+      }
+      p.unit.fn match {
+        case _: Count => If(keyNull, cum.head, Add(cum.head, band.head))
+        case Sum(_, _) =>
+          If(keyNull, cum.head, mergedSum(cum.head, band.head))
+        case Min(_) =>
+          If(keyNull, cum.head, Least(Seq(cum.head, band.head)))
+        case Max(_) =>
+          If(keyNull, cum.head, Greatest(Seq(cum.head, band.head)))
+        case Average(_, _) =>
+          val s = If(keyNull, cum(0), mergedSum(cum(0), band(0)))
+          val c = If(keyNull, cum(1), Add(cum(1), band(1)))
+          If(EqualTo(c, Literal(0L)), Literal(null, DoubleType),
+            Divide(Cast(s, DoubleType), Cast(c, DoubleType)))
+        case other => throw new IllegalStateException(
+          s"unreachable half-open combine: $other")
+      }
+    }
+    val out = exprs.zip(pieces).map { case (ne, p) =>
+      Alias(comb(p), ne.name)(exprId = ne.exprId, qualifier = ne.qualifier)
+    }
+    Project(child.output ++ out, plan)
+  }
 
   /** Value-band (finite-offset RANGE) frames by VALUE BUCKETING: with
     * bucket width B = max over frames of (hi − lo), every key value a
@@ -672,9 +828,15 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
       child: LogicalPlan): LogicalPlan = {
     val units = exprs.map(rangeUnit(_).get)
     val bWidth = Literal(math.max(1L, units.map(u => u.hi - u.lo).max))
+    // DATE keys bucket in epoch-day space (frame bounds are day counts —
+    // Spark adds them via date_add, i.e. straight day arithmetic)
+    val base = so.child.dataType match {
+      case DateType => Cast(UnixDate(so.child), LongType)
+      case _ => Cast(so.child, LongType)
+    }
     val k = so.direction match {
-      case Ascending => Cast(so.child, LongType)
-      case Descending => UnaryMinus(Cast(so.child, LongType))
+      case Ascending => base
+      case Descending => UnaryMinus(base)
     }
     def bucket(v: Expression): Expression =
       IntegralDivide(Subtract(v, Pmod(v, bWidth)), bWidth)

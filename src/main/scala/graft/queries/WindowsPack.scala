@@ -609,6 +609,61 @@ object WindowsPack extends QueryPack {
       .orderBy("event_id")
   }
 
+  /** q324 — TRAILING-WEEK ORDER VOLUME as a naive DATE-keyed
+    * VALUE-BAND window: every order reads the order count and exact
+    * cent volume of the 7-day calendar band ending on its date —
+    * `RANGE BETWEEN 6 PRECEDING AND CURRENT ROW` over a DATE key, day
+    * units (duplicate dates share frames by value). The value-band arm
+    * of [[graft.plans.GlobalRankRewrite]] buckets DATE keys in
+    * epoch-day space (Spark adds RANGE bounds to dates via date_add —
+    * straight day arithmetic). Price in exact integer cents per the
+    * float doctrine. At gate SFs the input executes naive (below
+    * threshold); GlobalRankRewriteSpec pins the forced rewrite. */
+  private def q324(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      .createOrReplaceTempView("graft_q324_orders")
+    s.sql(
+      """SELECT o_orderkey, od,
+        | count(*) OVER wk AS wk_orders,
+        | sum(cents) OVER wk AS wk_cents
+        |FROM graft_q324_orders
+        |WINDOW wk AS (ORDER BY od
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** q325 — LENGTH-BUDGET COVERAGE as naive HALF-OPEN value frames:
+    * for every document, the corpus volume available at lengths up to
+    * 10 chars longer (`RANGE UNBOUNDED PRECEDING..10 FOLLOWING`) and
+    * the candidate pool from 50 chars shorter up (`RANGE 50
+    * PRECEDING..UNBOUNDED FOLLOWING`) — the "what can this curriculum
+    * step draw from" readout. The half-open arm of
+    * [[graft.plans.GlobalRankRewrite]] decomposes each into cumulative
+    * ⊕ finite-band pieces that its own cumulative and value-band arms
+    * re-plan in the same batch (averages recombine from exact sums and
+    * counts, bit-equal). At gate SFs the input executes naive;
+    * GlobalRankRewriteSpec pins the forced rewrite. */
+  private def q325(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .createOrReplaceTempView("graft_q325_docs")
+    s.sql(
+      """SELECT doc_id, n_chars,
+        | sum(n_chars) OVER pre AS chars_upto,
+        | count(*) OVER pre AS docs_upto,
+        | round(avg(n_chars) OVER pre, 6) AS avg_upto,
+        | count(*) OVER suf AS docs_from,
+        | min(n_chars) OVER suf AS min_from
+        |FROM graft_q325_docs
+        |WINDOW pre AS (ORDER BY n_chars
+        |   RANGE BETWEEN UNBOUNDED PRECEDING AND 10 FOLLOWING),
+        | suf AS (ORDER BY n_chars
+        |   RANGE BETWEEN 50 PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY doc_id""".stripMargin)
+  }
+
   /** q308 — PER-TIER CURRICULUM RANK as a naive bounded-partition
     * window: documents fall into 3 length tiers (a CASE ladder — an
     * all-literal-output partition key), and within each tier every
@@ -645,6 +700,8 @@ object WindowsPack extends QueryPack {
     "q319_global_norm" -> q319 _,
     "q320_burst_monitor" -> q320 _,
     "q323_lookahead_monitor" -> q323 _,
+    "q324_weekly_volume" -> q324 _,
+    "q325_budget_coverage" -> q325 _,
     "q303_global_lag_rule" -> q303 _,
     "q285_global_ntile_rule" -> q285 _,
     "q291_string_rank_rule" -> q291 _,
@@ -755,6 +812,30 @@ object WindowsPack extends QueryPack {
         |WINDOW w AS (ORDER BY ts_us DESC
         |  RANGE BETWEEN 30000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "q324_weekly_volume" ->
+      """WITH o AS (SELECT o_orderkey, cast(o_orderdate AS DATE) AS od,
+        |  cast(round(o_totalprice * 100) AS BIGINT) AS cents
+        | FROM orders)
+        |SELECT o_orderkey, od,
+        | count(*) OVER wk AS wk_orders,
+        | sum(cents) OVER wk AS wk_cents
+        |FROM o
+        |WINDOW wk AS (ORDER BY od
+        |  RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q325_budget_coverage" ->
+      """SELECT doc_id, n_chars,
+        | sum(n_chars) OVER pre AS chars_upto,
+        | count(*) OVER pre AS docs_upto,
+        | round(avg(n_chars) OVER pre, 6) AS avg_upto,
+        | count(*) OVER suf AS docs_from,
+        | min(n_chars) OVER suf AS min_from
+        |FROM documents
+        |WINDOW pre AS (ORDER BY n_chars
+        |   RANGE BETWEEN UNBOUNDED PRECEDING AND 10 FOLLOWING),
+        | suf AS (ORDER BY n_chars
+        |   RANGE BETWEEN 50 PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY doc_id""".stripMargin,
     "q303_global_lag_rule" ->
       """WITH e AS (
         | SELECT event_id, epoch_us(ts) AS ts_us FROM events)
