@@ -420,25 +420,35 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
 
   /** A RANGE-frame boundary as a signed value offset (the DataFrame API
     * writes `rangeBetween(-n, 0)` as a negative literal, the SQL parser
-    * as `UnaryMinus(n)`; CurrentRow is offset 0). */
-  private def rangeBound(e: Expression): Option[Long] = e match {
+    * as `UnaryMinus(n)`; CurrentRow is offset 0). For TIMESTAMP keys
+    * the boundary is an ANSI day-time INTERVAL literal whose underlying
+    * value is already MICROS — the same unit [[UnixMicros]] maps the
+    * key into — so one Long offset space serves both; `wantInterval`
+    * pins the boundary kind to the key kind (a month-bearing interval
+    * is not a fixed micros offset and never matches). */
+  private def rangeBound(e: Expression,
+      wantInterval: Boolean): Option[Long] = e match {
     case CurrentRow => Some(0L)
-    case Literal(v: Byte, _) => Some(v.toLong)
-    case Literal(v: Short, _) => Some(v.toLong)
-    case Literal(v: Int, _) => Some(v.toLong)
-    case Literal(v: Long, _) => Some(v)
-    case UnaryMinus(inner, _) => rangeBound(inner).map(x => -x)
+    case Literal(v: Long, _: DayTimeIntervalType) if wantInterval =>
+      Some(v)
+    case Literal(v: Byte, _) if !wantInterval => Some(v.toLong)
+    case Literal(v: Short, _) if !wantInterval => Some(v.toLong)
+    case Literal(v: Int, _) if !wantInterval => Some(v.toLong)
+    case Literal(v: Long, _) if !wantInterval => Some(v)
+    case UnaryMinus(inner, _) => rangeBound(inner, wantInterval).map(-_)
     case _ => None
   }
 
-  private def rangeUnit(ne: NamedExpression): Option[RangeUnit] = ne match {
+  private def rangeUnit(ne: NamedExpression,
+      keyDt: DataType): Option[RangeUnit] = ne match {
     case a @ Alias(WindowExpression(ae: AggregateExpression,
         WindowSpecDefinition(_, _,
           SpecifiedWindowFrame(RangeFrame, loE, hiE))), _)
         if !ae.isDistinct && ae.filter.isEmpty =>
+      val iv = keyDt == TimestampType
       for {
-        lo <- rangeBound(loE)
-        hi <- rangeBound(hiE)
+        lo <- rangeBound(loE, iv)
+        hi <- rangeBound(hiE, iv)
         if lo <= hi
         ok = ae.aggregateFunction match {
           case Sum(e, _) => exactSumType(e.dataType)
@@ -465,16 +475,18 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
   private case class HovUnit(origin: Alias, fn: AggregateFunction,
       off: Long, prefix: Boolean)
 
-  private def hovUnit(ne: NamedExpression): Option[HovUnit] = ne match {
+  private def hovUnit(ne: NamedExpression,
+      keyDt: DataType): Option[HovUnit] = ne match {
     case a @ Alias(WindowExpression(ae: AggregateExpression,
         WindowSpecDefinition(_, _,
           SpecifiedWindowFrame(RangeFrame, loE, hiE))), _)
         if !ae.isDistinct && ae.filter.isEmpty =>
+      val iv = keyDt == TimestampType
       val shape = (loE, hiE) match {
         case (UnboundedPreceding, h) =>
-          rangeBound(h).collect { case hi if hi >= 1 => (hi, true) }
+          rangeBound(h, iv).collect { case hi if hi >= 1 => (hi, true) }
         case (l, UnboundedFollowing) =>
-          rangeBound(l).collect { case lo if lo <= -1 => (lo, false) }
+          rangeBound(l, iv).collect { case lo if lo <= -1 => (lo, false) }
         case _ => None
       }
       shape.flatMap { case (off, prefix) =>
@@ -669,11 +681,9 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
           !child.output.exists(_.name == pidName) && bigEnough(child) =>
       rewriteFullFrame(exprs, parts, child)
     case w @ Window(exprs, parts, Seq(so), child, _)
-        if exprs.nonEmpty &&
-          (integralType(so.child.dataType) ||
-            so.child.dataType == DateType) &&
+        if exprs.nonEmpty && bandKey(so.child.dataType) &&
           (parts.isEmpty || boundedParts(parts, child)) &&
-          exprs.forall(rangeUnit(_).isDefined) &&
+          exprs.forall(rangeUnit(_, so.child.dataType).isDefined) &&
           child.deterministic && parts.forall(_.deterministic) &&
           so.child.deterministic &&
           !child.output.exists(_.name.startsWith(vbName)) &&
@@ -681,20 +691,64 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
       rewriteValueBand(exprs, parts, so, child)
     case w @ Window(exprs, parts,
         Seq(so @ SortOrder(_, Ascending, _, _)), child, _)
-        if exprs.nonEmpty &&
-          (integralType(so.child.dataType) ||
-            so.child.dataType == DateType) &&
+        if exprs.nonEmpty && bandKey(so.child.dataType) &&
           (parts.isEmpty || boundedParts(parts, child)) &&
-          exprs.forall(hovUnit(_).isDefined) &&
+          exprs.forall(hovUnit(_, so.child.dataType).isDefined) &&
           child.deterministic && parts.forall(_.deterministic) &&
           so.child.deterministic &&
           !child.output.exists(_.name.startsWith(hovName)) &&
           bigEnough(child) =>
       rewriteHalfOpen(exprs, parts, so, child)
+    // MIXED nodes — the analyzer groups window expressions by
+    // (partition, order) only, so one node can carry finite-band,
+    // half-open, AND case-1 (cumulative/rank/…) frames together, and
+    // each dedicated arm requires a homogeneous node. Split into
+    // stacked per-kind windows (window expressions are independent
+    // per-row values; stacking is always legal) and let the arms
+    // re-match each node in the same fixed-point batch.
+    case w @ Window(exprs, parts, Seq(so @ SortOrder(_, Ascending, _, _)),
+        child, _)
+        if exprs.size >= 2 && bandKey(so.child.dataType) &&
+          (parts.isEmpty || boundedParts(parts, child)) &&
+          child.deterministic && parts.forall(_.deterministic) &&
+          so.child.deterministic && supportedKey(Seq(so)) &&
+          !child.output.exists(a => a.name == pidName ||
+            a.name.startsWith(vbName) || a.name.startsWith(hovName)) &&
+          bigEnough(child) && {
+            val dt = so.child.dataType
+            def kind(ne: NamedExpression): Int =
+              if (rangeUnit(ne, dt).isDefined) 1
+              else if (hovUnit(ne, dt).isDefined) 2
+              else if (supported(ne, parts, Seq(so), child)) 0
+              else -1
+            val ks = exprs.map(kind)
+            ks.forall(_ >= 0) && ks.distinct.size >= 2
+          } =>
+      val dt = so.child.dataType
+      def kind(ne: NamedExpression): Int =
+        if (rangeUnit(ne, dt).isDefined) 1
+        else if (hovUnit(ne, dt).isDefined) 2
+        else 0
+      val groups = Seq(0, 1, 2).map(i => exprs.filter(kind(_) == i))
+        .filter(_.nonEmpty)
+      groups.foldLeft(child)((pl, g) => Window(g, parts, Seq(so), pl))
   }
 
   private val vbName = "graft_rank_vb"
   private val hovName = "graft_rank_ho"
+
+  /** Key types the value-band/half-open arms bucket: integrals as
+    * themselves, dates as epoch days, timestamps as epoch micros (the
+    * unit ANSI day-time INTERVAL bounds already carry). */
+  private def bandKey(dt: DataType): Boolean =
+    integralType(dt) || dt == DateType || dt == TimestampType
+
+  /** The band arms' numeric key form. */
+  private def bandBase(key: Expression): Expression = key.dataType match {
+    case DateType => Cast(UnixDate(key), LongType)
+    case TimestampType => UnixMicros(key)
+    case _ => Cast(key, LongType)
+  }
 
   /** Half-open value frames by DECOMPOSITION into the rule's own other
     * arms: prefix `[UP, k+hi]` = cumulative `[UP, k]` ⊕ finite band
@@ -720,11 +774,8 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
   private def rewriteHalfOpen(exprs: Seq[NamedExpression],
       parts: Seq[Expression], so: SortOrder,
       child: LogicalPlan): LogicalPlan = {
-    val units = exprs.map(hovUnit(_).get)
-    val base = so.child.dataType match {
-      case DateType => Cast(UnixDate(so.child), LongType)
-      case _ => Cast(so.child, LongType)
-    }
+    val units = exprs.map(hovUnit(_, so.child.dataType).get)
+    val base = bandBase(so.child)
     var n = 0
     def fresh(): String = { n += 1; s"$hovName$n" }
     val cumFr =
@@ -826,14 +877,12 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
   private def rewriteValueBand(exprs: Seq[NamedExpression],
       parts: Seq[Expression], so: SortOrder,
       child: LogicalPlan): LogicalPlan = {
-    val units = exprs.map(rangeUnit(_).get)
+    val units = exprs.map(rangeUnit(_, so.child.dataType).get)
     val bWidth = Literal(math.max(1L, units.map(u => u.hi - u.lo).max))
-    // DATE keys bucket in epoch-day space (frame bounds are day counts —
-    // Spark adds them via date_add, i.e. straight day arithmetic)
-    val base = so.child.dataType match {
-      case DateType => Cast(UnixDate(so.child), LongType)
-      case _ => Cast(so.child, LongType)
-    }
+    // dates bucket in epoch-day space (Spark adds RANGE bounds to
+    // dates via date_add), timestamps in epoch-micros (ANSI day-time
+    // interval bounds are micros already)
+    val base = bandBase(so.child)
     val k = so.direction match {
       case Ascending => base
       case Descending => UnaryMinus(base)

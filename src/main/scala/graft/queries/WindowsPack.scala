@@ -664,6 +664,30 @@ object WindowsPack extends QueryPack {
         |ORDER BY doc_id""".stripMargin)
   }
 
+  /** q326 — EVENT-TIME TRAILING WEEK as a naive TIMESTAMP-keyed
+    * VALUE-BAND window: every order reads the count / exact cent volume
+    * of the orders in the 7 calendar days up to its exact timestamp —
+    * `RANGE BETWEEN INTERVAL '7' DAY PRECEDING AND CURRENT ROW` over
+    * the raw TIMESTAMP key. ANSI day-time interval bounds carry MICROS,
+    * the same unit the value-band arm of
+    * [[graft.plans.GlobalRankRewrite]] maps the key into (UnixMicros),
+    * so timestamps bucket like any integral key. At gate SFs the input
+    * executes naive; GlobalRankRewriteSpec pins the forced rewrite. */
+  private def q326(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      .createOrReplaceTempView("graft_q326_orders")
+    s.sql(
+      """SELECT o_orderkey,
+        | count(*) OVER wk AS wk_orders,
+        | sum(cents) OVER wk AS wk_cents
+        |FROM graft_q326_orders
+        |WINDOW wk AS (ORDER BY o_orderdate
+        |  RANGE BETWEEN INTERVAL '7' DAY PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** q308 — PER-TIER CURRICULUM RANK as a naive bounded-partition
     * window: documents fall into 3 length tiers (a CASE ladder — an
     * all-literal-output partition key), and within each tier every
@@ -702,6 +726,7 @@ object WindowsPack extends QueryPack {
     "q323_lookahead_monitor" -> q323 _,
     "q324_weekly_volume" -> q324 _,
     "q325_budget_coverage" -> q325 _,
+    "q326_event_time_week" -> q326 _,
     "q303_global_lag_rule" -> q303 _,
     "q285_global_ntile_rule" -> q285 _,
     "q291_string_rank_rule" -> q291 _,
@@ -836,6 +861,17 @@ object WindowsPack extends QueryPack {
         | suf AS (ORDER BY n_chars
         |   RANGE BETWEEN 50 PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY doc_id""".stripMargin,
+    "q326_event_time_week" ->
+      """WITH o AS (SELECT o_orderkey, o_orderdate,
+        |  cast(round(o_totalprice * 100) AS BIGINT) AS cents
+        | FROM orders)
+        |SELECT o_orderkey,
+        | count(*) OVER wk AS wk_orders,
+        | sum(cents) OVER wk AS wk_cents
+        |FROM o
+        |WINDOW wk AS (ORDER BY o_orderdate
+        |  RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
     "q303_global_lag_rule" ->
       """WITH e AS (
         | SELECT event_id, epoch_us(ts) AS ts_us FROM events)

@@ -1015,6 +1015,64 @@ class GlobalRankRewriteSpec extends SparkSpecBase {
     }
   }
 
+  test("value-band TIMESTAMP keys: ANSI interval bounds in micros") {
+    // trailing 30-second band + half-open lookback over a timestamp
+    // key; interval literals carry micros, UnixMicros maps the key to
+    // the same unit
+    val df = corpus(3000).select(col("id"),
+      when(col("id") % 19 === 0, lit(null).cast("timestamp"))
+        .otherwise(expr("timestamp_micros(v * 1000000)")).as("ts"),
+      (col("v") % 997L).as("w"))
+    df.createOrReplaceTempView("graft_vb_ts")
+    val build = () => spark.sql(
+      """SELECT id,
+        | sum(w) OVER tb AS bs, count(w) OVER tb AS bc,
+        | count(*) OVER hb AS hc, max(w) OVER hb AS hm
+        |FROM graft_vb_ts
+        |WINDOW tb AS (ORDER BY ts RANGE BETWEEN INTERVAL '30' SECOND
+        |   PRECEDING AND CURRENT ROW),
+        | hb AS (ORDER BY ts RANGE BETWEEN UNBOUNDED PRECEDING
+        |   AND INTERVAL '10' SECOND FOLLOWING)""".stripMargin)
+    def norm(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x => (x.getLong(0), x.toSeq.drop(1)))
+        .sortBy(_._1).toSeq
+    val expected = naive(norm(build()))
+    forced {
+      val r = build()
+      val p = r.queryExecution.executedPlan.toString
+      assert(p.contains("graft_rank_vb") && p.contains("graft_rank_ho"),
+        s"timestamp band shapes:\n${p.take(3000)}")
+      assert(norm(r) === expected)
+    }
+  }
+
+  test("mixed window kinds split into per-kind nodes and all re-plan") {
+    // cumulative (case-1), finite band, and half-open frames sharing
+    // one (partition, order) — the analyzer puts them in ONE node; the
+    // splitter stacks homogeneous nodes the arms then rewrite
+    val df = corpus(4000).select(col("id"), (col("v") % 389L).as("k"),
+      col("v").as("w"))
+    val ord = Window.orderBy(col("k"))
+    val build = () => df.select(col("id"),
+      sum(col("w")).over(ord.rangeBetween(
+        Window.unboundedPreceding, Window.currentRow)).as("cum"),
+      count(col("w")).over(ord.rangeBetween(-25L, 0L)).as("band"),
+      min(col("w")).over(ord.rangeBetween(
+        -10L, Window.unboundedFollowing)).as("hov"))
+    def norm(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x => (x.getLong(0), x.toSeq.drop(1)))
+        .sortBy(_._1).toSeq
+    val expected = naive(norm(build()))
+    forced {
+      val r = build()
+      val p = r.queryExecution.executedPlan.toString
+      assert(p.contains("graft_rank_pid") && p.contains("graft_rank_vb")
+        && p.contains("graft_rank_ho"),
+        s"all three kinds must re-plan:\n${p.take(3000)}")
+      assert(norm(r) === expected)
+    }
+  }
+
   test("value-band stand-downs: double sum, attribute partition") {
     val df = corpus(2000).select(col("id"), (col("v") % 101L).as("k"),
       col("v").as("w"))
