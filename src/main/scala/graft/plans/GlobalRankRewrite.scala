@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, CollectSet, Complete, Count, First, Last, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, BoolAnd, BoolOr, CollectSet, Complete, Count, First, HyperLogLogPlusPlus, Last, Max, Min, Mode, Percentile, PercentileDisc, Sum}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -647,7 +647,19 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     * broadcast-joined back onto the rows. Sum/Average restricted to
     * exact types — an order-less double window fold is arbitrary-order
     * in the NAIVE plan too, but re-planning may not change which
-    * arbitrary answer a user sees (exactness doctrine). */
+    * arbitrary answer a user sees (exactness doctrine).
+    *
+    * Window-spelled `mode()` and `percentile`/`median`/
+    * `percentile_disc` ride the same conversion WHEN the respective
+    * rule would rewrite the resulting Aggregate
+    * ([[ModeRewrite.eligible]] / [[PercentileRewrite.eligible]]) —
+    * both are deterministic functions of the partition bag, so the
+    * join-back stamps the exact naive value while the inner rule
+    * removes the per-group OpenHashMap in the same fixed-point batch
+    * (rule composition). [[fullFrameComposable]] additionally requires
+    * the NODE be homogeneous in the inner rule's shape (one value
+    * column, one direction, one frequency) since those rules rewrite
+    * whole aggregates, not slots. */
   private def fullFrameAgg(ne: NamedExpression): Option[AggregateExpression] =
     ne match {
       case Alias(WindowExpression(ae: AggregateExpression,
@@ -659,10 +671,42 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
           case Average(e, _) if integralType(e.dataType) => Some(ae)
           case _: Count => Some(ae)
           case Min(_) | Max(_) => Some(ae)
+          // order-independent bag functions: boolean folds and the
+          // deterministic HLL++ sketch (register max — same bag, same
+          // estimate, any order)
+          case _: BoolAnd | _: BoolOr => Some(ae)
+          case _: HyperLogLogPlusPlus => Some(ae)
+          case _: Mode if ModeRewrite.eligible(ae) => Some(ae)
+          case _: Percentile | _: PercentileDisc
+              if PercentileRewrite.eligible(ae).isDefined => Some(ae)
           case _ => None
         }
       case _ => None
     }
+
+  /** Homogeneity for mode/percentile full-frame nodes: the inner rules
+    * rewrite an Aggregate only when EVERY non-group slot is their own
+    * kind over ONE shared (column, direction, frequency) — a mixed node
+    * would convert into an Aggregate both rules stand down on, trading
+    * one hash-map cliff for an identical one. Plain sum/count/min/max/
+    * avg nodes are unconstrained. */
+  private def fullFrameComposable(exprs: Seq[NamedExpression]): Boolean = {
+    val aes = exprs.flatMap(fullFrameAgg)
+    val modes = aes.filter(_.aggregateFunction.isInstanceOf[Mode])
+    val pcts = aes.filter(a => a.aggregateFunction.isInstanceOf[Percentile]
+      || a.aggregateFunction.isInstanceOf[PercentileDisc])
+    val modesOk = modes.isEmpty || (modes.size == aes.size && {
+      val cols = modes.flatMap(ModeRewrite.valueOf).map(_.canonicalized)
+      cols.distinct.size == 1
+    })
+    val pctsOk = pcts.isEmpty || (pcts.size == aes.size && {
+      val slots = pcts.flatMap(PercentileRewrite.eligible).map {
+        case (c, r, f) => (c.canonicalized, r, f.map(_.canonicalized))
+      }
+      slots.size == pcts.size && slots.distinct.size == 1
+    })
+    modesOk && pctsOk
+  }
 
   def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case w @ Window(exprs, parts, order, child, _)
@@ -677,6 +721,7 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
         if exprs.nonEmpty &&
           (parts.isEmpty || boundedParts(parts, child)) &&
           exprs.forall(fullFrameAgg(_).isDefined) &&
+          fullFrameComposable(exprs) &&
           child.deterministic && parts.forall(_.deterministic) &&
           !child.output.exists(_.name == pidName) && bigEnough(child) =>
       rewriteFullFrame(exprs, parts, child)

@@ -76,6 +76,24 @@ object ModeRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** The deterministic-mode shape [[apply]] rewrites — exposed so
+    * [[GlobalRankRewrite]]'s full-frame arm can pre-screen
+    * window-spelled modes before converting them to the Aggregate this
+    * rule then re-plans (rule composition). */
+  private[plans] def eligible(ae: AggregateExpression): Boolean = ae match {
+    case AggregateExpression(Mode(col, _, _, Some(_)), Complete, false,
+        None, _) =>
+      supportedValue(col.dataType) && col.deterministic && !col.foldable
+    case _ => false
+  }
+
+  /** The mode's value column (for same-column homogeneity checks). */
+  private[plans] def valueOf(ae: AggregateExpression): Option[Expression] =
+    ae.aggregateFunction match {
+      case Mode(col, _, _, _) => Some(col)
+      case _ => None
+    }
+
   private def analyze(groups: Seq[Expression], aggs: Seq[NamedExpression])
       : Option[(Expression, Seq[OutUnit])] = {
     if (aggs.isEmpty) return None

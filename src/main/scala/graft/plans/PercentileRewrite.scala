@@ -224,6 +224,39 @@ object PercentileRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** The percentile shapes [[apply]] rewrites — exposed so
+    * [[GlobalRankRewrite]]'s full-frame arm can pre-screen
+    * window-spelled percentiles before converting them to the Aggregate
+    * this rule then re-plans (rule composition). Returns the (column,
+    * reverse, frequency-or-None) slot for same-pipeline homogeneity
+    * checks; None = not a rewritable shape. */
+  private[plans] def eligible(ae: AggregateExpression)
+      : Option[(Expression, Boolean, Option[Expression])] = {
+    def okCol(col: Expression): Boolean =
+      col.dataType.isInstanceOf[NumericType] && col.deterministic &&
+        !col.foldable
+    ae match {
+      case AggregateExpression(Percentile(col, pct, freq, _, _, rev),
+          Complete, false, None, _)
+          if okCol(col) && unitFrequency(freq) &&
+            percentages(pct).isDefined =>
+        Some((col, rev, None))
+      case AggregateExpression(Percentile(col, pct, freq, _, _, rev),
+          Complete, false, None, _)
+          if okCol(col) &&
+            (integralType(col.dataType) ||
+              col.dataType.isInstanceOf[DecimalType]) &&
+            integralType(freq.dataType) && freq.deterministic &&
+            percentages(pct).isDefined =>
+        Some((col, rev, Some(freq)))
+      case AggregateExpression(PercentileDisc(col, pct, rev, _, _, false),
+          Complete, false, None, _)
+          if okCol(col) && percentages(pct).isDefined =>
+        Some((col, rev, None))
+      case _ => None
+    }
+  }
+
   private def bigEnough(p: LogicalPlan): Boolean = {
     val t = conf.autoBroadcastJoinThreshold
     t < 0 || p.stats.sizeInBytes > t

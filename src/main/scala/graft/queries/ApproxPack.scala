@@ -202,6 +202,51 @@ object ApproxPack extends QueryPack {
         round(col("p90"), 6).as("wchars_p90"))
       .orderBy("tier")
 
+  /** q327 — MEDIAN-CENTERED LENGTH as a naive WINDOW-SPELLED
+    * percentile: every document reads its length tier's exact median
+    * (`percentile(n_chars, 0.5) OVER (PARTITION BY tier)`) and its
+    * offset from it — the classic per-group normalization stamp. The
+    * naive plan is one WindowExec task per tier each holding the
+    * tier's value hash-map; [[graft.plans.GlobalRankRewrite]]'s
+    * full-frame arm converts the window into the Aggregate
+    * [[graft.plans.PercentileRewrite]] then re-plans in the same batch
+    * (rule composition), broadcast-stamping the exact value back.
+    * Rounded to 6 per the q311 lerp doctrine. */
+  private def q327(s: SparkSession, dir: String): DataFrame = {
+    val tier = when(col("n_chars") < 220, "short")
+      .when(col("n_chars") < 380, "medium").otherwise("long")
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), tier.as("tier"))
+      .withColumn("tier_med", expr("percentile(n_chars, 0.5d)")
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("tier"))))
+      .select(col("doc_id"), col("n_chars"), col("tier"),
+        round(col("tier_med"), 6).as("tier_med"),
+        round(col("n_chars") - col("tier_med"), 6).as("delta"))
+      .orderBy("doc_id")
+  }
+
+  /** q328 — MAJORITY SOURCE STAMP as a naive WINDOW-SPELLED
+    * deterministic mode: every document reads its tier's most common
+    * source (`mode() WITHIN GROUP (ORDER BY source) OVER (PARTITION BY
+    * tier)`, ASC ties → smallest). Full-frame conversion +
+    * [[graft.plans.ModeRewrite]] composition: two-level hash
+    * aggregation replaces the per-tier value maps, broadcast join-back
+    * stamps the winner. */
+  private def q328(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        when(col("n_chars") < 220, "short")
+          .when(col("n_chars") < 380, "medium")
+          .otherwise("long").as("tier"))
+      .createOrReplaceTempView("graft_q328_docs")
+    s.sql(
+      """SELECT doc_id, tier,
+        | mode() WITHIN GROUP (ORDER BY source)
+        |   OVER (PARTITION BY tier) AS top_source
+        |FROM graft_q328_docs ORDER BY doc_id""".stripMargin)
+  }
+
   /** Approx-percentile twin (Greenwald-Khanna; ApproxSpec bounds it). */
   def approxQuantiles(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem")
@@ -220,7 +265,9 @@ object ApproxPack extends QueryPack {
     "q313_mode_top_source" -> q313 _,
     "q316_disc_ladder" -> q316 _,
     "q321_weighted_percentile" -> q321 _,
-    "q322_tier_weighted_percentile" -> q322 _)
+    "q322_tier_weighted_percentile" -> q322 _,
+    "q327_median_centering" -> q327 _,
+    "q328_majority_stamp" -> q328 _)
 
   override val oracle: Seq[(String, String)] = Seq(
     "q37_distinct_scale" ->
@@ -287,5 +334,27 @@ object ApproxPack extends QueryPack {
         |  WHERE n_chars IS NOT NULL))
         |SELECT tier, round(quantile_cont(n_chars, 0.5), 6) AS wchars_p50,
         | round(quantile_cont(n_chars, 0.9), 6) AS wchars_p90
-        |FROM x GROUP BY tier ORDER BY tier""".stripMargin)
+        |FROM x GROUP BY tier ORDER BY tier""".stripMargin,
+    "q327_median_centering" ->
+      """WITH t AS (SELECT doc_id, n_chars,
+        |  CASE WHEN n_chars < 220 THEN 'short'
+        |   WHEN n_chars < 380 THEN 'medium' ELSE 'long' END AS tier
+        | FROM documents),
+        |m AS (SELECT tier, quantile_cont(n_chars, 0.5) AS med
+        |      FROM t GROUP BY tier)
+        |SELECT t.doc_id, t.n_chars, t.tier,
+        | round(m.med, 6) AS tier_med,
+        | round(t.n_chars - m.med, 6) AS delta
+        |FROM t JOIN m USING (tier) ORDER BY t.doc_id""".stripMargin,
+    "q328_majority_stamp" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CASE WHEN n_chars < 220 THEN 'short'
+        |   WHEN n_chars < 380 THEN 'medium' ELSE 'long' END AS tier
+        | FROM documents),
+        |w AS (SELECT tier, source FROM (
+        |  SELECT tier, source, row_number() OVER (PARTITION BY tier
+        |    ORDER BY count(*) DESC, source ASC) AS rn
+        |  FROM t GROUP BY tier, source) x WHERE rn = 1)
+        |SELECT t.doc_id, t.tier, w.source AS top_source
+        |FROM t JOIN w USING (tier) ORDER BY t.doc_id""".stripMargin)
 }

@@ -759,7 +759,10 @@ class GlobalRankRewriteSpec extends SparkSpecBase {
       count(col("w")).over(wp).as("cw"),
       min(col("v")).over(wp).as("mn"),
       max(col("v")).over(wp).as("mx"),
-      avg(col("w")).over(wp).as("aw"))
+      avg(col("w")).over(wp).as("aw"),
+      expr("bool_or(w % 2 = 0)").over(wp).as("bo"),
+      expr("every(v >= 0)").over(wp).as("ev"),
+      approx_count_distinct(col("v")).over(wp).as("ndv"))
     def norm(r: org.apache.spark.sql.DataFrame) =
       r.collect().map { x =>
         (x.getLong(0), x.toSeq.drop(1).map {
@@ -787,6 +790,92 @@ class GlobalRankRewriteSpec extends SparkSpecBase {
         .over(wp).as("s"))
       assert(!dbl.queryExecution.executedPlan.toString
         .contains("graft_rank_fg"))
+    }
+  }
+
+  test("window-spelled percentile ladder converts and composes") {
+    // median/p90 OVER (PARTITION BY pmod) — naive is one WindowExec
+    // task per group each holding the group's value hash-map; the
+    // full-frame conversion emits the Aggregate PercentileRewrite
+    // re-plans in the same batch (graft_pct markers), join-back stamps
+    // every row, bit-equal
+    val df = corpus(5000).select(col("id"), col("v"),
+      when(col("id") % 11 === 0, lit(null).cast("long"))
+        .otherwise(col("v")).as("w"))
+    val wp = Window.partitionBy(pmod(col("id"), lit(5)))
+    val build = () => df.select(col("id"),
+      expr("percentile(w, 0.5d)").over(wp).as("med"),
+      expr("percentile(w, 0.9d)").over(wp).as("p90"))
+    def norm(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map { x =>
+        (x.getLong(0), x.toSeq.drop(1).map {
+          case d: Double => java.lang.Double.doubleToLongBits(d)
+          case o => o
+        })
+      }.sortBy(_._1).toSeq
+    val expected = naive(norm(build()))
+    forced {
+      val r = build()
+      val p = r.queryExecution.executedPlan.toString
+      // conversion + composition: the full-frame join-back wraps the
+      // percentile pipeline (surviving WindowExecs are the rank
+      // machinery's partitioned slices, never per-group value maps)
+      assert(p.contains("graft_rank_fa") && p.contains("graft_pct_rn"),
+        s"window percentile must convert and compose:\n${p.take(3000)}")
+      assert(!p.toLowerCase.contains("percentile("),
+        s"no hash-map aggregate may survive:\n${p.take(3000)}")
+      assert(norm(r) === expected)
+    }
+    // OVER () global median stamp
+    val g = Window.partitionBy()
+    val expected2 = naive(norm(df.select(col("id"),
+      expr("percentile(w, 0.5d)").over(g).as("med"),
+      expr("percentile(w, 0.5d)").over(g).as("m2"))))
+    forced {
+      val r = df.select(col("id"),
+        expr("percentile(w, 0.5d)").over(g).as("med"),
+        expr("percentile(w, 0.5d)").over(g).as("m2"))
+      assert(r.queryExecution.executedPlan.toString
+        .contains("graft_pct_rn"))
+      assert(norm(r) === expected2)
+    }
+    // MIXED kinds (percentile next to sum) would convert into an
+    // Aggregate the inner rule stands down on — the node keeps the
+    // window instead (homogeneity gate)
+    forced {
+      val mixed = df.select(
+        expr("percentile(w, 0.5d)").over(wp).as("med"),
+        sum(col("w")).over(wp).as("s"))
+      assert(!mixed.queryExecution.executedPlan.toString
+        .contains("graft_rank_fg"))
+    }
+  }
+
+  test("window-spelled deterministic mode converts and composes") {
+    val df = corpus(5000).select(col("id"),
+      (col("v") % 37L).as("lbl"))
+    df.createOrReplaceTempView("graft_ff_mode")
+    val build = () => spark.sql(
+      """SELECT id, mode() WITHIN GROUP (ORDER BY lbl)
+        |  OVER (PARTITION BY pmod(id, 7)) AS top_lbl
+        |FROM graft_ff_mode""".stripMargin)
+    def norm(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1).toSeq
+    val key = "spark.sql.optimizer.excludedRules"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "graft.plans.GlobalRankRewrite,graft.plans.ModeRewrite")
+    val expected = try norm(build())
+    finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    forced {
+      val r = build()
+      val p = r.queryExecution.executedPlan.toString
+      assert(!p.contains("Window ") && p.contains("graft_mode_v"),
+        s"mode window must convert and compose:\n${p.take(3000)}")
+      assert(norm(r) === expected)
     }
   }
 
