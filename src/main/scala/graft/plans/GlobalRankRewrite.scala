@@ -203,6 +203,14 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
           case other => other
         }
         expandOnce(e2, belowFilters(ag.child))
+      // a Window passes its child's columns through untouched — an
+      // attribute surviving it carries the child's per-row value, so
+      // expansion may look below (window-produced attributes have
+      // fresh exprIds and never match a map built from lower aliases).
+      // This is what lets the half-open arm's STACKED piece windows
+      // re-prove bounded partition domains defined in the `_w#` Project
+      // the analyzer parked below the ORIGINAL window.
+      case wd: Window => expandOnce(e, wd.child)
       case _ => e
     }
 

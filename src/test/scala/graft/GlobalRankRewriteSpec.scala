@@ -849,6 +849,19 @@ class GlobalRankRewriteSpec extends SparkSpecBase {
       assert(!mixed.queryExecution.executedPlan.toString
         .contains("graft_rank_fg"))
     }
+    // WEIGHTED window percentiles convert too (the weighted-grouped
+    // pipeline takes the emitted Aggregate)
+    val dfw = df.select(col("id"), col("w"), (col("id") % 5L).as("f"))
+    val expected3 = naive(norm(dfw.select(col("id"),
+      expr("percentile(w, 0.5d, f)").over(wp).as("wmed"))))
+    forced {
+      val r = dfw.select(col("id"),
+        expr("percentile(w, 0.5d, f)").over(wp).as("wmed"))
+      val p = r.queryExecution.executedPlan.toString
+      assert(p.contains("graft_pct_cw"),
+        s"weighted window percentile must compose:\n${p.take(3000)}")
+      assert(norm(r) === expected3)
+    }
   }
 
   test("window-spelled deterministic mode converts and composes") {
@@ -1159,6 +1172,49 @@ class GlobalRankRewriteSpec extends SparkSpecBase {
         && p.contains("graft_rank_ho"),
         s"all three kinds must re-plan:\n${p.take(3000)}")
       assert(norm(r) === expected)
+    }
+  }
+
+  test("SQL-spelled bounded-partition half-open frames compose fully") {
+    // the parser extracts PARTITION BY pmod(...) into a `_w#` Project
+    // below the window — the stacked piece windows must still re-prove
+    // the domain (expandOnce pierces Window nodes down to it)
+    val df = corpus(3000).select(col("id"), (col("v") % 151L).as("k"),
+      col("v").as("w"))
+    df.createOrReplaceTempView("graft_hov_sql")
+    val build = () => spark.sql(
+      """SELECT id,
+        | sum(w) OVER (PARTITION BY pmod(id, 3) ORDER BY k
+        |   RANGE BETWEEN UNBOUNDED PRECEDING AND 10 FOLLOWING) AS s,
+        | count(w) OVER (PARTITION BY pmod(id, 3) ORDER BY k
+        |   RANGE BETWEEN UNBOUNDED PRECEDING AND 10 FOLLOWING) AS c
+        |FROM graft_hov_sql""".stripMargin)
+    def norm(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x => (x.getLong(0), x.toSeq.drop(1)))
+        .sortBy(_._1).toSeq
+    val expected = naive(norm(build()))
+    forced {
+      val r = build()
+      val p = r.queryExecution.executedPlan.toString
+      assert(p.contains("graft_rank_ho") && p.contains("graft_rank_vb"),
+        s"stacked pieces must re-plan under the _w# Project:\n${
+          p.take(3000)}")
+      assert(norm(r) === expected)
+    }
+  }
+
+  test("half-open stand-downs: DESC keys") {
+    // a DESC half-open frame does NOT mirror cleanly: null ORDERING
+    // does not negate with the key, so the null-row guard pieces would
+    // diverge — the arm is ASC-only by design
+    val df = corpus(2000).select(col("id"), (col("v") % 101L).as("k"),
+      col("v").as("w"))
+    forced {
+      val desc = df.select(sum(col("w")).over(
+        Window.orderBy(col("k").desc).rangeBetween(
+          Window.unboundedPreceding, 10L)).as("s"))
+      assert(!desc.queryExecution.executedPlan.toString
+        .contains("graft_rank_ho"))
     }
   }
 
