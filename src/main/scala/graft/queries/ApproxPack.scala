@@ -247,6 +247,29 @@ object ApproxPack extends QueryPack {
         |FROM graft_q328_docs ORDER BY doc_id""".stripMargin)
   }
 
+  /** q329 — TIER SATURATION FLAGS as naive order-less boolean window
+    * aggregates: every document reads whether its length tier contains
+    * any >400-char document and whether the tier is all-ASCII-short —
+    * `bool_or/every(...) OVER (PARTITION BY tier)`. Boolean folds are
+    * order-independent bag functions, so the full-frame arm of
+    * [[graft.plans.GlobalRankRewrite]] converts the window into a
+    * partial-combining hash aggregate broadcast-joined back (no window
+    * operator, corpus-parallel). */
+  private def q329(s: SparkSession, dir: String): DataFrame = {
+    val tier = when(col("n_chars") < 220, "short")
+      .when(col("n_chars") < 380, "medium").otherwise("long")
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tier"))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), tier.as("tier"))
+      .withColumn("tier_has_long",
+        expr("bool_or(n_chars > 400)").over(wp))
+      .withColumn("tier_all_upto500",
+        expr("every(n_chars < 500)").over(wp))
+      .withColumn("tier_docs", count(lit(1)).over(wp))
+      .orderBy("doc_id")
+  }
+
   /** Approx-percentile twin (Greenwald-Khanna; ApproxSpec bounds it). */
   def approxQuantiles(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem")
@@ -267,7 +290,8 @@ object ApproxPack extends QueryPack {
     "q321_weighted_percentile" -> q321 _,
     "q322_tier_weighted_percentile" -> q322 _,
     "q327_median_centering" -> q327 _,
-    "q328_majority_stamp" -> q328 _)
+    "q328_majority_stamp" -> q328 _,
+    "q329_tier_flags" -> q329 _)
 
   override val oracle: Seq[(String, String)] = Seq(
     "q37_distinct_scale" ->
@@ -356,5 +380,16 @@ object ApproxPack extends QueryPack {
         |    ORDER BY count(*) DESC, source ASC) AS rn
         |  FROM t GROUP BY tier, source) x WHERE rn = 1)
         |SELECT t.doc_id, t.tier, w.source AS top_source
-        |FROM t JOIN w USING (tier) ORDER BY t.doc_id""".stripMargin)
+        |FROM t JOIN w USING (tier) ORDER BY t.doc_id""".stripMargin,
+    "q329_tier_flags" ->
+      """WITH t AS (SELECT doc_id, n_chars,
+        |  CASE WHEN n_chars < 220 THEN 'short'
+        |   WHEN n_chars < 380 THEN 'medium' ELSE 'long' END AS tier
+        | FROM documents)
+        |SELECT doc_id, n_chars, tier,
+        | bool_or(n_chars > 400) OVER w AS tier_has_long,
+        | bool_and(n_chars < 500) OVER w AS tier_all_upto500,
+        | count(*) OVER w AS tier_docs
+        |FROM t WINDOW w AS (PARTITION BY tier)
+        |ORDER BY doc_id""".stripMargin)
 }
