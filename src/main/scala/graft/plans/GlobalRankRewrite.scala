@@ -708,8 +708,10 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
       cols.distinct.size == 1
     })
     val pctsOk = pcts.isEmpty || (pcts.size == aes.size && {
+      // direction is NOT part of the slot: PercentileRewrite runs mixed
+      // ASC+DESC ladders through one pipeline via mirrored positions
       val slots = pcts.flatMap(PercentileRewrite.eligible).map {
-        case (c, r, f) => (c.canonicalized, r, f.map(_.canonicalized))
+        case (c, _, f) => (c.canonicalized, f.map(_.canonicalized))
       }
       slots.size == pcts.size && slots.distinct.size == 1
     })
@@ -742,8 +744,13 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
           !child.output.exists(_.name.startsWith(vbName)) &&
           bigEnough(child) =>
       rewriteValueBand(exprs, parts, so, child)
+    // Half-open demands ASC NULLS FIRST: rewriteHalfOpen rebuilds its
+    // cumulative pieces with default-null-ordering SortOrders and a
+    // null-key combine calibrated for the NULLS FIRST layout, and null
+    // ordering does NOT mirror under frame decomposition (the same
+    // reason the DESC spelling stands down). NULLS LAST stays naive.
     case w @ Window(exprs, parts,
-        Seq(so @ SortOrder(_, Ascending, _, _)), child, _)
+        Seq(so @ SortOrder(_, Ascending, NullsFirst, _)), child, _)
         if exprs.nonEmpty && bandKey(so.child.dataType) &&
           (parts.isEmpty || boundedParts(parts, child)) &&
           exprs.forall(hovUnit(_, so.child.dataType).isDefined) &&
@@ -769,9 +776,13 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
             a.name.startsWith(vbName) || a.name.startsWith(hovName)) &&
           bigEnough(child) && {
             val dt = so.child.dataType
+            // hov classification mirrors the dedicated arm's
+            // NULLS FIRST guard: a split-out NULLS LAST half-open
+            // group would never re-match, so don't split for it.
             def kind(ne: NamedExpression): Int =
               if (rangeUnit(ne, dt).isDefined) 1
-              else if (hovUnit(ne, dt).isDefined) 2
+              else if (so.nullOrdering == NullsFirst &&
+                hovUnit(ne, dt).isDefined) 2
               else if (supported(ne, parts, Seq(so), child)) 0
               else -1
             val ks = exprs.map(kind)
@@ -780,7 +791,8 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
       val dt = so.child.dataType
       def kind(ne: NamedExpression): Int =
         if (rangeUnit(ne, dt).isDefined) 1
-        else if (hovUnit(ne, dt).isDefined) 2
+        else if (so.nullOrdering == NullsFirst &&
+          hovUnit(ne, dt).isDefined) 2
         else 0
       val groups = Seq(0, 1, 2).map(i => exprs.filter(kind(_) == i))
         .filter(_.nonEmpty)

@@ -64,15 +64,18 @@ object ModeRewrite extends Rule[LogicalPlan] {
   private case class ModeOut(t: ModeTgt) extends OutUnit
 
   /** Value types the rewrite's GROUP BY agrees with OpenHashMap equality
-    * on (floats excluded — the ±0.0 divergence above). */
+    * on (floats excluded — the ±0.0 divergence above; BinaryType
+    * excluded — native mode()'s OpenHashMap keys Array[Byte] by
+    * REFERENCE, so duplicate binary values never merge their counts
+    * natively while GROUP BY merges by content: the two plans pick
+    * different winners). */
   private def supportedValue(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType => true
     case _: DecimalType => true
     // UTF8-binary strings only: GROUP BY, the argmax ordering, and the
     // native map's equality must agree (GlobalRankRewrite doctrine)
     case s: StringType => s == StringType
-    case BooleanType | DateType | TimestampType | TimestampNTZType |
-      BinaryType => true
+    case BooleanType | DateType | TimestampType | TimestampNTZType => true
     case _ => false
   }
 

@@ -62,9 +62,10 @@ import org.apache.spark.sql.types._
   * Fires only when: every aggregate expression is a plain aliased
   * `Percentile` (no DISTINCT, no FILTER) or a
   * passthrough of a grouping expression; all percentiles target the
-  * SAME column expression with the same `reverse` flag (the common
-  * `p50/p90/p99` ladder — mixed columns would need one rank pipeline
-  * each); every percentage is a foldable literal in [0, 1]
+  * SAME column expression (the common `p50/p90/p99` ladder — mixed
+  * columns would need one rank pipeline each; mixed ASC+DESC
+  * directions over the one column DO share the pipeline, see below);
+  * every percentage is a foldable literal in [0, 1]
   * (out-of-range stands down so the native error surfaces); the value
   * type is numeric (ANSI intervals have their own result-type algebra)
   * and NOT foldable (a constant column is a zero-cost native
@@ -82,7 +83,16 @@ import org.apache.spark.sql.types._
   *
   * `reverse = true` (percentile_cont … ORDER BY x DESC) flips the sort
   * direction of the emitted window — PercentileBase sorts descending and
-  * runs the identical position math, so nothing else changes.
+  * runs the identical position math, so nothing else changes. MIXED
+  * directions in one aggregate list (p01 ASC next to a DESC spec — real
+  * profiling queries ask for both) still run ONE pipeline: the sort
+  * direction is the shared one when homogeneous (historical plans
+  * unchanged) and ascending when mixed, and each opposite-direction
+  * target selects MIRRORED positions `n+1−k` — the value at 1-based
+  * ascending position `n+1−k` of a multiset IS the value at descending
+  * position `k` regardless of tie permutation, and the per-target
+  * position/interpolation doubles stay in the target's own direction,
+  * so results remain bit-equal to the naive path.
   *
   * WEIGHTED percentiles (`percentile(x, p, freq)` with a non-unit
   * integral frequency — token-weighted length quantiles and friends)
@@ -114,9 +124,11 @@ import org.apache.spark.sql.types._
 object PercentileRewrite extends Rule[LogicalPlan] {
 
   /** One aliased percentile of the shared column; `disc` selects the
-    * percentile_disc positional rule (no interpolation). */
+    * percentile_disc positional rule (no interpolation); `rev` is this
+    * target's OWN direction — targets of both directions share one
+    * pipeline (see the mirrored-position law at [[Selection.rnsOf]]). */
   private case class Target(origin: Alias, scalar: Boolean,
-      ps: Seq[Double], disc: Boolean)
+      ps: Seq[Double], disc: Boolean, rev: Boolean)
 
   /** An output slot of the original aggregate list, in order. */
   private sealed trait OutUnit
@@ -153,31 +165,33 @@ object PercentileRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  /** The shared (column, reverse, frequency) plus per-slot units — None
-    * when any aggregate-list entry is neither a supported percentile nor
-    * a grouping passthrough, or no percentile is present at all. The
+  /** The shared (column, frequency) plus per-slot units — None when any
+    * aggregate-list entry is neither a supported percentile nor a
+    * grouping passthrough, or no percentile is present at all. The
     * frequency slot is None for unit frequency (the unweighted row-rank
     * pipeline) and Some(freq) for a shared non-unit WEIGHTED frequency
     * (the distinct-value cumulative-weight pipeline) — mixing the two in
-    * one aggregate stands down via the shared-slot mismatch. */
+    * one aggregate stands down via the shared-slot mismatch. Directions
+    * need NOT match: each target carries its own `rev` and mixed
+    * ASC+DESC ladders ride one pipeline via mirrored positions. */
   private def analyze(groups: Seq[Expression], aggs: Seq[NamedExpression])
-      : Option[(Expression, Boolean, Option[Expression], Seq[OutUnit])] = {
+      : Option[(Expression, Option[Expression], Seq[OutUnit])] = {
     if (aggs.isEmpty) return None
     def groupIdx(ne: NamedExpression): Option[Int] = {
       val c = ne match { case Alias(ch, _) => ch; case x => x }
       val i = groups.indexWhere(_.semanticEquals(c))
       if (i >= 0) Some(i) else None
     }
-    var col0: Option[(Expression, Boolean, Option[Expression])] = None
+    var col0: Option[(Expression, Option[Expression])] = None
     def pctTarget(col: Expression, rev: Boolean, fr: Option[Expression],
         a: Alias, ps: Seq[Double], scalar: Boolean,
         disc: Boolean): Option[OutUnit] =
       col0 match {
-        case None => col0 = Some((col, rev, fr))
-          Some(PctOut(Target(a, scalar, ps, disc)))
-        case Some((c0, r0, f0)) if c0.canonicalized == col.canonicalized &&
-            r0 == rev && f0.map(_.canonicalized) == fr.map(_.canonicalized) =>
-          Some(PctOut(Target(a, scalar, ps, disc)))
+        case None => col0 = Some((col, fr))
+          Some(PctOut(Target(a, scalar, ps, disc, rev)))
+        case Some((c0, f0)) if c0.canonicalized == col.canonicalized &&
+            f0.map(_.canonicalized) == fr.map(_.canonicalized) =>
+          Some(PctOut(Target(a, scalar, ps, disc, rev)))
         case _ => None
       }
     def okCol(col: Expression): Boolean =
@@ -216,7 +230,19 @@ object PercentileRewrite extends Rule[LogicalPlan] {
       case ne => groupIdx(ne).map(GroupOut(ne, _))
     }
     if (units.exists(_.isEmpty) || col0.isEmpty) None
-    else col0.map { case (c, r, f) => (c, r, f, units.flatten) }
+    else col0.map { case (c, f) => (c, f, units.flatten) }
+  }
+
+  /** The pipeline's sort direction: the shared direction when every
+    * target agrees (so homogeneous ladders keep their historical plan
+    * byte-for-byte), ascending when mixed — opposite-direction targets
+    * then select MIRRORED positions (`n+1−k`), which read the SAME
+    * values the native descending sort reads: the value at 1-based
+    * ascending position `n+1−k` of a multiset IS the value at
+    * descending position `k`, independent of tie permutation. */
+  private def pipelineRev(targets: Seq[Target]): Boolean = {
+    val revs = targets.map(_.rev).distinct
+    revs.size == 1 && revs.head
   }
 
   private def integralType(dt: DataType): Boolean = dt match {
@@ -286,21 +312,25 @@ object PercentileRewrite extends Rule[LogicalPlan] {
           groups.forall(_.deterministic) &&
           !child.output.exists(_.name == "graft_pct_x") =>
       analyze(groups, aggExprs) match {
-        case Some((col, rev, None, units)) if groups.isEmpty =>
-          rewriteGlobal(col, rev,
-            units.collect { case PctOut(t) => t }, child, agg)
-        case Some((col, rev, Some(freq), units)) if groups.isEmpty =>
-          rewriteWeightedGlobal(col, freq, rev,
-            units.collect { case PctOut(t) => t }, child, agg)
-        case Some((col, rev, None, units)) =>
-          boundedGroups(groups, child) match {
-            case Some(ex) => rewriteGrouped(col, rev, units, ex, child, agg)
-            case None => agg
-          }
-        case Some((col, rev, Some(freq), units)) =>
+        case Some((col, None, units)) if groups.isEmpty =>
+          val ts = units.collect { case PctOut(t) => t }
+          rewriteGlobal(col, pipelineRev(ts), ts, child, agg)
+        case Some((col, Some(freq), units)) if groups.isEmpty =>
+          val ts = units.collect { case PctOut(t) => t }
+          rewriteWeightedGlobal(col, freq, pipelineRev(ts), ts, child, agg)
+        case Some((col, None, units)) =>
           boundedGroups(groups, child) match {
             case Some(ex) =>
-              rewriteWeightedGrouped(col, freq, rev, units, ex, child, agg)
+              val ts = units.collect { case PctOut(t) => t }
+              rewriteGrouped(col, pipelineRev(ts), units, ex, child, agg)
+            case None => agg
+          }
+        case Some((col, Some(freq), units)) =>
+          boundedGroups(groups, child) match {
+            case Some(ex) =>
+              val ts = units.collect { case PctOut(t) => t }
+              rewriteWeightedGrouped(col, freq, pipelineRev(ts), units, ex,
+                child, agg)
             case None => agg
           }
         case _ => agg
@@ -314,7 +344,8 @@ object PercentileRewrite extends Rule[LogicalPlan] {
     * aliases; PhysicalAggregation maps each shared instance to one
     * buffer slot). */
   private final class Selection(px: Attribute, pn: Attribute,
-      hit: Expression => Expression, specs: Seq[(Double, Boolean)]) {
+      hit: Expression => Expression, specs: Seq[(Double, Boolean, Boolean)],
+      pipeRev: Boolean) {
     // cont: pos = p·(n−1) exactly as PercentileBase
     // (maxPosition.toDouble · p); rows at floor+1 / ceil+1
     private def pos(n: Expression, p: Double): Expression =
@@ -329,12 +360,29 @@ object PercentileRewrite extends Rule[LogicalPlan] {
       Greatest(Seq(Literal(1L),
         Ceil(Multiply(Literal(p), Cast(n, DoubleType)))))
 
-    private def rnsOf(p: Double, disc: Boolean): Seq[Expression] =
-      if (disc) Seq(discRn(pn, p))
-      else Seq(lowerRn(pn, p), higherRn(pn, p))
+    // FLIPPED specs read positions of the OPPOSITE sort direction
+    // through the pipeline's single order: 1-based position k of the
+    // opposite order is position n+1−k of this one — a multiset
+    // order-statistic identity, so the VALUES read are exactly those
+    // the native opposite-direction sort reads, ties notwithstanding.
+    // Position math (floor/ceil/lerp weights) stays in the target's own
+    // direction, so the doubles are bit-identical to the native path.
+    private def rnsOf(p: Double, disc: Boolean,
+        flip: Boolean): Seq[Expression] =
+      (disc, flip) match {
+        case (true, false) => Seq(discRn(pn, p))
+        case (true, true) =>
+          Seq(Subtract(Add(pn, Literal(1L)), discRn(pn, p)))
+        case (false, false) => Seq(lowerRn(pn, p), higherRn(pn, p))
+        case (false, true) =>
+          // mirror of floor+1 is n−floor; of ceil+1 is n−ceil — order
+          // kept (lower first) so interp's (lo, hi) destructure holds
+          Seq(Subtract(pn, Floor(pos(pn, p))),
+            Subtract(pn, Ceil(pos(pn, p))))
+      }
 
-    val keepCond: Expression = specs.flatMap { case (p, d) =>
-      rnsOf(p, d).map(hit)
+    val keepCond: Expression = specs.flatMap { case (p, d, f) =>
+      rnsOf(p, d, f).map(hit)
     }.reduce(Or)
 
     private def maxIf(cond: Expression): AggregateExpression =
@@ -342,15 +390,15 @@ object PercentileRewrite extends Rule[LogicalPlan] {
         Complete, isDistinct = false)
     val nAt: Expression =
       AggregateExpression(Max(pn), Complete, isDistinct = false)
-    private val perP: Map[(Double, Boolean), Seq[Expression]] =
-      specs.map { case (p, d) =>
-        (p, d) -> rnsOf(p, d).map(k => maxIf(hit(k)): Expression)
+    private val perP: Map[(Double, Boolean, Boolean), Seq[Expression]] =
+      specs.map { case (p, d, f) =>
+        (p, d, f) -> rnsOf(p, d, f).map(k => maxIf(hit(k)): Expression)
       }.toMap
 
     /** Post-aggregate interpolation, PercentileBase.getPercentile
       * verbatim. */
-    def interp(p: Double): Expression = {
-      val Seq(lo, hi) = perP((p, false))
+    def interp(p: Double, flip: Boolean): Expression = {
+      val Seq(lo, hi) = perP((p, false, flip))
       val posA = pos(nAt, p)
       val lowerA = Floor(posA)
       val higherA = Ceil(posA)
@@ -367,22 +415,31 @@ object PercentileRewrite extends Rule[LogicalPlan] {
     }
 
     /** percentile_disc: the selected value itself, as a double. */
-    def discVal(p: Double): Expression =
-      Cast(perP((p, true)).head, DoubleType)
+    def discVal(p: Double, flip: Boolean): Expression =
+      Cast(perP((p, true, flip)).head, DoubleType)
 
-    private def one(p: Double, disc: Boolean): Expression =
-      if (disc) discVal(p) else interp(p)
+    private def one(p: Double, disc: Boolean, flip: Boolean): Expression =
+      if (disc) discVal(p, flip) else interp(p, flip)
 
     /** The result body for one target (array form wraps per-p bodies;
       * null when the group had no values). */
-    def body(t: Target): Expression =
-      if (t.scalar) one(t.ps.head, t.disc)
+    def body(t: Target): Expression = {
+      val flip = t.rev != pipeRev
+      if (t.scalar) one(t.ps.head, t.disc, flip)
       else {
         val at = ArrayType(DoubleType, containsNull = false)
         If(IsNull(nAt), Literal(null, at),
-          CreateArray(t.ps.map(one(_, t.disc))))
+          CreateArray(t.ps.map(one(_, t.disc, flip))))
       }
+    }
   }
+
+  /** The distinct (percentage, disc, flipped) selection specs for one
+    * pipeline direction. */
+  private def specsOf(targets: Seq[Target],
+      pipeRev: Boolean): Seq[(Double, Boolean, Boolean)] =
+    targets.flatMap(t =>
+      t.ps.map(pp => (pp, t.disc, t.rev != pipeRev))).distinct
 
   private def rowFrame =
     SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
@@ -418,7 +475,7 @@ object PercentileRewrite extends Rule[LogicalPlan] {
     val rn = Cast(rnA.toAttribute, LongType)
     val sel = new Selection(px, cntA.toAttribute,
       k => EqualTo(rn, k),
-      targets.flatMap(t => t.ps.map(pp => (pp, t.disc))).distinct)
+      specsOf(targets, rev), rev)
     val keep = Filter(sel.keepCond, j)
 
     val results: Seq[NamedExpression] = targets.map { t =>
@@ -446,11 +503,16 @@ object PercentileRewrite extends Rule[LogicalPlan] {
     // per-row gate mirroring Percentile.update: a null value or null
     // frequency skips BEFORE the sign check (so a negative frequency
     // next to a null value does NOT throw, matching the naive buffer),
-    // zero contributes nothing, negative raises where the scan reads it
-    val gate = If(LessThan(pf, zero),
-      Cast(RaiseError(Literal(
-        "Negative values found in the frequency expression")), BooleanType),
-      GreaterThan(pf, zero))
+    // zero contributes nothing, negative raises where the scan reads it.
+    // The null skip lives INSIDE the gate (not only in the IsNotNull
+    // conjuncts) so correctness never depends on conjunct ordering —
+    // predicate pushdown may split/reorder conjunctive filters.
+    val gate = If(Or(IsNull(px), IsNull(pf)), Literal(false),
+      If(LessThan(pf, zero),
+        Cast(RaiseError(Literal(
+          "Negative values found in the frequency expression")),
+          BooleanType),
+        GreaterThan(pf, zero)))
     val flt = Filter(And(And(IsNotNull(px), IsNotNull(pf)), gate), proj)
 
     // the naive buffer's (value → weight) pairs, corpus-parallel
@@ -478,7 +540,7 @@ object PercentileRewrite extends Rule[LogicalPlan] {
     val prev = Subtract(cw, wA.toAttribute)
     val sel = new Selection(px, nA.toAttribute,
       k => And(GreaterThan(k, prev), LessThanOrEqual(k, cw)),
-      targets.flatMap(t => t.ps.map(pp => (pp, t.disc))).distinct)
+      specsOf(targets, rev), rev)
     val keep = Filter(sel.keepCond, j)
 
     val results: Seq[NamedExpression] = targets.map { t =>
@@ -515,11 +577,14 @@ object PercentileRewrite extends Rule[LogicalPlan] {
     val targets = units.collect { case PctOut(t) => t }
     val fL = Cast(freq, LongType)
     val zero = Literal(0L)
-    // per-row gate mirroring Percentile.update (see rewriteWeightedGlobal)
-    val gate = If(LessThan(fL, zero),
-      Cast(RaiseError(Literal(
-        "Negative values found in the frequency expression")), BooleanType),
-      GreaterThan(fL, zero))
+    // per-row gate mirroring Percentile.update (see rewriteWeightedGlobal;
+    // null skip inside the gate so conjunct reordering cannot raise)
+    val gate = If(Or(IsNull(col), IsNull(fL)), Literal(false),
+      If(LessThan(fL, zero),
+        Cast(RaiseError(Literal(
+          "Negative values found in the frequency expression")),
+          BooleanType),
+        GreaterThan(fL, zero)))
     val fltC = Filter(And(And(IsNotNull(col), IsNotNull(fL)), gate), child)
     if (!bigEnough(Project(Seq(Alias(col, "graft_pct_x")()), child)))
       return orig
@@ -576,7 +641,7 @@ object PercentileRewrite extends Rule[LogicalPlan] {
     val prev = Subtract(cw, wA.toAttribute)
     val sel = new Selection(px, nA.toAttribute,
       k => And(GreaterThan(k, prev), LessThanOrEqual(k, cw)),
-      targets.flatMap(t => t.ps.map(pp => (pp, t.disc))).distinct)
+      specsOf(targets, rev), rev)
     val keep = Filter(sel.keepCond, j)
 
     val resAs = targets.zipWithIndex.map { case (t, i) =>
@@ -651,7 +716,7 @@ object PercentileRewrite extends Rule[LogicalPlan] {
     val rn = Cast(rnA.toAttribute, LongType)
     val sel = new Selection(px, cntA.toAttribute,
       k => EqualTo(rn, k),
-      targets.flatMap(t => t.ps.map(pp => (pp, t.disc))).distinct)
+      specsOf(targets, rev), rev)
     val keep = Filter(sel.keepCond, j)
 
     // per-group results (≤ 2·|ps| rows per group reach this aggregate)

@@ -803,13 +803,14 @@ object WindowsPack extends QueryPack {
         |    WHEN n_chars < 380 THEN 'medium' ELSE 'long' END AS tier
         | FROM documents)
         |SELECT doc_id, n_chars, tier,
-        | sum(n_chars) OVER (PARTITION BY tier) AS tier_chars,
-        | n_chars * 1000000 // sum(n_chars) OVER (PARTITION BY tier)
-        |  AS share_micro
+        | CAST(sum(n_chars) OVER (PARTITION BY tier) AS BIGINT)
+        |  AS tier_chars,
+        | CAST(n_chars * 1000000 // sum(n_chars) OVER (PARTITION BY tier)
+        |  AS BIGINT) AS share_micro
         |FROM t ORDER BY doc_id""".stripMargin,
     "q319_global_norm" ->
       """SELECT doc_id, n_chars,
-        | sum(n_chars) OVER () AS corpus_chars,
+        | CAST(sum(n_chars) OVER () AS BIGINT) AS corpus_chars,
         | min(n_chars) OVER () AS min_chars,
         | max(n_chars) OVER () AS max_chars,
         | (n_chars - min(n_chars) OVER ()) * 1000000
@@ -822,7 +823,7 @@ object WindowsPack extends QueryPack {
         | count(*) OVER w AS band_events,
         | min(user_id) OVER w AS band_min_user,
         | max(user_id) OVER w AS band_max_user,
-        | sum(user_id) OVER w AS band_user_sum
+        | CAST(sum(user_id) OVER w AS BIGINT) AS band_user_sum
         |FROM e
         |WINDOW w AS (ORDER BY ts_us
         |  RANGE BETWEEN 30000000 PRECEDING AND CURRENT ROW)
@@ -832,7 +833,7 @@ object WindowsPack extends QueryPack {
         | SELECT event_id, epoch_us(ts) AS ts_us, user_id FROM events)
         |SELECT event_id, ts_us, user_id,
         | count(*) OVER w AS ahead_events,
-        | sum(user_id) OVER w AS ahead_user_sum
+        | CAST(sum(user_id) OVER w AS BIGINT) AS ahead_user_sum
         |FROM e
         |WINDOW w AS (ORDER BY ts_us DESC
         |  RANGE BETWEEN 30000000 PRECEDING AND CURRENT ROW)
@@ -843,14 +844,14 @@ object WindowsPack extends QueryPack {
         | FROM orders)
         |SELECT o_orderkey, od,
         | count(*) OVER wk AS wk_orders,
-        | sum(cents) OVER wk AS wk_cents
+        | CAST(sum(cents) OVER wk AS BIGINT) AS wk_cents
         |FROM o
         |WINDOW wk AS (ORDER BY od
         |  RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin,
     "q325_budget_coverage" ->
       """SELECT doc_id, n_chars,
-        | sum(n_chars) OVER pre AS chars_upto,
+        | CAST(sum(n_chars) OVER pre AS BIGINT) AS chars_upto,
         | count(*) OVER pre AS docs_upto,
         | round(avg(n_chars) OVER pre, 6) AS avg_upto,
         | count(*) OVER suf AS docs_from,
@@ -867,7 +868,7 @@ object WindowsPack extends QueryPack {
         | FROM orders)
         |SELECT o_orderkey,
         | count(*) OVER wk AS wk_orders,
-        | sum(cents) OVER wk AS wk_cents
+        | CAST(sum(cents) OVER wk AS BIGINT) AS wk_cents
         |FROM o
         |WINDOW wk AS (ORDER BY o_orderdate
         |  RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)

@@ -1218,6 +1218,59 @@ class GlobalRankRewriteSpec extends SparkSpecBase {
     }
   }
 
+  test("half-open stand-downs: ASC NULLS LAST keys") {
+    // rewriteHalfOpen rebuilds its cumulative pieces with default
+    // null-ordering SortOrders and a null-key combine calibrated for
+    // the ASC NULLS FIRST layout; NULLS LAST does not relocate with
+    // the decomposition (same class as the DESC stand-down), so the
+    // arm requires NullsFirst and NULLS LAST stays naive — with
+    // values identical to the naive plan (it IS the naive plan)
+    val df = corpus(2000).select(col("id"),
+      when(col("id") % 11 === 0, lit(null).cast("long"))
+        .otherwise(col("v") % 101L).as("k"),
+      col("v").as("w"))
+    val nl = Window.orderBy(col("k").asc_nulls_last)
+      .rangeBetween(Window.unboundedPreceding, 5L)
+    val build = () => df.select(col("id"),
+      sum(col("w")).over(nl).as("s"), count(col("w")).over(nl).as("c"))
+    def norm(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x => (x.getLong(0), x.toSeq.drop(1)))
+        .sortBy(_._1).toSeq
+    val expected = naive(norm(build()))
+    forced {
+      val r = build()
+      assert(!r.queryExecution.executedPlan.toString
+        .contains("graft_rank_ho"))
+      assert(norm(r) === expected)
+    }
+  }
+
+  test("mixed-node splitter stands down for NULLS LAST half-open") {
+    // a mixed node whose hov member is NULLS LAST must not split that
+    // member into a group no arm will ever re-match — the splitter's
+    // hov classification mirrors the dedicated arm's guard
+    val df = corpus(2000).select(col("id"),
+      when(col("id") % 11 === 0, lit(null).cast("long"))
+        .otherwise(col("v") % 101L).as("k"),
+      col("v").as("w"))
+    val ord = Window.orderBy(col("k").asc_nulls_last)
+    val build = () => df.select(col("id"),
+      sum(col("w")).over(ord.rangeBetween(
+        Window.unboundedPreceding, Window.currentRow)).as("cum"),
+      min(col("w")).over(ord.rangeBetween(
+        -10L, Window.unboundedFollowing)).as("hov"))
+    def norm(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x => (x.getLong(0), x.toSeq.drop(1)))
+        .sortBy(_._1).toSeq
+    val expected = naive(norm(build()))
+    forced {
+      val r = build()
+      assert(!r.queryExecution.executedPlan.toString
+        .contains("graft_rank_ho"))
+      assert(norm(r) === expected)
+    }
+  }
+
   test("value-band stand-downs: double sum, attribute partition") {
     val df = corpus(2000).select(col("id"), (col("v") % 101L).as("k"),
       col("v").as("w"))

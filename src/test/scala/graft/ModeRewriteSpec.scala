@@ -127,4 +127,21 @@ class ModeRewriteSpec extends SparkSpecBase {
     keptNative(corpus(1000)
       .agg(expr("mode() WITHIN GROUP (ORDER BY v)").as("m")))
   }
+
+  test("stand-downs: binary values (native map keys bytes by reference)") {
+    // native mode()'s OpenHashMap keys Array[Byte] by REFERENCE, so
+    // duplicate binary values never merge their counts natively, while
+    // the rewrite's GROUP BY merges by content — the two plans can pick
+    // different winners (e.g. values [1,1,1,2] ORDER BY v DESC: native
+    // returns 2, content-merged returns 1). Bit-equal doctrine: the
+    // rule must not replace the native answer, divergent as it is.
+    forced {
+      keptNative(corpus(3000)
+        .select(col("v").cast("string").cast("binary").as("v"))
+        .agg(expr("mode() WITHIN GROUP (ORDER BY v)").as("m")))
+      keptNative(corpus(3000)
+        .select(col("v").cast("string").cast("binary").as("v"))
+        .agg(expr("mode() WITHIN GROUP (ORDER BY v DESC)").as("m")))
+    }
+  }
 }

@@ -138,6 +138,52 @@ class PercentileRewriteSpec extends SparkSpecBase {
         |FROM graft_pct_rev""".stripMargin))
   }
 
+  test("mixed ASC+DESC percentile ladders share one pipeline") {
+    // real profiling queries ask for p01 and a DESC-ordered spec
+    // together: the pipeline runs ascending and the DESC targets select
+    // MIRRORED positions n+1−k (the multiset order-statistic identity),
+    // bit-equal to the native descending sort
+    val t = corpus(4000)
+    t.createOrReplaceTempView("graft_pct_mix")
+    check(() => spark.sql(
+      """SELECT percentile(v, 0.01d) AS a01,
+        | percentile(v, 0.99d) AS a99,
+        | percentile_cont(0.01d) WITHIN GROUP (ORDER BY v DESC) AS d01,
+        | percentile_cont(0.9d) WITHIN GROUP (ORDER BY v DESC) AS d90
+        |FROM graft_pct_mix""".stripMargin))
+    // ties: mirrored positions must read through runs of equal keys
+    // and hit the same equal-value short-circuit
+    spark.range(5000).select((col("id") % 10).cast("double").as("v"))
+      .createOrReplaceTempView("graft_pct_mixt")
+    check(() => spark.sql(
+      """SELECT percentile(v, 0.45d) AS a45,
+        | percentile_cont(0.45d) WITHIN GROUP (ORDER BY v DESC) AS d45
+        |FROM graft_pct_mixt""".stripMargin))
+  }
+
+  test("mixed-direction disc + cont, and grouped mixed ladders") {
+    val t = corpus(4000)
+    t.createOrReplaceTempView("graft_pct_mixg")
+    check(() => spark.sql(
+      """SELECT percentile_disc(0.25d) WITHIN GROUP (ORDER BY v) AS q1,
+        | percentile_disc(0.25d) WITHIN GROUP (ORDER BY v DESC) AS q3d,
+        | percentile_cont(0.5d) WITHIN GROUP (ORDER BY v DESC) AS md
+        |FROM graft_pct_mixg""".stripMargin))
+    // grouped: bounded pmod domain, per-group mirrored selection
+    val build = () => spark.sql(
+      """SELECT pmod(id, 5) AS g,
+        | percentile(v, 0.9d) AS a90,
+        | percentile_cont(0.9d) WITHIN GROUP (ORDER BY v DESC) AS d90
+        |FROM graft_pct_mixg GROUP BY pmod(id, 5)""".stripMargin)
+    val expected = naive(rows(build()))
+    forced {
+      val r = build()
+      assert(!r.queryExecution.executedPlan.toString.toLowerCase
+        .contains("percentile"))
+      assert(rows(r) === expected)
+    }
+  }
+
   test("ties: duplicate boundary values take the equal-key short-circuit") {
     // 10 distinct values × 500 copies: most positions land inside a run
     // of equal keys, where the native path returns the value without

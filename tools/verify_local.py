@@ -7,6 +7,13 @@ Runs graft.Verify (Spark) to dump each SparkEntry.queries result as parquet
 plus oracle_sql.json, then executes each oracle SQL in DuckDB over the same
 testdata parquet (tables registered by name) and compares:
   - schema: sorted column-name lists must match
+  - types: per-column arrow types must map to the SAME Python value class.
+    Calibrated against the driver's r7 verdicts: int32 vs int64 is
+    driver-GREEN (both surface as Python int), while DuckDB
+    HUGEINT=decimal128(38,0) vs Spark BIGINT=int64 is driver-RED even when
+    every value agrees (Decimal vs int) — r7 shipped a false "329/329"
+    because this replica erased that distinction via to_pylist equality
+    (Decimal(5) == 5 in Python).
   - rows: row counts must match
   - values: cell-by-cell over rows sorted by all columns, columns sorted by
     name; floats compared exactly first, with a report of max abs delta when
@@ -38,10 +45,30 @@ def run_spark():
         sys.exit(1)
 
 
-def norm(v):
-    if isinstance(v, float):
-        return v
-    return v
+def pyclass(t):
+    """The Python value class an arrow type surfaces as in to_pylist —
+    the grain the driver's hash distinguishes (int32/int64 both 'int',
+    but decimal128 is 'Decimal')."""
+    import pyarrow as pa
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "Decimal"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bytes"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "datetime"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{pyclass(t.value_type)}>"
+    return str(t)
 
 
 def compare(name, sql, con):
@@ -57,6 +84,15 @@ def compare(name, sql, con):
     s_cols, d_cols = sorted(spark_df.column_names), sorted(duck_df.column_names)
     if s_cols != d_cols:
         return f"SCHEMA spark={s_cols} duck={d_cols}"
+    type_errs = []
+    for c in s_cols:
+        st = spark_df.schema.field(c).type
+        dt = duck_df.schema.field(c).type
+        sf, df_ = pyclass(st), pyclass(dt)
+        if sf != df_:
+            type_errs.append(f"{c}: spark={st}({sf}) duck={dt}({df_})")
+    if type_errs:
+        return "TYPE " + "; ".join(type_errs)
     if spark_df.num_rows != duck_df.num_rows:
         return f"ROWS spark={spark_df.num_rows} duck={duck_df.num_rows}"
     import pyarrow.compute as pc
