@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, BoolAnd, BoolOr, CollectSet, Complete, Count, First, HyperLogLogPlusPlus, Last, Max, Min, Mode, Percentile, PercentileDisc, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, BoolAnd, BoolOr, CollectSet, Complete, Count, First, HyperLogLogPlusPlus, Last, Max, MaxBy, Min, MinBy, Mode, Percentile, PercentileDisc, Sum}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -310,13 +310,29 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     *     guard both equal the CURRENT row's input, a plain projection;
     *     UP..UF: the value at position `tot`.
     *
-    * ignoreNulls variants read data-dependent positions and stand down.
-    * `gate`: 0 = none (first_value), 1 = grn ≥ k, 2 = range-count ≥ k,
-    * 3 = tot ≥ k. `pos`: Some(k) for a literal position, None = the
-    * partition end (tot). `current` short-circuits last_value UP..CR. */
+    * IGNORE NULLS variants read DATA-DEPENDENT positions — but the
+    * input guard makes them broadcast-fetchable anyway: inputs are
+    * functions of the ORDER BY tuple, so every tie run is value-
+    * constant and hence WHOLLY null or wholly non-null, which pins the
+    * k-th non-null row's sorted position independent of tie
+    * permutation. The fetch side locates it (min_by/max_by over the
+    * non-null rows for the ends; `non-null cumulative count == k` for
+    * interior k) and the per-row frame gate is `non-null count in
+    * frame ≥ k` — a cumulative Count the rank machinery already
+    * distributes (ROWS or RANGE grain matching the frame). Only
+    * `last_value(e) IGNORE NULLS` over UP..CR (last-observation-
+    * carried-forward: a genuinely per-row position) stands down.
+    *
+    * `gate` (ign = false): 0 = none (first_value), 1 = grn ≥ k,
+    * 2 = range-count ≥ k, 3 = tot ≥ k. `gate` (ign = true): 0 = none
+    * (UP..UF — the fetch matches iff the value exists), 1 = ROWS
+    * non-null prefix count ≥ k, 2 = RANGE non-null prefix count ≥ k.
+    * `pos`: Some(k) for a literal position, None = the partition end
+    * (tot, or the last non-null for ign). `current` short-circuits
+    * last_value UP..CR (RESPECT NULLS only). */
   private case class AbsUnit(exprId: ExprId, name: String,
       qualifier: Seq[String], dt: DataType, input: Expression,
-      pos: Option[Int], gate: Int, current: Boolean)
+      pos: Option[Int], gate: Int, current: Boolean, ign: Boolean)
 
   private def absUnit(ne: NamedExpression, parts: Seq[Expression],
       order: Seq[SortOrder], child: LogicalPlan): Option[AbsUnit] = {
@@ -324,15 +340,19 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
       parts.map(expandOnce(_, child))
     def okIn(e: Expression): Boolean = orderFunc(expandOnce(e, child), keys)
     def mk(a: Alias, e: Expression, pos: Option[Int], gate: Int,
-        current: Boolean = false): Option[AbsUnit] =
+        current: Boolean = false, ign: Boolean = false): Option[AbsUnit] =
       if (okIn(e)) Some(AbsUnit(a.exprId, a.name, a.qualifier, a.dataType,
-        e, pos, gate, current))
+        e, pos, gate, current, ign))
       else None
     ne match {
       case a @ Alias(WindowExpression(we, WindowSpecDefinition(_, _,
           SpecifiedWindowFrame(ft, UnboundedPreceding, hi))), _)
           if hi == CurrentRow || hi == UnboundedFollowing =>
         val toEnd = hi == UnboundedFollowing
+        def ignGate: Int = if (toEnd) 0 else ft match {
+          case RowFrame => 1
+          case RangeFrame => 2
+        }
         we match {
           case AggregateExpression(First(e, false), _, false, None, _) =>
             mk(a, e, Some(1), 0)
@@ -345,6 +365,16 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
               case RangeFrame => 2
             }
             mk(a, e, Some(k), gate)
+          // IGNORE NULLS: positions are over the NON-NULL subsequence
+          case AggregateExpression(First(e, true), _, false, None, _) =>
+            mk(a, e, Some(1), ignGate, ign = true)
+          case NthValue(e, Literal(k: Int, IntegerType), true) if k >= 1 =>
+            mk(a, e, Some(k), ignGate, ign = true)
+          // last non-null of the whole partition; UP..CR is LOCF — a
+          // per-row data-dependent position, no broadcast shape exists
+          case AggregateExpression(Last(e, true), _, false, None, _)
+              if toEnd =>
+            mk(a, e, None, 0, ign = true)
           case _ => None
         }
       case _ => None
@@ -1175,10 +1205,11 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
       case _ => false
     }
     val needDr = fns.exists { case _: DenseRank => true; case _ => false }
-    val needLe = absUnits.exists(_.gate == 2) || fns.exists {
-      case _: CumeDist => true
-      case _ => false
-    }
+    val needLe = absUnits.exists(u => !u.ign && u.gate == 2) ||
+      fns.exists {
+        case _: CumeDist => true
+        case _ => false
+      }
 
     // ONE boundary subtree, shared by both branches (trees are
     // immutable; its attributes never escape either branch's Project,
@@ -1299,7 +1330,30 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
         u.sumInput.map(e => cumUnit(Sum(e), 0, rowFrame, s"ms$i")),
         cumUnit(u.cntFn, 1, rowFrame, s"mc$i"))
     }
-    val allCumUnits = cumUnits ++ movCums.flatMap(m => m.sum.toSeq :+ m.cnt)
+    // IGNORE-NULLS fetch machinery: per distinct input, a cumulative
+    // non-null Count rides the same per-slice ⊕ prefix decomposition —
+    // ROWS grain for ROWS-frame gates and the interior-k position
+    // filter, RANGE grain (counts through the current tie run, the gle
+    // construction) for RANGE-frame gates.
+    def dedupCanon(es: Seq[Expression]): Seq[Expression] = {
+      val seen = scala.collection.mutable.Set.empty[Expression]
+      es.filter(e => seen.add(e.canonicalized))
+    }
+    val ignRowsIn = dedupCanon(absUnits.filter(u => u.ign &&
+      (u.gate == 1 || u.pos.exists(_ >= 2))).map(_.input))
+    val ignRangeIn = dedupCanon(absUnits.filter(u => u.ign && u.gate == 2)
+      .map(_.input))
+    val ignCumSeq: Seq[((Expression, Boolean), CumUnit)] =
+      ignRowsIn.zipWithIndex.map { case (in, i) =>
+        ((in.canonicalized, false),
+          cumUnit(Count(Seq(in)), 1, rowFrame, s"nnr$i"))
+      } ++ ignRangeIn.zipWithIndex.map { case (in, i) =>
+        ((in.canonicalized, true),
+          cumUnit(Count(Seq(in)), 1, rangeFrame, s"nng$i"))
+      }
+    val ignCums: Map[(Expression, Boolean), CumUnit] = ignCumSeq.toMap
+    val allCumUnits = cumUnits ++
+      movCums.flatMap(m => m.sum.toSeq :+ m.cnt) ++ ignCumSeq.map(_._2)
 
     val locals = (if (needRn) Seq(localRn) else Nil) ++
       (if (needRk) Seq(localRk) else Nil) ++
@@ -1479,10 +1533,29 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
       // RANGE-framed nth_value gates on the cume_dist numerator
       val gleAlias = Alias(gle, "graft_rank_glel")()
       val absPre: Seq[Alias] =
-        if (absUnits.exists(_.gate == 2)) Seq(gleAlias) else Nil
+        if (absUnits.exists(u => !u.ign && u.gate == 2)) Seq(gleAlias)
+        else Nil
+      // IGNORE-NULLS frame gates: the combined cumulative non-null
+      // count at the frame's grain, materialized once per (input,
+      // grain) next to the row
+      val ignGatePre: Seq[((Expression, Boolean), Alias)] =
+        dedupCanon(absUnits.filter(u => u.ign && u.gate == 1)
+          .map(_.input)).zipWithIndex.map { case (in, i) =>
+          ((in.canonicalized, false), Alias(
+            combineUnit(ignCums((in.canonicalized, false))),
+            s"graft_rank_nnlr$i")())
+        } ++
+        dedupCanon(absUnits.filter(u => u.ign && u.gate == 2)
+          .map(_.input)).zipWithIndex.map { case (in, i) =>
+          ((in.canonicalized, true), Alias(
+            combineUnit(ignCums((in.canonicalized, true))),
+            s"graft_rank_nnlg$i")())
+        }
+      val ignGateMap: Map[(Expression, Boolean), Attribute] =
+        ignGatePre.map { case (k, al) => k -> al.toAttribute }.toMap
       val base = Project(
         ((child.output ++ grpL ++ outExprs) ++ movLeftAs.map(_._2) ++
-          ghostPre ++ absPre) :+ grnAlias,
+          ghostPre ++ absPre ++ ignGatePre.map(_._2)) :+ grnAlias,
         joined)
       // (slot, delta, value-over-`joined`): slot 0 = lead/lag input or
       // moving cum-sum, slot 1 = moving cum-count
@@ -1583,7 +1656,7 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
       // projections and fetch nothing.
       val absLookups = scala.collection.mutable
         .Map.empty[ExprId, (Attribute, Attribute)]
-      absUnits.filterNot(_.current).groupBy(_.pos).foreach {
+      absUnits.filterNot(u => u.current || u.ign).groupBy(_.pos).foreach {
         case (pos, us) =>
           val tag = pos.map(_.toString).getOrElse("end")
           val jrnA = Alias(grn, s"graft_rank_arn$tag")()
@@ -1612,6 +1685,68 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
               va.toAttribute.withNullability(true))
           }
       }
+      // --- IGNORE-NULLS fetches: one broadcast join per distinct
+      // (input, non-null position). The partition ends come straight
+      // from a min_by/max_by aggregate over the non-null rows (≤
+      // maxGroups rows); an interior position k filters the non-null
+      // row whose cumulative non-null count equals k — exactly one row
+      // per group, because the count increments only on non-null rows.
+      // A group with < k non-nulls yields no row → the outer join's
+      // native null.
+      val ignGroups = {
+        // stable grouping by (canonical input, position)
+        val keys = scala.collection.mutable.LinkedHashMap
+          .empty[(Expression, Option[Int]), Vector[AbsUnit]]
+        absUnits.filter(_.ign).foreach { u =>
+          val k = (u.input.canonicalized, u.pos)
+          keys(k) = keys.getOrElse(k, Vector.empty) :+ u
+        }
+        keys.toSeq
+      }
+      ignGroups.zipWithIndex.foreach { case (((_, pos), us), gi) =>
+        val u0 = us.head
+        val tag = s"n$gi"
+        val grpJAs = grpL.zipWithIndex.map { case (g, i) =>
+          Alias(g, s"graft_rank_ng${tag}_$i")()
+        }
+        val (marker, value, right) = pos match {
+          case Some(k) if k >= 2 =>
+            // interior k: cumulative non-null count == k AND non-null
+            val nn = combineUnit(ignCums((u0.input.canonicalized, false)))
+            val mA = Alias(grn, s"graft_rank_nm$tag")()
+            val vA = Alias(u0.input, s"graft_rank_nv$tag")()
+            val flt = Filter(And(IsNotNull(u0.input),
+              EqualTo(nn, Literal(k.toLong))), joined)
+            (mA, vA, Project((mA +: grpJAs) :+ vA, flt))
+          case _ =>
+            // first (k = 1) / last (None) non-null: min_by/max_by on
+            // the global row number over the non-null rows
+            val inA = Alias(u0.input, s"graft_rank_ni$tag")()
+            val rnA = Alias(grn, s"graft_rank_nr$tag")()
+            val prj = Project((inA +: rnA +: grpJAs), joined)
+            val flt = Filter(IsNotNull(inA.toAttribute), prj)
+            val by: AggregateFunction =
+              if (pos.isEmpty) MaxBy(inA.toAttribute, rnA.toAttribute)
+              else MinBy(inA.toAttribute, rnA.toAttribute)
+            val mA = Alias(AggregateExpression(Min(rnA.toAttribute),
+              Complete, isDistinct = false), s"graft_rank_nm$tag")()
+            val vA = Alias(AggregateExpression(by, Complete,
+              isDistinct = false), s"graft_rank_nv$tag")()
+            val agg = Aggregate(grpJAs.map(_.toAttribute),
+              (grpJAs.map(_.toAttribute): Seq[NamedExpression]) ++
+                Seq(mA, vA), flt)
+            (mA, vA, agg)
+        }
+        cur = Join(cur, right, LeftOuter,
+          grpL.zip(grpJAs).map[Expression] { case (l, j) =>
+            EqualNullSafe(l, j.toAttribute)
+          }.reduceOption(And), JoinHint(None,
+            Some(HintInfo(strategy = Some(BROADCAST)))))
+        us.foreach { u =>
+          absLookups(u.exprId) = (marker.toAttribute.withNullability(true),
+            value.toAttribute.withNullability(true))
+        }
+      }
       val finalOut = exprs.map {
         case a: Alias if absIds.contains(a.exprId) =>
           val u = absUnits.find(_.exprId == a.exprId).get
@@ -1621,7 +1756,14 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
               val (jrn, v) = absLookups(u.exprId)
               val fetched = If(IsNull(jrn), Literal(null, u.dt),
                 Cast(v, u.dt))
-              u.gate match {
+              if (u.ign) u.gate match {
+                case 0 => fetched // UP..UF: match exists iff value does
+                case g => // non-null count in the frame must reach k
+                  val nn = ignGateMap((u.input.canonicalized, g == 2))
+                  If(GreaterThanOrEqual(nn,
+                    Literal(u.pos.get.toLong)), fetched,
+                    Literal(null, u.dt))
+              } else u.gate match {
                 case 0 => fetched
                 case 1 => If(GreaterThanOrEqual(grnAlias.toAttribute,
                   Literal(u.pos.get.toLong)), fetched,

@@ -525,6 +525,42 @@ object WindowsPack extends QueryPack {
         |ORDER BY doc_id""".stripMargin)
   }
 
+  /** q330 — SPARSE-COLUMN LANDMARKS as naive global IGNORE NULLS
+    * first/nth/last_value windows: a score column null on a slice of
+    * the corpus (quality scores genuinely are sparse), every document
+    * reading the first, 50th, and last NON-NULL score along the length
+    * order. Positions over the non-null subsequence are data-dependent
+    * — yet [[graft.plans.GlobalRankRewrite]]'s ignore-nulls fetch arm
+    * still plans each as ONE broadcast join: inputs are functions of
+    * the ORDER BY tuple, so tie runs are wholly null or wholly
+    * non-null and the k-th non-null position is permutation-
+    * independent (min_by/max_by over the non-null rows for the ends,
+    * cumulative-non-null-count == k for interior k), with the per-row
+    * warm-up gate `non-null count in frame ≥ k` riding the cumulative
+    * machinery. At gate SFs the input executes naive (below
+    * threshold); GlobalRankRewriteSpec pins the forced rewrite.
+    */
+  private def q330(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        when(col("n_chars") % 7 === 0, lit(null).cast("long"))
+          .otherwise(col("n_chars") * 31L % 997L).as("score"))
+    t.createOrReplaceTempView("graft_q330_docs")
+    t.sparkSession.sql(
+      """SELECT doc_id, n_chars, score,
+        | first_value(score, true) OVER w AS first_score,
+        | nth_value(score, 50, true) OVER w AS score_at_50,
+        | nth_value(score, 10, true) OVER (ORDER BY n_chars, doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |   AS tenth_score,
+        | last_value(score, true) OVER (ORDER BY n_chars, doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |   AS last_score
+        |FROM graft_q330_docs
+        |WINDOW w AS (ORDER BY n_chars, doc_id)
+        |ORDER BY doc_id""".stripMargin)
+  }
+
   /** q318 — TIER SHARE-OF-TOTAL as a naive FULL-FRAME partitioned
     * window: `sum(n_chars) OVER (PARTITION BY tier)` with no ORDER BY —
     * one WindowExec task per tier at any corpus size (3-task pigeonhole
@@ -720,6 +756,7 @@ object WindowsPack extends QueryPack {
     "q314_moving_band_monitor" -> q314 _,
     "q315_centered_smoothing" -> q315 _,
     "q317_curriculum_landmarks" -> q317 _,
+    "q330_sparse_landmarks" -> q330 _,
     "q318_tier_share" -> q318 _,
     "q319_global_norm" -> q319 _,
     "q320_burst_monitor" -> q320 _,
@@ -795,6 +832,25 @@ object WindowsPack extends QueryPack {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |   AS longest_chars
         |FROM documents
+        |WINDOW w AS (ORDER BY n_chars, doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q330_sparse_landmarks" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |  CASE WHEN n_chars % 7 = 0 THEN NULL
+        |    ELSE n_chars * 31 % 997 END AS score
+        | FROM documents)
+        |SELECT doc_id, n_chars, CAST(score AS BIGINT) AS score,
+        | CAST(first_value(score IGNORE NULLS) OVER w AS BIGINT)
+        |  AS first_score,
+        | CAST(nth_value(score, 50 IGNORE NULLS) OVER w AS BIGINT)
+        |  AS score_at_50,
+        | CAST(nth_value(score, 10 IGNORE NULLS) OVER (
+        |   ORDER BY n_chars, doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |   AND UNBOUNDED FOLLOWING) AS BIGINT) AS tenth_score,
+        | CAST(last_value(score IGNORE NULLS) OVER (
+        |   ORDER BY n_chars, doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |   AND UNBOUNDED FOLLOWING) AS BIGINT) AS last_score
+        |FROM d
         |WINDOW w AS (ORDER BY n_chars, doc_id)
         |ORDER BY doc_id""".stripMargin,
     "q318_tier_share" ->

@@ -736,13 +736,104 @@ class GlobalRankRewriteSpec extends SparkSpecBase {
         s"no single-partition window may remain:\n${p.take(4000)}")
       assert(norm(r) === expected)
     }
-    // ignoreNulls variants read data-dependent positions → stand down
+  }
+
+  test("IGNORE NULLS first/nth/last_value: fetches on the non-null rank") {
+    // inputs are functions of the ORDER BY tuple, so tie runs are
+    // value-constant — wholly null or wholly non-null — which pins the
+    // k-th non-null position independent of tie permutation. Covers
+    // all gates: default RANGE frame (range-grain non-null count),
+    // explicit ROWS UP..CR (row-grain count), UP..UF (match-existence),
+    // ends via min_by/max_by, interior k via count == k.
+    val t = spark
+    corpus(5000).select(col("id"), col("v"),
+      when(col("v") % 5 === 0, lit(null).cast("long"))
+        .otherwise(col("v") * 7 % 13).as("w"))
+      .createOrReplaceTempView("graft_ignv")
+    val build = () => t.sql(
+      """SELECT id,
+        | first_value(w, true) OVER (ORDER BY v, id) AS fdef,
+        | first_value(w, true) OVER (ORDER BY v, id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS frow,
+        | nth_value(w, 3, true) OVER (ORDER BY v, id) AS n3,
+        | nth_value(w, 7, true) OVER (ORDER BY v, id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n7,
+        | nth_value(w, 2, true) OVER (ORDER BY v, id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |   AS n2e,
+        | last_value(w, true) OVER (ORDER BY v, id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |   AS lve
+        |FROM graft_ignv""".stripMargin)
+    def norm(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val expected = naive(norm(build()))
     forced {
-      val ig = t.sql(
-        """SELECT first_value(v, true) OVER (ORDER BY v, id) AS f
-          |FROM graft_absv""".stripMargin)
-      assert(!ig.queryExecution.executedPlan.toString
-        .contains("graft_rank_pid"), "IGNORE NULLS must stand down")
+      val r = build()
+      val p = r.queryExecution.executedPlan.toString
+      assert(p.contains("graft_rank_nv"),
+        s"ignore-nulls fetch joins must plan:\n${p.take(3000)}")
+      val windows = p.linesIterator.filter(_.contains("Window ")).toList
+      assert(windows.forall(_.contains("graft_rank_pid")),
+        s"no single-partition window may remain:\n${p.take(4000)}")
+      assert(norm(r) === expected)
+    }
+  }
+
+  test("IGNORE NULLS with tie runs, all-null input, bounded partitions") {
+    val t = spark
+    // duplicated order key: 100-row tie runs, null-or-not per RUN
+    corpus(5000).select(col("id"), (col("v") % 50L).as("k"),
+      when(col("v") % 50 < 3, lit(null).cast("long"))
+        .otherwise((col("v") % 50L) * 7 % 13).as("w"))
+      .createOrReplaceTempView("graft_ignt")
+    val build = () => t.sql(
+      """SELECT id,
+        | first_value(w, true) OVER (ORDER BY k) AS f,
+        | nth_value(w, 2, true) OVER (ORDER BY k) AS n2
+        |FROM graft_ignt""".stripMargin)
+    def norm(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val expected = naive(norm(build()))
+    forced {
+      val r = build()
+      assert(r.queryExecution.executedPlan.toString
+        .contains("graft_rank_nv"))
+      assert(norm(r) === expected)
+    }
+    // all-null input: every gate yields the native null
+    corpus(3000).select(col("id"), col("v"),
+      lit(null).cast("long").as("w"))
+      .createOrReplaceTempView("graft_ignz")
+    val bz = () => t.sql(
+      """SELECT id, first_value(w, true) OVER (ORDER BY v, id) AS f
+        |FROM graft_ignz""".stripMargin)
+    val ez = naive(norm(bz()))
+    forced { assert(norm(bz()) === ez) }
+    // bounded partitions: per-group non-null fetches
+    val bp = () => t.sql(
+      """SELECT id,
+        | first_value(w, true) OVER (PARTITION BY pmod(id, 3)
+        |   ORDER BY v, id) AS f,
+        | nth_value(w, 4, true) OVER (PARTITION BY pmod(id, 3)
+        |   ORDER BY v, id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |   CURRENT ROW) AS n4
+        |FROM graft_ignv""".stripMargin)
+    val ep = naive(norm(bp()))
+    forced {
+      val r = bp()
+      assert(r.queryExecution.executedPlan.toString
+        .contains("graft_rank_nv"))
+      assert(norm(r) === ep)
+    }
+    // last_value IGNORE NULLS over UP..CR is LOCF — a per-row
+    // data-dependent position with no broadcast shape → stands down
+    forced {
+      val locf = t.sql(
+        """SELECT last_value(w, true) OVER (ORDER BY v, id) AS l
+          |FROM graft_ignv""".stripMargin)
+      assert(!locf.queryExecution.executedPlan.toString
+        .contains("graft_rank_pid"), "LOCF must stand down")
     }
   }
 
