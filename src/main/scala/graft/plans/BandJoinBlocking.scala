@@ -61,6 +61,30 @@ import org.apache.spark.sql.types._
   * rows are exactly-once already — and keeps one null-extended
   * representative (the idx-0 probe) for rids whose per-rid window match
   * count is zero.
+  *
+  * INTERVAL-OVERLAP arm (round 8): when the two bounds constrain
+  * DIFFERENT base pairs — `Ls ≤ Re + u ∧ Rs ≤ Le − v`, the universal
+  * overlap test of two intervals with INDEPENDENT endpoint columns
+  * (validity windows, sessions, ranges; fixed-width intervals reduce
+  * to the band arm above) — no single difference is banded, but the
+  * join still blocks: fold the offsets into the endpoints
+  * (L = [Ls−u, Le−v], R = [Rs, Re], all in the key's numeric space),
+  * EXPLODE each side into the tiles its span
+  * [min(start,end), max(start,end)] touches (`sequence(start div B,
+  * end div B)` — the q256 construction, promoted), equi-join on the
+  * tile, and keep each qualifying pair EXACTLY ONCE with the
+  * canonical-tile residual `tile == floorDiv(max(Ls', Rs'), B)`:
+  * max(Lstart, Rstart) lies in BOTH spans for every pair satisfying
+  * the original conjuncts (case analysis covers reversed/empty
+  * intervals, where the raw two-conjunct predicate can hold without a
+  * common point — the max still lands inside both min/max spans), so
+  * no dedup pass is needed. Point-in-variable-interval joins (`Rs ≤ X
+  * ≤ Re`) are the degenerate L = [X, X] case and block the same way.
+  * Replication is span⁄B + 1 per row — the tile width B is
+  * `spark.graft.band.intervalBin` (default 64) in base units (days
+  * for DATE keys and TIMESTAMP keys, raw units for integrals). INNER
+  * joins only; stands down when either side is broadcastable (a
+  * broadcast nested-loop beats paying both explodes at that size).
   */
 object BandJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -255,6 +279,73 @@ object BandJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
           case _ => false
         }
       }
+      // interval-overlap arm: two bounds over DIFFERENT base pairs
+      // forming L.start ≤ R.end ∧ R.start ≤ L.end (offsets folded into
+      // the endpoints); INNER only, neither side broadcastable
+      lazy val interval: Option[LogicalPlan] =
+        if (jt != Inner || broadcastable || band.isDefined) None
+        else {
+          // any (upper, lower) cross-pair is CORRECT (the canonical-
+          // point proof is generic), but tiling quality follows the
+          // picked endpoints — an `id < id2` antisymmetry tiebreaker
+          // also parses as an upper bound, and tiling id-spans explodes
+          // (row counts, not interval widths). The rule never GUESSES:
+          // it fires only when exactly ONE endpoint quadruple remains
+          // after the kind checks (a DATE-interval overlap next to an
+          // integral tiebreaker stays unique because the kinds cannot
+          // cross; all-integral conditions with extra bounds stand
+          // down — a post-join filter does NOT steer, pushdown folds it
+          // back into the condition; apply tiebreakers after the join
+          // results materialize, or use DATE/TIMESTAMP endpoints).
+          // Repeated bounds over the SAME quadruple keep the tightest.
+          val cands = bounds.filter(_.isUpper).flatMap { u =>
+            bounds.filter(l => !l.isUpper &&
+              !(l.lBase.semanticEquals(u.lBase) &&
+                l.rBase.semanticEquals(u.rBase)) &&
+              sameKind(u.lBase.dataType, l.lBase.dataType) &&
+              sameKind(u.rBase.dataType, l.rBase.dataType) &&
+              sameKind(u.lBase.dataType, l.rBase.dataType))
+              .map(l => (u, l))
+          }
+          val byQuad = cands.groupBy { case (u, l) =>
+            (u.lBase.canonicalized, u.rBase.canonicalized,
+              l.lBase.canonicalized, l.rBase.canonicalized)
+          }
+          val pick =
+            if (byQuad.size != 1) None
+            else {
+              val quad = byQuad.head._2
+              Some((quad.map(_._1).minBy(_.bound),
+                quad.map(_._2).maxBy(_.bound)))
+            }
+          pick.map { case (u, l) =>
+            // L = [Ls − u, Le − v] over left, R = [Rs, Re] over right
+            val b = Literal(binFor(u.lBase.dataType))
+            def fdiv(v: Expression): Expression =
+              IntegralDivide(Subtract(v, Pmod(v, b)), b)
+            val lStart = Subtract(asNum(u.lBase), Literal(u.bound))
+            val lEnd = Subtract(asNum(l.lBase), Literal(l.bound))
+            val rStart = asNum(l.rBase)
+            val rEnd = asNum(u.rBase)
+            def tiles(s: Expression, e: Expression): Expression =
+              // Sequence is TimeZoneAware — leaving the zone empty makes
+              // the generated plan unresolved even for Long sequences
+              Sequence(fdiv(Least(Seq(s, e))), fdiv(Greatest(Seq(s, e))),
+                Some(Literal(1L)), Some(conf.sessionLocalTimeZone))
+            val outL = AttributeReference(bandColName, LongType)()
+            val outR = AttributeReference(bandColName, LongType)()
+            val newLeft = Generate(Explode(tiles(lStart, lEnd)),
+              Nil, outer = false, None, Seq(outL), left)
+            val newRight = Generate(Explode(tiles(rStart, rEnd)),
+              Nil, outer = false, None, Seq(outR), right)
+            // canonical tile: max(Lstart, Rstart) lies in both spans
+            // for every qualifying pair → exactly-once, no dedup
+            val canon = EqualTo(outL, fdiv(Greatest(Seq(lStart, rStart))))
+            val newCond = And(And(EqualTo(outL, outR), canon), cond)
+            Project(j.output,
+              Join(newLeft, newRight, Inner, Some(newCond), hint))
+          }
+        }
       band match {
         case Some((x, y, lo, hi))
             if !(hasEqui && broadcastable) && !alreadyBlocked(x, y) =>
@@ -320,7 +411,20 @@ object BandJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
               RewriteSupport.collapseOuter(joined, rid, bkR.toAttribute,
                 EqualTo(idxL, Literal(0)), j.output)
           }
-        case _ => j
+        case _ => interval.getOrElse(j)
       }
+  }
+
+  /** Interval-overlap tile width in the key's numeric space:
+    * `spark.graft.band.intervalBin` base units (days for DATE, DAYS for
+    * TIMESTAMP too — converted to micros, the asNum unit — raw units
+    * for integrals). Replication per row is span⁄B + 1. */
+  private def binFor(dt: DataType): Long = {
+    val base = math.max(1L,
+      conf.getConfString("spark.graft.band.intervalBin", "64").toLong)
+    dt match {
+      case TimestampType => base * 86400000000L
+      case _ => base
+    }
   }
 }

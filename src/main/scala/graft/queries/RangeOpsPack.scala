@@ -60,6 +60,44 @@ object RangeOpsPack extends QueryPack {
       .orderBy("n_overlaps")
   }
 
+  /** q331 — VARIABLE-WIDTH interval-overlap join written NAIVELY. Each
+    * order carries a fulfillment window of 30–89 days (width keyed off
+    * the order id — real windows vary), and the query counts, per
+    * customer, how many of their order-window PAIRS overlap — the q256
+    * rollup, but with per-row widths no fixed-width band can express
+    * and the join spelled as the raw theta condition
+    * `s₁ ≤ e₂ ∧ s₂ ≤ e₁`. [[graft.plans.BandJoinBlocking]]'s
+    * interval-overlap arm (round 8) plans it: both sides EXPLODE into
+    * the tiles their [min, max] span touches, candidates meet on
+    * (customer, tile), and the canonical-tile residual
+    * `tile == floorDiv(max(s₁, s₂), B)` keeps each qualifying pair
+    * exactly once — q256's manual construction, promoted to an engine
+    * capability for endpoints the manual form can't fix at plan time.
+    * At gate SFs the sides are broadcastable so the join executes as a
+    * broadcast nested loop (the arm's own stand-down); BandRuleSpec
+    * pins the forced rewrite's exact bag.
+    */
+  private def q331(s: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.load(s, dir, "orders")
+      .select(col("o_custkey").as("ck"), col("o_orderkey").as("id"),
+        col("o_orderdate").cast("date").as("sd"))
+      .withColumn("ed", expr(
+        "date_add(sd, cast(pmod(id, 60) + 30 as int))"))
+    val b = iv.select(col("ck").as("ck2"), col("id").as("id2"),
+      col("sd").as("sd2"), col("ed").as("ed2"))
+    val pairs = iv.join(b,
+      col("ck") === col("ck2") && col("id") < col("id2") &&
+        col("sd") <= col("ed2") && col("sd2") <= col("ed"))
+    val perCust = iv.select(col("ck")).distinct()
+      .join(pairs.groupBy("ck").agg(count(lit(1)).as("n_overlaps")),
+        Seq("ck"), "left")
+      .select(col("ck"),
+        coalesce(col("n_overlaps"), lit(0L)).as("n_overlaps"))
+    perCust.groupBy("n_overlaps")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("n_overlaps")
+  }
+
   /** q257 — exact weighted quartiles (weight = quantity) of the lineitem
     * price per return flag, in ONE partitioned window pass: cumulative
     * weight in deterministic (price, orderkey, linenumber) order, then
@@ -95,6 +133,7 @@ object RangeOpsPack extends QueryPack {
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq(
       "q256_interval_overlap" -> q256 _,
+      "q331_variable_intervals" -> q331 _,
       "q257_weighted_quartiles" -> q257 _)
 
   override val oracle: Seq[(String, String)] = Seq(
@@ -116,6 +155,25 @@ object RangeOpsPack extends QueryPack {
          |SELECT CAST(n_overlaps AS BIGINT) AS n_overlaps,
          | CAST(count(*) AS BIGINT) AS n_customers
          |FROM per_cust GROUP BY n_overlaps ORDER BY n_overlaps""".stripMargin,
+    "q331_variable_intervals" ->
+      """WITH iv AS (
+        | SELECT o_custkey AS ck, o_orderkey AS id,
+        |  CAST(o_orderdate AS DATE) AS sd,
+        |  CAST(o_orderdate AS DATE)
+        |    + CAST(id % 60 + 30 AS INTEGER) AS ed
+        | FROM orders),
+        |p AS (
+        | SELECT a.ck, count(*) AS n_overlaps
+        | FROM iv a JOIN iv b ON a.ck = b.ck AND a.id < b.id
+        |  AND a.sd <= b.ed AND b.sd <= a.ed
+        | GROUP BY a.ck),
+        |per_cust AS (
+        | SELECT c.ck, coalesce(p.n_overlaps, 0) AS n_overlaps
+        | FROM (SELECT DISTINCT ck FROM iv) c
+        | LEFT JOIN p ON c.ck = p.ck)
+        |SELECT CAST(n_overlaps AS BIGINT) AS n_overlaps,
+        | CAST(count(*) AS BIGINT) AS n_customers
+        |FROM per_cust GROUP BY n_overlaps ORDER BY n_overlaps""".stripMargin,
     "q257_weighted_quartiles" ->
       """WITH li AS (
         | SELECT l_returnflag AS g, l_extendedprice AS price,

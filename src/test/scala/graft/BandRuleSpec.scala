@@ -308,4 +308,139 @@ class BandRuleSpec extends SparkSpecBase {
         "a one-sided bound has no bucket width — must stand down")
     }
   }
+
+  // variable-width intervals: [s, s + 0..499), a sprinkle of REVERSED
+  // rows (e < s — the raw two-conjunct predicate can still hold
+  // against a wide partner, so the rewrite must reproduce even those)
+  private def intervals = {
+    val s0 = spark
+    import s0.implicits._
+    val rows = (0 until 3000).map { i =>
+      val s = (i.toLong * 7919L) % 100000L
+      val e = if (i % 97 == 0) s - 50L else s + (i.toLong * 31L) % 500L
+      (i.toLong, i.toLong % 23L, s, e)
+    }
+    val df = rows.toDF("id", "user", "s", "e")
+    (df.select(col("id").as("a_id"), col("user").as("a_user"),
+      col("s").as("a_s"), col("e").as("a_e")),
+      df.select(col("id").as("b_id"), col("user").as("b_user"),
+        col("s").as("b_s"), col("e").as("b_e")))
+  }
+
+  test("variable-width interval overlap: tiles both sides, exact bag") {
+    val (a, b) = intervals
+    val cond = col("a_user") === col("b_user") &&
+      col("a_s") <= col("b_e") && col("b_s") <= col("a_e")
+    val expected = excluded { noBroadcast {
+      a.join(b, cond).select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    } }
+    noBroadcast {
+      val joined = a.join(b, cond)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_band") && plan.contains("Generate"),
+        s"interval arm must tile:\n${plan.take(3000)}")
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), plan.take(3000))
+      val got = joined.select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(expected.nonEmpty && got === expected)
+    }
+  }
+
+  test("interval overlap with literal offsets and strict spellings") {
+    val (a, b) = intervals
+    // a_s − 10 < b_e ∧ b_s ≤ a_e + 5 — offsets fold into the endpoints
+    val cond = col("a_user") === col("b_user") &&
+      col("a_s") - 10L < col("b_e") && col("b_s") <= col("a_e") + 5L
+    val expected = excluded { noBroadcast {
+      a.join(b, cond).count()
+    } }
+    noBroadcast {
+      val joined = a.join(b, cond)
+      assert(joined.queryExecution.executedPlan.toString
+        .contains("graft_band"))
+      assert(expected > 0L && joined.count() === expected)
+    }
+  }
+
+  test("point-in-variable-interval joins block as degenerate intervals") {
+    val (a, b) = intervals
+    // the point a_s against [b_s, b_e]: L = [a_s, a_s]
+    val cond = col("a_user") === col("b_user") &&
+      col("a_s") <= col("b_e") && col("b_s") <= col("a_s")
+    val expected = excluded { noBroadcast {
+      a.join(b, cond).count()
+    } }
+    noBroadcast {
+      val joined = a.join(b, cond)
+      assert(joined.queryExecution.executedPlan.toString
+        .contains("graft_band"))
+      assert(expected > 0L && joined.count() === expected)
+    }
+  }
+
+  test("DATE intervals stay unique next to integral id tiebreakers") {
+    val s0 = spark
+    import s0.implicits._
+    val rows = (0 until 2000).map { i =>
+      (i.toLong, i.toLong % 17L, (i * 7919) % 3000, (i * 37) % 90 + 1)
+    }
+    val df = rows.toDF("id", "user", "d0", "w")
+      .select(col("id"), col("user"),
+        expr("date_add(DATE '1995-01-01', d0)").as("s"),
+        expr("date_add(DATE '1995-01-01', d0 + w)").as("e"))
+    val a = df.select(col("id").as("a_id"), col("user").as("a_user"),
+      col("s").as("a_s"), col("e").as("a_e"))
+    val b = df.select(col("id").as("b_id"), col("user").as("b_user"),
+      col("s").as("b_s"), col("e").as("b_e"))
+    // the id tiebreaker ALSO parses as an upper bound, but it cannot
+    // kind-cross with the DATE endpoints — exactly one quadruple
+    // remains and the arm tiles the dates, never id-spans
+    val cond = col("a_user") === col("b_user") &&
+      col("a_id") < col("b_id") &&
+      col("a_s") <= col("b_e") && col("b_s") <= col("a_e")
+    val expected = excluded { noBroadcast {
+      a.join(b, cond).count()
+    } }
+    noBroadcast {
+      val joined = a.join(b, cond)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_band"), plan.take(3000))
+      assert(expected > 0L && joined.count() === expected)
+    }
+  }
+
+  test("interval arm stand-downs: broadcastable, non-inner, ambiguity") {
+    val (a, b) = intervals
+    val cond = col("a_s") <= col("b_e") && col("b_s") <= col("a_e")
+    noBroadcast {
+      // an all-integral id tiebreaker inside the condition adds a
+      // second endpoint quadruple — the arm never guesses which pair
+      // to tile (id-spans would explode) and stands down whole
+      val amb = a.join(b, cond && col("a_user") === col("b_user") &&
+        col("a_id") < col("b_id"))
+      assert(!amb.queryExecution.executedPlan.toString
+        .contains("graft_band"),
+        "ambiguous endpoint quadruples must stand down")
+    }
+    // default threshold: tiny sides → broadcast nested loop is fine
+    assert(!a.join(b, cond && col("a_user") === col("b_user"))
+      .queryExecution.executedPlan.toString.contains("graft_band"))
+    noBroadcast {
+      // LEFT OUTER interval overlap: no left-grain collapse shape yet
+      val lo = a.join(b, cond && col("a_user") === col("b_user"),
+        "left_outer")
+      assert(!lo.queryExecution.executedPlan.toString
+        .contains("graft_band"))
+      // a fixed-width band spelling keeps the 2-bucket band arm (no
+      // Generate-both-sides explode)
+      val bandJ = a.join(b, col("a_user") === col("b_user") &&
+        col("b_s") <= col("a_s") && col("b_s") >= col("a_s") - 100L)
+      val p = bandJ.queryExecution.executedPlan.toString
+      assert(p.contains("graft_band"), p.take(2000))
+      assert(p.linesIterator.count(_.contains("Generate")) === 1,
+        s"band arm explodes the probe side only:\n${p.take(3000)}")
+    }
+  }
 }
