@@ -82,9 +82,16 @@ import org.apache.spark.sql.types._
   * ≤ Re`) are the degenerate L = [X, X] case and block the same way.
   * Replication is span⁄B + 1 per row — the tile width B is
   * `spark.graft.band.intervalBin` (default 64) in base units (days
-  * for DATE keys and TIMESTAMP keys, raw units for integrals). INNER
-  * joins only; stands down when either side is broadcastable (a
-  * broadcast nested-loop beats paying both explodes at that size).
+  * for DATE keys and TIMESTAMP keys, raw units for integrals).
+  * Non-inner variants follow the [[RewriteSupport]] doctrine: LEFT
+  * SEMI drops the canonical residual (any shared tile qualifies) and
+  * regroups by rid; LEFT ANTI records each row's OWN tile count (the
+  * fan-out is variable, unlike the band arm's fixed 2) and keeps rows
+  * where all copies survived; LEFT OUTER keeps the canonical residual
+  * for exactly-once matches and the pos-0 representative for
+  * match-free rids. Stands down when either side is broadcastable (a
+  * broadcast nested-loop beats paying both explodes at that size) and
+  * whenever the endpoint quadruple is ambiguous.
   */
 object BandJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -281,9 +288,10 @@ object BandJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
       }
       // interval-overlap arm: two bounds over DIFFERENT base pairs
       // forming L.start ≤ R.end ∧ R.start ≤ L.end (offsets folded into
-      // the endpoints); INNER only, neither side broadcastable
+      // the endpoints); INNER / LEFT SEMI / LEFT ANTI / LEFT OUTER,
+      // neither side broadcastable
       lazy val interval: Option[LogicalPlan] =
-        if (jt != Inner || broadcastable || band.isDefined) None
+        if (broadcastable || band.isDefined) None
         else {
           // any (upper, lower) cross-pair is CORRECT (the canonical-
           // point proof is generic), but tiling quality follows the
@@ -327,23 +335,70 @@ object BandJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
             val lEnd = Subtract(asNum(l.lBase), Literal(l.bound))
             val rStart = asNum(l.rBase)
             val rEnd = asNum(u.rBase)
+            def lo(s: Expression, e: Expression) = fdiv(Least(Seq(s, e)))
+            def hi(s: Expression, e: Expression) =
+              fdiv(Greatest(Seq(s, e)))
             def tiles(s: Expression, e: Expression): Expression =
               // Sequence is TimeZoneAware — leaving the zone empty makes
               // the generated plan unresolved even for Long sequences
-              Sequence(fdiv(Least(Seq(s, e))), fdiv(Greatest(Seq(s, e))),
+              Sequence(lo(s, e), hi(s, e),
                 Some(Literal(1L)), Some(conf.sessionLocalTimeZone))
-            val outL = AttributeReference(bandColName, LongType)()
             val outR = AttributeReference(bandColName, LongType)()
-            val newLeft = Generate(Explode(tiles(lStart, lEnd)),
-              Nil, outer = false, None, Seq(outL), left)
             val newRight = Generate(Explode(tiles(rStart, rEnd)),
               Nil, outer = false, None, Seq(outR), right)
             // canonical tile: max(Lstart, Rstart) lies in both spans
             // for every qualifying pair → exactly-once, no dedup
-            val canon = EqualTo(outL, fdiv(Greatest(Seq(lStart, rStart))))
-            val newCond = And(And(EqualTo(outL, outR), canon), cond)
-            Project(j.output,
-              Join(newLeft, newRight, Inner, Some(newCond), hint))
+            def leftGen(child: LogicalPlan)
+                : (LogicalPlan, Attribute, Attribute) = {
+              val pos = AttributeReference(bandColName + "_i",
+                IntegerType, nullable = false)()
+              val outL = AttributeReference(bandColName, LongType)()
+              (Generate(PosExplode(tiles(lStart, lEnd)),
+                Nil, outer = false, None, Seq(pos, outL), child),
+                pos, outL)
+            }
+            def canonOf(outL: Attribute): Expression =
+              EqualTo(outL, fdiv(Greatest(Seq(lStart, rStart))))
+            jt match {
+              case Inner =>
+                val (newLeft, _, outL) = leftGen(left)
+                val newCond =
+                  And(And(EqualTo(outL, outR), canonOf(outL)), cond)
+                Project(j.output,
+                  Join(newLeft, newRight, Inner, Some(newCond), hint))
+              case LeftSemi =>
+                // any shared tile qualifies — no canonical residual
+                // needed, the rid regroup dedups
+                val (leftW, rid) = RewriteSupport.withRid(left)
+                val (newLeft, _, outL) = leftGen(leftW)
+                val joined = Join(newLeft, newRight, LeftSemi,
+                  Some(And(EqualTo(outL, outR), cond)), hint)
+                RewriteSupport.regroupSemi(joined, rid, left.output,
+                  j.output)
+              case LeftAnti =>
+                // variable fan-out: each row records its own tile count;
+                // it qualifies iff ALL its tile copies found nothing
+                val (leftW0, rid) = RewriteSupport.withRid(left)
+                val ntA = Alias(Add(Subtract(hi(lStart, lEnd),
+                  lo(lStart, lEnd)), Literal(1L)), bandColName + "_n")()
+                val leftW = Project(leftW0.output :+ ntA, leftW0)
+                val (newLeft, _, outL) = leftGen(leftW)
+                val joined = Join(newLeft, newRight, LeftAnti,
+                  Some(And(EqualTo(outL, outR), cond)), hint)
+                RewriteSupport.regroupAntiCol(joined, rid, left.output,
+                  j.output, ntA.toAttribute)
+              case _ => // LeftOuter
+                // matched rows are exactly-once (canonical tile);
+                // match-free rids keep the pos=0 representative
+                val (leftW, rid) = RewriteSupport.withRid(left)
+                val (newLeft, pos, outL) = leftGen(leftW)
+                val newCond =
+                  And(And(EqualTo(outL, outR), canonOf(outL)), cond)
+                val joined = Join(newLeft, newRight, LeftOuter,
+                  Some(newCond), hint)
+                RewriteSupport.collapseOuter(joined, rid, outR,
+                  EqualTo(pos, Literal(0)), j.output)
+            }
           }
         }
       band match {

@@ -543,9 +543,43 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** One LOCF unit: `last_value(e) IGNORE NULLS OVER (ORDER BY k
+    * [ROWS|RANGE] UP..CR)` — last-observation-carried-forward, the one
+    * IGNORE NULLS shape the broadcast-fetch arm cannot serve (its
+    * position is per-row). It decomposes on the CUMULATIVE machinery
+    * instead, with a coalesce combine (combineOp 4): the per-slice
+    * piece is the windowed running `Last(e, ignoreNulls)` (same
+    * frame), the slice total is the slice's last non-null BY ORDER —
+    * `max_by(e, key)` over the non-null-input rows, with a
+    * `First(e, ignoreNulls)` fallback for the null-key slice where
+    * max_by's ordering is null everywhere (inputs there are f(null),
+    * all equal, so First is value-deterministic) — and the global
+    * value is `coalesce(local, Last(prior slice totals, ignoreNulls))`.
+    * Demands: ONE ASC NULLS FIRST key (the max_by form encodes that
+    * exact order), input a function of the key ([[orderFunc]] — ties
+    * and the null slice need value constancy per key), and the input
+    * not foldable (constant-input LOCF folds natively). ROWS and RANGE
+    * spellings coincide under the input guard: a mid-tie-run ROWS cut
+    * still sees the run's (constant) value. */
+  private def locfUnit(ne: NamedExpression, order: Seq[SortOrder],
+      child: LogicalPlan): Option[(Alias, Expression,
+        SpecifiedWindowFrame)] = ne match {
+    case a @ Alias(WindowExpression(
+        AggregateExpression(Last(e, true), _, false, None, _),
+        WindowSpecDefinition(_, _,
+          f @ SpecifiedWindowFrame(_, UnboundedPreceding, CurrentRow))),
+        _)
+        if order.size == 1 && order.head.direction == Ascending &&
+          order.head.nullOrdering == NullsFirst && !e.foldable =>
+      val keys = order.map(o => expandOnce(o.child, child))
+      if (orderFunc(expandOnce(e, child), keys)) Some((a, e, f)) else None
+    case _ => None
+  }
+
   private def supported(ne: NamedExpression, parts: Seq[Expression],
       order: Seq[SortOrder], child: LogicalPlan): Boolean = ne match {
     case _ if cumulativeAgg(ne) => true
+    case _ if locfUnit(ne, order, child).isDefined => true
     case _ if offsetUnit(ne, parts, order, child).isDefined => true
     case _ if movUnit(ne, parts, order, child).isDefined => true
     case _ if ghostUnit(ne, parts, order, child).isDefined => true
@@ -1293,6 +1327,33 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
             Literal(-1)))), s"graft_rank_pcm$tag")()
       CumUnit(local, slice, prefix, op)
     }
+    // LOCF (combineOp 4): running Last(e, ignoreNulls) per slice; the
+    // slice total is the slice's last non-null BY ORDER (max_by over
+    // non-null-input rows, First(ignoreNulls) fallback for the
+    // null-key slice); prior-slice carry = windowed Last(ignoreNulls)
+    // over the slice totals. See [[locfUnit]] for the tie doctrine.
+    def locfCum(e: Expression, frame: SpecifiedWindowFrame,
+        tag: String): CumUnit = {
+      val local = Alias(WindowExpression(
+        AggregateExpression(Last(e, ignoreNulls = true), Complete,
+          isDistinct = false),
+        WindowSpecDefinition(winPartL, order, frame)),
+        s"graft_rank_lcm$tag")()
+      val key = order.head.child
+      val slice = Alias(Coalesce(Seq(
+        AggregateExpression(MaxBy(e,
+          If(IsNotNull(e), key, Literal(null, key.dataType))), Complete,
+          isDistinct = false),
+        AggregateExpression(First(e, ignoreNulls = true), Complete,
+          isDistinct = false))), s"graft_rank_tcm$tag")()
+      val prefix = Alias(WindowExpression(
+        AggregateExpression(Last(slice.toAttribute, ignoreNulls = true),
+          Complete, isDistinct = false),
+        WindowSpecDefinition(grpR, pidOrder,
+          SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
+            Literal(-1)))), s"graft_rank_pcm$tag")()
+      CumUnit(local, slice, prefix, 4)
+    }
     val cumSeq: Seq[(ExprId, Seq[CumUnit], Boolean)] =
       exprs.zipWithIndex.flatMap {
         case (a @ Alias(WindowExpression(ae: AggregateExpression,
@@ -1313,6 +1374,9 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
                 cumUnit(Count(Seq(e)), 1, f, s"ac$i")), true))
             case _ => None // unreachable under `supported`
           }
+        case (a: Alias, i) if locfUnit(a, order, child).isDefined =>
+          val (_, e, f) = locfUnit(a, order, child).get
+          Some((a.exprId, Seq(locfCum(e, f, s"lf$i")), false))
         case _ => None
       }
     val cumMap = cumSeq.map(c => c._1 -> c).toMap
@@ -1431,6 +1495,8 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
         case 1 => Add(l, Coalesce(Seq(p, Literal(0L)))) // Count: no nulls
         case 2 => Least(Seq(l, p)) // Least/Greatest skip nulls — exactly
         case 3 => Greatest(Seq(l, p)) // the running-min/max semantics
+        case 4 => Coalesce(Seq(l, p)) // LOCF: slice-local last non-null,
+        // else the latest prior slice's carry
       }
     }
     val outExprs = exprs.filterNot {

@@ -72,6 +72,22 @@ private[plans] object RewriteSupport {
       Filter(EqualTo(cnt.toAttribute, Literal(nSeg.toLong)), agg))
   }
 
+  /** [[regroupAnti]] with a PER-ROW segment count (the interval arm's
+    * variable tile fan-out): `nSeg` is a left-side column carrying how
+    * many blocking rows this rid exploded into — all copies agree, so
+    * First is value-deterministic like every other left column. */
+  def regroupAntiCol(joined: LogicalPlan, rid: Attribute,
+      leftOutput: Seq[Attribute], out: Seq[Attribute],
+      nSeg: Attribute): LogicalPlan = {
+    val cnt = countStar
+    val nFirst = Alias(AggregateExpression(First(nSeg,
+      ignoreNulls = false), Complete, isDistinct = false), "graft_nseg")()
+    val agg = Aggregate(Seq(rid),
+      firstAggs(leftOutput) ++ Seq(cnt, nFirst), joined)
+    Project(out,
+      Filter(EqualTo(cnt.toAttribute, nFirst.toAttribute), agg))
+  }
+
   /** Collapse an exploded LEFT-OUTER join: `marker` is a right-side
     * attribute that is null exactly on unmatched rows (the generated
     * bucket key — non-null on every real match by the equi-key's own

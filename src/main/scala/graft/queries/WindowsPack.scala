@@ -561,6 +561,33 @@ object WindowsPack extends QueryPack {
         |ORDER BY doc_id""".stripMargin)
   }
 
+  /** q332 — LOCF (last observation carried forward) as a naive
+    * `last_value(score) IGNORE NULLS OVER (ORDER BY n_chars)` window:
+    * every document reads the latest NON-NULL score at-or-below its
+    * length — gap-filling a sparse measurement along an axis, the
+    * classic forward-fill. The naive plan is ONE WindowExec task. The
+    * position is per-row data-dependent (no broadcast fetch exists),
+    * so [[graft.plans.GlobalRankRewrite]] serves it on the CUMULATIVE
+    * machinery with a coalesce combine: per-slice running
+    * Last(ignoreNulls) ⊕ a carry of prior slices' last non-null by
+    * order (a max_by slice total). Ties are safe because the score is
+    * a function of the order key (tie runs are value-constant).
+    * At gate SFs the input executes naive (below threshold);
+    * GlobalRankRewriteSpec pins the forced rewrite's parity.
+    */
+  private def q332(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        when(col("n_chars") % 7 === 0, lit(null).cast("long"))
+          .otherwise(col("n_chars") * 31L % 997L).as("score"))
+    t.createOrReplaceTempView("graft_q332_docs")
+    t.sparkSession.sql(
+      """SELECT doc_id, n_chars, score,
+        | last_value(score, true) OVER (ORDER BY n_chars) AS locf_score
+        |FROM graft_q332_docs
+        |ORDER BY doc_id""".stripMargin)
+  }
+
   /** q318 — TIER SHARE-OF-TOTAL as a naive FULL-FRAME partitioned
     * window: `sum(n_chars) OVER (PARTITION BY tier)` with no ORDER BY —
     * one WindowExec task per tier at any corpus size (3-task pigeonhole
@@ -757,6 +784,7 @@ object WindowsPack extends QueryPack {
     "q315_centered_smoothing" -> q315 _,
     "q317_curriculum_landmarks" -> q317 _,
     "q330_sparse_landmarks" -> q330 _,
+    "q332_locf_forward_fill" -> q332 _,
     "q318_tier_share" -> q318 _,
     "q319_global_norm" -> q319 _,
     "q320_burst_monitor" -> q320 _,
@@ -853,6 +881,15 @@ object WindowsPack extends QueryPack {
         |FROM d
         |WINDOW w AS (ORDER BY n_chars, doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q332_locf_forward_fill" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |  CASE WHEN n_chars % 7 = 0 THEN NULL
+        |    ELSE n_chars * 31 % 997 END AS score
+        | FROM documents)
+        |SELECT doc_id, n_chars, CAST(score AS BIGINT) AS score,
+        | CAST(last_value(score IGNORE NULLS) OVER (ORDER BY n_chars)
+        |  AS BIGINT) AS locf_score
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q318_tier_share" ->
       """WITH t AS (SELECT doc_id, n_chars,
         |  CASE WHEN n_chars < 220 THEN 'short'

@@ -411,7 +411,7 @@ class BandRuleSpec extends SparkSpecBase {
     }
   }
 
-  test("interval arm stand-downs: broadcastable, non-inner, ambiguity") {
+  test("interval arm stand-downs: broadcastable, ambiguity, bands win") {
     val (a, b) = intervals
     val cond = col("a_s") <= col("b_e") && col("b_s") <= col("a_e")
     noBroadcast {
@@ -428,11 +428,6 @@ class BandRuleSpec extends SparkSpecBase {
     assert(!a.join(b, cond && col("a_user") === col("b_user"))
       .queryExecution.executedPlan.toString.contains("graft_band"))
     noBroadcast {
-      // LEFT OUTER interval overlap: no left-grain collapse shape yet
-      val lo = a.join(b, cond && col("a_user") === col("b_user"),
-        "left_outer")
-      assert(!lo.queryExecution.executedPlan.toString
-        .contains("graft_band"))
       // a fixed-width band spelling keeps the 2-bucket band arm (no
       // Generate-both-sides explode)
       val bandJ = a.join(b, col("a_user") === col("b_user") &&
@@ -441,6 +436,31 @@ class BandRuleSpec extends SparkSpecBase {
       assert(p.contains("graft_band"), p.take(2000))
       assert(p.linesIterator.count(_.contains("Generate")) === 1,
         s"band arm explodes the probe side only:\n${p.take(3000)}")
+    }
+  }
+
+  test("non-inner interval overlaps: left-grain semi/anti/outer parity") {
+    val (a, b) = intervals
+    val cond = col("a_user") === col("b_user") &&
+      col("a_s") <= col("b_e") && col("b_s") <= col("a_e")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toSeq.mkString("|")).toSeq.sorted
+    for (jt <- Seq("left_semi", "left_anti", "left_outer")) {
+      val expected = excluded { noBroadcast { rows(a.join(b, cond, jt)) } }
+      noBroadcast {
+        val joined = a.join(b, cond, jt)
+        assert(joined.queryExecution.executedPlan.toString
+          .contains("graft_band"), s"$jt must fire")
+        assert(expected.nonEmpty && rows(joined) === expected, jt)
+      }
+    }
+    // duplicate left rows survive the rid regroup (bag semantics)
+    noBroadcast {
+      for (jt <- Seq("left_semi", "left_anti")) {
+        val once = a.join(b, cond, jt).count()
+        val twice = a.union(a).join(b, cond, jt).count()
+        assert(once > 0L && twice === 2L * once, jt)
+      }
     }
   }
 }

@@ -826,14 +826,72 @@ class GlobalRankRewriteSpec extends SparkSpecBase {
         .contains("graft_rank_nv"))
       assert(norm(r) === ep)
     }
-    // last_value IGNORE NULLS over UP..CR is LOCF — a per-row
-    // data-dependent position with no broadcast shape → stands down
+    // last_value IGNORE NULLS over UP..CR is LOCF — the cumulative
+    // coalesce arm serves it for ONE ASC NULLS FIRST key; a multi-key
+    // order stands down (the slice-total max_by encodes exactly the
+    // single-key order)
     forced {
       val locf = t.sql(
         """SELECT last_value(w, true) OVER (ORDER BY v, id) AS l
           |FROM graft_ignv""".stripMargin)
       assert(!locf.queryExecution.executedPlan.toString
-        .contains("graft_rank_pid"), "LOCF must stand down")
+        .contains("graft_rank_pid"), "multi-key LOCF must stand down")
+    }
+  }
+
+  test("LOCF: last_value IGNORE NULLS rides the cumulative coalesce arm") {
+    val t = spark
+    // duplicated single key (50-wide tie runs), whole runs null-or-not,
+    // plus a leading all-null stretch (k < 3 → null carries nothing)
+    corpus(5000).select(col("id"), (col("v") % 50L).as("k"),
+      when(col("v") % 50 < 3, lit(null).cast("long"))
+        .otherwise((col("v") % 50L) * 7 % 13).as("w"))
+      .createOrReplaceTempView("graft_locf")
+    val build = () => t.sql(
+      """SELECT id,
+        | last_value(w, true) OVER (ORDER BY k) AS locf_rng,
+        | last_value(w, true) OVER (ORDER BY k
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_row
+        |FROM graft_locf""".stripMargin)
+    def norm(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x => (x.getLong(0), x.toSeq.drop(1)))
+        .sortBy(_._1).toSeq
+    val expected = naive(norm(build()))
+    forced {
+      val r = build()
+      val p = r.queryExecution.executedPlan.toString
+      assert(p.contains("graft_rank_pid"),
+        s"LOCF must re-plan on the cum machinery:\n${p.take(3000)}")
+      val windows = p.linesIterator.filter(_.contains("Window ")).toList
+      assert(windows.forall(_.contains("graft_rank_pid")),
+        s"no single-partition window may remain:\n${p.take(4000)}")
+      assert(norm(r) === expected)
+    }
+    // all-null input: LOCF is null everywhere
+    corpus(2000).select(col("id"), (col("v") % 20L).as("k"),
+      lit(null).cast("long").as("w"))
+      .createOrReplaceTempView("graft_locf_z")
+    val bz = () => t.sql(
+      """SELECT id, last_value(w, true) OVER (ORDER BY k) AS l
+        |FROM graft_locf_z""".stripMargin)
+    val ez = naive(norm(bz()))
+    forced { assert(norm(bz()) === ez) }
+    // DESC and NULLS LAST keys stand down (the max_by slice total
+    // encodes ASC NULLS FIRST only); non-key inputs stand down too
+    corpus(2000).select(col("id"), (col("v") % 20L).as("k"),
+      col("v").as("payload"))
+      .createOrReplaceTempView("graft_locf_sd")
+    forced {
+      for (sql <- Seq(
+        "SELECT last_value(k, true) OVER (ORDER BY k DESC) AS l " +
+          "FROM graft_locf_sd",
+        "SELECT last_value(k, true) OVER (ORDER BY k NULLS LAST) AS l " +
+          "FROM graft_locf_sd",
+        "SELECT last_value(payload, true) OVER (ORDER BY k) AS l " +
+          "FROM graft_locf_sd")) {
+        assert(!t.sql(sql).queryExecution.executedPlan.toString
+          .contains("graft_rank_pid"), sql)
+      }
     }
   }
 
