@@ -60,8 +60,13 @@ import org.apache.spark.sql.types._
   * the value is all the interpolation reads.
   *
   * Fires only when: every aggregate expression is a plain aliased
-  * `Percentile` (no DISTINCT, no FILTER) or a
-  * passthrough of a grouping expression; all percentiles target the
+  * `Percentile` (no DISTINCT, no FILTER), a passthrough of a grouping
+  * expression, or a RIDE-ALONG slot of merge-order-insensitive exact
+  * aggregates (count/min/max/exact sums next to the median — the
+  * canonical profile query; re-emitted verbatim in a side Aggregate
+  * over the same child and joined back, 1 row globally or ≤ maxGroups
+  * rows grouped, so the slot is bit-equal to its naive value); all
+  * percentiles target the
   * SAME column expression (the common `p50/p90/p99` ladder — mixed
   * columns would need one rank pipeline each; mixed ASC+DESC
   * directions over the one column DO share the pipeline, see below);
@@ -135,6 +140,13 @@ object PercentileRewrite extends Rule[LogicalPlan] {
   private case class GroupOut(origin: NamedExpression, idx: Int)
     extends OutUnit
   private case class PctOut(t: Target) extends OutUnit
+  /** A NON-percentile aggregate slot riding along (count/min/max next
+    * to the median — the canonical profile query): re-emitted VERBATIM
+    * in a side Aggregate over the same child and joined back. Only
+    * merge-order-insensitive exact aggregates qualify, so the side
+    * aggregate is bit-equal to the slot's value in the naive one-pass
+    * plan (a float sum would fold in a different order there). */
+  private case class OtherOut(origin: NamedExpression) extends OutUnit
 
   private def unitFrequency(e: Expression): Boolean =
     e.foldable && (e.eval() match {
@@ -227,10 +239,43 @@ object PercentileRewrite extends Rule[LogicalPlan] {
         percentages(pct).flatMap { case (ps, scalar) =>
           pctTarget(col, rev, None, a, ps, scalar, disc = true)
         }
-      case ne => groupIdx(ne).map(GroupOut(ne, _))
+      case ne =>
+        groupIdx(ne).map(GroupOut(ne, _))
+          .orElse(if (exactOther(ne)) Some(OtherOut(ne)) else None)
     }
     if (units.exists(_.isEmpty) || col0.isEmpty) None
     else col0.map { case (c, f) => (c, f, units.flatten) }
+  }
+
+  /** A ride-along slot the side Aggregate reproduces BIT-EQUAL to the
+    * naive one-pass plan: deterministic expression over whitelisted
+    * merge-order-insensitive aggregate functions. Exact sums/averages
+    * only (a double sum folds in a partition-order-dependent order —
+    * the naive ObjectHashAggregate and the side HashAggregate would
+    * disagree by ulps); Min/Max/Count/BoolAnd/BoolOr/HLL++ are
+    * insensitive at any type. First/Last/collect_* are value-
+    * nondeterministic and never qualify. */
+  private def exactOther(ne: NamedExpression): Boolean = {
+    val aes = ne.collect { case ae: AggregateExpression => ae }
+    // every column reference must live INSIDE an aggregate: a slot
+    // mixing grouping references with aggregates (g + sum(x)) would
+    // have to match the side Aggregate's EXPANDED group spellings at
+    // physical planning — not guaranteed, so it stands down
+    lazy val outsideRefsOk = ne.transform {
+      case ae: AggregateExpression => Literal(null, ae.dataType)
+    }.references.isEmpty
+    aes.nonEmpty && ne.deterministic && outsideRefsOk && aes.forall { ae =>
+      ae.aggregateFunction match {
+        case Sum(e, _) =>
+          integralType(e.dataType) || e.dataType.isInstanceOf[DecimalType]
+        case Average(e, _) => integralType(e.dataType)
+        case _: Count => true
+        case Min(_) | Max(_) => true
+        case _: BoolAnd | _: BoolOr => true
+        case _: HyperLogLogPlusPlus => true
+        case _ => false
+      }
+    }
   }
 
   /** The pipeline's sort direction: the shared direction when every
@@ -314,10 +359,13 @@ object PercentileRewrite extends Rule[LogicalPlan] {
       analyze(groups, aggExprs) match {
         case Some((col, None, units)) if groups.isEmpty =>
           val ts = units.collect { case PctOut(t) => t }
-          rewriteGlobal(col, pipelineRev(ts), ts, child, agg)
+          assembleGlobal(units, child,
+            rewriteGlobal(col, pipelineRev(ts), ts, child, agg), agg)
         case Some((col, Some(freq), units)) if groups.isEmpty =>
           val ts = units.collect { case PctOut(t) => t }
-          rewriteWeightedGlobal(col, freq, pipelineRev(ts), ts, child, agg)
+          assembleGlobal(units, child,
+            rewriteWeightedGlobal(col, freq, pipelineRev(ts), ts, child,
+              agg), agg)
         case Some((col, None, units)) =>
           boundedGroups(groups, child) match {
             case Some(ex) =>
@@ -440,6 +488,26 @@ object PercentileRewrite extends Rule[LogicalPlan] {
       pipeRev: Boolean): Seq[(Double, Boolean, Boolean)] =
     targets.flatMap(t =>
       t.ps.map(pp => (pp, t.disc, t.rev != pipeRev))).distinct
+
+  /** GLOBAL-grain assembly of ride-along slots: the percentile
+    * pipeline's 1-row result cross-joins the 1-row side Aggregate that
+    * re-emits the non-percentile slots verbatim, and a Project restores
+    * the original column order (exprIds live on both join sides). When
+    * the percentile rewrite itself stood down (below threshold), the
+    * original Aggregate came back unchanged — pass it through. */
+  private def assembleGlobal(units: Seq[OutUnit], child: LogicalPlan,
+      pctPlan: LogicalPlan, orig: Aggregate): LogicalPlan = {
+    val others = units.collect { case OtherOut(ne) => ne }
+    if (others.isEmpty || (pctPlan eq orig)) return pctPlan
+    val oAgg = Aggregate(Nil, others, child)
+    val j = Join(oAgg, pctPlan, CrossType, None, bcast)
+    val byId = j.output.map(a => a.exprId -> a).toMap
+    val out: Seq[NamedExpression] = units.collect {
+      case PctOut(t) => byId(t.origin.exprId)
+      case OtherOut(ne) => byId(ne.exprId)
+    }
+    Project(out, j)
+  }
 
   private def rowFrame =
     SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
@@ -651,6 +719,8 @@ object PercentileRewrite extends Rule[LogicalPlan] {
       (gAttrs: Seq[NamedExpression]) ++ resAs, keep)
     val outer = Join(cnt, resAgg, LeftOuterType,
       Some(grpCond(cgAttrs, gAttrs)), bcast)
+    val (assembled, oMap) =
+      assembleGrouped(units, evalEx, child, outer, cgAttrs, grpCond)
 
     val out: Seq[NamedExpression] = units.map {
       case GroupOut(origin, i) =>
@@ -659,8 +729,33 @@ object PercentileRewrite extends Rule[LogicalPlan] {
         val idx = targets.indexWhere(_.origin.exprId == t.origin.exprId)
         Alias(resAs(idx).toAttribute.withNullability(true),
           t.origin.name)(exprId = t.origin.exprId)
+      case OtherOut(ne) => oMap(ne.exprId)
     }
-    Project(out, outer)
+    Project(out, assembled)
+  }
+
+  /** GROUPED-grain assembly of ride-along slots: a per-group side
+    * Aggregate over the UNFILTERED child (same provable group keys →
+    * identical group set as the count table, ≤ maxGroups rows) re-emits
+    * the non-percentile slots verbatim and inner-joins the assembly on
+    * null-safe group keys. */
+  private def assembleGrouped(units: Seq[OutUnit],
+      evalEx: Seq[Expression], child: LogicalPlan, outer: LogicalPlan,
+      cgAttrs: Seq[Attribute],
+      grpCond: (Seq[Attribute], Seq[Attribute]) => Expression)
+      : (LogicalPlan, Map[ExprId, Attribute]) = {
+    val others = units.collect { case OtherOut(ne) => ne }
+    if (others.isEmpty) (outer, Map.empty)
+    else {
+      val ogAs = evalEx.zipWithIndex.map { case (g, i) =>
+        Alias(g, s"graft_pct_og$i")()
+      }
+      val oAgg = Aggregate(evalEx,
+        (ogAs: Seq[NamedExpression]) ++ others, child)
+      val j = Join(outer, oAgg, InnerType,
+        Some(grpCond(cgAttrs, ogAs.map(_.toAttribute))), bcast)
+      (j, others.map(ne => ne.exprId -> ne.toAttribute).toMap)
+    }
   }
 
   /** Bounded-group grain: per-group rank pipeline (the emitted window is
@@ -730,6 +825,8 @@ object PercentileRewrite extends Rule[LogicalPlan] {
     // values, native null otherwise — both sides ≤ maxGroups rows
     val outer = Join(cnt, resAgg, LeftOuterType,
       Some(grpCond(cgAttrs, gAttrs)), bcast)
+    val (assembled, oMap) =
+      assembleGrouped(units, evalEx, child, outer, cgAttrs, grpCond)
 
     val out: Seq[NamedExpression] = units.map {
       case GroupOut(origin, i) =>
@@ -738,7 +835,8 @@ object PercentileRewrite extends Rule[LogicalPlan] {
         val idx = targets.indexWhere(_.origin.exprId == t.origin.exprId)
         Alias(resAs(idx).toAttribute.withNullability(true),
           t.origin.name)(exprId = t.origin.exprId)
+      case OtherOut(ne) => oMap(ne.exprId)
     }
-    Project(out, outer)
+    Project(out, assembled)
   }
 }

@@ -84,6 +84,32 @@ object ApproxPack extends QueryPack {
         round(col("p90"), 6).as("qty_p90"),
         round(col("p99"), 6).as("qty_p99"))
 
+  /** q333 — the CANONICAL PROFILE QUERY, written naively: count/min/
+    * max/exact-sum RIDE-ALONG aggregates next to a median and a p95 in
+    * ONE aggregate list, global grain. Pre-round-8 the mixed list
+    * stood the whole rewrite down — one OpenHashMap reducer held every
+    * distinct value. [[graft.plans.PercentileRewrite]] now re-emits
+    * the non-percentile slots verbatim in a 1-row side aggregate and
+    * cross-joins it back onto the distributed order-statistic
+    * selection, every slot bit-equal to the one-pass naive plan
+    * (double sums still stand down — fold order). Plus a grouped form
+    * per CASE tier. PercentileRewriteSpec pins the forced rewrite.
+    */
+  private def q333(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.load(s, dir, "documents")
+    t.createOrReplaceTempView("graft_q333_docs")
+    t.sparkSession.sql(
+      """SELECT n_docs, chars_min, chars_max, chars_sum,
+        |  round(chars_p50, 6) AS chars_p50,
+        |  round(chars_p95, 6) AS chars_p95
+        |FROM (SELECT count(*) AS n_docs,
+        |  min(n_chars) AS chars_min, max(n_chars) AS chars_max,
+        |  sum(cast(n_chars AS BIGINT)) AS chars_sum,
+        |  median(n_chars) AS chars_p50,
+        |  percentile(n_chars, 0.95d) AS chars_p95
+        | FROM graft_q333_docs)""".stripMargin)
+  }
+
   /** q312 — BOUNDED-GROUP exact-percentile ladder, written naively:
     * `median`/`percentile` per CASE-ladder length tier. The tier
     * expression's domain is provably ≤ 4 (three literal arms + null),
@@ -284,6 +310,7 @@ object ApproxPack extends QueryPack {
     "q37_distinct_scale" -> q37 _,
     "q38_percentiles" -> q38 _,
     "q311_global_percentile_ladder" -> q311 _,
+    "q333_profile_query" -> q333 _,
     "q312_tier_percentile_ladder" -> q312 _,
     "q313_mode_top_source" -> q313 _,
     "q316_disc_ladder" -> q316 _,
@@ -312,6 +339,13 @@ object ApproxPack extends QueryPack {
         | round(quantile_cont(l_quantity, 0.9), 6) AS qty_p90,
         | round(quantile_cont(l_quantity, 0.99), 6) AS qty_p99
         |FROM lineitem""".stripMargin,
+    "q333_profile_query" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        | min(n_chars) AS chars_min, max(n_chars) AS chars_max,
+        | CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+        | round(quantile_cont(n_chars, 0.5), 6) AS chars_p50,
+        | round(quantile_cont(n_chars, 0.95), 6) AS chars_p95
+        |FROM documents""".stripMargin,
     "q312_tier_percentile_ladder" ->
       """SELECT CASE WHEN n_chars < 200 THEN 'short'
         |   WHEN n_chars < 400 THEN 'medium' ELSE 'long' END AS tier,

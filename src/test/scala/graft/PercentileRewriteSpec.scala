@@ -184,6 +184,59 @@ class PercentileRewriteSpec extends SparkSpecBase {
     }
   }
 
+  test("ride-along exact aggregates join back: the profile query fires") {
+    // count/min/max/exact-sum next to the median — the canonical
+    // profile query, re-emitted in a 1-row side aggregate and
+    // cross-joined back; every slot bit-equal to the one-pass naive
+    val build = () => corpus(5000)
+      .select(col("id"), col("v"), (col("id") % 1000L).as("w"))
+      .agg(count(lit(1)).as("n"),
+        min(col("v")).as("lo"),
+        max(col("v")).as("hi"),
+        sum(col("w")).as("sw"),
+        expr("median(v)").as("p50"),
+        expr("percentile(v, 0.95d)").as("p95"))
+    val expected = naive(row(build()))
+    forced {
+      val r = build()
+      val p = r.queryExecution.executedPlan.toString
+      assert(!p.toLowerCase.contains("percentile"),
+        s"profile query must fire:\n${p.take(3000)}")
+      assert(row(r) === expected)
+    }
+    // grouped: per-group side aggregate joins on the bounded keys
+    val gb = () => corpus(5000)
+      .select(col("id"), col("v"), (col("id") % 1000L).as("w"))
+      .groupBy(pmod(col("id"), lit(5)).as("g"))
+      .agg(count(lit(1)).as("n"), max(col("v")).as("hi"),
+        expr("median(v)").as("p50"))
+    val eg = naive(rows(gb()))
+    forced {
+      val r = gb()
+      assert(!r.queryExecution.executedPlan.toString.toLowerCase
+        .contains("percentile"))
+      assert(rows(r) === eg)
+    }
+    // all-null-value tier keeps its row with live ride-alongs
+    val gn = () => corpus(5000)
+      .select(col("id"),
+        when(pmod(col("id"), lit(3)) === 0, lit(null).cast("double"))
+          .otherwise(col("v")).as("v"))
+      .groupBy(pmod(col("id"), lit(3)).as("g"))
+      .agg(count(lit(1)).as("n"), expr("median(v)").as("p50"))
+    val en = naive(rows(gn()))
+    forced { assert(rows(gn()) === en) }
+    // double-typed ride-alongs stand down (fold-order ulps): sum(v)
+    // over doubles keeps the native one-pass plan
+    forced {
+      val p = corpus(5000).agg(sum(col("v")).as("s"),
+        expr("median(v)").as("m"))
+        .queryExecution.executedPlan.toString
+      assert(p.toLowerCase.contains("percentile"),
+        s"double sum must stand down:\n${p.take(2000)}")
+    }
+  }
+
   test("ties: duplicate boundary values take the equal-key short-circuit") {
     // 10 distinct values × 500 copies: most positions land inside a run
     // of equal keys, where the native path returns the value without
