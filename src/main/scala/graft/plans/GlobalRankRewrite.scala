@@ -767,11 +767,18 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     val modes = aes.filter(_.aggregateFunction.isInstanceOf[Mode])
     val pcts = aes.filter(a => a.aggregateFunction.isInstanceOf[Percentile]
       || a.aggregateFunction.isInstanceOf[PercentileDisc])
-    val modesOk = modes.isEmpty || (modes.size == aes.size && {
+    val rest = aes.filterNot(a => modes.contains(a) || pcts.contains(a))
+    // mixed nodes convert when the non-percentile/mode members pass the
+    // ride-along whitelist — the converted Aggregate is exactly the
+    // mixed list PercentileRewrite/ModeRewrite re-plan with a side
+    // aggregate (round 8). Mode NEXT TO percentile stays naive: each
+    // rule stands down on the other's slot.
+    val restOk = rest.forall(PercentileRewrite.exactOtherAe)
+    val modesOk = modes.isEmpty || (pcts.isEmpty && restOk && {
       val cols = modes.flatMap(ModeRewrite.valueOf).map(_.canonicalized)
       cols.distinct.size == 1
     })
-    val pctsOk = pcts.isEmpty || (pcts.size == aes.size && {
+    val pctsOk = pcts.isEmpty || (modes.isEmpty && restOk && {
       // direction is NOT part of the slot: PercentileRewrite runs mixed
       // ASC+DESC ladders through one pipeline via mirrored positions
       val slots = pcts.flatMap(PercentileRewrite.eligible).map {

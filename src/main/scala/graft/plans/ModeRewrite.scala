@@ -2,6 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.{Inner => InnerType}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
@@ -62,6 +63,11 @@ object ModeRewrite extends Rule[LogicalPlan] {
   private case class GroupOut(origin: NamedExpression, idx: Int)
     extends OutUnit
   private case class ModeOut(t: ModeTgt) extends OutUnit
+  /** A non-mode aggregate slot riding along (count next to the mode) —
+    * re-emitted verbatim in a side Aggregate and joined back at group
+    * grain; [[PercentileRewrite.exactOther]]'s merge-order-insensitive
+    * whitelist keeps each slot bit-equal to its naive one-pass value. */
+  private case class OtherOut(origin: NamedExpression) extends OutUnit
 
   /** Value types the rewrite's GROUP BY agrees with OpenHashMap equality
     * on (floats excluded — the ±0.0 divergence above; BinaryType
@@ -117,7 +123,10 @@ object ModeRewrite extends Rule[LogicalPlan] {
             Some(ModeOut(ModeTgt(a, rev)))
           case _ => None
         }
-      case ne => groupIdx(ne).map(GroupOut(ne, _))
+      case ne =>
+        groupIdx(ne).map(GroupOut(ne, _))
+          .orElse(if (PercentileRewrite.exactOther(ne)) Some(OtherOut(ne))
+            else None)
     }
     if (units.exists(_.isEmpty) || col0.isEmpty) None
     else col0.map(c => (c, units.flatten))
@@ -178,12 +187,42 @@ object ModeRewrite extends Rule[LogicalPlan] {
       units.collect { case ModeOut(t) => t.rev }.distinct
         .map(r => r -> modeAgg(r)).toMap
 
-    val out: Seq[NamedExpression] = units.map {
+    val out: Seq[NamedExpression] = units.collect {
       case GroupOut(origin, i) =>
         Alias(gAttrs(i), origin.name)(exprId = origin.exprId)
       case ModeOut(t) =>
         Alias(byRev(t.rev), t.origin.name)(exprId = t.origin.exprId)
     }
-    Aggregate(gAttrs, out, lvl1)
+    val others = units.collect { case OtherOut(ne) => ne }
+    if (others.isEmpty) Aggregate(gAttrs, out, lvl1)
+    else {
+      // ride-along slots (count/min/max/… next to the mode — profile
+      // queries): re-emitted verbatim in a side Aggregate over the
+      // same child and joined back on null-safe group keys. Unlike
+      // PercentileRewrite's ≤maxGroups broadcast, the grouping here is
+      // arbitrary — both sides shuffle BY GROUP, the partitioning the
+      // two-level mode plan already uses, so the join co-partitions.
+      val jgAs = gAttrs.zipWithIndex.map { case (g, i) =>
+        Alias(g, s"graft_mode_jg$i")()
+      }
+      val lvl2 = Aggregate(gAttrs,
+        (out: Seq[NamedExpression]) ++ jgAs, lvl1)
+      val ogAs = groups.zipWithIndex.map { case (g, i) =>
+        Alias(g, s"graft_mode_og$i")()
+      }
+      val oAgg = Aggregate(groups,
+        (ogAs: Seq[NamedExpression]) ++ others, child)
+      val cond = jgAs.zip(ogAs).map[Expression] { case (l, r) =>
+        EqualNullSafe(l.toAttribute, r.toAttribute)
+      }.reduceOption(And)
+      val joined = Join(lvl2, oAgg, InnerType, cond, JoinHint.NONE)
+      val byId = joined.output.map(a => a.exprId -> a).toMap
+      val res: Seq[NamedExpression] = units.map {
+        case GroupOut(origin, _) => byId(origin.exprId)
+        case ModeOut(t) => byId(t.origin.exprId)
+        case OtherOut(ne) => byId(ne.exprId)
+      }
+      Project(res, joined)
+    }
   }
 }

@@ -255,7 +255,7 @@ object PercentileRewrite extends Rule[LogicalPlan] {
     * disagree by ulps); Min/Max/Count/BoolAnd/BoolOr/HLL++ are
     * insensitive at any type. First/Last/collect_* are value-
     * nondeterministic and never qualify. */
-  private def exactOther(ne: NamedExpression): Boolean = {
+  private[plans] def exactOther(ne: NamedExpression): Boolean = {
     val aes = ne.collect { case ae: AggregateExpression => ae }
     // every column reference must live INSIDE an aggregate: a slot
     // mixing grouping references with aggregates (g + sum(x)) would
@@ -264,19 +264,25 @@ object PercentileRewrite extends Rule[LogicalPlan] {
     lazy val outsideRefsOk = ne.transform {
       case ae: AggregateExpression => Literal(null, ae.dataType)
     }.references.isEmpty
-    aes.nonEmpty && ne.deterministic && outsideRefsOk && aes.forall { ae =>
-      ae.aggregateFunction match {
-        case Sum(e, _) =>
-          integralType(e.dataType) || e.dataType.isInstanceOf[DecimalType]
-        case Average(e, _) => integralType(e.dataType)
-        case _: Count => true
-        case Min(_) | Max(_) => true
-        case _: BoolAnd | _: BoolOr => true
-        case _: HyperLogLogPlusPlus => true
-        case _ => false
-      }
-    }
+    aes.nonEmpty && ne.deterministic && outsideRefsOk &&
+      aes.forall(exactOtherAe)
   }
+
+  /** The per-aggregate whitelist behind [[exactOther]] — also the
+    * gate [[GlobalRankRewrite]]'s full-frame arm applies to the
+    * NON-percentile/mode members of a mixed window node before
+    * converting it to the Aggregate this rule then re-plans. */
+  private[plans] def exactOtherAe(ae: AggregateExpression): Boolean =
+    ae.aggregateFunction match {
+      case Sum(e, _) =>
+        integralType(e.dataType) || e.dataType.isInstanceOf[DecimalType]
+      case Average(e, _) => integralType(e.dataType)
+      case _: Count => true
+      case Min(_) | Max(_) => true
+      case _: BoolAnd | _: BoolOr => true
+      case _: HyperLogLogPlusPlus => true
+      case _ => false
+    }
 
   /** The pipeline's sort direction: the shared direction when every
     * target agrees (so homogeneous ladders keep their historical plan

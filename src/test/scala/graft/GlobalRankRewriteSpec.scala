@@ -942,6 +942,50 @@ class GlobalRankRewriteSpec extends SparkSpecBase {
     }
   }
 
+  test("mixed window node: percentile + exact ride-alongs converts") {
+    // median NEXT TO count/min/max over one order-less bounded
+    // partition — one analyzer window node, previously naive under the
+    // homogeneity gate; the full-frame arm now converts mixed nodes
+    // whose other members pass the ride-along whitelist, and
+    // PercentileRewrite re-plans the converted Aggregate with a side
+    // aggregate in the same batch
+    val df = corpus(5000).select(col("id"), col("v"),
+      when(col("id") % 11 === 0, lit(null).cast("long"))
+        .otherwise(col("v")).as("w"))
+    val wp = Window.partitionBy(pmod(col("id"), lit(5)))
+    val build = () => df.select(col("id"),
+      expr("percentile(w, 0.5d)").over(wp).as("med"),
+      count(col("w")).over(wp).as("n"),
+      min(col("w")).over(wp).as("lo"),
+      max(col("w")).over(wp).as("hi"))
+    def norm(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map { x =>
+        (x.getLong(0), x.toSeq.drop(1).map {
+          case d: Double => java.lang.Double.doubleToLongBits(d)
+          case o => o
+        })
+      }.sortBy(_._1).toSeq
+    val expected = naive(norm(build()))
+    forced {
+      val r = build()
+      val p = r.queryExecution.executedPlan.toString
+      assert(p.contains("graft_rank_fa") && p.contains("graft_pct_rn"),
+        s"mixed node must convert and compose:\n${p.take(3000)}")
+      assert(!p.toLowerCase.contains("percentile("),
+        s"no hash-map aggregate may survive:\n${p.take(3000)}")
+      assert(norm(r) === expected)
+    }
+    // a DOUBLE sum next to the percentile keeps the node naive (the
+    // ride-along whitelist rejects fold-order-sensitive sums)
+    forced {
+      val dbl = df.select(
+        expr("percentile(w, 0.5d)").over(wp).as("med"),
+        sum(col("v").cast("double")).over(wp).as("s"))
+      assert(!dbl.queryExecution.executedPlan.toString
+        .contains("graft_rank_fa"))
+    }
+  }
+
   test("window-spelled percentile ladder converts and composes") {
     // median/p90 OVER (PARTITION BY pmod) — naive is one WindowExec
     // task per group each holding the group's value hash-map; the
@@ -988,15 +1032,20 @@ class GlobalRankRewriteSpec extends SparkSpecBase {
         .contains("graft_pct_rn"))
       assert(norm(r) === expected2)
     }
-    // MIXED kinds (percentile next to sum) would convert into an
-    // Aggregate the inner rule stands down on — the node keeps the
-    // window instead (homogeneity gate)
+    // MIXED kinds: an INTEGRAL sum next to the percentile now converts
+    // (round 8 — the ride-along whitelist admits it and
+    // PercentileRewrite joins it back bit-equal); the double-sum
+    // stand-down lives in the dedicated mixed-node test
+    val expectedMx = naive(norm(df.select(col("id"),
+      expr("percentile(w, 0.5d)").over(wp).as("med"),
+      sum(col("w")).over(wp).as("s"))))
     forced {
-      val mixed = df.select(
+      val mixed = df.select(col("id"),
         expr("percentile(w, 0.5d)").over(wp).as("med"),
         sum(col("w")).over(wp).as("s"))
-      assert(!mixed.queryExecution.executedPlan.toString
-        .contains("graft_rank_fg"))
+      assert(mixed.queryExecution.executedPlan.toString
+        .contains("graft_rank_fa"))
+      assert(norm(mixed) === expectedMx)
     }
     // WEIGHTED window percentiles convert too (the weighted-grouped
     // pipeline takes the emitted Aggregate)

@@ -128,6 +128,39 @@ class ModeRewriteSpec extends SparkSpecBase {
       .agg(expr("mode() WITHIN GROUP (ORDER BY v)").as("m")))
   }
 
+  test("ride-along exact aggregates join back at group grain") {
+    // count/min/max next to the mode — the side aggregate joins back
+    // on null-safe group keys at the grouping's own grain
+    val build = () => corpus(5000)
+      .groupBy(col("g"))
+      .agg(expr("mode() WITHIN GROUP (ORDER BY v)").as("m"),
+        count(lit(1)).as("n"),
+        min(col("v")).as("lo"),
+        max(col("v")).as("hi"))
+    val expected = naive(rows(build()))
+    forced {
+      val r = build()
+      fired(r)
+      assert(rows(r) === expected)
+    }
+    // global grain: 1-row cross assembly
+    val bg = () => corpus(5000)
+      .agg(expr("mode() WITHIN GROUP (ORDER BY v)").as("m"),
+        count(lit(1)).as("n"))
+    val eg = naive(rows(bg()))
+    forced {
+      val r = bg()
+      fired(r)
+      assert(rows(r) === eg)
+    }
+    // double-typed ride-alongs stand down (fold-order ulps)
+    forced {
+      keptNative(corpus(3000)
+        .agg(expr("mode() WITHIN GROUP (ORDER BY v)").as("m"),
+          sum(col("v").cast("double")).as("s")))
+    }
+  }
+
   test("stand-downs: binary values (native map keys bytes by reference)") {
     // native mode()'s OpenHashMap keys Array[Byte] by REFERENCE, so
     // duplicate binary values never merge their counts natively, while
