@@ -439,6 +439,34 @@ class BandRuleSpec extends SparkSpecBase {
     }
   }
 
+  test("TIMESTAMP interval overlap: micros tiling, exact bag") {
+    val s0 = spark
+    import s0.implicits._
+    val rows = (0 until 2000).map { i =>
+      (i.toLong, i.toLong % 19L, (i * 7919) % 86400, (i * 37) % 3600 + 60)
+    }
+    val df = rows.toDF("id", "user", "off", "w")
+      .select(col("id"), col("user"),
+        expr("timestamp_micros(cast(off as bigint) * 1000000)").as("s"),
+        expr("timestamp_micros(cast(off + w as bigint) * 1000000)")
+          .as("e"))
+    val a = df.select(col("id").as("a_id"), col("user").as("a_user"),
+      col("s").as("a_s"), col("e").as("a_e"))
+    val b = df.select(col("id").as("b_id"), col("user").as("b_user"),
+      col("s").as("b_s"), col("e").as("b_e"))
+    val cond = col("a_user") === col("b_user") &&
+      col("a_s") <= col("b_e") && col("b_s") <= col("a_e")
+    val expected = excluded { noBroadcast {
+      a.join(b, cond).count()
+    } }
+    noBroadcast {
+      val joined = a.join(b, cond)
+      assert(joined.queryExecution.executedPlan.toString
+        .contains("graft_band"))
+      assert(expected > 0L && joined.count() === expected)
+    }
+  }
+
   test("non-inner interval overlaps: left-grain semi/anti/outer parity") {
     val (a, b) = intervals
     val cond = col("a_user") === col("b_user") &&
