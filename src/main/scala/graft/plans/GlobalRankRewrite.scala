@@ -771,14 +771,15 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     // mixed nodes convert when the non-percentile/mode members pass the
     // ride-along whitelist — the converted Aggregate is exactly the
     // mixed list PercentileRewrite/ModeRewrite re-plan with a side
-    // aggregate (round 8). Mode NEXT TO percentile stays naive: each
-    // rule stands down on the other's slot.
+    // aggregate (round 8); mode NEXT TO percentile composes too (each
+    // rule defers the other's eligible slots into its side Aggregate,
+    // which the other re-plans in the same fixed-point batch).
     val restOk = rest.forall(PercentileRewrite.exactOtherAe)
-    val modesOk = modes.isEmpty || (pcts.isEmpty && restOk && {
+    val modesOk = modes.isEmpty || (restOk && {
       val cols = modes.flatMap(ModeRewrite.valueOf).map(_.canonicalized)
       cols.distinct.size == 1
     })
-    val pctsOk = pcts.isEmpty || (modes.isEmpty && restOk && {
+    val pctsOk = pcts.isEmpty || (restOk && {
       // direction is NOT part of the slot: PercentileRewrite runs mixed
       // ASC+DESC ladders through one pipeline via mirrored positions
       val slots = pcts.flatMap(PercentileRewrite.eligible).map {

@@ -123,6 +123,14 @@ object ModeRewrite extends Rule[LogicalPlan] {
             Some(ModeOut(ModeTgt(a, rev)))
           case _ => None
         }
+      // an ELIGIBLE percentile next to the mode defers to the side
+      // Aggregate, which PercentileRewrite re-plans in the same
+      // fixed-point batch (when its own grouping/threshold gates
+      // admit it; otherwise the slot stays native there — exactly the
+      // naive cost, never worse)
+      case a @ Alias(ae: AggregateExpression, _)
+          if PercentileRewrite.eligible(ae).isDefined =>
+        Some(OtherOut(a))
       case ne =>
         groupIdx(ne).map(GroupOut(ne, _))
           .orElse(if (PercentileRewrite.exactOther(ne)) Some(OtherOut(ne))

@@ -239,6 +239,13 @@ object PercentileRewrite extends Rule[LogicalPlan] {
         percentages(pct).flatMap { case (ps, scalar) =>
           pctTarget(col, rev, None, a, ps, scalar, disc = true)
         }
+      // a DETERMINISTIC mode next to the percentiles defers to the
+      // side Aggregate, which ModeRewrite re-plans in the same
+      // fixed-point batch (rule composition both ways — ModeRewrite
+      // defers eligible percentile slots symmetrically)
+      case a @ Alias(ae: AggregateExpression, _)
+          if ModeRewrite.eligible(ae) =>
+        Some(OtherOut(a))
       case ne =>
         groupIdx(ne).map(GroupOut(ne, _))
           .orElse(if (exactOther(ne)) Some(OtherOut(ne)) else None)

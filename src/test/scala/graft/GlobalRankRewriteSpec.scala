@@ -984,6 +984,20 @@ class GlobalRankRewriteSpec extends SparkSpecBase {
       assert(!dbl.queryExecution.executedPlan.toString
         .contains("graft_rank_fa"))
     }
+    // mode NEXT TO percentile in one window node: converts, then the
+    // two inner rules compose via mutual slot deferral
+    val bmp = () => df.select(col("id"),
+      expr("percentile(w, 0.5d)").over(wp).as("med"),
+      expr("mode() WITHIN GROUP (ORDER BY w)").over(wp).as("m"))
+    val emp = naive(norm(bmp()))
+    forced {
+      val r = bmp()
+      val p = r.queryExecution.executedPlan.toString
+      assert(p.contains("graft_rank_fa") && p.contains("graft_pct_rn")
+        && p.contains("graft_mode_v"),
+        s"mode + percentile window must fully compose:\n${p.take(3000)}")
+      assert(norm(r) === emp)
+    }
   }
 
   test("window-spelled percentile ladder converts and composes") {

@@ -161,6 +161,28 @@ class ModeRewriteSpec extends SparkSpecBase {
     }
   }
 
+  test("mode next to percentile: rule composition both re-plan") {
+    // one aggregate list carrying BOTH cliff families — whichever rule
+    // fires first defers the other's slot into its side Aggregate,
+    // which the other re-plans in the same fixed-point batch
+    val build = () => corpus(5000)
+      .groupBy(pmod(col("v"), lit(4)).as("g"))
+      .agg(expr("mode() WITHIN GROUP (ORDER BY v)").as("m"),
+        expr("median(v)").as("p50"),
+        count(lit(1)).as("n"))
+    val expected = naive(rows(build()))
+    forced {
+      val r = build()
+      val p = r.queryExecution.executedPlan.toString
+      assert(!p.contains("mode(") &&
+        !p.toLowerCase.contains("percentile"),
+        s"both cliff families must re-plan:\n${p.take(3000)}")
+      assert(p.contains("graft_mode_v") && p.contains("graft_pct_rn"),
+        s"both rewrite shapes must appear:\n${p.take(3000)}")
+      assert(rows(r) === expected)
+    }
+  }
+
   test("stand-downs: binary values (native map keys bytes by reference)") {
     // native mode()'s OpenHashMap keys Array[Byte] by REFERENCE, so
     // duplicate binary values never merge their counts natively, while
