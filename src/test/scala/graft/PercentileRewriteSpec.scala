@@ -191,6 +191,8 @@ class PercentileRewriteSpec extends SparkSpecBase {
     val build = () => corpus(5000)
       .select(col("id"), col("v"), (col("id") % 1000L).as("w"))
       .agg(count(lit(1)).as("n"),
+        countDistinct(col("w")).as("ndv"), // DISTINCT is set-based —
+        // order-insensitive, rides along like any exact aggregate
         min(col("v")).as("lo"),
         max(col("v")).as("hi"),
         sum(col("w")).as("sw"),
