@@ -52,6 +52,10 @@ object Sessions {
         // naive deterministic mode() aggregates plan as two-level
         // hash aggregation (graft.plans.ModeRewrite scaladoc)
         e.injectOptimizerRule(_ => graft.plans.ModeRewrite)
+        // naive levenshtein(l, r) <= k theta joins plan as PassJoin
+        // segment equi-joins (graft.plans.EditDistanceJoinBlocking
+        // scaladoc)
+        e.injectOptimizerRule(_ => graft.plans.EditDistanceJoinBlocking)
       }
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")

@@ -615,7 +615,56 @@ object MiningPack extends QueryPack {
       "q300_band_outer_rule" -> q300 _,
       "q301_band_anti_rule" -> q301 _,
       "q302_hamming_semi_rule" -> q302 _,
-      "q304_hamming_outer_rule" -> q304 _)
+      "q304_hamming_outer_rule" -> q304 _,
+      "q334_fuzzy_join_rule" -> q334 _,
+      "q335_fuzzy_anti_rule" -> q335 _)
+
+  // --- q334/q335: naive edit-distance joins, planned by the engine ---------
+
+  /** q334 — a FUZZY STRING JOIN written the naive way on purpose: doc
+    * title-prefixes self-joined on `levenshtein(pre, pre2) ≤ 2 ∧
+    * doc_id < doc_id2`, no blocking anywhere in the query. The
+    * [[graft.plans.EditDistanceJoinBlocking]] optimizer rule (round 8)
+    * rewrites it into the PassJoin segment equi-join: the right side
+    * explodes into k+1 even segments, the left into the multi-match-
+    * aware substring combos, and candidates hash-join on (segment,
+    * target length, content) with the exact levenshtein as residual —
+    * candidate generation linear instead of |corpus|², verification
+    * O(k·|s|) per candidate instead of O(|s|²) per PAIR. The oracle is
+    * DuckDB's naive all-pairs formulation; EditDistanceRuleSpec proves
+    * bag semantics, edge lengths, and the stand-downs on fixtures.
+    */
+  private def q334(s: SparkSession, dir: String): DataFrame = {
+    val srcs = (1 to 8).map("src" + _)
+    val d = Tables.load(s, dir, "documents")
+      .filter(col("source").isin(srcs: _*))
+      .select(col("doc_id"), substring(col("text"), 1, 16).as("pre"))
+    val y = d.select(col("doc_id").as("doc_id2"), col("pre").as("pre2"))
+    d.join(y,
+        levenshtein(col("pre"), col("pre2")) <= 2 &&
+          col("doc_id") < col("doc_id2"))
+      .select(col("doc_id"), col("doc_id2"),
+        levenshtein(col("pre"), col("pre2")).as("dist"))
+      .orderBy("doc_id", "doc_id2")
+  }
+
+  /** q335 — FUZZY DECONTAMINATION written the naive way: corpus docs
+    * LEFT-ANTI joined to an eval slice (every 17th doc's prefix) on
+    * `levenshtein ≤ 1` — "keep docs whose title-prefix is near NO eval
+    * prefix", the edit-distance twin of q299's signature-space and
+    * q143's n-gram decontamination. The rule's anti arm runs at combo
+    * grain and collapses per-row: a doc survives iff ALL its substring
+    * combos found no segment partner (the PassJoin lemma guarantees a
+    * true fuzzy match claims at least one combo).
+    */
+  private def q335(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 16).as("pre"))
+    val ev = d.filter(col("doc_id") % 17 === 0).select(col("pre").as("epre"))
+    d.filter(col("doc_id") % 17 =!= 0)
+      .join(ev, levenshtein(col("pre"), col("epre")) <= 1, "left_anti")
+      .orderBy("doc_id")
+  }
 
   // --- q276: the naive hamming join, planned by the engine -----------------
 
@@ -1240,5 +1289,23 @@ object MiningPack extends QueryPack {
          |     - det2 * s2y AS DOUBLE) / CAST(det AS DOUBLE))
          |   / (CAST(n * syy - sy * sy AS DOUBLE) / CAST(n AS DOUBLE)), 6)
          |  END AS r2
-         |FROM d""".stripMargin)
+         |FROM d""".stripMargin,
+    "q334_fuzzy_join_rule" ->
+      """WITH d AS (
+        | SELECT doc_id, substr(text, 1, 16) AS pre FROM documents
+        | WHERE source IN ('src1','src2','src3','src4','src5','src6',
+        |  'src7','src8'))
+        |SELECT a.doc_id, b.doc_id AS doc_id2,
+        | CAST(levenshtein(a.pre, b.pre) AS INT) AS dist
+        |FROM d a JOIN d b
+        | ON levenshtein(a.pre, b.pre) <= 2 AND a.doc_id < b.doc_id
+        |ORDER BY a.doc_id, doc_id2""".stripMargin,
+    "q335_fuzzy_anti_rule" ->
+      """WITH d AS (
+        | SELECT doc_id, substr(text, 1, 16) AS pre FROM documents)
+        |SELECT doc_id, pre FROM d c
+        |WHERE doc_id % 17 <> 0 AND NOT EXISTS (
+        | SELECT 1 FROM d e
+        | WHERE e.doc_id % 17 = 0 AND levenshtein(c.pre, e.pre) <= 1)
+        |ORDER BY doc_id""".stripMargin)
 }

@@ -1,0 +1,218 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import scala.util.hashing.MurmurHash3
+
+/** The EditDistanceJoinBlocking optimizer rule: a naive
+  * `levenshtein(l, r) <= k` theta join must plan as a PassJoin segment
+  * equi-join with EXACTLY the naive join's bag of rows — including
+  * duplicate-input multiplicity (the canonical-first-match residual
+  * replaces any dedup pass) — across edge lengths (empty strings,
+  * strings shorter than k+1, nulls), and must stand down on the
+  * threshold levenshtein form and on equi-keyed broadcastable joins.
+  */
+class EditDistanceRuleSpec extends SparkSpecBase {
+
+  // -- reference edit distance (classic DP) ---------------------------------
+  private def lev(a: String, b: String): Int = {
+    val dp = Array.tabulate(b.length + 1)(identity)
+    for (i <- 1 to a.length) {
+      var prev = dp(0); dp(0) = i
+      for (j <- 1 to b.length) {
+        val cur = dp(j)
+        dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(b.length)
+  }
+
+  /** Deterministic fixture: hashed base strings over a 6-letter
+    * alphabet (lengths 6–14), plus planted single-edit perturbations
+    * (delete / substitute / insert) and short-string edges. */
+  private def strings: Seq[(Long, String)] = {
+    val alpha = "abcdef"
+    def ch(i: Int, p: Int): Char =
+      alpha(math.abs(MurmurHash3.productHash((i, p))) % alpha.length)
+    val bases = (0 until 60).map { i =>
+      val n = 6 + math.abs(MurmurHash3.stringHash("s" + i)) % 9
+      (0 until n).map(p => ch(i, p)).mkString
+    }
+    val perturbed = bases.zipWithIndex.map { case (s, i) =>
+      val pos = math.abs(MurmurHash3.stringHash("p" + i)) % s.length
+      i % 3 match {
+        case 0 => s.substring(0, pos) + s.substring(pos + 1) // delete
+        case 1 => s.updated(pos, if (s(pos) == 'a') 'b' else 'a') // subst
+        case _ => s.substring(0, pos) + "z" + s.substring(pos) // insert
+      }
+    }
+    val edges = Seq("", "a", "ab", "ba", "abc", "b")
+    (bases ++ perturbed ++ edges).zipWithIndex.map { case (s, i) =>
+      (i.toLong, s)
+    }
+  }
+
+  private def frames = {
+    val s = spark
+    import s.implicits._
+    val df = strings.toDF("id", "str")
+    (df.select(col("id").as("a"), col("str").as("sa")),
+      df.select(col("id").as("b"), col("str").as("sb")))
+  }
+
+  private def expectedPairs(k: Int): Seq[(Long, Long)] = (for {
+    x <- strings; y <- strings
+    if x._1 < y._1 && lev(x._2, y._2) <= k
+  } yield (x._1, y._1)).sorted
+
+  test("naive levenshtein theta join plans as segment equi-join, identical bag") {
+    val (a, b) = frames
+    for (k <- Seq(1, 2, 3)) {
+      val joined = a.join(b,
+        levenshtein(col("sa"), col("sb")) <= k && col("a") < col("b"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"k=$k must remove the nested loop:\n${plan.take(3000)}")
+      assert(plan.contains("graft_edp"), plan.take(3000))
+      val got = joined.select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val expected = expectedPairs(k)
+      assert(expected.nonEmpty, s"fixture must exercise the k=$k ball")
+      assert(got === expected, s"k=$k")
+    }
+  }
+
+  test("comparison spellings: < k and reversed k >= forms also rewrite") {
+    val (a, b) = frames
+    val expected = expectedPairs(2)
+    val spellings = Seq(
+      levenshtein(col("sa"), col("sb")) < 3, // ≡ ≤ 2
+      lit(2) >= levenshtein(col("sa"), col("sb")),
+      lit(3) > levenshtein(col("sa"), col("sb")),
+      levenshtein(col("sb"), col("sa")) <= 2) // swapped orientation
+    for (cond <- spellings) {
+      val joined = a.join(b, cond && col("a") < col("b"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_edp") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"spelling must rewrite:\n${plan.take(2000)}")
+      val got = joined.select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(got === expected)
+    }
+  }
+
+  test("bag semantics: duplicated input rows multiply, pairs never dedup") {
+    val (a, b) = frames
+    val naiveCount = expectedPairs(2).size
+    val j2 = a.union(a).join(b,
+      levenshtein(col("sa"), col("sb")) <= 2 && col("a") < col("b"))
+    assert(j2.count() === 2L * naiveCount)
+  }
+
+  test("k = 0 degenerates to a hash-joinable equality, no explode") {
+    val (a, b) = frames
+    val joined = a.join(b,
+      levenshtein(col("sa"), col("sb")) <= 0 && col("a") < col("b"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("graft_edp") &&
+      !plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(3000))
+    val got = joined.select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got === expectedPairs(0))
+  }
+
+  test("null operands never match, either spelling") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((1L, "abcdef"), (2L, null), (3L, "abcdeg"))
+    val df = rows.toDF("id", "str")
+    val a = df.select(col("id").as("a"), col("str").as("sa"))
+    val b = df.select(col("id").as("b"), col("str").as("sb"))
+    val got = a.join(b,
+        levenshtein(col("sa"), col("sb")) <= 1 && col("a") < col("b"))
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq.sorted
+    assert(got === Seq((1L, 3L)))
+  }
+
+  test("left semi / anti / outer collapse back to left grain exactly") {
+    val (a, b) = frames
+    val bEval = b.filter(col("b") % 7 === 0)
+    val evalStrs = strings.filter(_._1 % 7 == 0)
+    val matched = strings.filter(x =>
+      evalStrs.exists(e => lev(x._2, e._2) <= 2)).map(_._1).sorted
+    val semi = a.join(bEval,
+      levenshtein(col("sa"), col("sb")) <= 2, "left_semi")
+    assert(semi.queryExecution.executedPlan.toString.contains("graft_edp"))
+    assert(semi.select("a").collect().map(_.getLong(0)).toSeq.sorted
+      === matched)
+    val anti = a.join(bEval,
+      levenshtein(col("sa"), col("sb")) <= 2, "left_anti")
+    assert(anti.queryExecution.executedPlan.toString.contains("graft_edp"))
+    assert(anti.select("a").collect().map(_.getLong(0)).toSeq.sorted
+      === strings.map(_._1).filterNot(matched.contains).sorted)
+    val outer = a.join(bEval,
+      levenshtein(col("sa"), col("sb")) <= 2, "left_outer")
+    assert(outer.queryExecution.executedPlan.toString.contains("graft_edp"))
+    val gotOuter = outer.select(col("a"), col("b")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSeq.sorted
+    val expOuter = strings.flatMap { x =>
+      val ms = evalStrs.filter(e => lev(x._2, e._2) <= 2).map(_._1)
+      if (ms.isEmpty) Seq((x._1, -1L)) else ms.map(m => (x._1, m))
+    }.sorted
+    assert(gotOuter === expOuter)
+  }
+
+  test("stand-down: threshold levenshtein form is never eligible") {
+    val (a, b) = frames
+    val joined = a.join(b,
+      expr("levenshtein(sa, sb, 2)") <= 2 && col("a") < col("b"))
+    val plan = joined.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("graft_edp"), plan.take(3000))
+  }
+
+  test("stand-down: user equi key + broadcastable side leaves the join alone") {
+    val (a, b) = frames
+    val joined = a.join(b,
+      col("a") === col("b") && levenshtein(col("sa"), col("sb")) <= 2)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("graft_edp"), plan.take(3000))
+    assert(joined.count() === strings.length.toLong)
+  }
+
+  test("composition: blocked fuzzy join plans (block, segment) keys") {
+    val s = spark
+    import s.implicits._
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val blkOf = (i: Long) => if (i % 2 == 0) "x" else "y"
+      val df = strings.map { case (id, st) => (id, st, blkOf(id)) }
+        .toDF("id", "str", "blk")
+      val a = df.select(col("id").as("a"), col("str").as("sa"),
+        col("blk").as("ba"))
+      val b = df.select(col("id").as("b"), col("str").as("sb"),
+        col("blk").as("bb"))
+      val joined = a.join(b,
+        col("ba") === col("bb") &&
+          levenshtein(col("sa"), col("sb")) <= 2 && col("a") < col("b"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_edp"),
+        s"rule must compose, not stand down:\n${plan.take(3000)}")
+      val got = joined.select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val expected = (for {
+        x <- strings; y <- strings
+        if x._1 < y._1 && blkOf(x._1) == blkOf(y._1) &&
+          lev(x._2, y._2) <= 2
+      } yield (x._1, y._1)).sorted
+      assert(expected.nonEmpty)
+      assert(got === expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+}

@@ -513,6 +513,22 @@ class PlanShapeSpec extends SparkSpecBase {
       !p.contains("CartesianProduct"), p.take(4000))
   }
 
+  test("edit-distance rule: the naively-written q334 fuzzy join plans via graft_edp") {
+    val p = planOf(q("q334_fuzzy_join_rule"))
+    assert(p.contains("graft_edp"),
+      s"EditDistanceJoinBlocking must rewrite the theta join:\n${p.take(4000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"no nested-loop pair generation:\n${p.take(4000)}")
+  }
+
+  test("edit-distance rule: q335's fuzzy anti-join plans at combo grain") {
+    val p = planOf(q("q335_fuzzy_anti_rule"))
+    assert(p.contains("graft_edp") &&
+      !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(4000))
+  }
+
   test("as-of join: bucketed equi-join candidates, never a theta nested loop") {
     val p = planOf(q("q261_asof_join"))
     assert(!p.contains("BroadcastNestedLoopJoin") &&
