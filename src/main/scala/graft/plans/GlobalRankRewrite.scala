@@ -543,22 +543,27 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** One LOCF unit: `last_value(e) IGNORE NULLS OVER (ORDER BY k
-    * [ROWS|RANGE] UP..CR)` — last-observation-carried-forward, the one
-    * IGNORE NULLS shape the broadcast-fetch arm cannot serve (its
-    * position is per-row). It decomposes on the CUMULATIVE machinery
-    * instead, with a coalesce combine (combineOp 4): the per-slice
-    * piece is the windowed running `Last(e, ignoreNulls)` (same
-    * frame), the slice total is the slice's last non-null BY ORDER —
-    * `max_by(e, key)` over the non-null-input rows, with a
+  /** One LOCF/NOCB unit: `last_value(e) IGNORE NULLS OVER (ORDER BY k
+    * [ROWS|RANGE] UP..CR)` — last-observation-carried-forward (ASC) or
+    * next-observation-carried-backward (DESC, the time-series backfill
+    * spelling), the one IGNORE NULLS shape the broadcast-fetch arm
+    * cannot serve (its position is per-row). It decomposes on the
+    * CUMULATIVE machinery instead, with a coalesce combine (combineOp
+    * 4): the per-slice piece is the windowed running
+    * `Last(e, ignoreNulls)` (same frame), the slice total is the
+    * slice's last non-null BY ORDER — `max_by(e, key)` for ASC keys /
+    * `min_by` for DESC over the non-null-input rows, with a
     * `First(e, ignoreNulls)` fallback for the null-key slice where
     * max_by's ordering is null everywhere (inputs there are f(null),
     * all equal, so First is value-deterministic) — and the global
     * value is `coalesce(local, Last(prior slice totals, ignoreNulls))`.
-    * Demands: ONE ASC NULLS FIRST key (the max_by form encodes that
-    * exact order), input a function of the key ([[orderFunc]] — ties
-    * and the null slice need value constancy per key), and the input
-    * not foldable (constant-input LOCF folds natively). ROWS and RANGE
+    * Any direction / null-ordering combo works (round 8, second
+    * session): [[sliceOf]] places the null-key run per the declared
+    * null ordering, the min/max_by slice total follows the direction,
+    * and the null-run fallback is position-independent. Demands: ONE
+    * key, input a function of the key ([[orderFunc]] — ties and the
+    * null slice need value constancy per key), and the input not
+    * foldable (constant-input LOCF folds natively). ROWS and RANGE
     * spellings coincide under the input guard: a mid-tie-run ROWS cut
     * still sees the run's (constant) value. */
   private def locfUnit(ne: NamedExpression, order: Seq[SortOrder],
@@ -569,8 +574,7 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
         WindowSpecDefinition(_, _,
           f @ SpecifiedWindowFrame(_, UnboundedPreceding, CurrentRow))),
         _)
-        if order.size == 1 && order.head.direction == Ascending &&
-          order.head.nullOrdering == NullsFirst && !e.foldable =>
+        if order.size == 1 && !e.foldable =>
       val keys = order.map(o => expandOnce(o.child, child))
       if (orderFunc(expandOnce(e, child), keys)) Some((a, e, f)) else None
     case _ => None
@@ -1335,11 +1339,12 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
             Literal(-1)))), s"graft_rank_pcm$tag")()
       CumUnit(local, slice, prefix, op)
     }
-    // LOCF (combineOp 4): running Last(e, ignoreNulls) per slice; the
-    // slice total is the slice's last non-null BY ORDER (max_by over
-    // non-null-input rows, First(ignoreNulls) fallback for the
-    // null-key slice); prior-slice carry = windowed Last(ignoreNulls)
-    // over the slice totals. See [[locfUnit]] for the tie doctrine.
+    // LOCF/NOCB (combineOp 4): running Last(e, ignoreNulls) per slice;
+    // the slice total is the slice's last non-null BY ORDER (max_by
+    // over non-null-input rows for ASC keys, min_by for DESC;
+    // First(ignoreNulls) fallback for the null-key slice); prior-slice
+    // carry = windowed Last(ignoreNulls) over the slice totals. See
+    // [[locfUnit]] for the tie doctrine.
     def locfCum(e: Expression, frame: SpecifiedWindowFrame,
         tag: String): CumUnit = {
       val local = Alias(WindowExpression(
@@ -1348,10 +1353,13 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
         WindowSpecDefinition(winPartL, order, frame)),
         s"graft_rank_lcm$tag")()
       val key = order.head.child
+      val keyOrNull = If(IsNotNull(e), key, Literal(null, key.dataType))
+      val byOrder: AggregateFunction = order.head.direction match {
+        case Ascending => MaxBy(e, keyOrNull)
+        case Descending => MinBy(e, keyOrNull)
+      }
       val slice = Alias(Coalesce(Seq(
-        AggregateExpression(MaxBy(e,
-          If(IsNotNull(e), key, Literal(null, key.dataType))), Complete,
-          isDistinct = false),
+        AggregateExpression(byOrder, Complete, isDistinct = false),
         AggregateExpression(First(e, ignoreNulls = true), Complete,
           isDistinct = false))), s"graft_rank_tcm$tag")()
       val prefix = Alias(WindowExpression(

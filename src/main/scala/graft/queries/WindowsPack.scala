@@ -588,6 +588,32 @@ object WindowsPack extends QueryPack {
         |ORDER BY doc_id""".stripMargin)
   }
 
+  /** q336 — NOCB (next observation carried backward) as a naive
+    * `last_value(score) IGNORE NULLS OVER (ORDER BY n_chars DESC)`
+    * window: every document reads the nearest NON-NULL score at-or-
+    * ABOVE its length — q332's forward-fill mirrored, the time-series
+    * BACKFILL spelling. Round 8 (second session) relaxed the LOCF arm
+    * of [[graft.plans.GlobalRankRewrite]] to any direction / null-
+    * ordering combo: the slice machinery already follows the sort
+    * direction, so DESC only swaps the slice total from max_by to
+    * min_by. At gate SFs the input executes naive (below threshold);
+    * GlobalRankRewriteSpec's NOCB matrix pins the forced rewrite's
+    * parity for all four combos.
+    */
+  private def q336(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        when(col("n_chars") % 7 === 0, lit(null).cast("long"))
+          .otherwise(col("n_chars") * 31L % 997L).as("score"))
+    t.createOrReplaceTempView("graft_q336_docs")
+    t.sparkSession.sql(
+      """SELECT doc_id, n_chars, score,
+        | last_value(score, true) OVER (ORDER BY n_chars DESC)
+        |  AS nocb_score
+        |FROM graft_q336_docs
+        |ORDER BY doc_id""".stripMargin)
+  }
+
   /** q318 — TIER SHARE-OF-TOTAL as a naive FULL-FRAME partitioned
     * window: `sum(n_chars) OVER (PARTITION BY tier)` with no ORDER BY —
     * one WindowExec task per tier at any corpus size (3-task pigeonhole
@@ -785,6 +811,7 @@ object WindowsPack extends QueryPack {
     "q317_curriculum_landmarks" -> q317 _,
     "q330_sparse_landmarks" -> q330 _,
     "q332_locf_forward_fill" -> q332 _,
+    "q336_nocb_backfill" -> q336 _,
     "q318_tier_share" -> q318 _,
     "q319_global_norm" -> q319 _,
     "q320_burst_monitor" -> q320 _,
@@ -889,6 +916,15 @@ object WindowsPack extends QueryPack {
         |SELECT doc_id, n_chars, CAST(score AS BIGINT) AS score,
         | CAST(last_value(score IGNORE NULLS) OVER (ORDER BY n_chars)
         |  AS BIGINT) AS locf_score
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q336_nocb_backfill" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |  CASE WHEN n_chars % 7 = 0 THEN NULL
+        |    ELSE n_chars * 31 % 997 END AS score
+        | FROM documents)
+        |SELECT doc_id, n_chars, CAST(score AS BIGINT) AS score,
+        | CAST(last_value(score IGNORE NULLS)
+        |   OVER (ORDER BY n_chars DESC) AS BIGINT) AS nocb_score
         |FROM d ORDER BY doc_id""".stripMargin,
     "q318_tier_share" ->
       """WITH t AS (SELECT doc_id, n_chars,

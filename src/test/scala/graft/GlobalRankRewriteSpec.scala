@@ -876,21 +876,52 @@ class GlobalRankRewriteSpec extends SparkSpecBase {
         |FROM graft_locf_z""".stripMargin)
     val ez = naive(norm(bz()))
     forced { assert(norm(bz()) === ez) }
-    // DESC and NULLS LAST keys stand down (the max_by slice total
-    // encodes ASC NULLS FIRST only); non-key inputs stand down too
+    // non-key inputs stand down (tie runs / the null-key run would
+    // not be value-constant)
     corpus(2000).select(col("id"), (col("v") % 20L).as("k"),
       col("v").as("payload"))
       .createOrReplaceTempView("graft_locf_sd")
     forced {
-      for (sql <- Seq(
-        "SELECT last_value(k, true) OVER (ORDER BY k DESC) AS l " +
-          "FROM graft_locf_sd",
-        "SELECT last_value(k, true) OVER (ORDER BY k NULLS LAST) AS l " +
-          "FROM graft_locf_sd",
+      assert(!t.sql(
         "SELECT last_value(payload, true) OVER (ORDER BY k) AS l " +
-          "FROM graft_locf_sd")) {
-        assert(!t.sql(sql).queryExecution.executedPlan.toString
-          .contains("graft_rank_pid"), sql)
+          "FROM graft_locf_sd").queryExecution.executedPlan.toString
+        .contains("graft_rank_pid"), "non-key input must stand down")
+    }
+  }
+
+  test("NOCB: DESC and NULLS LAST fill directions ride the same arm") {
+    val t = spark
+    // duplicated single key with a leading-null stretch IN EACH
+    // DIRECTION'S sense: whole tie runs null-or-not (key-function
+    // inputs), nulls present in the key itself to exercise the
+    // null-run placement under all four direction/null-ordering combos
+    corpus(5000).select(col("id"),
+      when(col("v") % 50 === 49, lit(null).cast("long"))
+        .otherwise(col("v") % 50L).as("k"))
+      .withColumn("w",
+        when(col("k") % 7 < 2 || col("k").isNull,
+          lit(null).cast("long"))
+          .otherwise(col("k") * 11 % 17))
+      .createOrReplaceTempView("graft_nocb")
+    def norm(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x => (x.getLong(0), x.toSeq.drop(1)))
+        .sortBy(_._1).toSeq
+    for (ord <- Seq("k DESC", "k DESC NULLS FIRST", "k ASC NULLS LAST",
+        "k ASC")) {
+      val build = () => t.sql(
+        s"""SELECT id,
+           | last_value(w, true) OVER (ORDER BY $ord) AS fill_rng,
+           | last_value(w, true) OVER (ORDER BY $ord
+           |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |  AS fill_row
+           |FROM graft_nocb""".stripMargin)
+      val expected = naive(norm(build()))
+      forced {
+        val r = build()
+        val p = r.queryExecution.executedPlan.toString
+        assert(p.contains("graft_rank_pid"),
+          s"$ord must re-plan on the cum machinery:\n${p.take(3000)}")
+        assert(norm(r) === expected, ord)
       }
     }
   }
