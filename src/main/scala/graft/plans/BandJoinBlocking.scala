@@ -196,6 +196,92 @@ object BandJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  /** DIFFERENCE-spelled band conjuncts (round 8, second session):
+    * `x − y cmp lit` (integrals), `datediff(a, b) cmp lit` (day
+    * units), `ts1 − ts2 cmp INTERVAL` (micros), and the `abs(diff) ≤
+    * lit` / `< lit` forms of each, in either literal position. Each is
+    * REWRITTEN into the equivalent endpoint comparison(s) — `d ≤ L ⟺
+    * a ≤ shift(b, L)` with the shift node [[lin]] already strips
+    * (Add / DateAdd / TimestampAddInterval) — and fed back through
+    * [[boundOf]]'s mk machinery. The synthetic comparisons are
+    * ANALYSIS ARTIFACTS only (possibly type-sloppy, e.g. long literal
+    * against int column): they exist to be decomposed by lin, never to
+    * be evaluated — the rewritten join keeps the user's original
+    * condition verbatim. An abs upper bound expands to both one-sided
+    * bounds; abs LOWER bounds are disjunctive and not bands. */
+  private def diffComparisons(e: Expression): Seq[Expression] = {
+    // normalize trailing literal offsets off the difference itself
+    // (`x − y − 500 ≤ L` ⟺ `x − y ≤ L + 500`) before matching the
+    // subtract node, then fold them into the bound
+    def pair(d0: Expression): Option[(Expression, Expression, Long)] = {
+      val (d, off) = lin(d0)
+      d match {
+        case Subtract(a, b, _)
+            if integral(a.dataType) && integral(b.dataType) =>
+          Some((a, b, off))
+        case DateDiff(a, b) => Some((a, b, off))
+        case SubtractTimestamps(a, b, _, _)
+            if a.dataType == TimestampType &&
+              b.dataType == TimestampType => Some((a, b, off))
+        case _ => None
+      }
+    }
+    def shifted(b: Expression, l: Long): Expression = b.dataType match {
+      case DateType => DateAdd(b, Literal(l))
+      case TimestampType =>
+        TimestampAddInterval(b, Literal(l, DayTimeIntervalType()))
+      case _ => Add(b, Literal(l))
+    }
+    // the literal's unit must match the difference's kind: day count
+    // (int/long) for datediff and integral subtraction, a day-time
+    // INTERVAL for timestamp subtraction
+    def litFor(d: Expression, l: Expression): Option[Long] =
+      lin(d)._1 match {
+        case SubtractTimestamps(_, _, _, _) => litInterval(l)
+        case _ => litLong(l)
+      }
+    def cmp(d: Expression, l: Long, upper: Boolean,
+        strict: Boolean): Seq[Expression] =
+      pair(d).toSeq.map { case (a, b, off) =>
+        (upper, strict) match {
+          case (true, false) => LessThanOrEqual(a, shifted(b, l - off))
+          case (true, true) => LessThan(a, shifted(b, l - off))
+          case (false, false) => GreaterThanOrEqual(a, shifted(b, l - off))
+          case (false, true) => GreaterThan(a, shifted(b, l - off))
+        }
+      }
+    def absBoth(d: Expression, l: Long, strict: Boolean): Seq[Expression] =
+      cmp(d, l, upper = true, strict) ++
+        cmp(d, -l, upper = false, strict)
+    e match {
+      case LessThanOrEqual(Abs(d, _), l) =>
+        litFor(d, l).toSeq.flatMap(absBoth(d, _, strict = false))
+      case LessThan(Abs(d, _), l) =>
+        litFor(d, l).toSeq.flatMap(absBoth(d, _, strict = true))
+      case GreaterThanOrEqual(l, Abs(d, _)) =>
+        litFor(d, l).toSeq.flatMap(absBoth(d, _, strict = false))
+      case GreaterThan(l, Abs(d, _)) =>
+        litFor(d, l).toSeq.flatMap(absBoth(d, _, strict = true))
+      case LessThanOrEqual(d, l) if pair(d).isDefined =>
+        litFor(d, l).toSeq.flatMap(cmp(d, _, upper = true, strict = false))
+      case LessThan(d, l) if pair(d).isDefined =>
+        litFor(d, l).toSeq.flatMap(cmp(d, _, upper = true, strict = true))
+      case GreaterThanOrEqual(d, l) if pair(d).isDefined =>
+        litFor(d, l).toSeq.flatMap(cmp(d, _, upper = false, strict = false))
+      case GreaterThan(d, l) if pair(d).isDefined =>
+        litFor(d, l).toSeq.flatMap(cmp(d, _, upper = false, strict = true))
+      case LessThanOrEqual(l, d) if pair(d).isDefined =>
+        litFor(d, l).toSeq.flatMap(cmp(d, _, upper = false, strict = false))
+      case LessThan(l, d) if pair(d).isDefined =>
+        litFor(d, l).toSeq.flatMap(cmp(d, _, upper = false, strict = true))
+      case GreaterThanOrEqual(l, d) if pair(d).isDefined =>
+        litFor(d, l).toSeq.flatMap(cmp(d, _, upper = true, strict = false))
+      case GreaterThan(l, d) if pair(d).isDefined =>
+        litFor(d, l).toSeq.flatMap(cmp(d, _, upper = true, strict = true))
+      case _ => Nil
+    }
+  }
+
   private def isEqui(e: Expression, left: LogicalPlan,
       right: LogicalPlan): Boolean = {
     def crossChild(a: Expression, b: Expression): Boolean =
@@ -226,7 +312,8 @@ object BandJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
           !left.output.exists(_.name == bandColName) &&
           !right.output.exists(_.name == bandColName) =>
       val conjuncts = splitConjunctivePredicates(cond)
-      val bounds = conjuncts.flatMap(boundOf(_, left, right))
+      val bounds = conjuncts.flatMap(c => boundOf(c, left, right).toSeq ++
+        diffComparisons(c).flatMap(boundOf(_, left, right)))
       // first (lBase, rBase) pair bounded from BOTH sides
       val band = bounds.filter(_.isUpper).flatMap { u =>
         val lowers = bounds.filter(b => !b.isUpper &&

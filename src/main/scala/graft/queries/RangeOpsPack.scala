@@ -98,6 +98,32 @@ object RangeOpsPack extends QueryPack {
       .orderBy("n_overlaps")
   }
 
+  /** q337 — NEAR-DATED ORDER PAIRS via the `abs(datediff(…)) ≤ k`
+    * spelling: per customer, pairs of orders placed within ±2 days of
+    * each other — duplicate-submission screening, written as the raw
+    * absolute-difference theta condition users actually type. Round 8
+    * (second session) taught [[graft.plans.BandJoinBlocking]] the
+    * DIFFERENCE spellings: `x − y cmp lit`, `datediff(a, b) cmp lit`,
+    * `ts₁ − ts₂ cmp INTERVAL`, and `abs(diff) ≤ lit` — each expands to
+    * the endpoint comparisons the band matcher already normalizes, so
+    * the day-bucket equi-join plan and the user equi key compose
+    * exactly as in the canonical as-of shape. At gate SFs the sides
+    * broadcast (the rule's own stand-down: hash join on ck + cheap
+    * residual wins); BandRuleSpec pins the forced rewrite's exact bag.
+    */
+  private def q337(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_custkey").as("ck"), col("o_orderkey").as("id"),
+        col("o_orderdate").cast("date").as("d"))
+    val b = o.select(col("ck").as("ck2"), col("id").as("id2"),
+      col("d").as("d2"))
+    o.join(b, col("ck") === col("ck2") && col("id") < col("id2") &&
+        abs(datediff(col("d"), col("d2"))) <= 2)
+      .select(col("ck"), col("id"), col("id2"),
+        datediff(col("d2"), col("d")).as("day_gap"))
+      .orderBy("ck", "id", "id2")
+  }
+
   /** q257 — exact weighted quartiles (weight = quantity) of the lineitem
     * price per return flag, in ONE partitioned window pass: cumulative
     * weight in deterministic (price, orderkey, linenumber) order, then
@@ -134,6 +160,7 @@ object RangeOpsPack extends QueryPack {
     Seq(
       "q256_interval_overlap" -> q256 _,
       "q331_variable_intervals" -> q331 _,
+      "q337_near_dated_orders" -> q337 _,
       "q257_weighted_quartiles" -> q257 _)
 
   override val oracle: Seq[(String, String)] = Seq(
@@ -174,6 +201,16 @@ object RangeOpsPack extends QueryPack {
         |SELECT CAST(n_overlaps AS BIGINT) AS n_overlaps,
         | CAST(count(*) AS BIGINT) AS n_customers
         |FROM per_cust GROUP BY n_overlaps ORDER BY n_overlaps""".stripMargin,
+    "q337_near_dated_orders" ->
+      """WITH o AS (
+        | SELECT o_custkey AS ck, o_orderkey AS id,
+        |  CAST(o_orderdate AS DATE) AS d
+        | FROM orders)
+        |SELECT a.ck, a.id, b.id AS id2,
+        | CAST(date_diff('day', a.d, b.d) AS INT) AS day_gap
+        |FROM o a JOIN o b ON a.ck = b.ck AND a.id < b.id
+        | AND abs(date_diff('day', a.d, b.d)) <= 2
+        |ORDER BY a.ck, a.id, id2""".stripMargin,
     "q257_weighted_quartiles" ->
       """WITH li AS (
         | SELECT l_returnflag AS g, l_extendedprice AS price,

@@ -104,6 +104,76 @@ class BandRuleSpec extends SparkSpecBase {
     }
   }
 
+  test("difference spellings: x − y, abs, and offset forms all band") {
+    val (p, v) = events
+    noBroadcast {
+      val spellings = Seq(
+        // the subtraction the band IS: 0 ≤ p − v ≤ tol
+        col("p_ts") - col("v_ts") <= tol && col("p_ts") - col("v_ts") >= 0L,
+        // literal-first
+        lit(tol) >= col("p_ts") - col("v_ts") &&
+          lit(0L) <= col("p_ts") - col("v_ts"),
+        // abs with a centering offset: |p − v − 500| ≤ 500 ⟺ 0 ≤ p − v ≤ 1000
+        abs(col("p_ts") - col("v_ts") - lit(500L)) <= lit(500L),
+        // strict abs recovers via integer tightening: |…| < 501
+        abs(col("p_ts") - col("v_ts") - lit(500L)) < lit(501L))
+      for (band <- spellings) {
+        val joined = p.join(v, col("p_user") === col("v_user") && band)
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(plan.contains("graft_band"),
+          s"difference spelling must rewrite:\n${plan.take(2000)}")
+        val got = joined.select("p_id", "v_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+        assert(got === naiveBand)
+      }
+    }
+  }
+
+  test("datediff and timestamp-subtraction spellings band in their units") {
+    noBroadcast {
+      // DATE: |datediff(a, b)| ≤ 2
+      val dbase = spark.range(1500).select(col("id"),
+        date_add(lit("2020-01-01").cast("date"),
+          (col("id") * 37 % 365).cast("int")).as("d"))
+      val da = dbase.select(col("id").as("a_id"), col("d").as("a_d"))
+      val db = dbase.select(col("id").as("b_id"), col("d").as("b_d"))
+      val dj = da.join(db,
+        abs(datediff(col("a_d"), col("b_d"))) <= 2 &&
+          col("a_id") < col("b_id"))
+      val dplan = dj.queryExecution.executedPlan.toString
+      assert(dplan.contains("graft_band"),
+        s"abs(datediff) must rewrite:\n${dplan.take(2500)}")
+      val days = (0 until 1500).map(i => (i.toLong, i * 37 % 365))
+      val dexp = (for {
+        (ai, ad) <- days; (bi, bd) <- days
+        if ai < bi && math.abs(ad - bd) <= 2
+      } yield (ai, bi)).sorted
+      val dgot = dj.select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(dexp.nonEmpty && dgot === dexp)
+
+      // TIMESTAMP: ts1 − ts2 bounded by INTERVALs (SubtractTimestamps)
+      val tbase = spark.range(1500).select(col("id"),
+        timestamp_micros(col("id") * 7919L % 100000000L).as("t"))
+      val ta = tbase.select(col("id").as("a_id"), col("t").as("a_t"))
+      val tb = tbase.select(col("id").as("b_id"), col("t").as("b_t"))
+      val tj = ta.join(tb,
+        expr("a_t - b_t <= INTERVAL '10' SECOND") &&
+          expr("a_t - b_t >= INTERVAL '0' SECOND"))
+      val tplan = tj.queryExecution.executedPlan.toString
+      assert(tplan.contains("graft_band"),
+        s"timestamp subtraction must rewrite:\n${tplan.take(2500)}")
+      val us = (0 until 1500).map(i => (i.toLong, i * 7919L % 100000000L))
+      val texp = (for {
+        (ai, at) <- us; (bi, bt) <- us
+        if at - bt <= 10000000L && at - bt >= 0L
+      } yield (ai, bi)).sorted
+      val tgot = tj.select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(texp.nonEmpty && tgot === texp)
+    }
+  }
+
   test("bare band join (no equi key): fires, bag identical to excluded") {
     val (p, v) = events
     noBroadcast {
