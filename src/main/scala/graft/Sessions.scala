@@ -56,6 +56,10 @@ object Sessions {
         // segment equi-joins (graft.plans.EditDistanceJoinBlocking
         // scaladoc)
         e.injectOptimizerRule(_ => graft.plans.EditDistanceJoinBlocking)
+        // naive Jaccard/overlap set-similarity theta joins plan as
+        // prefix-filtered token equi-joins
+        // (graft.plans.SetSimilarityJoinBlocking scaladoc)
+        e.injectOptimizerRule(_ => graft.plans.SetSimilarityJoinBlocking)
       }
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")

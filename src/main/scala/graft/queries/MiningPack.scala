@@ -617,7 +617,64 @@ object MiningPack extends QueryPack {
       "q302_hamming_semi_rule" -> q302 _,
       "q304_hamming_outer_rule" -> q304 _,
       "q334_fuzzy_join_rule" -> q334 _,
-      "q335_fuzzy_anti_rule" -> q335 _)
+      "q335_fuzzy_anti_rule" -> q335 _,
+      "q338_jaccard_join_rule" -> q338 _,
+      "q339_jaccard_anti_rule" -> q339 _)
+
+  // --- q338/q339: naive set-similarity joins, planned by the engine --------
+
+  /** q338 — a SET-SIMILARITY JOIN written the naive way on purpose:
+    * document token sets self-joined on the division-free Jaccard
+    * spelling `size(intersect) ≥ 0.8 · size(union) ∧ doc_id <
+    * doc_id2`, no prefix filter anywhere in the query (q65 builds the
+    * PPJoin manually; here the engine owns it).
+    * [[graft.plans.SetSimilarityJoinBlocking]] rewrites it: each side
+    * explodes its sorted-distinct prefix (length |x| − ⌈s·|x|⌉ + 1),
+    * candidates hash-join on the token, the kept condition re-verifies
+    * the exact Jaccard, and the minimal-common-token canonical keeps
+    * each pair once. Output Jaccard via try_divide (matched pairs have
+    * non-empty unions; the spelling stays ANSI-total).
+    */
+  private def q338(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+      .filter(col("source") === "src1")
+      .select(col("doc_id"),
+        array_distinct(TextOps.toks(col("text"))).as("tk"))
+    val y = d.select(col("doc_id").as("doc_id2"), col("tk").as("tk2"))
+    d.join(y,
+        size(array_intersect(col("tk"), col("tk2"))) >=
+          lit(0.8) * size(array_union(col("tk"), col("tk2"))) &&
+          col("doc_id") < col("doc_id2"))
+      .select(col("doc_id"), col("doc_id2"),
+        try_divide(size(array_intersect(col("tk"), col("tk2"))),
+          size(array_union(col("tk"), col("tk2")))).as("jac"))
+      .orderBy("doc_id", "doc_id2")
+  }
+
+  /** q339 — SET-SIMILARITY DECONTAMINATION written the naive way:
+    * corpus docs (three sources) LEFT-ANTI joined to an eval slice
+    * (every 17th doc, all sources) on token-set Jaccard ≥ 0.8 via the
+    * try_divide spelling — "keep docs token-similar to NO eval doc",
+    * the set-level sibling of q335's edit-distance and q299's
+    * signature decontamination. The rule's anti arm explodes prefixes
+    * with OUTER explode (empty token sets still carry one row) and
+    * collapses per-rid with the variable fan-out count.
+    */
+  private def q339(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        array_distinct(TextOps.toks(col("text"))).as("tk"))
+    val ev = d.filter(col("doc_id") % 17 === 0)
+      .select(col("tk").as("etk"))
+    d.filter(col("doc_id") % 17 =!= 0 &&
+        col("source").isin("src1", "src2", "src3"))
+      .join(ev,
+        try_divide(size(array_intersect(col("tk"), col("etk"))),
+          size(array_union(col("tk"), col("etk")))) >= 0.8,
+        "left_anti")
+      .select(col("doc_id"), size(col("tk")).as("n_toks"))
+      .orderBy("doc_id")
+  }
 
   // --- q334/q335: naive edit-distance joins, planned by the engine ---------
 
@@ -1307,5 +1364,28 @@ object MiningPack extends QueryPack {
         |WHERE doc_id % 17 <> 0 AND NOT EXISTS (
         | SELECT 1 FROM d e
         | WHERE e.doc_id % 17 = 0 AND levenshtein(c.pre, e.pre) <= 1)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    "q338_jaccard_join_rule" ->
+      s"""WITH d AS (
+         | SELECT doc_id, list_distinct($duckToks) AS tk FROM documents
+         | WHERE source = 'src1')
+         |SELECT a.doc_id, b.doc_id AS doc_id2,
+         | CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+         |  / len(list_distinct(list_concat(a.tk, b.tk))) AS jac
+         |FROM d a JOIN d b ON a.doc_id < b.doc_id
+         | AND len(list_intersect(a.tk, b.tk)) >=
+         |  0.8 * len(list_distinct(list_concat(a.tk, b.tk)))
+         |ORDER BY a.doc_id, doc_id2""".stripMargin,
+    "q339_jaccard_anti_rule" ->
+      s"""WITH d AS (
+         | SELECT doc_id, source, list_distinct($duckToks) AS tk
+         | FROM documents)
+         |SELECT doc_id, CAST(len(tk) AS INT) AS n_toks FROM d c
+         |WHERE doc_id % 17 <> 0 AND source IN ('src1', 'src2', 'src3')
+         | AND NOT EXISTS (
+         |  SELECT 1 FROM d e WHERE e.doc_id % 17 = 0 AND
+         |   CAST(len(list_intersect(c.tk, e.tk)) AS DOUBLE)
+         |    / nullif(len(list_distinct(list_concat(c.tk, e.tk))), 0)
+         |    >= 0.8)
+         |ORDER BY doc_id""".stripMargin)
 }

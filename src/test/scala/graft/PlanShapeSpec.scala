@@ -529,6 +529,22 @@ class PlanShapeSpec extends SparkSpecBase {
       !p.contains("CartesianProduct"), p.take(4000))
   }
 
+  test("set-similarity rule: the naively-written q338 Jaccard join plans via graft_sst") {
+    val p = planOf(q("q338_jaccard_join_rule"))
+    assert(p.contains("graft_sst"),
+      s"SetSimilarityJoinBlocking must rewrite the theta join:\n${p.take(4000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"no nested-loop pair generation:\n${p.take(4000)}")
+  }
+
+  test("set-similarity rule: q339's Jaccard anti-join plans at prefix grain") {
+    val p = planOf(q("q339_jaccard_anti_rule"))
+    assert(p.contains("graft_sst") &&
+      !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(4000))
+  }
+
   test("as-of join: bucketed equi-join candidates, never a theta nested loop") {
     val p = planOf(q("q261_asof_join"))
     assert(!p.contains("BroadcastNestedLoopJoin") &&

@@ -1,0 +1,247 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import scala.util.hashing.MurmurHash3
+
+/** The SetSimilarityJoinBlocking optimizer rule: naive Jaccard /
+  * overlap theta joins on array columns must plan as prefix-filtered
+  * token equi-joins with EXACTLY the naive join's bag of rows —
+  * including duplicate-input multiplicity (canonical minimal-common-
+  * token residual) — across edge shapes (empty arrays, singletons,
+  * duplicate-laden arrays), and must stand down on nullable-element
+  * arrays and equi-keyed broadcastable joins.
+  */
+class SetSimilarityRuleSpec extends SparkSpecBase {
+
+  /** Deterministic fixture: hashed token sets over a 40-token
+    * vocabulary (sizes 5–10), planted one-edit twins (high Jaccard),
+    * duplicate-laden copies, and tiny/empty edges. */
+  private def rows: Seq[(Long, Seq[Int])] = {
+    val bases = (0 until 50).map { i =>
+      val n = 5 + math.abs(MurmurHash3.stringHash("r" + i)) % 6
+      (0 until n).map(p =>
+        math.abs(MurmurHash3.productHash((i, p))) % 40).distinct
+    }
+    val twins = bases.zipWithIndex.collect { case (s, i) if i % 3 == 0 =>
+      s.drop(1) :+ 99
+    }
+    val dups = Seq(bases(1) ++ bases(1), bases(4) ++ bases(4).take(3))
+    val edges = Seq(Seq.empty[Int], Seq(7), Seq(7, 8), Seq(8, 7))
+    (bases ++ twins ++ dups ++ edges).zipWithIndex.map { case (s, i) =>
+      (i.toLong, s)
+    }
+  }
+
+  private def jac(x: Seq[Int], y: Seq[Int]): Double = {
+    val (sx, sy) = (x.toSet, y.toSet)
+    val u = (sx ++ sy).size
+    if (u == 0) Double.NaN else (sx & sy).size.toDouble / u
+  }
+
+  private def frames = {
+    val s = spark
+    import s.implicits._
+    val df = rows.toDF("id", "toks")
+    (df.select(col("id").as("a"), col("toks").as("ta")),
+      df.select(col("id").as("b"), col("toks").as("tb")))
+  }
+
+  // try_divide: the ANSI-safe naive spelling (plain ÷ RAISES on the
+  // empty∕empty union under ANSI mode, and the rule rightly refuses
+  // to erase that error — pinned in the stand-down test)
+  private def jacCond = {
+    try_divide(size(array_intersect(col("ta"), col("tb"))),
+      size(array_union(col("ta"), col("tb")))) >= 0.6
+  }
+
+  private def expectedJac(s: Double): Seq[(Long, Long)] = (for {
+    x <- rows; y <- rows
+    if x._1 < y._1 && jac(x._2, y._2) >= s
+  } yield (x._1, y._1)).sorted
+
+  test("naive Jaccard theta join plans as prefix token equi-join, identical bag") {
+    val (a, b) = frames
+    val joined = a.join(b, jacCond && col("a") < col("b"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"rule must remove the nested loop:\n${plan.take(3000)}")
+    assert(plan.contains("graft_sst"), plan.take(3000))
+    val got = joined.select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val expected = expectedJac(0.6)
+    assert(expected.nonEmpty, "fixture must exercise the similarity ball")
+    assert(got === expected)
+  }
+
+  test("overlap spelling and literal-first / strict forms also rewrite") {
+    val (a, b) = frames
+    val ov = size(array_intersect(col("ta"), col("tb")))
+    val expectedOv = (for {
+      x <- rows; y <- rows
+      if x._1 < y._1 && (x._2.toSet & y._2.toSet).size >= 4
+    } yield (x._1, y._1)).sorted
+    val cases = Seq(
+      (ov >= 4, expectedOv),
+      (ov > 3, expectedOv),
+      (lit(4) <= ov, expectedOv),
+      (lit(0.6) <= try_divide(
+        size(array_intersect(col("ta"), col("tb"))),
+        size(array_union(col("ta"), col("tb")))), expectedJac(0.6)),
+      // the division-free ANSI-safe form
+      (size(array_intersect(col("ta"), col("tb"))) >=
+        lit(0.6) * size(array_union(col("ta"), col("tb"))),
+        expectedJac(0.6)))
+    for ((cond, expected) <- cases) {
+      val joined = a.join(b, cond && col("a") < col("b"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_sst") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"spelling must rewrite:\n${plan.take(2000)}")
+      val got = joined.select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(expected.nonEmpty && got === expected)
+    }
+  }
+
+  test("bag semantics: duplicated input rows multiply, pairs never dedup") {
+    val (a, b) = frames
+    val n = expectedJac(0.6).size
+    val j2 = a.union(a).join(b, jacCond && col("a") < col("b"))
+    assert(j2.count() === 2L * n)
+  }
+
+  test("exact FP boundary: s·|x| landing on an integer keeps the pair") {
+    // |x| = 5, s = 0.8: the IEEE product 0.8·5 sits a hair ABOVE 4.0,
+    // so an epsilon-less ceil reads 5 and cuts the prefix to x's first
+    // element alone — and this pair's minimal COMMON token (2) is not
+    // x's minimum (0), so that bug drops a pair that sits exactly at
+    // the threshold (overlap 4, union 5, Jaccard 0.8)
+    val s = spark
+    import s.implicits._
+    val xy = Seq((1L, Seq(0, 2, 3, 4, 5)), (2L, Seq(2, 3, 4, 5)))
+    val df = xy.toDF("id", "toks")
+    val a = df.select(col("id").as("a"), col("toks").as("ta"))
+    val b = df.select(col("id").as("b"), col("toks").as("tb"))
+    val joined = a.join(b,
+      try_divide(size(array_intersect(col("ta"), col("tb"))),
+        size(array_union(col("ta"), col("tb")))) >= 0.8 &&
+        col("a") < col("b"))
+    assert(joined.queryExecution.executedPlan.toString
+      .contains("graft_sst"))
+    assert(joined.count() === 1L)
+  }
+
+  test("string-element arrays rewrite too (split gives non-null elements)") {
+    val s = spark
+    import s.implicits._
+    // split() is how real token arrays are born — its element type is
+    // non-nullable, unlike a Seq[String] encoder's (containsNull=true,
+    // which correctly stands down)
+    val df = rows.map { case (i, ts) =>
+      (i, ts.map("w" + _).mkString(" "))
+    }.toDF("id", "s").select(col("id"), split(col("s"), " ").as("toks"))
+    val a = df.select(col("id").as("a"), col("toks").as("ta"))
+    val b = df.select(col("id").as("b"), col("toks").as("tb"))
+    val joined = a.join(b, jacCond && col("a") < col("b"))
+    assert(joined.queryExecution.executedPlan.toString
+      .contains("graft_sst"))
+    val got = joined.select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    // split("") = [""], so the empty token set becomes {""}
+    val strToks = rows.map { case (i, ts) =>
+      (i, if (ts.isEmpty) Seq("") else ts.map("w" + _)) }
+    def sj(x: Seq[String], y: Seq[String]): Double = {
+      val u = (x.toSet ++ y.toSet).size
+      if (u == 0) Double.NaN else (x.toSet & y.toSet).size.toDouble / u
+    }
+    val expected = (for {
+      x <- strToks; y <- strToks
+      if x._1 < y._1 && sj(x._2, y._2) >= 0.6
+    } yield (x._1, y._1)).sorted
+    assert(expected.nonEmpty && got === expected)
+  }
+
+  test("left semi / anti / outer collapse back to left grain exactly") {
+    val (a, b) = frames
+    val bEval = b.filter(col("b") % 5 === 0)
+    val evalRows = rows.filter(_._1 % 5 == 0)
+    val matched = rows.filter(x =>
+      evalRows.exists(e => jac(x._2, e._2) >= 0.6)).map(_._1).sorted
+    val semi = a.join(bEval, jacCond, "left_semi")
+    assert(semi.queryExecution.executedPlan.toString.contains("graft_sst"))
+    assert(semi.select("a").collect().map(_.getLong(0)).toSeq.sorted
+      === matched)
+    val anti = a.join(bEval, jacCond, "left_anti")
+    assert(anti.queryExecution.executedPlan.toString.contains("graft_sst"))
+    assert(anti.select("a").collect().map(_.getLong(0)).toSeq.sorted
+      === rows.map(_._1).filterNot(matched.contains).sorted)
+    val outer = a.join(bEval, jacCond, "left_outer")
+    assert(outer.queryExecution.executedPlan.toString.contains("graft_sst"))
+    val gotOuter = outer.select(col("a"), col("b")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSeq.sorted
+    val expOuter = rows.flatMap { x =>
+      val ms = evalRows.filter(e => jac(x._2, e._2) >= 0.6).map(_._1)
+      if (ms.isEmpty) Seq((x._1, -1L)) else ms.map(m => (x._1, m))
+    }.sorted
+    assert(gotOuter === expOuter)
+  }
+
+  test("stand-downs: nullable elements, s = 0, equi + broadcastable") {
+    val (a, b) = frames
+    // nullable-element arrays: containsNull = true is not provably
+    // safe for value-order prefixes — never eligible
+    val an = a.select(col("a"), expr("array(1, null)").as("ta"))
+    val bn = b.select(col("b"), expr("array(1, null)").as("tb"))
+    val jn = an.join(bn, jacCond && col("a") < col("b"))
+    assert(!jn.queryExecution.optimizedPlan.toString.contains("graft_sst"))
+    // s = 0 admits disjoint pairs — not a similarity join
+    val j0 = a.join(b,
+      try_divide(size(array_intersect(col("ta"), col("tb"))),
+        size(array_union(col("ta"), col("tb")))) >= 0.0 &&
+        col("a") < col("b"))
+    assert(!j0.queryExecution.optimizedPlan.toString.contains("graft_sst"))
+    // ANSI division: the naive plan raises on empty∕empty unions — the
+    // rewrite must not erase that error, so the ÷ spelling stands down
+    val jAnsi = a.join(b,
+      size(array_intersect(col("ta"), col("tb"))).cast("double") /
+        size(array_union(col("ta"), col("tb"))) >= 0.6 &&
+        col("a") < col("b"))
+    assert(!jAnsi.queryExecution.optimizedPlan.toString
+      .contains("graft_sst"))
+    // equi key + broadcastable side: hash join on the key wins
+    val je = a.join(b, col("a") === col("b") && jacCond)
+    assert(!je.queryExecution.executedPlan.toString.contains("graft_sst"))
+    assert(je.count() === rows.count(r => r._2.nonEmpty).toLong)
+  }
+
+  test("composition: blocked similarity join keeps user key + token key") {
+    val s = spark
+    import s.implicits._
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val blkOf = (i: Long) => if (i % 2 == 0) "x" else "y"
+      val df = rows.map { case (id, ts) => (id, ts, blkOf(id)) }
+        .toDF("id", "toks", "blk")
+      val a = df.select(col("id").as("a"), col("toks").as("ta"),
+        col("blk").as("ba"))
+      val b = df.select(col("id").as("b"), col("toks").as("tb"),
+        col("blk").as("bb"))
+      val joined = a.join(b,
+        col("ba") === col("bb") && jacCond && col("a") < col("b"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_sst"),
+        s"rule must compose, not stand down:\n${plan.take(3000)}")
+      val got = joined.select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val expected = (for {
+        x <- rows; y <- rows
+        if x._1 < y._1 && blkOf(x._1) == blkOf(y._1) &&
+          jac(x._2, y._2) >= 0.6
+      } yield (x._1, y._1)).sorted
+      assert(expected.nonEmpty && got === expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+}
