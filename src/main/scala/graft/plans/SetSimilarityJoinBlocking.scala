@@ -62,6 +62,17 @@ import org.apache.spark.sql.types._
   * outer keeps the canonical residual plus one representative
   * (`token <=> sorted_distinct[1]`) for match-free rids. Fuzzy-set
   * semi/anti are the token-level decontamination shapes.
+  *
+  * Two degenerate spellings ride the same machinery (round 8, second
+  * session): `arrays_overlap(a, b)` is the overlap join at α = 1
+  * (full sorted-distinct explode — under non-nullable elements its
+  * null-vs-false corner cannot arise), and the MEMBERSHIP join
+  * `array_contains(arr, v)` with the scalar on the other child
+  * explodes only the array side with `token = v` as the equi key — a
+  * pair meets through at most one distinct element, so no canonical
+  * is needed, and with the array on the RIGHT of a left
+  * semi/anti/outer join the left grain is untouched and no regroup is
+  * needed either.
   */
 object SetSimilarityJoinBlocking extends Rule[LogicalPlan]
     with PredicateHelper {
@@ -69,6 +80,7 @@ object SetSimilarityJoinBlocking extends Rule[LogicalPlan]
   private val arrColName = "graft_ssa"
   private val tokColName = "graft_sst"
   private val cntColName = "graft_ssn"
+  private val markColName = "graft_ssm"
 
   private def stripCast(e: Expression): Expression = e match {
     case c: Cast => stripCast(c.child)
@@ -201,8 +213,51 @@ object SetSimilarityJoinBlocking extends Rule[LogicalPlan]
       case GreaterThan(x, l) => bound(x, l)
       case LessThanOrEqual(l, x) => bound(x, l)
       case LessThan(l, x) => bound(x, l)
+      // arrays_overlap(a, b) ⟺ overlap ≥ 1 under non-nullable
+      // elements (its null-vs-false subtlety only exists for null
+      // elements, which eligibility excludes)
+      case ArraysOverlap(a, b) if eligibleArrays(a, b) =>
+        orient(a, b, left, right).map { case (al, ar) =>
+          SetSim(al, ar, _ => Literal(1L))
+        }
       case _ => None
     }
+  }
+
+  /** One matched MEMBERSHIP conjunct `array_contains(arr, v)` with the
+    * array and the scalar on opposite children — the tag-membership
+    * join. Only the ARRAY side explodes (full sorted-distinct — α = 1
+    * needs the whole set) and the equi key is `token = v` directly: a
+    * pair can meet through at most ONE exploded row (the distinct
+    * element equal to v), so bag semantics hold with NO canonical
+    * residual, and when the array sits on the RIGHT of a left
+    * semi/anti/outer join no regroup is needed either (left grain is
+    * untouched and per-right-row match multiplicity is at most one). */
+  private case class Member(arr: Expression, v: Expression,
+      arrOnLeft: Boolean)
+
+  private def memberOf(e: Expression, left: LogicalPlan,
+      right: LogicalPlan): Option[Member] = e match {
+    case ArrayContains(arr, v)
+        if v.deterministic && arr.deterministic &&
+          v.references.nonEmpty && arr.references.nonEmpty =>
+      arr.dataType match {
+        case ArrayType(et, false) if et == v.dataType && (et match {
+          case ByteType | ShortType | IntegerType | LongType |
+            DateType | TimestampType => true
+          case _: StringType => true
+          case _ => false
+        }) =>
+          if (arr.references.subsetOf(left.outputSet) &&
+            v.references.subsetOf(right.outputSet))
+            Some(Member(arr, v, arrOnLeft = true))
+          else if (arr.references.subsetOf(right.outputSet) &&
+            v.references.subsetOf(left.outputSet))
+            Some(Member(arr, v, arrOnLeft = false))
+          else None
+        case _ => None
+      }
+    case _ => None
   }
 
   /** `child` + projected sorted-distinct array (and, when `withCnt`,
@@ -257,17 +312,67 @@ object SetSimilarityJoinBlocking extends Rule[LogicalPlan]
         if rewriteable(jt) && !j.isStreaming &&
           !(left.output ++ right.output).exists(a =>
             a.name == arrColName || a.name == tokColName ||
-              a.name == cntColName) =>
+              a.name == cntColName || a.name == markColName) =>
       val conjuncts = splitConjunctivePredicates(cond)
       val sim = conjuncts.flatMap(c => setSimOf(c, left, right)).headOption
+      val member =
+        if (sim.isEmpty)
+          conjuncts.flatMap(c => memberOf(c, left, right)).headOption
+        else None
       val hasEqui = conjuncts.exists(isEqui(_, left, right))
       val broadcastable = {
         val t = conf.autoBroadcastJoinThreshold
         t >= 0 && (left.stats.sizeInBytes <= t ||
           right.stats.sizeInBytes <= t)
       }
-      sim match {
-        case Some(f) if !(hasEqui && broadcastable) =>
+      (sim, member) match {
+        case (None, Some(m)) if !(hasEqui && broadcastable) &&
+            !m.arrOnLeft =>
+          // membership with the array on the RIGHT: explode only the
+          // right side — the left grain is untouched, so EVERY join
+          // type goes through structurally (per right row at most one
+          // exploded copy equals v)
+          val (newRight, tokR, _) = explodePrefix(right, m.arr,
+            _ => Literal(1L), outer = false, withCnt = false)
+          val joined = Join(left, newRight, jt,
+            Some(And(EqualTo(m.v, tokR), cond)), hint)
+          Project(j.output, joined)
+        case (None, Some(m)) if !(hasEqui && broadcastable) =>
+          // membership with the array on the LEFT: the α = 1 explode
+          // with the scalar itself as the equi key (no canonical — a
+          // pair meets through at most one distinct element)
+          val nonInner = jt != Inner
+          val (leftBase, rid) =
+            if (nonInner) {
+              val (p, a) = RewriteSupport.withRid(left); (p, Some(a))
+            } else (left, None)
+          val (newLeft, tokL, cntL) = explodePrefix(leftBase, m.arr,
+            _ => Literal(1L), outer = nonInner, withCnt = jt == LeftAnti)
+          val newCond = And(EqualTo(tokL, m.v), cond)
+          jt match {
+            case Inner =>
+              Project(j.output, Join(newLeft, right, jt, Some(newCond),
+                hint))
+            case LeftSemi =>
+              RewriteSupport.regroupSemi(
+                Join(newLeft, right, jt, Some(newCond), hint),
+                rid.get, left.output, j.output)
+            case LeftAnti =>
+              RewriteSupport.regroupAntiCol(
+                Join(newLeft, right, jt, Some(newCond), hint),
+                rid.get, left.output, j.output, cntL.get)
+            case _ =>
+              // LeftOuter: a constant right-side marker distinguishes
+              // null-extension (the right child has no generated col)
+              val mark = Alias(Literal(true), markColName)()
+              val marked = Project(right.output :+ mark, right)
+              val sxAttr = newLeft.output.find(_.name == arrColName).get
+              RewriteSupport.collapseOuter(
+                Join(newLeft, marked, jt, Some(newCond), hint),
+                rid.get, mark.toAttribute,
+                EqualNullSafe(tokL, ArrayMin(sxAttr)), j.output)
+          }
+        case (Some(f), _) if !(hasEqui && broadcastable) =>
           val nonInner = jt != Inner
           val (leftBase, rid) =
             if (nonInner) {

@@ -619,7 +619,32 @@ object MiningPack extends QueryPack {
       "q334_fuzzy_join_rule" -> q334 _,
       "q335_fuzzy_anti_rule" -> q335 _,
       "q338_jaccard_join_rule" -> q338 _,
-      "q339_jaccard_anti_rule" -> q339 _)
+      "q339_jaccard_anti_rule" -> q339 _,
+      "q340_membership_join_rule" -> q340 _)
+
+  /** q340 — a TAG-MEMBERSHIP JOIN written the naive way: documents
+    * joined to a vocabulary dim (each document's first token, distinct)
+    * on `array_contains(tokens, word)` — "how many documents mention
+    * each title word", the array-contains join every tag/label system
+    * runs. [[graft.plans.SetSimilarityJoinBlocking]]'s membership arm
+    * explodes ONLY the array side (full sorted-distinct) and equi-joins
+    * the element against the scalar — per pair at most one distinct
+    * element equals the word, so the rewrite is exactly-once with no
+    * canonical residual, and the nested-loop contains-scan becomes a
+    * hash join.
+    */
+  private def q340(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        array_distinct(TextOps.toks(col("text"))).as("tk"))
+    val dim = Tables.load(s, dir, "documents")
+      .select(TextOps.toks(col("text")).as("t0"))
+      .filter(size(col("t0")) > 0)
+      .select(element_at(col("t0"), 1).as("word")).distinct()
+    d.join(dim, array_contains(col("tk"), col("word")))
+      .groupBy("word").agg(count(lit(1)).as("n_docs"))
+      .orderBy("word")
+  }
 
   // --- q338/q339: naive set-similarity joins, planned by the engine --------
 
@@ -1387,5 +1412,14 @@ object MiningPack extends QueryPack {
          |   CAST(len(list_intersect(c.tk, e.tk)) AS DOUBLE)
          |    / nullif(len(list_distinct(list_concat(c.tk, e.tk))), 0)
          |    >= 0.8)
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin,
+    "q340_membership_join_rule" ->
+      s"""WITH d AS (
+         | SELECT doc_id, list_distinct($duckToks) AS tk FROM documents),
+         |w AS (
+         | SELECT DISTINCT ($duckToks)[1] AS word FROM documents
+         | WHERE len($duckToks) > 0)
+         |SELECT word, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM d JOIN w ON list_contains(d.tk, w.word)
+         |GROUP BY word ORDER BY word""".stripMargin)
 }

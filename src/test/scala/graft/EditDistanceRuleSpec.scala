@@ -168,6 +168,33 @@ class EditDistanceRuleSpec extends SparkSpecBase {
     assert(gotOuter === expOuter)
   }
 
+  test("exhaustive: all strings over {a,b} up to length 4, every k") {
+    // 31 strings → 961 ordered pairs; covers every short-string edge
+    // geometry (empty, length < k+1, zero-length segments) completely
+    val s = spark
+    import s.implicits._
+    val all = (0 to 4).flatMap { n =>
+      (0 until (1 << n)).map { bits =>
+        (0 until n).map(i => if ((bits >> i & 1) == 1) 'b' else 'a')
+          .mkString
+      }
+    }.zipWithIndex.map { case (st, i) => (i.toLong, st) }
+    val df = all.toDF("id", "str")
+    val aa = df.select(col("id").as("a"), col("str").as("sa"))
+    val bb = df.select(col("id").as("b"), col("str").as("sb"))
+    for (k <- 1 to 3) {
+      val joined = aa.join(bb, levenshtein(col("sa"), col("sb")) <= k)
+      assert(joined.queryExecution.executedPlan.toString
+        .contains("graft_edp"), s"k=$k must rewrite")
+      val got = joined.select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val expected = (for {
+        x <- all; y <- all if lev(x._2, y._2) <= k
+      } yield (x._1, y._1)).sorted
+      assert(got === expected, s"k=$k")
+    }
+  }
+
   test("stand-down: threshold levenshtein form is never eligible") {
     val (a, b) = frames
     val joined = a.join(b,

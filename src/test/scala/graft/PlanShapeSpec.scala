@@ -545,6 +545,13 @@ class PlanShapeSpec extends SparkSpecBase {
       !p.contains("CartesianProduct"), p.take(4000))
   }
 
+  test("membership rule: q340's array_contains join plans as a hash join") {
+    val p = planOf(q("q340_membership_join_rule"))
+    assert(p.contains("graft_sst") &&
+      !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(4000))
+  }
+
   test("as-of join: bucketed equi-join candidates, never a theta nested loop") {
     val p = planOf(q("q261_asof_join"))
     assert(!p.contains("BroadcastNestedLoopJoin") &&

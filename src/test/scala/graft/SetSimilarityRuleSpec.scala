@@ -188,6 +188,138 @@ class SetSimilarityRuleSpec extends SparkSpecBase {
     assert(gotOuter === expOuter)
   }
 
+  test("arrays_overlap joins as the α = 1 overlap spelling") {
+    val (a, b) = frames
+    val joined = a.join(b,
+      arrays_overlap(col("ta"), col("tb")) && col("a") < col("b"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_sst") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    val got = joined.select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val expected = (for {
+      x <- rows; y <- rows
+      if x._1 < y._1 && (x._2.toSet & y._2.toSet).nonEmpty
+    } yield (x._1, y._1)).sorted
+    assert(expected.nonEmpty && got === expected)
+  }
+
+  test("membership join: array_contains explodes only the array side") {
+    val s = spark
+    import s.implicits._
+    val (a, _) = frames
+    val dim = (0 to 39 by 7).map(_.toLong).map(w => Tuple1(w.toInt))
+      .toDF("w")
+    val expected = (for {
+      x <- rows; w <- 0 to 39 by 7
+      if x._2.contains(w)
+    } yield (x._1, w)).sorted
+    // array on the LEFT, scalar dim on the right
+    val jl = a.join(dim, array_contains(col("ta"), col("w")))
+    assert(jl.queryExecution.executedPlan.toString.contains("graft_sst"))
+    val gotL = jl.select("a", "w").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+    assert(expected.nonEmpty && gotL === expected)
+    // array on the RIGHT (swapped children)
+    val jr = dim.join(a, array_contains(col("ta"), col("w")))
+    assert(jr.queryExecution.executedPlan.toString.contains("graft_sst"))
+    val gotR = jr.select("a", "w").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+    assert(gotR === expected)
+    // bag semantics: duplicated array-side rows multiply
+    assert(a.union(a).join(dim, array_contains(col("ta"), col("w")))
+      .count() === 2L * expected.size)
+  }
+
+  test("membership semi/anti/outer: both array orientations, left grain") {
+    val s = spark
+    import s.implicits._
+    val (a, _) = frames
+    val dim = (0 to 39 by 7).map(_.toLong).map(w => Tuple1(w.toInt))
+      .toDF("w")
+    val dimVals = (0 to 39 by 7).toSet
+    val hits = rows.filter(_._2.exists(dimVals.contains)).map(_._1).sorted
+    // array on the LEFT: rid regroup path
+    val semiL = a.join(dim, array_contains(col("ta"), col("w")),
+      "left_semi")
+    assert(semiL.queryExecution.executedPlan.toString
+      .contains("graft_sst"))
+    assert(semiL.select("a").collect().map(_.getLong(0)).toSeq.sorted
+      === hits)
+    val antiL = a.join(dim, array_contains(col("ta"), col("w")),
+      "left_anti")
+    assert(antiL.queryExecution.executedPlan.toString
+      .contains("graft_sst"))
+    assert(antiL.select("a").collect().map(_.getLong(0)).toSeq.sorted
+      === rows.map(_._1).filterNot(hits.contains).sorted)
+    val outerL = a.join(dim, array_contains(col("ta"), col("w")),
+      "left_outer")
+    assert(outerL.queryExecution.executedPlan.toString
+      .contains("graft_sst"))
+    val gotOuter = outerL.select(col("a"), col("w")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1 else r.getInt(1)))
+      .toSeq.sorted
+    val expOuter = rows.flatMap { x =>
+      val ms = (0 to 39 by 7).filter(x._2.contains)
+      if (ms.isEmpty) Seq((x._1, -1)) else ms.map(m => (x._1, m))
+    }.sorted
+    assert(gotOuter === expOuter)
+    // array on the RIGHT of semi/anti: structural, no regroup needed
+    val semiR = dim.join(a, array_contains(col("ta"), col("w")),
+      "left_semi")
+    assert(semiR.queryExecution.executedPlan.toString
+      .contains("graft_sst"))
+    val wHits = (0 to 39 by 7).filter(w =>
+      rows.exists(_._2.contains(w))).sorted
+    assert(semiR.select("w").collect().map(_.getInt(0)).toSeq.sorted
+      === wHits)
+    val antiR = dim.join(a, array_contains(col("ta"), col("w")),
+      "left_anti")
+    assert(antiR.select("w").collect().map(_.getInt(0)).toSeq.sorted
+      === (0 to 39 by 7).filterNot(wHits.contains).sorted)
+  }
+
+  test("exhaustive: all subsets of a 5-token universe, every threshold") {
+    // 32 sets (incl. ∅) → 1024 ordered pairs; complete coverage of
+    // prefix-length geometry at every α
+    val s = spark
+    import s.implicits._
+    val all = (0 until 32).map { bits =>
+      (bits.toLong, (0 until 5).filter(i => (bits >> i & 1) == 1))
+    }
+    val df = all.toDF("id", "toks")
+    val aa = df.select(col("id").as("a"), col("toks").as("ta"))
+    val bb = df.select(col("id").as("b"), col("toks").as("tb"))
+    for (th <- Seq(1.0 / 3, 0.5, 2.0 / 3, 0.99)) {
+      val joined = aa.join(bb,
+        try_divide(size(array_intersect(col("ta"), col("tb"))),
+          size(array_union(col("ta"), col("tb")))) >= th)
+      assert(joined.queryExecution.executedPlan.toString
+        .contains("graft_sst"), s"s=$th must rewrite")
+      val got = joined.select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val expected = (for {
+        x <- all; y <- all
+        u = (x._2.toSet ++ y._2.toSet).size
+        if u > 0 && (x._2.toSet & y._2.toSet).size.toDouble / u >= th
+      } yield (x._1, y._1)).sorted
+      assert(got === expected, s"s=$th")
+    }
+    for (t <- 1 to 4) {
+      val joined = aa.join(bb,
+        size(array_intersect(col("ta"), col("tb"))) >= t)
+      assert(joined.queryExecution.executedPlan.toString
+        .contains("graft_sst"), s"t=$t must rewrite")
+      val got = joined.select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val expected = (for {
+        x <- all; y <- all
+        if (x._2.toSet & y._2.toSet).size >= t
+      } yield (x._1, y._1)).sorted
+      assert(got === expected, s"t=$t")
+    }
+  }
+
   test("stand-downs: nullable elements, s = 0, equi + broadcastable") {
     val (a, b) = frames
     // nullable-element arrays: containsNull = true is not provably
