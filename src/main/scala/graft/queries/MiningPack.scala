@@ -620,7 +620,40 @@ object MiningPack extends QueryPack {
       "q335_fuzzy_anti_rule" -> q335 _,
       "q338_jaccard_join_rule" -> q338 _,
       "q339_jaccard_anti_rule" -> q339 _,
-      "q340_membership_join_rule" -> q340 _)
+      "q340_membership_join_rule" -> q340 _,
+      "q341_composed_blocking" -> q341 _)
+
+  /** q341 — COMPOSED blocking written naively: near-duplicate event
+    * signatures (16-bit md5-derived, SQL-replicable) WITHIN an
+    * event-id band — `bit_count(sig ⊕ sig2) ≤ 2 ∧ |id − id2| ≤ 2000 ∧
+    * id < id2`, the "similar fingerprint AND close in sequence" shape.
+    * TWO rules own the plan together: [[graft.plans.HammingJoinBlocking]]
+    * rewrites the hamming bound into segment equi-keys and keeps the
+    * condition verbatim, so [[graft.plans.BandJoinBlocking]] sees the
+    * band conjuncts on the REWRITTEN join and appends its bucket key
+    * in the same fixed-point batch (`id < id2` folds in as a tighter
+    * lower bound) — candidates blocked on (segment, bucket).
+    * RuleCompositionSpec pins the forced two-rule plan and exact bag;
+    * at gate SFs the segment keys + broadcastable sides let the band
+    * arm stand down into a residual, which is the intended doctrine.
+    */
+  private def q341(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+      .filter(pmod(col("event_id"), lit(29L)) === 0)
+      .select(col("event_id"),
+        conv(substring(md5(col("event_id").cast("string")), 1, 4),
+          16, 10).cast("long").as("sig"))
+    val y = e.select(col("event_id").as("event_id2"),
+      col("sig").as("sig2"))
+    e.join(y,
+        bit_count(col("sig").bitwiseXOR(col("sig2"))) <= 2 &&
+          col("event_id2") >= col("event_id") - 2000L &&
+          col("event_id2") <= col("event_id") + 2000L &&
+          col("event_id") < col("event_id2"))
+      .select(col("event_id"), col("event_id2"),
+        bit_count(col("sig").bitwiseXOR(col("sig2"))).as("hamming"))
+      .orderBy("event_id", "event_id2")
+  }
 
   /** q340 — a TAG-MEMBERSHIP JOIN written the naive way: documents
     * joined to a vocabulary dim (each document's first token, distinct)
@@ -1421,5 +1454,17 @@ object MiningPack extends QueryPack {
          | WHERE len($duckToks) > 0)
          |SELECT word, CAST(count(*) AS BIGINT) AS n_docs
          |FROM d JOIN w ON list_contains(d.tk, w.word)
-         |GROUP BY word ORDER BY word""".stripMargin)
+         |GROUP BY word ORDER BY word""".stripMargin,
+    "q341_composed_blocking" ->
+      """WITH e AS (
+        | SELECT event_id,
+        |  CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 4)
+        |    AS BIGINT) AS sig
+        | FROM events WHERE event_id % 29 = 0)
+        |SELECT a.event_id, b.event_id AS event_id2,
+        | CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        |FROM e a JOIN e b ON bit_count(xor(a.sig, b.sig)) <= 2
+        | AND b.event_id BETWEEN a.event_id - 2000 AND a.event_id + 2000
+        | AND a.event_id < b.event_id
+        |ORDER BY a.event_id, event_id2""".stripMargin)
 }

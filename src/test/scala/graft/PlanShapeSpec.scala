@@ -545,6 +545,16 @@ class PlanShapeSpec extends SparkSpecBase {
       !p.contains("CartesianProduct"), p.take(4000))
   }
 
+  test("composed blocking: q341's hamming+band join plans via graft_seg") {
+    // at gate SFs the hamming rule's segment keys + broadcastable
+    // sides let the band arm stand down into a residual (doctrine);
+    // RuleCompositionSpec pins the forced two-rule plan
+    val p = planOf(q("q341_composed_blocking"))
+    assert(p.contains("graft_seg") &&
+      !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(4000))
+  }
+
   test("membership rule: q340's array_contains join plans as a hash join") {
     val p = planOf(q("q340_membership_join_rule"))
     assert(p.contains("graft_sst") &&
