@@ -93,7 +93,8 @@ import org.apache.spark.sql.types._
   * broadcast nested-loop beats paying both explodes at that size) and
   * whenever the endpoint quadruple is ambiguous.
   */
-object BandJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
+object BandJoinBlocking extends Rule[LogicalPlan]
+    with BlockingJoinSupport {
 
   private val bandColName = "graft_band"
 
@@ -282,25 +283,6 @@ object BandJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  private def isEqui(e: Expression, left: LogicalPlan,
-      right: LogicalPlan): Boolean = {
-    def crossChild(a: Expression, b: Expression): Boolean =
-      (a.references.subsetOf(left.outputSet) &&
-        b.references.subsetOf(right.outputSet)) ||
-        (b.references.subsetOf(left.outputSet) &&
-          a.references.subsetOf(right.outputSet))
-    e match {
-      case EqualTo(a, b) => crossChild(a, b)
-      case EqualNullSafe(a, b) => crossChild(a, b)
-      case _ => false
-    }
-  }
-
-  private def rewriteable(jt: JoinType): Boolean = jt match {
-    case Inner | LeftOuter | LeftSemi | LeftAnti => true
-    case _ => false
-  }
-
   def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, jt, Some(cond), hint)
         // streaming interval joins ARE bands, but their state cleanup
@@ -329,11 +311,7 @@ object BandJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
         }
       }.find { case (_, _, lo, hi) => hi >= lo }
       val hasEqui = conjuncts.exists(isEqui(_, left, right))
-      val broadcastable = {
-        val t = conf.autoBroadcastJoinThreshold
-        t >= 0 && (left.stats.sizeInBytes <= t ||
-          right.stats.sizeInBytes <= t)
-      }
+      val bcastable = broadcastable(left, right)
       // an equi conjunct that CONTAINS a band base (e.g. the manual
       // `ts div T` bucket key q261 builds by hand) means the query is
       // already blocked on this band — a second bucket key would only
@@ -378,7 +356,7 @@ object BandJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
       // the endpoints); INNER / LEFT SEMI / LEFT ANTI / LEFT OUTER,
       // neither side broadcastable
       lazy val interval: Option[LogicalPlan] =
-        if (broadcastable || band.isDefined) None
+        if (bcastable || band.isDefined) None
         else {
           // any (upper, lower) cross-pair is CORRECT (the canonical-
           // point proof is generic), but tiling quality follows the
@@ -490,7 +468,7 @@ object BandJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
         }
       band match {
         case Some((x, y, lo, hi))
-            if !(hasEqui && broadcastable) && !alreadyBlocked(x, y) =>
+            if !(hasEqui && bcastable) && !alreadyBlocked(x, y) =>
           val b = Literal(math.max(hi - lo, 1L))
           def fdiv(v: Expression): Expression =
             IntegralDivide(Subtract(v, Pmod(v, b)), b)

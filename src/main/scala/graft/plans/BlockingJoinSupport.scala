@@ -1,0 +1,102 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** Eligibility helpers shared by the similarity-join blocking rules
+  * ([[HammingJoinBlocking]], [[EditDistanceJoinBlocking]],
+  * [[SetSimilarityJoinBlocking]], [[BandJoinBlocking]]). These four
+  * rules share a doctrine — match a theta conjunct, explode into
+  * blocking keys, keep the original condition verbatim, stand down when
+  * Spark's own hash join already wins — and the predicates that ENCODE
+  * that doctrine must be single-sourced: a fix to one (e.g. the
+  * broadcast-threshold stand-down) must not silently diverge from the
+  * others.
+  */
+private[plans] trait BlockingJoinSupport extends PredicateHelper {
+  self: Rule[LogicalPlan] =>
+
+  /** Strip a tower of casts down to the underlying expression. */
+  protected def stripCast(e: Expression): Expression = e match {
+    case c: Cast => stripCast(c.child)
+    case _ => e
+  }
+
+  /** Orient `(a, b)` as `(left-side, right-side)` — None if the pair
+    * straddles the children or either side is NON-DETERMINISTIC. The
+    * determinism guard is defense in depth: every blocking rewrite
+    * re-evaluates the oriented expressions several times (explode
+    * projects, the canonical residual, the kept original condition),
+    * which is only sound for deterministic expressions. Spark's
+    * analyzer already rejects non-deterministic join conditions, but
+    * the rules must not rest on that alone. */
+  protected def orient(a: Expression, b: Expression, left: LogicalPlan,
+      right: LogicalPlan): Option[(Expression, Expression)] =
+    if (!a.deterministic || !b.deterministic) None
+    else if (a.references.subsetOf(left.outputSet) &&
+      b.references.subsetOf(right.outputSet)) Some((a, b))
+    else if (b.references.subsetOf(left.outputSet) &&
+      a.references.subsetOf(right.outputSet)) Some((b, a))
+    else None
+
+  /** `(lhs, k)` when `e` bounds `lhs` by an integral literal in any of
+    * the four comparison spellings (`lhs ≤ k`, `lhs < k`, `k ≥ lhs`,
+    * `k > lhs`). */
+  protected def boundedBy(e: Expression): Option[(Expression, Int)] = {
+    def lit(l: Expression): Option[Int] = l match {
+      case Literal(k: Int, IntegerType) => Some(k)
+      case Literal(k: Long, LongType) if k.isValidInt => Some(k.toInt)
+      case _ => None
+    }
+    e match {
+      case LessThanOrEqual(x, l) => lit(l).map(k => (x, k))
+      case LessThan(x, l) => lit(l).map(k => (x, k - 1))
+      case GreaterThanOrEqual(l, x) => lit(l).map(k => (x, k))
+      case GreaterThan(l, x) => lit(l).map(k => (x, k - 1))
+      case _ => None
+    }
+  }
+
+  /** An `=` / `<=>` conjunct relating the two children — a user equi
+    * key the blocking keys would compose with. */
+  protected def isEqui(e: Expression, left: LogicalPlan,
+      right: LogicalPlan): Boolean = {
+    def crossChild(a: Expression, b: Expression): Boolean =
+      (a.references.subsetOf(left.outputSet) &&
+        b.references.subsetOf(right.outputSet)) ||
+        (b.references.subsetOf(left.outputSet) &&
+          a.references.subsetOf(right.outputSet))
+    e match {
+      case EqualTo(a, b) => crossChild(a, b)
+      case EqualNullSafe(a, b) => crossChild(a, b)
+      case _ => false
+    }
+  }
+
+  /** Join types the left-grain regroup machinery
+    * ([[RewriteSupport]]) supports. */
+  protected def rewriteable(jt: JoinType): Boolean = jt match {
+    case Inner | LeftSemi | LeftAnti | LeftOuter => true
+    case _ => false
+  }
+
+  /** A side already fits under the auto-broadcast threshold. */
+  protected def broadcastable(left: LogicalPlan,
+      right: LogicalPlan): Boolean = {
+    val t = conf.autoBroadcastJoinThreshold
+    t >= 0 && (left.stats.sizeInBytes <= t ||
+      right.stats.sizeInBytes <= t)
+  }
+
+  /** The shared stand-down doctrine: user equi conjuncts exist AND a
+    * side is broadcastable — there Spark's BroadcastHashJoin on the
+    * existing keys (the similarity predicate as a cheap residual)
+    * beats paying the explode, so the blocking rules leave the join
+    * alone. */
+  protected def equiBroadcastStandDown(conjuncts: Seq[Expression],
+      left: LogicalPlan, right: LogicalPlan): Boolean =
+    conjuncts.exists(isEqui(_, left, right)) && broadcastable(left, right)
+}

@@ -79,7 +79,7 @@ import org.apache.spark.sql.types._
   * of some/no eval title").
   */
 object EditDistanceJoinBlocking extends Rule[LogicalPlan]
-    with PredicateHelper {
+    with BlockingJoinSupport {
 
   private val probeColName = "graft_edp"
   private val segColName = "graft_eds"
@@ -102,39 +102,11 @@ object EditDistanceJoinBlocking extends Rule[LogicalPlan]
     b.result()
   }
 
-  /** `(lhs, k)` when `e` bounds `lhs` by an integral literal in any of
-    * the four comparison spellings. */
-  private def boundedBy(e: Expression): Option[(Expression, Int)] = {
-    def lit(l: Expression): Option[Int] = l match {
-      case Literal(k: Int, IntegerType) => Some(k)
-      case Literal(k: Long, LongType) if k.isValidInt => Some(k.toInt)
-      case _ => None
-    }
-    e match {
-      case LessThanOrEqual(x, l) => lit(l).map(k => (x, k))
-      case LessThan(x, l) => lit(l).map(k => (x, k - 1))
-      case GreaterThanOrEqual(l, x) => lit(l).map(k => (x, k))
-      case GreaterThan(l, x) => lit(l).map(k => (x, k - 1))
-      case _ => None
-    }
-  }
-
-  private def stripCast(e: Expression): Expression = e match {
-    case c: Cast => stripCast(c.child)
-    case _ => e
-  }
-
-  /** Orient `(a, b)` as `(left-side, right-side)`, or None if mixed. */
-  private def orient(a: Expression, b: Expression, left: LogicalPlan,
-      right: LogicalPlan): Option[(Expression, Expression)] =
-    if (a.references.subsetOf(left.outputSet) &&
-      b.references.subsetOf(right.outputSet)) Some((a, b))
-    else if (b.references.subsetOf(left.outputSet) &&
-      a.references.subsetOf(right.outputSet)) Some((b, a))
-    else None
-
   /** One matched edit-distance bound: probe string (left side), segment
-    * string (right side), bound k. */
+    * string (right side), bound k. Both sides pass through
+    * [[orient]]'s determinism guard — the rewrite evaluates them in
+    * the explode projects, the canonical residual, and the kept
+    * condition. */
   private case class Fuzzy(probe: Expression, seg: Expression, k: Int)
 
   private def fuzzyOf(e: Expression, left: LogicalPlan,
@@ -278,25 +250,6 @@ object EditDistanceJoinBlocking extends Rule[LogicalPlan]
       Seq(out), proj), out, arr.toAttribute)
   }
 
-  private def isEqui(e: Expression, left: LogicalPlan,
-      right: LogicalPlan): Boolean = {
-    def crossChild(a: Expression, b: Expression): Boolean =
-      (a.references.subsetOf(left.outputSet) &&
-        b.references.subsetOf(right.outputSet)) ||
-        (b.references.subsetOf(left.outputSet) &&
-          a.references.subsetOf(right.outputSet))
-    e match {
-      case EqualTo(a, b) => crossChild(a, b)
-      case EqualNullSafe(a, b) => crossChild(a, b)
-      case _ => false
-    }
-  }
-
-  private def rewriteable(jt: JoinType): Boolean = jt match {
-    case Inner | LeftSemi | LeftAnti | LeftOuter => true
-    case _ => false
-  }
-
   def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, jt, Some(cond), hint)
         if rewriteable(jt) && !j.isStreaming &&
@@ -305,12 +258,7 @@ object EditDistanceJoinBlocking extends Rule[LogicalPlan]
               a.name == probeArrName || a.name == segArrName) =>
       val conjuncts = splitConjunctivePredicates(cond)
       val fuzzy = conjuncts.flatMap(c => fuzzyOf(c, left, right)).headOption
-      val hasEqui = conjuncts.exists(isEqui(_, left, right))
-      val broadcastable = {
-        val t = conf.autoBroadcastJoinThreshold
-        t >= 0 && (left.stats.sizeInBytes <= t ||
-          right.stats.sizeInBytes <= t)
-      }
+      val standDown = equiBroadcastStandDown(conjuncts, left, right)
       fuzzy match {
         case Some(f) if f.k == 0 &&
             !conjuncts.exists(_.semanticEquals(EqualTo(f.probe, f.seg))) =>
@@ -322,7 +270,7 @@ object EditDistanceJoinBlocking extends Rule[LogicalPlan]
           // this rule's pattern).
           Join(left, right, jt,
             Some(And(EqualTo(f.probe, f.seg), cond)), hint)
-        case Some(f) if f.k > 0 && !(hasEqui && broadcastable) =>
+        case Some(f) if f.k > 0 && !standDown =>
           val nSeg = f.k + 1
           val cs = combos(f.k)
           val (probeRid, rid) =

@@ -76,7 +76,8 @@ import org.apache.spark.sql.types._
   * null-extended representative for match-free rows via a per-rid
   * window match count.
   */
-object HammingJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
+object HammingJoinBlocking extends Rule[LogicalPlan]
+    with BlockingJoinSupport {
 
   private val segColName = "graft_seg"
   private val maxK = 7
@@ -86,28 +87,6 @@ object HammingJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
     * [[valueType]]) and the segment count. */
   private case class Blocking(nSeg: Int, valueType: DataType,
       segL: Int => Expression, segR: Int => Expression)
-
-  private def stripCast(e: Expression): Expression = e match {
-    case c: Cast => stripCast(c.child)
-    case _ => e
-  }
-
-  /** `(lhs, k)` when `e` bounds `lhs` by an integral literal in any of
-    * the four comparison spellings. */
-  private def boundedBy(e: Expression): Option[(Expression, Int)] = {
-    def lit(l: Expression): Option[Int] = l match {
-      case Literal(k: Int, IntegerType) => Some(k)
-      case Literal(k: Long, LongType) if k.isValidInt => Some(k.toInt)
-      case _ => None
-    }
-    e match {
-      case LessThanOrEqual(x, l) => lit(l).map(k => (x, k))
-      case LessThan(x, l) => lit(l).map(k => (x, k - 1))
-      case GreaterThanOrEqual(l, x) => lit(l).map(k => (x, k))
-      case GreaterThan(l, x) => lit(l).map(k => (x, k - 1))
-      case _ => None
-    }
-  }
 
   /** Flatten an additive tree of `bit_count(…)` terms (casts stripped)
     * into the xor arguments, left-to-right. */
@@ -225,15 +204,6 @@ object HammingJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
         Literal(null, et)), Seq(x, ix)))
   }
 
-  /** Orient `(a, b)` as `(left-side, right-side)`, or None if mixed. */
-  private def orient(a: Expression, b: Expression, left: LogicalPlan,
-      right: LogicalPlan): Option[(Expression, Expression)] =
-    if (a.references.subsetOf(left.outputSet) &&
-      b.references.subsetOf(right.outputSet)) Some((a, b))
-    else if (b.references.subsetOf(left.outputSet) &&
-      a.references.subsetOf(right.outputSet)) Some((b, a))
-    else None
-
   /** Match one conjunct as a hamming bound in any of the three signature
     * spellings and build the segment machinery. */
   private def blockingOf(e: Expression, left: LogicalPlan,
@@ -273,20 +243,6 @@ object HammingJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
         }
       }
 
-  private def isEqui(e: Expression, left: LogicalPlan,
-      right: LogicalPlan): Boolean = {
-    def crossChild(a: Expression, b: Expression): Boolean =
-      (a.references.subsetOf(left.outputSet) &&
-        b.references.subsetOf(right.outputSet)) ||
-        (b.references.subsetOf(left.outputSet) &&
-          a.references.subsetOf(right.outputSet))
-    e match {
-      case EqualTo(a, b) => crossChild(a, b)
-      case EqualNullSafe(a, b) => crossChild(a, b)
-      case _ => false
-    }
-  }
-
   private def explodeSegs(child: LogicalPlan, segVals: Seq[Expression],
       valueType: DataType): (LogicalPlan, Attribute) = {
     val structs = segVals.zipWithIndex.map { case (v, i) =>
@@ -300,11 +256,6 @@ object HammingJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
       Seq(out), child), out)
   }
 
-  private def rewriteable(jt: JoinType): Boolean = jt match {
-    case Inner | LeftSemi | LeftAnti | LeftOuter => true
-    case _ => false
-  }
-
   def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, jt, Some(cond), hint)
         // stream-stream joins manage per-key state through the raw
@@ -316,16 +267,9 @@ object HammingJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
       val conjuncts = splitConjunctivePredicates(cond)
       val blocking = conjuncts.flatMap(c =>
         blockingOf(c, left, right)).headOption
-      val hasEqui = conjuncts.exists(isEqui(_, left, right))
-      // with user equi-keys AND a broadcastable side, Spark's hash join
-      // on those keys (hamming as residual) already wins — stand down
-      val broadcastable = {
-        val t = conf.autoBroadcastJoinThreshold
-        t >= 0 && (left.stats.sizeInBytes <= t ||
-          right.stats.sizeInBytes <= t)
-      }
+      val standDown = equiBroadcastStandDown(conjuncts, left, right)
       blocking match {
-        case Some(b) if !(hasEqui && broadcastable) && jt == Inner =>
+        case Some(b) if !standDown && jt == Inner =>
           val nSeg = b.nSeg
           val (newLeft, segL) =
             explodeSegs(left, (0 until nSeg).map(b.segL), b.valueType)
@@ -347,7 +291,7 @@ object HammingJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
             cond, canonical).reduceLeft[Expression](And)
           Project(j.output,
             Join(newLeft, newRight, Inner, Some(newCond), hint))
-        case Some(b) if !(hasEqui && broadcastable) =>
+        case Some(b) if !standDown =>
           // LEFT-SEMI / LEFT-ANTI — the decontamination shapes ("corpus
           // docs near/not-near ANY eval doc") — and LEFT-OUTER (near-dup
           // adjacency keeping isolated rows). Explode the left with a

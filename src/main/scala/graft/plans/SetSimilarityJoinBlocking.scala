@@ -75,17 +75,13 @@ import org.apache.spark.sql.types._
   * needed either.
   */
 object SetSimilarityJoinBlocking extends Rule[LogicalPlan]
-    with PredicateHelper {
+    with BlockingJoinSupport {
 
   private val arrColName = "graft_ssa"
   private val tokColName = "graft_sst"
+  private val posColName = "graft_ssp"
   private val cntColName = "graft_ssn"
   private val markColName = "graft_ssm"
-
-  private def stripCast(e: Expression): Expression = e match {
-    case c: Cast => stripCast(c.child)
-    case _ => e
-  }
 
   private def interPair(e: Expression): Option[(Expression, Expression)] =
     stripCast(e) match {
@@ -104,32 +100,58 @@ object SetSimilarityJoinBlocking extends Rule[LogicalPlan]
     (p._1.semanticEquals(q._1) && p._2.semanticEquals(q._2)) ||
       (p._1.semanticEquals(q._2) && p._2.semanticEquals(q._1))
 
-  private def litInt(e: Expression): Option[Int] = e match {
+  /** Integral threshold literal, casts stripped — the analyzer may
+    * wrap the user's literal to unify comparison types. Stripping is
+    * value-faithful here: only int/long literals are accepted after
+    * the strip, and a widening cast of those never changes the
+    * compared value (a narrowing cast's operand is a non-integral
+    * literal, which the match rejects). */
+  private def litInt(e: Expression): Option[Int] = stripCast(e) match {
     case Literal(k: Int, IntegerType) => Some(k)
     case Literal(k: Long, LongType) if k.isValidInt => Some(k.toInt)
     case _ => None
   }
 
-  private def litFrac(e: Expression): Option[Double] = e match {
+  /** Fractional threshold literal, casts stripped, integer literals
+    * accepted (`jaccard >= 1` arrives as an int literal the analyzer
+    * casts to double — semantically s = 1.0). Every accepted form
+    * evaluates to exactly the double the runtime comparison uses, so
+    * the α math stays lossless. */
+  private def litFrac(e: Expression): Option[Double] = stripCast(e) match {
     case Literal(d: Double, DoubleType) => Some(d)
     case Literal(f: Float, FloatType) => Some(f.toDouble)
     case Literal(d: Decimal, _) => Some(d.toDouble)
+    case Literal(k: Int, IntegerType) => Some(k.toDouble)
+    case Literal(k: Long, LongType) => Some(k.toDouble)
     case _ => None
   }
 
-  /** Orient `(a, b)` as `(left-side, right-side)`, or None if mixed. */
-  private def orient(a: Expression, b: Expression, left: LogicalPlan,
-      right: LogicalPlan): Option[(Expression, Expression)] =
-    if (a.references.subsetOf(left.outputSet) &&
-      b.references.subsetOf(right.outputSet)) Some((a, b))
-    else if (b.references.subsetOf(left.outputSet) &&
-      a.references.subsetOf(right.outputSet)) Some((b, a))
-    else None
-
-  /** One matched similarity bound: the two array sides and the per-side
-    * α builder (sorted-distinct size → required overlap, LongType). */
+  /** One matched similarity bound: the two array sides, the per-side
+    * α builder (sorted-distinct size → required overlap, LongType),
+    * and whether an EMPTY×EMPTY pair satisfies the predicate. The ÷
+    * spellings are empty-false (∅∕∅ → null → false) and so are
+    * overlap ≥ t ≥ 1 and arrays_overlap — but the ÷-free
+    * `size(intersect) ≥ s·size(union)` is TRUE on two empties
+    * (0 ≥ s·0) under a non-strict comparison, so those pairs must
+    * survive the rewrite: [[explodePrefix]] goes OUTER on both sides
+    * (an empty/null array emits exactly one null-token row) and the
+    * token key and canonical residual become null-safe — ∅ meets ∅
+    * through the null token exactly once, null-array rows form the
+    * same candidates but the kept original condition (null → false)
+    * rejects them, and non-empty rows behave exactly as before. */
+  /** `alpha`: sorted-distinct size → required overlap (the prefix
+    * length driver, floored at 1). `lenAlpha`: the same bound WITHOUT
+    * the 1-floor, used by the cheap length filter (a qualifying
+    * partner of a size-n set has ≥ ⌈s·n⌉ elements; ∅ partners need
+    * ≥ 0 so the emptyTrue pairs survive). `ovlAlpha`: the TWO-SIDED
+    * required-overlap lower bound (PPJoin: Jaccard ≥ s ⟹ |X∩Y| ≥
+    * s∕(1+s)·(|X|+|Y|); overlap ≥ t ⟹ t), used by the positional
+    * filter. */
   private case class SetSim(aL: Expression, aR: Expression,
-      alpha: Expression => Expression)
+      alpha: Expression => Expression,
+      lenAlpha: Expression => Expression,
+      ovlAlpha: (Expression, Expression) => Expression,
+      emptyTrue: Boolean)
 
   private def eligibleArrays(a: Expression, b: Expression): Boolean =
     (a.dataType, b.dataType) match {
@@ -152,13 +174,26 @@ object SetSimilarityJoinBlocking extends Rule[LogicalPlan]
         t <- litInt(l)
         if t >= 1 && eligibleArrays(a, b)
         (al, ar) <- orient(a, b, left, right)
-      } yield SetSim(al, ar, _ => Literal(t.toLong))
-    def jacAlpha(s: Double, ip: (Expression, Expression)): Option[SetSim] =
+      } yield SetSim(al, ar, _ => Literal(t.toLong),
+        _ => Literal(t.toLong), (_, _) => Literal(t.toLong),
+        emptyTrue = false)
+    def jacAlpha(s: Double, ip: (Expression, Expression),
+        emptyTrue: Boolean): Option[SetSim] =
       if (s > 0.0 && s <= 1.0 && eligibleArrays(ip._1, ip._2))
         orient(ip._1, ip._2, left, right).map { case (al, ar) =>
-          SetSim(al, ar, sz => Greatest(Seq(Literal(1L),
+          def sCeil(sz: Expression): Expression =
             Ceil(Subtract(Multiply(Literal(s),
-              Cast(sz, DoubleType)), Literal(1e-9))))))
+              Cast(sz, DoubleType)), Literal(1e-9)))
+          // s∕(1+s) in plain double: the ε (wider than alpha's — two
+          // roundings × up to ~1e6-element sizes) only ever WEAKENS
+          // the filter, never the lemma
+          val f = s / (1.0 + s)
+          SetSim(al, ar,
+            sz => Greatest(Seq(Literal(1L), sCeil(sz))),
+            sCeil,
+            (a2, b2) => Ceil(Subtract(Multiply(Literal(f),
+              Cast(Add(a2, b2), DoubleType)), Literal(1e-6))),
+            emptyTrue)
         }
       else None
     // Jaccard ÷ spelling: size(intersect)/size(union) bounded below by
@@ -178,13 +213,16 @@ object SetSimilarityJoinBlocking extends Rule[LogicalPlan]
             up <- unionPair(den)
             if samePairs(ip, up)
             s <- litFrac(l)
-            sim <- jacAlpha(s, ip)
+            sim <- jacAlpha(s, ip, emptyTrue = false)
           } yield sim
         case _ => None
       }
     // division-free Jaccard spelling (the ANSI-safe form):
-    // size(intersect) ≥ s · size(union)
-    def jaccardMul(x: Expression, r: Expression): Option[SetSim] = {
+    // size(intersect) ≥ s · size(union). The multiplier-free
+    // `size(intersect) ≥ size(union)` is s = 1 — both the direct
+    // spelling and what ConstantFolding leaves of `1 · size(union)`.
+    def jaccardMul(x: Expression, r: Expression,
+        strict: Boolean): Option[SetSim] = {
       def sTimesUnion(e: Expression): Option[(Double,
           (Expression, Expression))] = stripCast(e) match {
         case Multiply(a, b, _) =>
@@ -195,30 +233,35 @@ object SetSimilarityJoinBlocking extends Rule[LogicalPlan]
               case _ => None
             }
           }
+        case u if unionPair(u).isDefined => unionPair(u).map((1.0, _))
         case _ => None
       }
       for {
         ip <- interPair(x)
         (s, up) <- sTimesUnion(r)
         if samePairs(ip, up)
-        sim <- jacAlpha(s, ip)
+        // non-strict: 0 ≥ s·0 holds — two EMPTY sets qualify and the
+        // rewrite must route them through the null-token machinery
+        sim <- jacAlpha(s, ip, emptyTrue = !strict)
       } yield sim
     }
-    def bound(x: Expression, l: Expression): Option[SetSim] =
-      overlap(x, l).orElse(jaccard(x, l)).orElse(jaccardMul(x, l))
+    def bound(x: Expression, l: Expression,
+        strict: Boolean): Option[SetSim] =
+      overlap(x, l).orElse(jaccard(x, l)).orElse(jaccardMul(x, l, strict))
     e match {
       // strict bounds imply the non-strict ones the α math uses — the
       // kept original condition enforces the exact strictness
-      case GreaterThanOrEqual(x, l) => bound(x, l)
-      case GreaterThan(x, l) => bound(x, l)
-      case LessThanOrEqual(l, x) => bound(x, l)
-      case LessThan(l, x) => bound(x, l)
+      case GreaterThanOrEqual(x, l) => bound(x, l, strict = false)
+      case GreaterThan(x, l) => bound(x, l, strict = true)
+      case LessThanOrEqual(l, x) => bound(x, l, strict = false)
+      case LessThan(l, x) => bound(x, l, strict = true)
       // arrays_overlap(a, b) ⟺ overlap ≥ 1 under non-nullable
       // elements (its null-vs-false subtlety only exists for null
       // elements, which eligibility excludes)
       case ArraysOverlap(a, b) if eligibleArrays(a, b) =>
         orient(a, b, left, right).map { case (al, ar) =>
-          SetSim(al, ar, _ => Literal(1L))
+          SetSim(al, ar, _ => Literal(1L), _ => Literal(1L),
+            (_, _) => Literal(1L), emptyTrue = false)
         }
       case _ => None
     }
@@ -267,9 +310,17 @@ object SetSimilarityJoinBlocking extends Rule[LogicalPlan]
     * pure function of `arr` (not of the sibling `sx` alias — aliases
     * in one Project cannot reference each other); the Generate's slice
     * recomputes the length from the projected attribute. */
+  /** The exploded prefix plus what the downstream filters read: the
+    * token, its 0-based POSITION in the sorted-distinct array (prefix
+    * positions ARE full-array positions — a prefix is a prefix), the
+    * sorted-distinct array attribute itself (its Size feeds the
+    * length/positional filters), and the optional anti fan-out count. */
+  private case class Exploded(plan: LogicalPlan, tok: Attribute,
+      pos: Attribute, sx: Attribute, cnt: Option[Attribute])
+
   private def explodePrefix(child: LogicalPlan, arr: Expression,
-      alpha: Expression => Expression, outer: Boolean, withCnt: Boolean):
-      (LogicalPlan, Attribute, Option[Attribute]) = {
+      alpha: Expression => Expression, outer: Boolean,
+      withCnt: Boolean): Exploded = {
     def lenP(sz: Expression): Expression = Greatest(Seq(Literal(0L),
       Subtract(sz, Subtract(alpha(sz), Literal(1L)))))
     val sx = Alias(new SortArray(ArrayDistinct(arr)), arrColName)()
@@ -283,28 +334,12 @@ object SetSimilarityJoinBlocking extends Rule[LogicalPlan]
     val prefix = Slice(sx.toAttribute, Literal(1),
       Cast(lenP(szSx), IntegerType))
     val ArrayType(et, _) = arr.dataType: @unchecked
+    val posOut = AttributeReference(posColName, IntegerType)()
     val out = AttributeReference(tokColName, et)()
-    (Generate(Explode(prefix), Nil, outer = outer, None, Seq(out), proj),
-      out, cnt.map(_.toAttribute))
-  }
-
-  private def isEqui(e: Expression, left: LogicalPlan,
-      right: LogicalPlan): Boolean = {
-    def crossChild(a: Expression, b: Expression): Boolean =
-      (a.references.subsetOf(left.outputSet) &&
-        b.references.subsetOf(right.outputSet)) ||
-        (b.references.subsetOf(left.outputSet) &&
-          a.references.subsetOf(right.outputSet))
-    e match {
-      case EqualTo(a, b) => crossChild(a, b)
-      case EqualNullSafe(a, b) => crossChild(a, b)
-      case _ => false
-    }
-  }
-
-  private def rewriteable(jt: JoinType): Boolean = jt match {
-    case Inner | LeftSemi | LeftAnti | LeftOuter => true
-    case _ => false
+    Exploded(
+      Generate(PosExplode(prefix), Nil, outer = outer, None,
+        Seq(posOut, out), proj),
+      out, posOut, sx.toAttribute, cnt.map(_.toAttribute))
   }
 
   def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
@@ -312,32 +347,27 @@ object SetSimilarityJoinBlocking extends Rule[LogicalPlan]
         if rewriteable(jt) && !j.isStreaming &&
           !(left.output ++ right.output).exists(a =>
             a.name == arrColName || a.name == tokColName ||
-              a.name == cntColName || a.name == markColName) =>
+              a.name == posColName || a.name == cntColName ||
+              a.name == markColName) =>
       val conjuncts = splitConjunctivePredicates(cond)
       val sim = conjuncts.flatMap(c => setSimOf(c, left, right)).headOption
       val member =
         if (sim.isEmpty)
           conjuncts.flatMap(c => memberOf(c, left, right)).headOption
         else None
-      val hasEqui = conjuncts.exists(isEqui(_, left, right))
-      val broadcastable = {
-        val t = conf.autoBroadcastJoinThreshold
-        t >= 0 && (left.stats.sizeInBytes <= t ||
-          right.stats.sizeInBytes <= t)
-      }
+      val standDown = equiBroadcastStandDown(conjuncts, left, right)
       (sim, member) match {
-        case (None, Some(m)) if !(hasEqui && broadcastable) &&
-            !m.arrOnLeft =>
+        case (None, Some(m)) if !standDown && !m.arrOnLeft =>
           // membership with the array on the RIGHT: explode only the
           // right side — the left grain is untouched, so EVERY join
           // type goes through structurally (per right row at most one
           // exploded copy equals v)
-          val (newRight, tokR, _) = explodePrefix(right, m.arr,
+          val er = explodePrefix(right, m.arr,
             _ => Literal(1L), outer = false, withCnt = false)
-          val joined = Join(left, newRight, jt,
-            Some(And(EqualTo(m.v, tokR), cond)), hint)
+          val joined = Join(left, er.plan, jt,
+            Some(And(EqualTo(m.v, er.tok), cond)), hint)
           Project(j.output, joined)
-        case (None, Some(m)) if !(hasEqui && broadcastable) =>
+        case (None, Some(m)) if !standDown =>
           // membership with the array on the LEFT: the α = 1 explode
           // with the scalar itself as the equi key (no canonical — a
           // pair meets through at most one distinct element)
@@ -346,8 +376,9 @@ object SetSimilarityJoinBlocking extends Rule[LogicalPlan]
             if (nonInner) {
               val (p, a) = RewriteSupport.withRid(left); (p, Some(a))
             } else (left, None)
-          val (newLeft, tokL, cntL) = explodePrefix(leftBase, m.arr,
+          val el = explodePrefix(leftBase, m.arr,
             _ => Literal(1L), outer = nonInner, withCnt = jt == LeftAnti)
+          val (newLeft, tokL) = (el.plan, el.tok)
           val newCond = And(EqualTo(tokL, m.v), cond)
           jt match {
             case Inner =>
@@ -360,32 +391,73 @@ object SetSimilarityJoinBlocking extends Rule[LogicalPlan]
             case LeftAnti =>
               RewriteSupport.regroupAntiCol(
                 Join(newLeft, right, jt, Some(newCond), hint),
-                rid.get, left.output, j.output, cntL.get)
+                rid.get, left.output, j.output, el.cnt.get)
             case _ =>
               // LeftOuter: a constant right-side marker distinguishes
               // null-extension (the right child has no generated col)
               val mark = Alias(Literal(true), markColName)()
               val marked = Project(right.output :+ mark, right)
-              val sxAttr = newLeft.output.find(_.name == arrColName).get
               RewriteSupport.collapseOuter(
                 Join(newLeft, marked, jt, Some(newCond), hint),
                 rid.get, mark.toAttribute,
-                EqualNullSafe(tokL, ArrayMin(sxAttr)), j.output)
+                EqualNullSafe(tokL, ArrayMin(el.sx)), j.output)
           }
-        case (Some(f), _) if !(hasEqui && broadcastable) =>
+        case (Some(f), _) if !standDown =>
           val nonInner = jt != Inner
           val (leftBase, rid) =
             if (nonInner) {
               val (p, a) = RewriteSupport.withRid(left); (p, Some(a))
             } else (left, None)
-          val (newLeft, tokL, cntL) = explodePrefix(leftBase, f.aL,
-            f.alpha, outer = nonInner, withCnt = jt == LeftAnti)
-          val (newRight, tokR, _) = explodePrefix(right, f.aR,
-            f.alpha, outer = false, withCnt = false)
-          val canonical = EqualTo(tokL,
-            ArrayMin(ArrayIntersect(f.aL, f.aR)))
+          // emptyTrue spellings route ∅×∅ pairs through the null
+          // token: OUTER explode on BOTH sides, null-safe key and
+          // canonical (see [[SetSim]]); all other spellings keep the
+          // tighter inner-explode plan
+          val el = explodePrefix(leftBase, f.aL,
+            f.alpha, outer = nonInner || f.emptyTrue,
+            withCnt = jt == LeftAnti)
+          val (newLeft, tokL) = (el.plan, el.tok)
+          val er = explodePrefix(right, f.aR,
+            f.alpha, outer = f.emptyTrue, withCnt = false)
+          val tokR = er.tok
+          // under emptyTrue a MATCHED right row can carry a null token
+          // (the ∅×∅ match), so the outer-collapse marker must be a
+          // generated constant instead of the token itself
+          val mark =
+            if (f.emptyTrue && jt == LeftOuter)
+              Some(Alias(Literal(true), markColName)())
+            else None
+          val newRight = mark match {
+            case Some(m) => Project(er.plan.output :+ m, er.plan)
+            case None => er.plan
+          }
+          def key(a: Expression, b: Expression): Expression =
+            if (f.emptyTrue) EqualNullSafe(a, b) else EqualTo(a, b)
+          // PPJoin-style CHEAP kills, evaluated before the array-op
+          // residuals. Length filter: a qualifying pair has
+          // |X| ≥ ⌈s·|Y|⌉ and |Y| ≥ ⌈s·|X|⌉ (overlap ≤ min size,
+          // union ≥ max size) — valid for EVERY candidate row.
+          // Positional filter: all common tokens sit at positions ≥
+          // the MINIMAL common token's, so overlap ≤ min(|X|−pL,
+          // |Y|−pR) there, and a qualifying pair needs overlap ≥
+          // ovlAlpha — valid AT the minimal-common-token row, which is
+          // the only row that must survive: inner/outer keep exactly
+          // that row (canonical), semi needs any row, and anti only
+          // needs every TRULY matching pair to kill ≥ 1 row (the
+          // minimal row passes the filter and dies). Null pos (the
+          // emptyTrue ∅ rows) falls through to the residual.
+          val szL = Cast(Size(el.sx), LongType)
+          val szR = Cast(Size(er.sx), LongType)
+          val lenF = And(
+            GreaterThanOrEqual(szL, f.lenAlpha(szR)),
+            GreaterThanOrEqual(szR, f.lenAlpha(szL)))
+          val posF = Or(IsNull(el.pos), Or(IsNull(er.pos),
+            GreaterThanOrEqual(
+              Least(Seq(Subtract(szL, Cast(el.pos, LongType)),
+                Subtract(szR, Cast(er.pos, LongType)))),
+              f.ovlAlpha(szL, szR))))
+          val canonical = key(tokL, ArrayMin(ArrayIntersect(f.aL, f.aR)))
           val needCanon = jt == Inner || jt == LeftOuter
-          val newCond = (Seq(EqualTo(tokL, tokR), cond) ++
+          val newCond = (Seq(key(tokL, tokR), lenF, posF, cond) ++
             (if (needCanon) Seq(canonical) else Nil))
             .reduceLeft[Expression](And)
           val joined = Join(newLeft, newRight, jt, Some(newCond), hint)
@@ -396,16 +468,15 @@ object SetSimilarityJoinBlocking extends Rule[LogicalPlan]
                 j.output)
             case LeftAnti =>
               RewriteSupport.regroupAntiCol(joined, rid.get, left.output,
-                j.output, cntL.get)
+                j.output, el.cnt.get)
             case _ =>
               // one representative for match-free rids: the row whose
               // token null-safe-equals the MINIMAL sorted-distinct
               // token (= the first; array_min never throws on empties,
               // and null <=> null keeps the zero-prefix row)
-              val sxAttr = newLeft.output
-                .find(_.name == arrColName).get
-              RewriteSupport.collapseOuter(joined, rid.get, tokR,
-                EqualNullSafe(tokL, ArrayMin(sxAttr)),
+              RewriteSupport.collapseOuter(joined, rid.get,
+                mark.map(_.toAttribute).getOrElse(tokR),
+                EqualNullSafe(tokL, ArrayMin(el.sx)),
                 j.output)
           }
         case _ => j

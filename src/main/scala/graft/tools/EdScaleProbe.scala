@@ -66,28 +66,17 @@ object EdScaleProbe {
           col("id") < col("id2"))
         .select(col("id"), col("id2"))
 
-      val excl = "spark.sql.optimizer.excludedRules" ->
-        "graft.plans.EditDistanceJoinBlocking"
+      val rule = "graft.plans.EditDistanceJoinBlocking"
 
-      val (ruleBag, tRule) = {
-        spark.conf.unset(excl._1)
-        timed {
-          pairs().groupBy("id", "id2").count()
-            .agg(count(lit(1)), sum(col("count")),
-              sum(hash(col("id"), col("id2")) * col("count")))
-            .collect().head
-        }
-      }
+      def bag() = pairs().groupBy("id", "id2").count()
+        .agg(count(lit(1)), sum(col("count")),
+          sum(hash(col("id"), col("id2")) * col("count")))
+        .collect().head
+
+      val (ruleBag, tRule) =
+        RuleToggle.withIncluded(spark, rule)(timed(bag()))
       val (naiveBag, tNaive) = if (k <= naiveMaxK) {
-        spark.conf.set(excl._1, excl._2)
-        val r = timed {
-          pairs().groupBy("id", "id2").count()
-            .agg(count(lit(1)), sum(col("count")),
-              sum(hash(col("id"), col("id2")) * col("count")))
-            .collect().head
-        }
-        spark.conf.unset(excl._1)
-        r
+        RuleToggle.withExcluded(spark, rule)(timed(bag()))
       } else (null, -1.0)
 
       val parity = naiveBag == null || ruleBag == naiveBag

@@ -56,20 +56,17 @@ object SsScaleProbe {
           col("id") < col("id2"))
         .select(col("id"), col("id2"))
 
-      val excl = "spark.sql.optimizer.excludedRules" ->
-        "graft.plans.SetSimilarityJoinBlocking"
+      val rule = "graft.plans.SetSimilarityJoinBlocking"
 
       def bag() = pairs().groupBy("id", "id2").count()
         .agg(count(lit(1)), sum(col("count")),
           sum(hash(col("id"), col("id2")) * col("count")))
         .collect().head
 
-      val (ruleBag, tRule) = { spark.conf.unset(excl._1); timed(bag()) }
+      val (ruleBag, tRule) =
+        RuleToggle.withIncluded(spark, rule)(timed(bag()))
       val (naiveBag, tNaive) = if (k <= naiveMaxK) {
-        spark.conf.set(excl._1, excl._2)
-        val r = timed(bag())
-        spark.conf.unset(excl._1)
-        r
+        RuleToggle.withExcluded(spark, rule)(timed(bag()))
       } else (null, -1.0)
 
       val parity = naiveBag == null || ruleBag == naiveBag

@@ -242,4 +242,29 @@ class EditDistanceRuleSpec extends SparkSpecBase {
       assert(got === expected)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
+
+  test("defense in depth: non-deterministic operand stands down at the rule gate") {
+    // the analyzer rejects non-deterministic join conditions, so this
+    // shape cannot arrive via the DataFrame API — apply the rule
+    // directly to a hand-built plan to pin the rule's OWN guard
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Concat, LessThanOrEqual, Levenshtein, Literal, Rand}
+    import org.apache.spark.sql.catalyst.plans.Inner
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint}
+    import org.apache.spark.sql.types.StringType
+    val (a, b) = frames
+    val ap = a.queryExecution.analyzed
+    val bp = b.queryExecution.analyzed
+    val sa = ap.output.find(_.name == "sa").get
+    val sb = bp.output.find(_.name == "sb").get
+    val noisy = Concat(Seq(sa, Cast(Rand(Literal(42L)), StringType)))
+    for (cond <- Seq(
+      LessThanOrEqual(Levenshtein(noisy, sb, None), Literal(1)),
+      // the k = 0 equality arm must apply the same guard
+      LessThanOrEqual(Levenshtein(noisy, sb, None), Literal(0)))) {
+      val j = Join(ap, bp, Inner, Some(cond), JoinHint.NONE)
+      val out = graft.plans.EditDistanceJoinBlocking(j)
+      assert(!out.output.exists(_.name.startsWith("graft_")) &&
+        out.fastEquals(j), out.toString.take(2000))
+    }
+  }
 }

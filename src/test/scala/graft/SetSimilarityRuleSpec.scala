@@ -26,7 +26,10 @@ class SetSimilarityRuleSpec extends SparkSpecBase {
       s.drop(1) :+ 99
     }
     val dups = Seq(bases(1) ++ bases(1), bases(4) ++ bases(4).take(3))
-    val edges = Seq(Seq.empty[Int], Seq(7), Seq(7, 8), Seq(8, 7))
+    // TWO empties: ∅×∅ pairs must arise (the ÷-free spelling keeps
+    // them, the ÷ spellings drop them — both directions pinned below)
+    val edges = Seq(Seq.empty[Int], Seq.empty[Int],
+      Seq(7), Seq(7, 8), Seq(8, 7))
     (bases ++ twins ++ dups ++ edges).zipWithIndex.map { case (s, i) =>
       (i.toLong, s)
     }
@@ -88,10 +91,15 @@ class SetSimilarityRuleSpec extends SparkSpecBase {
       (lit(0.6) <= try_divide(
         size(array_intersect(col("ta"), col("tb"))),
         size(array_union(col("ta"), col("tb")))), expectedJac(0.6)),
-      // the division-free ANSI-safe form
+      // the division-free ANSI-safe form — unlike the ÷ spelling it
+      // is TRUE on ∅×∅ (0 ≥ 0.6·0), so the expected set adds the
+      // empty pairs the try_divide model rejects
       (size(array_intersect(col("ta"), col("tb"))) >=
         lit(0.6) * size(array_union(col("ta"), col("tb"))),
-        expectedJac(0.6)))
+        (expectedJac(0.6) ++ (for {
+          x <- rows; y <- rows
+          if x._1 < y._1 && x._2.isEmpty && y._2.isEmpty
+        } yield (x._1, y._1))).sorted))
     for ((cond, expected) <- cases) {
       val joined = a.join(b, cond && col("a") < col("b"))
       val plan = joined.queryExecution.executedPlan.toString
@@ -318,6 +326,25 @@ class SetSimilarityRuleSpec extends SparkSpecBase {
       } yield (x._1, y._1)).sorted
       assert(got === expected, s"t=$t")
     }
+    // ÷-free spelling: TRUE on ∅×∅ — the empty set meets ITSELF
+    // ((0,0) must appear at every s), the exhaustive pin of the
+    // null-token machinery alongside full prefix geometry
+    for (th <- Seq(1.0 / 3, 0.5, 2.0 / 3, 0.99, 1.0)) {
+      val joined = aa.join(bb,
+        size(array_intersect(col("ta"), col("tb"))) >=
+          lit(th) * size(array_union(col("ta"), col("tb"))))
+      assert(joined.queryExecution.executedPlan.toString
+        .contains("graft_sst"), s"mul s=$th must rewrite")
+      val got = joined.select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val expected = (for {
+        x <- all; y <- all
+        if (x._2.toSet & y._2.toSet).size >=
+          th * (x._2.toSet ++ y._2.toSet).size
+      } yield (x._1, y._1)).sorted
+      assert(expected.contains((0L, 0L)) && got === expected,
+        s"mul s=$th")
+    }
   }
 
   test("stand-downs: nullable elements, s = 0, equi + broadcastable") {
@@ -375,5 +402,112 @@ class SetSimilarityRuleSpec extends SparkSpecBase {
       } yield (x._1, y._1)).sorted
       assert(expected.nonEmpty && got === expected)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("integer and decimal threshold literals still rewrite") {
+    val (a, b) = frames
+    // s = 1 spelled as an INT literal in the ÷-free form: the exact
+    // naive predicate is |x∩y| ≥ |x∪y| (two empties qualify — the
+    // fixture holds only one empty row, so no such pair arises)
+    val expectedEq = (for {
+      x <- rows; y <- rows
+      if x._1 < y._1 &&
+        (x._2.toSet & y._2.toSet).size >= (x._2.toSet ++ y._2.toSet).size
+    } yield (x._1, y._1)).sorted
+    // the ÷ spelling rejects ∅×∅ (∅∕∅ → null → false)
+    val expectedEqDiv = (for {
+      x <- rows; y <- rows
+      if x._1 < y._1 && x._2.nonEmpty &&
+        (x._2.toSet & y._2.toSet).size >= (x._2.toSet ++ y._2.toSet).size
+    } yield (x._1, y._1)).sorted
+    val cases: Seq[(org.apache.spark.sql.Column, Seq[(Long, Long)])] = Seq(
+      (size(array_intersect(col("ta"), col("tb"))) >=
+        lit(1) * size(array_union(col("ta"), col("tb"))), expectedEq),
+      // int literal on the ÷ spelling (analyzer casts it to double)
+      (try_divide(size(array_intersect(col("ta"), col("tb"))),
+        size(array_union(col("ta"), col("tb")))) >= lit(1), expectedEqDiv),
+      // decimal literal (analyzer casts it to double)
+      (try_divide(size(array_intersect(col("ta"), col("tb"))),
+        size(array_union(col("ta"), col("tb")))) >=
+        lit(new java.math.BigDecimal("0.6")), expectedJac(0.6)))
+    for ((cond, expected) <- cases) {
+      val joined = a.join(b, cond && col("a") < col("b"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_sst") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"threshold spelling must rewrite:\n${plan.take(2000)}")
+      val got = joined.select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(expected.nonEmpty && got === expected)
+    }
+  }
+
+  test("empty×empty pairs: ÷-free spelling keeps them, ÷ spelling rejects them") {
+    val s = spark
+    import s.implicits._
+    val xy = Seq((1L, Seq.empty[Int]), (2L, Seq.empty[Int]),
+      (3L, Seq(1, 2)), (4L, Seq(1, 2)))
+    val df = xy.toDF("id", "toks")
+    val a = df.select(col("id").as("a"), col("toks").as("ta"))
+    val b = df.select(col("id").as("b"), col("toks").as("tb"))
+    val mulCond = size(array_intersect(col("ta"), col("tb"))) >=
+      lit(0.6) * size(array_union(col("ta"), col("tb")))
+    val jm = a.join(b, mulCond && col("a") < col("b"))
+    assert(jm.queryExecution.executedPlan.toString.contains("graft_sst"))
+    // naive truth: 0 ≥ 0.6·0 for (1,2); (3,4) by identity — and the
+    // STRICT form excludes the empty pair again
+    assert(jm.select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted ===
+      Seq((1L, 2L), (3L, 4L)))
+    val jmStrict = a.join(b,
+      (size(array_intersect(col("ta"), col("tb"))) >
+        lit(0.99) * size(array_union(col("ta"), col("tb")))) &&
+        col("a") < col("b"))
+    assert(jmStrict.queryExecution.executedPlan.toString
+      .contains("graft_sst"))
+    assert(jmStrict.select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted ===
+      Seq((3L, 4L)))
+    // ÷ spelling: ∅∕∅ → null → false, and the rewrite preserves that
+    val jd = a.join(b,
+      try_divide(size(array_intersect(col("ta"), col("tb"))),
+        size(array_union(col("ta"), col("tb")))) >= 0.6 &&
+        col("a") < col("b"))
+    assert(jd.queryExecution.executedPlan.toString.contains("graft_sst"))
+    assert(jd.select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted ===
+      Seq((3L, 4L)))
+    // left grain: semi keeps the empty rows under the ÷-free form,
+    // anti drops them; the ÷ form inverts both
+    val semiMul = a.join(b, mulCond && col("a") =!= col("b"), "left_semi")
+    assert(semiMul.select("a").collect().map(_.getLong(0)).sorted ===
+      Array(1L, 2L, 3L, 4L))
+    val antiMul = a.join(b, mulCond && col("a") =!= col("b"), "left_anti")
+    assert(antiMul.count() === 0L)
+    val outerMul = a.join(b, mulCond && col("a") < col("b"), "left_outer")
+    val om = outerMul.select("a", "b").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSeq.sorted
+    assert(om === Seq((1L, 2L), (2L, -1L), (3L, 4L), (4L, -1L)))
+  }
+
+  test("defense in depth: non-deterministic array side stands down at the rule gate") {
+    // Spark's analyzer rejects non-deterministic join conditions, so
+    // this shape cannot arrive through the DataFrame API — apply the
+    // rule directly to a hand-built plan to pin the rule's OWN guard
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.Inner
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint}
+    val (a, b) = frames
+    val ap = a.queryExecution.analyzed
+    val bp = b.queryExecution.analyzed
+    val ta = ap.output.find(_.name == "ta").get
+    val tb = bp.output.find(_.name == "tb").get
+    val cond = GreaterThanOrEqual(
+      Size(ArrayIntersect(Shuffle(ta, Some(42L)), tb)), Literal(3))
+    val j = Join(ap, bp, Inner, Some(cond), JoinHint.NONE)
+    val out = graft.plans.SetSimilarityJoinBlocking(j)
+    assert(!out.output.exists(_.name.startsWith("graft_")) &&
+      out.fastEquals(j), out.toString.take(2000))
   }
 }
