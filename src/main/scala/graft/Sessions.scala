@@ -60,6 +60,12 @@ object Sessions {
         // prefix-filtered token equi-joins
         // (graft.plans.SetSimilarityJoinBlocking scaladoc)
         e.injectOptimizerRule(_ => graft.plans.SetSimilarityJoinBlocking)
+        // OPT-IN (spark.graft.srpjoin.segments, default off): naive
+        // cosine/inner-product theta joins on embeddings gain an SRP
+        // signature hamming bound — a deterministic, documented
+        // recall<1 contract — which HammingJoinBlocking then plans
+        // (graft.plans.CosineJoinBlocking scaladoc)
+        e.injectOptimizerRule(_ => graft.plans.CosineJoinBlocking)
       }
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")

@@ -42,20 +42,59 @@ private[plans] trait BlockingJoinSupport extends PredicateHelper {
       a.references.subsetOf(right.outputSet)) Some((b, a))
     else None
 
-  /** `(lhs, k)` when `e` bounds `lhs` by an integral literal in any of
-    * the four comparison spellings (`lhs ≤ k`, `lhs < k`, `k ≥ lhs`,
-    * `k > lhs`). */
-  protected def boundedBy(e: Expression): Option[(Expression, Int)] = {
-    def lit(l: Expression): Option[Int] = l match {
+  /** A provable compile-time UPPER BOUND of an integral threshold
+    * expression. The pigeonhole plans (hamming segments, PassJoin
+    * combos) only need the MAX — their lemmas are monotone (a bound
+    * of k ≤ K untouched-segment-guarantees at K+1 segments, and the
+    * K-enumeration's windows are supersets of every k ≤ K's) and the
+    * kept original condition enforces the per-row value exactly — so
+    * RELATIVE thresholds like `least(2, length(s) div 8)` ride the
+    * same machinery enumerated at the cap. Provable shapes: literals,
+    * `least` with any bounded child (least never exceeds it; null
+    * children are skipped by least and cannot raise it), `pmod(_, m)`
+    * with positive literal m (range [0, m−1]), and if/CASE ladders
+    * whose branch values are all bounded (a missing ELSE yields
+    * null ⇒ the conjunct is false ⇒ no candidate needed). Bare
+    * unbounded expressions (`length(a) / 10`) yield None — the rules
+    * stand down rather than guess. */
+  protected def staticBound(e: Expression): Option[Int] =
+    stripCast(e) match {
       case Literal(k: Int, IntegerType) => Some(k)
       case Literal(k: Long, LongType) if k.isValidInt => Some(k.toInt)
+      case Least(cs) =>
+        val bs = cs.flatMap(staticBound)
+        if (bs.isEmpty) None else Some(bs.min)
+      case Pmod(_, m, _) => stripCast(m) match {
+        case Literal(v: Int, IntegerType) if v > 0 => Some(v - 1)
+        case Literal(v: Long, LongType) if v > 0 && v.isValidInt =>
+          Some(v.toInt - 1)
+        case _ => None
+      }
+      case If(_, a, b) =>
+        for { x <- staticBound(a); y <- staticBound(b) }
+          yield math.max(x, y)
+      case CaseWhen(branches, elseValue) =>
+        val vals = branches.map(_._2) ++ elseValue.toSeq
+        val bs = vals.flatMap(staticBound)
+        if (bs.size == vals.size && bs.nonEmpty) Some(bs.max) else None
       case _ => None
     }
+
+  /** `(lhs, K)` when `e` bounds `lhs` above by a deterministic
+    * expression with provable static max K, in any of the four
+    * comparison spellings (`lhs ≤ k`, `lhs < k`, `k ≥ lhs`,
+    * `k > lhs`; strict forms tighten the cap by 1). The threshold
+    * expression itself is never evaluated by the rewrites — it stays
+    * in the kept condition — so only its static cap and determinism
+    * matter here. */
+  protected def boundedBy(e: Expression): Option[(Expression, Int)] = {
+    def cap(l: Expression): Option[Int] =
+      if (l.deterministic) staticBound(l) else None
     e match {
-      case LessThanOrEqual(x, l) => lit(l).map(k => (x, k))
-      case LessThan(x, l) => lit(l).map(k => (x, k - 1))
-      case GreaterThanOrEqual(l, x) => lit(l).map(k => (x, k))
-      case GreaterThan(l, x) => lit(l).map(k => (x, k - 1))
+      case LessThanOrEqual(x, l) => cap(l).map(k => (x, k))
+      case LessThan(x, l) => cap(l).map(k => (x, k - 1))
+      case GreaterThanOrEqual(l, x) => cap(l).map(k => (x, k))
+      case GreaterThan(l, x) => cap(l).map(k => (x, k - 1))
       case _ => None
     }
   }

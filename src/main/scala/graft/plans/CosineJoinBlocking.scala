@@ -1,0 +1,225 @@
+package graft.plans
+
+import graft.functions.{DotProduct, SrpSignature}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+import scala.util.Try
+
+/** Optimizer rule (OPT-IN, default OFF): plan a naive COSINE /
+  * INNER-PRODUCT theta join on embedding columns
+  *
+  *   a.join(b, graft_dot(a("v"), b("v")) >= tau && ...)
+  *   a.join(b, graft_dot(av, bv) / (sqrt(graft_dot(av, av)) *
+  *             sqrt(graft_dot(bv, bv))) >= tau && ...)
+  *
+  * through signed-random-projection blocking — the q260 hand-built
+  * SRP-LSH construction promoted to an engine capability, the eighth
+  * member of the blocking family.
+  *
+  * UNLIKE the other seven rules, THIS REWRITE IS APPROXIMATE, and that
+  * is a theorem, not a shortcut: a sub-quadratic EXACT plan for
+  * `dot(a, b) ≥ τ` over arbitrary dense real vectors would solve exact
+  * maximum inner product search in sub-quadratic time — no pigeonhole
+  * exists because a single coordinate can carry the whole product.
+  * SRP gives the standard probabilistic contract (Charikar 2002 /
+  * Goemans–Williamson): P[sig bit p differs] = θ/π for angle θ, so a
+  * high-cosine pair's signatures land within a small hamming ball
+  * WITH HIGH PROBABILITY, not certainly. The rewrite therefore:
+  *
+  *   - NEVER fires by default. `spark.graft.srpjoin.segments = 0`
+  *     (off) keeps every query exact; the rule only rewrites when the
+  *     user sets segments m ∈ [2, 8] — an explicit, documented opt-in
+  *     to `recall < 1`.
+  *   - When ON, ANDs `bit_count(sig_l XOR sig_r) ≤ m − 1` into the
+  *     join condition, keeping the ORIGINAL condition verbatim: the
+  *     result is exactly { pairs | original ∧ hamming ≤ m−1 } — a
+  *     DETERMINISTIC subset (seeded md5 hyperplanes, sequential-fold
+  *     sign dots), reproducible across runs, engines (the DuckDB
+  *     oracle recomputes identical signatures — [[SrpSignature]]
+  *     parity contract), and cluster sizes. Precision is exact (the
+  *     residual verifies every candidate); only recall is < 1.
+  *   - Delegates the blocking to [[HammingJoinBlocking]]: the added
+  *     bound is precisely that rule's scalar spelling, so the next
+  *     fixed-point iteration plans the (m-segment pigeonhole)
+  *     equi-join with all of its inner/semi/anti/outer machinery and
+  *     its exactly-once canonical — this rule only manufactures the
+  *     bound and the per-side signature projections.
+  *
+  * Recall tuning (the contract the spec pins numerically): miss
+  * probability per pair ≈ C(w, ≥m) over per-bit flip prob θ/π with
+  * w = `spark.graft.srpjoin.bits` sig bits — at τ = 0.95
+  * (θ/π ≈ 0.102), w = 24, m = 3: P[miss] ≈ 2.3%; raising m widens the
+  * ball (more recall, more candidates), raising w sharpens selectivity
+  * at fixed m∕w. `spark.graft.srpjoin.seed` namespaces the hyperplanes.
+  *
+  * Spellings: `graft_dot(a, b) cmp τ` ([[DotProduct]]), the HOF
+  * sum-product `aggregate(zip_with(a, b, *), 0.0, +)`, and the cosine
+  * quotient `dot(a,b) ∕ (sqrt(dot(a,a)) · sqrt(dot(b,b)))` (norm
+  * factors in either order); τ a literal (casts stripped) with τ > 0 —
+  * a non-positive bound admits near-orthogonal pairs, where angular
+  * blocking has no selectivity and the miss model is void. Raw-dot
+  * bounds carry one further caveat the user owns by opting in: SRP
+  * blocks by ANGLE, so high-dot pairs reached via large NORMS at
+  * middling angles miss more often — the contract is calibrated for
+  * normalized or near-normalized embeddings (the cosine spelling is
+  * norm-free).
+  *
+  * Stand-downs: conf off (the default), non-literal or ≤ 0 bounds,
+  * mixed-side operands, streaming joins, and the family's shared
+  * equi+broadcastable doctrine.
+  */
+object CosineJoinBlocking extends Rule[LogicalPlan]
+    with BlockingJoinSupport {
+
+  private val sigLName = "graft_csigl"
+  private val sigRName = "graft_csigr"
+
+  private def litTau(e: Expression): Option[Double] = stripCast(e) match {
+    case Literal(d: Double, DoubleType) => Some(d)
+    case Literal(f: Float, FloatType) => Some(f.toDouble)
+    case Literal(d: Decimal, _) => Some(d.toDouble)
+    case Literal(k: Int, IntegerType) => Some(k.toDouble)
+    case Literal(k: Long, LongType) => Some(k.toDouble)
+    case _ => None
+  }
+
+  private def isDoubleArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  private def sameVar(e: Expression, v: NamedLambdaVariable): Boolean =
+    stripCast(e) match {
+      case n: NamedLambdaVariable => n.exprId == v.exprId
+      case _ => false
+    }
+
+  /** `(a, b)` when `e` is a dot product in either the native
+    * [[DotProduct]] form or the HOF sum-product
+    * `aggregate(zip_with(a, b, (x, y) -> x * y), 0.0,
+    * (acc, v) -> acc + v)` (casts tolerated, args in either order,
+    * identity finish — the [[graft.functions.Vectors.dotHof]]
+    * spelling). */
+  private def dotPair(e: Expression): Option[(Expression, Expression)] =
+    stripCast(e) match {
+      case DotProduct(a, b) => Some((a, b))
+      case ArrayAggregate(
+          ZipWith(a, b, LambdaFunction(zbody,
+            Seq(xv: NamedLambdaVariable, yv: NamedLambdaVariable), _)),
+          zero,
+          LambdaFunction(mbody,
+            Seq(acc: NamedLambdaVariable, mv: NamedLambdaVariable), _),
+          finish) =>
+        val okZip = stripCast(zbody) match {
+          case Multiply(p, q, _) =>
+            (sameVar(p, xv) && sameVar(q, yv)) ||
+              (sameVar(p, yv) && sameVar(q, xv))
+          case _ => false
+        }
+        val okZero = zero match {
+          case Literal(0.0, DoubleType) => true
+          case _ => false
+        }
+        val okMerge = stripCast(mbody) match {
+          case Add(p, q, _) =>
+            (sameVar(p, acc) && sameVar(q, mv)) ||
+              (sameVar(p, mv) && sameVar(q, acc))
+          case _ => false
+        }
+        val okFinish = finish match {
+          case LambdaFunction(fb, Seq(fv: NamedLambdaVariable), _) =>
+            sameVar(fb, fv)
+          case _ => false
+        }
+        if (okZip && okZero && okMerge && okFinish) Some((a, b))
+        else None
+      case _ => None
+    }
+
+  /** `x` is `sqrt(dot(y, y))` for some `y` — a norm factor. */
+  private def normOf(x: Expression): Option[Expression] =
+    stripCast(x) match {
+      case Sqrt(d) => dotPair(d).collect {
+        case (p, q) if p.semanticEquals(q) => p
+      }
+      case _ => None
+    }
+
+  /** The similarity's `(a, b)` when `x` is a dot product or a cosine
+    * quotient whose norm factors match the numerator's operands. */
+  private def simPair(x: Expression): Option[(Expression, Expression)] =
+    dotPair(x).orElse(stripCast(x) match {
+      case Divide(num, den, _) =>
+        for {
+          (a, b) <- dotPair(num)
+          norms <- stripCast(den) match {
+            case Multiply(l, r, _) =>
+              for { nl <- normOf(l); nr <- normOf(r) } yield (nl, nr)
+            case _ => None
+          }
+          if (norms._1.semanticEquals(a) && norms._2.semanticEquals(b)) ||
+            (norms._1.semanticEquals(b) && norms._2.semanticEquals(a))
+        } yield (a, b)
+      case _ => None
+    })
+
+  /** One matched similarity bound `sim(a, b) ≥ τ` (τ > 0, any of the
+    * four comparison spellings), oriented left/right. */
+  private def boundOf(e: Expression, left: LogicalPlan,
+      right: LogicalPlan): Option[(Expression, Expression)] = {
+    def arm(x: Expression, l: Expression): Option[(Expression, Expression)] =
+      for {
+        tau <- litTau(l)
+        if tau > 0.0
+        (a, b) <- simPair(x)
+        if isDoubleArray(a) && isDoubleArray(b)
+        oriented <- orient(a, b, left, right)
+      } yield oriented
+    e match {
+      case GreaterThanOrEqual(x, l) => arm(x, l)
+      case GreaterThan(x, l) => arm(x, l)
+      case LessThanOrEqual(l, x) => arm(x, l)
+      case LessThan(l, x) => arm(x, l)
+      case _ => None
+    }
+  }
+
+  def apply(plan: LogicalPlan): LogicalPlan = {
+    val m = Try(conf.getConfString("spark.graft.srpjoin.segments", "0")
+      .trim.toInt).getOrElse(0)
+    val bits = Try(conf.getConfString("spark.graft.srpjoin.bits", "24")
+      .trim.toInt).getOrElse(24)
+    val seed = conf.getConfString("spark.graft.srpjoin.seed", "graft")
+    if (m < 2 || m > 8 || bits < m || bits > 63 ||
+      !seed.matches("[A-Za-z0-9_.-]+")) plan
+    else plan.transform {
+      case j @ Join(left, right, jt, Some(cond), hint)
+          if rewriteable(jt) && !j.isStreaming &&
+            !(left.output ++ right.output).exists(a =>
+              a.name == sigLName || a.name == sigRName) =>
+        val conjuncts = splitConjunctivePredicates(cond)
+        val pair = conjuncts.flatMap(c => boundOf(c, left, right))
+          .headOption
+        pair match {
+          case Some((a, b))
+              if !equiBroadcastStandDown(conjuncts, left, right) =>
+            val sl = Alias(SrpSignature(a, bits, seed), sigLName)()
+            val sr = Alias(SrpSignature(b, bits, seed), sigRName)()
+            val nl = Project(left.output :+ sl, left)
+            val nr = Project(right.output :+ sr, right)
+            // the contract conjunct — exactly HammingJoinBlocking's
+            // scalar spelling; the next fixed-point iteration plans
+            // the m-segment pigeonhole equi-join from it
+            val ham = LessThanOrEqual(
+              BitwiseCount(BitwiseXor(sl.toAttribute, sr.toAttribute)),
+              Literal(m - 1))
+            Project(j.output,
+              Join(nl, nr, jt, Some(And(ham, cond)), hint))
+          case _ => j
+        }
+    }
+  }
+}

@@ -621,7 +621,106 @@ object MiningPack extends QueryPack {
       "q338_jaccard_join_rule" -> q338 _,
       "q339_jaccard_anti_rule" -> q339 _,
       "q340_membership_join_rule" -> q340 _,
-      "q341_composed_blocking" -> q341 _)
+      "q341_composed_blocking" -> q341 _,
+      "q342_srp_join_rule" -> q342 _,
+      "q343_srp_anti_rule" -> q343 _,
+      "q344_adaptive_fuzzy_rule" -> q344 _)
+
+  /** q344 — ADAPTIVE fuzzy matching written naively: variable-length
+    * title prefixes (8–23 chars, length keyed off doc_id) self-joined
+    * on the RELATIVE bound `levenshtein ≤ least(2, length(pre) div 8)`
+    * — short titles demand near-exact matches, long ones tolerate two
+    * edits, the thresholding every real fuzzy matcher uses.
+    * [[graft.plans.EditDistanceJoinBlocking]] enumerates the PassJoin
+    * combos at the PROVABLE CAP K = 2 (`staticBound`: a `least` with a
+    * literal child can never exceed it) and the kept original
+    * condition applies each row's own k exactly — per-row thresholds
+    * ride the compile-time plan shape. */
+  private def q344(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("substring(text, 1, cast(8 + pmod(doc_id, 16) as int))")
+          .as("pre"))
+    val y = d.select(col("doc_id").as("doc_id2"), col("pre").as("pre2"))
+    d.join(y,
+        levenshtein(col("pre"), col("pre2")) <=
+          least(lit(2), expr("length(pre) div 8")) &&
+          col("doc_id") < col("doc_id2"))
+      .select(col("doc_id"), col("doc_id2"),
+        levenshtein(col("pre"), col("pre2")).as("dist"))
+      .orderBy("doc_id", "doc_id2")
+  }
+
+  /** Run `body` with the OPT-IN [[graft.plans.CosineJoinBlocking]]
+    * contract enabled (m = 3 segments, 24-bit signatures — the
+    * documented demo calibration) and the prior conf restored after.
+    * Callers materialize INSIDE `body` (eager `localCheckpoint`) so
+    * the opt-in never leaks into sibling queries' optimization. */
+  private def withSrpJoin[T](s: SparkSession)(body: => T): T = {
+    val keys = Seq("spark.graft.srpjoin.segments" -> "3",
+      "spark.graft.srpjoin.bits" -> "24")
+    val prior = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+    keys.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prior.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** q342 — a COSINE NEAR-DUP JOIN written the naive way: the q260
+    * corpus (embeddings ∪ planted cos≈0.999 twins) self-joined on the
+    * bare cosine quotient `dot∕(‖a‖·‖b‖) ≥ 0.95 ∧ id < id2` — no
+    * signatures, no segments, no LSH anywhere in the query text. The
+    * engine's OPT-IN eighth rule ([[graft.plans.CosineJoinBlocking]],
+    * enabled here at its demo calibration m = 3 / 24 bits) injects the
+    * SRP signature hamming bound and [[graft.plans.HammingJoinBlocking]]
+    * plans the pigeonhole segment equi-join from it. The result is the
+    * rule's DETERMINISTIC contract set — original predicate ∧ sig
+    * hamming ≤ 2 — which the DuckDB oracle reproduces exactly
+    * (md5-derived ±1 hyperplanes, `list_dot_product` sequential-fold
+    * parity, the [[graft.functions.SrpSignature]] contract): recall < 1
+    * is the documented, reproducible opt-in, not noise. */
+  private def q342(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Vectors
+    val rel = srpBase(s, dir).select(col("vec_id"), col("v"))
+    val y = rel.select(col("vec_id").as("vec_id2"), col("v").as("v2"))
+    val cos = Vectors.dot(col("v"), col("v2")) /
+      (sqrt(Vectors.dot(col("v"), col("v"))) *
+        sqrt(Vectors.dot(col("v2"), col("v2"))))
+    withSrpJoin(s) {
+      rel.join(y, cos >= lit(0.95) && col("vec_id") < col("vec_id2"))
+        .select(col("vec_id"), col("vec_id2"), round(cos, 6).as("cos6"))
+        .orderBy("vec_id", "vec_id2")
+        .localCheckpoint()
+    }
+  }
+
+  /** q343 — SEMANTIC DECONTAMINATION written naively as a LEFT ANTI
+    * cosine join: corpus vectors (the base embeddings) whose embedding
+    * is within cosine 0.95 of NO eval vector (the planted twins) — the
+    * q288/q289 shape with zero blocking in the query text. Under the
+    * q342 opt-in the anti runs at segment grain through the hamming
+    * rule's pigeonhole anti machinery; the contract caveat is pinned
+    * here deliberately: a recall miss KEEPS a contaminated row, which
+    * is why the rule is opt-in and the calibration is part of the
+    * result's definition (the oracle applies the identical sig gate
+    * inside NOT EXISTS). */
+  private def q343(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Vectors
+    val rel = srpBase(s, dir).select(col("vec_id"), col("v"))
+    val corpus = rel.filter(col("vec_id") < 1000000L)
+    val eval = rel.filter(col("vec_id") >= 1000000L)
+      .select(col("vec_id").as("evec"), col("v").as("v2"))
+    val cos = Vectors.dot(col("v"), col("v2")) /
+      (sqrt(Vectors.dot(col("v"), col("v"))) *
+        sqrt(Vectors.dot(col("v2"), col("v2"))))
+    withSrpJoin(s) {
+      corpus.join(eval, cos >= lit(0.95), "left_anti")
+        .select(col("vec_id"))
+        .orderBy("vec_id")
+        .localCheckpoint()
+    }
+  }
 
   /** q341 — COMPOSED blocking written naively: near-duplicate event
     * signatures (16-bit md5-derived, SQL-replicable) WITHIN an
@@ -1466,5 +1565,69 @@ object MiningPack extends QueryPack {
         |FROM e a JOIN e b ON bit_count(xor(a.sig, b.sig)) <= 2
         | AND b.event_id BETWEEN a.event_id - 2000 AND a.event_id + 2000
         | AND a.event_id < b.event_id
-        |ORDER BY a.event_id, event_id2""".stripMargin)
+        |ORDER BY a.event_id, event_id2""".stripMargin,
+    // q342/q343 oracles replicate the CosineJoinBlocking CONTRACT
+    // (original predicate ∧ 24-bit SRP sig hamming ≤ 2): md5-derived
+    // ±1 hyperplanes with the srpj|graft label, per-plane sign of the
+    // sequential list_dot_product — the SrpSignature parity contract.
+    "q342_srp_join_rule" ->
+      s"""WITH raw AS (
+         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |tw AS (
+         | SELECT vec_id + 1000000 AS vec_id,
+         |  list_concat([v[1] + 0.1], v[2:]) AS v
+         | FROM raw WHERE vec_id % 25 = 0),
+         |base AS (SELECT * FROM raw UNION ALL SELECT * FROM tw),
+         |$duckSrpjSigs,
+         |nv AS (SELECT b.vec_id, b.v, g.sig,
+         |  sqrt(list_dot_product(b.v, b.v)) AS nrm
+         | FROM base b JOIN sigs g ON b.vec_id = g.vec_id)
+         |SELECT a.vec_id, b.vec_id AS vec_id2,
+         | round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos6
+         |FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 2
+         | AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.95
+         |ORDER BY a.vec_id, vec_id2""".stripMargin,
+    "q343_srp_anti_rule" ->
+      s"""WITH raw AS (
+         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |tw AS (
+         | SELECT vec_id + 1000000 AS vec_id,
+         |  list_concat([v[1] + 0.1], v[2:]) AS v
+         | FROM raw WHERE vec_id % 25 = 0),
+         |base AS (SELECT * FROM raw UNION ALL SELECT * FROM tw),
+         |$duckSrpjSigs,
+         |nv AS (SELECT b.vec_id, b.v, g.sig,
+         |  sqrt(list_dot_product(b.v, b.v)) AS nrm
+         | FROM base b JOIN sigs g ON b.vec_id = g.vec_id)
+         |SELECT c.vec_id FROM nv c
+         |WHERE c.vec_id < 1000000 AND NOT EXISTS (
+         | SELECT 1 FROM nv e WHERE e.vec_id >= 1000000
+         |  AND bit_count(xor(c.sig, e.sig)) <= 2
+         |  AND list_dot_product(c.v, e.v) / (c.nrm * e.nrm) >= 0.95)
+         |ORDER BY c.vec_id""".stripMargin,
+    "q344_adaptive_fuzzy_rule" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  substr(text, 1, 8 + (doc_id % 16)) AS pre FROM documents)
+        |SELECT a.doc_id, b.doc_id AS doc_id2,
+        | CAST(levenshtein(a.pre, b.pre) AS INT) AS dist
+        |FROM d a JOIN d b
+        | ON levenshtein(a.pre, b.pre) <= least(2, length(a.pre) // 8)
+        | AND a.doc_id < b.doc_id
+        |ORDER BY a.doc_id, doc_id2""".stripMargin)
+
+  /** The shared q342/q343 oracle CTE: 24-bit SRP signatures over a
+    * relation `base(vec_id, v DOUBLE[])` — the DuckDB twin of
+    * [[graft.functions.SrpSignature]] at seed `graft`. */
+  private def duckSrpjSigs: String =
+    """sigs AS (SELECT vec_id,
+      |  bit_or(CASE WHEN list_dot_product(v,
+      |    list_transform(range(len(v)), d ->
+      |      CASE WHEN CAST('0x' ||
+      |          substring(md5('srpj|graft|' || p || '|' || d),
+      |            1, 8) AS BIGINT) % 2 = 0
+      |        THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)) >= 0
+      |    THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END) AS sig
+      | FROM base, range(24) t(p) GROUP BY vec_id)""".stripMargin
 }

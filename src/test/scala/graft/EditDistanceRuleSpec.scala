@@ -243,6 +243,45 @@ class EditDistanceRuleSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("relative thresholds with a provable cap rewrite; unbounded stand down") {
+    val (a, b) = frames
+    // per-row k = least(2, length(sa) div 8): short strings demand
+    // closer matches — the PassJoin machinery enumerates at the cap
+    // K = 2 and the kept condition applies the row's own k exactly
+    val kExpr = least(lit(2), expr("length(sa) div 8"))
+    val joined = a.join(b,
+      levenshtein(col("sa"), col("sb")) <= kExpr && col("a") < col("b"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_edp"),
+      s"capped relative threshold must rewrite:\n${plan.take(3000)}")
+    val got = joined.select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val expected = (for {
+      x <- strings; y <- strings
+      if x._1 < y._1 &&
+        lev(x._2, y._2) <= math.min(2, x._2.length / 8)
+    } yield (x._1, y._1)).sorted
+    assert(expected.nonEmpty && got === expected)
+    // CASE ladder cap (all arms literal) also rewrites
+    val caseK = when(length(col("sa")) > 10, lit(2)).otherwise(lit(1))
+    val j2 = a.join(b,
+      levenshtein(col("sa"), col("sb")) <= caseK && col("a") < col("b"))
+    assert(j2.queryExecution.executedPlan.toString.contains("graft_edp"))
+    val got2 = j2.select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val exp2 = (for {
+      x <- strings; y <- strings
+      if x._1 < y._1 &&
+        lev(x._2, y._2) <= (if (x._2.length > 10) 2 else 1)
+    } yield (x._1, y._1)).sorted
+    assert(exp2.nonEmpty && got2 === exp2)
+    // bare length-relative threshold has NO provable cap — stand down
+    val j3 = a.join(b,
+      levenshtein(col("sa"), col("sb")) <=
+        expr("length(sa) div 8") && col("a") < col("b"))
+    assert(!j3.queryExecution.optimizedPlan.toString.contains("graft_edp"))
+  }
+
   test("defense in depth: non-deterministic operand stands down at the rule gate") {
     // the analyzer rejects non-deterministic join conditions, so this
     // shape cannot arrive via the DataFrame API — apply the rule
