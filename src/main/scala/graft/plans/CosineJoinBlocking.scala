@@ -68,8 +68,16 @@ import scala.util.Try
   * norm-free).
   *
   * Stand-downs: conf off (the default), non-literal or ≤ 0 bounds,
-  * mixed-side operands, streaming joins, and the family's shared
-  * equi+broadcastable doctrine.
+  * mixed-side operands, streaming joins. Deliberately NOT the
+  * family's equi+broadcastable doctrine: this rule changes RESULT
+  * semantics, so its firing decision must be a pure function of
+  * (query, conf) — never of size statistics, which vary across
+  * scales, runs, and composition order (a sibling blocking rule's
+  * generated bucket key must not flip the contract off). Plan-shape
+  * adaptation stays where it belongs: [[HammingJoinBlocking]] still
+  * applies ITS stand-down to the manufactured bound, so an
+  * equi-keyed broadcastable join keeps the hash-join shape with the
+  * signature gate as a residual — same contract result, best plan.
   */
 object CosineJoinBlocking extends Rule[LogicalPlan]
     with BlockingJoinSupport {
@@ -204,8 +212,7 @@ object CosineJoinBlocking extends Rule[LogicalPlan]
         val pair = conjuncts.flatMap(c => boundOf(c, left, right))
           .headOption
         pair match {
-          case Some((a, b))
-              if !equiBroadcastStandDown(conjuncts, left, right) =>
+          case Some((a, b)) =>
             val sl = Alias(SrpSignature(a, bits, seed), sigLName)()
             val sr = Alias(SrpSignature(b, bits, seed), sigRName)()
             val nl = Project(left.output :+ sl, left)

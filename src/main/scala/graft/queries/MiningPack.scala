@@ -624,7 +624,37 @@ object MiningPack extends QueryPack {
       "q341_composed_blocking" -> q341 _,
       "q342_srp_join_rule" -> q342 _,
       "q343_srp_anti_rule" -> q343 _,
-      "q344_adaptive_fuzzy_rule" -> q344 _)
+      "q344_adaptive_fuzzy_rule" -> q344 _,
+      "q345_cosine_band_composed" -> q345 _)
+
+  /** q345 — THREE rules on ONE join, written naively: embedding
+    * near-dups (`cosine ≥ 0.95`) restricted to an id band
+    * (`vec_id2 − vec_id ∈ [999000, 1001000]` — the twin offset
+    * window). Under the q342 opt-in, [[graft.plans.BandJoinBlocking]]
+    * buckets the band, [[graft.plans.CosineJoinBlocking]] injects the
+    * SRP hamming bound on the banded join, and
+    * [[graft.plans.HammingJoinBlocking]] plans the segments — each
+    * rule guards recursion only on its OWN generated columns, so the
+    * manufactured conjunct composes exactly like a user-written one
+    * (the q341 doctrine, extended to a rule-MANUFACTURED bound).
+    * Candidates block on (band bucket, sig segment); the oracle
+    * replicates the contract subset in SQL. */
+  private def q345(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Vectors
+    val rel = srpBase(s, dir).select(col("vec_id"), col("v"))
+    val y = rel.select(col("vec_id").as("vec_id2"), col("v").as("v2"))
+    val cos = Vectors.dot(col("v"), col("v2")) /
+      (sqrt(Vectors.dot(col("v"), col("v"))) *
+        sqrt(Vectors.dot(col("v2"), col("v2"))))
+    withSrpJoin(s) {
+      rel.join(y, cos >= lit(0.95) &&
+          col("vec_id2") >= col("vec_id") + 999000L &&
+          col("vec_id2") <= col("vec_id") + 1001000L)
+        .select(col("vec_id"), col("vec_id2"), round(cos, 6).as("cos6"))
+        .orderBy("vec_id", "vec_id2")
+        .localCheckpoint()
+    }
+  }
 
   /** q344 — ADAPTIVE fuzzy matching written naively: variable-length
     * title prefixes (8–23 chars, length keyed off doc_id) self-joined
@@ -1615,7 +1645,26 @@ object MiningPack extends QueryPack {
         |FROM d a JOIN d b
         | ON levenshtein(a.pre, b.pre) <= least(2, length(a.pre) // 8)
         | AND a.doc_id < b.doc_id
-        |ORDER BY a.doc_id, doc_id2""".stripMargin)
+        |ORDER BY a.doc_id, doc_id2""".stripMargin,
+    "q345_cosine_band_composed" ->
+      s"""WITH raw AS (
+         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |tw AS (
+         | SELECT vec_id + 1000000 AS vec_id,
+         |  list_concat([v[1] + 0.1], v[2:]) AS v
+         | FROM raw WHERE vec_id % 25 = 0),
+         |base AS (SELECT * FROM raw UNION ALL SELECT * FROM tw),
+         |$duckSrpjSigs,
+         |nv AS (SELECT b.vec_id, b.v, g.sig,
+         |  sqrt(list_dot_product(b.v, b.v)) AS nrm
+         | FROM base b JOIN sigs g ON b.vec_id = g.vec_id)
+         |SELECT a.vec_id, b.vec_id AS vec_id2,
+         | round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos6
+         |FROM nv a JOIN nv b
+         | ON b.vec_id BETWEEN a.vec_id + 999000 AND a.vec_id + 1001000
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 2
+         | AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.95
+         |ORDER BY a.vec_id, vec_id2""".stripMargin)
 
   /** The shared q342/q343 oracle CTE: 24-bit SRP signatures over a
     * relation `base(vec_id, v DOUBLE[])` — the DuckDB twin of

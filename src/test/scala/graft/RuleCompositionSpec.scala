@@ -105,4 +105,73 @@ class RuleCompositionSpec extends SparkSpecBase {
       assert(got === expected)
     }
   }
+
+  test("cosine → hamming × band: a rule-MANUFACTURED bound composes (three rules, one join)") {
+    // CosineJoinBlocking injects the sig hamming conjunct; the hamming
+    // rule plans segments from it and the band rule buckets the id
+    // window — all on one join, pinned by all three generated names.
+    // Expected = the deterministic contract set (cos ≥ τ ∧ 24-bit sig
+    // hamming ≤ 2 ∧ band), sig via the independent md5 reference.
+    val s = spark
+    import s.implicits._
+    def refSig(v: Array[Double]): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var sig = 0L
+      for (p <- 0 until 24) {
+        var acc = 0.0
+        for (d <- v.indices) {
+          val hex = md.digest(s"srpj|graft|$p|$d".getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString.take(8)
+          acc += v(d) * (if (java.lang.Long.parseLong(hex, 16) % 2 == 0)
+            1.0 else -1.0)
+        }
+        if (acc >= 0.0) sig |= 1L << p
+      }
+      sig
+    }
+    val dims = 8
+    val base = (0 until 40).map { i =>
+      val raw = Array.tabulate(dims) { d =>
+        (math.abs(MurmurHash3.productHash((i, d))) % 1000) / 1000.0 - 0.5
+      }
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      (i.toLong, raw.map(_ / n))
+    }
+    val twins = base.collect { case (id, v) if id % 5 == 0 =>
+      val w = v.clone(); w(0) += 0.05
+      val n = math.sqrt(w.map(x => x * x).sum)
+      (id + 1000L, w.map(_ / n))
+    }
+    val all = base ++ twins
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s0 = 0.0; for (i <- a.indices) s0 += a(i) * b(i); s0
+    }
+    val expected = (for {
+      x <- all; y <- all
+      if y._1 >= x._1 + 900L && y._1 <= x._1 + 1100L &&
+        dot(x._2, y._2) >= 0.9 &&
+        java.lang.Long.bitCount(refSig(x._2) ^ refSig(y._2)) <= 2
+    } yield (x._1, y._1)).sorted
+    assert(expected.nonEmpty)
+    val df = all.map { case (id, v) => (id, v.toSeq) }.toDF("id", "v")
+    val a = df.select(col("id").as("a"), col("v").as("va"))
+    val b = df.select(col("id").as("b"), col("v").as("vb"))
+    spark.conf.set("spark.graft.srpjoin.segments", "3")
+    spark.conf.set("spark.graft.srpjoin.bits", "24")
+    try noBroadcast {
+      val joined = a.join(b,
+        graft.functions.Vectors.dot(col("va"), col("vb")) >= 0.9 &&
+          col("b") >= col("a") + 900L && col("b") <= col("a") + 1100L)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_csig") && plan.contains("graft_seg") &&
+        plan.contains("graft_band"),
+        s"all three rules must fire:\n${plan.take(4000)}")
+      val got = joined.select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(got === expected)
+    } finally {
+      spark.conf.unset("spark.graft.srpjoin.segments")
+      spark.conf.unset("spark.graft.srpjoin.bits")
+    }
+  }
 }

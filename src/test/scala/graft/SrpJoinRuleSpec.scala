@@ -197,7 +197,7 @@ class SrpJoinRuleSpec extends SparkSpecBase {
     }
   }
 
-  test("stand-downs: non-literal tau, tau <= 0, equi+broadcastable, bad conf") {
+  test("stand-downs: non-literal tau, tau <= 0, bad conf; equi joins keep the contract") {
     import graft.functions.Vectors
     val (a, b) = frames
     withSrp(3, 24) {
@@ -211,10 +211,15 @@ class SrpJoinRuleSpec extends SparkSpecBase {
         col("a") < col("b"))
       assert(!j2.queryExecution.optimizedPlan.toString
         .contains("graft_csig"))
-      // user equi key + broadcastable side: hash join wins
+      // user equi key + broadcastable side: the CONTRACT still
+      // applies (semantics are a pure function of query + conf, never
+      // of size stats) — the sig gate fires, while the hamming rule's
+      // own stand-down keeps the hash-join plan shape (no segments)
       val j3 = a.join(b, col("a") === col("b") && dotCond)
-      assert(!j3.queryExecution.optimizedPlan.toString
-        .contains("graft_csig"))
+      val p3 = j3.queryExecution.optimizedPlan.toString
+      assert(p3.contains("graft_csig") && !p3.contains("graft_seg"), p3.take(2000))
+      // self-pairs: dot(v, v) = 1 ≥ τ and hamming(sig, sig) = 0 — the
+      // contract keeps all of them, equi key or not
       assert(j3.count() === vecs.size.toLong)
     }
     // segments = 1 (no ball) and garbage conf: off
