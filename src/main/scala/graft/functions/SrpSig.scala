@@ -110,4 +110,25 @@ object SrpSignature {
     }
     sig
   }
+
+  /** JVM-array form of the same kernel (identical fold order) — used
+    * by [[graft.streaming.SrpStream]]'s state-side twin. */
+  def compute(v: Array[Double], bits: Int, seed: String): Long = {
+    val n = v.length
+    val w = weights(seed, bits, n)
+    var sig = 0L
+    var p = 0
+    while (p < bits) {
+      val off = p * n
+      var acc = 0.0
+      var d = 0
+      while (d < n) {
+        acc += v(d) * w(off + d)
+        d += 1
+      }
+      if (acc >= 0.0) sig |= 1L << p
+      p += 1
+    }
+    sig
+  }
 }
