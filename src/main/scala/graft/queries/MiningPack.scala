@@ -625,7 +625,73 @@ object MiningPack extends QueryPack {
       "q342_srp_join_rule" -> q342 _,
       "q343_srp_anti_rule" -> q343 _,
       "q344_adaptive_fuzzy_rule" -> q344 _,
-      "q345_cosine_band_composed" -> q345 _)
+      "q345_cosine_band_composed" -> q345 _,
+      "q346_srp_semi_rule" -> q346 _,
+      "q347_overlap_join_rule" -> q347 _,
+      "q348_arrays_overlap_rule" -> q348 _)
+
+  /** q346 — the CONTAMINATED list, naively: corpus vectors within
+    * cosine 0.95 of SOME eval vector (left SEMI — q343's complement).
+    * Under the opt-in the hamming rule's semi machinery runs at
+    * segment grain and regroups per rid; the oracle's EXISTS applies
+    * the identical contract gate. */
+  private def q346(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Vectors
+    val rel = srpBase(s, dir).select(col("vec_id"), col("v"))
+    val corpus = rel.filter(col("vec_id") < 1000000L)
+    val eval = rel.filter(col("vec_id") >= 1000000L)
+      .select(col("vec_id").as("evec"), col("v").as("v2"))
+    val cos = Vectors.dot(col("v"), col("v2")) /
+      (sqrt(Vectors.dot(col("v"), col("v"))) *
+        sqrt(Vectors.dot(col("v2"), col("v2"))))
+    withSrpJoin(s) {
+      corpus.join(eval, cos >= lit(0.95), "left_semi")
+        .select(col("vec_id"))
+        .orderBy("vec_id")
+        .localCheckpoint()
+    }
+  }
+
+  /** q347 — an OVERLAP-THRESHOLD set join written naively: document
+    * token sets sharing ≥ 4 distinct tokens (`size(array_intersect)
+    * ≥ 4 ∧ doc_id < doc_id2` — the "co-mention" join).
+    * [[graft.plans.SetSimilarityJoinBlocking]]'s overlap arm: α = t
+    * literal prefixes (length |x| − 3), minimal-common-token
+    * canonical, PPJoin length/positional kills at the constant bound. */
+  private def q347(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+      .filter(col("source") === "src2")
+      .select(col("doc_id"),
+        array_distinct(TextOps.toks(col("text"))).as("tk"))
+    val y = d.select(col("doc_id").as("doc_id2"), col("tk").as("tk2"))
+    d.join(y,
+        size(array_intersect(col("tk"), col("tk2"))) >= 4 &&
+          col("doc_id") < col("doc_id2"))
+      .select(col("doc_id"), col("doc_id2"),
+        size(array_intersect(col("tk"), col("tk2"))).as("shared"))
+      .orderBy("doc_id", "doc_id2")
+  }
+
+  /** q348 — an ANY-SHARED-ELEMENT join written naively:
+    * `arrays_overlap(rare, rare2)` over each document's RARE-token
+    * set (tokens ≥ 10 chars — the distinctive vocabulary), the "do
+    * these docs share any distinctive term" linkage shape. The rule's
+    * arrays_overlap arm rides the overlap machinery at α = 1 (full
+    * sorted-distinct explode, exactly-once canonical). */
+  private def q348(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+      .filter(col("source").isin("src1", "src2"))
+      .select(col("doc_id"),
+        array_distinct(filter(TextOps.toks(col("text")),
+          t => length(t) >= 10)).as("rare"))
+    val y = d.select(col("doc_id").as("doc_id2"), col("rare").as("rare2"))
+    d.join(y,
+        arrays_overlap(col("rare"), col("rare2")) &&
+          col("doc_id") < col("doc_id2"))
+      .select(col("doc_id"), col("doc_id2"),
+        size(array_intersect(col("rare"), col("rare2"))).as("shared"))
+      .orderBy("doc_id", "doc_id2")
+  }
 
   /** q345 — THREE rules on ONE join, written naively: embedding
     * near-dups (`cosine ≥ 0.95`) restricted to an id band
@@ -1664,7 +1730,45 @@ object MiningPack extends QueryPack {
          | ON b.vec_id BETWEEN a.vec_id + 999000 AND a.vec_id + 1001000
          |WHERE bit_count(xor(a.sig, b.sig)) <= 2
          | AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.95
-         |ORDER BY a.vec_id, vec_id2""".stripMargin)
+         |ORDER BY a.vec_id, vec_id2""".stripMargin,
+    "q346_srp_semi_rule" ->
+      s"""WITH raw AS (
+         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |tw AS (
+         | SELECT vec_id + 1000000 AS vec_id,
+         |  list_concat([v[1] + 0.1], v[2:]) AS v
+         | FROM raw WHERE vec_id % 25 = 0),
+         |base AS (SELECT * FROM raw UNION ALL SELECT * FROM tw),
+         |$duckSrpjSigs,
+         |nv AS (SELECT b.vec_id, b.v, g.sig,
+         |  sqrt(list_dot_product(b.v, b.v)) AS nrm
+         | FROM base b JOIN sigs g ON b.vec_id = g.vec_id)
+         |SELECT c.vec_id FROM nv c
+         |WHERE c.vec_id < 1000000 AND EXISTS (
+         | SELECT 1 FROM nv e WHERE e.vec_id >= 1000000
+         |  AND bit_count(xor(c.sig, e.sig)) <= 2
+         |  AND list_dot_product(c.v, e.v) / (c.nrm * e.nrm) >= 0.95)
+         |ORDER BY c.vec_id""".stripMargin,
+    "q347_overlap_join_rule" ->
+      s"""WITH d AS (
+         | SELECT doc_id, list_distinct($duckToks) AS tk FROM documents
+         | WHERE source = 'src2')
+         |SELECT a.doc_id, b.doc_id AS doc_id2,
+         | CAST(len(list_intersect(a.tk, b.tk)) AS INT) AS shared
+         |FROM d a JOIN d b
+         | ON len(list_intersect(a.tk, b.tk)) >= 4 AND a.doc_id < b.doc_id
+         |ORDER BY a.doc_id, doc_id2""".stripMargin,
+    "q348_arrays_overlap_rule" ->
+      s"""WITH d AS (
+         | SELECT doc_id,
+         |  list_distinct(list_filter($duckToks,
+         |    x -> length(x) >= 10)) AS rare
+         | FROM documents WHERE source IN ('src1', 'src2'))
+         |SELECT a.doc_id, b.doc_id AS doc_id2,
+         | CAST(len(list_intersect(a.rare, b.rare)) AS INT) AS shared
+         |FROM d a JOIN d b
+         | ON list_has_any(a.rare, b.rare) AND a.doc_id < b.doc_id
+         |ORDER BY a.doc_id, doc_id2""".stripMargin)
 
   /** The shared q342/q343 oracle CTE: 24-bit SRP signatures over a
     * relation `base(vec_id, v DOUBLE[])` — the DuckDB twin of
