@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Optimizer rule: rewrite a naive SET-SIMILARITY theta join into a
   * prefix-filtered token EQUI-join — the SSJoin/PPJoin prefix filter
@@ -303,13 +304,6 @@ object SetSimilarityJoinBlocking extends Rule[LogicalPlan]
     case _ => None
   }
 
-  /** `child` + projected sorted-distinct array (and, when `withCnt`,
-    * the explode fan-out count for anti regrouping) + the prefix
-    * explode. `outer` keeps zero-prefix rows as one null-token row.
-    * Prefix length = max(0, |sx| − α(|sx|) + 1). The count alias is a
-    * pure function of `arr` (not of the sibling `sx` alias — aliases
-    * in one Project cannot reference each other); the Generate's slice
-    * recomputes the length from the projected attribute. */
   /** The exploded prefix plus what the downstream filters read: the
     * token, its 0-based POSITION in the sorted-distinct array (prefix
     * positions ARE full-array positions — a prefix is a prefix), the
@@ -318,12 +312,62 @@ object SetSimilarityJoinBlocking extends Rule[LogicalPlan]
   private case class Exploded(plan: LogicalPlan, tok: Attribute,
       pos: Attribute, sx: Attribute, cnt: Option[Attribute])
 
+  /** Optional FREQUENCY-AWARE prefix order (the PPJoin refinement,
+    * stats supplied out-of-band): `spark.graft.setsim.stopTokens` — a
+    * comma-separated list of the corpus's highest-frequency tokens
+    * ([[graft.tools.TokenStats]] computes it) — demotes those tokens
+    * to the END of the prefix order on STRING-element arrays, so
+    * prefixes fill with RARE tokens and hot-token buckets drain. The
+    * prefix lemma holds for ANY total order applied consistently to
+    * both sides; the order here is (is-stop, token): non-stop tokens
+    * first by value, stop tokens last by value. Purely an ordering
+    * change — empty conf (default), non-string elements, and the
+    * membership arm keep plain value order. */
+  private def stopTokens: Seq[String] =
+    conf.getConfString("spark.graft.setsim.stopTokens", "")
+      .split(",").filter(_.nonEmpty).toSeq
+
+  /** `t → struct(s: t ∈ stops, t)` — the order-key surrogate. In(…)
+    * over the literal list optimizes to an InSet hash probe. */
+  private def orderKey(t: Expression, stops: Seq[String]): Expression =
+    CreateNamedStruct(Seq(
+      Literal("s"), In(t, stops.map(s => Literal(UTF8String.fromString(s),
+        StringType))),
+      Literal("t"), t))
+
+  /** The side's canonical-order array: sorted-distinct raw tokens, or
+    * their (is-stop, token) surrogates when frequency ordering is on. */
+  private def orderedDistinct(arr: Expression,
+      stops: Seq[String]): Expression = {
+    val distinct = ArrayDistinct(arr)
+    if (stops.isEmpty) new SortArray(distinct)
+    else {
+      val ArrayType(et, cn) = arr.dataType: @unchecked
+      val x = NamedLambdaVariable("graft_sso", et, cn)
+      new SortArray(ArrayTransform(distinct,
+        LambdaFunction(orderKey(x, stops), Seq(x))))
+    }
+  }
+
+  /** Whether frequency ordering applies to this array expression. */
+  private def ordering(arr: Expression): Seq[String] = arr.dataType match {
+    case ArrayType(_: StringType, _) => stopTokens
+    case _ => Nil
+  }
+
+  /** `child` + projected order-sorted distinct array (and, when
+    * `withCnt`, the explode fan-out count for anti regrouping) + the
+    * prefix explode. `outer` keeps zero-prefix rows as one null-token
+    * row. Prefix length = max(0, |sx| − α(|sx|) + 1). The count alias
+    * is a pure function of `arr` (aliases in one Project cannot
+    * reference each other); the Generate's slice recomputes the length
+    * from the projected attribute. */
   private def explodePrefix(child: LogicalPlan, arr: Expression,
       alpha: Expression => Expression, outer: Boolean,
-      withCnt: Boolean): Exploded = {
+      withCnt: Boolean, stops: Seq[String] = Nil): Exploded = {
     def lenP(sz: Expression): Expression = Greatest(Seq(Literal(0L),
       Subtract(sz, Subtract(alpha(sz), Literal(1L)))))
-    val sx = Alias(new SortArray(ArrayDistinct(arr)), arrColName)()
+    val sx = Alias(orderedDistinct(arr, stops), arrColName)()
     val cnt =
       if (withCnt) {
         val szRaw = Cast(Size(ArrayDistinct(arr)), LongType)
@@ -333,7 +377,10 @@ object SetSimilarityJoinBlocking extends Rule[LogicalPlan]
     val szSx = Cast(Size(sx.toAttribute), LongType)
     val prefix = Slice(sx.toAttribute, Literal(1),
       Cast(lenP(szSx), IntegerType))
-    val ArrayType(et, _) = arr.dataType: @unchecked
+    val et = sx.dataType match {
+      case ArrayType(t, _) => t
+      case t => t
+    }
     val posOut = AttributeReference(posColName, IntegerType)()
     val out = AttributeReference(tokColName, et)()
     Exploded(
@@ -412,12 +459,14 @@ object SetSimilarityJoinBlocking extends Rule[LogicalPlan]
           // token: OUTER explode on BOTH sides, null-safe key and
           // canonical (see [[SetSim]]); all other spellings keep the
           // tighter inner-explode plan
+          val stops = ordering(f.aL)
           val el = explodePrefix(leftBase, f.aL,
             f.alpha, outer = nonInner || f.emptyTrue,
-            withCnt = jt == LeftAnti)
+            withCnt = jt == LeftAnti, stops = stops)
           val (newLeft, tokL) = (el.plan, el.tok)
           val er = explodePrefix(right, f.aR,
-            f.alpha, outer = f.emptyTrue, withCnt = false)
+            f.alpha, outer = f.emptyTrue, withCnt = false,
+            stops = stops)
           val tokR = er.tok
           // under emptyTrue a MATCHED right row can carry a null token
           // (the ∅×∅ match), so the outer-collapse marker must be a
@@ -455,7 +504,13 @@ object SetSimilarityJoinBlocking extends Rule[LogicalPlan]
               Least(Seq(Subtract(szL, Cast(el.pos, LongType)),
                 Subtract(szR, Cast(er.pos, LongType)))),
               f.ovlAlpha(szL, szR))))
-          val canonical = key(tokL, ArrayMin(ArrayIntersect(f.aL, f.aR)))
+          // canonical over the PROJECTED order arrays (raw sorted
+          // tokens, or (is-stop, token) surrogates under frequency
+          // ordering): ArrayMin = first common element in the active
+          // order, provably inside both prefixes for any total order —
+          // and reusing the projected attributes avoids recomputing
+          // array_distinct per candidate
+          val canonical = key(tokL, ArrayMin(ArrayIntersect(el.sx, er.sx)))
           val needCanon = jt == Inner || jt == LeftOuter
           val newCond = (Seq(key(tokL, tokR), lenF, posF, cond) ++
             (if (needCanon) Seq(canonical) else Nil))

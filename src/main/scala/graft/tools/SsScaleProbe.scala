@@ -65,6 +65,19 @@ object SsScaleProbe {
 
       val (ruleBag, tRule) =
         RuleToggle.withIncluded(spark, rule)(timed(bag()))
+      // frequency-ordered arm: top tokens of THIS corpus as stopTokens
+      // (what graft.tools.TokenStats computes offline) — identical bag
+      // required, time reported separately
+      val stops = d.select(explode(col("tk")).as("t"))
+        .groupBy("t").count().orderBy(col("count").desc, col("t"))
+        .limit(48 * k).collect().map(_.getString(0))
+        .filterNot(_.contains(",")).mkString(",")
+      val (stopBag, tStop) = RuleToggle.withIncluded(spark, rule) {
+        spark.conf.set("spark.graft.setsim.stopTokens", stops)
+        try timed(bag())
+        finally spark.conf.unset("spark.graft.setsim.stopTokens")
+      }
+      require(stopBag == ruleBag, s"k=$k: stop-ordered bag != rule bag")
       val (naiveBag, tNaive) = if (k <= naiveMaxK) {
         RuleToggle.withExcluded(spark, rule)(timed(bag()))
       } else (null, -1.0)
@@ -72,7 +85,7 @@ object SsScaleProbe {
       val parity = naiveBag == null || ruleBag == naiveBag
       require(parity, s"k=$k: rule bag != naive bag")
       println(s"""{"k":$k,"rows":$n,"pairs":${ruleBag.getLong(1)},""" +
-        s""""rule_sec":${f"$tRule%.2f"},""" +
+        s""""rule_sec":${f"$tRule%.2f"},"stop_sec":${f"$tStop%.2f"},""" +
         s""""naive_sec":${f"$tNaive%.2f"},"parity":$parity}""")
     }
     spark.stop()

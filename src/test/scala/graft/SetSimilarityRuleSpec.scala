@@ -170,6 +170,61 @@ class SetSimilarityRuleSpec extends SparkSpecBase {
     assert(expected.nonEmpty && got === expected)
   }
 
+  test("frequency-ordered prefixes (stopTokens conf): identical bags, every shape") {
+    // the PPJoin refinement with out-of-band stats: the conf demotes
+    // hot tokens to the prefix tail. Pure ordering change — the lemma
+    // holds for any total order — so EVERY result must be bit-identical
+    // to the value-order run, across the ÷, ÷-free (emptyTrue) and
+    // string-element shapes, and across join types.
+    val s = spark
+    import s.implicits._
+    val strToks = rows.map { case (i, ts) =>
+      (i, if (ts.isEmpty) Seq("") else ts.map("w" + _)) }
+    val df = strToks.map { case (i, ts) => (i, ts.mkString(" ")) }
+      .toDF("id", "s").select(col("id"), split(col("s"), " ").as("toks"))
+    val a = df.select(col("id").as("a"), col("toks").as("ta"))
+    val b = df.select(col("id").as("b"), col("toks").as("tb"))
+    // hot tokens of the fixture (low ids appear most) + one non-token
+    val stops = "w0,w1,w2,w3,w7,notatoken"
+    def run(): Seq[Seq[(Long, Long)]] = {
+      val inner = a.join(b, jacCond && col("a") < col("b"))
+      assert(inner.queryExecution.executedPlan.toString
+        .contains("graft_sst"))
+      val mul = a.join(b,
+        (size(array_intersect(col("ta"), col("tb"))) >=
+          lit(0.6) * size(array_union(col("ta"), col("tb")))) &&
+          col("a") < col("b"))
+      val semi = a.join(b, jacCond && col("a") =!= col("b"), "left_semi")
+      val anti = a.join(b, jacCond && col("a") =!= col("b"), "left_anti")
+      val outer = a.join(b, jacCond && col("a") < col("b"), "left_outer")
+      Seq(
+        inner.select("a", "b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted,
+        mul.select("a", "b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted,
+        semi.select("a").collect().map(r => (r.getLong(0), 0L))
+          .toSeq.sorted,
+        anti.select("a").collect().map(r => (r.getLong(0), 0L))
+          .toSeq.sorted,
+        outer.select("a", "b").collect()
+          .map(r => (r.getLong(0),
+            if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq.sorted)
+    }
+    val plain = run()
+    spark.conf.set("spark.graft.setsim.stopTokens", stops)
+    try {
+      val ordered = run()
+      assert(ordered === plain,
+        "frequency ordering must never change any result")
+      // int-element arrays ignore the (string) stop list and still fire
+      val (ia, ib) = frames
+      val ji = ia.join(ib, jacCond && col("a") < col("b"))
+      assert(ji.queryExecution.executedPlan.toString
+        .contains("graft_sst"))
+      assert(ji.count() === expectedJac(0.6).size.toLong)
+    } finally spark.conf.unset("spark.graft.setsim.stopTokens")
+  }
+
   test("left semi / anti / outer collapse back to left grain exactly") {
     val (a, b) = frames
     val bEval = b.filter(col("b") % 5 === 0)
