@@ -628,7 +628,53 @@ object MiningPack extends QueryPack {
       "q345_cosine_band_composed" -> q345 _,
       "q346_srp_semi_rule" -> q346 _,
       "q347_overlap_join_rule" -> q347 _,
-      "q348_arrays_overlap_rule" -> q348 _)
+      "q348_arrays_overlap_rule" -> q348 _,
+      "q349_pipeline_e2e" -> q349 _)
+
+  /** q349 — the TRAINING-DATA PIPELINE end-to-end, written naively in
+    * ONE DataFrame DAG: quality gate (≥ 8 tokens, non-eval) → exact
+    * dedup (md5 keeper) → near-dup pruning (`size(intersect) ≥
+    * 0.8·size(union)` LEFT ANTI against smaller ids — the
+    * set-similarity rule's anti arm plans it) → fuzzy decontamination
+    * (`levenshtein ≤ 1` LEFT ANTI vs eval prefixes — the edit-distance
+    * rule's anti arm) → budgeted selection (cumulative token budget
+    * over a total order — the cumulative-window shape
+    * GlobalRankRewrite owns above broadcast scale). A user writes the
+    * predicates; the engine owns every blocking plan. The DuckDB
+    * oracle replays the identical pipeline in SQL. */
+  private def q349(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toksD = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"), toks(col("text")).as("tk"))
+    val quality = toksD
+      .filter(size(col("tk")) >= 8 && col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"), col("text"),
+        array_distinct(col("tk")).as("dk"),
+        size(col("tk")).as("n_toks"))
+    val exact = quality
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1).drop("rn")
+    val dupSide = exact.select(col("doc_id").as("doc_id2"),
+      col("dk").as("dk2"))
+    val nearDeduped = exact.join(dupSide,
+      size(array_intersect(col("dk"), col("dk2"))) >=
+        lit(0.8) * size(array_union(col("dk"), col("dk2"))) &&
+        col("doc_id2") < col("doc_id"), "left_anti")
+    val evalPre = toksD.filter(col("doc_id") % 17 === 0)
+      .select(substring(col("text"), 1, 16).as("pre2"))
+    val decon = nearDeduped
+      .withColumn("pre", substring(col("text"), 1, 16))
+      .join(evalPre, levenshtein(col("pre"), col("pre2")) <= 1,
+        "left_anti")
+    decon
+      .withColumn("cum", sum(col("n_toks")).over(
+        Window.orderBy(col("n_toks").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum") <= 3000L)
+      .select(col("doc_id"), col("n_toks"), col("cum"))
+      .orderBy("doc_id")
+  }
 
   /** q346 — the CONTAMINATED list, naively: corpus vectors within
     * cosine 0.95 of SOME eval vector (left SEMI — q343's complement).
@@ -1768,7 +1814,35 @@ object MiningPack extends QueryPack {
          | CAST(len(list_intersect(a.rare, b.rare)) AS INT) AS shared
          |FROM d a JOIN d b
          | ON list_has_any(a.rare, b.rare) AND a.doc_id < b.doc_id
-         |ORDER BY a.doc_id, doc_id2""".stripMargin)
+         |ORDER BY a.doc_id, doc_id2""".stripMargin,
+    "q349_pipeline_e2e" ->
+      s"""WITH toksd AS (
+         | SELECT doc_id, text, $duckToks AS tk FROM documents),
+         |q AS (
+         | SELECT doc_id, text, list_distinct(tk) AS dk,
+         |  len(tk) AS n_toks
+         | FROM toksd WHERE len(tk) >= 8 AND doc_id % 17 <> 0),
+         |ex AS (
+         | SELECT * FROM q
+         | QUALIFY row_number()
+         |  OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+         |nd AS (
+         | SELECT * FROM ex c WHERE NOT EXISTS (
+         |  SELECT 1 FROM ex e WHERE e.doc_id < c.doc_id
+         |   AND len(list_intersect(c.dk, e.dk)) >=
+         |    0.8 * len(list_distinct(list_concat(c.dk, e.dk))))),
+         |dc AS (
+         | SELECT * FROM nd c WHERE NOT EXISTS (
+         |  SELECT 1 FROM toksd e WHERE e.doc_id % 17 = 0
+         |   AND levenshtein(substr(c.text, 1, 16),
+         |    substr(e.text, 1, 16)) <= 1)),
+         |r AS (
+         | SELECT doc_id, CAST(n_toks AS INT) AS n_toks,
+         |  CAST(sum(n_toks) OVER (ORDER BY n_toks DESC, doc_id
+         |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         | FROM dc)
+         |SELECT doc_id, n_toks, cum FROM r WHERE cum <= 3000
+         |ORDER BY doc_id""".stripMargin)
 
   /** The shared q342/q343 oracle CTE: 24-bit SRP signatures over a
     * relation `base(vec_id, v DOUBLE[])` — the DuckDB twin of
