@@ -645,6 +645,7 @@ object MiningPack extends QueryPack {
   private def q349(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toksD = Tables.load(s, dir, "documents")
+      .filter(col("source").isin("src1", "src2", "src3"))
       .select(col("doc_id"), col("text"), toks(col("text")).as("tk"))
     val quality = toksD
       .filter(size(col("tk")) >= 8 && col("doc_id") % 17 =!= 0)
@@ -671,7 +672,7 @@ object MiningPack extends QueryPack {
       .withColumn("cum", sum(col("n_toks")).over(
         Window.orderBy(col("n_toks").desc, col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .filter(col("cum") <= 3000L)
+      .filter(col("cum") <= 600L)
       .select(col("doc_id"), col("n_toks"), col("cum"))
       .orderBy("doc_id")
   }
@@ -699,8 +700,8 @@ object MiningPack extends QueryPack {
   }
 
   /** q347 — an OVERLAP-THRESHOLD set join written naively: document
-    * token sets sharing ≥ 4 distinct tokens (`size(array_intersect)
-    * ≥ 4 ∧ doc_id < doc_id2` — the "co-mention" join).
+    * token sets sharing ≥ 8 distinct tokens (`size(array_intersect)
+    * ≥ 8 ∧ doc_id < doc_id2` — the "co-mention" join).
     * [[graft.plans.SetSimilarityJoinBlocking]]'s overlap arm: α = t
     * literal prefixes (length |x| − 3), minimal-common-token
     * canonical, PPJoin length/positional kills at the constant bound. */
@@ -711,7 +712,7 @@ object MiningPack extends QueryPack {
         array_distinct(TextOps.toks(col("text"))).as("tk"))
     val y = d.select(col("doc_id").as("doc_id2"), col("tk").as("tk2"))
     d.join(y,
-        size(array_intersect(col("tk"), col("tk2"))) >= 4 &&
+        size(array_intersect(col("tk"), col("tk2"))) >= 8 &&
           col("doc_id") < col("doc_id2"))
       .select(col("doc_id"), col("doc_id2"),
         size(array_intersect(col("tk"), col("tk2"))).as("shared"))
@@ -1802,7 +1803,7 @@ object MiningPack extends QueryPack {
          |SELECT a.doc_id, b.doc_id AS doc_id2,
          | CAST(len(list_intersect(a.tk, b.tk)) AS INT) AS shared
          |FROM d a JOIN d b
-         | ON len(list_intersect(a.tk, b.tk)) >= 4 AND a.doc_id < b.doc_id
+         | ON len(list_intersect(a.tk, b.tk)) >= 8 AND a.doc_id < b.doc_id
          |ORDER BY a.doc_id, doc_id2""".stripMargin,
     "q348_arrays_overlap_rule" ->
       s"""WITH d AS (
@@ -1817,7 +1818,8 @@ object MiningPack extends QueryPack {
          |ORDER BY a.doc_id, doc_id2""".stripMargin,
     "q349_pipeline_e2e" ->
       s"""WITH toksd AS (
-         | SELECT doc_id, text, $duckToks AS tk FROM documents),
+         | SELECT doc_id, text, $duckToks AS tk FROM documents
+         | WHERE source IN ('src1', 'src2', 'src3')),
          |q AS (
          | SELECT doc_id, text, list_distinct(tk) AS dk,
          |  len(tk) AS n_toks
@@ -1841,7 +1843,7 @@ object MiningPack extends QueryPack {
          |  CAST(sum(n_toks) OVER (ORDER BY n_toks DESC, doc_id
          |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
          | FROM dc)
-         |SELECT doc_id, n_toks, cum FROM r WHERE cum <= 3000
+         |SELECT doc_id, n_toks, cum FROM r WHERE cum <= 600
          |ORDER BY doc_id""".stripMargin)
 
   /** The shared q342/q343 oracle CTE: 24-bit SRP signatures over a
