@@ -700,19 +700,19 @@ object MiningPack extends QueryPack {
   }
 
   /** q347 — an OVERLAP-THRESHOLD set join written naively: document
-    * token sets sharing ≥ 8 distinct tokens (`size(array_intersect)
-    * ≥ 8 ∧ doc_id < doc_id2` — the "co-mention" join).
+    * token sets sharing ≥ 24 distinct tokens (`size(array_intersect)
+    * ≥ 24 ∧ doc_id < doc_id2` — the "co-mention" join).
     * [[graft.plans.SetSimilarityJoinBlocking]]'s overlap arm: α = t
     * literal prefixes (length |x| − 3), minimal-common-token
     * canonical, PPJoin length/positional kills at the constant bound. */
   private def q347(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(s, dir, "documents")
-      .filter(col("source") === "src2")
+      .filter(col("source") === "src2" && col("doc_id") % 2 === 0)
       .select(col("doc_id"),
         array_distinct(TextOps.toks(col("text"))).as("tk"))
     val y = d.select(col("doc_id").as("doc_id2"), col("tk").as("tk2"))
     d.join(y,
-        size(array_intersect(col("tk"), col("tk2"))) >= 8 &&
+        size(array_intersect(col("tk"), col("tk2"))) >= 24 &&
           col("doc_id") < col("doc_id2"))
       .select(col("doc_id"), col("doc_id2"),
         size(array_intersect(col("tk"), col("tk2"))).as("shared"))
@@ -1714,17 +1714,7 @@ object MiningPack extends QueryPack {
     // ±1 hyperplanes with the srpj|graft label, per-plane sign of the
     // sequential list_dot_product — the SrpSignature parity contract.
     "q342_srp_join_rule" ->
-      s"""WITH raw AS (
-         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |tw AS (
-         | SELECT vec_id + 1000000 AS vec_id,
-         |  list_concat([v[1] + 0.1], v[2:]) AS v
-         | FROM raw WHERE vec_id % 25 = 0),
-         |base AS (SELECT * FROM raw UNION ALL SELECT * FROM tw),
-         |$duckSrpjSigs,
-         |nv AS (SELECT b.vec_id, b.v, g.sig,
-         |  sqrt(list_dot_product(b.v, b.v)) AS nrm
-         | FROM base b JOIN sigs g ON b.vec_id = g.vec_id)
+      s"""$duckSrpjNv
          |SELECT a.vec_id, b.vec_id AS vec_id2,
          | round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos6
          |FROM nv a JOIN nv b ON a.vec_id < b.vec_id
@@ -1732,17 +1722,7 @@ object MiningPack extends QueryPack {
          | AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.95
          |ORDER BY a.vec_id, vec_id2""".stripMargin,
     "q343_srp_anti_rule" ->
-      s"""WITH raw AS (
-         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |tw AS (
-         | SELECT vec_id + 1000000 AS vec_id,
-         |  list_concat([v[1] + 0.1], v[2:]) AS v
-         | FROM raw WHERE vec_id % 25 = 0),
-         |base AS (SELECT * FROM raw UNION ALL SELECT * FROM tw),
-         |$duckSrpjSigs,
-         |nv AS (SELECT b.vec_id, b.v, g.sig,
-         |  sqrt(list_dot_product(b.v, b.v)) AS nrm
-         | FROM base b JOIN sigs g ON b.vec_id = g.vec_id)
+      s"""$duckSrpjNv
          |SELECT c.vec_id FROM nv c
          |WHERE c.vec_id < 1000000 AND NOT EXISTS (
          | SELECT 1 FROM nv e WHERE e.vec_id >= 1000000
@@ -1760,17 +1740,7 @@ object MiningPack extends QueryPack {
         | AND a.doc_id < b.doc_id
         |ORDER BY a.doc_id, doc_id2""".stripMargin,
     "q345_cosine_band_composed" ->
-      s"""WITH raw AS (
-         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |tw AS (
-         | SELECT vec_id + 1000000 AS vec_id,
-         |  list_concat([v[1] + 0.1], v[2:]) AS v
-         | FROM raw WHERE vec_id % 25 = 0),
-         |base AS (SELECT * FROM raw UNION ALL SELECT * FROM tw),
-         |$duckSrpjSigs,
-         |nv AS (SELECT b.vec_id, b.v, g.sig,
-         |  sqrt(list_dot_product(b.v, b.v)) AS nrm
-         | FROM base b JOIN sigs g ON b.vec_id = g.vec_id)
+      s"""$duckSrpjNv
          |SELECT a.vec_id, b.vec_id AS vec_id2,
          | round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos6
          |FROM nv a JOIN nv b
@@ -1779,17 +1749,7 @@ object MiningPack extends QueryPack {
          | AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.95
          |ORDER BY a.vec_id, vec_id2""".stripMargin,
     "q346_srp_semi_rule" ->
-      s"""WITH raw AS (
-         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |tw AS (
-         | SELECT vec_id + 1000000 AS vec_id,
-         |  list_concat([v[1] + 0.1], v[2:]) AS v
-         | FROM raw WHERE vec_id % 25 = 0),
-         |base AS (SELECT * FROM raw UNION ALL SELECT * FROM tw),
-         |$duckSrpjSigs,
-         |nv AS (SELECT b.vec_id, b.v, g.sig,
-         |  sqrt(list_dot_product(b.v, b.v)) AS nrm
-         | FROM base b JOIN sigs g ON b.vec_id = g.vec_id)
+      s"""$duckSrpjNv
          |SELECT c.vec_id FROM nv c
          |WHERE c.vec_id < 1000000 AND EXISTS (
          | SELECT 1 FROM nv e WHERE e.vec_id >= 1000000
@@ -1799,11 +1759,11 @@ object MiningPack extends QueryPack {
     "q347_overlap_join_rule" ->
       s"""WITH d AS (
          | SELECT doc_id, list_distinct($duckToks) AS tk FROM documents
-         | WHERE source = 'src2')
+         | WHERE source = 'src2' AND doc_id % 2 = 0)
          |SELECT a.doc_id, b.doc_id AS doc_id2,
          | CAST(len(list_intersect(a.tk, b.tk)) AS INT) AS shared
          |FROM d a JOIN d b
-         | ON len(list_intersect(a.tk, b.tk)) >= 8 AND a.doc_id < b.doc_id
+         | ON len(list_intersect(a.tk, b.tk)) >= 24 AND a.doc_id < b.doc_id
          |ORDER BY a.doc_id, doc_id2""".stripMargin,
     "q348_arrays_overlap_rule" ->
       s"""WITH d AS (
@@ -1846,8 +1806,26 @@ object MiningPack extends QueryPack {
          |SELECT doc_id, n_toks, cum FROM r WHERE cum <= 600
          |ORDER BY doc_id""".stripMargin)
 
-  /** The shared q342/q343 oracle CTE: 24-bit SRP signatures over a
-    * relation `base(vec_id, v DOUBLE[])` — the DuckDB twin of
+  /** The shared q342/q343/q345/q346 oracle PRELUDE: the q260 corpus
+    * (embeddings ∪ planted twins) with 24-bit SRP signatures and norms
+    * as `nv(vec_id, v, sig, nrm)` — every SRP-rule oracle opens with
+    * `WITH $duckSrpjNv, …` so the contract's sig math lives in exactly
+    * one SQL string. */
+  private def duckSrpjNv: String =
+    s"""WITH raw AS (
+       | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |tw AS (
+       | SELECT vec_id + 1000000 AS vec_id,
+       |  list_concat([v[1] + 0.1], v[2:]) AS v
+       | FROM raw WHERE vec_id % 25 = 0),
+       |base AS (SELECT * FROM raw UNION ALL SELECT * FROM tw),
+       |$duckSrpjSigs,
+       |nv AS (SELECT b.vec_id, b.v, g.sig,
+       |  sqrt(list_dot_product(b.v, b.v)) AS nrm
+       | FROM base b JOIN sigs g ON b.vec_id = g.vec_id)""".stripMargin
+
+  /** The 24-bit SRP signature CTE over a relation
+    * `base(vec_id, v DOUBLE[])` — the DuckDB twin of
     * [[graft.functions.SrpSignature]] at seed `graft`. */
   private def duckSrpjSigs: String =
     """sigs AS (SELECT vec_id,
