@@ -545,6 +545,38 @@ class PlanShapeSpec extends SparkSpecBase {
       !p.contains("CartesianProduct"), p.take(4000))
   }
 
+  test("SRP cosine rule: the q342 shape plans signature segments under the opt-in") {
+    // the registered q342 eagerly localCheckpoints (conf isolation),
+    // which truncates its visible plan — pin the same construction
+    // inline: naive cosine quotient over the embeddings table, opt-in
+    // on, no blocking anywhere in the query text
+    import graft.functions.Vectors
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.graft.srpjoin.segments", "3")
+    spark.conf.set("spark.graft.srpjoin.bits", "24")
+    try {
+      val rel = graft.catalog.Tables.load(spark, sf, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+      val y = rel.select(col("vec_id").as("vec_id2"), col("v").as("v2"))
+      val cos = Vectors.dot(col("v"), col("v2")) /
+        (sqrt(Vectors.dot(col("v"), col("v"))) *
+          sqrt(Vectors.dot(col("v2"), col("v2"))))
+      val p = planOf(rel.join(y,
+        cos >= lit(0.95) && col("vec_id") < col("vec_id2")))
+      assert(p.contains("graft_csig"),
+        s"CosineJoinBlocking must inject the signature gate:\n${p.take(4000)}")
+      assert(p.contains("graft_seg"),
+        s"HammingJoinBlocking must plan the segments:\n${p.take(4000)}")
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        s"no nested-loop pair generation:\n${p.take(4000)}")
+    } finally {
+      spark.conf.unset("spark.graft.srpjoin.segments")
+      spark.conf.unset("spark.graft.srpjoin.bits")
+    }
+  }
+
   test("composed blocking: q341's hamming+band join plans via graft_seg") {
     // at gate SFs the hamming rule's segment keys + broadcastable
     // sides let the band arm stand down into a residual (doctrine);
