@@ -174,23 +174,37 @@ object CosineJoinBlocking extends Rule[LogicalPlan]
       case _ => None
     })
 
-  /** One matched similarity bound `sim(a, b) ≥ τ` (τ > 0, any of the
-    * four comparison spellings), oriented left/right. */
+  /** One matched similarity bound — `sim(a, b) ≥ τ` with τ > 0, or
+    * the DISTANCE spelling `1 − sim(a, b) ≤ δ` with δ < 1 (⟺ sim ≥
+    * 1 − δ > 0 — the "cosine distance below δ" form near-dup
+    * pipelines write); each in all four comparison directions,
+    * oriented left/right. The bound value itself never enters the
+    * rewrite (the ball size is conf), so the δ↔τ conversion needs no
+    * FP care beyond the positivity gate. */
   private def boundOf(e: Expression, left: LogicalPlan,
       right: LogicalPlan): Option[(Expression, Expression)] = {
-    def arm(x: Expression, l: Expression): Option[(Expression, Expression)] =
+    def eligible(x: Expression): Option[(Expression, Expression)] =
       for {
-        tau <- litTau(l)
-        if tau > 0.0
         (a, b) <- simPair(x)
         if isDoubleArray(a) && isDoubleArray(b)
         oriented <- orient(a, b, left, right)
       } yield oriented
+    def simArm(x: Expression, l: Expression): Option[(Expression, Expression)] =
+      litTau(l).filter(_ > 0.0).flatMap(_ => eligible(x))
+    // `1 − sim(a, b)` with the literal 1 (casts tolerated)
+    def distArm(x: Expression, l: Expression): Option[(Expression, Expression)] =
+      litTau(l).filter(_ < 1.0).flatMap { _ =>
+        stripCast(x) match {
+          case Subtract(one, inner, _) if litTau(one).contains(1.0) =>
+            eligible(inner)
+          case _ => None
+        }
+      }
     e match {
-      case GreaterThanOrEqual(x, l) => arm(x, l)
-      case GreaterThan(x, l) => arm(x, l)
-      case LessThanOrEqual(l, x) => arm(x, l)
-      case LessThan(l, x) => arm(x, l)
+      case GreaterThanOrEqual(x, l) => simArm(x, l).orElse(distArm(l, x))
+      case GreaterThan(x, l) => simArm(x, l).orElse(distArm(l, x))
+      case LessThanOrEqual(l, x) => simArm(x, l).orElse(distArm(l, x))
+      case LessThan(l, x) => simArm(x, l).orElse(distArm(l, x))
       case _ => None
     }
   }

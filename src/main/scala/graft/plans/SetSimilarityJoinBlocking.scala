@@ -268,6 +268,52 @@ object SetSimilarityJoinBlocking extends Rule[LogicalPlan]
     }
   }
 
+  /** One matched CONTAINMENT conjunct — `size(array_except(a, b)) = 0`
+    * (also `≤ 0`, `< 1`, literal on either side), i.e. distinct(a) ⊆
+    * distinct(b), with `a` from the LEFT child and `b` from the RIGHT
+    * (the natural "is this row's set covered by that row's set" probe
+    * orientation; the mirrored orientation stands down). Blocking: a
+    * qualifying pair must share a's MINIMAL distinct element, so the
+    * left projects that single token as a scalar key (no explode) and
+    * the right explodes its full sorted-distinct set — per pair the
+    * key matches AT MOST once (distinct explode), exactly-once with no
+    * canonical. The ∅ ⊆ anything corner (an empty `a` satisfies the
+    * predicate against EVERY non-null partner) cannot flow through a
+    * token key at all: the rewrite UNIONs a second branch —
+    * σ(|distinct(a)| = 0) ⨝ right on the kept condition — whose
+    * nested-loop shape is the honest cost of an output that is
+    * |L∅|·|R| by definition (null arrays die on the kept condition in
+    * either branch). INNER joins only. */
+  private def containOf(e: Expression, left: LogicalPlan,
+      right: LogicalPlan): Option[(Expression, Expression)] = {
+    def zero(l: Expression): Boolean = stripCast(l) match {
+      case Literal(0, IntegerType) | Literal(0L, LongType) => true
+      case _ => false
+    }
+    def one(l: Expression): Boolean = stripCast(l) match {
+      case Literal(1, IntegerType) | Literal(1L, LongType) => true
+      case _ => false
+    }
+    def pairOf(x: Expression): Option[(Expression, Expression)] =
+      stripCast(x) match {
+        case Size(ArrayExcept(a, b), _)
+            if a.deterministic && b.deterministic &&
+              eligibleArrays(a, b) &&
+              a.references.subsetOf(left.outputSet) &&
+              b.references.subsetOf(right.outputSet) => Some((a, b))
+        case _ => None
+      }
+    e match {
+      case EqualTo(x, l) if zero(l) => pairOf(x)
+      case EqualTo(l, x) if zero(l) => pairOf(x)
+      case LessThanOrEqual(x, l) if zero(l) => pairOf(x)
+      case GreaterThanOrEqual(l, x) if zero(l) => pairOf(x)
+      case LessThan(x, l) if one(l) => pairOf(x)
+      case GreaterThan(l, x) if one(l) => pairOf(x)
+      case _ => None
+    }
+  }
+
   /** One matched MEMBERSHIP conjunct `array_contains(arr, v)` with the
     * array and the scalar on opposite children — the tag-membership
     * join. Only the ARRAY side explodes (full sorted-distinct — α = 1
@@ -402,8 +448,31 @@ object SetSimilarityJoinBlocking extends Rule[LogicalPlan]
         if (sim.isEmpty)
           conjuncts.flatMap(c => memberOf(c, left, right)).headOption
         else None
+      val contain =
+        if (sim.isEmpty && member.isEmpty && jt == Inner)
+          conjuncts.flatMap(c => containOf(c, left, right)).headOption
+        else None
       val standDown = equiBroadcastStandDown(conjuncts, left, right)
-      (sim, member) match {
+      if (contain.isDefined && !standDown) {
+        // containment a ⊆ b: scalar min-token probe on the left vs
+        // the right's full distinct explode, UNIONed with the ∅ ⊆ *
+        // branch (see containOf doc). The mark column on the second
+        // branch's left child is the idempotence marker — without it
+        // this rule would re-match the branch join forever.
+        val (ca, cb) = contain.get
+        val er = explodePrefix(right, cb, _ => Literal(1L),
+          outer = false, withCnt = false)
+        val minTok = ArrayMin(ArrayDistinct(ca))
+        val u1 = Project(j.output,
+          Join(left, er.plan, Inner,
+            Some(And(EqualTo(minTok, er.tok), cond)), hint))
+        val mark = Alias(Literal(true), markColName)()
+        val l2 = Project(left.output :+ mark,
+          Filter(EqualTo(Size(ArrayDistinct(ca)), Literal(0)), left))
+        val u2 = Project(j.output, Join(l2, right, Inner, Some(cond),
+          hint))
+        Union(Seq(u1, u2))
+      } else (sim, member) match {
         case (None, Some(m)) if !standDown && !m.arrOnLeft =>
           // membership with the array on the RIGHT: explode only the
           // right side — the left grain is untouched, so EVERY join

@@ -629,7 +629,35 @@ object MiningPack extends QueryPack {
       "q346_srp_semi_rule" -> q346 _,
       "q347_overlap_join_rule" -> q347 _,
       "q348_arrays_overlap_rule" -> q348 _,
-      "q349_pipeline_e2e" -> q349 _)
+      "q349_pipeline_e2e" -> q349 _,
+      "q350_containment_join_rule" -> q350 _)
+
+  /** q350 — a CONTAINMENT JOIN written naively: docs whose DISTINCTIVE
+    * vocabulary (tokens ≥ 8 chars) is fully covered by another doc's
+    * full token set — `size(array_except(rare, tk2)) = 0`, the
+    * "is this row's set a subset of that row's" shape every
+    * tag-policy / skill-coverage system runs.
+    * [[graft.plans.SetSimilarityJoinBlocking]]'s containment arm: the
+    * subset side probes with its MINIMAL rare token as a scalar key
+    * against the superset side's full distinct explode (exactly-once,
+    * no canonical), with the ∅-⊆-everything branch UNIONed in (here
+    * emptied by the `size(rare) ≥ 1` guard, which pushdown moves
+    * below the join). */
+  private def q350(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+      .filter(col("source") === "src1")
+      .select(col("doc_id"),
+        array_distinct(filter(TextOps.toks(col("text")),
+          t => length(t) >= 8)).as("rare"),
+        array_distinct(TextOps.toks(col("text"))).as("tk"))
+    val y = d.select(col("doc_id").as("doc_id2"), col("tk").as("tk2"))
+    d.join(y,
+        size(array_except(col("rare"), col("tk2"))) === 0 &&
+          size(col("rare")) >= 1 && col("doc_id") =!= col("doc_id2"))
+      .select(col("doc_id"), col("doc_id2"),
+        size(col("rare")).as("n_rare"))
+      .orderBy("doc_id", "doc_id2")
+  }
 
   /** q349 — the TRAINING-DATA PIPELINE end-to-end, written naively in
     * ONE DataFrame DAG: quality gate (≥ 8 tokens, non-eval) → exact
@@ -1804,7 +1832,21 @@ object MiningPack extends QueryPack {
          |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
          | FROM dc)
          |SELECT doc_id, n_toks, cum FROM r WHERE cum <= 600
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin,
+    "q350_containment_join_rule" ->
+      s"""WITH d AS (
+         | SELECT doc_id,
+         |  list_distinct(list_filter($duckToks,
+         |    x -> length(x) >= 8)) AS rare,
+         |  list_distinct($duckToks) AS tk
+         | FROM documents WHERE source = 'src1')
+         |SELECT a.doc_id, b.doc_id AS doc_id2,
+         | CAST(len(a.rare) AS INT) AS n_rare
+         |FROM d a JOIN d b
+         | ON len(list_filter(a.rare,
+         |    x -> NOT list_contains(b.tk, x))) = 0
+         |  AND len(a.rare) >= 1 AND a.doc_id <> b.doc_id
+         |ORDER BY a.doc_id, doc_id2""".stripMargin)
 
   /** The shared q342/q343/q345/q346 oracle PRELUDE: the q260 corpus
     * (embeddings ∪ planted twins) with 24-bit SRP signatures and norms

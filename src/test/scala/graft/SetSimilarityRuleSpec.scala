@@ -546,6 +546,50 @@ class SetSimilarityRuleSpec extends SparkSpecBase {
     assert(om === Seq((1L, 2L), (2L, -1L), (3L, 4L), (4L, -1L)))
   }
 
+  test("containment join: size(array_except)=0 plans as min-token probe + empty-set branch") {
+    val s = spark
+    import s.implicits._
+    // filter(split(...)) births containsNull=false arrays AND yields a
+    // true empty set for the blank string (split('') = [''])
+    val xy = Seq((1L, "a b"), (2L, "a b c"), (3L, "c d"),
+      (4L, ""), (5L, "a b c d z"), (6L, "q"), (7L, "d c"))
+    val df = xy.toDF("id", "s").select(col("id"),
+      expr("filter(split(s, ' '), x -> x <> '')").as("toks"))
+    val aa = df.select(col("id").as("a"), col("toks").as("ta"))
+    val bb = df.select(col("id").as("b"), col("toks").as("tb"))
+    val sets = xy.map { case (i, t) =>
+      (i, t.split(" ").filter(_.nonEmpty).toSet) }
+    val expected = (for {
+      x <- sets; y <- sets
+      if x._1 != y._1 && x._2.subsetOf(y._2)
+    } yield (x._1, y._1)).sorted
+    // ∅ (id 4) ⊆ every other set — the union branch must supply those
+    assert(expected.count(_._1 == 4L) == 6)
+    for (cond <- Seq(
+      size(array_except(col("ta"), col("tb"))) === 0,
+      size(array_except(col("ta"), col("tb"))) <= 0,
+      size(array_except(col("ta"), col("tb"))) < 1,
+      lit(0) >= size(array_except(col("ta"), col("tb"))))) {
+      val joined = aa.join(bb, cond && col("a") =!= col("b"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_sst") && plan.contains("Union"),
+        s"containment must rewrite with the empty branch:\n${plan.take(3000)}")
+      val got = joined.select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(got === expected)
+    }
+    // mirrored orientation (subset side on the right) stands down
+    val jm = aa.join(bb,
+      size(array_except(col("tb"), col("ta"))) === 0 &&
+        col("a") =!= col("b"))
+    assert(!jm.queryExecution.optimizedPlan.toString.contains("graft_sst"))
+    // bag semantics: duplicated left rows multiply
+    val j2 = aa.union(aa).join(bb,
+      size(array_except(col("ta"), col("tb"))) === 0 &&
+        col("a") =!= col("b"))
+    assert(j2.count() === 2L * expected.size)
+  }
+
   test("defense in depth: non-deterministic array side stands down at the rule gate") {
     // Spark's analyzer rejects non-deterministic join conditions, so
     // this shape cannot arrive through the DataFrame API — apply the

@@ -172,8 +172,24 @@ class SrpJoinRuleSpec extends SparkSpecBase {
         java.lang.Long.bitCount(
           refSig(x._2, 24) ^ refSig(y._2, 24)) <= 2
     } yield (x._1, y._1)).sorted
+    // the DISTANCE spelling `1 − cos ≤ δ` — what near-dup pipelines
+    // actually write. The reference replays the IDENTICAL IEEE ops
+    // (1−cos ≤ 1−τ is not bit-equivalent to cos ≥ τ at the boundary)
+    val delta = 1.0 - tau
+    val distCond = (lit(1.0) - Vectors.dot(col("va"), col("vb")) /
+      (sqrt(Vectors.dot(col("va"), col("va"))) *
+        sqrt(Vectors.dot(col("vb"), col("vb"))))) <= delta
+    val distExpected = (for {
+      x <- vecs; y <- vecs
+      if x._1 < y._1 &&
+        1.0 - refDot(x._2, y._2) / (math.sqrt(refDot(x._2, x._2)) *
+          math.sqrt(refDot(y._2, y._2))) <= delta &&
+        java.lang.Long.bitCount(
+          refSig(x._2, 24) ^ refSig(y._2, 24)) <= 2
+    } yield (x._1, y._1)).sorted
     withSrp(3, 24) {
-      for ((cond, exp) <- Seq((cosCond, cosExpected), (hofCond, expected))) {
+      for ((cond, exp) <- Seq((cosCond, cosExpected),
+        (hofCond, expected), (distCond, distExpected))) {
         val joined = a.join(b, cond && col("a") < col("b"))
         val plan = joined.queryExecution.executedPlan.toString
         assert(plan.contains("graft_csig"),
