@@ -127,20 +127,17 @@ object SetSimilarityJoinBlocking extends Rule[LogicalPlan]
     case _ => None
   }
 
-  /** One matched similarity bound: the two array sides, the per-side
-    * α builder (sorted-distinct size → required overlap, LongType),
-    * and whether an EMPTY×EMPTY pair satisfies the predicate. The ÷
-    * spellings are empty-false (∅∕∅ → null → false) and so are
-    * overlap ≥ t ≥ 1 and arrays_overlap — but the ÷-free
-    * `size(intersect) ≥ s·size(union)` is TRUE on two empties
-    * (0 ≥ s·0) under a non-strict comparison, so those pairs must
-    * survive the rewrite: [[explodePrefix]] goes OUTER on both sides
-    * (an empty/null array emits exactly one null-token row) and the
-    * token key and canonical residual become null-safe — ∅ meets ∅
-    * through the null token exactly once, null-array rows form the
-    * same candidates but the kept original condition (null → false)
-    * rejects them, and non-empty rows behave exactly as before. */
-  /** `alpha`: sorted-distinct size → required overlap (the prefix
+  /** One matched similarity bound: the two array sides, the α
+    * builders, and whether an EMPTY×EMPTY pair satisfies the
+    * predicate (the ÷ spellings are empty-false — ∅∕∅ → null → false
+    * — and so are overlap ≥ t ≥ 1 and arrays_overlap; the ÷-free
+    * `size(intersect) ≥ s·size(union)` is TRUE on two empties under a
+    * non-strict comparison, so [[explodePrefix]] goes OUTER on both
+    * sides, the token key and canonical become null-safe, ∅ meets ∅
+    * through the null token exactly once, and null-ARRAY rows form
+    * the same candidates but die on the kept original condition).
+    *
+    * `alpha`: sorted-distinct size → required overlap (the prefix
     * length driver, floored at 1). `lenAlpha`: the same bound WITHOUT
     * the 1-floor, used by the cheap length filter (a qualifying
     * partner of a size-n set has ≥ ⌈s·n⌉ elements; ∅ partners need
@@ -280,12 +277,14 @@ object SetSimilarityJoinBlocking extends Rule[LogicalPlan]
     * canonical. The ∅ ⊆ anything corner (an empty `a` satisfies the
     * predicate against EVERY non-null partner) cannot flow through a
     * token key at all: the rewrite UNIONs a second branch —
-    * σ(|distinct(a)| = 0) ⨝ right on the kept condition — whose
+    * σ(|distinct(a)| = 0) ⨝ right with the containment conjunct
+    * respelled as |a∩b| = |distinct(a)| (the matcher-proof
+    * equivalent; see the rewrite-site comment) — whose
     * nested-loop shape is the honest cost of an output that is
     * |L∅|·|R| by definition (null arrays die on the kept condition in
     * either branch). INNER joins only. */
   private def containOf(e: Expression, left: LogicalPlan,
-      right: LogicalPlan): Option[(Expression, Expression)] = {
+      right: LogicalPlan): Option[(Expression, Expression, Expression)] = {
     def zero(l: Expression): Boolean = stripCast(l) match {
       case Literal(0, IntegerType) | Literal(0L, LongType) => true
       case _ => false
@@ -303,7 +302,7 @@ object SetSimilarityJoinBlocking extends Rule[LogicalPlan]
               b.references.subsetOf(right.outputSet) => Some((a, b))
         case _ => None
       }
-    e match {
+    (e match {
       case EqualTo(x, l) if zero(l) => pairOf(x)
       case EqualTo(l, x) if zero(l) => pairOf(x)
       case LessThanOrEqual(x, l) if zero(l) => pairOf(x)
@@ -311,7 +310,7 @@ object SetSimilarityJoinBlocking extends Rule[LogicalPlan]
       case LessThan(x, l) if one(l) => pairOf(x)
       case GreaterThan(l, x) if one(l) => pairOf(x)
       case _ => None
-    }
+    }).map { case (a, b) => (e, a, b) }
   }
 
   /** One matched MEMBERSHIP conjunct `array_contains(arr, v)` with the
@@ -456,20 +455,38 @@ object SetSimilarityJoinBlocking extends Rule[LogicalPlan]
       if (contain.isDefined && !standDown) {
         // containment a ⊆ b: scalar min-token probe on the left vs
         // the right's full distinct explode, UNIONed with the ∅ ⊆ *
-        // branch (see containOf doc). The mark column on the second
-        // branch's left child is the idempotence marker — without it
-        // this rule would re-match the branch join forever.
-        val (ca, cb) = contain.get
-        val er = explodePrefix(right, cb, _ => Literal(1L),
-          outer = false, withCnt = false)
+        // branch (see containOf doc). The branch join's idempotence
+        // guard is the CONJUNCT ITSELF: its containment predicate is
+        // respelled as the equivalent |a∩b| = |distinct(a)| (same
+        // truth table incl. null arrays — null comparisons are false
+        // both ways), which this matcher deliberately does not match.
+        // A marker column would not survive: ColumnPruning strips
+        // unused columns every fixed-point iteration and the branch
+        // would be re-matched until the iteration cap (a ~100-branch
+        // Union — the bug this comment commemorates).
+        val (cc, ca, cb) = contain.get
+        // explode array_distinct(b) DIRECTLY — no sorted-copy
+        // projection: the probe needs no prefix slice (the whole set
+        // explodes) and the sx duplicate would double an already
+        // |b|-per-row payload into |b|² per input row (a 600-element
+        // set amplifies to ~3 MB/row — the OOM this comment
+        // commemorates; the verify's own cb-per-candidate cost is
+        // inherent, the copy was not)
+        val ArrayType(cbEt, _) = cb.dataType: @unchecked
+        val tokR = AttributeReference(tokColName, cbEt)()
+        val genR = Generate(Explode(ArrayDistinct(cb)), Nil,
+          outer = false, None, Seq(tokR), right)
         val minTok = ArrayMin(ArrayDistinct(ca))
         val u1 = Project(j.output,
-          Join(left, er.plan, Inner,
-            Some(And(EqualTo(minTok, er.tok), cond)), hint))
-        val mark = Alias(Literal(true), markColName)()
-        val l2 = Project(left.output :+ mark,
-          Filter(EqualTo(Size(ArrayDistinct(ca)), Literal(0)), left))
-        val u2 = Project(j.output, Join(l2, right, Inner, Some(cond),
+          Join(left, genR, Inner,
+            Some(And(EqualTo(minTok, tokR), cond)), hint))
+        val altC = EqualTo(Size(ArrayIntersect(ca, cb)),
+          Size(ArrayDistinct(ca)))
+        val cond2 = conjuncts.map(c => if (c eq cc) altC else c)
+          .reduceLeft[Expression](And)
+        val l2 = Filter(EqualTo(Size(ArrayDistinct(ca)), Literal(0)),
+          left)
+        val u2 = Project(j.output, Join(l2, right, Inner, Some(cond2),
           hint))
         Union(Seq(u1, u2))
       } else (sim, member) match {

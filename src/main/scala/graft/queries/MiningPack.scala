@@ -632,31 +632,34 @@ object MiningPack extends QueryPack {
       "q349_pipeline_e2e" -> q349 _,
       "q350_containment_join_rule" -> q350 _)
 
-  /** q350 — a CONTAINMENT JOIN written naively: docs whose DISTINCTIVE
-    * vocabulary (tokens ≥ 8 chars) is fully covered by another doc's
-    * full token set — `size(array_except(rare, tk2)) = 0`, the
+  /** q350 — a CONTAINMENT JOIN written naively on RELATIONAL data:
+    * REDUNDANT ORDERS — orders whose entire distinct part list is
+    * covered by some OTHER single order's part list,
+    * `size(array_except(a.parts, b.parts)) = 0`, the
     * "is this row's set a subset of that row's" shape every
-    * tag-policy / skill-coverage system runs.
+    * tag-policy / coverage system runs.
     * [[graft.plans.SetSimilarityJoinBlocking]]'s containment arm: the
-    * subset side probes with its MINIMAL rare token as a scalar key
-    * against the superset side's full distinct explode (exactly-once,
-    * no canonical), with the ∅-⊆-everything branch UNIONed in (here
-    * emptied by the `size(rare) ≥ 1` guard, which pushdown moves
-    * below the join). */
+    * probe side carries only its MINIMAL part key as a scalar (no
+    * explode), the superset side explodes its distinct parts —
+    * candidates are the orders sharing that one part, never the
+    * order corpus — with the ∅-⊆-everything branch UNIONed in (empty
+    * part sets cannot arise from groupBy, so that branch planes to
+    * nothing at runtime). Output: per covered order, how many other
+    * orders cover it and the smallest covering order. */
   private def q350(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.load(s, dir, "documents")
-      .filter(col("source") === "src1")
-      .select(col("doc_id"),
-        array_distinct(filter(TextOps.toks(col("text")),
-          t => length(t) >= 8)).as("rare"),
-        array_distinct(TextOps.toks(col("text"))).as("tk"))
-    val y = d.select(col("doc_id").as("doc_id2"), col("tk").as("tk2"))
-    d.join(y,
-        size(array_except(col("rare"), col("tk2"))) === 0 &&
-          size(col("rare")) >= 1 && col("doc_id") =!= col("doc_id2"))
-      .select(col("doc_id"), col("doc_id2"),
-        size(col("rare")).as("n_rare"))
-      .orderBy("doc_id", "doc_id2")
+    val o = Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+    val a = o.filter(col("l_orderkey") % 20 === 0 &&
+        size(col("parts")) <= 3)
+      .select(col("l_orderkey").as("okey"), col("parts").as("aparts"))
+    a.join(o,
+        size(array_except(col("aparts"), col("parts"))) === 0 &&
+          col("okey") =!= col("l_orderkey"))
+      .groupBy(col("okey"))
+      .agg(count(lit(1)).as("n_cover"),
+        min(col("l_orderkey")).as("min_cover"))
+      .orderBy("okey")
   }
 
   /** q349 — the TRAINING-DATA PIPELINE end-to-end, written naively in
@@ -1834,19 +1837,19 @@ object MiningPack extends QueryPack {
          |SELECT doc_id, n_toks, cum FROM r WHERE cum <= 600
          |ORDER BY doc_id""".stripMargin,
     "q350_containment_join_rule" ->
-      s"""WITH d AS (
-         | SELECT doc_id,
-         |  list_distinct(list_filter($duckToks,
-         |    x -> length(x) >= 8)) AS rare,
-         |  list_distinct($duckToks) AS tk
-         | FROM documents WHERE source = 'src1')
-         |SELECT a.doc_id, b.doc_id AS doc_id2,
-         | CAST(len(a.rare) AS INT) AS n_rare
-         |FROM d a JOIN d b
-         | ON len(list_filter(a.rare,
-         |    x -> NOT list_contains(b.tk, x))) = 0
-         |  AND len(a.rare) >= 1 AND a.doc_id <> b.doc_id
-         |ORDER BY a.doc_id, doc_id2""".stripMargin)
+      """WITH o AS (
+        | SELECT l_orderkey, list_distinct(list(l_partkey)) AS parts
+        | FROM lineitem GROUP BY l_orderkey),
+        |a AS (
+        | SELECT l_orderkey AS okey, parts AS aparts FROM o
+        | WHERE l_orderkey % 20 = 0 AND len(parts) <= 3)
+        |SELECT a.okey, CAST(count(*) AS BIGINT) AS n_cover,
+        | min(o.l_orderkey) AS min_cover
+        |FROM a JOIN o ON len(list_filter(a.aparts,
+        |  x -> NOT list_contains(o.parts, x))) = 0
+        | AND a.okey <> o.l_orderkey
+        |GROUP BY a.okey
+        |ORDER BY a.okey""".stripMargin)
 
   /** The shared q342/q343/q345/q346 oracle PRELUDE: the q260 corpus
     * (embeddings ∪ planted twins) with 24-bit SRP signatures and norms
