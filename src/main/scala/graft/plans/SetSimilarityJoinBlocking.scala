@@ -284,7 +284,7 @@ object SetSimilarityJoinBlocking extends Rule[LogicalPlan]
     * |L∅|·|R| by definition (null arrays die on the kept condition in
     * either branch). INNER joins only. */
   private def containOf(e: Expression, left: LogicalPlan,
-      right: LogicalPlan): Option[(Expression, Expression, Expression)] = {
+      right: LogicalPlan): Option[Contain] = {
     def zero(l: Expression): Boolean = stripCast(l) match {
       case Literal(0, IntegerType) | Literal(0L, LongType) => true
       case _ => false
@@ -293,13 +293,18 @@ object SetSimilarityJoinBlocking extends Rule[LogicalPlan]
       case Literal(1, IntegerType) | Literal(1L, LongType) => true
       case _ => false
     }
-    def pairOf(x: Expression): Option[(Expression, Expression)] =
+    def pairOf(x: Expression): Option[(Expression, Expression, Boolean)] =
       stripCast(x) match {
         case Size(ArrayExcept(a, b), _)
             if a.deterministic && b.deterministic &&
-              eligibleArrays(a, b) &&
-              a.references.subsetOf(left.outputSet) &&
-              b.references.subsetOf(right.outputSet) => Some((a, b))
+              eligibleArrays(a, b) =>
+          if (a.references.subsetOf(left.outputSet) &&
+            b.references.subsetOf(right.outputSet))
+            Some((a, b, true))
+          else if (a.references.subsetOf(right.outputSet) &&
+            b.references.subsetOf(left.outputSet))
+            Some((a, b, false))
+          else None
         case _ => None
       }
     (e match {
@@ -310,8 +315,13 @@ object SetSimilarityJoinBlocking extends Rule[LogicalPlan]
       case LessThan(x, l) if one(l) => pairOf(x)
       case GreaterThan(l, x) if one(l) => pairOf(x)
       case _ => None
-    }).map { case (a, b) => (e, a, b) }
+    }).map { case (a, b, subLeft) => Contain(e, a, b, subLeft) }
   }
+
+  /** One matched containment: the conjunct, the SUBSET-side and
+    * SUPERSET-side arrays, and which child holds the subset. */
+  private case class Contain(conjunct: Expression, sub: Expression,
+      sup: Expression, subOnLeft: Boolean)
 
   /** One matched MEMBERSHIP conjunct `array_contains(arr, v)` with the
     * array and the scalar on opposite children — the tag-membership
@@ -448,47 +458,87 @@ object SetSimilarityJoinBlocking extends Rule[LogicalPlan]
           conjuncts.flatMap(c => memberOf(c, left, right)).headOption
         else None
       val contain =
-        if (sim.isEmpty && member.isEmpty && jt == Inner)
+        if (sim.isEmpty && member.isEmpty)
           conjuncts.flatMap(c => containOf(c, left, right)).headOption
+            // semi/anti run at LEFT grain without explode only when
+            // the probe (subset) side IS the left child; mirrored
+            // semi/anti and outer joins stand down
+            .filter(c => jt == Inner ||
+              (c.subOnLeft && (jt == LeftSemi || jt == LeftAnti)))
         else None
       val standDown = equiBroadcastStandDown(conjuncts, left, right)
       if (contain.isDefined && !standDown) {
-        // containment a ⊆ b: scalar min-token probe on the left vs
-        // the right's full distinct explode, UNIONed with the ∅ ⊆ *
-        // branch (see containOf doc). The branch join's idempotence
-        // guard is the CONJUNCT ITSELF: its containment predicate is
-        // respelled as the equivalent |a∩b| = |distinct(a)| (same
-        // truth table incl. null arrays — null comparisons are false
-        // both ways), which this matcher deliberately does not match.
-        // A marker column would not survive: ColumnPruning strips
-        // unused columns every fixed-point iteration and the branch
-        // would be re-matched until the iteration cap (a ~100-branch
-        // Union — the bug this comment commemorates).
-        val (cc, ca, cb) = contain.get
-        // explode array_distinct(b) DIRECTLY — no sorted-copy
-        // projection: the probe needs no prefix slice (the whole set
-        // explodes) and the sx duplicate would double an already
-        // |b|-per-row payload into |b|² per input row (a 600-element
-        // set amplifies to ~3 MB/row — the OOM this comment
-        // commemorates; the verify's own cb-per-candidate cost is
-        // inherent, the copy was not)
-        val ArrayType(cbEt, _) = cb.dataType: @unchecked
-        val tokR = AttributeReference(tokColName, cbEt)()
-        val genR = Generate(Explode(ArrayDistinct(cb)), Nil,
-          outer = false, None, Seq(tokR), right)
-        val minTok = ArrayMin(ArrayDistinct(ca))
-        val u1 = Project(j.output,
-          Join(left, genR, Inner,
-            Some(And(EqualTo(minTok, tokR), cond)), hint))
-        val altC = EqualTo(Size(ArrayIntersect(ca, cb)),
-          Size(ArrayDistinct(ca)))
-        val cond2 = conjuncts.map(c => if (c eq cc) altC else c)
+        // containment sub ⊆ sup: the SUBSET side probes with its
+        // minimal distinct element as a SCALAR key (it never
+        // explodes), the SUPERSET side explodes array_distinct
+        // DIRECTLY — no sorted-copy projection: the probe needs no
+        // prefix slice, and an sx duplicate would square an already
+        // |sup|-per-row payload (a 600-element set amplified to
+        // ~3 MB/row and an OOM before this comment). The ∅ ⊆ *
+        // pairs cannot flow through a token key, so a second branch
+        // handles σ(|distinct(sub)| = 0) rows against the other side
+        // wholesale — its idempotence guard is the CONJUNCT ITSELF,
+        // respelled as the equivalent |sub∩sup| = |distinct(sub)|
+        // (same truth table incl. null arrays), which this matcher
+        // deliberately does not match. A marker column would not
+        // survive: ColumnPruning strips unused columns every
+        // fixed-point iteration and the branch join was re-matched
+        // into a ~100-branch Union before this guard.
+        val c0 = contain.get
+        val (sub, sup) = (c0.sub, c0.sup)
+        val ArrayType(supEt, _) = sup.dataType: @unchecked
+        val tok = AttributeReference(tokColName, supEt)()
+        val minTok = ArrayMin(ArrayDistinct(sub))
+        val altC = EqualTo(Size(ArrayIntersect(sub, sup)),
+          Size(ArrayDistinct(sub)))
+        val cond2 = conjuncts.map(c => if (c eq c0.conjunct) altC else c)
           .reduceLeft[Expression](And)
-        val l2 = Filter(EqualTo(Size(ArrayDistinct(ca)), Literal(0)),
-          left)
-        val u2 = Project(j.output, Join(l2, right, Inner, Some(cond2),
-          hint))
-        Union(Seq(u1, u2))
+        // null-safe emptiness split: null-array rows belong to the
+        // NON-empty branch (their probe key is null and never
+        // matches — exactly the naive outcome, where the condition
+        // evaluates null ⇒ no match)
+        val isEmpty = EqualNullSafe(Size(ArrayDistinct(sub)), Literal(0))
+        jt match {
+          case Inner =>
+            val (nl, nr) =
+              if (c0.subOnLeft)
+                (left, Generate(Explode(ArrayDistinct(sup)), Nil,
+                  outer = false, None, Seq(tok), right))
+              else
+                (Generate(Explode(ArrayDistinct(sup)), Nil,
+                  outer = false, None, Seq(tok), left), right)
+            val u1 = Project(j.output, Join(nl, nr, Inner,
+              Some(And(EqualTo(minTok, tok), cond)), hint))
+            val (l2, r2) =
+              if (c0.subOnLeft) (Filter(isEmpty, left), right)
+              else (left, Filter(isEmpty, right))
+            val u2 = Project(j.output, Join(l2, r2, Inner, Some(cond2),
+              hint))
+            Union(Seq(u1, u2))
+          case _ => // LeftSemi | LeftAnti, subset on the LEFT: the
+            // probe side never explodes, so left grain is untouched
+            // and no regroup is needed. The ∅ rows split DISJOINTLY
+            // into their own branch (probe keys are null there and
+            // can never match through branch 1).
+            val nr = Generate(Explode(ArrayDistinct(sup)), Nil,
+              outer = false, None, Seq(tok), right)
+            val condK = And(EqualTo(minTok, tok), cond)
+            if (jt == LeftSemi)
+              Union(Seq(
+                Project(j.output,
+                  Join(left, nr, LeftSemi, Some(condK), hint)),
+                Project(j.output,
+                  Join(Filter(isEmpty, left), right, LeftSemi,
+                    Some(cond2), hint))))
+            else
+              Union(Seq(
+                Project(j.output,
+                  Join(Filter(Not(isEmpty), left), nr, LeftAnti,
+                    Some(condK), hint)),
+                Project(j.output,
+                  Join(Filter(isEmpty, left), right, LeftAnti,
+                    Some(cond2), hint))))
+        }
       } else (sim, member) match {
         case (None, Some(m)) if !standDown && !m.arrOnLeft =>
           // membership with the array on the RIGHT: explode only the

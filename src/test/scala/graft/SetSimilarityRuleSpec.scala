@@ -578,16 +578,41 @@ class SetSimilarityRuleSpec extends SparkSpecBase {
         .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
       assert(got === expected)
     }
-    // mirrored orientation (subset side on the right) stands down
+    // mirrored orientation (subset side on the right) also fires for
+    // INNER — the superset (left) side explodes instead
     val jm = aa.join(bb,
       size(array_except(col("tb"), col("ta"))) === 0 &&
         col("a") =!= col("b"))
-    assert(!jm.queryExecution.optimizedPlan.toString.contains("graft_sst"))
+    assert(jm.queryExecution.executedPlan.toString.contains("graft_sst"))
+    val gotM = jm.select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(gotM === expected.map { case (x, y) => (y, x) }.sorted)
     // bag semantics: duplicated left rows multiply
     val j2 = aa.union(aa).join(bb,
       size(array_except(col("ta"), col("tb"))) === 0 &&
         col("a") =!= col("b"))
     assert(j2.count() === 2L * expected.size)
+    // SEMI (covered rows) and ANTI (maximal rows) at left grain —
+    // the ∅ row routes through its own branch in both
+    val semi = aa.join(bb,
+      size(array_except(col("ta"), col("tb"))) === 0 &&
+        col("a") =!= col("b"), "left_semi")
+    assert(semi.queryExecution.executedPlan.toString.contains("graft_sst"))
+    val expLeft = expected.map(_._1).distinct.sorted
+    assert(semi.select("a").collect().map(_.getLong(0)).toSeq.sorted
+      === expLeft)
+    assert(expLeft.contains(4L), "the empty set must be covered")
+    val anti = aa.join(bb,
+      size(array_except(col("ta"), col("tb"))) === 0 &&
+        col("a") =!= col("b"), "left_anti")
+    assert(anti.select("a").collect().map(_.getLong(0)).toSeq.sorted
+      === sets.map(_._1).sorted.diff(expLeft))
+    // mirrored semi stands down (left grain would need a regroup)
+    val semiM = aa.join(bb,
+      size(array_except(col("tb"), col("ta"))) === 0 &&
+        col("a") =!= col("b"), "left_semi")
+    assert(!semiM.queryExecution.optimizedPlan.toString
+      .contains("graft_sst"))
   }
 
   test("defense in depth: non-deterministic array side stands down at the rule gate") {
