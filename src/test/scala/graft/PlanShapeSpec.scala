@@ -545,6 +545,31 @@ class PlanShapeSpec extends SparkSpecBase {
       !p.contains("CartesianProduct"), p.take(4000))
   }
 
+  test("q349 pipeline: both anti stages run blocked, no nested loops") {
+    val p = planOf(q("q349_pipeline_e2e"))
+    assert(p.contains("graft_sst"),
+      s"near-dup pruning must use the set-similarity anti arm:\n${p.take(4000)}")
+    assert(p.contains("graft_edp"),
+      s"decontamination must use the edit-distance anti arm:\n${p.take(4000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"no nested-loop stage in the pipeline:\n${p.take(4000)}")
+  }
+
+  test("q350 containment: min-element probe, distinct explode, empty branch") {
+    val p = planOf(q("q350_containment_join_rule"))
+    assert(p.contains("graft_sst") && p.contains("Union"),
+      s"containment arm must fire with the empty branch:\n${p.take(4000)}")
+    // the TOKEN branch must be a hash join on the probe key; the ∅
+    // branch is LEGITIMATELY a nested loop (over a provably empty
+    // input here — groupBy sets are never empty), so only the probe
+    // join's shape is pinned
+    assert(p.linesIterator.exists(l =>
+      (l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin")) &&
+        l.contains("graft_sst")),
+      s"probe join must hash on the min-element key:\n${p.take(4000)}")
+  }
+
   test("SRP cosine rule: the q342 shape plans signature segments under the opt-in") {
     // the registered q342 eagerly localCheckpoints (conf isolation),
     // which truncates its visible plan — pin the same construction
