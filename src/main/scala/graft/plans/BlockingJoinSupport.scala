@@ -50,11 +50,15 @@ private[plans] trait BlockingJoinSupport extends PredicateHelper {
     * kept original condition enforces the per-row value exactly — so
     * RELATIVE thresholds like `least(2, length(s) div 8)` ride the
     * same machinery enumerated at the cap. Provable shapes: literals,
-    * `least` with any bounded child (least never exceeds it; null
-    * children are skipped by least and cannot raise it), `pmod(_, m)`
-    * with positive literal m (range [0, m−1]), and if/CASE ladders
-    * whose branch values are all bounded (a missing ELSE yields
-    * null ⇒ the conjunct is false ⇒ no candidate needed). Bare
+    * `least` with a NON-NULLABLE bounded child (least never exceeds
+    * it — but a nullable bounded child is SKIPPED by least when it
+    * evaluates null, handing that row's threshold to an unbounded
+    * sibling, so nullable children may not contribute the cap),
+    * `pmod(_, m)` with positive literal m (range [0, m−1]), and
+    * if/CASE ladders whose branch values are all bounded (a missing
+    * ELSE yields null ⇒ the WHOLE threshold is null ⇒ the conjunct is
+    * not true ⇒ no candidate needed — sound only because null
+    * propagates to the top here, unlike inside `least`). Bare
     * unbounded expressions (`length(a) / 10`) yield None — the rules
     * stand down rather than guess. */
   protected def staticBound(e: Expression): Option[Int] =
@@ -62,7 +66,16 @@ private[plans] trait BlockingJoinSupport extends PredicateHelper {
       case Literal(k: Int, IntegerType) => Some(k)
       case Literal(k: Long, LongType) if k.isValidInt => Some(k.toInt)
       case Least(cs) =>
-        val bs = cs.flatMap(staticBound)
+        // least() SKIPS null children: a bounded-but-nullable child
+        // (a no-ELSE CASE ladder, a fallible cast) that evaluates
+        // null at runtime hands the row's threshold to an unbounded
+        // sibling ABOVE the claimed static cap — and the rewrite
+        // would silently drop qualifying pairs (or, LEFT ANTI,
+        // wrongly keep rows). Only children that provably cannot be
+        // null may contribute the cap; nullable shapes still bound
+        // when they are the WHOLE threshold (null propagates to the
+        // conjunct there).
+        val bs = cs.filterNot(_.nullable).flatMap(staticBound)
         if (bs.isEmpty) None else Some(bs.min)
       case Pmod(_, m, _) => stripCast(m) match {
         case Literal(v: Int, IntegerType) if v > 0 => Some(v - 1)

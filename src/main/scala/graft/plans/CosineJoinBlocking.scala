@@ -39,8 +39,18 @@ import scala.util.Try
   *     DETERMINISTIC subset (seeded md5 hyperplanes, sequential-fold
   *     sign dots), reproducible across runs, engines (the DuckDB
   *     oracle recomputes identical signatures — [[SrpSignature]]
-  *     parity contract), and cluster sizes. Precision is exact (the
-  *     residual verifies every candidate); only recall is < 1.
+  *     parity contract), and cluster sizes. For INNER and LEFT SEMI,
+  *     precision is exact (the residual verifies every candidate);
+  *     only recall is < 1. For LEFT ANTI and LEFT OUTER the
+  *     approximation INVERTS direction: a recall miss on the match
+  *     set ADDS spurious output — an anti join KEEPS a left row whose
+  *     only matches were missed (e.g. decontamination retains a
+  *     contaminated document), and an outer join null-extends a row
+  *     that had a true match. The contract set
+  *     { pairs | original ∧ hamming ≤ m−1 } is still exactly what is
+  *     computed — deterministic and oracle-reproducible — but users
+  *     opting in for anti/outer shapes are accepting extra rows, not
+  *     missing ones (q343 pins this direction deliberately).
   *   - Delegates the blocking to [[HammingJoinBlocking]]: the added
   *     bound is precisely that rule's scalar spelling, so the next
   *     fixed-point iteration plans the (m-segment pigeonhole)

@@ -282,6 +282,48 @@ class EditDistanceRuleSpec extends SparkSpecBase {
     assert(!j3.queryExecution.optimizedPlan.toString.contains("graft_edp"))
   }
 
+  test("least with only a NULLABLE bounded child stands down (null-skip hole)") {
+    // least() SKIPS null children: `least(when(len>100, 1), len)` has a
+    // no-ELSE CASE child bounded by 1, but on every row with len ≤ 100
+    // that child is null and the RUNTIME threshold is the unbounded
+    // sibling `len`. Taking the CASE's cap would enumerate PassJoin at
+    // K = 1 and silently drop qualifying pairs like
+    // ('abcdefgh','zbcdefgz') with lev = 2 ≤ len = 8 — so no nullable
+    // child may contribute the cap, and with no non-nullable bounded
+    // child the rule must stand down to the exact naive join.
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, "abcdefgh"), (2L, "zbcdefgz"), (3L, "qq"))
+      .toDF("a", "sa")
+    val b = a.select(col("a").as("b"), col("sa").as("sb"))
+    val kExpr = least(when(length(col("sa")) > 100, 1), length(col("sa")))
+    val j = a.join(b,
+      levenshtein(col("sa"), col("sb")) <= kExpr && col("a") < col("b"))
+    assert(!j.queryExecution.optimizedPlan.toString.contains("graft_edp"),
+      "nullable-only bounded least child must not produce a cap")
+    // every pair qualifies under the RUNTIME threshold len(sa) = 8
+    // (lev = 2 for the twin pair, lev = 8 = len for the 'qq' pairs);
+    // the buggy cap K = 1 dropped all three
+    val got = j.select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got === Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    // LEFT ANTI direction of the same hole: a missed candidate would
+    // wrongly KEEP row 1 ("docs with no fuzzy twin")
+    val anti = a.join(b,
+      levenshtein(col("sa"), col("sb")) <= kExpr && col("a") =!= col("b"),
+      "left_anti")
+    assert(anti.select("a").as[Long].collect().sorted === Seq(3L))
+    // a NON-NULLABLE literal sibling still caps: least(2, when-ladder)
+    // rewrites at K = 2 regardless of the nullable child
+    val j2 = a.join(b,
+      levenshtein(col("sa"), col("sb")) <=
+        least(lit(2), when(length(col("sa")) > 100, 1)) &&
+        col("a") < col("b"))
+    assert(j2.queryExecution.optimizedPlan.toString.contains("graft_edp"))
+    assert(j2.select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted === Seq((1L, 2L)))
+  }
+
   test("defense in depth: non-deterministic operand stands down at the rule gate") {
     // the analyzer rejects non-deterministic join conditions, so this
     // shape cannot arrive via the DataFrame API — apply the rule
