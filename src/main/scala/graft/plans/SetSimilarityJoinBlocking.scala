@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.{ExistenceJoin, Inner, JoinType, LeftAnti, LeftOuter, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
@@ -267,9 +267,10 @@ object SetSimilarityJoinBlocking extends Rule[LogicalPlan]
 
   /** One matched CONTAINMENT conjunct — `size(array_except(a, b)) = 0`
     * (also `≤ 0`, `< 1`, literal on either side), i.e. distinct(a) ⊆
-    * distinct(b), with `a` from the LEFT child and `b` from the RIGHT
-    * (the natural "is this row's set covered by that row's set" probe
-    * orientation; the mirrored orientation stands down). Blocking: a
+    * distinct(b), in EITHER orientation (`subOnLeft` records which
+    * child holds the subset — the natural "is this row covered" probe
+    * direction, or the mirrored "does this row cover" audit
+    * direction). Blocking: a
     * qualifying pair must share a's MINIMAL distinct element, so the
     * left projects that single token as a scalar key (no explode) and
     * the right explodes its full sorted-distinct set — per pair the
@@ -282,7 +283,11 @@ object SetSimilarityJoinBlocking extends Rule[LogicalPlan]
     * equivalent; see the rewrite-site comment) — whose
     * nested-loop shape is the honest cost of an output that is
     * |L∅|·|R| by definition (null arrays die on the kept condition in
-    * either branch). INNER joins only. */
+    * either branch). Inner, left semi, and left anti joins in both
+    * orientations (outer stands down): subset-on-left semi/anti stay
+    * at left grain with no explode; the mirrored superset-on-left
+    * shapes explode the left tokens under a rid and collapse back —
+    * see the rewrite site. */
   private def containOf(e: Expression, left: LogicalPlan,
       right: LogicalPlan): Option[Contain] = {
     def zero(l: Expression): Boolean = stripCast(l) match {
@@ -460,11 +465,11 @@ object SetSimilarityJoinBlocking extends Rule[LogicalPlan]
       val contain =
         if (sim.isEmpty && member.isEmpty)
           conjuncts.flatMap(c => containOf(c, left, right)).headOption
-            // semi/anti run at LEFT grain without explode only when
-            // the probe (subset) side IS the left child; mirrored
-            // semi/anti and outer joins stand down
-            .filter(c => jt == Inner ||
-              (c.subOnLeft && (jt == LeftSemi || jt == LeftAnti)))
+            // inner and semi/anti in BOTH orientations rewrite
+            // (subset-on-left probes at left grain; the mirrored
+            // superset-on-left shapes ride the rid machinery);
+            // outer joins stand down
+            .filter(_ => jt != LeftOuter)
         else None
       val standDown = equiBroadcastStandDown(conjuncts, left, right)
       if (contain.isDefined && !standDown) {
@@ -509,13 +514,26 @@ object SetSimilarityJoinBlocking extends Rule[LogicalPlan]
                   outer = false, None, Seq(tok), left), right)
             val u1 = Project(j.output, Join(nl, nr, Inner,
               Some(And(EqualTo(minTok, tok), cond)), hint))
-            val (l2, r2) =
-              if (c0.subOnLeft) (Filter(isEmpty, left), right)
-              else (left, Filter(isEmpty, right))
+            // the ∅ branch carries a BROADCAST hint on the filtered
+            // (sub) side: the join is key-less, and once the Filter's
+            // SIZE ESTIMATE outgrows the broadcast threshold the
+            // planner falls to CartesianProduct — a full |L|·|R| loop
+            // for a branch that is almost always EMPTY at runtime
+            // (measured: 15× cliff at 236k rows in ContainScaleProbe
+            // before this hint). ∅-set rows are rare by nature; were
+            // they numerous, the branch's output is |L∅|·|R| by
+            // definition and no plan shape saves it.
+            val bcast = Some(HintInfo(strategy = Some(BROADCAST)))
+            val (l2, r2, h2) =
+              if (c0.subOnLeft)
+                (Filter(isEmpty, left), right, hint.copy(leftHint = bcast))
+              else
+                (left, Filter(isEmpty, right), hint.copy(rightHint = bcast))
             val u2 = Project(j.output, Join(l2, r2, Inner, Some(cond2),
-              hint))
+              h2))
             Union(Seq(u1, u2))
-          case _ => // LeftSemi | LeftAnti, subset on the LEFT: the
+          case _ if c0.subOnLeft =>
+            // LeftSemi | LeftAnti, subset on the LEFT: the
             // probe side never explodes, so left grain is untouched
             // and no regroup is needed. The ∅ rows split DISJOINTLY
             // into their own branch (probe keys are null there and
@@ -538,6 +556,69 @@ object SetSimilarityJoinBlocking extends Rule[LogicalPlan]
                 Project(j.output,
                   Join(Filter(isEmpty, left), right, LeftAnti,
                     Some(cond2), hint))))
+          case _ =>
+            // MIRRORED LeftSemi | LeftAnti — SUPERSET on the LEFT
+            // ("which orders cover some other order", the coverage
+            // audit direction): the left side must explode its
+            // distinct tokens to meet the right probes' min-token
+            // keys, so left grain needs the family's rid machinery.
+            // Both shapes are ONE LINEAR TREE over a single evaluation
+            // of the left child: the rid is nondeterministic, so a
+            // two-branch plan reading `left` twice (the inner shape's
+            // Union) would assign DISAGREEING rids across branches and
+            // the collapse would dedup nothing / double-emit rows
+            // matched by both branches (see [[RewriteSupport]]).
+            val (leftR, rid) = RewriteSupport.withRid(left)
+            if (jt == LeftSemi) {
+              // a left row is kept iff SOME right sub ⊆ its sup.
+              // Evidence from either branch is marked WITHOUT fan-out
+              // by ExistenceJoin bits — a LeftOuter mark would
+              // multiply the grain by the per-row match count, the
+              // exact cost semi joins exist to avoid, and a plain
+              // LeftSemi at token grain would LOSE the unmatched rows
+              // branch 2 still has to see. Branch 2 (∅ subs cover
+              // every non-null sup) marks BELOW the explode at left
+              // grain against only the ∅-sub right rows; branch 1
+              // marks at token grain through the hash-joinable
+              // `tok = min(sub)` equi key. Only evidence rows reach
+              // the rid collapse (the Or-filter precedes it).
+              val e2 = AttributeReference("graft_sse2", BooleanType,
+                nullable = false)()
+              val j2 = Join(leftR, Filter(isEmpty, right),
+                ExistenceJoin(e2), Some(cond2), hint)
+              val leftE = Generate(Explode(ArrayDistinct(sup)), Nil,
+                outer = true, None, Seq(tok), j2)
+              val e1 = AttributeReference("graft_sse1", BooleanType,
+                nullable = false)()
+              val j1 = Join(leftE, right, ExistenceJoin(e1),
+                Some(And(EqualTo(tok, minTok), cond)), hint)
+              RewriteSupport.regroupSemi(Filter(Or(e1, e2), j1), rid,
+                left.output, j.output)
+            } else {
+              // ANTI composes as two successive anti joins on one
+              // tree: first drop left rows covered by an ∅ sub (left
+              // grain, no explode), then OUTER-explode the survivors'
+              // distinct tokens and anti-join the covering-sub probes
+              // — a row survives iff ALL its exploded rows survived
+              // (count(*) == fan-out, the regroupAntiCol pigeonhole;
+              // null/empty sups explode to one null-token row that no
+              // equi key can claim, so they survive with fan-out 1 —
+              // exactly the naive verdict, where they match nothing).
+              val a2 = Join(leftR, Filter(isEmpty, right), LeftAnti,
+                Some(cond2), hint)
+              val dsz = Size(ArrayDistinct(sup))
+              val cntA = Alias(Cast(If(
+                GreaterThan(Coalesce(Seq(dsz, Literal(0))),
+                  Literal(0)), dsz, Literal(1)), LongType),
+                cntColName)()
+              val leftC = Project(a2.output :+ cntA, a2)
+              val leftE = Generate(Explode(ArrayDistinct(sup)), Nil,
+                outer = true, None, Seq(tok), leftC)
+              val a1 = Join(leftE, right, LeftAnti,
+                Some(And(EqualTo(tok, minTok), cond)), hint)
+              RewriteSupport.regroupAntiCol(a1, rid, left.output,
+                j.output, cntA.toAttribute)
+            }
         }
       } else (sim, member) match {
         case (None, Some(m)) if !standDown && !m.arrOnLeft =>

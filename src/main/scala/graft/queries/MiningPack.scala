@@ -630,7 +630,9 @@ object MiningPack extends QueryPack {
       "q347_overlap_join_rule" -> q347 _,
       "q348_arrays_overlap_rule" -> q348 _,
       "q349_pipeline_e2e" -> q349 _,
-      "q350_containment_join_rule" -> q350 _)
+      "q350_containment_join_rule" -> q350 _,
+      "q351_containment_semi_rule" -> q351 _,
+      "q352_containment_anti_rule" -> q352 _)
 
   /** q350 — a CONTAINMENT JOIN written naively on RELATIONAL data:
     * REDUNDANT ORDERS — orders whose entire distinct part list is
@@ -660,6 +662,54 @@ object MiningPack extends QueryPack {
       .agg(count(lit(1)).as("n_cover"),
         min(col("l_orderkey")).as("min_cover"))
       .orderBy("okey")
+  }
+
+  /** q351 — the MIRRORED containment SEMI: "which orders COVER some
+    * other order" — the coverage-audit direction, superset on the
+    * LEFT, written as the naive `size(array_except(sub, sup)) = 0`
+    * LEFT SEMI with the subset probes on the right.
+    * [[graft.plans.SetSimilarityJoinBlocking]]'s mirrored arm: the
+    * left (superset) side explodes its distinct parts under a rid,
+    * branch-1 evidence is marked by a hash-joinable ExistenceJoin on
+    * `token = min(sub)`, the ∅-sub branch marks below the explode,
+    * and the rid collapse restores left grain exactly. */
+  private def q351(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+    val a = o.filter(col("l_orderkey") % 20 === 0 &&
+        size(col("parts")) <= 3)
+      .select(col("l_orderkey").as("okey"), col("parts").as("aparts"))
+    o.join(a,
+        size(array_except(col("aparts"), col("parts"))) === 0 &&
+          col("l_orderkey") =!= col("okey"), "left_semi")
+      .select(col("l_orderkey"))
+      .orderBy("l_orderkey")
+  }
+
+  /** q352 — the MIRRORED containment ANTI: orders (on a slice) that
+    * cover NO small probe order — the complement audit of q351,
+    * planned by the same mirrored arm as two successive anti joins on
+    * one tree (∅-sub coverage at left grain, then the token-grain
+    * pigeonhole: a row survives iff ALL its exploded tokens found no
+    * covering probe). Output is the per-set-size distribution of the
+    * non-covering orders. */
+  private def q352(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+    val a = o.filter(col("l_orderkey") % 20 === 0 &&
+        size(col("parts")) <= 3)
+      .select(col("l_orderkey").as("okey"), col("parts").as("aparts"))
+    o.filter(col("l_orderkey") % 5 === 0)
+      .join(a,
+        size(array_except(col("aparts"), col("parts"))) === 0 &&
+          col("l_orderkey") =!= col("okey"), "left_anti")
+      .groupBy(size(col("parts")).as("n_parts"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("l_orderkey")).as("min_okey"),
+        max(col("l_orderkey")).as("max_okey"))
+      .orderBy("n_parts")
   }
 
   /** q349 — the TRAINING-DATA PIPELINE end-to-end, written naively in
@@ -1849,7 +1899,36 @@ object MiningPack extends QueryPack {
         |  x -> NOT list_contains(o.parts, x))) = 0
         | AND a.okey <> o.l_orderkey
         |GROUP BY a.okey
-        |ORDER BY a.okey""".stripMargin)
+        |ORDER BY a.okey""".stripMargin,
+    "q351_containment_semi_rule" ->
+      """WITH o AS (
+        | SELECT l_orderkey, list_distinct(list(l_partkey)) AS parts
+        | FROM lineitem GROUP BY l_orderkey),
+        |a AS (
+        | SELECT l_orderkey AS okey, parts AS aparts FROM o
+        | WHERE l_orderkey % 20 = 0 AND len(parts) <= 3)
+        |SELECT o.l_orderkey FROM o
+        |SEMI JOIN a ON len(list_filter(a.aparts,
+        |  x -> NOT list_contains(o.parts, x))) = 0
+        | AND a.okey <> o.l_orderkey
+        |ORDER BY l_orderkey""".stripMargin,
+    "q352_containment_anti_rule" ->
+      """WITH o AS (
+        | SELECT l_orderkey, list_distinct(list(l_partkey)) AS parts
+        | FROM lineitem GROUP BY l_orderkey),
+        |a AS (
+        | SELECT l_orderkey AS okey, parts AS aparts FROM o
+        | WHERE l_orderkey % 20 = 0 AND len(parts) <= 3),
+        |lhs AS (SELECT * FROM o WHERE l_orderkey % 5 = 0),
+        |r AS (
+        | SELECT lhs.l_orderkey, CAST(len(lhs.parts) AS INT) AS n_parts
+        | FROM lhs ANTI JOIN a ON len(list_filter(a.aparts,
+        |   x -> NOT list_contains(lhs.parts, x))) = 0
+        |  AND a.okey <> lhs.l_orderkey)
+        |SELECT n_parts, CAST(count(*) AS BIGINT) AS n_orders,
+        | min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey
+        |FROM r GROUP BY n_parts
+        |ORDER BY n_parts""".stripMargin)
 
   /** The shared q342/q343/q345/q346 oracle PRELUDE: the q260 corpus
     * (embeddings ∪ planted twins) with 24-bit SRP signatures and norms

@@ -607,12 +607,53 @@ class SetSimilarityRuleSpec extends SparkSpecBase {
         col("a") =!= col("b"), "left_anti")
     assert(anti.select("a").collect().map(_.getLong(0)).toSeq.sorted
       === sets.map(_._1).sorted.diff(expLeft))
-    // mirrored semi stands down (left grain would need a regroup)
+    // MIRRORED semi/anti (superset on the LEFT — "which rows COVER
+    // some other row"): the left side explodes under a rid and
+    // collapses back; the ∅-sub branch is marked below the explode
+    val expSup = expected.map(_._2).distinct.sorted
     val semiM = aa.join(bb,
       size(array_except(col("tb"), col("ta"))) === 0 &&
         col("a") =!= col("b"), "left_semi")
-    assert(!semiM.queryExecution.optimizedPlan.toString
+    assert(semiM.queryExecution.executedPlan.toString
       .contains("graft_sst"))
+    assert(semiM.select("a").collect().map(_.getLong(0)).toSeq.sorted
+      === expSup)
+    val antiM = aa.join(bb,
+      size(array_except(col("tb"), col("ta"))) === 0 &&
+        col("a") =!= col("b"), "left_anti")
+    assert(antiM.queryExecution.executedPlan.toString
+      .contains("graft_sst"))
+    assert(antiM.select("a").collect().map(_.getLong(0)).toSeq.sorted
+      === sets.map(_._1).sorted.diff(expSup))
+    // without the ∅ row the verdict must come from BRANCH 1 alone
+    // (the token-grain existence/anti probe, not the ∅ branch)
+    val aaN = aa.filter(col("a") =!= 4L)
+    val bbN = bb.filter(col("b") =!= 4L)
+    val expSupN = (for {
+      x <- sets; y <- sets
+      if x._1 != y._1 && x._1 != 4L && y._1 != 4L &&
+        x._2.subsetOf(y._2)
+    } yield y._1).distinct.sorted
+    val semiMN = aaN.join(bbN,
+      size(array_except(col("tb"), col("ta"))) === 0 &&
+        col("a") =!= col("b"), "left_semi")
+    assert(semiMN.select("a").collect().map(_.getLong(0)).toSeq.sorted
+      === expSupN)
+    val antiMN = aaN.join(bbN,
+      size(array_except(col("tb"), col("ta"))) === 0 &&
+        col("a") =!= col("b"), "left_anti")
+    assert(antiMN.select("a").collect().map(_.getLong(0)).toSeq.sorted
+      === sets.map(_._1).filter(_ != 4L).sorted.diff(expSupN))
+    // bag semantics: duplicated left rows keep their multiplicity
+    // through the rid collapse in both mirrored shapes
+    val semiM2 = aa.union(aa).join(bb,
+      size(array_except(col("tb"), col("ta"))) === 0 &&
+        col("a") =!= col("b"), "left_semi")
+    assert(semiM2.count() === 2L * expSup.size)
+    val antiM2 = aa.union(aa).join(bb,
+      size(array_except(col("tb"), col("ta"))) === 0 &&
+        col("a") =!= col("b"), "left_anti")
+    assert(antiM2.count() === 2L * (sets.size - expSup.size))
   }
 
   test("defense in depth: non-deterministic array side stands down at the rule gate") {
