@@ -1,7 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner, JoinType, LeftAnti, LeftOuter, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
@@ -81,8 +82,12 @@ import org.apache.spark.sql.types._
   * no dedup pass is needed. Point-in-variable-interval joins (`Rs ≤ X
   * ≤ Re`) are the degenerate L = [X, X] case and block the same way.
   * Replication is span⁄B + 1 per row — the tile width B is
-  * `spark.graft.band.intervalBin` (default 64) in base units (days
-  * for DATE keys and TIMESTAMP keys, raw units for integrals).
+  * `spark.graft.band.intervalBin` in base units (days for DATE keys
+  * and TIMESTAMP keys, raw units for integrals) when that conf is
+  * set; when UNSET (the default since r10) B is DERIVED FROM THE DATA
+  * as a broadcast 1-row scalar — the geometric mean of the interval
+  * spans rounded to a power of two (see [[adaptiveBin]] for the
+  * determinism argument and the heavy-tail rationale).
   * Non-inner variants follow the [[RewriteSupport]] doctrine: LEFT
   * SEMI drops the canonical residual (any shared tile qualifies) and
   * regroups by rid; LEFT ANTI records each row's OWN tile count (the
@@ -393,24 +398,36 @@ object BandJoinBlocking extends Rule[LogicalPlan]
             }
           pick.map { case (u, l) =>
             // L = [Ls − u, Le − v] over left, R = [Rs, Re] over right
-            val b = Literal(binFor(u.lBase.dataType))
-            def fdiv(v: Expression): Expression =
-              IntegralDivide(Subtract(v, Pmod(v, b)), b)
             val lStart = Subtract(asNum(u.lBase), Literal(u.bound))
             val lEnd = Subtract(asNum(l.lBase), Literal(l.bound))
             val rStart = asNum(l.rBase)
             val rEnd = asNum(u.rBase)
-            def lo(s: Expression, e: Expression) = fdiv(Least(Seq(s, e)))
-            def hi(s: Expression, e: Expression) =
-              fdiv(Greatest(Seq(s, e)))
-            def tiles(s: Expression, e: Expression): Expression =
+            // tile width: an EXPLICIT conf pins a static literal on
+            // both sides; UNSET (the default since r10) derives the
+            // width from the data itself — see [[adaptiveBin]]
+            val (leftBase, rightBase, bLe, bRe) =
+              conf.getConfString(intervalBinKey, "") match {
+                case "" => adaptiveBin(left, lStart, lEnd,
+                  right, rStart, rEnd, binFor(u.lBase.dataType, "64"))
+                case s =>
+                  val b = Literal(binFor(u.lBase.dataType, s))
+                  (left, right, b: Expression, b: Expression)
+              }
+            def fdiv(v: Expression, b: Expression): Expression =
+              IntegralDivide(Subtract(v, Pmod(v, b)), b)
+            def lo(s: Expression, e: Expression, b: Expression) =
+              fdiv(Least(Seq(s, e)), b)
+            def hi(s: Expression, e: Expression, b: Expression) =
+              fdiv(Greatest(Seq(s, e)), b)
+            def tiles(s: Expression, e: Expression,
+                b: Expression): Expression =
               // Sequence is TimeZoneAware — leaving the zone empty makes
               // the generated plan unresolved even for Long sequences
-              Sequence(lo(s, e), hi(s, e),
+              Sequence(lo(s, e, b), hi(s, e, b),
                 Some(Literal(1L)), Some(conf.sessionLocalTimeZone))
             val outR = AttributeReference(bandColName, LongType)()
-            val newRight = Generate(Explode(tiles(rStart, rEnd)),
-              Nil, outer = false, None, Seq(outR), right)
+            val newRight = Generate(Explode(tiles(rStart, rEnd, bRe)),
+              Nil, outer = false, None, Seq(outR), rightBase)
             // canonical tile: max(Lstart, Rstart) lies in both spans
             // for every qualifying pair → exactly-once, no dedup
             def leftGen(child: LogicalPlan)
@@ -418,15 +435,18 @@ object BandJoinBlocking extends Rule[LogicalPlan]
               val pos = AttributeReference(bandColName + "_i",
                 IntegerType, nullable = false)()
               val outL = AttributeReference(bandColName, LongType)()
-              (Generate(PosExplode(tiles(lStart, lEnd)),
+              (Generate(PosExplode(tiles(lStart, lEnd, bLe)),
                 Nil, outer = false, None, Seq(pos, outL), child),
                 pos, outL)
             }
+            // the canonical recomputes the tile with the LEFT side's
+            // width copy — both copies are value-identical by
+            // adaptiveBin's determinism argument
             def canonOf(outL: Attribute): Expression =
-              EqualTo(outL, fdiv(Greatest(Seq(lStart, rStart))))
+              EqualTo(outL, fdiv(Greatest(Seq(lStart, rStart)), bLe))
             jt match {
               case Inner =>
-                val (newLeft, _, outL) = leftGen(left)
+                val (newLeft, _, outL) = leftGen(leftBase)
                 val newCond =
                   And(And(EqualTo(outL, outR), canonOf(outL)), cond)
                 Project(j.output,
@@ -434,7 +454,7 @@ object BandJoinBlocking extends Rule[LogicalPlan]
               case LeftSemi =>
                 // any shared tile qualifies — no canonical residual
                 // needed, the rid regroup dedups
-                val (leftW, rid) = RewriteSupport.withRid(left)
+                val (leftW, rid) = RewriteSupport.withRid(leftBase)
                 val (newLeft, _, outL) = leftGen(leftW)
                 val joined = Join(newLeft, newRight, LeftSemi,
                   Some(And(EqualTo(outL, outR), cond)), hint)
@@ -443,9 +463,10 @@ object BandJoinBlocking extends Rule[LogicalPlan]
               case LeftAnti =>
                 // variable fan-out: each row records its own tile count;
                 // it qualifies iff ALL its tile copies found nothing
-                val (leftW0, rid) = RewriteSupport.withRid(left)
-                val ntA = Alias(Add(Subtract(hi(lStart, lEnd),
-                  lo(lStart, lEnd)), Literal(1L)), bandColName + "_n")()
+                val (leftW0, rid) = RewriteSupport.withRid(leftBase)
+                val ntA = Alias(Add(Subtract(hi(lStart, lEnd, bLe),
+                  lo(lStart, lEnd, bLe)), Literal(1L)),
+                  bandColName + "_n")()
                 val leftW = Project(leftW0.output :+ ntA, leftW0)
                 val (newLeft, _, outL) = leftGen(leftW)
                 val joined = Join(newLeft, newRight, LeftAnti,
@@ -455,7 +476,7 @@ object BandJoinBlocking extends Rule[LogicalPlan]
               case _ => // LeftOuter
                 // matched rows are exactly-once (canonical tile);
                 // match-free rids keep the pos=0 representative
-                val (leftW, rid) = RewriteSupport.withRid(left)
+                val (leftW, rid) = RewriteSupport.withRid(leftBase)
                 val (newLeft, pos, outL) = leftGen(leftW)
                 val newCond =
                   And(And(EqualTo(outL, outR), canonOf(outL)), cond)
@@ -535,16 +556,87 @@ object BandJoinBlocking extends Rule[LogicalPlan]
       }
   }
 
+  private val intervalBinKey = "spark.graft.band.intervalBin"
+
   /** Interval-overlap tile width in the key's numeric space:
     * `spark.graft.band.intervalBin` base units (days for DATE, DAYS for
     * TIMESTAMP too — converted to micros, the asNum unit — raw units
-    * for integrals). Replication per row is span⁄B + 1. */
-  private def binFor(dt: DataType): Long = {
-    val base = math.max(1L,
-      conf.getConfString("spark.graft.band.intervalBin", "64").toLong)
+    * for integrals). Replication per row is span⁄B + 1. Used when the
+    * conf is EXPLICITLY set, and as the empty-input fallback of the
+    * adaptive path. */
+  private def binFor(dt: DataType, v: String): Long = {
+    val base = math.max(1L, v.toLong)
     dt match {
       case TimestampType => base * 86400000000L
       case _ => base
     }
+  }
+
+  /** `(left', right', bLeft, bRight)`: each side cross-joined with a
+    * broadcast 1-ROW tile width derived from the data — used when
+    * `spark.graft.band.intervalBin` is UNSET (since r10 the default).
+    * A static width has no right value: event/session corpora are
+    * heavy-tailed, and a bin far below the typical span fans every
+    * long interval into span⁄B tiles while a bin far above it piles
+    * rows into few buckets and the verify term goes bucket-quadratic.
+    * The derived width is `2^round(mean(floor(log₂(span))))` over BOTH
+    * sides' spans — the geometric mean of spans rounded to a power of
+    * two, log-damped against exactly that heavy tail.
+    *
+    * Soundness (the GlobalRankRewrite boundary doctrine): every step
+    * is a DETERMINISTIC, ORDER-INDEPENDENT function of the data SET —
+    * exact integral Sum/Count (no fp accumulation; log₂ is applied
+    * per VALUE before the sum, and a pure function of a Long is stable
+    * regardless of partitioning), so the two broadcast copies (one per
+    * side, distinct exprIds over the shared aggregate subtree) agree
+    * even if executed separately — the tile keys they feed can never
+    * diverge. And the width only shapes the PLAN: any B produces
+    * identical results (the kept original condition verifies every
+    * candidate), so data-derived width does not violate the
+    * firing-is-pure-(query, conf) doctrine — firing itself still is.
+    * Σ floor(log₂(span)) ≤ 63·n, so the sum cannot overflow below
+    * ~1.4e17 rows. Empty inputs fall back to the static default. */
+  private def adaptiveBin(left: LogicalPlan,
+      lS: Expression, lE: Expression, right: LogicalPlan,
+      rS: Expression, rE: Expression, dflt: Long)
+      : (LogicalPlan, LogicalPlan, Expression, Expression) = {
+    def spanBkt(s: Expression, e: Expression): Expression =
+      Cast(Floor(Log2(Cast(Greatest(Seq(Literal(1L),
+        Add(Subtract(Greatest(Seq(s, e)), Least(Seq(s, e))),
+          Literal(1L)))), DoubleType))), LongType)
+    def agg(child: LogicalPlan, s: Expression, e: Expression,
+        tag: String) = {
+      val w = Alias(AggregateExpression(Sum(spanBkt(s, e)), Complete,
+        isDistinct = false), s"graft_band_w$tag")()
+      val n = Alias(AggregateExpression(Count(Seq(Literal(1))), Complete,
+        isDistinct = false), s"graft_band_c$tag")()
+      (Aggregate(Nil, Seq(w, n), child), w.toAttribute, n.toAttribute)
+    }
+    val (aL, wL, nL) = agg(left, lS, lE, "l")
+    val (aR, wR, nR) = agg(right, rS, rE, "r")
+    // both sides are 1-row aggregates; the hint keeps the 1×1 combine
+    // off CartesianProduct even under autoBroadcastJoinThreshold = -1
+    val comb = Join(aL, aR, Cross, None,
+      JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST)))))
+    val n = Add(nL, nR)
+    val w = Add(Coalesce(Seq(wL, Literal(0L))),
+      Coalesce(Seq(wR, Literal(0L))))
+    // round-half-up mean exponent, clamped to [0, 40]; If guards the
+    // n = 0 division (ANSI throws on ÷0, and If is lazy per branch)
+    val ex = Cast(Least(Seq(Literal(40L), Greatest(Seq(Literal(0L),
+      IntegralDivide(Add(w, IntegralDivide(n, Literal(2L))), n))))),
+      IntegerType)
+    val bVal = If(LessThanOrEqual(n, Literal(0L)), Literal(dflt),
+      ShiftLeft(Literal(1L), ex))
+    def attach(child: LogicalPlan, tag: String)
+        : (LogicalPlan, Expression) = {
+      val a = Alias(bVal, s"graft_band_b$tag")()
+      (Join(child, Project(Seq(a), comb), Cross, None,
+        JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST))))),
+        a.toAttribute)
+    }
+    val (lB, bL) = attach(left, "l")
+    val (rB, bR) = attach(right, "r")
+    (lB, rB, bL, bR)
   }
 }

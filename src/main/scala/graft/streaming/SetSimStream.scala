@@ -55,6 +55,51 @@ object SetSimStream {
     dk.take(plen).map(t => PrefixRow(t, docId, dk))
   }
 
+  final case class OverlapPair(docId: Long, docId2: Long, common: Int)
+
+  /** Prefix rows for the OVERLAP-THRESHOLD arm (`|X∩Y| ≥ t`): α = t is
+    * a literal, so the prefix length is |dk| − t + 1 — the batch
+    * rule's overlap α verbatim. */
+  def overlapRows(docId: Long, toks: Seq[String],
+      t: Int): Seq[PrefixRow] = {
+    val dk = toks.distinct.sorted
+    val plen = math.max(0, dk.size - (t - 1))
+    dk.take(plen).map(tk => PrefixRow(tk, docId, dk))
+  }
+
+  /** [[pairsWithState]]'s overlap-threshold sibling: same bucket
+    * store, same minimal-common-token canonical, integer `|X∩Y| ≥ t`
+    * verify — the streaming twin of the batch overlap spelling. */
+  def overlapPairsWithState(rows: Dataset[PrefixRow],
+      t: Int): Dataset[OverlapPair] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows
+      .groupByKey(_.tok)
+      .flatMapGroupsWithState[List[(Long, Seq[String])], OverlapPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (tok: String, it: Iterator[PrefixRow],
+            state: GroupState[List[(Long, Seq[String])]]) =>
+          var bucket = state.getOption.getOrElse(Nil)
+          val out = List.newBuilder[OverlapPair]
+          it.toSeq.sortBy(_.docId).foreach { r =>
+            if (!bucket.exists(_._1 == r.docId)) { // replay-idempotent
+              val x = r.dk.toSet
+              bucket.foreach { case (id2, dk2) =>
+                val common = x & dk2.toSet
+                if (common.nonEmpty && common.min == tok && // canonical
+                  common.size >= t)
+                  out += OverlapPair(math.min(r.docId, id2),
+                    math.max(r.docId, id2), common.size)
+              }
+              bucket = (r.docId, r.dk) :: bucket
+            }
+          }
+          state.update(bucket)
+          out.result().iterator
+      }
+  }
+
   def pairsWithState(rows: Dataset[PrefixRow],
       s: Double): Dataset[SimPair] = {
     val spark = rows.sparkSession

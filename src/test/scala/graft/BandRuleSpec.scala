@@ -410,8 +410,11 @@ class BandRuleSpec extends SparkSpecBase {
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("graft_band") && plan.contains("Generate"),
         s"interval arm must tile:\n${plan.take(3000)}")
-      assert(!plan.contains("BroadcastNestedLoopJoin") &&
-        !plan.contains("CartesianProduct"), plan.take(3000))
+      // the adaptive tile width adds a legitimate 1-row Cross
+      // broadcast (graft_band_b*); the INTERVAL JOIN itself must
+      // still never nested-loop
+      assert(!plan.contains("BroadcastNestedLoopJoin BuildRight, Inner")
+        && !plan.contains("CartesianProduct"), plan.take(3000))
       val got = joined.select("a_id", "b_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
       assert(expected.nonEmpty && got === expected)
