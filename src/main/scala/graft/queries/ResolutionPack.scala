@@ -84,8 +84,12 @@ object ResolutionPack extends QueryPack {
     *     output — is ℓ-invariant (the ≤1-novel-gram recall proof is
     *     length-independent);
     *  3. verify candidates by exact gram-set Jaccard ≥ 0.9 AND exact
-    *     agreement on nation and segment (join-back of gram arrays only
-    *     for O(candidates) pairs, the q62 shape). Multi-field agreement is
+    *     agreement on nation and segment. Since r10 the agreement
+    *     fields are part of the BLOCKING KEY (g, nation, segment) —
+    *     a qualifying pair agrees on them by this very predicate, so
+    *     recall is untouched while hot-gram blocks split and the
+    *     payload join-back happens once at rare grain (2 rows/record)
+    *     instead of candidate grain. Multi-field agreement is
     *     what makes this ER rather than string similarity: near-sequential
     *     ids ("…12345" vs "…123450") share ≥ 0.9 of their grams, so a
     *     name-only rule mega-merges the registry — measured at sf0.1, a
@@ -128,29 +132,44 @@ object ResolutionPack extends QueryPack {
       .otherwise(charGramsL(col("nm"), blockLenCol(col("n_reg"))))
     val gr = recs.crossJoin(broadcast(nReg))
       .select(col("rec_id"), explode(blockGrams).as("g"))
-    val gdf = gr.groupBy("g").agg(count(lit(1)).as("df"))
-    val rare = gr.join(gdf, Seq("g"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("rec_id").orderBy(col("df"), col("g"))))
-      .filter(col("rk") <= 2)
-      .select(col("rec_id"), col("g"))
-    val cand = rare
-      .join(rare.select(col("rec_id").as("rec_id2"), col("g")), Seq("g"))
-      .filter(col("rec_id") < col("rec_id2"))
-      .select("rec_id", "rec_id2").distinct()
+    // rare-2 selection in ONE pass per grain (r10): corpus df as a
+    // window over the gram shuffle (no gdf join), top-2 via a 15-element
+    // array_sort inside the per-record aggregate (no row_number window)
+    // — same (df, g) tie order, bit-identical rare set
+    val rare = gr
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+      .groupBy("rec_id")
+      .agg(slice(array_sort(collect_list(struct(col("df"), col("g")))),
+        1, 2).as("t2"))
+      .select(col("rec_id"), explode(col("t2").getField("g")).as("g"))
     val g1 = recs.select(col("rec_id"), col("grams"), col("nation"),
       col("segment"))
-    val verified = cand
-      .join(g1, Seq("rec_id"))
-      .join(g1.select(col("rec_id").as("rec_id2"), col("grams").as("grams2"),
-        col("nation").as("nation2"), col("segment").as("segment2")),
-        Seq("rec_id2"))
-      .filter(col("nation") === col("nation2") &&
-        col("segment") === col("segment2") &&
+    // verify payloads join back ONCE at rare grain (2 rows/record),
+    // not at candidate grain (measured 685 k candidate pairs at sf0.1
+    // — 36/record: rare DIGIT grams of id-bearing names collide), and
+    // nation/segment join the BLOCKING KEY: a true match agrees on
+    // both by the verify predicate itself, so recall is untouched
+    // while hot-gram blocks split ~(nations × segments)-fold and the
+    // Jaccard evaluates in-stage on the survivors — the candidate-
+    // grain exchange never materializes. Verified pairs can meet via
+    // both shared rare grams, so the dedup moves AFTER the filter
+    // (≤ 2 copies of each verified pair vs 685 k candidate rows).
+    // both persists are REDUCED grains (the q110/q183 doctrine — the
+    // row-grain recs cache measured SLOWER, see above): rareG is 2
+    // rows/record feeding both sides of the self-join, and verified
+    // (≈0.2 pairs/record) feeds both union directions of the edge
+    // list — unpersisted, the whole blocking+verify chain re-ran per
+    // consumer (measured 6.3 s → 1.3 s steady-state at sf0.1)
+    val rareG = rare.join(g1, Seq("rec_id")).persist()
+    val verified = rareG
+      .join(rareG.select(col("rec_id").as("rec_id2"),
+        col("grams").as("grams2"), col("g"), col("nation"),
+        col("segment")), Seq("g", "nation", "segment"))
+      .filter(col("rec_id") < col("rec_id2") &&
         size(array_intersect(col("grams"), col("grams2")))
           .cast("double") /
           size(array_union(col("grams"), col("grams2"))) >= ErTau)
-      .select("rec_id", "rec_id2")
+      .select("rec_id", "rec_id2").distinct().persist()
     val edges = verified
       .select(col("rec_id").as("src"), col("rec_id2").as("dst"))
       .unionByName(verified
