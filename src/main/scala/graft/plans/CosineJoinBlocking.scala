@@ -75,7 +75,18 @@ import scala.util.Try
   * blocks by ANGLE, so high-dot pairs reached via large NORMS at
   * middling angles miss more often — the contract is calibrated for
   * normalized or near-normalized embeddings (the cosine spelling is
-  * norm-free).
+  * norm-free). Setting `spark.graft.srpjoin.maxNorm = M` (stats
+  * supplied out-of-band, the stopTokens doctrine) composes a NORM
+  * BAND into raw-dot contracts: dot ≥ τ ∧ ‖·‖ ≤ M implies
+  * |‖a‖−‖b‖| ≤ M − τ/M, so the rule ANDs the milli-scaled band
+  * `|⌊1000‖a‖⌋ − ⌊1000‖b‖⌋| ≤ K` (+1 floor slack) and
+  * [[BandJoinBlocking]] tiles it alongside the hamming segments —
+  * pruning exactly the large-norm candidate mass, which buys a wider
+  * hamming ball (m+1) at the same candidate budget: more recall, same
+  * cost (measured in SrpJoinProbe's unnormalized arm). If M truly
+  * bounds the norms the band costs zero recall (theorem above); if it
+  * does not, the contract is still exactly the deterministic,
+  * oracle-reproducible {original ∧ ham ∧ band} set.
   *
   * Stand-downs: conf off (the default), non-literal or ≤ 0 bounds,
   * mixed-side operands, streaming joins. Deliberately NOT the
@@ -94,6 +105,8 @@ object CosineJoinBlocking extends Rule[LogicalPlan]
 
   private val sigLName = "graft_csigl"
   private val sigRName = "graft_csigr"
+  private val nrmLName = "graft_cnrml"
+  private val nrmRName = "graft_cnrmr"
 
   private def litTau(e: Expression): Option[Double] = stripCast(e) match {
     case Literal(d: Double, DoubleType) => Some(d)
@@ -184,29 +197,41 @@ object CosineJoinBlocking extends Rule[LogicalPlan]
       case _ => None
     })
 
+  /** One matched similarity bound: the oriented `(a, b)` plus, for
+    * the RAW-DOT spelling only, the literal τ — the norm-band
+    * composition needs it (a cosine quotient's norms cancel, so no
+    * norm bound is implied there and `rawTau` stays None). */
+  private case class SimBound(a: Expression, b: Expression,
+      rawTau: Option[Double])
+
   /** One matched similarity bound — `sim(a, b) ≥ τ` with τ > 0, or
     * the DISTANCE spelling `1 − sim(a, b) ≤ δ` with δ < 1 (⟺ sim ≥
     * 1 − δ > 0 — the "cosine distance below δ" form near-dup
     * pipelines write); each in all four comparison directions,
-    * oriented left/right. The bound value itself never enters the
-    * rewrite (the ball size is conf), so the δ↔τ conversion needs no
-    * FP care beyond the positivity gate. */
+    * oriented left/right. The bound value never affects the hamming
+    * ball (the ball size is conf), so the δ↔τ conversion needs no FP
+    * care beyond the positivity gate; only the raw-dot τ is kept, for
+    * the norm band. */
   private def boundOf(e: Expression, left: LogicalPlan,
-      right: LogicalPlan): Option[(Expression, Expression)] = {
-    def eligible(x: Expression): Option[(Expression, Expression)] =
+      right: LogicalPlan): Option[SimBound] = {
+    def eligible(x: Expression, tau: Option[Double]): Option[SimBound] =
       for {
         (a, b) <- simPair(x)
         if isDoubleArray(a) && isDoubleArray(b)
         oriented <- orient(a, b, left, right)
-      } yield oriented
-    def simArm(x: Expression, l: Expression): Option[(Expression, Expression)] =
-      litTau(l).filter(_ > 0.0).flatMap(_ => eligible(x))
-    // `1 − sim(a, b)` with the literal 1 (casts tolerated)
-    def distArm(x: Expression, l: Expression): Option[(Expression, Expression)] =
-      litTau(l).filter(_ < 1.0).flatMap { _ =>
+      } yield SimBound(oriented._1, oriented._2,
+        if (dotPair(stripCast(x)).isDefined) tau else None)
+    def simArm(x: Expression, l: Expression): Option[SimBound] =
+      litTau(l).filter(_ > 0.0).flatMap(t => eligible(x, Some(t)))
+    // `1 − sim(a, b)` with the literal 1 (casts tolerated); the inner
+    // sim is a quotient in every distance pipeline, but even a raw
+    // `1 − dot` spelling implies dot ≥ 1 − δ, so the converted τ is
+    // passed through
+    def distArm(x: Expression, l: Expression): Option[SimBound] =
+      litTau(l).filter(_ < 1.0).flatMap { d =>
         stripCast(x) match {
           case Subtract(one, inner, _) if litTau(one).contains(1.0) =>
-            eligible(inner)
+            eligible(inner, Some(1.0 - d))
           case _ => None
         }
       }
@@ -219,36 +244,78 @@ object CosineJoinBlocking extends Rule[LogicalPlan]
     }
   }
 
+  /** milli-scaled norm: `floor(1000 · √(v·v))` as a Long — a pure
+    * per-value IEEE function, identical on every executor and engine
+    * (the DuckDB oracle recomputes it verbatim). */
+  private def normMilli(v: Expression): Expression =
+    Cast(Floor(Multiply(Sqrt(DotProduct(v, v)), Literal(1000.0))),
+      LongType)
+
   def apply(plan: LogicalPlan): LogicalPlan = {
     val m = Try(conf.getConfString("spark.graft.srpjoin.segments", "0")
       .trim.toInt).getOrElse(0)
     val bits = Try(conf.getConfString("spark.graft.srpjoin.bits", "24")
       .trim.toInt).getOrElse(24)
     val seed = conf.getConfString("spark.graft.srpjoin.seed", "graft")
+    val maxNorm = Try(conf.getConfString("spark.graft.srpjoin.maxNorm",
+      "").trim.toDouble).toOption.filter(_ > 0.0)
     if (m < 2 || m > 8 || bits < m || bits > 63 ||
       !seed.matches("[A-Za-z0-9_.-]+")) plan
     else plan.transform {
       case j @ Join(left, right, jt, Some(cond), hint)
           if rewriteable(jt) && !j.isStreaming &&
             !(left.output ++ right.output).exists(a =>
-              a.name == sigLName || a.name == sigRName) =>
+              a.name == sigLName || a.name == sigRName ||
+                a.name == nrmLName || a.name == nrmRName) =>
         val conjuncts = splitConjunctivePredicates(cond)
         val pair = conjuncts.flatMap(c => boundOf(c, left, right))
           .headOption
         pair match {
-          case Some((a, b)) =>
+          case Some(SimBound(a, b, rawTau)) =>
             val sl = Alias(SrpSignature(a, bits, seed), sigLName)()
             val sr = Alias(SrpSignature(b, bits, seed), sigRName)()
-            val nl = Project(left.output :+ sl, left)
-            val nr = Project(right.output :+ sr, right)
+            // NORM-BAND composition (raw-dot bounds + opt-in maxNorm
+            // conf M): dot ≥ τ ∧ ‖·‖ ≤ M ⇒ both norms ∈ [τ/M, M] ⇒
+            // |‖a‖−‖b‖| ≤ M − τ/M — SRP blocks by ANGLE only, so the
+            // band prunes the large-norm/middling-angle candidates the
+            // documented raw-dot caveat names. In milli-units with a
+            // +1 floor slack the implication is exact whenever M truly
+            // bounds the norms; M is user-supplied stats (the
+            // stopTokens doctrine) and the CONTRACT stays exactly
+            // {original ∧ ham ≤ m−1 ∧ band} — deterministic and
+            // oracle-reproducible regardless of whether M was right.
+            // τ > M² admits no pairs through dot ≤ ‖a‖‖b‖ ≤ M²; the
+            // rule still only gates, never rejects, so that corner
+            // just keeps the band (width < 0 ⇒ K could go negative —
+            // clamped to 0, the tightest honest band).
+            val band = for {
+              tau <- rawTau; mx <- maxNorm
+            } yield {
+              val k = math.max(0L,
+                math.floor(1000.0 * (mx - tau / mx)).toLong + 1L)
+              (Alias(normMilli(a), nrmLName)(),
+                Alias(normMilli(b), nrmRName)(), k)
+            }
+            val nl = Project(left.output ++ (sl +: band.map(_._1).toSeq),
+              left)
+            val nr = Project(right.output ++ (sr +: band.map(_._2).toSeq),
+              right)
             // the contract conjunct — exactly HammingJoinBlocking's
             // scalar spelling; the next fixed-point iteration plans
-            // the m-segment pigeonhole equi-join from it
+            // the m-segment pigeonhole equi-join from it (and
+            // BandJoinBlocking tiles the norm band the same way —
+            // the q345 composition path)
             val ham = LessThanOrEqual(
               BitwiseCount(BitwiseXor(sl.toAttribute, sr.toAttribute)),
               Literal(m - 1))
-            Project(j.output,
-              Join(nl, nr, jt, Some(And(ham, cond)), hint))
+            val cond2 = band match {
+              case Some((bl, br, k)) =>
+                And(ham, And(LessThanOrEqual(
+                  Abs(Subtract(bl.toAttribute, br.toAttribute)),
+                  Literal(k)), cond))
+              case None => And(ham, cond)
+            }
+            Project(j.output, Join(nl, nr, jt, Some(cond2), hint))
           case _ => j
         }
     }

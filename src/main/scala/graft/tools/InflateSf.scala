@@ -61,16 +61,20 @@ object InflateSf {
     write("lineitem")((d, i) =>
       shift(d, i, "l_orderkey", "l_partkey", "l_suppkey"))
 
+    // the source column is TIMESTAMP_NTZ; go through an explicit UTC
+    // cast for the micros arithmetic and cast back so the written
+    // type matches the source exactly
+    def tsMicros = unix_micros(col("ts").cast("timestamp"))
     val spanMicros = {
       val r = spark.read.parquet(s"$src/events.parquet")
-        .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
-        .collect().head
+        .agg(min(tsMicros), max(tsMicros)).collect().head
       (r.getLong(1) - r.getLong(0)) + 86400000000L
     }
     write("events")((d, i) =>
       shift(d, i, "event_id", "user_id")
         .withColumn("ts",
-          timestamp_micros(unix_micros(col("ts")) + lit(i * spanMicros))))
+          timestamp_micros(tsMicros + lit(i * spanMicros))
+            .cast("timestamp_ntz")))
 
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val upper = lower.toUpperCase

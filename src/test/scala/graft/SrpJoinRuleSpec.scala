@@ -130,6 +130,42 @@ class SrpJoinRuleSpec extends SparkSpecBase {
     }
   }
 
+  test("norm band (maxNorm conf): raw-dot contract output unchanged, band planned") {
+    import graft.functions.Vectors
+    val (a, b) = frames
+    val nrmConf = "spark.graft.srpjoin.maxNorm"
+    withSrp(3, 24) {
+      val noBand = run(a.join(b, dotCond && col("a") < col("b")))
+      // M above every corpus norm ⇒ the band is IMPLIED by dot ≥ τ:
+      // the contract OUTPUT must be identical — the band only prunes
+      // candidates (vectors here are unit-ish; 10 covers any norm)
+      spark.conf.set(nrmConf, "10.0")
+      try {
+        val joined = a.join(b, dotCond && col("a") < col("b"))
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(plan.contains("graft_cnrm"),
+          s"norm band must be planned:\n${plan.take(3000)}")
+        assert(run(joined) === noBand,
+          "band with a true max-norm bound must not change the contract")
+        // cosine-quotient spelling: norms cancel — NO band implied
+        val q = a.join(b,
+          Vectors.dot(col("va"), col("vb")) /
+            (sqrt(Vectors.dot(col("va"), col("va"))) *
+              sqrt(Vectors.dot(col("vb"), col("vb")))) >= lit(0.9) &&
+            col("a") < col("b"))
+        assert(!q.queryExecution.optimizedPlan.toString
+          .contains("graft_cnrm"),
+          "quotient spelling must not grow a norm band")
+        assert(q.queryExecution.optimizedPlan.toString
+          .contains("graft_csig"))
+      } finally spark.conf.unset(nrmConf)
+      // conf unset ⇒ no band column anywhere
+      val plain = a.join(b, dotCond && col("a") < col("b"))
+      assert(!plain.queryExecution.optimizedPlan.toString
+        .contains("graft_cnrm"))
+    }
+  }
+
   test("recall contract on planted twins: pinned numerically at the default seed") {
     // every 5th base has a cos≈0.9987 twin — the pairs the operator
     // exists to find. At (m=3, bits=24) the reference model predicts
