@@ -537,7 +537,14 @@ object SetSimilarityJoinBlocking extends Rule[LogicalPlan]
             // probe side never explodes, so left grain is untouched
             // and no regroup is needed. The ∅ rows split DISJOINTLY
             // into their own branch (probe keys are null there and
-            // can never match through branch 1).
+            // can never match through branch 1). Scale note: that
+            // branch is key-less with the ∅ rows on the STREAM side,
+            // so the planner broadcasts the FULL right child (semi/
+            // anti cannot build left) — unavoidable for "∃ partner
+            // for an ∅ set" unless cond carries its own equi keys
+            // (then the planner hash-joins it); corpora where ∅ sets
+            // are possible and right is huge should pre-filter them,
+            // as every dedup-ingest pipeline does.
             val nr = Generate(Explode(ArrayDistinct(sup)), Nil,
               outer = false, None, Seq(tok), right)
             val condK = And(EqualTo(minTok, tok), cond)

@@ -570,6 +570,33 @@ class PlanShapeSpec extends SparkSpecBase {
       s"probe join must hash on the min-element key:\n${p.take(4000)}")
   }
 
+  test("q351/q352 mirrored containment: existence/anti chains at token grain") {
+    // q351 (mirrored SEMI): branch-1 evidence must be a HASH
+    // ExistenceJoin on the min-element key; the ∅-sub existence probe
+    // is legitimately a nested loop over a provably empty input
+    // (groupBy part sets are never empty), and the rid collapse
+    // restores left grain
+    val p1 = planOf(q("q351_containment_semi_rule"))
+    assert(p1.contains("graft_sst") && p1.contains("graft_sse1") &&
+      p1.contains("graft_rid"),
+      s"mirrored semi must plan the existence chain:\n${p1.take(4000)}")
+    assert(p1.linesIterator.exists(l =>
+      (l.contains("BroadcastHashJoin") || l.contains("ShuffledHashJoin")
+        || l.contains("SortMergeJoin")) && l.contains("ExistenceJoin")),
+      s"branch-1 evidence must hash-join:\n${p1.take(4000)}")
+    // q352 (mirrored ANTI): the double-anti chain with the
+    // per-row fan-out count collapse
+    val p2 = planOf(q("q352_containment_anti_rule"))
+    assert(p2.contains("graft_sst") && p2.contains("graft_ssn") &&
+      p2.contains("graft_rid"),
+      s"mirrored anti must plan the pigeonhole chain:\n${p2.take(4000)}")
+    assert(p2.linesIterator.exists(l =>
+      (l.contains("BroadcastHashJoin") || l.contains("ShuffledHashJoin")
+        || l.contains("SortMergeJoin")) && l.contains("LeftAnti") &&
+        l.contains("graft_sst")),
+      s"token-grain anti must hash-join:\n${p2.take(4000)}")
+  }
+
   test("SRP cosine rule: the q342 shape plans signature segments under the opt-in") {
     // the registered q342 eagerly localCheckpoints (conf isolation),
     // which truncates its visible plan — pin the same construction
