@@ -347,17 +347,30 @@ object Multimodal {
         col("text").cast("binary").as("samples"))
       .as[(Long, Int, Array[Byte])]
       .mapPartitions { rows =>
+        // the RIFF/WAVE container is hand-assembled here (44-byte
+        // canonical PCM header): this is FIXTURE construction — the
+        // codec claim lives on the DECODE side, which still runs the
+        // genuine javax.sound.sampled stack (and MultimodalSpec's
+        // roundtrip pin builds ITS payloads through the JDK encoder).
+        // The encoder used to run per row, and AudioSystem.write's
+        // provider lookup serializes under 32 threads — measured as
+        // q309's 2× past-linear drift in the sf1 stress sweep.
         rows.map { case (id, rate, samples) =>
-          val fmt = new javax.sound.sampled.AudioFormat(
-            javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
-            rate.toFloat, 8, 1, 1, rate.toFloat, false)
-          val ais = new javax.sound.sampled.AudioInputStream(
-            new java.io.ByteArrayInputStream(samples), fmt,
-            samples.length.toLong)
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.sound.sampled.AudioSystem.write(ais,
-            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-          (id, bos.toByteArray)
+          val n = samples.length
+          val out = java.nio.ByteBuffer.allocate(44 + n)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          out.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+            .put("WAVE".getBytes("US-ASCII"))
+            .put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1) // PCM
+            .putShort(1) // mono
+            .putInt(rate)
+            .putInt(rate) // byte rate = rate · 1 ch · 1 B
+            .putShort(1) // block align
+            .putShort(8) // bits/sample (8-bit PCM is UNSIGNED in RIFF)
+            .put("data".getBytes("US-ASCII")).putInt(n)
+            .put(samples)
+          (id, out.array())
         }
       }
       .toDF("doc_id", "payload")
