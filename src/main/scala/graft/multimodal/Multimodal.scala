@@ -357,9 +357,14 @@ object Multimodal {
         // q309's 2× past-linear drift in the sf1 stress sweep.
         rows.map { case (id, rate, samples) =>
           val n = samples.length
-          val out = java.nio.ByteBuffer.allocate(44 + n)
+          // RIFF chunks are word-aligned: an odd-length data chunk
+          // carries one zero PAD byte, counted in the RIFF size but
+          // NOT in the data chunk size (the JDK decoder tolerates a
+          // final unpadded chunk; strict parsers may not)
+          val pad = n & 1
+          val out = java.nio.ByteBuffer.allocate(44 + n + pad)
             .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          out.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+          out.put("RIFF".getBytes("US-ASCII")).putInt(36 + n + pad)
             .put("WAVE".getBytes("US-ASCII"))
             .put("fmt ".getBytes("US-ASCII")).putInt(16)
             .putShort(1) // PCM
@@ -370,6 +375,7 @@ object Multimodal {
             .putShort(8) // bits/sample (8-bit PCM is UNSIGNED in RIFF)
             .put("data".getBytes("US-ASCII")).putInt(n)
             .put(samples)
+          if (pad == 1) out.put(0.toByte)
           (id, out.array())
         }
       }

@@ -405,12 +405,17 @@ object BandJoinBlocking extends Rule[LogicalPlan]
             // tile width: an EXPLICIT conf pins a static literal on
             // both sides; UNSET (the default since r10) derives the
             // width from the data itself — see [[adaptiveBin]]
+            // conf parsing is LENIENT (the srpjoin doctrine): trimmed,
+            // blank/non-numeric falls back to adaptive instead of
+            // throwing NumberFormatException from inside the optimizer
             val (leftBase, rightBase, bLe, bRe) =
-              conf.getConfString(intervalBinKey, "") match {
-                case "" => adaptiveBin(left, lStart, lEnd,
-                  right, rStart, rEnd, binFor(u.lBase.dataType, "64"))
-                case s =>
-                  val b = Literal(binFor(u.lBase.dataType, s))
+              scala.util.Try(
+                conf.getConfString(intervalBinKey, "").trim.toLong)
+                .toOption match {
+                case None => adaptiveBin(left, lStart, lEnd,
+                  right, rStart, rEnd, binFor(u.lBase.dataType, 64L))
+                case Some(v) =>
+                  val b = Literal(binFor(u.lBase.dataType, v))
                   (left, right, b: Expression, b: Expression)
               }
             def fdiv(v: Expression, b: Expression): Expression =
@@ -564,8 +569,8 @@ object BandJoinBlocking extends Rule[LogicalPlan]
     * for integrals). Replication per row is span⁄B + 1. Used when the
     * conf is EXPLICITLY set, and as the empty-input fallback of the
     * adaptive path. */
-  private def binFor(dt: DataType, v: String): Long = {
-    val base = math.max(1L, v.toLong)
+  private def binFor(dt: DataType, v: Long): Long = {
+    val base = math.max(1L, v)
     dt match {
       case TimestampType => base * 86400000000L
       case _ => base

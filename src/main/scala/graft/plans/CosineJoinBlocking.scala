@@ -296,6 +296,20 @@ object CosineJoinBlocking extends Rule[LogicalPlan]
               (Alias(normMilli(a), nrmLName)(),
                 Alias(normMilli(b), nrmRName)(), k)
             }
+            // the band's correctness rests on M truly bounding the
+            // norms — a wrong stats value silently drops true pairs
+            // even for INNER joins, so firing is always loud
+            band.foreach { case (_, _, k) =>
+              if (k == 0L)
+                logWarning("graft SRP norm-band clamps to K=0 " +
+                  "(tau > maxNorm^2 admits no pairs): if " +
+                  "spark.graft.srpjoin.maxNorm understates the true " +
+                  "max vector norm, qualifying pairs are dropped")
+              else
+                logWarning(s"graft SRP norm-band active (K=$k " +
+                  "milli-units): exact only if " +
+                  "spark.graft.srpjoin.maxNorm bounds every vector norm")
+            }
             val nl = Project(left.output ++ (sl +: band.map(_._1).toSeq),
               left)
             val nr = Project(right.output ++ (sr +: band.map(_._2).toSeq),

@@ -283,11 +283,12 @@ object SetSimilarityJoinBlocking extends Rule[LogicalPlan]
     * equivalent; see the rewrite-site comment) — whose
     * nested-loop shape is the honest cost of an output that is
     * |L∅|·|R| by definition (null arrays die on the kept condition in
-    * either branch). Inner, left semi, and left anti joins in both
-    * orientations (outer stands down): subset-on-left semi/anti stay
+    * either branch). Inner, left semi, left anti, AND left outer
+    * joins in both orientations: subset-on-left semi/anti/outer stay
     * at left grain with no explode; the mirrored superset-on-left
-    * shapes explode the left tokens under a rid and collapse back —
-    * see the rewrite site. */
+    * semi/anti explode the left tokens under a rid and collapse back;
+    * the mirrored outer decomposes as Inner ∪ (anti × nulls) — see
+    * the rewrite site. */
   private def containOf(e: Expression, left: LogicalPlan,
       right: LogicalPlan): Option[Contain] = {
     def zero(l: Expression): Boolean = stripCast(l) match {
@@ -465,11 +466,6 @@ object SetSimilarityJoinBlocking extends Rule[LogicalPlan]
       val contain =
         if (sim.isEmpty && member.isEmpty)
           conjuncts.flatMap(c => containOf(c, left, right)).headOption
-            // inner and semi/anti in BOTH orientations rewrite
-            // (subset-on-left probes at left grain; the mirrored
-            // superset-on-left shapes ride the rid machinery);
-            // outer joins stand down
-            .filter(_ => jt != LeftOuter)
         else None
       val standDown = equiBroadcastStandDown(conjuncts, left, right)
       if (contain.isDefined && !standDown) {
@@ -503,6 +499,49 @@ object SetSimilarityJoinBlocking extends Rule[LogicalPlan]
         // matches — exactly the naive outcome, where the condition
         // evaluates null ⇒ no match)
         val isEmpty = EqualNullSafe(Size(ArrayDistinct(sub)), Literal(0))
+        // the ∅ branch carries a BROADCAST hint on the filtered
+        // (sub) side: the join is key-less, and once the Filter's
+        // SIZE ESTIMATE outgrows the broadcast threshold the
+        // planner falls to CartesianProduct — a full |L|·|R| loop
+        // for a branch that is almost always EMPTY at runtime
+        // (measured: 15× cliff at 236k rows in ContainScaleProbe
+        // before this hint). ∅-set rows are rare by nature; were
+        // they numerous, the branch's output is |L∅|·|R| by
+        // definition and no plan shape saves it.
+        val bcast = Some(HintInfo(strategy = Some(BROADCAST)))
+        // the MIRRORED ANTI shape at left grain (superset on the
+        // left, "which orders cover NO other order") — used by the
+        // mirrored LeftAnti directly and as the null-extension
+        // source of the mirrored LeftOuter. Two successive anti
+        // joins on one tree: first drop left rows covered by an ∅
+        // sub (left grain, no explode), then OUTER-explode the
+        // survivors' distinct tokens and anti-join the covering-sub
+        // probes — a row survives iff ALL its exploded rows survived
+        // (count(*) == fan-out, the regroupAntiCol pigeonhole;
+        // null/empty sups explode to one null-token row that no equi
+        // key can claim, so they survive with fan-out 1 — exactly
+        // the naive verdict, where they match nothing). The token
+        // attribute is FRESH per call: the outer shape instantiates
+        // this next to an inner branch that has its own explode, and
+        // sibling subtrees must not share generated exprIds.
+        def mirroredAnti(out: Seq[Attribute]): LogicalPlan = {
+          val tokA = AttributeReference(tokColName, supEt)()
+          val (leftR, rid) = RewriteSupport.withRid(left)
+          val a2 = Join(leftR, Filter(isEmpty, right), LeftAnti,
+            Some(cond2), hint)
+          val dsz = Size(ArrayDistinct(sup))
+          val cntA = Alias(Cast(If(
+            GreaterThan(Coalesce(Seq(dsz, Literal(0))),
+              Literal(0)), dsz, Literal(1)), LongType),
+            cntColName)()
+          val leftC = Project(a2.output :+ cntA, a2)
+          val leftE = Generate(Explode(ArrayDistinct(sup)), Nil,
+            outer = true, None, Seq(tokA), leftC)
+          val a1 = Join(leftE, right, LeftAnti,
+            Some(And(EqualTo(tokA, minTok), cond)), hint)
+          RewriteSupport.regroupAntiCol(a1, rid, left.output, out,
+            cntA.toAttribute)
+        }
         jt match {
           case Inner =>
             val (nl, nr) =
@@ -514,16 +553,6 @@ object SetSimilarityJoinBlocking extends Rule[LogicalPlan]
                   outer = false, None, Seq(tok), left), right)
             val u1 = Project(j.output, Join(nl, nr, Inner,
               Some(And(EqualTo(minTok, tok), cond)), hint))
-            // the ∅ branch carries a BROADCAST hint on the filtered
-            // (sub) side: the join is key-less, and once the Filter's
-            // SIZE ESTIMATE outgrows the broadcast threshold the
-            // planner falls to CartesianProduct — a full |L|·|R| loop
-            // for a branch that is almost always EMPTY at runtime
-            // (measured: 15× cliff at 236k rows in ContainScaleProbe
-            // before this hint). ∅-set rows are rare by nature; were
-            // they numerous, the branch's output is |L∅|·|R| by
-            // definition and no plan shape saves it.
-            val bcast = Some(HintInfo(strategy = Some(BROADCAST)))
             val (l2, r2, h2) =
               if (c0.subOnLeft)
                 (Filter(isEmpty, left), right, hint.copy(leftHint = bcast))
@@ -532,6 +561,57 @@ object SetSimilarityJoinBlocking extends Rule[LogicalPlan]
             val u2 = Project(j.output, Join(l2, r2, Inner, Some(cond2),
               h2))
             Union(Seq(u1, u2))
+          case LeftOuter if c0.subOnLeft =>
+            // LEFT OUTER, subset on the LEFT ("annotate each order
+            // with its covering orders, if any" — the enrichment
+            // spelling): the probe side never explodes, so left grain
+            // IS the join's grain and null-extension composes per
+            // branch. The ∅-sub rows split DISJOINTLY by a
+            // deterministic function of the left row, so a two-branch
+            // Union cannot double-emit or lose a row — no rid needed
+            // (unlike the mirrored shapes, nothing nondeterministic
+            // crosses branches; the same argument as the
+            // subset-on-left semi/anti Unions). Null-sub rows ride
+            // branch 1: their probe key is null, matches nothing, and
+            // null-extend — the naive outcome. Branch 2 is key-less
+            // with LeftOuter semantics, so the planner can only build
+            // right and the FULL right child broadcasts — the
+            // semi/anti scale note applies verbatim (pre-filter ∅
+            // subs when right is huge).
+            val nr = Generate(Explode(ArrayDistinct(sup)), Nil,
+              outer = false, None, Seq(tok), right)
+            val condK = And(EqualTo(minTok, tok), cond)
+            Union(Seq(
+              Project(j.output, Join(Filter(Not(isEmpty), left), nr,
+                LeftOuter, Some(condK), hint)),
+              Project(j.output, Join(Filter(isEmpty, left), right,
+                LeftOuter, Some(cond2), hint))))
+          case LeftOuter =>
+            // MIRRORED LEFT OUTER — superset on the LEFT ("annotate
+            // each order with the orders it covers, if any"):
+            // LeftOuter ≡ Inner ∪ (unmatched × nulls). The matched
+            // part is the mirrored Inner machinery verbatim
+            // (exactly-once per pair through the min-token key; the
+            // ∅-sub branch with the broadcast-pinned key-less join);
+            // the null-extension part is [[mirroredAnti]] at left
+            // grain with the right columns as typed null literals
+            // under the ORIGINAL exprIds, so every Union branch lines
+            // up with j.output positionally and by id. Reading `left`
+            // in several branches is sound for the same reason the
+            // subset-on-left Unions are: nothing nondeterministic
+            // crosses branches — the anti's rid lives and dies inside
+            // its own subtree.
+            val nl = Generate(Explode(ArrayDistinct(sup)), Nil,
+              outer = false, None, Seq(tok), left)
+            val u1 = Project(j.output, Join(nl, right, Inner,
+              Some(And(EqualTo(minTok, tok), cond)), hint))
+            val u2 = Project(j.output, Join(left, Filter(isEmpty, right),
+              Inner, Some(cond2), hint.copy(rightHint = bcast)))
+            val nulls = right.output.map(a =>
+              Alias(Literal(null, a.dataType), a.name)(exprId = a.exprId))
+            val u3 = Project(left.output ++ nulls,
+              mirroredAnti(left.output))
+            Union(Seq(u1, u2, u3))
           case _ if c0.subOnLeft =>
             // LeftSemi | LeftAnti, subset on the LEFT: the
             // probe side never explodes, so left grain is untouched
@@ -575,8 +655,8 @@ object SetSimilarityJoinBlocking extends Rule[LogicalPlan]
             // Union) would assign DISAGREEING rids across branches and
             // the collapse would dedup nothing / double-emit rows
             // matched by both branches (see [[RewriteSupport]]).
-            val (leftR, rid) = RewriteSupport.withRid(left)
             if (jt == LeftSemi) {
+              val (leftR, rid) = RewriteSupport.withRid(left)
               // a left row is kept iff SOME right sub ⊆ its sup.
               // Evidence from either branch is marked WITHOUT fan-out
               // by ExistenceJoin bits — a LeftOuter mark would
@@ -602,29 +682,9 @@ object SetSimilarityJoinBlocking extends Rule[LogicalPlan]
               RewriteSupport.regroupSemi(Filter(Or(e1, e2), j1), rid,
                 left.output, j.output)
             } else {
-              // ANTI composes as two successive anti joins on one
-              // tree: first drop left rows covered by an ∅ sub (left
-              // grain, no explode), then OUTER-explode the survivors'
-              // distinct tokens and anti-join the covering-sub probes
-              // — a row survives iff ALL its exploded rows survived
-              // (count(*) == fan-out, the regroupAntiCol pigeonhole;
-              // null/empty sups explode to one null-token row that no
-              // equi key can claim, so they survive with fan-out 1 —
-              // exactly the naive verdict, where they match nothing).
-              val a2 = Join(leftR, Filter(isEmpty, right), LeftAnti,
-                Some(cond2), hint)
-              val dsz = Size(ArrayDistinct(sup))
-              val cntA = Alias(Cast(If(
-                GreaterThan(Coalesce(Seq(dsz, Literal(0))),
-                  Literal(0)), dsz, Literal(1)), LongType),
-                cntColName)()
-              val leftC = Project(a2.output :+ cntA, a2)
-              val leftE = Generate(Explode(ArrayDistinct(sup)), Nil,
-                outer = true, None, Seq(tok), leftC)
-              val a1 = Join(leftE, right, LeftAnti,
-                Some(And(EqualTo(tok, minTok), cond)), hint)
-              RewriteSupport.regroupAntiCol(a1, rid, left.output,
-                j.output, cntA.toAttribute)
+              // ANTI: see [[mirroredAnti]] — the double-anti chain
+              // with the regroupAntiCol pigeonhole, at left grain.
+              mirroredAnti(j.output)
             }
         }
       } else (sim, member) match {
@@ -752,10 +812,18 @@ object SetSimilarityJoinBlocking extends Rule[LogicalPlan]
               // one representative for match-free rids: the row whose
               // token null-safe-equals the MINIMAL sorted-distinct
               // token (= the first; array_min never throws on empties,
-              // and null <=> null keeps the zero-prefix row)
+              // and null <=> null keeps the ∅-array row) — OR the
+              // null-token row itself. The disjunct is load-bearing
+              // for EMPTY PREFIXES over NON-empty arrays (overlap
+              // t > |X|: prefix length 0, the outer explode emits ONE
+              // null-token row, but ArrayMin(sx) is non-null, so the
+              // <=> alone dropped the row's null extension — a silent
+              // wrong answer found by EdgeMatrixSpec's outer audit;
+              // safe because a rid has a null-token row only when it
+              // exploded NOTHING else, so at most one row passes)
               RewriteSupport.collapseOuter(joined, rid.get,
                 mark.map(_.toAttribute).getOrElse(tokR),
-                EqualNullSafe(tokL, ArrayMin(el.sx)),
+                Or(EqualNullSafe(tokL, ArrayMin(el.sx)), IsNull(tokL)),
                 j.output)
           }
         case _ => j

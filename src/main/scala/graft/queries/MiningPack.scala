@@ -632,7 +632,9 @@ object MiningPack extends QueryPack {
       "q349_pipeline_e2e" -> q349 _,
       "q350_containment_join_rule" -> q350 _,
       "q351_containment_semi_rule" -> q351 _,
-      "q352_containment_anti_rule" -> q352 _)
+      "q352_containment_anti_rule" -> q352 _,
+      "q353_containment_outer_rule" -> q353 _,
+      "q354_containment_outer_mirror" -> q354 _)
 
   /** q350 — a CONTAINMENT JOIN written naively on RELATIONAL data:
     * REDUNDANT ORDERS — orders whose entire distinct part list is
@@ -710,6 +712,56 @@ object MiningPack extends QueryPack {
         min(col("l_orderkey")).as("min_okey"),
         max(col("l_orderkey")).as("max_okey"))
       .orderBy("n_parts")
+  }
+
+  /** q353 — containment LEFT OUTER, subset on the left: ANNOTATE each
+    * small order with its covering orders, if any — the enrichment
+    * spelling a coverage dashboard writes first ("0 covers / null"
+    * rows are the interesting ones). Planned by
+    * [[graft.plans.SetSimilarityJoinBlocking]]'s containment arm as a
+    * two-branch Union of LEFT OUTER joins at left grain (the ∅-sub
+    * split is a deterministic function of the left row, so the
+    * branches are disjoint — no rid machinery needed): min-token
+    * scalar probe vs the exploded superset side, plus the key-less ∅
+    * branch. */
+  private def q353(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+    val a = o.filter(col("l_orderkey") % 20 === 0 &&
+        size(col("parts")) <= 3)
+      .select(col("l_orderkey").as("okey"), col("parts").as("aparts"))
+    a.join(o,
+        size(array_except(col("aparts"), col("parts"))) === 0 &&
+          col("okey") =!= col("l_orderkey"), "left_outer")
+      .groupBy(col("okey"))
+      .agg(count(col("l_orderkey")).as("n_cover"),
+        min(col("l_orderkey")).as("min_cover"))
+      .orderBy("okey")
+  }
+
+  /** q354 — the MIRRORED containment LEFT OUTER, superset on the left:
+    * annotate each order on a slice with the small orders it COVERS,
+    * if any — the coverage-audit enrichment. Planned by the mirrored
+    * arm as Inner ∪ (anti × nulls): the matched branches are the
+    * mirrored inner machinery (exactly-once per pair through the
+    * min-token key; broadcast-pinned ∅-sub branch), the null-extension
+    * branch is the double-anti pigeonhole at left grain. */
+  private def q354(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+    val a = o.filter(col("l_orderkey") % 20 === 0 &&
+        size(col("parts")) <= 3)
+      .select(col("l_orderkey").as("okey"), col("parts").as("aparts"))
+    o.filter(col("l_orderkey") % 5 === 0)
+      .join(a,
+        size(array_except(col("aparts"), col("parts"))) === 0 &&
+          col("l_orderkey") =!= col("okey"), "left_outer")
+      .groupBy(col("l_orderkey"))
+      .agg(count(col("okey")).as("n_covered"),
+        min(col("okey")).as("min_covered"))
+      .orderBy("l_orderkey")
   }
 
   /** q349 — the TRAINING-DATA PIPELINE end-to-end, written naively in
@@ -1928,7 +1980,36 @@ object MiningPack extends QueryPack {
         |SELECT n_parts, CAST(count(*) AS BIGINT) AS n_orders,
         | min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey
         |FROM r GROUP BY n_parts
-        |ORDER BY n_parts""".stripMargin)
+        |ORDER BY n_parts""".stripMargin,
+    "q353_containment_outer_rule" ->
+      """WITH o AS (
+        | SELECT l_orderkey, list_distinct(list(l_partkey)) AS parts
+        | FROM lineitem GROUP BY l_orderkey),
+        |a AS (
+        | SELECT l_orderkey AS okey, parts AS aparts FROM o
+        | WHERE l_orderkey % 20 = 0 AND len(parts) <= 3)
+        |SELECT a.okey, CAST(count(o.l_orderkey) AS BIGINT) AS n_cover,
+        | min(o.l_orderkey) AS min_cover
+        |FROM a LEFT JOIN o ON len(list_filter(a.aparts,
+        |  x -> NOT list_contains(o.parts, x))) = 0
+        | AND a.okey <> o.l_orderkey
+        |GROUP BY a.okey
+        |ORDER BY a.okey""".stripMargin,
+    "q354_containment_outer_mirror" ->
+      """WITH o AS (
+        | SELECT l_orderkey, list_distinct(list(l_partkey)) AS parts
+        | FROM lineitem GROUP BY l_orderkey),
+        |a AS (
+        | SELECT l_orderkey AS okey, parts AS aparts FROM o
+        | WHERE l_orderkey % 20 = 0 AND len(parts) <= 3),
+        |lhs AS (SELECT * FROM o WHERE l_orderkey % 5 = 0)
+        |SELECT lhs.l_orderkey, CAST(count(a.okey) AS BIGINT) AS n_covered,
+        | min(a.okey) AS min_covered
+        |FROM lhs LEFT JOIN a ON len(list_filter(a.aparts,
+        |  x -> NOT list_contains(lhs.parts, x))) = 0
+        | AND a.okey <> lhs.l_orderkey
+        |GROUP BY lhs.l_orderkey
+        |ORDER BY lhs.l_orderkey""".stripMargin)
 
   /** The shared q342/q343/q345/q346 oracle PRELUDE: the q260 corpus
     * (embeddings ∪ planted twins) with 24-bit SRP signatures and norms

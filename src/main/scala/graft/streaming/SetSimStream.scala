@@ -48,7 +48,7 @@ object SetSimStream {
     * and the batch rule's α math (ε guard included) verbatim. */
   def prefixRows(docId: Long, toks: Seq[String],
       s: Double): Seq[PrefixRow] = {
-    val dk = toks.distinct.sorted
+    val dk = Option(toks).getOrElse(Nil).distinct.sorted
     val alpha = math.max(1L,
       math.ceil(s * dk.size - 1e-9).toLong)
     val plen = math.max(0L, dk.size - (alpha - 1)).toInt
@@ -62,7 +62,7 @@ object SetSimStream {
     * rule's overlap α verbatim. */
   def overlapRows(docId: Long, toks: Seq[String],
       t: Int): Seq[PrefixRow] = {
-    val dk = toks.distinct.sorted
+    val dk = Option(toks).getOrElse(Nil).distinct.sorted
     val plen = math.max(0, dk.size - (t - 1))
     dk.take(plen).map(tk => PrefixRow(tk, docId, dk))
   }

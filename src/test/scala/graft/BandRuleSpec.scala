@@ -413,7 +413,8 @@ class BandRuleSpec extends SparkSpecBase {
       // the adaptive tile width adds a legitimate 1-row Cross
       // broadcast (graft_band_b*); the INTERVAL JOIN itself must
       // still never nested-loop
-      assert(!plan.contains("BroadcastNestedLoopJoin BuildRight, Inner")
+      assert("BroadcastNestedLoopJoin Build(Left|Right), Inner".r
+        .findFirstIn(plan).isEmpty
         && !plan.contains("CartesianProduct"), plan.take(3000))
       val got = joined.select("a_id", "b_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted

@@ -8,8 +8,9 @@ import graft.tools.RuleToggle
   * silent wrong answer shipped in r8 because an explode-based rewrite's
   * EMPTY-INPUT truth table was never audited — the demo corpora simply
   * had no empty arrays. This spec pins the full edge-input matrix for
-  * every round-9/10 set-family arm (containment in both orientations ×
-  * inner/semi/anti, overlap thresholds, arrays_overlap) against TWO
+  * every round-9/10/11 set-family arm (containment in both orientations
+  * × inner/semi/anti/outer, overlap thresholds, arrays_overlap) against
+  * TWO
   * independent truths: a Scala set-model oracle AND the naive
   * (rule-excluded) Spark plan, on a fixture that contains every edge
   * class at once — null arrays, empty arrays, single-element,
@@ -70,6 +71,17 @@ class EdgeMatrixSpec extends SparkSpecBase {
     val anti = a.join(b, cond && col("a") =!= col("b"), "left_anti")
     assert(anti.select("a").collect().map(_.getLong(0)).toSeq.sorted
       === model.keys.toSeq.sorted.diff(expSemi), "anti vs model")
+    // LEFT OUTER: every matched pair once, plus exactly one
+    // null-extension row per match-free left row (−1 sentinel)
+    def collectOuter(df: DataFrame) = df.select("a", "b").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSeq.sorted
+    val expOuter = model.keys.toSeq.flatMap { x =>
+      val m = expectPairs.filter(_._1 == x).map(_._2)
+      if (m.isEmpty) Seq((x, -1L)) else m.map((x, _))
+    }.sorted
+    val outer = a.join(b, cond && col("a") =!= col("b"), "left_outer")
+    assert(collectOuter(outer) === expOuter, "outer vs model")
     // duplicated input rows: bag multiplicity through every collapse
     val inner2 = a.union(a).join(b, cond && col("a") =!= col("b"))
     assert(inner2.count() === 2L * expectPairs.size, "inner bag ×2")
@@ -80,6 +92,9 @@ class EdgeMatrixSpec extends SparkSpecBase {
       "left_anti")
     assert(anti2.count() === 2L * (model.size - expSemi.size),
       "anti bag ×2")
+    val outer2 = a.union(a).join(b, cond && col("a") =!= col("b"),
+      "left_outer")
+    assert(outer2.count() === 2L * expOuter.size, "outer bag ×2")
     // naive parity (rule excluded) — the second independent truth
     RuleToggle.withExcluded(spark, rule) {
       val nInner = a.join(b, cond && col("a") =!= col("b"))
@@ -89,6 +104,8 @@ class EdgeMatrixSpec extends SparkSpecBase {
       val nSemi = a.join(b, cond && col("a") =!= col("b"), "left_semi")
       assert(nSemi.select("a").collect().map(_.getLong(0)).toSeq.sorted
         === expSemi, "naive semi")
+      val nOuter = a.join(b, cond && col("a") =!= col("b"), "left_outer")
+      assert(collectOuter(nOuter) === expOuter, "naive outer")
     }
   }
 

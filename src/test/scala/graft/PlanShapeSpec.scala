@@ -597,6 +597,41 @@ class PlanShapeSpec extends SparkSpecBase {
       s"token-grain anti must hash-join:\n${p2.take(4000)}")
   }
 
+  test("q353/q354 containment LEFT OUTER: hash token branches, left grain restored") {
+    // q353 (subset on the left): a two-branch Union of LEFT OUTER
+    // joins at left grain — NO rid machinery (the ∅-sub split is a
+    // deterministic left-row function); the token branch must
+    // hash-join on the min-element probe key. The ∅ branch is
+    // legitimately a nested loop over a provably empty input
+    // (groupBy part sets are never empty).
+    val p1 = planOf(q("q353_containment_outer_rule"))
+    assert(p1.contains("graft_sst") && p1.contains("Union") &&
+      !p1.contains("graft_rid"),
+      s"subset-left outer is rid-free branch union:\n${p1.take(4000)}")
+    assert(p1.linesIterator.exists(l =>
+      (l.contains("BroadcastHashJoin") || l.contains("ShuffledHashJoin")
+        || l.contains("SortMergeJoin")) && l.contains("LeftOuter") &&
+        l.contains("graft_sst")),
+      s"token branch must hash LeftOuter on the probe key:\n${p1.take(4000)}")
+    // q354 (mirrored): Inner ∪ (anti × nulls) — the matched branch
+    // hash-joins at token grain, the null-extension branch carries
+    // the double-anti pigeonhole (rid + fan-out count)
+    val p2 = planOf(q("q354_containment_outer_mirror"))
+    assert(p2.contains("graft_sst") && p2.contains("Union") &&
+      p2.contains("graft_rid") && p2.contains("graft_ssn"),
+      s"mirrored outer must union inner + anti branches:\n${p2.take(4000)}")
+    assert(p2.linesIterator.exists(l =>
+      (l.contains("BroadcastHashJoin") || l.contains("ShuffledHashJoin")
+        || l.contains("SortMergeJoin")) && l.contains("graft_sst") &&
+        !l.contains("LeftAnti")),
+      s"matched branch must hash-join the token key:\n${p2.take(4000)}")
+    assert(p2.linesIterator.exists(l =>
+      (l.contains("BroadcastHashJoin") || l.contains("ShuffledHashJoin")
+        || l.contains("SortMergeJoin")) && l.contains("LeftAnti") &&
+        l.contains("graft_sst")),
+      s"null-extension branch must hash the token anti:\n${p2.take(4000)}")
+  }
+
   test("SRP cosine rule: the q342 shape plans signature segments under the opt-in") {
     // the registered q342 eagerly localCheckpoints (conf isolation),
     // which truncates its visible plan — pin the same construction

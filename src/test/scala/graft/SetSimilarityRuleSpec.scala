@@ -656,6 +656,67 @@ class SetSimilarityRuleSpec extends SparkSpecBase {
     assert(antiM2.count() === 2L * (sets.size - expSup.size))
   }
 
+  test("containment LEFT OUTER: both orientations, null-extension exact") {
+    val s = spark
+    import s.implicits._
+    val xy = Seq((1L, "a b"), (2L, "a b c"), (3L, "c d"),
+      (4L, ""), (5L, "a b c d z"), (6L, "q"), (7L, "d c"))
+    val df = xy.toDF("id", "s").select(col("id"),
+      expr("filter(split(s, ' '), x -> x <> '')").as("toks"))
+    val aa = df.select(col("id").as("a"), col("toks").as("ta"))
+    val bb = df.select(col("id").as("b"), col("toks").as("tb"))
+    val sets = xy.map { case (i, t) =>
+      (i, t.split(" ").filter(_.nonEmpty).toSet) }
+    val subPairs = (for {
+      x <- sets; y <- sets
+      if x._1 != y._1 && x._2.subsetOf(y._2)
+    } yield (x._1, y._1)).sorted
+    def expOuter(pairs: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      sets.map(_._1).flatMap { x =>
+        val m = pairs.filter(_._1 == x).map(_._2)
+        if (m.isEmpty) Seq((x, -1L)) else m.map((x, _))
+      }.sorted
+    def collect(dfj: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      dfj.select("a", "b").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSeq.sorted
+    // subset on the LEFT: "annotate each row with its covering rows"
+    val condSub = size(array_except(col("ta"), col("tb"))) === 0 &&
+      col("a") =!= col("b")
+    val jo = aa.join(bb, condSub, "left_outer")
+    val planSub = jo.queryExecution.executedPlan.toString
+    assert(planSub.contains("graft_sst") && planSub.contains("Union"),
+      s"subset-left outer must rewrite:\n${planSub.take(3000)}")
+    assert(collect(jo) === expOuter(subPairs), "subset-left outer")
+    // MIRRORED: superset on the LEFT — "annotate each row with the
+    // rows it covers" (Inner ∪ anti×nulls decomposition)
+    val condSup = size(array_except(col("tb"), col("ta"))) === 0 &&
+      col("a") =!= col("b")
+    val supPairs = subPairs.map { case (x, y) => (y, x) }.sorted
+    val jm = aa.join(bb, condSup, "left_outer")
+    val planSup = jm.queryExecution.executedPlan.toString
+    assert(planSup.contains("graft_sst") && planSup.contains("Union"),
+      s"mirrored outer must rewrite:\n${planSup.take(3000)}")
+    assert(collect(jm) === expOuter(supPairs), "mirrored outer")
+    // bag semantics: duplicated left rows double every output row
+    // (matched AND null-extended) in both orientations
+    assert(aa.union(aa).join(bb, condSub, "left_outer").count()
+      === 2L * expOuter(subPairs).size)
+    assert(aa.union(aa).join(bb, condSup, "left_outer").count()
+      === 2L * expOuter(supPairs).size)
+    // without the ∅ row, matches must come from the token branches
+    // alone and the null-extension set changes accordingly
+    val aaN = aa.filter(col("a") =!= 4L)
+    val bbN = bb.filter(col("b") =!= 4L)
+    val supPairsN = supPairs.filter(p => p._1 != 4L && p._2 != 4L)
+    val expN = sets.map(_._1).filter(_ != 4L).flatMap { x =>
+      val m = supPairsN.filter(_._1 == x).map(_._2)
+      if (m.isEmpty) Seq((x, -1L)) else m.map((x, _))
+    }.sorted
+    assert(collect(aaN.join(bbN, condSup, "left_outer")) === expN,
+      "mirrored outer without the empty-set row")
+  }
+
   test("defense in depth: non-deterministic array side stands down at the rule gate") {
     // Spark's analyzer rejects non-deterministic join conditions, so
     // this shape cannot arrive through the DataFrame API — apply the
