@@ -71,16 +71,22 @@ object DedupPack extends QueryPack {
       .filter(col("n_docs") > 1)
       .orderBy("lang", "set_key")
 
-  /** General exact-Jaccard pair join (the O(n²/blocks) operator, kept on a
-    * 1-in-4 systematic sample so the quadratic term stays honest at bench
-    * scale): blocked by `lang`, with the PPJoin-style size filter inside
-    * the join condition — J(A,B) ≥ τ ⟹ τ·|A| ≤ |B| ≤ |A|/τ — which prunes
-    * without changing the result. Jaccard is an exact-int ratio →
-    * bit-equal.
+  /** General exact-Jaccard pair join — the DELIBERATELY-NAIVE O(n²/blocks)
+    * pedagogical foil (its scalable twins are q61 canonical grouping and
+    * q62 MinHash LSH; the quadratic-vs-LSH law lives in
+    * [[graft.tools.DedupScaleProbe]]). Kept on a FIXED-SIZE demonstration
+    * slice (1-in-4 systematic sample ∩ doc_id < 1200 — a no-op at the
+    * sf0.01 gate, constant above sf0.1) so a by-design-quadratic query
+    * cannot distort cross-round wall-time records at higher SFs (the r10
+    * sf1 sweep measured it 33× past linear unbounded). Blocked by `lang`,
+    * with the PPJoin-style size filter inside the join condition —
+    * J(A,B) ≥ τ ⟹ τ·|A| ≤ |B| ≤ |A|/τ — which prunes without changing
+    * the result. Jaccard is an exact-int ratio → bit-equal.
     */
   private def q65(s: SparkSession, dir: String): DataFrame = {
     val tau = 0.98
-    val a = docToks(s, dir).filter(col("doc_id") % 4 === 0)
+    val a = docToks(s, dir)
+      .filter(col("doc_id") % 4 === 0 && col("doc_id") < 1200)
       .withColumn("sz", size(col("ts")))
     val b = a.select(col("doc_id").as("doc_id2"), col("lang").as("lang2"),
       col("ts").as("ts2"), col("sz").as("sz2"))
@@ -578,7 +584,7 @@ object DedupPack extends QueryPack {
          |ORDER BY lang, set_key""".stripMargin,
     "q65_jaccard_pairs" ->
       s"""WITH t AS (SELECT doc_id, lang, $duckToks AS ts FROM documents
-         |           WHERE doc_id % 4 = 0)
+         |           WHERE doc_id % 4 = 0 AND doc_id < 1200)
          |SELECT a.doc_id, b.doc_id AS doc_id2, a.lang,
          | CAST(len(list_intersect(a.ts, b.ts)) AS INT)
          |   / CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS INT)
