@@ -489,7 +489,28 @@ object SetSimilarityJoinBlocking extends Rule[LogicalPlan]
         val (sub, sup) = (c0.sub, c0.sup)
         val ArrayType(supEt, _) = sup.dataType: @unchecked
         val tok = AttributeReference(tokColName, supEt)()
-        val minTok = ArrayMin(ArrayDistinct(sub))
+        // The probe key is SOME deterministic element of distinct(sub)
+        // — any total order works, because the sup side explodes its
+        // FULL distinct set (for a qualifying pair every element of
+        // sub, in particular the chosen one, appears in sup's explode
+        // exactly once). Plain value order concentrates on frequency-
+        // skewed vocabularies: token ids are assigned by frequency,
+        // so the ubiquitous smallest id is the minimal element of
+        // MOST sets and its bucket goes quadratic (measured in
+        // ContainSkewProbe). `spark.graft.setsim.stopTokens` (the
+        // PPJoin stats-out-of-band doctrine, STRING elements) demotes
+        // the listed hot tokens to the END of the order, so the probe
+        // key becomes the RAREST available element and the hot bucket
+        // drains — soundness unchanged.
+        val stops = ordering(sub)
+        val minTok =
+          if (stops.isEmpty) ArrayMin(ArrayDistinct(sub))
+          else {
+            val ArrayType(subEt, subCn) = sub.dataType: @unchecked
+            val x = NamedLambdaVariable("graft_ssc", subEt, subCn)
+            GetStructField(ArrayMin(ArrayTransform(ArrayDistinct(sub),
+              LambdaFunction(orderKey(x, stops), Seq(x)))), 1, Some("t"))
+          }
         val altC = EqualTo(Size(ArrayIntersect(sub, sup)),
           Size(ArrayDistinct(sub)))
         val cond2 = conjuncts.map(c => if (c eq c0.conjunct) altC else c)

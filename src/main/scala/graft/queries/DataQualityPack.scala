@@ -88,9 +88,15 @@ object DataQualityPack extends QueryPack {
     * broadcasts back, so the clip pass adds no shuffle. At 100 TB the
     * fence pass swaps `percentile` for `approx_percentile` (the q142
     * scale note) — clipping semantics are unchanged. Exact interpolated
-    * percentiles match DuckDB `quantile_cont` (q38 doctrine); the
-    * winsorized sum is a multi-row double agg → round(2) absorbs
-    * accumulation order.
+    * percentiles match DuckDB `quantile_cont` (q38 doctrine). The
+    * winsorized sum DECOMPOSES instead of accumulating doubles:
+    * unclipped prices are cents-exact → an exact integer mid-sum, and
+    * each clipped tail contributes count × fence — ONE multiplication
+    * per tail, so the final three-term double expression is
+    * bit-identical across engines at ANY scale. (The r10 spelling
+    * `round(sum(double), 2)` was oracle-green at sf0.01 but the r11
+    * sf1 gate measured 2e-2 of accumulation-order drift at 6M rows —
+    * exactly the fp class the gate exists to catch.)
     */
   private def q167(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem")
@@ -105,8 +111,13 @@ object DataQualityPack extends QueryPack {
           .as("n_clip_lo"),
         sum(when(col("x") > col("hi"), 1).otherwise(0)).cast("long")
           .as("n_clip_hi"),
-        round(sum(greatest(least(col("x"), col("hi")), col("lo"))), 2)
-          .as("winsorized_sum"))
+        sum(when(col("x") >= col("lo") && col("x") <= col("hi"),
+          round(col("x") * 100).cast("long")).otherwise(0L))
+          .as("mid_cents"),
+        min(col("lo")).as("lo"), min(col("hi")).as("hi"))
+      .select(col("rf"), col("n"), col("n_clip_lo"), col("n_clip_hi"),
+        (col("mid_cents") / 100.0 + col("n_clip_lo") * col("lo")
+          + col("n_clip_hi") * col("hi")).as("winsorized_sum"))
       .orderBy("rf")
   }
 
@@ -262,16 +273,23 @@ object DataQualityPack extends QueryPack {
         | SELECT l_returnflag AS rf,
         |  quantile_cont(l_extendedprice, 0.05) AS lo,
         |  quantile_cont(l_extendedprice, 0.95) AS hi
-        | FROM lineitem GROUP BY 1)
-        |SELECT l.l_returnflag AS rf, CAST(count(*) AS BIGINT) AS n,
-        | CAST(sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS n_clip_lo,
-        | CAST(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS n_clip_hi,
-        | round(sum(greatest(least(l_extendedprice, hi), lo)), 2)
+        | FROM lineitem GROUP BY 1),
+        |g AS (
+        | SELECT l.l_returnflag AS rf, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_clip_lo,
+        |  CAST(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_clip_hi,
+        |  CAST(sum(CASE WHEN l_extendedprice >= lo AND l_extendedprice <= hi
+        |       THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+        |       ELSE 0 END) AS BIGINT) AS mid_cents,
+        |  min(lo) AS lo, min(hi) AS hi
+        | FROM lineitem l JOIN f ON l.l_returnflag = f.rf
+        | GROUP BY 1)
+        |SELECT rf, n, n_clip_lo, n_clip_hi,
+        | mid_cents / 100.0 + n_clip_lo * lo + n_clip_hi * hi
         |   AS winsorized_sum
-        |FROM lineitem l JOIN f ON l.l_returnflag = f.rf
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM g ORDER BY rf""".stripMargin,
     "q127_column_profile" ->
       """WITH stacked AS (
         | SELECT 'l_quantity' AS column_name, l_quantity AS value

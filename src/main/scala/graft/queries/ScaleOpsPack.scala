@@ -493,9 +493,10 @@ object ScaleOpsPack extends QueryPack {
     * least-squares sums (the q185 Zipf doctrine: never `regr_*`
     * aggregates, whose accumulation schemes differ across engines): x =
     * days since the global first order, y = exact daily cents; n, Σx,
-    * Σy, Σxy, Σx², Σy² are all exact longs (bounded: x is
-    * calendar-scaled, so the largest product nΣxy sits well inside
-    * 2⁶³ at any corpus size — the CENTS grow, not x), and slope /
+    * Σy, Σxy, Σx² are exact longs (x is calendar-scaled, so the raw
+    * sums stay inside 2⁶³), but the normal-equation PRODUCTS n·Σxy,
+    * Σx·Σy grow with the cents and cross 2⁶³ near sf1, so the
+    * num/den algebra and Σy² ride exact DECIMAL(38,0); slope /
     * intercept / r² are built from them in one identical double
     * sequence. Complements q196/q239 (model-based smoothing) with the
     * closed-form trend a reporting layer wants. One reduce to the
@@ -524,10 +525,18 @@ object ScaleOpsPack extends QueryPack {
       sum(col("x") * col("y")).as("sxy"),
       sum(col("x") * col("x")).as("sxx"),
       sum(dy * dy).as("syy"))
-    val num = (col("n") * col("sxy") - col("sx") * col("sy"))
-      .cast("double")
-    val den = (col("n") * col("sxx") - col("sx") * col("sx"))
-      .cast("double")
+    // num/den algebra rides DECIMAL(38,0) too: n·Σxy and Σx·Σy are
+    // ~2e19 at sf1 (Σxy grows with the cents even though x is
+    // calendar-bounded) — past 2⁶³, where ANSI long multiply throws.
+    // DuckDB never overflowed only because its sum(BIGINT) is already
+    // HUGEINT; the exact integers cast to the same double either way,
+    // so the sf0.01 hash is unchanged. (Caught by the r11 sf1 oracle
+    // gate — the scaladoc previously CLAIMED nΣxy ≪ 2⁶³ at any size.)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val num = (dec(col("n")) * dec(col("sxy"))
+      - dec(col("sx")) * dec(col("sy"))).cast("double")
+    val den = (dec(col("n")) * dec(col("sxx"))
+      - dec(col("sx")) * dec(col("sx"))).cast("double")
     val deny = col("n").cast("double") * col("syy").cast("double") -
       col("sy").cast("double") * col("sy").cast("double")
     sums.select(col("priority"), col("n").as("n_days"),

@@ -461,7 +461,11 @@ object TpchShapesPack extends QueryPack {
     * aggregation (distinct suppliers, distinct late suppliers, the
     * unique late suppkey via a conditional min) — one shuffle on
     * orderkey instead of two extra self-joins of lineitem; the oracle
-    * states the same semantics in CTE form.
+    * states the same semantics in CTE form. Both sides aggregate at
+    * SUPPKEY grain (the oracle groups by guilty, s_name): an s_name
+    * grouping is only equivalent while names are unique — the sf1
+    * InflateSf corpus repeats names across key-shifted copies and the
+    * r11 sf1 oracle gate caught the grains diverging 10×.
     */
   private def q140(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.load(s, dir, "orders")
@@ -607,7 +611,8 @@ object TpchShapesPack extends QueryPack {
         |SELECT s_name, count(*) AS numwait
         |FROM po JOIN supplier ON guilty = s_suppkey
         |WHERE n_supp > 1 AND n_late = 1
-        |GROUP BY 1 ORDER BY numwait DESC, s_name""".stripMargin,
+        |GROUP BY guilty, s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin,
     "q124_small_qty_revenue" ->
       """WITH a AS (
         | SELECT l_partkey AS ap_partkey, avg(l_quantity) AS avg_qty

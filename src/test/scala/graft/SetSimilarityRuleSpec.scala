@@ -717,6 +717,56 @@ class SetSimilarityRuleSpec extends SparkSpecBase {
       "mirrored outer without the empty-set row")
   }
 
+  test("containment probe key: stopTokens demotes the hot min token, results identical") {
+    val s = spark
+    import s.implicits._
+    // "aa" is the value-order minimum of EVERY set — the hot-bucket
+    // regime; demoting it must flip the probe key to the rarest
+    // element without changing any verdict (the key may be ANY
+    // deterministic element of distinct(sub) — ContainSkewProbe
+    // measures the law, this pins the mechanics)
+    val xy = Seq((1L, "aa p"), (2L, "aa p q"), (3L, "aa r z"),
+      (4L, "aa z"), (5L, "aa q"), (6L, "aa p q r z"))
+    val df = xy.toDF("id", "s").select(col("id"),
+      expr("filter(split(s, ' '), x -> x <> '')").as("toks"))
+    val aa = df.select(col("id").as("a"), col("toks").as("ta"))
+    val bb = df.select(col("id").as("b"), col("toks").as("tb"))
+    val cond = size(array_except(col("ta"), col("tb"))) === 0 &&
+      col("a") =!= col("b")
+    def pairs(j: org.apache.spark.sql.DataFrame) =
+      j.select("a", "b").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSeq.sorted
+    val jPlain = aa.join(bb, cond)
+    assert(!jPlain.queryExecution.optimizedPlan.toString
+      .contains("graft_ssc"), "no surrogate without the conf")
+    val base = pairs(jPlain)
+    val baseSemi = aa.join(bb, cond, "left_semi").select("a").collect()
+      .map(_.getLong(0)).toSeq.sorted
+    val baseOuter = pairs(aa.join(bb, cond, "left_outer"))
+    spark.conf.set("spark.graft.setsim.stopTokens", "aa")
+    try {
+      val j = aa.join(bb, cond)
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("graft_sst") && p.contains("graft_ssc"),
+        s"demoted key must use the order surrogate:\n${p.take(3000)}")
+      assert(pairs(j) === base, "inner parity under demotion")
+      assert(aa.join(bb, cond, "left_semi").select("a").collect()
+        .map(_.getLong(0)).toSeq.sorted === baseSemi,
+        "semi parity under demotion")
+      assert(aa.join(bb, cond, "left_anti").count()
+        === (xy.size - baseSemi.size).toLong, "anti parity under demotion")
+      assert(pairs(aa.join(bb, cond, "left_outer")) === baseOuter,
+        "outer parity under demotion")
+      // mirrored orientation rides the same key
+      val jm = aa.join(bb,
+        size(array_except(col("tb"), col("ta"))) === 0 &&
+          col("a") =!= col("b"))
+      assert(jm.queryExecution.optimizedPlan.toString.contains("graft_ssc"))
+      assert(pairs(jm) === base.map { case (x, y) => (y, x) }.sorted)
+    } finally spark.conf.unset("spark.graft.setsim.stopTokens")
+  }
+
   test("defense in depth: non-deterministic array side stands down at the rule gate") {
     // Spark's analyzer rejects non-deterministic join conditions, so
     // this shape cannot arrive through the DataFrame API — apply the
