@@ -101,7 +101,7 @@ object ClassicOpsPack extends QueryPack {
     val wide = Tables.load(s, dir, "orders")
       .groupBy("o_orderpriority")
       .pivot(year(col("o_orderdate")), years.map(Integer.valueOf))
-      .agg(round(sum("o_totalprice"), 2))
+      .agg(moneySum2(col("o_totalprice")))
     wide.unpivot(
       Array(col("o_orderpriority")),
       years.map(y => col(s"`$y`")).toArray,
@@ -338,7 +338,7 @@ object ClassicOpsPack extends QueryPack {
     "q216_unpivot" ->
       """SELECT o_orderpriority,
         | CAST(year(o_orderdate) AS VARCHAR) AS yr,
-        | round(sum(o_totalprice), 2) AS revenue
+        | round(sum(CAST(round((o_totalprice) * 10000) AS BIGINT)) / 10000.0, 2) AS revenue
         |FROM orders GROUP BY 1, 2
         |ORDER BY o_orderpriority, yr""".stripMargin,
     "q217_acf_revenue" ->

@@ -35,8 +35,8 @@ object JoinsAggs extends QueryPack {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum("l_quantity").as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        moneySum2(col("l_extendedprice")).as("sum_base_price"),
+        moneySum2(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("sum_disc_price"),
         avg("l_quantity").as("avg_qty"),
         count(lit(1)).as("count_order"))
@@ -51,7 +51,7 @@ object JoinsAggs extends QueryPack {
     val part = Tables.load(s, dir, "part").select("p_partkey", "p_brand")
     li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
       .groupBy("p_brand")
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+      .agg(moneySum2(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .as("revenue"))
       .orderBy(col("revenue").desc, col("p_brand"))
       .limit(10)
@@ -84,7 +84,7 @@ object JoinsAggs extends QueryPack {
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy("r_name", "n_name")
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+      .agg(moneySum2(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .as("revenue"))
       .orderBy("r_name", "n_name")
   }
@@ -203,7 +203,7 @@ object JoinsAggs extends QueryPack {
         col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
         col("l_discount").between(0.05, 0.07) &&
         col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+      .agg(moneySum2(col("l_extendedprice") * col("l_discount"))
         .as("revenue"))
 
   /** ROLLUP — hierarchical totals (beyond the reference, standard warehouse
@@ -338,7 +338,7 @@ object JoinsAggs extends QueryPack {
     Tables.load(s, dir, "events")
       .groupBy(floor(col("value") / 50).cast("int").as("bucket"))
       .agg(count(lit(1)).as("n"),
-        round(sum("value"), 2).as("mass"))
+        moneySum2(col("value")).as("mass"))
       .orderBy("bucket")
 
   /** q99 — percent-of-total reporting: brand revenue share via a window
@@ -350,7 +350,7 @@ object JoinsAggs extends QueryPack {
       .join(broadcast(Tables.load(s, dir, "part")),
         col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
-      .agg(round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .agg(moneySum2(col("l_extendedprice")).as("revenue"))
     rev
       .withColumn("share_pct",
         round(lit(100.0) * col("revenue") /
@@ -384,7 +384,7 @@ object JoinsAggs extends QueryPack {
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+      .agg(moneySum2(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
@@ -881,7 +881,7 @@ object JoinsAggs extends QueryPack {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q100_local_supplier_volume" ->
       """SELECT n_name,
-        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        | round(sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)) / 10000.0, 2) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -912,11 +912,11 @@ object JoinsAggs extends QueryPack {
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
     "q98_value_histogram" ->
       """SELECT CAST(floor(value / 50) AS INT) AS bucket,
-        | count(*) AS n, round(sum(value), 2) AS mass
+        | count(*) AS n, round(sum(CAST(round((value) * 10000) AS BIGINT)) / 10000.0, 2) AS mass
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q99_revenue_share" ->
       """WITH rev AS (
-        | SELECT p_brand, round(sum(l_extendedprice), 2) AS revenue
+        | SELECT p_brand, round(sum(CAST(round((l_extendedprice) * 10000) AS BIGINT)) / 10000.0, 2) AS revenue
         | FROM lineitem JOIN part ON l_partkey = p_partkey
         | GROUP BY p_brand)
         |SELECT p_brand, revenue,
@@ -946,8 +946,8 @@ object JoinsAggs extends QueryPack {
     "q20_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,
-        | round(sum(l_extendedprice), 2) AS sum_base_price,
-        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        | round(sum(CAST(round((l_extendedprice) * 10000) AS BIGINT)) / 10000.0, 2) AS sum_base_price,
+        | round(sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)) / 10000.0, 2) AS sum_disc_price,
         | avg(l_quantity) AS avg_qty,
         | count(*) AS count_order
         |FROM lineitem
@@ -956,7 +956,7 @@ object JoinsAggs extends QueryPack {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q21_revenue_topk_brand" ->
       """SELECT p_brand,
-        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        | round(sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)) / 10000.0, 2) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand
         |ORDER BY revenue DESC, p_brand LIMIT 10""".stripMargin,
@@ -966,7 +966,7 @@ object JoinsAggs extends QueryPack {
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
     "q23_star_join_revenue" ->
       """SELECT r_name, n_name,
-        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        | round(sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)) / 10000.0, 2) AS revenue
         |FROM lineitem
         | JOIN orders ON l_orderkey = o_orderkey
         | JOIN customer ON o_custkey = c_custkey
@@ -1027,7 +1027,7 @@ object JoinsAggs extends QueryPack {
         |FROM big_lines JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q34_range_agg" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      """SELECT round(sum(CAST(round((l_extendedprice * l_discount) * 10000) AS BIGINT)) / 10000.0, 2) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'

@@ -37,7 +37,7 @@ object JsonPack extends QueryPack {
       .groupBy((col("k") % 10).as("k_bucket"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum("value"), 2).as("total_value"))
+        moneySum2(col("value")).as("total_value"))
       .orderBy("k_bucket")
   }
 
@@ -83,6 +83,6 @@ object JsonPack extends QueryPack {
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10
         |   AS k_bucket,
         | count(*) AS n_events,
-        | round(sum(value), 2) AS total_value
+        | round(sum(CAST(round((value) * 10000) AS BIGINT)) / 10000.0, 2) AS total_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -83,9 +83,11 @@ object LakehousePack extends QueryPack {
     Tables.load(s, dir, "events")
       .withColumn("__salt", pmod(col("event_id"), lit(16L)).cast("int"))
       .groupBy("event_type", "__salt")
-      .agg(count(lit(1)).as("c"), sum("value").as("v"))
+      .agg(count(lit(1)).as("c"),
+        sum(round(col("value") * 10000).cast("long")).as("v"))
       .groupBy("event_type")
-      .agg(sum("c").as("n_events"), round(sum("v"), 2).as("total_value"))
+      .agg(sum("c").as("n_events"),
+        round(sum("v") / 10000.0, 2).as("total_value"))
       .orderBy("event_type")
 
   /** q129 — incremental aggregate maintenance (materialized-view merge):
@@ -686,7 +688,7 @@ object LakehousePack extends QueryPack {
         |GROUP BY p.event_id ORDER BY p_id""".stripMargin,
     "q79_salted_agg" ->
       """SELECT event_type, count(*) AS n_events,
-        | round(sum(value), 2) AS total_value
+        | round(sum(CAST(round((value) * 10000) AS BIGINT)) / 10000.0, 2) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q129_incremental_agg" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,

@@ -65,7 +65,7 @@ object MedallionPack extends QueryPack {
       .join(li, col("order_id") === col("l_orderkey"))
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
-      .agg(round(sum("l_extendedprice"), 2).as("revenue"))
+      .agg(moneySum2(col("l_extendedprice")).as("revenue"))
       .orderBy(col("revenue").desc, col("p_brand"))
       .limit(10)
   }
@@ -193,7 +193,7 @@ object MedallionPack extends QueryPack {
          |GROUP BY traffic_source ORDER BY traffic_source""".stripMargin,
     "q93_gold_revenue" ->
       s"""WITH $silverCtes
-         |SELECT p_brand, round(sum(l_extendedprice), 2) AS revenue
+         |SELECT p_brand, round(sum(CAST(round((l_extendedprice) * 10000) AS BIGINT)) / 10000.0, 2) AS revenue
          |FROM (SELECT order_id FROM silver WHERE event_type = 'purchase') s
          | JOIN lineitem ON s.order_id = l_orderkey
          | JOIN part ON l_partkey = p_partkey

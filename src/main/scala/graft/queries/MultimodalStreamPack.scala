@@ -169,7 +169,7 @@ object MultimodalStreamPack extends QueryPack {
       .withColumn("ts_ts", Tables.tsMicros(col("ts")))
       .groupBy(window(col("ts_ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum("value"), 2).as("total_value"))
+        moneySum2(col("value")).as("total_value"))
       .select(col("window.start").as("day_start"), col("event_type"),
         col("n_events"), col("total_value"))
       .orderBy("day_start", "event_type")
@@ -185,7 +185,7 @@ object MultimodalStreamPack extends QueryPack {
       .withColumn("ts_ts", Tables.tsMicros(col("ts")))
       .groupBy(window(col("ts_ts"), "2 days", "1 day"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum("value"), 2).as("total_value"))
+        moneySum2(col("value")).as("total_value"))
       .select(col("window.start").as("win_start"),
         col("n_events"), col("total_value"))
       .orderBy("win_start")
@@ -313,12 +313,12 @@ object MultimodalStreamPack extends QueryPack {
         |  ]) AS win_start
         | FROM events)
         |SELECT win_start, count(*) AS n_events,
-        | round(sum(value), 2) AS total_value
+        | round(sum(CAST(round((value) * 10000) AS BIGINT)) / 10000.0, 2) AS total_value
         |FROM w GROUP BY win_start ORDER BY win_start""".stripMargin,
     "q58_tumbling_window" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
         | event_type, count(*) AS n_events,
-        | round(sum(value), 2) AS total_value
+        | round(sum(CAST(round((value) * 10000) AS BIGINT)) / 10000.0, 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY day_start, event_type""".stripMargin,
     "q49_session_window" ->
       """WITH flagged AS (

@@ -49,7 +49,7 @@ object OlistSurfacePack extends QueryPack {
         .select("n_nationkey", "n_name")),
         col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("seller_state"))
-      .agg(round(sum("r"), 2).as("revenue"),
+      .agg(moneySum2(col("r")).as("revenue"),
         countDistinct("s_suppkey").as("n_sellers"))
       .orderBy(col("revenue").desc, col("seller_state"))
 
@@ -153,7 +153,7 @@ object OlistSurfacePack extends QueryPack {
       .join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .join(broadcast(mapping), Seq("p_brand"), "left")
       .groupBy(coalesce(col("brand_en"), col("p_brand")).as("category"))
-      .agg(round(sum("r"), 2).as("revenue"), count(lit(1)).as("n_items"))
+      .agg(moneySum2(col("r")).as("revenue"), count(lit(1)).as("n_items"))
       .orderBy("category")
   }
 
@@ -176,7 +176,7 @@ object OlistSurfacePack extends QueryPack {
   override val oracle: Seq[(String, String)] = Seq(
     "q246_seller_state_revenue" ->
       """SELECT n_name AS seller_state,
-        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        | round(sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)) / 10000.0, 2) AS revenue,
         | CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_sellers
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -229,7 +229,7 @@ object OlistSurfacePack extends QueryPack {
          | FROM (SELECT DISTINCT p_brand FROM part)
          | WHERE ${duckU32("p_brand", "tr")} % 2 = 0)
          |SELECT coalesce(m.brand_en, p.p_brand) AS category,
-         | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+         | round(sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)) / 10000.0, 2) AS revenue,
          | CAST(count(*) AS BIGINT) AS n_items
          |FROM lineitem
          |JOIN part p ON l_partkey = p_partkey

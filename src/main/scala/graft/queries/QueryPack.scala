@@ -31,6 +31,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 trait QueryPack {
   def queries: Seq[(String, (SparkSession, String) => DataFrame)]
   def oracle: Seq[(String, String)]
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{round, sum}
+
+  /** Exact 2-dp money sum — the q86/q118 10⁻⁴-unit doctrine promoted
+    * to the shared surface by the r11 sf1 oracle gate: each 4-dp-exact
+    * money term (price, price×discount products) rounds to an integral
+    * ten-thousandth BEFORE the sum, so the aggregate is ONE exact long
+    * — bit-reproducible across engines, partition counts, and retries
+    * at any scale — and returns to 2-dp money after. The
+    * `round(sum(double), 2)` spelling only absorbs accumulation order
+    * while the error stays under 5e-3: the sf1 gate measured the TPC-H
+    * revenue sums crossing that at 6M rows (and DuckDB's parallel
+    * aggregation made the verdict flip run-to-run). Use for any money
+    * sum whose TERM COUNT grows with the corpus (global / per-category
+    * grains); bounded per-entity sums (per order, per customer) may
+    * keep the plain spelling. The DuckDB twin is
+    * `round(sum(CAST(round((expr) * 10000) AS BIGINT)) / 10000.0, 2)`. */
+  protected def moneySum2(term: Column): Column =
+    round(sum(round(term * 10000).cast("long")) / 10000.0, 2)
 }
 
 /** The ONE whitespace tokenizer every text-processing pack shares.

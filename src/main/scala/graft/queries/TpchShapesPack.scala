@@ -55,7 +55,7 @@ object TpchShapesPack extends QueryPack {
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).as("l_year"))
-      .agg(round(sum(rev), 2).as("revenue"))
+      .agg(moneySum2(rev).as("revenue"))
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
@@ -92,9 +92,9 @@ object TpchShapesPack extends QueryPack {
       .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg(
-        round(sum(when(col("supp_nation") === target, rev).otherwise(0.0)), 2)
+        moneySum2(when(col("supp_nation") === target, rev).otherwise(0.0))
           .as("nation_rev"),
-        round(sum(rev), 2).as("total_rev"))
+        moneySum2(rev).as("total_rev"))
       .withColumn("mkt_share", col("nation_rev") / col("total_rev"))
       .orderBy("o_year")
   }
@@ -163,9 +163,9 @@ object TpchShapesPack extends QueryPack {
       .select("l_partkey", "l_extendedprice", "l_discount")
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .agg(
-        round(sum(when(col("p_type") === "PROMO", rev).otherwise(0.0)), 2)
+        moneySum2(when(col("p_type") === "PROMO", rev).otherwise(0.0))
           .as("promo_rev"),
-        round(sum(rev), 2).as("total_rev"))
+        moneySum2(rev).as("total_rev"))
       .withColumn("promo_pct",
         lit(100.0) * col("promo_rev") / col("total_rev"))
   }
@@ -208,7 +208,7 @@ object TpchShapesPack extends QueryPack {
       .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy("c_nationkey")
       .agg(count(lit(1)).as("numcust"),
-        round(sum("c_acctbal"), 2).as("totacctbal"))
+        moneySum2(col("c_acctbal")).as("totacctbal"))
       .orderBy("c_nationkey")
   }
 
@@ -642,7 +642,7 @@ object TpchShapesPack extends QueryPack {
     "q116_nation_trade_flow" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         | CAST(year(l.l_shipdate) AS INT) AS l_year,
-        | round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+        | round(sum(CAST(round((l.l_extendedprice * (1.0 - l.l_discount)) * 10000) AS BIGINT)) / 10000.0, 2) AS revenue
         |FROM lineitem l
         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
@@ -670,11 +670,10 @@ object TpchShapesPack extends QueryPack {
         | JOIN supplier s ON l.l_suppkey = s.s_suppkey
         | JOIN nation sn ON s.s_nationkey = sn.n_nationkey)
         |SELECT o_year,
-        | round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
-        |   ELSE 0.0 END), 2) AS nation_rev,
-        | round(sum(volume), 2) AS total_rev,
-        | round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
-        |   ELSE 0.0 END), 2) / round(sum(volume), 2) AS mkt_share
+        | round(sum(CAST(round((CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END) * 10000) AS BIGINT)) / 10000.0, 2) AS nation_rev,
+        | round(sum(CAST(round((volume) * 10000) AS BIGINT)) / 10000.0, 2) AS total_rev,
+        | round(sum(CAST(round((CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END) * 10000) AS BIGINT)) / 10000.0, 2)
+        |   / round(sum(CAST(round((volume) * 10000) AS BIGINT)) / 10000.0, 2) AS mkt_share
         |FROM base GROUP BY o_year ORDER BY o_year""".stripMargin,
     "q118_product_profit" ->
       """SELECT n.n_name AS nation,
@@ -702,14 +701,10 @@ object TpchShapesPack extends QueryPack {
         |GROUP BY 1 ORDER BY l_linestatus""".stripMargin,
     "q120_promo_share" ->
       """SELECT
-        | round(sum(CASE WHEN p.p_type = 'PROMO'
-        |   THEN l.l_extendedprice * (1.0 - l.l_discount)
-        |   ELSE 0.0 END), 2) AS promo_rev,
-        | round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS total_rev,
-        | 100.0 * round(sum(CASE WHEN p.p_type = 'PROMO'
-        |   THEN l.l_extendedprice * (1.0 - l.l_discount)
-        |   ELSE 0.0 END), 2) / round(sum(l.l_extendedprice *
-        |   (1.0 - l.l_discount)), 2) AS promo_pct
+        | round(sum(CAST(round((CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1.0 - l.l_discount) ELSE 0.0 END) * 10000) AS BIGINT)) / 10000.0, 2) AS promo_rev,
+        | round(sum(CAST(round((l.l_extendedprice * (1.0 - l.l_discount)) * 10000) AS BIGINT)) / 10000.0, 2) AS total_rev,
+        | 100.0 * round(sum(CAST(round((CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1.0 - l.l_discount) ELSE 0.0 END) * 10000) AS BIGINT)) / 10000.0, 2)
+        |   / round(sum(CAST(round((l.l_extendedprice * (1.0 - l.l_discount)) * 10000) AS BIGINT)) / 10000.0, 2) AS promo_pct
         |FROM lineitem l
         |JOIN part p ON l.l_partkey = p.p_partkey
         |WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
@@ -726,7 +721,7 @@ object TpchShapesPack extends QueryPack {
         |ORDER BY big.total_qty DESC, o.o_orderkey LIMIT 20""".stripMargin,
     "q122_idle_rich_customers" ->
       """SELECT c.c_nationkey, count(*) AS numcust,
-        | round(sum(c.c_acctbal), 2) AS totacctbal
+        | round(sum(CAST(round((c.c_acctbal) * 10000) AS BIGINT)) / 10000.0, 2) AS totacctbal
         |FROM customer c
         |WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
         |   WHERE c_acctbal > 0.0)
