@@ -48,19 +48,25 @@ object ContainSkewProbe {
     val v = args.lift(4).map(_.toInt).getOrElse(5000)
     val spark = Sessions.local("graft-contain-skew")
 
+    // split()-born arrays carry containsNull=false — the arm's
+    // eligibility gate; array() over pmod-derived strings is marked
+    // nullable and the rule (correctly) stands down, which this
+    // probe's first draft measured as "three identical naive arms"
+    // until the fire assertions below were added
     def rare(cp: Int, seed: Column): Column =
       concat(lit(s"c${cp}_t"),
         lpad(pmod(hash(seed), lit(v)).cast("string"), 6, "0"))
     def sups(cp: Int): DataFrame =
       spark.range(nO.toLong).toDF("i").select(
         (col("i") + cp * 100000000L).as("id"),
-        array_distinct(array(lit("aa"), rare(cp, col("i") * 3 + 1),
-          rare(cp, col("i") * 3 + 2), rare(cp, col("i") * 3 + 3)))
-          .as("parts"))
+        array_distinct(split(concat_ws(" ", lit("aa"),
+          rare(cp, col("i") * 3 + 1), rare(cp, col("i") * 3 + 2),
+          rare(cp, col("i") * 3 + 3)), " ")).as("parts"))
     def probes(cp: Int): DataFrame =
       spark.range(nA.toLong).toDF("i").select(
         (col("i") + cp * 100000000L).as("aid"),
-        array(lit("aa"), rare(cp, col("i") * 7 + 5)).as("aparts"))
+        split(concat_ws(" ", lit("aa"), rare(cp, col("i") * 7 + 5)), " ")
+          .as("aparts"))
 
     val rule = "graft.plans.SetSimilarityJoinBlocking"
     val stopKey = "spark.graft.setsim.stopTokens"
@@ -81,16 +87,29 @@ object ContainSkewProbe {
           sum(hash(col("aid"), col("id")) * col("count")))
         .collect().head
 
-      // demoted probe key (the mitigation) — runs at every k
+      // demoted probe key (the mitigation) — runs at every k. The
+      // fire assertions keep the probe honest: a silently-ineligible
+      // corpus makes all three arms measure the SAME naive plan and
+      // the identical-bag requires pass vacuously.
       spark.conf.set(stopKey, "aa")
       val (coolBag, tCool) =
-        try RuleToggle.withIncluded(spark, rule)(timed(bag()))
+        try RuleToggle.withIncluded(spark, rule) {
+          val p = inner().queryExecution.executedPlan.toString
+          require(p.contains("graft_sst") && p.contains("graft_ssc"),
+            s"demoted arm must fire with the order surrogate:\n${p.take(2000)}")
+          timed(bag())
+        }
         finally spark.conf.unset(stopKey)
       // hot-bucket rule (value-order min = "aa" everywhere) and the
       // true naive plan — both bucket/loop-quadratic, capped at
       // hotMaxK so the probe terminates
       val (tHot, tNaive) = if (k <= hotMaxK) {
-        val (hotBag, t1) = RuleToggle.withIncluded(spark, rule)(timed(bag()))
+        val (hotBag, t1) = RuleToggle.withIncluded(spark, rule) {
+          val p = inner().queryExecution.executedPlan.toString
+          require(p.contains("graft_sst") && !p.contains("graft_ssc"),
+            s"hot arm must fire on the plain value order:\n${p.take(2000)}")
+          timed(bag())
+        }
         val (naiveBag, t2) =
           RuleToggle.withExcluded(spark, rule)(timed(bag()))
         require(hotBag == coolBag, s"k=$k: hot rule bag != demoted bag")
