@@ -619,14 +619,22 @@ object ScaleOpsPack extends QueryPack {
         |  sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
         | FROM xy GROUP BY priority)
         |SELECT priority, n AS n_days,
-        | CAST(n * sxy - sx * sy AS DOUBLE)
-        |   / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_day,
-        | (CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
-        |     / CAST(n * sxx - sx * sx AS DOUBLE) * sx) / n
+        | CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+        |     AS DOUBLE)
+        |   / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+        |     AS DOUBLE) AS slope_cents_per_day,
+        | (CAST(sy AS DOUBLE)
+        |   - CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+        |       AS DOUBLE)
+        |     / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+        |       AS DOUBLE) * sx) / n
         |   AS intercept_cents,
-        | CAST(n * sxy - sx * sy AS DOUBLE)
-        |   * CAST(n * sxy - sx * sy AS DOUBLE)
-        |   / (CAST(n * sxx - sx * sx AS DOUBLE)
+        | CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+        |     AS DOUBLE)
+        |   * CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+        |     AS DOUBLE)
+        |   / (CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+        |       AS DOUBLE)
         |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
         |         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2
         |FROM sums ORDER BY priority""".stripMargin,

@@ -119,13 +119,25 @@ def compare(name, sql, con):
     return "OK"
 
 
+def connect():
+    """Bounded-memory connection: the default 80%-of-RAM limit let one
+    heavy sf1 oracle exhaust the machine and every later query then
+    failed on tiny allocations (the r11 sf1 gate's q252+ cascade). A
+    hard cap + disk spill keeps single-query failures contained."""
+    con = duckdb.connect()
+    con.execute("PRAGMA memory_limit='24GB'")
+    con.execute("PRAGMA temp_directory='.tmp/duckdb_spill'")
+    for t in TABLES:
+        glob = f"{SF_DIR}/{t}.parquet"
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS FROM parquet_scan('{glob}')")
+    return con
+
+
 def main():
     if not SKIP_SPARK:
         run_spark()
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS FROM parquet_scan('{SF_DIR}/{t}.parquet')")
+    con = connect()
     oracle = json.loads((OUT / "oracle_sql.json").read_text())
     dumped = {p.name for p in OUT.iterdir() if p.is_dir()}
     n_ok = 0
@@ -134,8 +146,17 @@ def main():
             print(f"{name:32s} NO-ORACLE (rows-only check)")
             continue
         verdict = compare(name, oracle[name], con)
+        if verdict.startswith("ORACLE-ERROR"):
+            # a failed query can poison the connection (OOM leaves the
+            # allocator wedged) — reconnect so one bad oracle cannot
+            # cascade into every later verdict
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = connect()
         n_ok += verdict == "OK"
-        print(f"{name:32s} {verdict}")
+        print(f"{name:32s} {verdict}", flush=True)
     print(f"\n{n_ok}/{len(oracle)} oracle-matched")
 
 
