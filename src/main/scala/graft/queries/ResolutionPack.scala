@@ -132,12 +132,17 @@ object ResolutionPack extends QueryPack {
       .otherwise(charGramsL(col("nm"), blockLenCol(col("n_reg"))))
     val gr = recs.crossJoin(broadcast(nReg))
       .select(col("rec_id"), explode(blockGrams).as("g"))
-    // rare-2 selection in ONE pass per grain (r10): corpus df as a
-    // window over the gram shuffle (no gdf join), top-2 via a 15-element
-    // array_sort inside the per-record aggregate (no row_number window)
-    // — same (df, g) tie order, bit-identical rare set
-    val rare = gr
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+    // rare-2 selection: corpus df as a gram-grain AGGREGATE broadcast
+    // back (r11 — the r10 window spelling shuffled the FULL 2M-row
+    // gram explode and sorted it per g; the aggregate map-side-combines
+    // to the ~10k-distinct-gram grain before any exchange and the
+    // explode re-derivation is a columnar no-shuffle pass, cutting the
+    // cold single-shot's dominant stage), then top-2 via a 15-element
+    // array_sort inside the per-record aggregate (no row_number
+    // window) — same (df, g) values and tie order, bit-identical rare
+    // set (ColdProbe A/B + oracle both pinned).
+    val gdf = gr.groupBy("g").agg(count(lit(1)).as("df"))
+    val rare = gr.join(broadcast(gdf), Seq("g"))
       .groupBy("rec_id")
       .agg(slice(array_sort(collect_list(struct(col("df"), col("g")))),
         1, 2).as("t2"))
