@@ -249,27 +249,57 @@ object ResolutionPack extends QueryPack {
     val tr = scored.filter(col("treated") === 1)
       .select(col("id").as("t_id"), col("score").as("t_score"),
         col("y").as("t_y"))
-    val ctl = scored.filter(col("treated") === 0)
-      .select(col("id").as("c_id"), col("score").as("c_score"),
-        col("y").as("c_y"))
-      .withColumn("cell", floor(col("c_score") / Caliper).cast("long"))
-    val texp = tr.withColumn("cell",
-      explode(array(Seq(-1, 0, 1).map(d =>
-        floor(col("t_score") / Caliper).cast("long") + d): _*)))
-    val best = texp.join(ctl, Seq("cell"))
-      .withColumn("gap", abs(col("t_score") - col("c_score")))
-      .filter(col("gap") <= Caliper)
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("t_id").orderBy(col("gap"), col("c_id"))))
-      .filter(col("rk") === 1)
-      .select(col("t_id"), col("c_y"), col("gap"))
-    tr.join(best, Seq("t_id"), "left")
-      .agg(count(lit(1)).as("n_treated"),
-        count(col("c_y")).as("n_matched"),
-        (count(col("c_y")).cast("double") / count(lit(1))).as("match_rate"),
-        (sum(when(col("c_y").isNotNull, col("t_y") - col("c_y")))
-          .cast("double") / count(col("c_y"))).as("att"),
-        round(sum("gap") / count(col("c_y")), 6).as("avg_gap"))
+    // SORT-MERGE nearest-neighbor (r11 — the r10 score-CELL join was
+    // bucket-quadratic: the score range holds only ~1/Caliper ≈ 20
+    // cells, so candidates were |T|·|C|/20 regardless of corpus size;
+    // the sf1 oracle gate's DuckDB replay of it spilled past 60 GB).
+    // The argmin-by-(gap, c_id) winner is always the nearest control
+    // BELOW or ABOVE in score order, so: controls collapse to exact-
+    // score grain (min c_id per score is the only tie candidate — ids
+    // are unique, scores are positive so no ±0.0 grouping hazard),
+    // one union with the treated rows, and two score-ordered LOCF
+    // passes (controls sort BEFORE treated at equal score in BOTH
+    // directions, so gap-0 matches are visible to each pass) carry
+    // the nearest control per side. Winner = least() of the two
+    // (gap, c_id, c_y) structs — least orders structs
+    // lexicographically and SKIPS nulls, which is exactly the
+    // cross-side tie rule. O(n log n) with no candidate blow-up; the
+    // global two-key window runs single-partition at these corpus
+    // grains (the distributed remedy is the GlobalRankRewrite LOCF
+    // arm, once it grows multi-key support).
+    val ctlBest = scored.filter(col("treated") === 0)
+      .groupBy(col("score"))
+      .agg(min(struct(col("id"), col("y"))).as("cb"))
+      .select(col("score"),
+        struct(col("score").as("c_score"), col("cb.id").as("c_id"),
+          col("cb.y").as("c_y")).as("cinfo"))
+    val cinfoType = "struct<c_score:double,c_id:bigint,c_y:bigint>"
+    val merged = tr.select(col("t_id"), col("t_score").as("score"),
+        col("t_y"), lit(1).as("is_t"),
+        lit(null).cast(cinfoType).as("cinfo"))
+      .unionByName(ctlBest.select(lit(null).cast("long").as("t_id"),
+        col("score"), lit(null).cast("long").as("t_y"),
+        lit(0).as("is_t"), col("cinfo")))
+    val w1 = Window.orderBy(col("score").asc, col("is_t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w2 = Window.orderBy(col("score").desc, col("is_t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def side(c: Column): Column =
+      when(c.isNotNull && abs(col("score") - c.getField("c_score"))
+          <= Caliper,
+        struct(abs(col("score") - c.getField("c_score")).as("gap"),
+          c.getField("c_id").as("c_id"), c.getField("c_y").as("c_y")))
+    val cand = merged
+      .withColumn("prevC", last(col("cinfo"), ignoreNulls = true).over(w1))
+      .withColumn("nextC", last(col("cinfo"), ignoreNulls = true).over(w2))
+      .filter(col("is_t") === 1)
+      .withColumn("w", least(side(col("prevC")), side(col("nextC"))))
+    cand.agg(count(lit(1)).as("n_treated"),
+      count(col("w")).as("n_matched"),
+      (count(col("w")).cast("double") / count(lit(1))).as("match_rate"),
+      (sum(when(col("w").isNotNull, col("t_y") - col("w.c_y")))
+        .cast("double") / count(col("w"))).as("att"),
+      round(sum(col("w.gap")) / count(col("w")), 6).as("avg_gap"))
   }
 
   // --- q253: key-skew audit ------------------------------------------------
@@ -512,28 +542,50 @@ object ResolutionPack extends QueryPack {
          | LEFT JOIN outc o ON c.id = o.o_custkey),
          |tr AS (SELECT id AS t_id, score AS t_score, y AS t_y
          | FROM scored WHERE treated = 1),
-         |ctl AS (SELECT id AS c_id, score AS c_score, y AS c_y,
-         |  CAST(floor(score / $Caliper) AS BIGINT) AS cell
-         | FROM scored WHERE treated = 0),
-         |texp AS (
-         | SELECT t_id, t_score, t_y,
-         |  CAST(floor(t_score / $Caliper) AS BIGINT) + d.d AS cell
-         | FROM tr, (SELECT unnest([-1, 0, 1]) AS d) d),
+         |ctlb AS (
+         | SELECT score AS c_score, min(id) AS c_id, arg_min(y, id) AS c_y
+         | FROM scored WHERE treated = 0 GROUP BY score),
+         |merged AS (
+         | SELECT t_id, t_score AS score, t_y, 1 AS is_t,
+         |  CAST(NULL AS DOUBLE) AS c_score, CAST(NULL AS BIGINT) AS c_id,
+         |  CAST(NULL AS BIGINT) AS c_y
+         | FROM tr
+         | UNION ALL
+         | SELECT NULL, c_score, NULL, 0, c_score, c_id, c_y FROM ctlb),
+         |m2 AS (
+         | SELECT t_id, score, t_y, is_t,
+         |  last_value(c_score IGNORE NULLS) OVER w1 AS p_score,
+         |  last_value(c_id IGNORE NULLS) OVER w1 AS p_id,
+         |  last_value(c_y IGNORE NULLS) OVER w1 AS p_y,
+         |  last_value(c_score IGNORE NULLS) OVER w2 AS n_score,
+         |  last_value(c_id IGNORE NULLS) OVER w2 AS n_id,
+         |  last_value(c_y IGNORE NULLS) OVER w2 AS n_y
+         | FROM merged
+         | WINDOW w1 AS (ORDER BY score ASC, is_t ASC
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |  w2 AS (ORDER BY score DESC, is_t ASC
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |cand AS (
+         | SELECT t_id, t_y,
+         |  CASE WHEN abs(score - p_score) <= $Caliper
+         |   THEN abs(score - p_score) END AS gp, p_id, p_y,
+         |  CASE WHEN abs(score - n_score) <= $Caliper
+         |   THEN abs(score - n_score) END AS gn, n_id, n_y
+         | FROM m2 WHERE is_t = 1),
          |best AS (
-         | SELECT t_id, c_y, gap FROM (
-         |  SELECT t.t_id, c.c_y, abs(t.t_score - c.c_score) AS gap,
-         |   row_number() OVER (PARTITION BY t.t_id
-         |     ORDER BY abs(t.t_score - c.c_score), c.c_id) AS rk
-         |  FROM texp t JOIN ctl c USING (cell)
-         |  WHERE abs(t.t_score - c.c_score) <= $Caliper)
-         | WHERE rk = 1)
+         | SELECT t_id, t_y,
+         |  CASE WHEN gp IS NOT NULL AND (gn IS NULL OR gp < gn
+         |    OR (gp = gn AND p_id <= n_id)) THEN gp ELSE gn END AS gap,
+         |  CASE WHEN gp IS NOT NULL AND (gn IS NULL OR gp < gn
+         |    OR (gp = gn AND p_id <= n_id)) THEN p_y ELSE n_y END AS c_y
+         | FROM cand)
          |SELECT CAST(count(*) AS BIGINT) AS n_treated,
-         | CAST(count(b.c_y) AS BIGINT) AS n_matched,
-         | CAST(count(b.c_y) AS DOUBLE) / count(*) AS match_rate,
-         | CAST(sum(CASE WHEN b.c_y IS NOT NULL THEN t.t_y - b.c_y END)
-         |   AS DOUBLE) / count(b.c_y) AS att,
-         | round(sum(b.gap) / count(b.c_y), 6) AS avg_gap
-         |FROM tr t LEFT JOIN best b USING (t_id)""".stripMargin,
+         | CAST(count(c_y) AS BIGINT) AS n_matched,
+         | CAST(count(c_y) AS DOUBLE) / count(*) AS match_rate,
+         | CAST(sum(CASE WHEN c_y IS NOT NULL THEN t_y - c_y END)
+         |   AS DOUBLE) / count(c_y) AS att,
+         | round(sum(gap) / count(c_y), 6) AS avg_gap
+         |FROM best""".stripMargin,
     "q253_skew_audit" ->
       """WITH cnts AS (
         | SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
