@@ -560,12 +560,18 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     * Any direction / null-ordering combo works (round 8, second
     * session): [[sliceOf]] places the null-key run per the declared
     * null ordering, the min/max_by slice total follows the direction,
-    * and the null-run fallback is position-independent. Demands: ONE
-    * key, input a function of the key ([[orderFunc]] — ties and the
-    * null slice need value constancy per key), and the input not
+    * and the null-run fallback is position-independent. Demands: input
+    * a function of the FULL key tuple ([[orderFunc]] — ties and the
+    * null slice need value constancy per tuple), and the input not
     * foldable (constant-input LOCF folds natively). ROWS and RANGE
     * spellings coincide under the input guard: a mid-tie-run ROWS cut
-    * still sees the run's (constant) value. */
+    * still sees the run's (constant) value.
+    *
+    * MULTI-KEY orders (round 11 — the `last_value(x, true) OVER
+    * (ORDER BY ts, id)` forward-fill-with-tiebreak spelling): the
+    * slice total's "last non-null BY ORDER" becomes max_by/min_by over
+    * the STRUCT of all keys, sound iff a single ascending struct
+    * comparison reproduces the window's order — [[locfMultiKeyOk]]. */
   private def locfUnit(ne: NamedExpression, order: Seq[SortOrder],
       child: LogicalPlan): Option[(Alias, Expression,
         SpecifiedWindowFrame)] = ne match {
@@ -574,11 +580,32 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
         WindowSpecDefinition(_, _,
           f @ SpecifiedWindowFrame(_, UnboundedPreceding, CurrentRow))),
         _)
-        if order.size == 1 && !e.foldable =>
+        if (order.size == 1 || locfMultiKeyOk(order)) && !e.foldable =>
       val keys = order.map(o => expandOnce(o.child, child))
       if (orderFunc(expandOnce(e, child), keys)) Some((a, e, f)) else None
     case _ => None
   }
+
+  /** Multi-key admission for the LOCF arm: the slice total must be
+    * reconstructible as one max_by (ASC) / min_by (DESC) over the
+    * struct of all order keys, so (a) every key shares the head's
+    * direction — one ascending struct comparison cannot serve mixed
+    * directions; (b) the key struct must be orderable; (c) every
+    * TRAILING key is non-nullable or declares its direction's DEFAULT
+    * null ordering (ASC NULLS FIRST / DESC NULLS LAST) — struct field
+    * comparison places a null field smallest, which matches exactly
+    * those orderings (NaN floats sort greatest in both the window sort
+    * and struct comparison, so they need no guard). The HEAD key's
+    * null ordering stays free: [[sliceOf]] gives its null run a
+    * dedicated slice, so null heads never meet non-null heads inside
+    * one max_by — within the null-head slice the head field ties and
+    * the comparison falls through to the trailing keys. */
+  private def locfMultiKeyOk(order: Seq[SortOrder]): Boolean =
+    order.forall(_.direction == order.head.direction) &&
+      RowOrdering.isOrderable(
+        StructType(order.map(o => StructField("k", o.child.dataType)))) &&
+      order.tail.forall(o => !o.child.nullable || (o.nullOrdering ==
+        (if (o.direction == Ascending) NullsFirst else NullsLast)))
 
   private def supported(ne: NamedExpression, parts: Seq[Expression],
       order: Seq[SortOrder], child: LogicalPlan): Boolean = ne match {
@@ -1344,7 +1371,12 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     // over non-null-input rows for ASC keys, min_by for DESC;
     // First(ignoreNulls) fallback for the null-key slice); prior-slice
     // carry = windowed Last(ignoreNulls) over the slice totals. See
-    // [[locfUnit]] for the tie doctrine.
+    // [[locfUnit]] for the tie doctrine. Multi-key orders use the
+    // struct of all keys as the max_by/min_by ordering (admission in
+    // [[locfMultiKeyOk]]); the First fallback is then unreachable-but-
+    // harmless — the struct is non-null whenever the input is, so
+    // max_by returns null only when every input was null, where First
+    // is null too.
     def locfCum(e: Expression, frame: SpecifiedWindowFrame,
         tag: String): CumUnit = {
       val local = Alias(WindowExpression(
@@ -1352,7 +1384,9 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
           isDistinct = false),
         WindowSpecDefinition(winPartL, order, frame)),
         s"graft_rank_lcm$tag")()
-      val key = order.head.child
+      val key: Expression =
+        if (order.size == 1) order.head.child
+        else CreateStruct(order.map(_.child))
       val keyOrNull = If(IsNotNull(e), key, Literal(null, key.dataType))
       val byOrder: AggregateFunction = order.head.direction match {
         case Ascending => MaxBy(e, keyOrNull)

@@ -263,10 +263,14 @@ object ResolutionPack extends QueryPack {
     // the nearest control per side. Winner = least() of the two
     // (gap, c_id, c_y) structs — least orders structs
     // lexicographically and SKIPS nulls, which is exactly the
-    // cross-side tie rule. O(n log n) with no candidate blow-up; the
-    // global two-key window runs single-partition at these corpus
-    // grains (the distributed remedy is the GlobalRankRewrite LOCF
-    // arm, once it grows multi-key support).
+    // cross-side tie rule. O(n log n) with no candidate blow-up, and
+    // DISTRIBUTED: both passes ride GlobalRankRewrite's multi-key LOCF
+    // arm (cinfo appended as the final tiebreak key proves the input
+    // key-functional; each pass keeps ONE direction throughout —
+    // is_t DESC in the backward pass is value-identical because the
+    // forward pass owns every gap-0 match: at equal score the collapsed
+    // grain holds at most one control, so prevC's gap-0 struct always
+    // wins least() regardless of what nextC carries there).
     val ctlBest = scored.filter(col("treated") === 0)
       .groupBy(col("score"))
       .agg(min(struct(col("id"), col("y"))).as("cb"))
@@ -280,9 +284,11 @@ object ResolutionPack extends QueryPack {
       .unionByName(ctlBest.select(lit(null).cast("long").as("t_id"),
         col("score"), lit(null).cast("long").as("t_y"),
         lit(0).as("is_t"), col("cinfo")))
-    val w1 = Window.orderBy(col("score").asc, col("is_t").asc)
+    val w1 = Window.orderBy(col("score").asc, col("is_t").asc,
+        col("cinfo").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val w2 = Window.orderBy(col("score").desc, col("is_t").asc)
+    val w2 = Window.orderBy(col("score").desc, col("is_t").desc,
+        col("cinfo").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     def side(c: Column): Column =
       when(c.isNotNull && abs(col("score") - c.getField("c_score"))

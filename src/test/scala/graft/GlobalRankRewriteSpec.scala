@@ -826,16 +826,19 @@ class GlobalRankRewriteSpec extends SparkSpecBase {
         .contains("graft_rank_nv"))
       assert(norm(r) === ep)
     }
-    // last_value IGNORE NULLS over UP..CR is LOCF — the cumulative
-    // coalesce arm serves it for ONE ASC NULLS FIRST key; a multi-key
-    // order stands down (the slice-total max_by encodes exactly the
-    // single-key order)
+    // last_value IGNORE NULLS over UP..CR is LOCF — since round 11 the
+    // cumulative coalesce arm serves MULTI-KEY orders too (struct-key
+    // slice totals, [[GlobalRankRewrite.locfMultiKeyOk]]), so the old
+    // stand-down pin is inverted: ORDER BY v, id rewrites with parity
+    val bl = () => t.sql(
+      """SELECT id, last_value(w, true) OVER (ORDER BY v, id) AS l
+        |FROM graft_ignv""".stripMargin)
+    val el = naive(norm(bl()))
     forced {
-      val locf = t.sql(
-        """SELECT last_value(w, true) OVER (ORDER BY v, id) AS l
-          |FROM graft_ignv""".stripMargin)
-      assert(!locf.queryExecution.executedPlan.toString
-        .contains("graft_rank_pid"), "multi-key LOCF must stand down")
+      val locf = bl()
+      assert(locf.queryExecution.executedPlan.toString
+        .contains("graft_rank_pid"), "multi-key LOCF must fire")
+      assert(norm(locf) === el)
     }
   }
 
@@ -921,6 +924,132 @@ class GlobalRankRewriteSpec extends SparkSpecBase {
         val p = r.queryExecution.executedPlan.toString
         assert(p.contains("graft_rank_pid"),
           s"$ord must re-plan on the cum machinery:\n${p.take(3000)}")
+        assert(norm(r) === expected, ord)
+      }
+    }
+  }
+
+  test("multi-key LOCF: struct-key slice totals, direction combos") {
+    val t = spark
+    // nullable duplicated HEAD key (50-wide tie runs + a null run),
+    // non-nullable id tiebreak; input a function of the head key alone
+    // (null-or-not per run, so every (k, id) tie run is value-constant)
+    corpus(5000).select(col("id"),
+      when(col("v") % 50 === 49, lit(null).cast("long"))
+        .otherwise(col("v") % 50L).as("k"))
+      .withColumn("w",
+        when(col("k") % 7 < 2 || col("k").isNull,
+          lit(null).cast("long"))
+          .otherwise(col("k") * 11 % 17))
+      .createOrReplaceTempView("graft_mklocf")
+    def norm(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x => (x.getLong(0), x.toSeq.drop(1)))
+        .sortBy(_._1).toSeq
+    // same-direction combos fire; the HEAD null ordering is free (its
+    // null run is slice-isolated), the trailing id is non-nullable so
+    // its declared null ordering is immaterial
+    for (ord <- Seq("k, id", "k DESC, id DESC", "k ASC NULLS LAST, id",
+        "k DESC NULLS FIRST, id DESC")) {
+      val build = () => t.sql(
+        s"""SELECT id,
+           | last_value(w, true) OVER (ORDER BY $ord) AS f_rng,
+           | last_value(w, true) OVER (ORDER BY $ord
+           |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f_row
+           |FROM graft_mklocf""".stripMargin)
+      val expected = naive(norm(build()))
+      forced {
+        val r = build()
+        val p = r.queryExecution.executedPlan.toString
+        assert(p.contains("graft_rank_pid"),
+          s"$ord must re-plan on the cum machinery:\n${p.take(3000)}")
+        val windows = p.linesIterator.filter(_.contains("Window ")).toList
+        assert(windows.forall(_.contains("graft_rank_pid")),
+          s"no single-partition window may remain ($ord):\n${p.take(4000)}")
+        assert(norm(r) === expected, ord)
+      }
+    }
+    // nullable TRAILING key: struct field comparison places a null
+    // field smallest, which matches exactly the DEFAULT orderings
+    // (ASC NULLS FIRST / DESC NULLS LAST) — those fire with parity;
+    // the non-default spellings stand down. Inputs: the trailing key
+    // itself (the self-proving tiebreak idiom) and a two-key function.
+    corpus(4000).select(col("id"), col("v"), (col("v") % 20L).as("k"),
+      when(col("v") % 5 === 0, lit(null).cast("long"))
+        .otherwise(col("v") % 7L).as("k2"))
+      .createOrReplaceTempView("graft_mklocf2")
+    for (ord <- Seq("k, k2", "k DESC, k2 DESC")) {
+      val build = () => t.sql(
+        s"""SELECT id,
+           | last_value(k2, true) OVER (ORDER BY $ord) AS self,
+           | last_value(k * 100 + k2, true) OVER (ORDER BY $ord
+           |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fn2
+           |FROM graft_mklocf2""".stripMargin)
+      val expected = naive(norm(build()))
+      forced {
+        val r = build()
+        assert(r.queryExecution.executedPlan.toString
+          .contains("graft_rank_pid"), s"$ord must fire")
+        assert(norm(r) === expected, ord)
+      }
+    }
+    forced {
+      for (ord <- Seq("k, k2 ASC NULLS LAST", "k DESC, k2 DESC NULLS FIRST",
+          "k ASC, k2 DESC")) {
+        val p = t.sql(
+          s"""SELECT last_value(k2, true) OVER (ORDER BY $ord) AS l
+             |FROM graft_mklocf2""".stripMargin)
+          .queryExecution.executedPlan.toString
+        assert(!p.contains("graft_rank_pid"),
+          s"$ord must stand down (non-default trailing nulls / mixed)")
+      }
+      // an input that is no function of the key tuple stands down
+      val nk = t.sql(
+        """SELECT last_value(v, true) OVER (ORDER BY pmod(v, 20),
+          |  pmod(v, 7)) AS l
+          |FROM graft_mklocf2""".stripMargin)
+      assert(!nk.queryExecution.executedPlan.toString
+        .contains("graft_rank_pid"), "non-key input must stand down")
+    }
+    // NULL-HEAD run decided by the trailing key: inside the head's
+    // dedicated null slice the struct's first field ties and the
+    // comparison falls through to k2 — the case the single-key arm's
+    // First fallback could not serve (inputs there vary with k2)
+    corpus(4000).select(col("id"),
+      when(col("v") % 10 === 0, lit(null).cast("long"))
+        .otherwise(col("v") % 10L).as("k"),
+      (col("v") % 6L).as("k2"))
+      .withColumn("w", when(col("k2") % 3 === 0, lit(null).cast("long"))
+        .otherwise(col("k2") * 5 % 11))
+      .createOrReplaceTempView("graft_mklocf3")
+    for (ord <- Seq("k NULLS LAST, k2", "k, k2")) {
+      val build = () => t.sql(
+        s"""SELECT id, last_value(w, true) OVER (ORDER BY $ord) AS l
+           |FROM graft_mklocf3""".stripMargin)
+      val expected = naive(norm(build()))
+      forced {
+        val r = build()
+        assert(r.queryExecution.executedPlan.toString
+          .contains("graft_rank_pid"), s"$ord must fire")
+        assert(norm(r) === expected, ord)
+      }
+    }
+    // STRUCT-typed trailing key (the q252 cinfo shape): the input IS
+    // the appended struct key; nested-struct ordering rides the same
+    // comparison
+    corpus(3000).select(col("id"), (col("v") % 30L).as("k"),
+      when(col("v") % 3 === 0,
+        struct((col("v") % 13L).as("a"), col("id").as("b"))).as("c"))
+      .createOrReplaceTempView("graft_mklocf4")
+    for (ord <- Seq("k, c", "k DESC, c DESC")) {
+      val build = () => t.sql(
+        s"""SELECT id, last_value(c, true) OVER (ORDER BY $ord
+           |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l
+           |FROM graft_mklocf4""".stripMargin)
+      val expected = naive(norm(build()))
+      forced {
+        val r = build()
+        assert(r.queryExecution.executedPlan.toString
+          .contains("graft_rank_pid"), s"$ord must fire")
         assert(norm(r) === expected, ord)
       }
     }

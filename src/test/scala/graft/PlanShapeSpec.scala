@@ -425,18 +425,29 @@ class PlanShapeSpec extends SparkSpecBase {
       s"candidate join must key on the gram:\n${p.take(4000)}")
   }
 
-  test("caliper matching broadcasts strata and joins on the score cell") {
+  test("caliper matching is sort-merge: no candidate join, LOCF fills") {
+    // r11 spelling: no score-cell candidate join at all — controls
+    // collapse to score grain and two LOCF window passes carry the
+    // nearest control per side
     val p = planOf(q("q252_propensity_match"))
     assert(p.contains("BroadcastHashJoin"),
       s"stratum score table must broadcast:\n${p.take(4000)}")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
-      "treated×control must never go nested-loop")
-    val joinLines = p.linesIterator.filter(l =>
-      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
-        l.contains("BroadcastHashJoin")).toList
-    assert(joinLines.exists(_.contains("cell")),
-      s"candidate join must key on the caliper cell:\n${p.take(4000)}")
+      "matching must never go nested-loop")
+    // at corpus scale the fill passes re-plan distributed: force the
+    // size gate and pin the multi-key LOCF rewrite
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val pf = planOf(q("q252_propensity_match"))
+      assert(pf.contains("graft_rank_pid"),
+        s"fill passes must ride the multi-key LOCF arm:\n${pf.take(4000)}")
+      val windows = pf.linesIterator.filter(_.contains("Window ")).toList
+      assert(windows.forall(_.contains("graft_rank_pid")),
+        s"no single-partition window may remain:\n${pf.take(4000)}")
+    } finally spark.conf.set(key, old)
   }
 
   test("interval overlap joins on (customer, tile), never nested-loop") {
