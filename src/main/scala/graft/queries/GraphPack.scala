@@ -221,13 +221,20 @@ object GraphPack extends QueryPack {
     * same derivation as q155/q161's oracles (distinct per-order items →
     * oriented pairs → symmetric closure).
     */
+  // AS MATERIALIZED throughout (round 11): DuckDB INLINES CTEs by
+  // default, so a round CTE referenced twice (BFS: union + join;
+  // k-core: both endpoint probes) re-evaluates its whole upstream
+  // chain per reference — 2^rounds evaluations, each rebuilding the
+  // 12M-row sf1 edge list. The inlined q190 oracle exhausted a 65 GB
+  // spill budget at sf1; materialized it answers in ~12 s.
   private val duckGraph =
-    """items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-      |pairs AS (
+    """items AS MATERIALIZED (
+      | SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |pairs AS MATERIALIZED (
       | SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
       | FROM items a JOIN items b
       |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-      |edges AS (
+      |edges AS MATERIALIZED (
       | SELECT src, dst FROM pairs
       | UNION ALL SELECT dst, src FROM pairs)""".stripMargin
 
@@ -244,7 +251,7 @@ object GraphPack extends QueryPack {
        | WHERE rn = 1)""".stripMargin
 
   private def duckBfsRound(i: Int): String =
-    s"""v$i AS (
+    s"""v$i AS MATERIALIZED (
        | SELECT node, min(hop) AS hop FROM (
        |  SELECT node, hop FROM v${i - 1}
        |  UNION ALL
@@ -264,7 +271,7 @@ object GraphPack extends QueryPack {
     "q190_bfs_hops" ->
       s"""WITH $duckGraph,
          |deg AS (SELECT src AS u, count(*) AS d FROM edges GROUP BY 1),
-         |v0 AS (
+         |v0 AS MATERIALIZED (
          | SELECT u AS node, 0 AS hop
          | FROM deg ORDER BY d DESC, u LIMIT $bfsSeeds),
          |${(1 to bfsHops).map(duckBfsRound).mkString(",\n")}
@@ -273,7 +280,7 @@ object GraphPack extends QueryPack {
          |FROM v$bfsHops GROUP BY hop ORDER BY hop""".stripMargin,
     "q271_kcore_peel" -> {
       val rounds = (2 to peelRounds).map { i =>
-        s"""a$i AS (
+        s"""a$i AS MATERIALIZED (
            | SELECT e.src AS u FROM edges e
            | JOIN a${i - 1} x ON e.src = x.u
            | JOIN a${i - 1} y ON e.dst = y.u
@@ -283,7 +290,8 @@ object GraphPack extends QueryPack {
       s"""WITH $duckGraph,
          |d0 AS (SELECT src, CAST(count(*) AS BIGINT) AS d0
          | FROM edges GROUP BY 1),
-         |a1 AS (SELECT src AS u FROM d0 WHERE d0 >= $coreK),
+         |a1 AS MATERIALIZED (
+         | SELECT src AS u FROM d0 WHERE d0 >= $coreK),
          |$rounds
          |SELECT d0.src AS u, d0.d0,
          | CASE WHEN a$peelRounds.u IS NULL THEN 0 ELSE 1 END AS in_core

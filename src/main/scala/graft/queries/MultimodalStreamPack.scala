@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.catalog.Tables
 import graft.multimodal.Multimodal
@@ -69,8 +69,21 @@ object MultimodalStreamPack extends QueryPack {
       .toDF()
       .select(col("doc_id"), col("width"), col("height"),
         col("n_pixels"), col("pix_sum"),
-        round(col("mean_pixel"), 6).as("mean_pixel6"))
+        meanRound6("pix_sum", "n_pixels").as("mean_pixel6"))
       .orderBy("doc_id")
+
+  /** Exact half-up round-6 of an integer quotient, in integer space:
+    * `round(sum/cnt, 6)` over two exact integers lands on EXACT decimal
+    * ties (a 256-pixel image makes sum∕256 end in …0625), where Spark's
+    * HALF_UP on the exact decimal and DuckDB's scaled-double rounding
+    * disagree by one final digit — caught by the sf1 oracle gate at row
+    * grain (q298/q307/q309). `(2·10⁶·sum + cnt) div (2·cnt)` is
+    * half-up by construction (positive operands) and both engines then
+    * divide two exact integers below 2⁵³, which every IEEE engine
+    * rounds to the same double. DuckDB twin: the same algebra with
+    * `//`. */
+  private def meanRound6(sum: String, cnt: String): Column =
+    expr(s"CAST((2000000 * $sum + $cnt) div (2 * $cnt) AS DOUBLE) / 1e6")
 
   /** q307 — REAL COMPRESSED-CODEC decode: each document's bytes become a
     * genuine PNG (written through the JDK's `javax.imageio` PNG encoder —
@@ -91,7 +104,7 @@ object MultimodalStreamPack extends QueryPack {
       .toDF()
       .select(col("doc_id"), col("width"), col("height"),
         col("n_pixels"), col("pix_sum"),
-        round(col("mean_pixel"), 6).as("mean_pixel6"))
+        meanRound6("pix_sum", "n_pixels").as("mean_pixel6"))
       .orderBy("doc_id")
 
   /** q309 — REAL AUDIO-CODEC decode: each document's bytes become 8-bit
@@ -111,7 +124,9 @@ object MultimodalStreamPack extends QueryPack {
       .toDF()
       .select(col("doc_id"), col("sample_rate"), col("n_samples"),
         col("sample_sum"),
-        round(col("mean_sample"), 6).as("mean_sample6"))
+        when(col("n_samples") === 0, lit(0.0))
+          .otherwise(meanRound6("sample_sum", "n_samples"))
+          .as("mean_sample6"))
       .orderBy("doc_id")
 
   /** q310 — IMAGE NEAR-DUP over REAL decoded pixels: the multimodal
@@ -219,7 +234,8 @@ object MultimodalStreamPack extends QueryPack {
       | FROM base)
       |SELECT doc_id, width, height, CAST(n_pixels AS INT) AS n_pixels,
       | pix_sum,
-      | round(CAST(pix_sum AS DOUBLE) / n_pixels, 6) AS mean_pixel6
+      | CAST((2000000 * pix_sum + n_pixels) // (2 * n_pixels)
+      |  AS DOUBLE) / 1e6 AS mean_pixel6
       |FROM px ORDER BY doc_id""".stripMargin
 
   override val oracle: Seq[(String, String)] = Seq(
@@ -260,8 +276,9 @@ object MultimodalStreamPack extends QueryPack {
         |   AS sample_sum
         | FROM documents)
         |SELECT doc_id, sample_rate, n_samples, sample_sum,
-        | round(CASE WHEN n_samples = 0 THEN 0.0
-        |  ELSE CAST(sample_sum AS DOUBLE) / n_samples END, 6)
+        | CASE WHEN n_samples = 0 THEN 0.0
+        |  ELSE CAST((2000000 * sample_sum + n_samples)
+        |   // (2 * n_samples) AS DOUBLE) / 1e6 END
         |  AS mean_sample6
         |FROM s ORDER BY doc_id""".stripMargin,
     "q298_pgm_decode" -> pixelStatsOracle,
