@@ -33,6 +33,9 @@ object ForwardFill {
 
   final case class Carry(lastKey: Long, carry: Option[Long])
 
+  final case class Carry2(lastKey: Long, lastId: Long,
+      carry: Option[Long])
+
   def fill(rows: Dataset[Reading]): Dataset[Filled] = {
     val spark = rows.sparkSession
     import spark.implicits._
@@ -52,6 +55,39 @@ object ForwardFill {
               val fillV = runVal.orElse(st.carry)
               run.foreach(r => out += Filled(r.id, r.k, r.v, fillV))
               st = Carry(k, fillV)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** TIEBREAK variant — streaming twin of the batch MULTI-KEY LOCF
+    * `last_value(v, true) OVER (ORDER BY k, id ROWS UP..CR)` (the
+    * round-11 GlobalRankRewrite arm). The id tiebreak makes the order
+    * TOTAL, which loosens [[fill]]'s batch contract in one direction
+    * and tightens it in another: batches may split ANYWHERE — even
+    * mid-tie-run, because a ROWS frame over a total order never
+    * reaches forward through peers — but rows must now arrive in
+    * non-decreasing (k, id) TUPLE order, not just key order. State
+    * stays O(1): the last tuple seen and one carry (a row's fill is
+    * its own value if non-null, else the nearest preceding non-null
+    * in tuple order — append-only at row grain).
+    */
+  def fillTiebreak(rows: Dataset[Reading]): Dataset[Filled] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[Carry2, Filled](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Int, it: Iterator[Reading], state: GroupState[Carry2]) =>
+          var st = state.getOption
+            .getOrElse(Carry2(Long.MinValue, Long.MinValue, None))
+          val out = Seq.newBuilder[Filled]
+          it.toSeq.sortBy(r => (r.k, r.id)).foreach { r =>
+            val fillV = r.v.orElse(st.carry)
+            out += Filled(r.id, r.k, r.v, fillV)
+            st = Carry2(r.k, r.id, fillV)
           }
           state.update(st)
           out.result().iterator

@@ -58,4 +58,62 @@ class StreamingFillSpec extends SparkSpecBase {
         assert(streamed(id) === v, s"fill mismatch for doc $id")
     } finally q.stop()
   }
+
+  test("tiebreak streaming fill equals the batch MULTI-KEY LOCF rewrite") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // duplicated key (tie runs), id tiebreak, input a function of the
+    // key so the batch arm admits it; splits land MID-tie-run on
+    // purpose — the tiebreak variant's loosened batch contract
+    val readings = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), (col("n_chars") % 37L).as("k"),
+        when(col("n_chars") % 37 % 5 === 0, lit(null).cast("long"))
+          .otherwise(col("n_chars") % 37 * 31L % 997L).as("score"))
+      .collect()
+      .map(r => Reading(r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .sortBy(r => (r.k, r.id)).toSeq
+    assert(readings.nonEmpty)
+    val mem = MemoryStream[Reading]
+    val q = ForwardFill.fillTiebreak(mem.toDS())
+      .writeStream.format("memory").queryName("locf_fill_tb")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // raw thirds: no tie alignment
+      val (b1, rest) = readings.splitAt(readings.size / 3)
+      val (b2, b3) = rest.splitAt(rest.size / 2)
+      Seq(b1, b2, b3).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+      val streamed = s.table("locf_fill_tb").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(3)) null else r.getLong(3))).toMap
+      // batch twin THROUGH the multi-key rewrite (threshold forced so
+      // the arm fires at fixture scale; plan marker asserted)
+      val thr = "spark.sql.autoBroadcastJoinThreshold"
+      val old = s.conf.get(thr)
+      s.conf.set(thr, "-1")
+      val batch =
+        try {
+          val df = Tables.load(spark, sf, "documents")
+            .select(col("doc_id"), (col("n_chars") % 37L).as("k"),
+              when(col("n_chars") % 37 % 5 === 0, lit(null).cast("long"))
+                .otherwise(col("n_chars") % 37 * 31L % 997L).as("score"))
+            .withColumn("locf", last(col("score"), ignoreNulls = true)
+              .over(org.apache.spark.sql.expressions.Window
+                .orderBy(col("k").asc, col("doc_id").asc)
+                .rowsBetween(org.apache.spark.sql.expressions
+                  .Window.unboundedPreceding,
+                  org.apache.spark.sql.expressions.Window.currentRow)))
+          assert(df.queryExecution.executedPlan.toString
+            .contains("graft_rank_pid"), "multi-key arm must serve the twin")
+          df.collect().map(r => r.getLong(0) ->
+            (if (r.isNullAt(3)) null else r.getLong(3))).toMap
+        } finally s.conf.set(thr, old)
+      assert(batch.nonEmpty && streamed.size === batch.size)
+      for ((id, v) <- batch)
+        assert(streamed(id) === v, s"tiebreak fill mismatch for doc $id")
+    } finally q.stop()
+  }
 }
