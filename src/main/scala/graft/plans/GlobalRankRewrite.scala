@@ -716,6 +716,31 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Column-stats admission (round 11): an ATTRIBUTE partition key the
+    * structural prover cannot bound is admitted when catalog column
+    * statistics (`ANALYZE TABLE … FOR COLUMNS`, surfaced through the
+    * CBO stats visitor — `spark.sql.cbo.enabled`) bound its distinct
+    * count. Unlike [[boundedDomain]]'s theorems this is an ESTIMATE,
+    * but the rewrite's CORRECTNESS never depends on the bound — groups
+    * form by VALUE, the bound only backs the ≤-[[maxGroups]]
+    * broadcast-size claim — and an HLL-grade ndv error at this
+    * magnitude (≤ 64) is harmless: even a 10× miss broadcasts hundreds
+    * of offset rows, not millions. This is the "catalog column stats
+    * could admit them later" completion the round-8 scaladoc promised:
+    * `PARTITION BY country` over an analyzed catalog table rewrites;
+    * the same column without stats (or with CBO off) stands down
+    * exactly as before. */
+  private[plans] def statsBound(e: Expression,
+      child: LogicalPlan): Option[Long] =
+    e match {
+      case a: Attribute if conf.cboEnabled =>
+        child.stats.attributeStats.get(a).flatMap { cs =>
+          cs.distinctCount.map(_.toLong +
+            (if (cs.nullCount.exists(_ > 0)) 1L else 0L))
+        }
+      case _ => None
+    }
+
   /** Pigeonhole gate: every partition expression's domain is provably
     * bounded and the product of bounds is ≤ [[maxGroups]] — so the
     * naive plan's parallelism is CAPPED at that many tasks at any data
@@ -723,10 +748,18 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     * which is the one case where rewriting a partitioned window needs
     * no skew estimate: the ceiling is a theorem. Expressions expand one
     * level through the child Project first (the analyzer extracts
-    * non-trivial partition keys as `_w0` aliases). */
+    * non-trivial partition keys as `_w0` aliases). Attribute keys the
+    * structural prover cannot bound fall back to [[statsBound]]
+    * (checked on BOTH the raw and the expanded spelling — stats key on
+    * the exprId that survives the projection). */
   private def boundedParts(parts: Seq[Expression],
       child: LogicalPlan): Boolean = {
-    val doms = parts.map(p => boundedDomain(expandOnce(p, child)))
+    val doms = parts.map { p =>
+      val ex = expandOnce(p, child)
+      boundedDomain(ex)
+        .orElse(statsBound(ex, child))
+        .orElse(statsBound(p, child))
+    }
     doms.forall(_.isDefined) &&
       doms.flatten.foldLeft(1L)((a, b) =>
         if (a > maxGroups) a else a * b) <= maxGroups

@@ -352,11 +352,19 @@ object PercentileRewrite extends Rule[LogicalPlan] {
     * the product is ≤ [[GlobalRankRewrite.maxGroups]]. Returns the
     * expanded expressions so the emitted window's partition keys are
     * the PROVABLE forms (the bound must survive into the plan
-    * [[GlobalRankRewrite]] gates on). */
+    * [[GlobalRankRewrite]] gates on). Attribute keys the structural
+    * prover cannot bound fall back to catalog ndv stats
+    * ([[GlobalRankRewrite.statsBound]], CBO-gated) — stats key on the
+    * exprId, which survives into the emitted window's child, so the
+    * downstream gate re-admits the same attribute the same way. */
   private def boundedGroups(groups: Seq[Expression],
       child: LogicalPlan): Option[Seq[Expression]] = {
     val ex = groups.map(GlobalRankRewrite.expandOnce(_, child))
-    val doms = ex.map(GlobalRankRewrite.boundedDomain)
+    val doms = ex.zip(groups).map { case (e, g) =>
+      GlobalRankRewrite.boundedDomain(e)
+        .orElse(GlobalRankRewrite.statsBound(e, child))
+        .orElse(GlobalRankRewrite.statsBound(g, child))
+    }
     if (doms.forall(_.isDefined) &&
       doms.flatten.foldLeft(1L)((a, b) =>
         if (a > GlobalRankRewrite.maxGroups) a else a * b) <=

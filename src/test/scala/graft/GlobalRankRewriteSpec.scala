@@ -1055,6 +1055,60 @@ class GlobalRankRewriteSpec extends SparkSpecBase {
     }
   }
 
+  test("catalog ndv stats admit attribute partitions under CBO") {
+    val t = spark
+    // an ATTRIBUTE partition key (seg) the structural prover cannot
+    // bound — 40 distinct values only the catalog can know about
+    corpus(5000).select(col("id"), col("v"), (col("v") % 40L).as("seg"))
+      .write.mode("overwrite").saveAsTable("graft_stats_seg")
+    def withCbo[T](on: Boolean)(body: => T): T = {
+      val key = "spark.sql.cbo.enabled"
+      val old = t.conf.get(key)
+      t.conf.set(key, on.toString)
+      try body finally t.conf.set(key, old)
+    }
+    try {
+      val build = () => t.sql(
+        """SELECT id,
+          | row_number() OVER (PARTITION BY seg ORDER BY v, id) AS rn
+          |FROM graft_stats_seg""".stripMargin)
+      def norm(r: org.apache.spark.sql.DataFrame) =
+        r.collect().map(x => (x.getLong(0),
+          x.get(1).asInstanceOf[Number].longValue))
+          .sortBy(_._1).toSeq
+      // no stats yet: attribute partitions stand down even when forced
+      forced(withCbo(true) {
+        assert(!build().queryExecution.executedPlan.toString
+          .contains("graft_rank_pid"), "no stats → stand down")
+      })
+      t.sql("ANALYZE TABLE graft_stats_seg COMPUTE STATISTICS " +
+        "FOR COLUMNS seg, id")
+      // stats present but CBO off: stats invisible, still naive
+      forced(withCbo(false) {
+        assert(!build().queryExecution.executedPlan.toString
+          .contains("graft_rank_pid"), "CBO off → stand down")
+      })
+      // stats + CBO: the 40-value domain admits, output identical
+      val expected = naive(norm(build()))
+      forced(withCbo(true) {
+        val r = build()
+        assert(r.queryExecution.executedPlan.toString
+          .contains("graft_rank_pid"),
+          s"ndv stats must admit:\n${r.queryExecution.executedPlan
+            .toString.take(3000)}")
+        assert(norm(r) === expected)
+      })
+      // a high-ndv column's stats refuse: PARTITION BY id stays naive
+      forced(withCbo(true) {
+        val p = t.sql(
+          """SELECT id, row_number() OVER (PARTITION BY id ORDER BY v)
+            | AS rn FROM graft_stats_seg""".stripMargin)
+          .queryExecution.executedPlan.toString
+        assert(!p.contains("graft_rank_pid"), "ndv > maxGroups → naive")
+      })
+    } finally t.sql("DROP TABLE IF EXISTS graft_stats_seg")
+  }
+
   test("full-frame aggs over bounded partitions: hash-agg join-back") {
     // sum(w) OVER (PARTITION BY pmod/CASE) with no ORDER BY — naive is
     // one task per partition value; the rewrite is a partial-combining

@@ -503,6 +503,46 @@ class PercentileRewriteSpec extends SparkSpecBase {
       sum(col("v")).as("s")))
   }
 
+  test("catalog ndv stats admit attribute GROUP BY keys under CBO") {
+    val t = spark
+    // an ATTRIBUTE group key (seg, 23 values) only the catalog can
+    // bound — `median(v) GROUP BY country` over an analyzed table is
+    // the everyday spelling of the bounded-group pipeline
+    corpus(5000).select(col("id"), col("v"), (col("id") % 23L).as("seg"))
+      .write.mode("overwrite").saveAsTable("graft_pct_stats")
+    def withCbo[T](on: Boolean)(body: => T): T = {
+      val key = "spark.sql.cbo.enabled"
+      val old = t.conf.get(key)
+      t.conf.set(key, on.toString)
+      try body finally t.conf.set(key, old)
+    }
+    try {
+      val build = () => t.sql(
+        """SELECT seg, median(v) AS m FROM graft_pct_stats
+          |GROUP BY seg""".stripMargin)
+      def norm(r: DataFrame) =
+        r.collect().map(_.toSeq.map(bits)).sortBy(_.toString).toSeq
+      forced(withCbo(true) {
+        assert(build().queryExecution.executedPlan.toString
+          .toLowerCase.contains("percentile"), "no stats → native")
+      })
+      t.sql("ANALYZE TABLE graft_pct_stats COMPUTE STATISTICS " +
+        "FOR COLUMNS seg")
+      forced(withCbo(false) {
+        assert(build().queryExecution.executedPlan.toString
+          .toLowerCase.contains("percentile"), "CBO off → native")
+      })
+      val expected = naive(norm(build()))
+      forced(withCbo(true) {
+        val r = build()
+        val p = r.queryExecution.executedPlan.toString
+        assert(!p.toLowerCase.contains("percentile"),
+          s"ndv stats must admit the group key:\n${p.take(3000)}")
+        assert(norm(r) === expected)
+      })
+    } finally t.sql("DROP TABLE IF EXISTS graft_pct_stats")
+  }
+
   test("below-threshold inputs keep the native hash-map aggregate") {
     // default 10 MB threshold; 3000 projected doubles are far below it
     val df = corpus(3000).agg(expr("median(v)").as("m"))
