@@ -614,6 +614,36 @@ object WindowsPack extends QueryPack {
         |ORDER BY doc_id""".stripMargin)
   }
 
+  /** q355 — MULTI-KEY forward fill: `last_value(score, true) OVER
+    * (ORDER BY n_chars, doc_id ROWS UP..CR)` — the TIEBREAK spelling
+    * of LOCF every ordered-log consumer writes. The score here reads
+    * BOTH keys, so it varies WITHIN an n_chars tie run: q332's
+    * single-key spelling would be permutation-dependent on this input,
+    * and appending the unique doc_id is what makes the order total and
+    * every fill deterministic. Round 11's multi-key LOCF arm of
+    * [[graft.plans.GlobalRankRewrite]] serves exactly this shape
+    * (struct-key slice totals — the input is a function of the full
+    * key tuple). At gate SFs the input executes naive (below
+    * threshold); GlobalRankRewriteSpec's multi-key matrix pins the
+    * forced rewrite's parity.
+    */
+  private def q355(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        when((col("n_chars") + col("doc_id")) % 5 === 0,
+          lit(null).cast("long"))
+          .otherwise((col("n_chars") * 31L + col("doc_id") * 7L) % 997L)
+          .as("score"))
+    t.createOrReplaceTempView("graft_q355_docs")
+    t.sparkSession.sql(
+      """SELECT doc_id, n_chars, score,
+        | last_value(score, true) OVER (ORDER BY n_chars, doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS locf_score
+        |FROM graft_q355_docs
+        |ORDER BY doc_id""".stripMargin)
+  }
+
   /** q318 — TIER SHARE-OF-TOTAL as a naive FULL-FRAME partitioned
     * window: `sum(n_chars) OVER (PARTITION BY tier)` with no ORDER BY —
     * one WindowExec task per tier at any corpus size (3-task pigeonhole
@@ -812,6 +842,7 @@ object WindowsPack extends QueryPack {
     "q330_sparse_landmarks" -> q330 _,
     "q332_locf_forward_fill" -> q332 _,
     "q336_nocb_backfill" -> q336 _,
+    "q355_tiebreak_fill" -> q355 _,
     "q318_tier_share" -> q318 _,
     "q319_global_norm" -> q319 _,
     "q320_burst_monitor" -> q320 _,
@@ -925,6 +956,16 @@ object WindowsPack extends QueryPack {
         |SELECT doc_id, n_chars, CAST(score AS BIGINT) AS score,
         | CAST(last_value(score IGNORE NULLS)
         |   OVER (ORDER BY n_chars DESC) AS BIGINT) AS nocb_score
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q355_tiebreak_fill" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |  CASE WHEN (n_chars + doc_id) % 5 = 0 THEN NULL
+        |    ELSE (n_chars * 31 + doc_id * 7) % 997 END AS score
+        | FROM documents)
+        |SELECT doc_id, n_chars, CAST(score AS BIGINT) AS score,
+        | CAST(last_value(score IGNORE NULLS) OVER (
+        |   ORDER BY n_chars, doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |   AND CURRENT ROW) AS BIGINT) AS locf_score
         |FROM d ORDER BY doc_id""".stripMargin,
     "q318_tier_share" ->
       """WITH t AS (SELECT doc_id, n_chars,
