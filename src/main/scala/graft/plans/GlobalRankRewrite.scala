@@ -725,7 +725,12 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
     * form by VALUE, the bound only backs the ≤-[[maxGroups]]
     * broadcast-size claim — and an HLL-grade ndv error at this
     * magnitude (≤ 64) is harmless: even a 10× miss broadcasts hundreds
-    * of offset rows, not millions. This is the "catalog column stats
+    * of offset rows, not millions. STALENESS is the real exposure —
+    * stats ANALYZE'd before a large append can under-report without
+    * bound, and there is no runtime re-check before the broadcast;
+    * that is standard CBO hygiene (re-ANALYZE after bulk loads), the
+    * same contract every stats-costed join reorder already assumes.
+    * This is the "catalog column stats
     * could admit them later" completion the round-8 scaladoc promised:
     * `PARTITION BY country` over an analyzed catalog table rewrites;
     * the same column without stats (or with CBO off) stands down

@@ -288,7 +288,8 @@ object GraphPack extends QueryPack {
           .stripMargin
       }.mkString(",\n")
       s"""WITH $duckGraph,
-         |d0 AS (SELECT src, CAST(count(*) AS BIGINT) AS d0
+         |d0 AS MATERIALIZED (
+         | SELECT src, CAST(count(*) AS BIGINT) AS d0
          | FROM edges GROUP BY 1),
          |a1 AS MATERIALIZED (
          | SELECT src AS u FROM d0 WHERE d0 >= $coreK),

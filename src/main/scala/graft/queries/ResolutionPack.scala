@@ -583,7 +583,8 @@ object ResolutionPack extends QueryPack {
          |  CASE WHEN gp IS NOT NULL AND (gn IS NULL OR gp < gn
          |    OR (gp = gn AND p_id <= n_id)) THEN gp ELSE gn END AS gap,
          |  CASE WHEN gp IS NOT NULL AND (gn IS NULL OR gp < gn
-         |    OR (gp = gn AND p_id <= n_id)) THEN p_y ELSE n_y END AS c_y
+         |    OR (gp = gn AND p_id <= n_id)) THEN p_y
+         |   WHEN gn IS NOT NULL THEN n_y END AS c_y
          | FROM cand)
          |SELECT CAST(count(*) AS BIGINT) AS n_treated,
          | CAST(count(c_y) AS BIGINT) AS n_matched,
