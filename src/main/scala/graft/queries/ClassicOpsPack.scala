@@ -338,7 +338,7 @@ object ClassicOpsPack extends QueryPack {
     "q216_unpivot" ->
       """SELECT o_orderpriority,
         | CAST(year(o_orderdate) AS VARCHAR) AS yr,
-        | round(sum(CAST(round((o_totalprice) * 10000) AS BIGINT)) / 10000.0, 2) AS revenue
+        | ((CASE WHEN sum(CAST(round((o_totalprice) * 10000) AS BIGINT)) >= 0 THEN (sum(CAST(round((o_totalprice) * 10000) AS BIGINT)) + 50) - (sum(CAST(round((o_totalprice) * 10000) AS BIGINT)) + 50) % 100 ELSE -((-sum(CAST(round((o_totalprice) * 10000) AS BIGINT)) + 50) - (-sum(CAST(round((o_totalprice) * 10000) AS BIGINT)) + 50) % 100) END) / 10000.0) AS revenue
         |FROM orders GROUP BY 1, 2
         |ORDER BY o_orderpriority, yr""".stripMargin,
     "q217_acf_revenue" ->

@@ -881,7 +881,7 @@ object JoinsAggs extends QueryPack {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q100_local_supplier_volume" ->
       """SELECT n_name,
-        | round(sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)) / 10000.0, 2) AS revenue
+        | ((CASE WHEN sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)) >= 0 THEN (sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)) + 50) - (sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)) + 50) % 100 ELSE -((-sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)) + 50) - (-sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)) + 50) % 100) END) / 10000.0) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -912,11 +912,11 @@ object JoinsAggs extends QueryPack {
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
     "q98_value_histogram" ->
       """SELECT CAST(floor(value / 50) AS INT) AS bucket,
-        | count(*) AS n, round(sum(CAST(round((value) * 10000) AS BIGINT)) / 10000.0, 2) AS mass
+        | count(*) AS n, ((CASE WHEN sum(CAST(round((value) * 10000) AS BIGINT)) >= 0 THEN (sum(CAST(round((value) * 10000) AS BIGINT)) + 50) - (sum(CAST(round((value) * 10000) AS BIGINT)) + 50) % 100 ELSE -((-sum(CAST(round((value) * 10000) AS BIGINT)) + 50) - (-sum(CAST(round((value) * 10000) AS BIGINT)) + 50) % 100) END) / 10000.0) AS mass
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q99_revenue_share" ->
       """WITH rev AS (
-        | SELECT p_brand, round(sum(CAST(round((l_extendedprice) * 10000) AS BIGINT)) / 10000.0, 2) AS revenue
+        | SELECT p_brand, ((CASE WHEN sum(CAST(round((l_extendedprice) * 10000) AS BIGINT)) >= 0 THEN (sum(CAST(round((l_extendedprice) * 10000) AS BIGINT)) + 50) - (sum(CAST(round((l_extendedprice) * 10000) AS BIGINT)) + 50) % 100 ELSE -((-sum(CAST(round((l_extendedprice) * 10000) AS BIGINT)) + 50) - (-sum(CAST(round((l_extendedprice) * 10000) AS BIGINT)) + 50) % 100) END) / 10000.0) AS revenue
         | FROM lineitem JOIN part ON l_partkey = p_partkey
         | GROUP BY p_brand)
         |SELECT p_brand, revenue,
@@ -946,8 +946,8 @@ object JoinsAggs extends QueryPack {
     "q20_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,
-        | round(sum(CAST(round((l_extendedprice) * 10000) AS BIGINT)) / 10000.0, 2) AS sum_base_price,
-        | round(sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)) / 10000.0, 2) AS sum_disc_price,
+        | ((CASE WHEN sum(CAST(round((l_extendedprice) * 10000) AS BIGINT)) >= 0 THEN (sum(CAST(round((l_extendedprice) * 10000) AS BIGINT)) + 50) - (sum(CAST(round((l_extendedprice) * 10000) AS BIGINT)) + 50) % 100 ELSE -((-sum(CAST(round((l_extendedprice) * 10000) AS BIGINT)) + 50) - (-sum(CAST(round((l_extendedprice) * 10000) AS BIGINT)) + 50) % 100) END) / 10000.0) AS sum_base_price,
+        | ((CASE WHEN sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)) >= 0 THEN (sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)) + 50) - (sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)) + 50) % 100 ELSE -((-sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)) + 50) - (-sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)) + 50) % 100) END) / 10000.0) AS sum_disc_price,
         | avg(l_quantity) AS avg_qty,
         | count(*) AS count_order
         |FROM lineitem
@@ -956,7 +956,7 @@ object JoinsAggs extends QueryPack {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q21_revenue_topk_brand" ->
       """SELECT p_brand,
-        | round(sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)) / 10000.0, 2) AS revenue
+        | ((CASE WHEN sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)) >= 0 THEN (sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)) + 50) - (sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)) + 50) % 100 ELSE -((-sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)) + 50) - (-sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)) + 50) % 100) END) / 10000.0) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand
         |ORDER BY revenue DESC, p_brand LIMIT 10""".stripMargin,
@@ -966,7 +966,7 @@ object JoinsAggs extends QueryPack {
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
     "q23_star_join_revenue" ->
       """SELECT r_name, n_name,
-        | round(sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)) / 10000.0, 2) AS revenue
+        | ((CASE WHEN sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)) >= 0 THEN (sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)) + 50) - (sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)) + 50) % 100 ELSE -((-sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)) + 50) - (-sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)) + 50) % 100) END) / 10000.0) AS revenue
         |FROM lineitem
         | JOIN orders ON l_orderkey = o_orderkey
         | JOIN customer ON o_custkey = c_custkey
@@ -1027,7 +1027,7 @@ object JoinsAggs extends QueryPack {
         |FROM big_lines JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q34_range_agg" ->
-      """SELECT round(sum(CAST(round((l_extendedprice * l_discount) * 10000) AS BIGINT)) / 10000.0, 2) AS revenue
+      """SELECT ((CASE WHEN sum(CAST(round((l_extendedprice * l_discount) * 10000) AS BIGINT)) >= 0 THEN (sum(CAST(round((l_extendedprice * l_discount) * 10000) AS BIGINT)) + 50) - (sum(CAST(round((l_extendedprice * l_discount) * 10000) AS BIGINT)) + 50) % 100 ELSE -((-sum(CAST(round((l_extendedprice * l_discount) * 10000) AS BIGINT)) + 50) - (-sum(CAST(round((l_extendedprice * l_discount) * 10000) AS BIGINT)) + 50) % 100) END) / 10000.0) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'

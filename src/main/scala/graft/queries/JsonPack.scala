@@ -83,6 +83,6 @@ object JsonPack extends QueryPack {
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10
         |   AS k_bucket,
         | count(*) AS n_events,
-        | round(sum(CAST(round((value) * 10000) AS BIGINT)) / 10000.0, 2) AS total_value
+        | ((CASE WHEN sum(CAST(round((value) * 10000) AS BIGINT)) >= 0 THEN (sum(CAST(round((value) * 10000) AS BIGINT)) + 50) - (sum(CAST(round((value) * 10000) AS BIGINT)) + 50) % 100 ELSE -((-sum(CAST(round((value) * 10000) AS BIGINT)) + 50) - (-sum(CAST(round((value) * 10000) AS BIGINT)) + 50) % 100) END) / 10000.0) AS total_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -87,7 +87,7 @@ object LakehousePack extends QueryPack {
         sum(round(col("value") * 10000).cast("long")).as("v"))
       .groupBy("event_type")
       .agg(sum("c").as("n_events"),
-        round(sum("v") / 10000.0, 2).as("total_value"))
+        money2(sum("v")).as("total_value"))
       .orderBy("event_type")
 
   /** q129 — incremental aggregate maintenance (materialized-view merge):
@@ -688,7 +688,7 @@ object LakehousePack extends QueryPack {
         |GROUP BY p.event_id ORDER BY p_id""".stripMargin,
     "q79_salted_agg" ->
       """SELECT event_type, count(*) AS n_events,
-        | round(sum(CAST(round((value) * 10000) AS BIGINT)) / 10000.0, 2) AS total_value
+        | ((CASE WHEN sum(CAST(round((value) * 10000) AS BIGINT)) >= 0 THEN (sum(CAST(round((value) * 10000) AS BIGINT)) + 50) - (sum(CAST(round((value) * 10000) AS BIGINT)) + 50) % 100 ELSE -((-sum(CAST(round((value) * 10000) AS BIGINT)) + 50) - (-sum(CAST(round((value) * 10000) AS BIGINT)) + 50) % 100) END) / 10000.0) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q129_incremental_agg" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,

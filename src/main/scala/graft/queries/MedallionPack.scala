@@ -193,7 +193,7 @@ object MedallionPack extends QueryPack {
          |GROUP BY traffic_source ORDER BY traffic_source""".stripMargin,
     "q93_gold_revenue" ->
       s"""WITH $silverCtes
-         |SELECT p_brand, round(sum(CAST(round((l_extendedprice) * 10000) AS BIGINT)) / 10000.0, 2) AS revenue
+         |SELECT p_brand, ((CASE WHEN sum(CAST(round((l_extendedprice) * 10000) AS BIGINT)) >= 0 THEN (sum(CAST(round((l_extendedprice) * 10000) AS BIGINT)) + 50) - (sum(CAST(round((l_extendedprice) * 10000) AS BIGINT)) + 50) % 100 ELSE -((-sum(CAST(round((l_extendedprice) * 10000) AS BIGINT)) + 50) - (-sum(CAST(round((l_extendedprice) * 10000) AS BIGINT)) + 50) % 100) END) / 10000.0) AS revenue
          |FROM (SELECT order_id FROM silver WHERE event_type = 'purchase') s
          | JOIN lineitem ON s.order_id = l_orderkey
          | JOIN part ON l_partkey = p_partkey

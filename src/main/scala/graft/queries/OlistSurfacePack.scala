@@ -176,7 +176,7 @@ object OlistSurfacePack extends QueryPack {
   override val oracle: Seq[(String, String)] = Seq(
     "q246_seller_state_revenue" ->
       """SELECT n_name AS seller_state,
-        | round(sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)) / 10000.0, 2) AS revenue,
+        | ((CASE WHEN sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)) >= 0 THEN (sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)) + 50) - (sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)) + 50) % 100 ELSE -((-sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)) + 50) - (-sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)) + 50) % 100) END) / 10000.0) AS revenue,
         | CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_sellers
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -229,7 +229,7 @@ object OlistSurfacePack extends QueryPack {
          | FROM (SELECT DISTINCT p_brand FROM part)
          | WHERE ${duckU32("p_brand", "tr")} % 2 = 0)
          |SELECT coalesce(m.brand_en, p.p_brand) AS category,
-         | round(sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)) / 10000.0, 2) AS revenue,
+         | ((CASE WHEN sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)) >= 0 THEN (sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)) + 50) - (sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)) + 50) % 100 ELSE -((-sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)) + 50) - (-sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)) + 50) % 100) END) / 10000.0) AS revenue,
          | CAST(count(*) AS BIGINT) AS n_items
          |FROM lineitem
          |JOIN part p ON l_partkey = p_partkey

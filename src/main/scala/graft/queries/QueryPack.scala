@@ -33,7 +33,7 @@ trait QueryPack {
   def oracle: Seq[(String, String)]
 
   import org.apache.spark.sql.Column
-  import org.apache.spark.sql.functions.{round, sum}
+  import org.apache.spark.sql.functions.{lit, pmod, round, sum, when}
 
   /** Exact 2-dp money sum — the q86/q118 10⁻⁴-unit doctrine promoted
     * to the shared surface by the r11 sf1 oracle gate: each 4-dp-exact
@@ -47,10 +47,48 @@ trait QueryPack {
     * aggregation made the verdict flip run-to-run). Use for any money
     * sum whose TERM COUNT grows with the corpus (global / per-category
     * grains); bounded per-entity sums (per order, per customer) may
-    * keep the plain spelling. The DuckDB twin is
-    * `round(sum(CAST(round((expr) * 10000) AS BIGINT)) / 10000.0, 2)`. */
+    * keep the plain spelling.
+    *
+    * The FINAL 2-dp rounding is integer half-up (away from zero), NOT
+    * `round(double, 2)`: an exact 10⁻⁴-unit total ending in …50 is a
+    * half-cent TIE, where Spark rounds the exact decimal HALF_UP but
+    * DuckDB rounds the ×100-scaled binary double — one cent apart
+    * whenever the fp error lands below the half (the q298 sf1 lesson,
+    * same class as `meanRound6`). `(|s|+50) − (|s|+50) mod 100` is
+    * half-up by construction, sign restored after; both engines then
+    * run the IDENTICAL IEEE steps (long→double, ∕10⁴ — one rounding
+    * each), so the result is bit-equal at ANY magnitude. (Totals
+    * beyond ±(2⁶³−50) ten-thousandths ≈ 9·10¹⁴ dollars would overflow
+    * the +50 under ANSI — far past any plausible corpus.) Oracle twin:
+    * [[duckMoneySum2]] — call sites inline its exact output;
+    * `MoneyDoctrineSpec` keeps the spellings in lockstep. */
   protected def moneySum2(term: Column): Column =
-    round(sum(round(term * 10000).cast("long")) / 10000.0, 2)
+    money2(sum(round(term * 10000).cast("long")))
+
+  /** Finish an EXACT 10⁻⁴-unit long total to 2-dp money — the tie-safe
+    * half-up described on [[moneySum2]], factored out for spellings
+    * whose aggregate cannot route through it whole (e.g. a salted
+    * two-level sum that carries the exact units across the levels). */
+  protected def money2(total: Column): Column = {
+    def up(x: Column): Column = {
+      val h = x + lit(50L)
+      h - pmod(h, lit(100L))
+    }
+    when(total >= 0, up(total)).otherwise(-up(-total))
+      .cast("double") / lit(10000.0)
+  }
+
+  /** The DuckDB spelling of [[moneySum2]] — the canonical generator
+    * the inline oracle strings must match (asserted by
+    * `MoneyDoctrineSpec`). The output is FULLY parenthesized so it
+    * composes under division/arithmetic (the first cut's trailing
+    * `∕ 10000.0` bound wrongly inside `a ∕ b` ratio spellings —
+    * q117/q120 came out 10⁻⁸ off). */
+  def duckMoneySum2(expr: String): String = {
+    val s = s"sum(CAST(round(($expr) * 10000) AS BIGINT))"
+    s"((CASE WHEN $s >= 0 THEN ($s + 50) - ($s + 50) % 100" +
+      s" ELSE -((-$s + 50) - (-$s + 50) % 100) END) / 10000.0)"
+  }
 }
 
 /** The ONE whitespace tokenizer every text-processing pack shares.

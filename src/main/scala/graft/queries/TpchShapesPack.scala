@@ -642,7 +642,7 @@ object TpchShapesPack extends QueryPack {
     "q116_nation_trade_flow" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         | CAST(year(l.l_shipdate) AS INT) AS l_year,
-        | round(sum(CAST(round((l.l_extendedprice * (1.0 - l.l_discount)) * 10000) AS BIGINT)) / 10000.0, 2) AS revenue
+        | ((CASE WHEN sum(CAST(round((l.l_extendedprice * (1.0 - l.l_discount)) * 10000) AS BIGINT)) >= 0 THEN (sum(CAST(round((l.l_extendedprice * (1.0 - l.l_discount)) * 10000) AS BIGINT)) + 50) - (sum(CAST(round((l.l_extendedprice * (1.0 - l.l_discount)) * 10000) AS BIGINT)) + 50) % 100 ELSE -((-sum(CAST(round((l.l_extendedprice * (1.0 - l.l_discount)) * 10000) AS BIGINT)) + 50) - (-sum(CAST(round((l.l_extendedprice * (1.0 - l.l_discount)) * 10000) AS BIGINT)) + 50) % 100) END) / 10000.0) AS revenue
         |FROM lineitem l
         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
@@ -670,10 +670,10 @@ object TpchShapesPack extends QueryPack {
         | JOIN supplier s ON l.l_suppkey = s.s_suppkey
         | JOIN nation sn ON s.s_nationkey = sn.n_nationkey)
         |SELECT o_year,
-        | round(sum(CAST(round((CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END) * 10000) AS BIGINT)) / 10000.0, 2) AS nation_rev,
-        | round(sum(CAST(round((volume) * 10000) AS BIGINT)) / 10000.0, 2) AS total_rev,
-        | round(sum(CAST(round((CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END) * 10000) AS BIGINT)) / 10000.0, 2)
-        |   / round(sum(CAST(round((volume) * 10000) AS BIGINT)) / 10000.0, 2) AS mkt_share
+        | ((CASE WHEN sum(CAST(round((CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END) * 10000) AS BIGINT)) >= 0 THEN (sum(CAST(round((CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END) * 10000) AS BIGINT)) + 50) - (sum(CAST(round((CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END) * 10000) AS BIGINT)) + 50) % 100 ELSE -((-sum(CAST(round((CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END) * 10000) AS BIGINT)) + 50) - (-sum(CAST(round((CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END) * 10000) AS BIGINT)) + 50) % 100) END) / 10000.0) AS nation_rev,
+        | ((CASE WHEN sum(CAST(round((volume) * 10000) AS BIGINT)) >= 0 THEN (sum(CAST(round((volume) * 10000) AS BIGINT)) + 50) - (sum(CAST(round((volume) * 10000) AS BIGINT)) + 50) % 100 ELSE -((-sum(CAST(round((volume) * 10000) AS BIGINT)) + 50) - (-sum(CAST(round((volume) * 10000) AS BIGINT)) + 50) % 100) END) / 10000.0) AS total_rev,
+        | ((CASE WHEN sum(CAST(round((CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END) * 10000) AS BIGINT)) >= 0 THEN (sum(CAST(round((CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END) * 10000) AS BIGINT)) + 50) - (sum(CAST(round((CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END) * 10000) AS BIGINT)) + 50) % 100 ELSE -((-sum(CAST(round((CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END) * 10000) AS BIGINT)) + 50) - (-sum(CAST(round((CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END) * 10000) AS BIGINT)) + 50) % 100) END) / 10000.0)
+        |   / ((CASE WHEN sum(CAST(round((volume) * 10000) AS BIGINT)) >= 0 THEN (sum(CAST(round((volume) * 10000) AS BIGINT)) + 50) - (sum(CAST(round((volume) * 10000) AS BIGINT)) + 50) % 100 ELSE -((-sum(CAST(round((volume) * 10000) AS BIGINT)) + 50) - (-sum(CAST(round((volume) * 10000) AS BIGINT)) + 50) % 100) END) / 10000.0) AS mkt_share
         |FROM base GROUP BY o_year ORDER BY o_year""".stripMargin,
     "q118_product_profit" ->
       """SELECT n.n_name AS nation,
@@ -701,10 +701,10 @@ object TpchShapesPack extends QueryPack {
         |GROUP BY 1 ORDER BY l_linestatus""".stripMargin,
     "q120_promo_share" ->
       """SELECT
-        | round(sum(CAST(round((CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1.0 - l.l_discount) ELSE 0.0 END) * 10000) AS BIGINT)) / 10000.0, 2) AS promo_rev,
-        | round(sum(CAST(round((l.l_extendedprice * (1.0 - l.l_discount)) * 10000) AS BIGINT)) / 10000.0, 2) AS total_rev,
-        | 100.0 * round(sum(CAST(round((CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1.0 - l.l_discount) ELSE 0.0 END) * 10000) AS BIGINT)) / 10000.0, 2)
-        |   / round(sum(CAST(round((l.l_extendedprice * (1.0 - l.l_discount)) * 10000) AS BIGINT)) / 10000.0, 2) AS promo_pct
+        | ((CASE WHEN sum(CAST(round((CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1.0 - l.l_discount) ELSE 0.0 END) * 10000) AS BIGINT)) >= 0 THEN (sum(CAST(round((CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1.0 - l.l_discount) ELSE 0.0 END) * 10000) AS BIGINT)) + 50) - (sum(CAST(round((CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1.0 - l.l_discount) ELSE 0.0 END) * 10000) AS BIGINT)) + 50) % 100 ELSE -((-sum(CAST(round((CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1.0 - l.l_discount) ELSE 0.0 END) * 10000) AS BIGINT)) + 50) - (-sum(CAST(round((CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1.0 - l.l_discount) ELSE 0.0 END) * 10000) AS BIGINT)) + 50) % 100) END) / 10000.0) AS promo_rev,
+        | ((CASE WHEN sum(CAST(round((l.l_extendedprice * (1.0 - l.l_discount)) * 10000) AS BIGINT)) >= 0 THEN (sum(CAST(round((l.l_extendedprice * (1.0 - l.l_discount)) * 10000) AS BIGINT)) + 50) - (sum(CAST(round((l.l_extendedprice * (1.0 - l.l_discount)) * 10000) AS BIGINT)) + 50) % 100 ELSE -((-sum(CAST(round((l.l_extendedprice * (1.0 - l.l_discount)) * 10000) AS BIGINT)) + 50) - (-sum(CAST(round((l.l_extendedprice * (1.0 - l.l_discount)) * 10000) AS BIGINT)) + 50) % 100) END) / 10000.0) AS total_rev,
+        | 100.0 * ((CASE WHEN sum(CAST(round((CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1.0 - l.l_discount) ELSE 0.0 END) * 10000) AS BIGINT)) >= 0 THEN (sum(CAST(round((CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1.0 - l.l_discount) ELSE 0.0 END) * 10000) AS BIGINT)) + 50) - (sum(CAST(round((CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1.0 - l.l_discount) ELSE 0.0 END) * 10000) AS BIGINT)) + 50) % 100 ELSE -((-sum(CAST(round((CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1.0 - l.l_discount) ELSE 0.0 END) * 10000) AS BIGINT)) + 50) - (-sum(CAST(round((CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1.0 - l.l_discount) ELSE 0.0 END) * 10000) AS BIGINT)) + 50) % 100) END) / 10000.0)
+        |   / ((CASE WHEN sum(CAST(round((l.l_extendedprice * (1.0 - l.l_discount)) * 10000) AS BIGINT)) >= 0 THEN (sum(CAST(round((l.l_extendedprice * (1.0 - l.l_discount)) * 10000) AS BIGINT)) + 50) - (sum(CAST(round((l.l_extendedprice * (1.0 - l.l_discount)) * 10000) AS BIGINT)) + 50) % 100 ELSE -((-sum(CAST(round((l.l_extendedprice * (1.0 - l.l_discount)) * 10000) AS BIGINT)) + 50) - (-sum(CAST(round((l.l_extendedprice * (1.0 - l.l_discount)) * 10000) AS BIGINT)) + 50) % 100) END) / 10000.0) AS promo_pct
         |FROM lineitem l
         |JOIN part p ON l.l_partkey = p.p_partkey
         |WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
@@ -721,7 +721,7 @@ object TpchShapesPack extends QueryPack {
         |ORDER BY big.total_qty DESC, o.o_orderkey LIMIT 20""".stripMargin,
     "q122_idle_rich_customers" ->
       """SELECT c.c_nationkey, count(*) AS numcust,
-        | round(sum(CAST(round((c.c_acctbal) * 10000) AS BIGINT)) / 10000.0, 2) AS totacctbal
+        | ((CASE WHEN sum(CAST(round((c.c_acctbal) * 10000) AS BIGINT)) >= 0 THEN (sum(CAST(round((c.c_acctbal) * 10000) AS BIGINT)) + 50) - (sum(CAST(round((c.c_acctbal) * 10000) AS BIGINT)) + 50) % 100 ELSE -((-sum(CAST(round((c.c_acctbal) * 10000) AS BIGINT)) + 50) - (-sum(CAST(round((c.c_acctbal) * 10000) AS BIGINT)) + 50) % 100) END) / 10000.0) AS totacctbal
         |FROM customer c
         |WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
         |   WHERE c_acctbal > 0.0)

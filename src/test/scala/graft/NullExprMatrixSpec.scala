@@ -204,13 +204,26 @@ class NullExprMatrixSpec extends SparkSpecBase {
   }
 
   test("adaptive interval width: malformed conf is lenient — falls back to adaptive") {
+    // NOTE: " 64" is NOT in this list — after the lenient trim it is a
+    // VALID static-64 conf (the valid-after-trim case below), so it
+    // would exercise the static path while this test documents the
+    // adaptive FALLBACK. Only genuinely unparseable values belong here.
     val key = "spark.graft.band.intervalBin"
-    for (v <- Seq(" 64", "abc", "  ", "9x")) {
+    for (v <- Seq("abc", "  ", "9x", "64 65")) {
       spark.conf.set(key, v)
       try ivAudit(
         Seq((1L, Some(0L), Some(100L)), (2L, Some(50L), Some(80L))),
         Seq((11L, Some(60L), Some(120L)), (12L, Some(300L), Some(400L))))
       finally spark.conf.unset(key)
     }
+  }
+
+  test("adaptive interval width: whitespace-padded numeric conf is VALID after trim") {
+    val key = "spark.graft.band.intervalBin"
+    spark.conf.set(key, " 64")
+    try ivAudit(
+      Seq((1L, Some(0L), Some(100L)), (2L, Some(50L), Some(80L))),
+      Seq((11L, Some(60L), Some(120L)), (12L, Some(300L), Some(400L))))
+    finally spark.conf.unset(key)
   }
 }

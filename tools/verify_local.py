@@ -123,9 +123,17 @@ def connect():
     """Bounded-memory connection: the default 80%-of-RAM limit let one
     heavy sf1 oracle exhaust the machine and every later query then
     failed on tiny allocations (the r11 sf1 gate's q252+ cascade). A
-    hard cap + disk spill keeps single-query failures contained."""
+    hard cap + disk spill keeps single-query failures contained. The
+    cap is min(24GB, half of physical RAM) so the containment holds on
+    smaller gate replicas too."""
+    try:
+        import os
+        total_gb = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE") / 2**30
+        cap = max(2, min(24, int(total_gb / 2)))
+    except (ValueError, OSError):
+        cap = 24
     con = duckdb.connect()
-    con.execute("PRAGMA memory_limit='24GB'")
+    con.execute(f"PRAGMA memory_limit='{cap}GB'")
     con.execute("PRAGMA temp_directory='.tmp/duckdb_spill'")
     for t in TABLES:
         glob = f"{SF_DIR}/{t}.parquet"
