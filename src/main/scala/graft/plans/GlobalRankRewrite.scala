@@ -587,25 +587,66 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
   }
 
   /** Multi-key admission for the LOCF arm: the slice total must be
-    * reconstructible as one max_by (ASC) / min_by (DESC) over the
-    * struct of all order keys, so (a) every key shares the head's
-    * direction — one ascending struct comparison cannot serve mixed
-    * directions; (b) the key struct must be orderable; (c) every
-    * TRAILING key is non-nullable or declares its direction's DEFAULT
-    * null ordering (ASC NULLS FIRST / DESC NULLS LAST) — struct field
-    * comparison places a null field smallest, which matches exactly
-    * those orderings (NaN floats sort greatest in both the window sort
-    * and struct comparison, so they need no guard). The HEAD key's
-    * null ordering stays free: [[sliceOf]] gives its null run a
-    * dedicated slice, so null heads never meet non-null heads inside
-    * one max_by — within the null-head slice the head field ties and
-    * the comparison falls through to the trailing keys. */
-  private def locfMultiKeyOk(order: Seq[SortOrder]): Boolean =
-    order.forall(_.direction == order.head.direction) &&
-      RowOrdering.isOrderable(
-        StructType(order.map(o => StructField("k", o.child.dataType)))) &&
-      order.tail.forall(o => !o.child.nullable || (o.nullOrdering ==
-        (if (o.direction == Ascending) NullsFirst else NullsLast)))
+    * reconstructible as one max_by (head ASC) / min_by (head DESC)
+    * over a struct whose ASCENDING field comparison reproduces the
+    * window's order. Per key that means:
+    *   - keys sharing the head's direction ride as themselves;
+    *   - keys FLIPPED against the head normalize by NEGATION
+    *     ([[negKey]] — round 11, second session), admitted only for
+    *     types where a total strictly-monotone negation exists:
+    *     integrals/decimals (widened first, so ANSI minus cannot
+    *     overflow on the type minimum) and dates/timestamps (via
+    *     their epoch numerics). Flipped FLOATS stand down — NaN sorts
+    *     greatest in every window direction but negates to itself, so
+    *     no negation can reproduce a descending float order — as do
+    *     flipped strings (nothing to negate);
+    *   - every TRAILING key is non-nullable or declares nulls at the
+    *     position a struct's nulls-smallest field comparison implies:
+    *     head ASC → NULLS FIRST, head DESC → NULLS LAST, REGARDLESS
+    *     of the trailing key's own direction (for same-direction keys
+    *     this is exactly their default ordering; for flipped keys it
+    *     is the non-default spelling).
+    * The HEAD key's null ordering stays free: [[sliceOf]] gives its
+    * null run a dedicated slice, so null heads never meet non-null
+    * heads inside one max_by — within the null-head slice the head
+    * field ties and the comparison falls through to the trailing
+    * keys. */
+  private def locfMultiKeyOk(order: Seq[SortOrder]): Boolean = {
+    val head = order.head
+    val wantNulls = if (head.direction == Ascending) NullsFirst else NullsLast
+    def flippable(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _: DecimalType | DateType | TimestampType => true
+      case _ => false
+    }
+    order.tail.forall { o =>
+      (o.direction == head.direction || flippable(o.child.dataType)) &&
+        (!o.child.nullable || o.nullOrdering == wantNulls)
+    } && RowOrdering.isOrderable(StructType(order.map(o =>
+      StructField("k",
+        if (o.direction == head.direction) o.child.dataType
+        else negKey(o.child).dataType))))
+  }
+
+  /** Strictly monotone decreasing total map for a FLIPPED key —
+    * negation over a WIDENED type so the original type's minimum
+    * cannot overflow the ANSI minus (Long.MinValue negates into
+    * decimal(20,0); ints into long; dates/timestamps through their
+    * epoch numerics). Only called for [[locfMultiKeyOk]]-admitted
+    * types. */
+  private def negKey(e: Expression): Expression = e.dataType match {
+    case ByteType | ShortType | IntegerType =>
+      UnaryMinus(Cast(e, LongType))
+    case LongType => UnaryMinus(Cast(e, DecimalType(20, 0)))
+    // decimal ranges are symmetric (±(10^p −1)∕10^s): negation never
+    // overflows its own type — no widening cast (which would truncate
+    // the scale and break strict monotonicity)
+    case _: DecimalType => UnaryMinus(e)
+    case DateType => UnaryMinus(Cast(UnixDate(e), LongType))
+    case TimestampType =>
+      UnaryMinus(Cast(UnixMicros(e), DecimalType(20, 0)))
+    case _ => UnaryMinus(e) // unreachable under locfMultiKeyOk
+  }
 
   private def supported(ne: NamedExpression, parts: Seq[Expression],
       order: Seq[SortOrder], child: LogicalPlan): Boolean = ne match {
@@ -1424,7 +1465,9 @@ object GlobalRankRewrite extends Rule[LogicalPlan] {
         s"graft_rank_lcm$tag")()
       val key: Expression =
         if (order.size == 1) order.head.child
-        else CreateStruct(order.map(_.child))
+        else CreateStruct(order.map(o =>
+          if (o.direction == order.head.direction) o.child
+          else negKey(o.child)))
       val keyOrNull = If(IsNotNull(e), key, Literal(null, key.dataType))
       val byOrder: AggregateFunction = order.head.direction match {
         case Ascending => MaxBy(e, keyOrNull)

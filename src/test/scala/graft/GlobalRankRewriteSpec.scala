@@ -1055,6 +1055,82 @@ class GlobalRankRewriteSpec extends SparkSpecBase {
     }
   }
 
+  test("multi-key LOCF: mixed directions ride negated struct keys") {
+    val t = spark
+    // nullable duplicated head key, flipped tiebreaks of several types
+    corpus(5000).select(col("id"), col("v"),
+      when(col("v") % 40 === 39, lit(null).cast("long"))
+        .otherwise(col("v") % 40L).as("k"))
+      .withColumn("w",
+        when(col("k") % 5 < 1 || col("k").isNull, lit(null).cast("long"))
+          .otherwise(col("k") * 13 % 23))
+      .withColumn("kd", date_add(lit("2020-01-01").cast("date"),
+        (col("v") % 50L).cast("int")))
+      .withColumn("f", (col("v") % 9L).cast("double"))
+      .createOrReplaceTempView("graft_mxlocf")
+    def norm(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x => (x.getLong(0), x.toSeq.drop(1)))
+        .sortBy(_._1).toSeq
+    // flipped non-nullable tiebreaks (long both ways, date under an
+    // ASC head) fire with parity — the negated-struct normalization
+    // kd is NULLABLE (a string→date cast literal), so its flipped
+    // spelling needs the explicit wantNulls ordering to be admitted
+    for (ord <- Seq("k, id DESC", "k DESC, id", "k NULLS LAST, id DESC",
+        "k, kd DESC NULLS FIRST, id DESC")) {
+      val build = () => t.sql(
+        s"""SELECT id,
+           | last_value(w, true) OVER (ORDER BY $ord) AS f_rng,
+           | last_value(w, true) OVER (ORDER BY $ord
+           |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f_row
+           |FROM graft_mxlocf""".stripMargin)
+      val expected = naive(norm(build()))
+      forced {
+        val r = build()
+        assert(r.queryExecution.executedPlan.toString
+          .contains("graft_rank_pid"), s"$ord must fire")
+        assert(norm(r) === expected, ord)
+      }
+    }
+    // flipped FLOAT stands down (NaN negates to itself — no negation
+    // reproduces a descending float order)
+    forced {
+      val p = t.sql(
+        """SELECT last_value(w, true) OVER (ORDER BY k, f DESC, id) AS l
+          |FROM graft_mxlocf""".stripMargin)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("graft_rank_pid"), "flipped float must stand down")
+    }
+    // NULLABLE flipped trailing key: only the wantNulls spelling fires
+    // (head ASC → NULLS FIRST even though the key itself is DESC;
+    // head DESC → NULLS LAST even for an ASC key)
+    corpus(4000).select(col("id"), (col("v") % 20L).as("k"),
+      when(col("v") % 5 === 0, lit(null).cast("long"))
+        .otherwise(col("v") % 7L).as("k2"))
+      .createOrReplaceTempView("graft_mxlocf2")
+    for (ord <- Seq("k, k2 DESC NULLS FIRST", "k DESC, k2 ASC NULLS LAST")) {
+      val build = () => t.sql(
+        s"""SELECT id, last_value(k2, true) OVER (ORDER BY $ord) AS l
+           |FROM graft_mxlocf2""".stripMargin)
+      val expected = naive(norm(build()))
+      forced {
+        val r = build()
+        assert(r.queryExecution.executedPlan.toString
+          .contains("graft_rank_pid"), s"$ord must fire")
+        assert(norm(r) === expected, ord)
+      }
+    }
+    forced {
+      for (ord <- Seq("k, k2 DESC", "k DESC, k2 ASC")) {
+        val p = t.sql(
+          s"""SELECT last_value(k2, true) OVER (ORDER BY $ord) AS l
+             |FROM graft_mxlocf2""".stripMargin)
+          .queryExecution.executedPlan.toString
+        assert(!p.contains("graft_rank_pid"),
+          s"$ord (default nulls on a nullable flipped key) must stand down")
+      }
+    }
+  }
+
   test("catalog ndv stats admit attribute partitions under CBO") {
     val t = spark
     // an ATTRIBUTE partition key (seg) the structural prover cannot
