@@ -31,8 +31,28 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
+  /** Schema cache — the metastore role of a real catalog, collapsed into
+    * the JVM. A bare `spark.read.parquet(p)` re-infers the schema on
+    * EVERY call (driver-side footer read, ~60 ms here); a catalog table
+    * stores the schema once and hands it to every scan. Caching the
+    * inferred StructType (pure metadata — never data, never results) and
+    * loading via `.schema(cached)` makes repeat loads ~6 ms while
+    * producing the byte-identical relation: the cached value IS the
+    * inference result for that (dir, table) under the session's
+    * nanosAsLong setting (part of the key, since it changes how parquet
+    * TIMESTAMP(NANOS) columns surface).
+    */
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(String, String, String), org.apache.spark.sql.types.StructType]
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val raw = spark.read.parquet(path(dir, name))
+    val p = path(dir, name)
+    val nanosConf = spark.conf
+      .get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val sch = schemaCache.getOrElseUpdate((dir, name, nanosConf),
+      spark.read.parquet(p).schema)
+    val raw = spark.read.schema(sch).parquet(p)
     if (name == "events" &&
         raw.schema("ts").dataType != org.apache.spark.sql.types.LongType)
       raw.withColumn("ts",
