@@ -14,10 +14,16 @@ object BenchSeq {
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => prefixes.exists(n.startsWith) }
     qs.foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch { case e: Throwable => println(s"$name FAILED: ${e.getMessage}") }
-      println(f"[t] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      // min-of-2 + clearCache between queries: the Bench methodology, so
+      // targeted A/B numbers are comparable to the bench record.
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable => println(s"$name FAILED: ${e.getMessage}") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      spark.sqlContext.clearCache()
+      println(f"[t] $name%-28s ${times.min}%8.2f s  (reps ${times.map(t => f"$t%.2f").mkString(", ")})")
     }
     spark.stop()
   }
