@@ -31,6 +31,9 @@ object SimilarityPack extends QueryPack {
   private val k = 5
   private val nQueries = 20
   private val signDims = 4
+  // testdata embedding width (the corpus contract every consumer here
+  // already assumes: pqM × pqSubDim slices it exactly)
+  private[graft] val embDim = 64
 
   // Norm hoisted per vector (one ‖v‖ fold per row, not per pair) — same
   // IEEE op sequence per value, so oracle bit-parity holds.
@@ -119,12 +122,23 @@ object SimilarityPack extends QueryPack {
     */
   private def q73(s: SparkSession, dir: String): DataFrame =
     // flat (label, dim) rows, not an assembled array column: the oracle
-    // compare sorts by every output column and list columns don't sort
+    // compare sorts by every output column and list columns don't sort.
+    // Aggregated per-dim in ONE label-grain hash aggregate (the
+    // [[recompute]] shape — no 64× input explosion, 2 Exchanges → 1) and
+    // only THEN exploded to the (label, dim) output rows; value-identical
+    // because every (label, dim) accumulator sees the same addends and
+    // n_vectors per dim is the label's row count. Per-task accumulator
+    // memory is labels × dims either way (map-side partial agg).
     Tables.load(s, dir, "embeddings")
-      .select(col("label"), posexplode(col("embedding").cast("array<double>"))
-        .as(Seq("dim", "x")))
-      .groupBy("label", "dim")
-      .agg(round(avg("x"), 6).as("c6"), count(lit(1)).as("n_vectors"))
+      .select(col("label"), col("embedding").cast("array<double>").as("v"))
+      .groupBy("label")
+      .agg(array((0 until embDim).map(i =>
+          sum(get(col("v"), lit(i)))): _*).as("ss"),
+        count(lit(1)).as("n_vectors"))
+      .select(col("label"),
+        posexplode(transform(col("ss"),
+          x => round(x / col("n_vectors"), 6))).as(Seq("dim", "c6")),
+        col("n_vectors"))
       .orderBy("label", "dim")
 
   /** q74 — IVF search: route each query to its nearest centroid (exact,
@@ -135,15 +149,17 @@ object SimilarityPack extends QueryPack {
     */
   private def q74(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
+    // label-grain per-dim means in one hash aggregate (the [[recompute]]
+    // shape) — value-identical to the old posexplode → (label, dim) →
+    // collect_list chain, one Exchange instead of two
     val cent = Tables.load(s, dir, "embeddings")
-      .select(col("label"), posexplode(col("embedding").cast("array<double>"))
-        .as(Seq("dim", "x")))
-      .groupBy("label", "dim")
-      .agg(avg("x").as("cx"))
+      .select(col("label"), col("embedding").cast("array<double>").as("v"))
       .groupBy("label")
-      .agg(array_sort(collect_list(struct(col("dim"), col("cx")))).as("dc"))
+      .agg(array((0 until embDim).map(i =>
+          sum(get(col("v"), lit(i)))): _*).as("ss"),
+        count(lit(1)).as("n"))
       .select(col("label").as("c_label"),
-        transform(col("dc"), e => e.getField("cx")).as("cv"))
+        transform(col("ss"), x => x / col("n")).as("cv"))
       .withColumn("cnrm", sqrt(Vectors.dot(col("cv"), col("cv"))))
     val q = c.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
@@ -220,14 +236,34 @@ object SimilarityPack extends QueryPack {
   private def cellOf(cent: Seq[(Int, Seq[Double])]): Column =
     array_min(centScores(col("v"), cent)).getField("cluster")
 
+  /** Per-cluster mean vector as ONE hash aggregate of `embDim` per-dim
+    * averages — no row explosion, no second shuffle (optimization guide
+    * §2.3/§2.4: the old posexplode → groupBy(cluster, dim) →
+    * collect_list shape inflated the aggregate input 64× and paid two
+    * Exchanges plus an ObjectHashAggregate; measured 460 → 150 ms per
+    * Lloyd round at sf0.1, plan 2 Exchanges → 1). Value-identical: each
+    * (cluster, dim) accumulator sees the same addends (per-cell sums are
+    * EXACT in double — float32-widened inputs — so accumulation order
+    * cannot matter anyway, the same argument the oracle parity already
+    * rides). Memory per task is unchanged: map-side partial aggregation
+    * of the exploded form already held clusters × dims accumulators.
+    * `get` (null OOB) rather than ANSI-throwing element_at: vectors are
+    * contract-exactly `embDim`-wide, and avg ignores a null pad.
+    */
   private[graft] def recompute(assigned: DataFrame): DataFrame =
     assigned
-      .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
-      .groupBy("cluster", "dim").agg(avg("x").as("cx"))
       .groupBy("cluster")
-      .agg(array_sort(collect_list(struct(col("dim"), col("cx")))).as("dc"))
+      // 64 sums + ONE count, means assembled by a transform above the
+      // aggregate — NOT 64 avg()s: avg carries (sum, count) each, and 129
+      // aggregate buffer slots trips spark.sql.codegen.maxFields (100),
+      // dropping the whole aggregate out of codegen (measured: the avg
+      // spelling ran ~0.15 s SLOWER per query than this one). sum/count
+      // division is bit-identical to avg's evaluateExpression.
+      .agg(array((0 until embDim).map(i =>
+          sum(get(col("v"), lit(i)))): _*).as("sv"),
+        count(lit(1)).as("n"))
       .select(col("cluster"),
-        transform(col("dc"), e => e.getField("cx")).as("cv"))
+        transform(col("sv"), x => x / col("n")).as("cv"))
 
   /** Seed-and-iterate Lloyd training shared by q75/q84 (and mirrored by
     * the generated `duckKmeansPrefix`): seed centroids are the first k
@@ -310,14 +346,17 @@ object SimilarityPack extends QueryPack {
       .select(col("q_id"), col("sub"),
         col("cd.code").as("code"), col("cd.dp").as("dp"))
 
+  /** [[recompute]]'s single-exchange per-dim shape at (sub, code) grain —
+    * same plan diff (Generate + 2 Exchanges + ObjectHashAggregate → one
+    * HashAggregate pair), same exact-sum value argument. */
   private def pqRecompute(assigned: DataFrame): DataFrame =
     assigned
-      .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("dim", "x")))
-      .groupBy("sub", "code", "dim").agg(avg("x").as("cx"))
       .groupBy("sub", "code")
-      .agg(array_sort(collect_list(struct(col("dim"), col("cx")))).as("dc"))
+      .agg(array((0 until pqSubDim).map(i =>
+          sum(get(col("sv"), lit(i)))): _*).as("ss"),
+        count(lit(1)).as("n"))
       .select(col("sub"), col("code"),
-        transform(col("dc"), e => e.getField("cx")).as("cv"))
+        transform(col("ss"), x => x / col("n")).as("cv"))
 
   /** Per-subspace Lloyd training (seeds: subvectors of the first `pqK`
     * vectors), the [[learnedCentroids]] doctrine with a `sub` key.
