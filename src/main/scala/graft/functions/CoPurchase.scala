@@ -19,15 +19,26 @@ import org.apache.spark.sql.functions._
   */
 object CoPurchase {
 
+  /** One sorted distinct-part basket array per order — THE shared shuffle
+    * of every co-purchase consumer. Exposed so siblings that need a
+    * second view of the same grain (e.g. q191's per-part order support =
+    * one explode of these arrays) build the byte-identical subplan and
+    * AQE's ReusedExchange serves both from ONE shuffle of lineitem
+    * instead of a second scan + distinct (optimization guide §2.4:
+    * "two operations keyed the same way share one exchange").
+    */
+  def baskets(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+
   /** One row per (order, unordered part pair), oriented `src < dst`.
     * Index-variant transform + slice enumeration: `slice` past the array
     * end is empty, so 1-part orders contribute nothing — unlike
     * `sequence(1, 0)`, which Spark generates DESCENDING as [1, 0].
     */
   def orderPairs(lineitem: DataFrame): DataFrame =
-    lineitem
-      .groupBy("l_orderkey")
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    baskets(lineitem)
       .select(explode(flatten(transform(col("ps"), (x, i) =>
         transform(slice(col("ps"), i + lit(2), size(col("ps"))),
           y => struct(x.as("src"), y.as("dst")))))).as("e"))

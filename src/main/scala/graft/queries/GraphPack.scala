@@ -151,8 +151,14 @@ object GraphPack extends QueryPack {
       .groupBy("src", "dst").agg(count(lit(1)).as("c"))
     val sym = co.union(co.select(col("dst").as("src"), col("src").as("dst"),
       col("c")))
-    val support = li.select("l_orderkey", "l_partkey").distinct()
-      .groupBy(col("l_partkey").as("p")).agg(count(lit(1)).as("n"))
+    // per-part order support from the SAME basket aggregate the pair side
+    // shuffles (collect_set ≡ the old (order, part) distinct): the basket
+    // exchange is byte-identical in both branches, so AQE ReusedExchange
+    // serves support without a second lineitem scan + distinct shuffle
+    // (plan: 3 lineitem scans → 1; guide §2.4)
+    val support = CoPurchase.baskets(li)
+      .select(explode(col("ps")).as("p"))
+      .groupBy("p").agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("item").orderBy(col("cos").desc, col("neighbor"))
     sym
       .join(broadcast(support.select(col("p").as("src"), col("n").as("na"))),
